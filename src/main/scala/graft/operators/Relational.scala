@@ -1,0 +1,312 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational operator core — the Spark-first re-expression of every
+  * pure-relational operation in the reference (SURVEY.md §2):
+  *
+  *  - C1 null/""-coalesce clean        (/root/reference/src/transform_load.py:23-31)
+  *  - W1 keep-first-per-group dedup    (transform_load.py:47-70, made deterministic)
+  *  - A1/A2/H1 group-count / collect-per-group / having (transform_load.py:47-53)
+  *  - J1/J3 FK join + anti-join delete (transform_load.py:80-93, 57-70)
+  *  - P1/X1 projection + filename formatting (ingestion.py:70-83, 65)
+  *  - F-family filters                 (ingestion.py:42-55, transform_load.py:82-88)
+  *  - L1 filter-then-limit / top-k     (ingestion.py:34-35)
+  *  - M1/M2 deterministic train/val/test split (transform_load.py:129-142;
+  *    64/16/20 per SURVEY §0 — expressed as a hash split so the DuckDB
+  *    oracle reproduces it exactly, unlike `randomSplit`)
+  *  - X4 JSON field access             (ingestion.py:48,73-79)
+  *
+  * All functions are pure `DataFrame => DataFrame` transforms; Catalyst
+  * provides pushdown/pruning/join-selection (SURVEY.md §4). Money sums are
+  * computed as integer cents (`round(x*100)` → long) so results are exact
+  * and order-independent — a 100 TB shuffle must not make the answer
+  * nondeterministic at the ULP level.
+  */
+object Relational {
+
+  // ---------------------------------------------------------------- C1
+  /** Map null or empty-string to a sentinel for the given columns.
+    * Reference semantics are Python truthiness (`if not doc.get(field)`),
+    * so "" must be caught too — plain `na.fill` would miss it. */
+  def cleanNa(df: DataFrame, fields: Seq[String], sentinel: String = "NA"): DataFrame =
+    fields.foldLeft(df) { (d, f) =>
+      d.withColumn(f, when(col(f).isNull || col(f) === "", lit(sentinel)).otherwise(col(f)))
+    }
+
+  // ---------------------------------------------------------------- W1
+  /** Keep exactly one row per key, deterministically: the first under
+    * `order`. The reference keeps Mongo's unspecified `$push` order
+    * (transform_load.py:58-60); we define the tiebreak. Single shuffle on
+    * the key — at scale this is one hash exchange + in-partition sort,
+    * and AQE handles key skew. */
+  def keepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** J3: dedup via anti-join — the reference's delete-the-victims form
+    * (transform_load.py:62-70). Semantically equal to keepFirst; kept as
+    * the explicit anti-join surface. */
+  def deleteDupVictims(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame =
+    keepFirst(df, keys, order)
+
+  // ---------------------------------------------------------------- M1/M2
+  /** Deterministic 64/16/20 split label (SURVEY §0: the reference's nested
+    * train_test_split yields 64/16/20, not the README's 80/10/10). A
+    * multiplicative hash on the key keeps it reproducible across engines
+    * and cluster sizes — no RNG, no collect. */
+  def splitLabel(key: Column): Column = {
+    val m = pmod(key * lit(2654435761L) + lit(40503L), lit(10000L)) // Knuth multiplicative hash, fits in long for keys < ~3.4e9
+    when(m < 6400, "train").when(m < 8000, "validation").otherwise("test")
+  }
+
+  /** Integer-cents representation of a 2-decimal money double: exact,
+    * associative, safe to sum in any shuffle order. */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
+  // ---------------------------------------------------------------- queries
+  // Driver correctness surface: name -> (spark, sfDir) => DataFrame, with a
+  // DuckDB twin in `oracle`. Aliases and ORDER BY are identical on both
+  // sides (driver hash-compares after sorting columns by name).
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Flagship: W1 dedup + A1 group-count + H1 having in one plan.
+    "q01_dedup_group" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val first = keepFirst(li, Seq("l_orderkey", "l_partkey"),
+        Seq(col("l_linenumber"), col("l_suppkey")))
+      first.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_rows"),
+             sum(col("l_quantity")).cast("long").as("sum_qty"),
+             sum(cents(col("l_extendedprice"))).cast("long").as("revenue_cents"))
+        .filter(col("n_rows") > 10)
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // W1 alone: deduped row subset, deterministic keep-first.
+    "q02_keep_first" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      keepFirst(li, Seq("l_orderkey", "l_partkey"), Seq(col("l_linenumber"), col("l_suppkey")))
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .orderBy("l_orderkey", "l_partkey")
+    }),
+
+    // C1 clean: null/"" -> "NA" (documents table stands in for artwork_metadata).
+    "q03_clean_na" -> ((s, dir) => {
+      cleanNa(Tables.documents(s, dir), Seq("lang", "source"))
+        .select(col("doc_id"), col("lang").as("lang_clean"), col("source").as("source_clean"))
+        .orderBy("doc_id")
+    }),
+
+    // P1 projection + rename + literal + X1 filename format.
+    "q04_project" -> ((s, dir) => {
+      Tables.part(s, dir).select(
+        col("p_partkey").as("object_id"),
+        col("p_name").as("title"),
+        lit("The MET Museum API").as("source"),
+        concat(col("p_partkey").cast("string"), lit(".jpg")).as("filename"))
+        .orderBy("object_id")
+    }),
+
+    // F-family composite filter (status + value + non-null predicate).
+    "q05_filter" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .filter(col("event_type").isin("purchase", "click") &&
+                col("value") > 50 && col("props").isNotNull)
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")
+    }),
+
+    // J1 FK joins: orders ⋈ customer ⋈ nation, dims broadcast, agg per nation.
+    "q06_join_agg" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+             sum(cents(col("o_totalprice"))).cast("long").as("total_cents"))
+        .orderBy("n_name")
+    }),
+
+    // J3 anti-join: customers with no high-value orders (the delete-victims
+    // shape — filter pushes below the anti-join's build side).
+    "q07_anti_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    }),
+
+    // Semi-join: customers with at least one order.
+    "q08_semi_join" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    }),
+
+    // L1 top-k with deterministic tiebreak.
+    "q09_topk" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // A2 collect-per-group, deterministic order, string-joined for parity.
+    "q10_collect" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(expr("array_join(transform(sort_array(collect_list(o_orderkey)), x -> cast(x as string)), ',')").as("order_keys"),
+             count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") > 1)
+        .orderBy("o_custkey")
+    }),
+
+    // A1+H1: group-count with having (the reference's dup-detector shape,
+    // transform_load.py:47-53, on orders-per-customer).
+    "q11_having" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") > 5)
+        .orderBy("o_custkey")
+    }),
+
+    // M1/M2 deterministic 64/16/20 split + per-split agg.
+    "q12_split" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .withColumn("split", splitLabel(col("o_orderkey")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_rows"),
+             sum(cents(col("o_totalprice"))).cast("long").as("total_cents"))
+        .orderBy("split")
+    }),
+
+    // X4 JSON field access on events.props.
+    "q13_json" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .filter(col("k") > 50)
+        .select("event_id", "event_type", "k")
+        .orderBy("event_id")
+    }),
+
+    // Set ops: union of labeled slices (K7's three loops collapsed).
+    "q15_union" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val hi = o.filter(col("o_totalprice") >= 200000).withColumn("bucket", lit("high"))
+      val lo = o.filter(col("o_totalprice") < 200000).withColumn("bucket", lit("low"))
+      hi.unionByName(lo)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"))
+        .orderBy("bucket")
+    }),
+
+    // Window running total per customer (cumulative cents over order date).
+    "q16_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, dir)
+        .withColumn("cum_cents", sum(cents(col("o_totalprice"))).over(w).cast("long"))
+        .select("o_custkey", "o_orderkey", "cum_cents")
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Event-time tumbling window (hourly) aggregation; exact value via e4 fixed point.
+    "q17_hourly" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+             sum(round(col("value") * 10000).cast("long")).cast("long").as("value_e4"))
+        .orderBy("hour", "event_type")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q01_dedup_group" ->
+      """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber, l_suppkey) AS rn FROM lineitem)
+        |WHERE rn = 1 GROUP BY l_returnflag HAVING COUNT(*) > 10 ORDER BY l_returnflag""".stripMargin,
+    "q02_keep_first" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_returnflag
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber, l_suppkey) AS rn FROM lineitem)
+        |WHERE rn = 1 ORDER BY l_orderkey, l_partkey""".stripMargin,
+    "q03_clean_na" ->
+      """SELECT doc_id,
+        |  CASE WHEN lang IS NULL OR lang = '' THEN 'NA' ELSE lang END AS lang_clean,
+        |  CASE WHEN source IS NULL OR source = '' THEN 'NA' ELSE source END AS source_clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q04_project" ->
+      """SELECT p_partkey AS object_id, p_name AS title, 'The MET Museum API' AS source,
+        |  CAST(p_partkey AS VARCHAR) || '.jpg' AS filename
+        |FROM part ORDER BY object_id""".stripMargin,
+    "q05_filter" ->
+      """SELECT event_id, event_type, value FROM events
+        |WHERE event_type IN ('purchase','click') AND value > 50 AND props IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+    "q06_join_agg" ->
+      """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_semi_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q09_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q10_collect" ->
+      """SELECT o_custkey, string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS order_keys,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1 ORDER BY o_custkey""".stripMargin,
+    "q11_having" ->
+      """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY o_custkey HAVING COUNT(*) > 5 ORDER BY o_custkey""".stripMargin,
+    "q12_split" ->
+      """SELECT CASE WHEN (o_orderkey * 2654435761 + 40503) % 10000 < 6400 THEN 'train'
+        |            WHEN (o_orderkey * 2654435761 + 40503) % 10000 < 8000 THEN 'validation'
+        |            ELSE 'test' END AS split,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY 1 ORDER BY split""".stripMargin,
+    "q13_json" ->
+      """SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        |ORDER BY event_id""".stripMargin,
+    "q15_union" ->
+      """SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows FROM (
+        |  SELECT 'high' AS bucket FROM orders WHERE o_totalprice >= 200000
+        |  UNION ALL
+        |  SELECT 'low' AS bucket FROM orders WHERE o_totalprice < 200000)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
+    "q16_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q17_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value*10000) AS BIGINT)) AS BIGINT) AS value_e4
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+  )
+}

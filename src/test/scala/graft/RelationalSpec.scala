@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Relational
+
+object SparkTestSession {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+class RelationalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("cleanNa maps null and empty-string (Python truthiness) but keeps values") {
+    val df = Seq(
+      (1L, null.asInstanceOf[String], "keep"),
+      (2L, "", "also"),
+      (3L, "v", null.asInstanceOf[String])
+    ).toDF("id", "a", "b")
+    val out = Relational.cleanNa(df, Seq("a", "b")).orderBy("id").collect()
+    assert(out.map(_.getString(1)).toSeq == Seq("NA", "NA", "v"))
+    assert(out.map(_.getString(2)).toSeq == Seq("keep", "also", "NA"))
+  }
+
+  test("keepFirst is deterministic and keeps the minimum under the tiebreak") {
+    val df = Seq(
+      (1L, "b", 2), (1L, "a", 1), (1L, "c", 3),
+      (2L, "x", 9)
+    ).toDF("k", "v", "ord")
+    val out = Relational.keepFirst(df, Seq("k"), Seq(col("ord"))).orderBy("k").collect()
+    assert(out.length == 2)
+    assert(out(0).getString(1) == "a")
+    assert(out(1).getString(1) == "x")
+    // idempotence: dedup(dedup(x)) == dedup(x)
+    val once = Relational.keepFirst(df, Seq("k"), Seq(col("ord")))
+    val twice = Relational.keepFirst(once, Seq("k"), Seq(col("ord")))
+    assert(once.orderBy("k", "ord").collect().toSeq == twice.orderBy("k", "ord").collect().toSeq)
+  }
+
+  test("splitLabel is a deterministic partition with ~64/16/20 proportions") {
+    val df = spark.range(100000).toDF("id")
+      .withColumn("split", Relational.splitLabel(col("id")))
+    val counts = df.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 100000L)
+    assert(math.abs(counts("train") / 100000.0 - 0.64) < 0.02)
+    assert(math.abs(counts("validation") / 100000.0 - 0.16) < 0.02)
+    assert(math.abs(counts("test") / 100000.0 - 0.20) < 0.02)
+    // deterministic: same input -> same labels
+    val again = spark.range(100000).toDF("id")
+      .withColumn("split", Relational.splitLabel(col("id")))
+    assert(df.except(again).count() == 0)
+  }
+
+  test("cents is exact for 2-decimal money doubles") {
+    val df = Seq(0.01, 123.45, 99999.99, 0.0).toDF("x")
+    val out = df.select(Relational.cents(col("x"))).as[Long].collect().toSet
+    assert(out == Set(1L, 12345L, 9999999L, 0L))
+  }
+
+  test("all registered queries run at sf0.001 and every oracle key has a query") {
+    SparkEntry.oracleSql.keys.foreach { k =>
+      assert(SparkEntry.queries.contains(k), s"oracle key $k has no query")
+    }
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, s"$name failed")
+    }
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
