@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{Chunking, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,8 +20,8 @@ object SparkEntry {
     Relational.queries("q01_dedup_group")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries
+    Relational.queries ++ Chunking.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracle
+    Relational.oracle ++ Chunking.oracle
 }
