@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Chunking, Relational}
+import graft.operators.{Chunking, Dedup, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,8 +20,10 @@ object SparkEntry {
     Relational.queries("q01_dedup_group")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Chunking.queries
+    Relational.queries ++ Chunking.queries ++ Dedup.queries ++
+      Similarity.queries ++ TextAnalysis.queries
 
   def oracleSql: Map[String, String] =
-    Relational.oracle ++ Chunking.oracle
+    Relational.oracle ++ Chunking.oracle ++ Dedup.oracle ++
+      Similarity.oracle ++ TextAnalysis.oracle
 }

@@ -1,0 +1,59 @@
+package graft.functions
+
+/** Cross-engine-deterministic primitives shared by the LLM-data operators
+  * (dedup, simhash, LSH) and their DuckDB oracle twins.
+  *
+  * The driver's correctness gate hash-compares Spark output against DuckDB
+  * (BASELINE.md). Engine-native hashes (xxhash64, DuckDB hash()) differ, so
+  * anything hash-dependent would be unverifiable. Instead: a 48-bit hash
+  * from the first 12 hex chars of md5 — md5 is identical everywhere, 48
+  * bits keep `a*h+b mod p` inside int64. Spark spells it
+  * `conv(substring(md5(x),1,12),16,10)`, DuckDB `CAST('0x'||substr(md5(x),
+  * 1,12) AS BIGINT)`. MinHash coefficients and LSH hyperplanes are
+  * literals computed here once and embedded verbatim in both dialects.
+  */
+object Portable {
+
+  /** Modulus for MinHash permutations: < 2^30 so a*h+b stays in int64. */
+  val P: Long = 1000000007L
+
+  /** 48-bit portable hash, Spark SQL dialect. */
+  def sparkHash48(e: String): String =
+    s"cast(conv(substring(md5($e), 1, 12), 16, 10) as bigint)"
+
+  /** 48-bit portable hash, DuckDB dialect. */
+  def duckHash48(e: String): String =
+    s"CAST(concat('0x', substr(md5($e), 1, 12)) AS BIGINT)"
+
+  /** MinHash signature length and banding shape (4 bands × 4 rows):
+    * s-curve threshold (1/4)^(1/4) ≈ 0.71 on shingle Jaccard — pairs
+    * above ~0.7 collide in ≥1 band with high probability. */
+  val MinhashK = 16
+  val Bands = 4
+  val RowsPerBand: Int = MinhashK / Bands
+
+  /** Per-permutation affine coefficients, fixed literals. */
+  val minhashA: Seq[Long] = (0 until MinhashK).map(j => (j * 2654435761L + 1L) % P)
+  val minhashB: Seq[Long] = (0 until MinhashK).map(j => (j * 40503L + 7L) % P)
+
+  /** Random-hyperplane LSH: 8 planes × 64 dims with ±1 components derived
+    * from md5 parity at build time — embedded as literals, so both engines
+    * see the same planes and the bucket computation is integer-exact. */
+  val LshPlanes = 8
+  val EmbeddingDim = 64
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  def planeSign(j: Int, i: Int): Int =
+    if ((java.lang.Long.parseLong(md5Hex(s"plane_${j}_$i").substring(0, 12), 16) % 2) == 0) -1 else 1
+
+  val planes: Seq[Seq[Int]] =
+    (0 until LshPlanes).map(j => (0 until EmbeddingDim).map(i => planeSign(j, i)))
+
+  /** A plane as an array literal — identical text is valid in both Spark
+    * SQL and DuckDB (`array(1,-1,...)` is Spark-only; `[1,-1,...]` is
+    * DuckDB-only; `array(...)` chosen per dialect by the caller). */
+  def planeElems(j: Int): String = planes(j).mkString(", ")
+}

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Portable._
+
+/** Document deduplication for LLM-data pipelines, over the `documents`
+  * table: exact (fingerprint keep-first), n-gram Jaccard, MinHash+LSH,
+  * and SimHash. Generalizes the reference's object_id dedup
+  * (/root/reference/src/transform_load.py:45-72) to content-based
+  * near-duplicate detection at corpus scale.
+  *
+  * Scale design: every stage is expression-only (whole-stage codegen, no
+  * UDFs). MinHash candidate generation explodes band values and
+  * equi-joins on them — a shuffle join on (band, value), never an O(N²)
+  * cross product; brute-force Jaccard exists only inside a bounded
+  * blocking window (and as the verification path). All hashes are the
+  * portable md5-48 (see [[graft.functions.Portable]]) so every stage is
+  * DuckDB-oracle-checkable.
+  */
+object Dedup {
+
+  /** Word 2-gram shingles + their mod-P hashes, as select expressions. */
+  private val toksE = "split(trim(text), '\\\\s+')"
+  private val shinglesE =
+    s"array_distinct(transform(sequence(0, size($toksE) - 2), " +
+    s"i -> concat(element_at($toksE, i + 1), ' ', element_at($toksE, i + 2))))"
+
+  /** documents → (doc_id, sh: array<string>) for docs with ≥2 tokens. */
+  def shingled(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id", s"$shinglesE AS sh")
+      .where("size(sh) > 0")
+
+  /** doc_id → 16-element MinHash signature over shingle hashes. */
+  def signatures(docs: DataFrame): DataFrame = {
+    val hsE = s"transform(sh, s -> pmod(${sparkHash48("s")}, ${P}L))"
+    val sigCols = (0 until MinhashK).map { j =>
+      s"array_min(transform(hs, x -> pmod(${minhashA(j)}L * x + ${minhashB(j)}L, ${P}L))) AS m$j"
+    }
+    shingled(docs)
+      .selectExpr("doc_id", "sh", s"$hsE AS hs")
+      .selectExpr(Seq("doc_id", "sh") ++ sigCols: _*)
+  }
+
+  /** LSH candidate pairs: band the signature, explode, equi-join on
+    * (band, value). Returns (doc_a, doc_b) with doc_a < doc_b. */
+  def candidatePairs(sigs: DataFrame): DataFrame = {
+    val bandCols = (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}")
+      s"concat_ws('_', ${parts.mkString(", ")}) AS b$b"
+    }
+    val banded = sigs.selectExpr(Seq("doc_id") ++ bandCols: _*)
+      .selectExpr("doc_id",
+        s"stack(${Bands}, ${(0 until Bands).map(b => s"$b, b$b").mkString(", ")})")
+      .toDF("doc_id", "band", "bv")
+    val a = banded.toDF("doc_a", "band", "bv")
+    val b = banded.toDF("doc_b", "band", "bv")
+    a.join(b, Seq("band", "bv"))
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+  }
+
+  /** Exact Jaccard (per mille) between two shingle-array columns. */
+  private def jaccardE(a: String, b: String): String =
+    s"cast(round(1000.0 * size(array_intersect($a, $b)) / " +
+    s"size(array_union($a, $b))) as bigint)"
+
+  /** Full MinHash+LSH near-dup detection: candidates from banding, then
+    * exact-Jaccard confirmation at `threshold` (per mille). */
+  def minhashNearDups(docs: DataFrame, thresholdPerMille: Int = 500): DataFrame = {
+    val sigs = signatures(docs).cache()
+    val sh = sigs.select(col("doc_id"), col("sh"))
+    val cand = candidatePairs(sigs)
+    cand
+      .join(sh.toDF("doc_a", "sh_a"), "doc_a")
+      .join(sh.toDF("doc_b", "sh_b"), "doc_b")
+      .selectExpr("doc_a", "doc_b", s"${jaccardE("sh_a", "sh_b")} AS j1000")
+      .where(s"j1000 >= $thresholdPerMille")
+  }
+
+  /** 48-bit SimHash over distinct tokens (portable hash ⇒ oracle-checkable). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val thE = s"transform(array_distinct($toksE), t -> ${sparkHash48("t")})"
+    docs.selectExpr("doc_id", s"$thE AS th")
+      .where("size(th) > 0")
+      .selectExpr("doc_id",
+        "aggregate(transform(sequence(0, 47), b -> " +
+        "if(aggregate(th, 0L, (acc, h) -> acc + if((shiftright(h, b) & 1) = 1, 1L, -1L)) > 0, " +
+        "shiftleft(1L, b), 0L)), 0L, (acc, x) -> acc + x) AS simhash")
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: keep-first per content fingerprint (the reference's
+    // keep-docs[0] made deterministic and content-addressed).
+    "q20_exact_dedup" -> ((s, dir) => {
+      Relational.keepFirst(
+        Tables.documents(s, dir).selectExpr("doc_id", "md5(text) AS fp"),
+        Seq("fp"), Seq(col("doc_id")))
+        .select("doc_id", "fp").orderBy("doc_id")
+    }),
+
+    // Brute-force char-5-gram Jaccard near-dups inside a bounded blocking
+    // window (the verification path for q22's LSH).
+    "q21_ngram_jaccard" -> ((s, dir) => {
+      val grams = "array_distinct(transform(sequence(1, length(text) - 4), i -> substring(text, i, 5)))"
+      val g = Tables.documents(s, dir)
+        .where("doc_id < 300 AND length(text) >= 5")
+        .selectExpr("doc_id", s"$grams AS g")
+      g.toDF("doc_a", "g_a").crossJoin(g.toDF("doc_b", "g_b"))
+        .where(col("doc_a") < col("doc_b"))
+        .selectExpr("doc_a", "doc_b", s"${jaccardE("g_a", "g_b")} AS j1000")
+        .where("j1000 >= 500")
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // MinHash + LSH banding + exact-Jaccard confirmation, whole corpus.
+    "q22_minhash_lsh" -> ((s, dir) =>
+      minhashNearDups(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+
+    // Per-document 48-bit SimHash.
+    "q23_simhash" -> ((s, dir) =>
+      simhash(Tables.documents(s, dir)).orderBy("doc_id"))
+  )
+
+  private def duckShingles = "list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))"
+
+  def oracle: Map[String, String] = {
+    val sigExprs = (0 until MinhashK).map { j =>
+      s"list_min(list_transform(hs, x -> (${minhashA(j)} * x + ${minhashB(j)}) % ${P})) AS m$j"
+    }.mkString(",\n  ")
+    val bandExprs = (0 until Bands).map { b =>
+      val parts = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}")
+      s"concat_ws('_', ${parts.mkString(", ")}) AS b$b"
+    }.mkString(", ")
+    val bandMatch = (0 until Bands).map(b => s"a.b$b = b.b$b").mkString(" OR ")
+    Map(
+      "q20_exact_dedup" ->
+        """SELECT doc_id, fp FROM (
+          |  SELECT doc_id, md5(text) AS fp,
+          |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      "q21_ngram_jaccard" ->
+        """WITH g AS (
+          |  SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 3), i -> substr(text, i, 5))) AS g
+          |  FROM documents WHERE doc_id < 300 AND length(text) >= 5)
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |  CAST(round(1000.0 * len(list_intersect(a.g, b.g)) / len(list_distinct(list_concat(a.g, b.g)))) AS BIGINT) AS j1000
+          |FROM g a JOIN g b ON a.doc_id < b.doc_id
+          |WHERE 1000.0 * len(list_intersect(a.g, b.g)) / len(list_distinct(list_concat(a.g, b.g))) >= 499.5
+          |ORDER BY doc_a, doc_b""".stripMargin,
+      "q22_minhash_lsh" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+           |sh AS (
+           |  SELECT doc_id, $duckShingles AS sh FROM t WHERE len(toks) >= 2),
+           |hs AS (
+           |  SELECT doc_id, sh, list_transform(sh, s -> ${duckHash48("s")} % ${P}) AS hs FROM sh WHERE len(sh) > 0),
+           |sigs AS (
+           |  SELECT doc_id, sh,
+           |  $sigExprs
+           |  FROM hs),
+           |banded AS (
+           |  SELECT doc_id, sh, $bandExprs FROM sigs)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(round(1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) AS j1000
+           |FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ($bandMatch)
+           |WHERE 1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 499.5
+           |ORDER BY doc_a, doc_b""".stripMargin,
+      "q23_simhash" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM documents),
+           |h AS (
+           |  SELECT doc_id, list_transform(toks, tk -> ${duckHash48("tk")}) AS th FROM t WHERE len(toks) > 0)
+           |SELECT doc_id,
+           |  CAST(list_sum(list_transform(range(0, 48), b ->
+           |    CASE WHEN list_sum(list_transform(th, hv -> CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+           |         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+           |FROM h ORDER BY doc_id""".stripMargin
+    )
+  }
+}

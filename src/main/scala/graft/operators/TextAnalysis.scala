@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text analysis for LLM-data curation over `documents`: token counting,
+  * quality scoring, stopword-profile language ID, and content
+  * fingerprinting. All expression-only; ratios are emitted as exact
+  * fixed-point integers (e4 = ×10000) so the DuckDB oracle matches bit
+  * for bit.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization — the baseline token counter; a BPE-ish
+    * subword estimate is `tokenCountBpeIsh`. */
+  val toksE = "split(trim(text), '\\\\s+')"
+
+  /** Rough BPE-style token estimate: words + extra tokens for every 4
+    * chars of a word beyond the first 4 (long words split into subwords).
+    * Spark-only convenience (not oracle-registered). */
+  def tokenCountBpeIsh(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id",
+      s"aggregate($toksE, 0L, (acc, t) -> acc + 1L + greatest(0L, cast(ceil((length(t) - 4) / 4.0) as bigint))) AS n_tokens_bpeish")
+
+  /** Polynomial rolling-hash fingerprint (mod 2^61-1-ish prime); Spark-only
+    * (no portable SQL twin — char-fold accumulators don't translate),
+    * unit-tested instead. */
+  def rollingFingerprint(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id",
+      "aggregate(split(text, ''), 0L, (acc, c) -> pmod(acc * 31 + coalesce(ascii(c), 0), 1000000007L)) AS roll_fp")
+
+  val Stopwords: Seq[String] = Seq("the", "a", "an", "of", "and", "to", "in", "is")
+
+  /** Stopword-profile language scores. Profiles are tiny on purpose — the
+    * operator shape (per-language token-set match + argmax) is what
+    * matters; real deployments swap in bigger profiles. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "with"),
+    "de" -> Seq("der", "die", "das", "und", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "avec"),
+    "es" -> Seq("el", "los", "las", "y", "con"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Quality-scoring stats: token count, avg token length, punctuation
+    // and stopword ratios (e4 fixed point), quality flag.
+    "q27_text_stats" -> ((s, dir) => {
+      Tables.documents(s, dir).selectExpr(
+        "doc_id",
+        s"$toksE AS toks",
+        "length(text) AS len",
+        "length(text) - length(regexp_replace(text, '[.,!?;:]', '')) AS n_punct")
+      .selectExpr(
+        "doc_id",
+        "cast(size(toks) as bigint) AS n_tokens",
+        "cast(round(100.0 * aggregate(toks, 0L, (acc, t) -> acc + length(t)) / size(toks)) as bigint) AS avg_tok_e2",
+        "cast(round(10000.0 * n_punct / len) as bigint) AS punct_e4",
+        s"cast(round(10000.0 * size(filter(toks, t -> t IN (${inList(Stopwords)}))) / size(toks)) as bigint) AS stop_e4",
+        s"(size(toks) >= 5 AND size(toks) <= 100000 AND size(filter(toks, t -> t IN (${inList(Stopwords)}))) > 0) AS is_quality")
+      .orderBy("doc_id")
+    }),
+
+    // Language ID: per-language stopword-profile hit counts + argmax.
+    "q28_lang_id" -> ((s, dir) => {
+      val scores = LangProfiles.map { case (lang, ws) =>
+        s"cast(size(filter(toks, t -> t IN (${inList(ws)}))) as bigint) AS s_$lang"
+      }
+      val langs = LangProfiles.map(_._1)
+      val argmax = langs.map { l =>
+        val others = langs.filterNot(_ == l).map(o => s"s_$o")
+        s"WHEN s_$l >= greatest(${others.mkString(", ")}) THEN '$l'"
+      }.mkString("CASE ", " ", " ELSE 'und' END")
+      Tables.documents(s, dir)
+        .selectExpr(Seq("doc_id", s"$toksE AS toks"): _*)
+        .selectExpr(Seq("doc_id") ++ scores: _*)
+        .selectExpr(Seq("doc_id", s"$argmax AS lang_pred") ++ langs.map(l => s"s_$l"): _*)
+        .orderBy("doc_id")
+    }),
+
+    // Content fingerprints: normalized md5 (portable) — the dedup key for
+    // q20 and the lineage id for incremental corpus refreshes.
+    "q29_fingerprint" -> ((s, dir) => {
+      Tables.documents(s, dir).selectExpr(
+        "doc_id",
+        "md5(lower(trim(text))) AS fp",
+        // portable-hash canary: if conv()/hex-cast ever diverge between
+        // engines, this column catches it before q22/q23 confuse anyone
+        s"${graft.functions.Portable.sparkHash48("text")} AS fp48")
+        .orderBy("doc_id")
+    })
+  )
+
+  def oracle: Map[String, String] = {
+    val langs = LangProfiles.map(_._1)
+    val scores = LangProfiles.map { case (lang, ws) =>
+      s"CAST(len(list_filter(toks, t -> t IN (${inList(ws)}))) AS BIGINT) AS s_$lang"
+    }.mkString(",\n  ")
+    val argmax = langs.map { l =>
+      val others = langs.filterNot(_ == l).map(o => s"s_$o")
+      s"WHEN s_$l >= greatest(${others.mkString(", ")}) THEN '$l'"
+    }.mkString("CASE ", " ", " ELSE 'und' END")
+    Map(
+      "q27_text_stats" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks,
+           |    length(text) AS len,
+           |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  CAST(round(100.0 * list_sum(list_transform(toks, tk -> length(tk))) / len(toks)) AS BIGINT) AS avg_tok_e2,
+           |  CAST(round(10000.0 * n_punct / len) AS BIGINT) AS punct_e4,
+           |  CAST(round(10000.0 * len(list_filter(toks, t -> t IN (${inList(Stopwords)}))) / len(toks)) AS BIGINT) AS stop_e4,
+           |  (len(toks) >= 5 AND len(toks) <= 100000 AND len(list_filter(toks, t -> t IN (${inList(Stopwords)}))) > 0) AS is_quality
+           |FROM t ORDER BY doc_id""".stripMargin,
+      "q28_lang_id" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+           |s AS (
+           |  SELECT doc_id,
+           |  $scores
+           |  FROM t)
+           |SELECT doc_id, $argmax AS lang_pred, ${langs.map(l => s"s_$l").mkString(", ")}
+           |FROM s ORDER BY doc_id""".stripMargin,
+      "q29_fingerprint" ->
+        s"""SELECT doc_id, md5(lower(trim(text))) AS fp,
+           |  ${graft.functions.Portable.duckHash48("text")} AS fp48
+           |FROM documents ORDER BY doc_id""".stripMargin
+    )
+  }
+}

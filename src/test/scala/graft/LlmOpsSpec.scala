@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+/** Semantic properties of the LLM-data operators that the DuckDB oracle
+  * can't express: LSH recall against brute force, SimHash distance
+  * separation, ANN bucket sanity. */
+class LlmOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val docs = Tables.documents(spark, sf)
+
+  /** Brute-force word-2gram Jaccard pairs (the ground truth LSH must recall). */
+  lazy val brutePairs: Set[(Long, Long, Long)] = {
+    val sh = Dedup.shingled(docs)
+    sh.toDF("doc_a", "sh_a").crossJoin(sh.toDF("doc_b", "sh_b"))
+      .where(col("doc_a") < col("doc_b"))
+      .selectExpr("doc_a", "doc_b",
+        "cast(round(1000.0 * size(array_intersect(sh_a, sh_b)) / size(array_union(sh_a, sh_b))) as bigint) AS j1000")
+      .where("j1000 >= 500")
+      .as[(Long, Long, Long)].collect().toSet
+  }
+
+  test("minhash LSH recalls every strong (j >= 0.9) brute-force near-dup pair") {
+    val strong = brutePairs.filter(_._3 >= 900)
+    assert(strong.nonEmpty, "testdata should contain planted near-dups")
+    val lsh = Dedup.minhashNearDups(docs).as[(Long, Long, Long)].collect().toSet
+    val missed = strong -- lsh
+    assert(missed.isEmpty, s"LSH missed strong pairs: $missed")
+  }
+
+  test("minhash LSH reports no false positives above threshold") {
+    val lsh = Dedup.minhashNearDups(docs).as[(Long, Long, Long)].collect().toSet
+    // every reported pair must be a true >= 0.5 Jaccard pair (exact
+    // confirmation step guarantees this; guard against regressions)
+    assert((lsh -- brutePairs).isEmpty)
+  }
+
+  test("simhash separates near-dups from random pairs by hamming distance") {
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    val nearPairs = brutePairs.filter(_._3 >= 900).toSeq.map(p => (p._1, p._2))
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val nearMean = nearPairs.map { case (a, b) => hamming(sh(a), sh(b)) }.sum.toDouble / nearPairs.size
+    val rng = new scala.util.Random(42)
+    val ids = sh.keys.toArray
+    val randMean = (1 to 200).map { _ =>
+      hamming(sh(ids(rng.nextInt(ids.length))), sh(ids(rng.nextInt(ids.length))))
+    }.sum / 200.0
+    assert(nearMean < randMean / 2, s"near=$nearMean rand=$randMean")
+  }
+
+  test("cosine top-k returns k descending neighbors per query, sims in [-1,1]") {
+    val rows = Similarity.cosineTopK(Tables.embeddings(spark, sf))
+      .orderBy("query_id", "rank").collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    assert(byQuery.size == 10)
+    byQuery.values.foreach { rs =>
+      assert(rs.length == 5)
+      val sims = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+      assert(sims.forall(s => s >= -1.0 && s <= 1.0))
+    }
+  }
+
+  test("every vector lands in exactly one of the 256 LSH buckets") {
+    val b = Similarity.lshBuckets(Tables.embeddings(spark, sf))
+    assert(b.count() == Tables.embeddings(spark, sf).count())
+    val range = b.agg(min("bucket"), max("bucket")).collect()(0)
+    assert(range.getLong(0) >= 0L && range.getLong(1) <= 255L)
+  }
+
+  test("rolling fingerprint and BPE-ish token count are deterministic and sane") {
+    val fp1 = TextAnalysis.rollingFingerprint(docs).orderBy("doc_id").collect().toSeq
+    val fp2 = TextAnalysis.rollingFingerprint(docs).orderBy("doc_id").collect().toSeq
+    assert(fp1 == fp2)
+    val bpe = TextAnalysis.tokenCountBpeIsh(docs)
+      .join(docs.selectExpr("doc_id", s"size(${TextAnalysis.toksE}) AS n_ws"), "doc_id")
+    // subword estimate is never below the whitespace count
+    assert(bpe.where("n_tokens_bpeish < n_ws").count() == 0)
+  }
+}
