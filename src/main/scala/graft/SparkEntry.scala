@@ -21,7 +21,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Chunking.queries ++ Dedup.queries ++
-      Similarity.queries ++ TextAnalysis.queries
+      Similarity.queries ++ TextAnalysis.queries ++
+      graft.functions.Multimodal.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Chunking.oracle ++ Dedup.oracle ++

@@ -28,10 +28,14 @@ object Dedup {
     s"array_distinct(transform(sequence(0, size($toksE) - 2), " +
     s"i -> concat(element_at($toksE, i + 1), ' ', element_at($toksE, i + 2))))"
 
-  /** documents → (doc_id, sh: array<string>) for docs with ≥2 tokens. */
+  /** documents → (doc_id, sh: array<string>) for docs with ≥2 tokens.
+    * The guard runs BEFORE the projection on the cheap token count —
+    * filtering on `size(sh)` after would be pushed below the project and
+    * re-evaluate the whole (interpreted, non-codegen) shingle expression
+    * twice per row. ≥2 tokens ⟺ ≥1 shingle, so the sets are identical. */
   def shingled(docs: DataFrame): DataFrame =
-    docs.selectExpr("doc_id", s"$shinglesE AS sh")
-      .where("size(sh) > 0")
+    docs.where(s"size($toksE) >= 2")
+      .selectExpr("doc_id", s"$shinglesE AS sh")
 
   /** doc_id → 16-element MinHash signature over shingle hashes. */
   def signatures(docs: DataFrame): DataFrame = {
@@ -84,8 +88,8 @@ object Dedup {
   /** 48-bit SimHash over distinct tokens (portable hash ⇒ oracle-checkable). */
   def simhash(docs: DataFrame): DataFrame = {
     val thE = s"transform(array_distinct($toksE), t -> ${sparkHash48("t")})"
-    docs.selectExpr("doc_id", s"$thE AS th")
-      .where("size(th) > 0")
+    docs.where(s"size($toksE) >= 1") // cheap pre-projection guard (see shingled)
+      .selectExpr("doc_id", s"$thE AS th")
       .selectExpr("doc_id",
         "aggregate(transform(sequence(0, 47), b -> " +
         "if(aggregate(th, 0L, (acc, h) -> acc + if((shiftright(h, b) & 1) = 1, 1L, -1L)) > 0, " +
@@ -110,9 +114,13 @@ object Dedup {
       val grams = "array_distinct(transform(sequence(1, length(text) - 4), i -> substring(text, i, 5)))"
       val g = Tables.documents(s, dir)
         .where("doc_id < 300 AND length(text) >= 5")
-        .selectExpr("doc_id", s"$grams AS g")
-      g.toDF("doc_a", "g_a").crossJoin(g.toDF("doc_b", "g_b"))
+        .selectExpr("doc_id", s"$grams AS g", "length(text) AS len")
+      // length blocking (10·max ≤ 13·min ⇔ ratio ≤ 1.3, integer-exact):
+      // a J≥0.5 pair can't differ much in length, so skip the Jaccard
+      // arithmetic for pairs that obviously can't match
+      g.toDF("doc_a", "g_a", "len_a").crossJoin(g.toDF("doc_b", "g_b", "len_b"))
         .where(col("doc_a") < col("doc_b"))
+        .where("10 * greatest(len_a, len_b) <= 13 * least(len_a, len_b)")
         .selectExpr("doc_a", "doc_b", s"${jaccardE("g_a", "g_b")} AS j1000")
         .where("j1000 >= 500")
         .orderBy("doc_a", "doc_b")
@@ -146,11 +154,12 @@ object Dedup {
           |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
       "q21_ngram_jaccard" ->
         """WITH g AS (
-          |  SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 3), i -> substr(text, i, 5))) AS g
+          |  SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 3), i -> substr(text, i, 5))) AS g,
+          |    length(text) AS len
           |  FROM documents WHERE doc_id < 300 AND length(text) >= 5)
           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           |  CAST(round(1000.0 * len(list_intersect(a.g, b.g)) / len(list_distinct(list_concat(a.g, b.g)))) AS BIGINT) AS j1000
-          |FROM g a JOIN g b ON a.doc_id < b.doc_id
+          |FROM g a JOIN g b ON a.doc_id < b.doc_id AND 10 * greatest(a.len, b.len) <= 13 * least(a.len, b.len)
           |WHERE 1000.0 * len(list_intersect(a.g, b.g)) / len(list_distinct(list_concat(a.g, b.g))) >= 499.5
           |ORDER BY doc_a, doc_b""".stripMargin,
       "q22_minhash_lsh" ->

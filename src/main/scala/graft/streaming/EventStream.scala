@@ -1,0 +1,55 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/** Streaming surface (SURVEY.md §2.9).
+  *
+  * The reference has no real streaming — its ingestion loop
+  * (/root/reference/src/ingestion.py:38-92) is a bounded source consumed
+  * sequentially with an early stop, and its only incremental behavior is
+  * the F4 "skip already-transformed rows" filter
+  * (/root/reference/src/transform_load.py:82-84). Re-expressed here as:
+  *
+  *  - T2: the same transform graph over a streaming DataFrame —
+  *    event-time windowed aggregation with a watermark (the 100 TB-scale
+  *    form of the hourly rollup in q17).
+  *  - T1: incremental exactly-once-ish append via `foreachBatch` +
+  *    anti-join against already-processed keys — the F4 semantics with
+  *    checkpointed state instead of a mutable flag column.
+  */
+object EventStream {
+
+  /** T2: event-time tumbling-window rollup over a *streaming* events
+    * DataFrame (same schema as the batch `events` table). Late data
+    * beyond the watermark is dropped; state is bounded. */
+  def hourlyRollup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(col("w.start").as("hour"), col("event_type"),
+        col("n_events"), col("value_cents"))
+
+  /** T1: incremental append sink. Each micro-batch is anti-joined against
+    * the keys already present in `targetPath`, so re-delivered rows are
+    * ignored — the reference's re-run-safety filter, generalized. The
+    * checkpoint makes restarts resume, not reprocess. */
+  def incrementalAppend(stream: DataFrame, keyCol: String,
+                        targetPath: String, checkpointPath: String): DataStreamWriter[Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val existingKeys =
+          try spark.read.parquet(targetPath).select(keyCol)
+          catch { case _: Exception => spark.emptyDataFrame.withColumn(keyCol, lit(null).cast("long")) }
+        batch.join(existingKeys, Seq(keyCol), "left_anti")
+          .write.mode("append").parquet(targetPath)
+      }
+}

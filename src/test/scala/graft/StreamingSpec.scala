@@ -1,0 +1,80 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStream
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** File-source streaming view of the events table (ts arrives as nanos
+    * long per the parquet physical type; converted like Tables.events). */
+  private def streamingEvents(dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def stageEvents(): String = {
+    val d = Files.createTempDirectory("events_stream").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(d, "part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    d
+  }
+
+  test("T2: streaming hourly rollup matches the batch q17 aggregation") {
+    val dir = stageEvents()
+    val q = EventStream.hourlyRollup(streamingEvents(dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("rollup_test")
+      .start()
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("rollup_test")
+      .select("hour", "event_type", "n_events", "value_cents")
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(round(col("value") * 100).cast("long")).as("value_cents"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
+  test("T1: incremental append processes each key once across restarts and redeliveries") {
+    val src = stageEvents()
+    val target = Files.createTempDirectory("inc_target").toString + "/t"
+    val ckpt = Files.createTempDirectory("inc_ckpt").toString
+
+    def runOnce(): Unit = {
+      val q = EventStream.incrementalAppend(
+        streamingEvents(src), "event_id", target, ckpt).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val n1 = spark.read.parquet(target).count()
+    assert(n1 == 1000)
+
+    // restart with same checkpoint: no reprocessing
+    runOnce()
+    assert(spark.read.parquet(target).count() == n1)
+
+    // redelivery: same rows in a NEW file (new filename = new source
+    // offset, so the batch fires) -> anti-join keeps the table unique
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(src, "part-1.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    runOnce()
+    val after = spark.read.parquet(target)
+    assert(after.count() == n1)
+    assert(after.select("event_id").distinct().count() == n1)
+  }
+}
