@@ -37,8 +37,20 @@ object Dedup {
     docs.where(s"size($toksE) >= 2")
       .selectExpr("doc_id", s"$shinglesE AS sh")
 
-  /** doc_id → 16-element MinHash signature over shingle hashes. */
+  /** doc_id → 16-element MinHash signature. Default path: the native
+    * one-pass [[graft.plans.MinHashSig]] expression. [[signaturesSql]]
+    * keeps the declarative formulation for cross-validation. */
   def signatures(docs: DataFrame): DataFrame = {
+    graft.plans.MinHashSig.register(docs.sparkSession)
+    val sigCols = (0 until MinhashK).map(j => s"sig[$j] AS m$j")
+    shingled(docs)
+      .selectExpr("doc_id", "sh", "graft_minhash_sig(sh) AS sig")
+      .selectExpr(Seq("doc_id", "sh") ++ sigCols: _*)
+  }
+
+  /** Declarative (pure built-in) signature path — semantically identical
+    * to [[signatures]]; used to cross-check the native expression. */
+  def signaturesSql(docs: DataFrame): DataFrame = {
     val hsE = s"transform(sh, s -> pmod(${sparkHash48("s")}, ${P}L))"
     val sigCols = (0 until MinhashK).map { j =>
       s"array_min(transform(hs, x -> pmod(${minhashA(j)}L * x + ${minhashB(j)}L, ${P}L))) AS m$j"

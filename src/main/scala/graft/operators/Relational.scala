@@ -192,6 +192,20 @@ object Relational {
         .orderBy("split")
     }),
 
+    // X1–X5 scalar-function surface (formatting, string ops, date parts).
+    "q14_scalar" -> ((s, dir) => {
+      Tables.orders(s, dir).selectExpr(
+        "o_orderkey",
+        "format_string('%08d', o_orderkey) AS pad8",
+        "cast(year(o_orderdate) as bigint) AS yr",
+        "cast(month(o_orderdate) as bigint) AS mo",
+        "upper(substring(o_orderpriority, 1, 3)) AS pri3",
+        "cast(instr(o_orderpriority, '-') as bigint) AS dash_at",
+        "lpad(cast(o_custkey as string), 10, '0') AS cust10",
+        "replace(o_orderstatus, 'O', 'OPEN') AS status_long")
+        .orderBy("o_orderkey")
+    }),
+
     // X4 JSON field access on events.props.
     "q13_json" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -221,6 +235,68 @@ object Relational {
         .withColumn("cum_cents", sum(cents(col("o_totalprice"))).over(w).cast("long"))
         .select("o_custkey", "o_orderkey", "cum_cents")
         .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Window navigation: lag/lead/rank/ntile under a deterministic order.
+    "q31_lag_lead" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("c", cents(col("o_totalprice")))
+        .select(col("o_custkey"), col("o_orderkey"),
+          coalesce(lag(col("c"), 1).over(w), lit(-1L)).as("prev_cents"),
+          coalesce(lead(col("o_orderkey"), 1).over(w), lit(-1L)).as("next_key"),
+          rank().over(w).cast("long").as("rnk"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // Set operations: INTERSECT / EXCEPT over derived key sets.
+    "q32_setops" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val hi = o.filter(col("o_totalprice") >= 300000).select(col("o_custkey")).distinct()
+      val lo = o.filter(col("o_totalprice") < 100000).select(col("o_custkey")).distinct()
+      hi.intersect(lo).withColumn("tag", lit("both"))
+        .unionByName(hi.except(lo).withColumn("tag", lit("only_high")))
+        .select("tag", "o_custkey")
+        .orderBy("tag", "o_custkey")
+    }),
+
+    // Distinct aggregates.
+    "q33_distinct_agg" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+             countDistinct(col("o_custkey")).as("n_customers"),
+             countDistinct(col("o_orderstatus")).as("n_statuses"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Rollup with grouping id (subtotal/grand-total rows).
+    "q34_rollup" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("g"),
+             count(lit(1)).as("n_orders"),
+             sum(cents(col("o_totalprice"))).cast("long").as("total_cents"))
+        .orderBy(col("g"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // Sessionization: 30-minute inactivity gap → new session; per-session
+    // event counts. Integer-µs arithmetic for cross-engine exactness.
+    "q35_sessionize" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_us", lag(expr("unix_micros(ts)"), 1).over(byUser))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+               expr("unix_micros(ts)") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("sess", sum(col("new_s")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy("user_id", "sess")
     }),
 
     // Event-time tumbling window (hourly) aggregation; exact value via e4 fixed point.
@@ -303,6 +379,59 @@ object Relational {
         |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q14_scalar" ->
+      """SELECT o_orderkey,
+        |  printf('%08d', o_orderkey) AS pad8,
+        |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+        |  upper(substr(o_orderpriority, 1, 3)) AS pri3,
+        |  CAST(strpos(o_orderpriority, '-') AS BIGINT) AS dash_at,
+        |  lpad(CAST(o_custkey AS VARCHAR), 10, '0') AS cust10,
+        |  replace(o_orderstatus, 'O', 'OPEN') AS status_long
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q31_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |  coalesce(lag(CAST(ROUND(o_totalprice*100) AS BIGINT), 1) OVER w, -1) AS prev_cents,
+        |  coalesce(lead(o_orderkey, 1) OVER w, -1) AS next_key,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q32_setops" ->
+      """WITH hi AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice >= 300000),
+        |lo AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice < 100000)
+        |SELECT 'both' AS tag, o_custkey FROM (SELECT o_custkey FROM hi INTERSECT SELECT o_custkey FROM lo)
+        |UNION ALL
+        |SELECT 'only_high' AS tag, o_custkey FROM (SELECT o_custkey FROM hi EXCEPT SELECT o_custkey FROM lo)
+        |ORDER BY tag, o_custkey""".stripMargin,
+    "q33_distinct_agg" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        |  CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS n_statuses
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q34_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS g,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY g, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q35_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+        |  FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM f)
+        |SELECT user_id, CAST(sess AS BIGINT) AS sess, CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM s GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
     "q17_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n_events,

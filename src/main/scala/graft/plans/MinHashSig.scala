@@ -1,0 +1,77 @@
+package graft.plans
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+import graft.functions.Portable
+
+/** Native Catalyst expression computing the full 16-element MinHash
+  * signature of a shingle array in ONE pass (SURVEY.md §2.10 escape
+  * hatch: custom Expression where the built-in surface is too slow).
+  *
+  * Semantics are bit-identical to the declarative formulation in
+  * [[graft.operators.Dedup]] / its DuckDB oracle: per shingle,
+  * h = int(first 12 hex chars of md5(utf8)) mod P (= first 6 digest
+  * bytes, big-endian), then sig_j = min over shingles of
+  * (A_j·h + B_j) mod P. The declarative version walks the shingle array
+  * through 16 separate interpreted higher-order transforms plus a
+  * string md5→hex→conv round trip; this walks it once with no
+  * allocation. CodegenFallback is fine — the expression itself is the
+  * hot loop, not the glue around it. */
+case class MinHashSig(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig expects array<string>, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val k = Portable.MinhashK
+    val p = Portable.P
+    val a = Portable.minhashA
+    val b = Portable.minhashB
+    val mins = Array.fill(k)(Long.MaxValue)
+    val md = MessageDigest.getInstance("MD5")
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      md.reset()
+      val digest = md.digest(s.getBytes)
+      var h = 0L
+      var bi = 0
+      while (bi < 6) { h = (h << 8) | (digest(bi) & 0xffL); bi += 1 } // = conv(hex[0:12],16,10)
+      h %= p
+      var j = 0
+      while (j < k) {
+        val v = (a(j) * h + b(j)) % p
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  /** Register `graft_minhash_sig` on the session's function registry so
+    * it is usable from selectExpr/SQL. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash_sig", exprs => MinHashSig(exprs.head), "scala_udf")
+}

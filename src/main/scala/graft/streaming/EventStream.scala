@@ -1,9 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Streaming surface (SURVEY.md §2.9).
   *
@@ -33,6 +32,51 @@ object EventStream {
            sum(round(col("value") * 100).cast("long")).as("value_cents"))
       .select(col("w.start").as("hour"), col("event_type"),
         col("n_events"), col("value_cents"))
+
+  /** Session row emitted by the sessionizers. */
+  case class UserSession(user_id: Long, sess: Long, n_events: Long)
+
+  /** Sessionization via Spark's native `session_window` (gap-merged
+    * event-time windows) — works identically over batch and streaming
+    * DataFrames; the streaming form carries watermarked state. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+
+  /** Sessionization as custom state (`flatMapGroupsWithState`) — the
+    * KeyValueGroupedDataset surface for state Spark's built-ins can't
+    * express. Input rows are (user_id, unix_micros, event_id); output
+    * matches q35's (user_id, sess ordinal, n_events). In batch mode each
+    * group sees all its events at once (the spec cross-checks it against
+    * the q35 window formulation); in streaming the same function runs
+    * incrementally with the state carried between micro-batches. */
+  def sessionizeStateful(events: Dataset[(Long, Long, Long)],
+                         gapUs: Long = 1800000000L): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, UserSession](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long)], state: GroupState[Long]) =>
+          val baseSess = state.getOption.getOrElse(0L)
+          val sorted = it.toIndexedSeq.sortBy(e => (e._2, e._3))
+          val sessions = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+          var sess = baseSess
+          var n = 0L
+          var prevUs = Long.MinValue
+          sorted.foreach { case (_, us, _) =>
+            if (prevUs == Long.MinValue || us - prevUs > gapUs) {
+              if (n > 0) sessions += UserSession(user, sess, n)
+              sess += 1; n = 0
+            }
+            n += 1
+            prevUs = us
+          }
+          if (n > 0) sessions += UserSession(user, sess, n)
+          state.update(sess)
+          sessions.iterator
+      }
+  }
 
   /** T1: incremental append sink. Each micro-batch is anti-joined against
     * the keys already present in `targetPath`, so re-delivered rows are

@@ -34,6 +34,13 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(missed.isEmpty, s"LSH missed strong pairs: $missed")
   }
 
+  test("native MinHashSig expression is bit-identical to the declarative SQL path") {
+    val native = Dedup.signatures(docs).drop("sh").orderBy("doc_id")
+    val sql = Dedup.signaturesSql(docs).drop("sh").orderBy("doc_id")
+    assert(native.except(sql).count() == 0 && sql.except(native).count() == 0)
+    assert(native.count() == sql.count())
+  }
+
   test("minhash LSH reports no false positives above threshold") {
     val lsh = Dedup.minhashNearDups(docs).as[(Long, Long, Long)].collect().toSet
     // every reported pair must be a true >= 0.5 Jaccard pair (exact

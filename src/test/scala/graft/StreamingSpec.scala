@@ -50,6 +50,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("stateful flatMapGroupsWithState sessionizer matches the q35 window formulation") {
+    import spark.implicits._
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id")
+      .as[(Long, Long, Long)]
+    val stateful = EventStream.sessionizeStateful(batch)
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+    val q35 = SparkEntry.queries("q35_sessionize")(spark, "/root/testdata/sf0.001")
+      .groupBy("user_id").agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+    assert(stateful.except(q35).count() == 0 && q35.except(stateful).count() == 0)
+  }
+
+  test("session_window sessionization agrees with the gap-based session count") {
+    val sw = EventStream.sessionWindows(Tables.events(spark, "/root/testdata/sf0.001"))
+    val q35 = SparkEntry.queries("q35_sessionize")(spark, "/root/testdata/sf0.001")
+    assert(sw.count() == q35.count()) // same number of (user, session) rows
+    // and per-session sizes agree in aggregate
+    assert(sw.agg(sum("n_events")).collect()(0).getLong(0) ==
+           q35.agg(sum("n_events")).collect()(0).getLong(0))
+  }
+
+  test("session_window runs as a streaming query with watermark") {
+    val dir = stageEvents()
+    val q = streamingEvents(dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.outputMode("complete").format("memory").queryName("sess_stream").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("sess_stream").count() > 0)
+  }
+
   test("T1: incremental append processes each key once across restarts and redeliveries") {
     val src = stageEvents()
     val target = Files.createTempDirectory("inc_target").toString + "/t"
