@@ -77,6 +77,70 @@ object Similarity {
       .selectExpr("vec_a", "vec_b", "bucket", s"round(${cosineE("va", "vb")}, 6) AS sim")
   }
 
+  // ---------------------------------------------------------------- IVF
+
+  /** IVF coarse index: k centroids (deterministic evenly-spaced seeds +
+    * `iters` Lloyd refinements) and the inverted assignment lists.
+    * Returns (centroids(cid, c), assignments(vec_id, cid)).
+    *
+    * The scale path complement to LSH bucketing: train once (tiny
+    * centroid table), broadcast centroids, assign with a narrow map, and
+    * search touches only `nprobe` of the k lists. Spark-only (Lloyd's
+    * FP averaging isn't cross-engine-exact); exactness is anchored by
+    * the spec's nprobe=k ≡ brute-force identity. */
+  def ivfIndex(embeddings: DataFrame, k: Int = 16, iters: Int = 2): (DataFrame, DataFrame) = {
+    val vecs = embeddings.selectExpr("vec_id", "cast(embedding as array<double>) AS v").cache()
+    val n = vecs.count()
+    val step = math.max(1L, n / k)
+    var centroids = vecs.where(s"vec_id % $step = 0 AND vec_id < ${step * k}")
+      .selectExpr(s"cast(vec_id / $step as long) AS cid", "v AS c")
+
+    def assign(cents: DataFrame): DataFrame = {
+      val scored = vecs.crossJoin(broadcast(cents))
+        .selectExpr("vec_id", "cid", s"${cosineE("v", "c")} AS sim")
+      val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
+      scored.withColumn("rn", row_number().over(w)).where("rn = 1")
+        .select("vec_id", "cid")
+    }
+
+    (1 to iters).foreach { _ =>
+      val assigned = assign(centroids).join(vecs, "vec_id")
+      val means = assigned
+        .select(col("cid"), posexplode(col("v")))
+        .toDF("cid", "dim", "x")
+        .groupBy("cid", "dim").agg(avg("x").as("m"))
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").as("c"))
+      // empty clusters keep their previous centroid
+      centroids = centroids.select(col("cid"), col("c").as("c_old"))
+        .join(means, Seq("cid"), "left_outer")
+        .selectExpr("cid", "coalesce(c, c_old) AS c")
+    }
+    (centroids, assign(centroids))
+  }
+
+  /** IVF search: rank centroids per query, expand the top-`nprobe`
+    * inverted lists, exact cosine + top-k within the candidates. With
+    * nprobe = k this is exactly brute force (the spec asserts it). */
+  def ivfSearch(embeddings: DataFrame, centroids: DataFrame, assignments: DataFrame,
+                queryMaxId: Long = 10, nprobe: Int = 4, k: Int = 5): DataFrame = {
+    val vecs = embeddings.selectExpr("vec_id", "cast(embedding as array<double>) AS v")
+    val queries = vecs.where(s"vec_id < $queryMaxId").toDF("query_id", "q")
+    val qc = queries.crossJoin(broadcast(centroids))
+      .selectExpr("query_id", "q", "cid", s"${cosineE("q", "c")} AS csim")
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cid"))
+    val probes = qc.withColumn("rn", row_number().over(wq)).where(s"rn <= $nprobe")
+      .select("query_id", "q", "cid")
+    val cands = probes.join(assignments, "cid")
+      .where(col("vec_id") =!= col("query_id"))
+      .select("query_id", "q", "vec_id")
+    val scored = cands.join(vecs, "vec_id")
+      .selectExpr("query_id", "vec_id", s"round(${cosineE("q", "v")}, 6) AS sim")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).where(s"rank <= $k")
+      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("sim"))
+  }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -92,7 +156,15 @@ object Similarity {
       lshCandidates(Tables.embeddings(s, dir))
         .where("sim >= 0.2")
         .selectExpr("vec_a", "vec_b", "cast(round(sim * 1000000) as bigint) AS sim_e6")
-        .orderBy("vec_a", "vec_b"))
+        .orderBy("vec_a", "vec_b")),
+
+    // IVF probe search (rows-only: Lloyd FP averaging is Spark-internal;
+    // exactness anchored by SimilaritySpec's nprobe=k ≡ brute identity).
+    "q36_ann_ivf" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val (cents, asg) = ivfIndex(e)
+      ivfSearch(e, cents, asg).orderBy("query_id", "rank")
+    })
   )
 
   def oracle: Map[String, String] = {

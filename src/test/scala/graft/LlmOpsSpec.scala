@@ -81,6 +81,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(range.getLong(0) >= 0L && range.getLong(1) <= 255L)
   }
 
+  test("IVF with nprobe=k is exactly brute force; nprobe=4 keeps useful recall") {
+    val e = Tables.embeddings(spark, sf)
+    val (cents, asg) = Similarity.ivfIndex(e, k = 16, iters = 2)
+    // every vector in exactly one inverted list
+    assert(asg.count() == e.count())
+    assert(asg.select("vec_id").distinct().count() == e.count())
+    // searching all lists ≡ brute force
+    val all = Similarity.ivfSearch(e, cents, asg, nprobe = 16)
+    val brute = Similarity.cosineTopK(e)
+    assert(all.except(brute).count() == 0 && brute.except(all).count() == 0)
+    // probing 4/16 lists still recalls a useful share of true neighbors
+    val probed = Similarity.ivfSearch(e, cents, asg, nprobe = 4)
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bruteSet = brute.select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (probed intersect bruteSet).size.toDouble / bruteSet.size
+    assert(recall >= 0.2, s"recall@5 with nprobe=4 was $recall")
+  }
+
   test("rolling fingerprint and BPE-ish token count are deterministic and sane") {
     val fp1 = TextAnalysis.rollingFingerprint(docs).orderBy("doc_id").collect().toSeq
     val fp2 = TextAnalysis.rollingFingerprint(docs).orderBy("doc_id").collect().toSeq
