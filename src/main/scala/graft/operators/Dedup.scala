@@ -144,7 +144,18 @@ object Dedup {
 
     // Per-document 48-bit SimHash.
     "q23_simhash" -> ((s, dir) =>
-      simhash(Tables.documents(s, dir)).orderBy("doc_id"))
+      simhash(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Canonical-form dedup: lower + strip non-alnum + collapse spaces
+    // before fingerprinting — catches case/punctuation near-dups that
+    // exact-text dedup misses.
+    "q38_canonical_dedup" -> ((s, dir) => {
+      val canon = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' '))"
+      Relational.keepFirst(
+        Tables.documents(s, dir).selectExpr("doc_id", s"md5($canon) AS cfp"),
+        Seq("cfp"), Seq(col("doc_id")))
+        .select("doc_id", "cfp").orderBy("doc_id")
+    })
   )
 
   private def duckShingles = "list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))"
@@ -192,6 +203,12 @@ object Dedup {
            |FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ($bandMatch)
            |WHERE 1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 499.5
            |ORDER BY doc_a, doc_b""".stripMargin,
+      "q38_canonical_dedup" ->
+        """SELECT doc_id, cfp FROM (
+          |  SELECT doc_id,
+          |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS cfp,
+          |    ROW_NUMBER() OVER (PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) ORDER BY doc_id) AS rn
+          |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
       "q23_simhash" ->
         s"""WITH t AS (
            |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM documents),

@@ -299,6 +299,18 @@ object Relational {
         .orderBy("user_id", "sess")
     }),
 
+    // Top-k per group: highest-value events per type, deterministic tiebreak.
+    "q39_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value").desc, col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("event_type"), col("rnk").cast("long").as("rnk"),
+          col("event_id"), col("value"))
+        .orderBy("event_type", "rnk")
+    }),
+
     // Event-time tumbling window (hourly) aggregation; exact value via e4 fixed point.
     "q17_hourly" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -432,6 +444,11 @@ object Relational {
         |  FROM f)
         |SELECT user_id, CAST(sess AS BIGINT) AS sess, CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
+    "q39_topk_per_group" ->
+      """SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id, value FROM (
+        |  SELECT event_type, event_id, value,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
+        |  FROM events) WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
     "q17_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -83,6 +83,33 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style quality rules (repetition, symbol ratio, word-length
+    // bounds) — the heuristics production LLM-data pipelines filter on.
+    "q37_gopher_quality" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .where(s"size($toksE) >= 2") // cheap pre-projection guard
+        .selectExpr(
+          "doc_id",
+          s"$toksE AS toks",
+          "length(text) AS len",
+          "length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '')) AS n_symbols")
+        .selectExpr(
+          "doc_id", "toks", "len", "n_symbols",
+          "array_distinct(transform(sequence(0, size(toks) - 2), i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))) AS uniq2",
+          "transform(sequence(0, size(toks) - 2), i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2))) AS all2")
+        .selectExpr(
+          "doc_id",
+          "cast(size(toks) as bigint) AS n_tokens",
+          "cast(round(100.0 * aggregate(toks, 0L, (acc, t) -> acc + length(t)) / size(toks)) as bigint) AS mean_word_e2",
+          "cast(round(10000.0 * n_symbols / len) as bigint) AS symbol_e4",
+          // fraction of word-2grams occupied by the single most frequent one
+          "cast(round(10000.0 * array_max(transform(uniq2, g -> size(filter(all2, x -> x = g)))) / size(all2)) as bigint) AS rep2_e4",
+          "(size(toks) >= 5 AND size(toks) <= 100000 " +
+          " AND round(100.0 * aggregate(toks, 0L, (acc, t) -> acc + length(t)) / size(toks)) BETWEEN 200 AND 1200 " +
+          " AND round(10000.0 * n_symbols / len) < 3000) AS passes")
+        .orderBy("doc_id")
+    }),
+
     // Content fingerprints: normalized md5 (portable) — the dedup key for
     // q20 and the lineage id for incremental corpus refreshes.
     "q29_fingerprint" -> ((s, dir) => {
@@ -131,7 +158,27 @@ object TextAnalysis {
       "q29_fingerprint" ->
         s"""SELECT doc_id, md5(lower(trim(text))) AS fp,
            |  ${graft.functions.Portable.duckHash48("text")} AS fp48
-           |FROM documents ORDER BY doc_id""".stripMargin
+           |FROM documents ORDER BY doc_id""".stripMargin,
+      "q37_gopher_quality" ->
+        """WITH t AS (
+          |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+          |    length(text) AS len,
+          |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_symbols
+          |  FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 2),
+          |g AS (
+          |  SELECT doc_id, toks, len, n_symbols,
+          |    list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS uniq2,
+          |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS all2
+          |  FROM t)
+          |SELECT doc_id,
+          |  CAST(len(toks) AS BIGINT) AS n_tokens,
+          |  CAST(round(100.0 * list_sum(list_transform(toks, tk -> length(tk))) / len(toks)) AS BIGINT) AS mean_word_e2,
+          |  CAST(round(10000.0 * n_symbols / len) AS BIGINT) AS symbol_e4,
+          |  CAST(round(10000.0 * list_max(list_transform(uniq2, gg -> len(list_filter(all2, x -> x = gg)))) / len(all2)) AS BIGINT) AS rep2_e4,
+          |  (len(toks) >= 5 AND len(toks) <= 100000
+          |   AND round(100.0 * list_sum(list_transform(toks, tk -> length(tk))) / len(toks)) BETWEEN 200 AND 1200
+          |   AND round(10000.0 * n_symbols / len) < 3000) AS passes
+          |FROM g ORDER BY doc_id""".stripMargin
     )
   }
 }
