@@ -311,6 +311,50 @@ object Relational {
         .orderBy("event_type", "rnk")
     }),
 
+    // Classic TPC-H shapes adapted to this schema (o_orderpriority stands
+    // in for o_shippriority; revenue in exact cents).
+    "q40_tpch_q3" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, dir).filter(col("o_orderdate") < "1998-03-15")
+      val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > "1998-03-15")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
+          .cast("long").as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q41_tpch_q5" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1997-01-01")
+      val l = Tables.lineitem(s, dir)
+      val su = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey") &&
+          c("c_nationkey") === su("s_nationkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
+          .cast("long").as("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("n_name"))
+    }),
+
+    "q42_tpch_q6" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01" &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 && col("l_quantity") < 24)
+        .agg(sum(expr("cast(round(l_extendedprice * l_discount * 100) as bigint)"))
+          .cast("long").as("revenue_cents"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     // Event-time tumbling window (hourly) aggregation; exact value via e4 fixed point.
     "q17_hourly" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -444,6 +488,35 @@ object Relational {
         |  FROM f)
         |SELECT user_id, CAST(sess AS BIGINT) AS sess, CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
+    "q40_tpch_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue_cents DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin,
+    "q41_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue_cents DESC, n_name""".stripMargin,
+    "q42_tpch_q6" ->
+      """SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q39_topk_per_group" ->
       """SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id, value FROM (
         |  SELECT event_type, event_id, value,

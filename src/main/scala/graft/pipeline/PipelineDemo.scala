@@ -18,7 +18,19 @@ object PipelineDemo {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val tables = MuseumPipeline.run(spark, Fixtures.metObjects(spark), Fixtures.images(spark))
+    // --via-files: stage the fixtures through the file-backed ApiSource
+    // (JSON objects + parquet blobs) and ingest from disk instead of
+    // from the in-memory frames — the S1/S2 file-source path.
+    val (objects, images) =
+      if (args.contains("--via-files")) {
+        val dir = java.nio.file.Files.createTempDirectory("api_stage").toString
+        graft.sources.ApiSource.writeObjects(Fixtures.metObjects(spark), dir)
+        graft.sources.ApiSource.writeImages(Fixtures.images(spark), dir)
+        println(s"[pipeline] ingesting from file-backed ApiSource at $dir")
+        (graft.sources.ApiSource.readObjects(spark, dir),
+         graft.sources.ApiSource.readImages(spark, dir))
+      } else (Fixtures.metObjects(spark), Fixtures.images(spark))
+    val tables = MuseumPipeline.run(spark, objects, images)
     tables.toSeq.sortBy(_._1).foreach { case (name, df) =>
       println(s"[pipeline] $name: ${df.count()} rows")
     }
@@ -29,7 +41,7 @@ object PipelineDemo {
       .orderBy("object_id")
       .show(20, truncate = false)
 
-    args.headOption.foreach { outDir =>
+    args.filterNot(_.startsWith("--")).headOption.foreach { outDir =>
       tables.foreach { case (name, df) =>
         df.write.mode("overwrite").parquet(s"$outDir/$name")
       }

@@ -87,6 +87,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(labels.subsetOf(Set("train", "validation", "test")))
   }
 
+  test("pipeline from file-backed sources (JSON objects + parquet blobs) matches in-memory run") {
+    val dir = java.nio.file.Files.createTempDirectory("api_src").toString
+    graft.sources.ApiSource.writeObjects(Fixtures.metObjects(spark), dir)
+    graft.sources.ApiSource.writeImages(Fixtures.images(spark), dir)
+    val fromFiles = MuseumPipeline.run(spark,
+      graft.sources.ApiSource.readObjects(spark, dir),
+      graft.sources.ApiSource.readImages(spark, dir))
+    assert(fromFiles("artwork_metadata").count() == meta.count())
+    assert(fromFiles("fs_files").count() == out("fs_files").count())
+    assert(fromFiles("fs_transformed_files").count() == out("fs_transformed_files").count())
+    val a = fromFiles("artwork_metadata").select("object_id", "title", "artist", "split").orderBy("object_id")
+    val b = meta.select("object_id", "title", "artist", "split").orderBy("object_id")
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
   test("transform is idempotent (F4): second run processes zero new rows") {
     val (again, tFiles2, _) = MuseumPipeline.transform(meta, out("fs_files"), out("fs_chunks"))
     assert(tFiles2.count() == 0) // everything already has lineage or failed decode... except 110 retries
