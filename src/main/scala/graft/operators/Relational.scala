@@ -355,6 +355,29 @@ object Relational {
           count(lit(1)).as("n_rows"))
     }),
 
+    // Exact percentiles (linear interpolation — same rule both engines).
+    "q43_percentiles" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .withColumn("c", cents(col("o_totalprice")))
+        .groupBy(col("o_orderstatus"))
+        .agg(expr("cast(round(percentile(c, 0.5)) as bigint)").as("median_cents"),
+             expr("cast(round(percentile(c, 0.9)) as bigint)").as("p90_cents"),
+             count(lit(1)).as("n_orders"))
+        .orderBy("o_orderstatus")
+    }),
+
+    // Pivot: event counts per day × type (fixed pivot values so both
+    // engines emit identical columns).
+    "q44_pivot" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("day", date_trunc("day", col("ts")))
+        .groupBy(col("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("day")
+    }),
+
     // Event-time tumbling window (hourly) aggregation; exact value via e4 fixed point.
     "q17_hourly" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -522,6 +545,20 @@ object Relational {
         |  SELECT event_type, event_id, value,
         |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
         |  FROM events) WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin,
+    "q43_percentiles" ->
+      """SELECT o_orderstatus,
+        |  CAST(round(quantile_cont(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.5)) AS BIGINT) AS median_cents,
+        |  CAST(round(quantile_cont(CAST(ROUND(o_totalprice*100) AS BIGINT), 0.9)) AS BIGINT) AS p90_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q44_pivot" ->
+      """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |  CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+        |  CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+        |  CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+        |  CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+        |  CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
     "q17_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
