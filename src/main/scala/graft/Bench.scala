@@ -30,20 +30,24 @@ object Bench {
     }
     // two timed runs, report the min — guards against transient machine
     // load landing on a single measurement; cache cleared before each so
-    // every timed run pays its full cost
+    // every timed run pays its full cost. A failing query is reported in
+    // "errors" and counted as -1, never as a fast success.
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = names.map { name =>
       val times = (1 to 2).map { _ =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sfDir).count()
-        catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      name -> times.min
+      if (times.contains(-1.0)) { errors += name; name -> -1.0 }
+      else name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup":1,"queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","warmup":1,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

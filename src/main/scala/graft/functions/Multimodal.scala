@@ -78,7 +78,9 @@ object Multimodal {
     * per-media ops are co-located. */
   def mediaTable(raw: DataFrame, partitions: Int = 0): DataFrame = {
     val withMeta = raw
-      .withColumn("media_id", xxhash64(col("data")))
+      // id over (kind, duration, content): content-hash alone collides
+      // when the same bytes appear under two kinds/durations
+      .withColumn("media_id", xxhash64(col("kind"), col("duration_ms"), col("data")))
       .withColumn("img_meta", when(col("kind") === "image", imageMeta(col("data"))))
       .withColumn("meta", struct(
         col("img_meta._1").as("width"),

@@ -17,6 +17,12 @@ object Portable {
   /** Modulus for MinHash permutations: < 2^30 so a*h+b stays in int64. */
   val P: Long = 1000000007L
 
+  /** Canonical whitespace tokenizer, Spark dialect — the single
+    * definition shared by Dedup and TextAnalysis so their oracles can
+    * never desynchronize (DuckDB twin:
+    * `regexp_split_to_array(trim(text), '\s+')`). */
+  val sparkToks: String = "split(trim(text), '\\\\s+')"
+
   /** 48-bit portable hash, Spark SQL dialect. */
   def sparkHash48(e: String): String =
     s"cast(conv(substring(md5($e), 1, 12), 16, 10) as bigint)"

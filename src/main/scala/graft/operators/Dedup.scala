@@ -23,7 +23,7 @@ import graft.functions.Portable._
 object Dedup {
 
   /** Word 2-gram shingles + their mod-P hashes, as select expressions. */
-  private val toksE = "split(trim(text), '\\\\s+')"
+  private val toksE = sparkToks
   private val shinglesE =
     s"array_distinct(transform(sequence(0, size($toksE) - 2), " +
     s"i -> concat(element_at($toksE, i + 1), ' ', element_at($toksE, i + 2))))"
@@ -85,7 +85,13 @@ object Dedup {
     s"size(array_union($a, $b))) as bigint)"
 
   /** Full MinHash+LSH near-dup detection: candidates from banding, then
-    * exact-Jaccard confirmation at `threshold` (per mille). */
+    * exact-Jaccard confirmation at `threshold` (per mille).
+    *
+    * Caches the signature frame for the duration of the returned plan
+    * (it feeds both candidate generation and confirmation); the cache
+    * lives until the session evicts it or the caller runs
+    * `spark.catalog.clearCache()` — long-lived sessions calling this per
+    * corpus batch should clear between batches (Bench does). */
   def minhashNearDups(docs: DataFrame, thresholdPerMille: Int = 500): DataFrame = {
     val sigs = signatures(docs).cache()
     val sh = sigs.select(col("doc_id"), col("sh"))

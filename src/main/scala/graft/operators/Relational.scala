@@ -61,7 +61,11 @@ object Relational {
     * multiplicative hash on the key keeps it reproducible across engines
     * and cluster sizes — no RNG, no collect. */
   def splitLabel(key: Column): Column = {
-    val m = pmod(key * lit(2654435761L) + lit(40503L), lit(10000L)) // Knuth multiplicative hash, fits in long for keys < ~3.4e9
+    // Knuth multiplicative hash. The key is reduced mod P (~1e9) FIRST so
+    // the multiplication stays under Long.MaxValue for any input — ANSI
+    // mode (default in Spark 4) turns silent overflow into a job-failing
+    // SparkArithmeticException at 100 TB-scale ids otherwise.
+    val m = pmod(pmod(key, lit(1000000007L)) * lit(2654435761L) + lit(40503L), lit(10000L))
     when(m < 6400, "train").when(m < 8000, "validation").otherwise("test")
   }
 
@@ -82,7 +86,10 @@ object Relational {
         Seq(col("l_linenumber"), col("l_suppkey")))
       first.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
-             sum(col("l_quantity")).cast("long").as("sum_qty"),
+             // round-then-cast: Spark ANSI CAST(double AS long) truncates,
+             // DuckDB's rounds — explicit round() makes both agree even if
+             // quantities ever turn fractional
+             round(sum(col("l_quantity"))).cast("long").as("sum_qty"),
              sum(cents(col("l_extendedprice"))).cast("long").as("revenue_cents"))
         .filter(col("n_rows") > 10)
         .orderBy(col("l_returnflag"))
@@ -391,7 +398,7 @@ object Relational {
   def oracle: Map[String, String] = Map(
     "q01_dedup_group" ->
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+        |  CAST(round(SUM(l_quantity)) AS BIGINT) AS sum_qty,
         |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber, l_suppkey) AS rn FROM lineitem)
         |WHERE rn = 1 GROUP BY l_returnflag HAVING COUNT(*) > 10 ORDER BY l_returnflag""".stripMargin,
@@ -436,8 +443,8 @@ object Relational {
       """SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
         |FROM orders GROUP BY o_custkey HAVING COUNT(*) > 5 ORDER BY o_custkey""".stripMargin,
     "q12_split" ->
-      """SELECT CASE WHEN (o_orderkey * 2654435761 + 40503) % 10000 < 6400 THEN 'train'
-        |            WHEN (o_orderkey * 2654435761 + 40503) % 10000 < 8000 THEN 'validation'
+      """SELECT CASE WHEN ((o_orderkey % 1000000007) * 2654435761 + 40503) % 10000 < 6400 THEN 'train'
+        |            WHEN ((o_orderkey % 1000000007) * 2654435761 + 40503) % 10000 < 8000 THEN 'validation'
         |            ELSE 'test' END AS split,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents

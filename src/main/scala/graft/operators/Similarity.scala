@@ -87,7 +87,9 @@ object Similarity {
     * centroid table), broadcast centroids, assign with a narrow map, and
     * search touches only `nprobe` of the k lists. Spark-only (Lloyd's
     * FP averaging isn't cross-engine-exact); exactness is anchored by
-    * the spec's nprobe=k ≡ brute-force identity. */
+    * the spec's nprobe=k ≡ brute-force identity. Caches the vector frame
+    * for the training iterations; caller-managed eviction (as with
+    * Dedup.minhashNearDups — Bench clears between runs). */
   def ivfIndex(embeddings: DataFrame, k: Int = 16, iters: Int = 2): (DataFrame, DataFrame) = {
     val vecs = embeddings.selectExpr("vec_id", "cast(embedding as array<double>) AS v").cache()
     val n = vecs.count()

@@ -14,8 +14,9 @@ import graft.Tables
 object TextAnalysis {
 
   /** Whitespace tokenization — the baseline token counter; a BPE-ish
-    * subword estimate is `tokenCountBpeIsh`. */
-  val toksE = "split(trim(text), '\\\\s+')"
+    * subword estimate is `tokenCountBpeIsh`. Single shared definition
+    * (see [[graft.functions.Portable.sparkToks]]). */
+  val toksE: String = graft.functions.Portable.sparkToks
 
   /** Rough BPE-style token estimate: words + extra tokens for every 4
     * chars of a word beyond the first 4 (long words split into subwords).
@@ -95,15 +96,19 @@ object TextAnalysis {
           "length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '')) AS n_symbols")
         .selectExpr(
           "doc_id", "toks", "len", "n_symbols",
-          "array_distinct(transform(sequence(0, size(toks) - 2), i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))) AS uniq2",
           "transform(sequence(0, size(toks) - 2), i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2))) AS all2")
         .selectExpr(
           "doc_id",
           "cast(size(toks) as bigint) AS n_tokens",
           "cast(round(100.0 * aggregate(toks, 0L, (acc, t) -> acc + length(t)) / size(toks)) as bigint) AS mean_word_e2",
           "cast(round(10000.0 * n_symbols / len) as bigint) AS symbol_e4",
-          // fraction of word-2grams occupied by the single most frequent one
-          "cast(round(10000.0 * array_max(transform(uniq2, g -> size(filter(all2, x -> x = g)))) / size(all2)) as bigint) AS rep2_e4",
+          // fraction of word-2grams occupied by the single most frequent
+          // one, as the longest run in the sorted gram array — O(n log n)
+          // per row (the naive distinct×scan form is quadratic and would
+          // pin a task for hours on a 100k-token document)
+          "cast(round(10000.0 * aggregate(array_sort(all2), named_struct('prev', '', 'run', 0, 'best', 0), " +
+          "(a, x) -> named_struct('prev', x, 'run', IF(x = a.prev, a.run + 1, 1), " +
+          "'best', greatest(a.best, IF(x = a.prev, a.run + 1, 1))), a -> a.best) / size(all2)) as bigint) AS rep2_e4",
           "(size(toks) >= 5 AND size(toks) <= 100000 " +
           " AND round(100.0 * aggregate(toks, 0L, (acc, t) -> acc + length(t)) / size(toks)) BETWEEN 200 AND 1200 " +
           " AND round(10000.0 * n_symbols / len) < 3000) AS passes")
@@ -167,18 +172,22 @@ object TextAnalysis {
           |  FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 2),
           |g AS (
           |  SELECT doc_id, toks, len, n_symbols,
-          |    list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])) AS uniq2,
           |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS all2
-          |  FROM t)
-          |SELECT doc_id,
+          |  FROM t),
+          |rep AS (
+          |  SELECT doc_id, max(c) AS maxrep, sum(c) AS n2 FROM (
+          |    SELECT doc_id, gram, count(*) AS c FROM (
+          |      SELECT doc_id, unnest(all2) AS gram FROM g) GROUP BY doc_id, gram)
+          |  GROUP BY doc_id)
+          |SELECT g.doc_id,
           |  CAST(len(toks) AS BIGINT) AS n_tokens,
           |  CAST(round(100.0 * list_sum(list_transform(toks, tk -> length(tk))) / len(toks)) AS BIGINT) AS mean_word_e2,
           |  CAST(round(10000.0 * n_symbols / len) AS BIGINT) AS symbol_e4,
-          |  CAST(round(10000.0 * list_max(list_transform(uniq2, gg -> len(list_filter(all2, x -> x = gg)))) / len(all2)) AS BIGINT) AS rep2_e4,
+          |  CAST(round(10000.0 * rep.maxrep / rep.n2) AS BIGINT) AS rep2_e4,
           |  (len(toks) >= 5 AND len(toks) <= 100000
           |   AND round(100.0 * list_sum(list_transform(toks, tk -> length(tk))) / len(toks)) BETWEEN 200 AND 1200
           |   AND round(10000.0 * n_symbols / len) < 3000) AS passes
-          |FROM g ORDER BY doc_id""".stripMargin
+          |FROM g JOIN rep ON g.doc_id = rep.doc_id ORDER BY g.doc_id""".stripMargin
     )
   }
 }

@@ -45,43 +45,57 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
 
+  /** Sessionizer state: ordinal of the currently-open session and the
+    * micro-second timestamp of its last event. */
+  case class SessState(curSess: Long, lastUs: Long)
+
   /** Sessionization as custom state (`flatMapGroupsWithState`) — the
     * KeyValueGroupedDataset surface for state Spark's built-ins can't
-    * express. Input rows are (user_id, unix_micros, event_id); output
-    * matches q35's (user_id, sess ordinal, n_events). In batch mode each
-    * group sees all its events at once (the spec cross-checks it against
-    * the q35 window formulation); in streaming the same function runs
-    * incrementally with the state carried between micro-batches. */
+    * express. Input rows are (user_id, unix_micros, event_id).
+    *
+    * State carries (open-session ordinal, last event time), so a session
+    * spanning micro-batches keeps ONE ordinal: each batch emits a
+    * *fragment* (user_id, sess, n_events_in_this_batch) and fragments of
+    * the same session share `sess` — downstream sums by (user_id, sess)
+    * to get total session sizes (Append mode cannot retract the earlier
+    * fragment). In batch mode each group sees all its events at once, so
+    * fragments ≡ whole sessions and the output matches q35 exactly (the
+    * spec cross-checks this). */
   def sessionizeStateful(events: Dataset[(Long, Long, Long)],
                          gapUs: Long = 1800000000L): Dataset[UserSession] = {
     import events.sparkSession.implicits._
     events.groupByKey(_._1)
-      .flatMapGroupsWithState[Long, UserSession](OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[(Long, Long, Long)], state: GroupState[Long]) =>
-          val baseSess = state.getOption.getOrElse(0L)
+      .flatMapGroupsWithState[SessState, UserSession](OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long)], state: GroupState[SessState]) =>
+          val st = state.getOption.getOrElse(SessState(0L, Long.MinValue))
           val sorted = it.toIndexedSeq.sortBy(e => (e._2, e._3))
-          val sessions = scala.collection.mutable.ArrayBuffer.empty[UserSession]
-          var sess = baseSess
+          val fragments = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+          var sess = st.curSess
+          var lastUs = st.lastUs
           var n = 0L
-          var prevUs = Long.MinValue
           sorted.foreach { case (_, us, _) =>
-            if (prevUs == Long.MinValue || us - prevUs > gapUs) {
-              if (n > 0) sessions += UserSession(user, sess, n)
+            if (lastUs == Long.MinValue || us - lastUs > gapUs) {
+              if (n > 0) fragments += UserSession(user, sess, n)
               sess += 1; n = 0
             }
             n += 1
-            prevUs = us
+            lastUs = us
           }
-          if (n > 0) sessions += UserSession(user, sess, n)
-          state.update(sess)
-          sessions.iterator
+          if (n > 0) fragments += UserSession(user, sess, n)
+          state.update(SessState(sess, lastUs))
+          fragments.iterator
       }
   }
 
   /** T1: incremental append sink. Each micro-batch is anti-joined against
     * the keys already present in `targetPath`, so re-delivered rows are
     * ignored — the reference's re-run-safety filter, generalized. The
-    * checkpoint makes restarts resume, not reprocess. */
+    * checkpoint makes restarts resume, not reprocess.
+    *
+    * Target existence is checked explicitly (Hadoop FS) — a transient
+    * READ failure of an existing target must fail the batch, not be
+    * mistaken for "first write" and silently duplicate rows. The empty
+    * fallback takes the key's type from the batch schema. */
   def incrementalAppend(stream: DataFrame, keyCol: String,
                         targetPath: String, checkpointPath: String): DataStreamWriter[Row] =
     stream.writeStream
@@ -90,9 +104,11 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
+        val path = new org.apache.hadoop.fs.Path(targetPath)
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val existingKeys =
-          try spark.read.parquet(targetPath).select(keyCol)
-          catch { case _: Exception => spark.emptyDataFrame.withColumn(keyCol, lit(null).cast("long")) }
+          if (fs.exists(path)) spark.read.parquet(targetPath).select(keyCol)
+          else batch.select(keyCol).limit(0)
         batch.join(existingKeys, Seq(keyCol), "left_anti")
           .write.mode("append").parquet(targetPath)
       }

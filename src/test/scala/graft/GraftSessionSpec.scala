@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftSessionSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("registerAll exposes every table and the custom functions to SQL") {
+    GraftSession.registerAll(spark, sf)
+    val n = spark.sql(
+      "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY 1").count()
+    assert(n > 0)
+    val joined = spark.sql(
+      """SELECT n_name, count(*) AS n FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey GROUP BY 1""".stripMargin).count()
+    assert(joined == 25)
+    val sig = spark.sql("SELECT graft_minhash_sig(array('a b', 'b c')) AS s")
+      .collect()(0).getSeq[Long](0)
+    assert(sig.length == graft.functions.Portable.MinhashK)
+  }
+
+  test("typed Dataset accessors expose compile-checked fields") {
+    import spark.implicits._
+    val li = GraftSession.lineitems(spark, sf)
+    val qty = li.filter(_.l_quantity > 49.0).count()
+    assert(qty > 0)
+    val docs = GraftSession.documentsDs(spark, sf)
+    assert(docs.map(_.text.length).filter(_ > 0).count() == 500)
+    val emb = GraftSession.embeddingsDs(spark, sf)
+    assert(emb.filter(_.embedding.length == 64).count() == emb.count())
+  }
+}

@@ -62,6 +62,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateful.except(q35).count() == 0 && q35.except(stateful).count() == 0)
   }
 
+  test("stateful sessionizer keeps ONE session ordinal across micro-batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val src = Files.createTempDirectory("sess_batches").toString
+    val t0 = 1700000000000000L // µs
+    // the file source doesn't recurse into write.parquet's output dirs —
+    // stage each batch as a flat file at the top level
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("sess_stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(src, name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    // batch 1: user 7, one event at t0
+    stage(Seq((7L, t0, 1L)).toDF("user_id", "us", "event_id"), "b1.parquet")
+    val stream = spark.readStream
+      .schema("user_id LONG, us LONG, event_id LONG")
+      .parquet(src)
+      .as[(Long, Long, Long)]
+    val q = EventStream.sessionizeStateful(stream)
+      .writeStream.outputMode("append").format("memory").queryName("sess_frag")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    q.processAllAvailable()
+    // batch 2: same user, 5 minutes later — INSIDE the 30-minute gap, so
+    // this must be a fragment of the SAME session ordinal, plus a later
+    // event outside the gap opening session 2
+    stage(Seq((7L, t0 + 300L * 1000000L, 2L), (7L, t0 + 3600L * 1000000L, 3L))
+      .toDF("user_id", "us", "event_id"), "b2.parquet")
+    q.processAllAvailable(); q.stop()
+    val frags = spark.table("sess_frag").orderBy("sess", "n_events")
+      .collect().map(r => (r.getLong(1), r.getLong(2))) // (sess, n)
+    // fragments: (1,1) from batch1, (1,1) continuation + (2,1) from batch2
+    assert(frags.toSeq == Seq((1L, 1L), (1L, 1L), (2L, 1L)),
+      s"got ${frags.toSeq}")
+  }
+
   test("session_window sessionization agrees with the gap-based session count") {
     val sw = EventStream.sessionWindows(Tables.events(spark, "/root/testdata/sf0.001"))
     val q35 = SparkEntry.queries("q35_sessionize")(spark, "/root/testdata/sf0.001")
