@@ -385,6 +385,40 @@ object Relational {
         .orderBy("day")
     }),
 
+    // String-distance + extraction functions (levenshtein, regexp
+    // groups, translate) — fuzzy-matching surface for entity resolution.
+    "q45_string_fns2" -> ((s, dir) => {
+      Tables.part(s, dir).selectExpr(
+        "p_partkey",
+        "cast(levenshtein(p_brand, p_type) as bigint) AS lev_brand_type",
+        "regexp_extract(p_name, '([a-z]+)', 1) AS first_word",
+        "translate(p_brand, '#', '_') AS brand_t",
+        "reverse(p_type) AS type_rev")
+        .orderBy("p_partkey")
+    }),
+
+    // Cube: all grouping-set combinations with grouping id.
+    "q46_cube" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().cast("long").as("g"),
+             count(lit(1)).as("n_orders"))
+        .orderBy(col("g"), col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    }),
+
+    // Approximate sketches (HLL distinct, quantile sketch) — rows-only:
+    // sketch internals are engine-specific, so the gate is the spec's
+    // error-bound check against the exact answers, not a hash compare.
+    "q47_sketches" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+             expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"),
+             count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
     // Event-time tumbling window (hourly) aggregation; exact value via e4 fixed point.
     "q17_hourly" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -566,6 +600,19 @@ object Relational {
         |  CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
         |  CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
         |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q45_string_fns2" ->
+      """SELECT p_partkey,
+        |  CAST(levenshtein(p_brand, p_type) AS BIGINT) AS lev_brand_type,
+        |  regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+        |  translate(p_brand, '#', '_') AS brand_t,
+        |  reverse(p_type) AS type_rev
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q46_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS g,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY g, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q17_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n_events,

@@ -82,4 +82,19 @@ class RelationalSpec extends AnyFunSuite {
   test("flagship entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("sketches stay within error bounds of the exact answers") {
+    val approx = SparkEntry.queries("q47_sketches")(spark, sf)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("d"),
+           expr("percentile(l_extendedprice, 0.5)").as("m"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    exact.foreach { case (flag, (d, m)) =>
+      val (ad, am) = approx(flag)
+      assert(math.abs(ad - d).toDouble / d < 0.1, s"$flag HLL off: $ad vs $d")
+      assert(math.abs(am - m) / m < 0.05, s"$flag quantile off: $am vs $m")
+    }
+  }
 }
