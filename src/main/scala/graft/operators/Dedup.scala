@@ -24,18 +24,26 @@ object Dedup {
 
   /** Word 2-gram shingles + their mod-P hashes, as select expressions. */
   private val toksE = sparkToks
-  private val shinglesE =
-    s"array_distinct(transform(sequence(0, size($toksE) - 2), " +
-    s"i -> concat(element_at($toksE, i + 1), ' ', element_at($toksE, i + 2))))"
 
   /** documents → (doc_id, sh: array<string>) for docs with ≥2 tokens.
-    * The guard runs BEFORE the projection on the cheap token count —
-    * filtering on `size(sh)` after would be pushed below the project and
-    * re-evaluate the whole (interpreted, non-codegen) shingle expression
-    * twice per row. ≥2 tokens ⟺ ≥1 shingle, so the sets are identical. */
+    *
+    * Two scale rules encoded here:
+    *  - the guard runs BEFORE the projection on the cheap token count
+    *    (filtering on `size(sh)` after would be pushed below the project
+    *    and re-evaluate the shingle expression twice per row);
+    *  - `toks` is materialized as its own column before the shingle
+    *    lambda references it. Inlining the split() INSIDE the lambda
+    *    makes interpreted eval recompute the full tokenization per
+    *    array element — O(tokens²), observed to wedge a 100k-token
+    *    document indefinitely. Column references are O(1) per element,
+    *    and CollapseProject keeps the projections separate because the
+    *    split is non-cheap and multiply-referenced. */
   def shingled(docs: DataFrame): DataFrame =
     docs.where(s"size($toksE) >= 2")
-      .selectExpr("doc_id", s"$shinglesE AS sh")
+      .selectExpr("doc_id", s"$toksE AS toks")
+      .selectExpr("doc_id",
+        "array_distinct(transform(sequence(0, size(toks) - 2), " +
+        "i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))) AS sh")
 
   /** doc_id → 16-element MinHash signature. Default path: the native
     * one-pass [[graft.plans.MinHashSig]] expression. [[signaturesSql]]
