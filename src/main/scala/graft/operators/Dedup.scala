@@ -138,8 +138,12 @@ object Dedup {
     // window (the verification path for q22's LSH).
     "q21_ngram_jaccard" -> ((s, dir) => {
       val grams = "array_distinct(transform(sequence(1, length(text) - 4), i -> substring(text, i, 5)))"
+      // blocking window: bounded id range AND bounded length — a single
+      // megabyte-scale document would otherwise dominate the gram-set
+      // arithmetic in BOTH engines (observed 100×); oversized docs belong
+      // to the MinHash path (q22), not the brute-force verifier
       val g = Tables.documents(s, dir)
-        .where("doc_id < 300 AND length(text) >= 5")
+        .where("doc_id < 300 AND length(text) BETWEEN 5 AND 10000")
         .selectExpr("doc_id", s"$grams AS g", "length(text) AS len")
       // length blocking (10·max ≤ 13·min ⇔ ratio ≤ 1.3, integer-exact):
       // a J≥0.5 pair can't differ much in length, so skip the Jaccard
@@ -193,7 +197,7 @@ object Dedup {
         """WITH g AS (
           |  SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 3), i -> substr(text, i, 5))) AS g,
           |    length(text) AS len
-          |  FROM documents WHERE doc_id < 300 AND length(text) >= 5)
+          |  FROM documents WHERE doc_id < 300 AND length(text) BETWEEN 5 AND 10000)
           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           |  CAST(round(1000.0 * len(list_intersect(a.g, b.g)) / len(list_distinct(list_concat(a.g, b.g)))) AS BIGINT) AS j1000
           |FROM g a JOIN g b ON a.doc_id < b.doc_id AND 10 * greatest(a.len, b.len) <= 13 * least(a.len, b.len)
