@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Temporal joins. Spark has no ASOF JOIN operator; per the preference
+  * order (compose built-ins > custom Expression > custom SparkPlan) it
+  * is composed here from union + window:
+  *
+  *   tag right rows 0 / left rows 1 → union → one window partitioned by
+  *   key, ordered by (time, tag) → `last(right_payload, ignoreNulls)`
+  *   carries the most recent right row forward → keep left rows.
+  *
+  * Cost: ONE shuffle on the key (the same exchange a native as-of join
+  * would need) and a linear in-partition pass — this is the sort-merge
+  * formulation, it never builds pairs, so heavy key skew degrades to a
+  * sort, not a cross product. The DuckDB oracle uses its native
+  * ASOF JOIN, so q48 cross-checks this composition against an
+  * independent native implementation. */
+object Temporal {
+
+  /** Left as-of join: for each left row, the most recent right row with
+    * `rightTime <= leftTime` on the same key. Right payload columns come
+    * back null when no prior right row exists.
+    *
+    * @param left  (key, time, leftPayload...)
+    * @param right (key, time, rightPayload...)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String): DataFrame = {
+    val rightPayload = right.columns.filterNot(c => c == key || c == time)
+    val leftPayload = left.columns.filterNot(c => c == key || c == time)
+    val l = left.withColumn("__tag", lit(1))
+      .select(Seq(col(key), col(time), col("__tag")) ++
+        leftPayload.map(col) ++ rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right.withColumn("__tag", lit(0))
+      .select(Seq(col(key), col(time), col("__tag")) ++
+        leftPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++ rightPayload.map(col): _*)
+    // same timestamp ⇒ right row sorts first (tag 0) so it matches `<=`
+    val w = Window.partitionBy(col(key)).orderBy(col(time), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = l.unionByName(r)
+      .select(Seq(col(key), col(time), col("__tag")) ++
+        leftPayload.map(col) ++
+        rightPayload.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+    carried.where(col("__tag") === 1).drop("__tag")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // For each purchase, the most recent prior (or simultaneous) view by
+    // the same user.
+    "q48_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where("event_type = 'purchase'")
+        .selectExpr("user_id", "unix_micros(ts) AS t", "event_id AS purchase_id")
+      val views = ev.where("event_type = 'view'")
+        .selectExpr("user_id", "unix_micros(ts) AS t", "event_id AS view_id")
+      asofJoin(purchases, views, "user_id", "t")
+        .selectExpr("user_id", "purchase_id", "coalesce(view_id, -1) AS view_id")
+        .orderBy("user_id", "purchase_id")
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q48_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id AS purchase_id FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id AS view_id FROM events WHERE event_type = 'view')
+        |SELECT p.user_id, p.purchase_id, coalesce(v.view_id, -1) AS view_id
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.t <= p.t
+        |ORDER BY p.user_id, purchase_id""".stripMargin
+  )
+}
