@@ -160,6 +160,20 @@ object Similarity {
         .selectExpr("vec_a", "vec_b", "cast(round(sim * 1000000) as bigint) AS sim_e6")
         .orderBy("vec_a", "vec_b")),
 
+    // Per-label embedding centroids (class centroids for curriculum /
+    // contrastive sampling). Dimension-wise integer-e3 sums: exact in any
+    // shuffle order, so the oracle matches bit for bit.
+    "q49_label_centroids" -> ((s, dir) => {
+      Tables.embeddings(s, dir)
+        .selectExpr("label", "transform(cast(embedding as array<double>), x -> cast(round(x * 1000) as bigint)) AS q")
+        .select(col("label"), posexplode(col("q")))
+        .toDF("label", "dim", "x_e3")
+        .groupBy("label", "dim")
+        .agg(sum(col("x_e3")).cast("long").as("sum_e3"),
+             count(lit(1)).as("n"))
+        .orderBy("label", "dim")
+    }),
+
     // IVF probe search (rows-only: Lloyd FP averaging is Spark-internal;
     // exactness anchored by SimilaritySpec's nprobe=k ≡ brute identity).
     "q36_ann_ivf" -> ((s, dir) => {
@@ -180,6 +194,12 @@ object Similarity {
       .map { case (d, j) => s"CASE WHEN $d >= 0 THEN ${1L << j} ELSE 0 END" }
       .mkString(" + ")
     Map(
+      "q49_label_centroids" ->
+        """SELECT label, CAST(i - 1 AS INT) AS dim,
+          |  CAST(SUM(CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS BIGINT) AS sum_e3,
+          |  CAST(COUNT(*) AS BIGINT) AS n
+          |FROM (SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings)
+          |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
       "q24_cosine_topk" ->
         s"""WITH vecs AS (
            |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
