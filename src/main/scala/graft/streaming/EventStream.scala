@@ -87,6 +87,18 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup: drop re-observations of a key, with state
+    * bounded by the event-time watermark (a key older than the watermark
+    * can be forgotten — without the watermark the state grows without
+    * bound, which at 100 TB/day of events is the difference between a
+    * working pipeline and an OOM). The streaming twin of q20's batch
+    * keep-first dedup for continuous corpus ingestion. */
+  def streamingDedup(stream: DataFrame, keyCols: Seq[String],
+                     eventTimeCol: String, watermark: String = "1 hour"): DataFrame =
+    stream
+      .withWatermark(eventTimeCol, watermark)
+      .dropDuplicates(keyCols :+ eventTimeCol)
+
   /** T1: incremental append sink. Each micro-batch is anti-joined against
     * the keys already present in `targetPath`, so re-delivered rows are
     * ignored — the reference's re-run-safety filter, generalized. The

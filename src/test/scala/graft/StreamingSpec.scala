@@ -118,6 +118,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table("sess_stream").count() > 0)
   }
 
+  test("streaming dedup drops duplicate keys within the watermark") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = stageEvents()
+    // double the input: same file twice -> every event delivered twice
+    Files.copy(Paths.get("/root/testdata/sf0.001/events.parquet"),
+      Paths.get(dir, "dup.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val q = EventStream.streamingDedup(streamingEvents(dir), Seq("event_id"), "ts")
+      .writeStream.outputMode("append").format("memory").queryName("dedup_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("dedup_stream")
+    assert(out.count() == 1000) // 2000 delivered, 1000 distinct
+    assert(out.select("event_id").distinct().count() == 1000)
+  }
+
   test("T1: incremental append processes each key once across restarts and redeliveries") {
     val src = stageEvents()
     val target = Files.createTempDirectory("inc_target").toString + "/t"
