@@ -419,6 +419,20 @@ object Relational {
         .orderBy("l_returnflag")
     }),
 
+    // Funnel: per-user signup→view→purchase stage flags + overall
+    // conversion counts (conditional aggregation over event history).
+    "q50_funnel" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          max(when(col("event_type") === "signup", 1).otherwise(0)).cast("long").as("has_signup"),
+          max(when(col("event_type") === "view", 1).otherwise(0)).cast("long").as("has_view"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).cast("long").as("has_purchase"),
+          sum(when(col("event_type") === "purchase",
+            round(col("value") * 100).cast("long")).otherwise(0L)).cast("long").as("purchase_cents"))
+        .orderBy("user_id")
+    }),
+
     // Event-time tumbling window (hourly) aggregation; exact value via e4 fixed point.
     "q17_hourly" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -613,6 +627,13 @@ object Relational {
         |  CAST(COUNT(*) AS BIGINT) AS n_orders
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY g, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q50_funnel" ->
+      """SELECT user_id,
+        |  CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS has_signup,
+        |  CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS has_view,
+        |  CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS has_purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(round(value*100) AS BIGINT) ELSE 0 END) AS BIGINT) AS purchase_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q17_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  CAST(COUNT(*) AS BIGINT) AS n_events,
