@@ -129,12 +129,16 @@ object Relational {
         .orderBy("event_id")
     }),
 
-    // J1 FK joins: orders ⋈ customer ⋈ nation, dims broadcast, agg per nation.
+    // J1 FK joins: orders ⋈ customer ⋈ nation, agg per nation. Only the
+    // fixed-cardinality dim (nation, 25 rows at every SF) gets a hard
+    // broadcast hint; customer grows with SF, so AQE's size-based join
+    // selection decides — it still broadcasts at small SF, but at 100×
+    // it degrades to a shuffle join instead of OOMing the driver.
     "q06_join_agg" -> ((s, dir) => {
       val o = Tables.orders(s, dir)
       val c = Tables.customer(s, dir)
       val n = Tables.nation(s, dir)
-      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      o.join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_orders"),
@@ -324,8 +328,9 @@ object Relational {
       val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.orders(s, dir).filter(col("o_orderdate") < "1998-03-15")
       val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > "1998-03-15")
+      // customer is SF-scaled: no hard broadcast hint (AQE decides).
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(sum(expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
           .cast("long").as("revenue_cents"))
@@ -341,9 +346,12 @@ object Relational {
       val su = Tables.supplier(s, dir)
       val n = Tables.nation(s, dir)
       val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      // Hints only on nation/region (fixed 25/5 rows at every SF);
+      // customer/supplier scale with SF — AQE picks broadcast when they
+      // fit and shuffle join when they don't.
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
-        .join(broadcast(su), l("l_suppkey") === su("s_suppkey") &&
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey") &&
           c("c_nationkey") === su("s_nationkey"))
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
