@@ -50,18 +50,23 @@ object Chunking {
       expr(s"aggregate(array_sort(collect_list(struct(n, data))), $zero, " +
            "(acc, x) -> concat(acc, x.data))").as("data"))
 
-  /** Aggregation buffer for [[ReassembleBytes]]: the chunks seen so far. */
+  /** Aggregation buffer for [[ReassembleBytes]]: the chunks seen so far,
+    * in arbitrary order ([[ReassembleBytes.finish]] sorts by ordinal). */
   case class ChunkBuf(ns: Seq[Int], datas: Seq[Array[Byte]])
 
   /** A3 as a typed Aggregator (SURVEY §2.10) — same semantics as
     * [[reassemble]]; usable via `functions.udaf` where a typed surface or
-    * SQL registration is wanted. */
+    * SQL registration is wanted. Accumulation PREPENDS (O(1) per chunk;
+    * the default Seq is a List, so appending with `:+` would make a
+    * many-chunk file — a multi-GB blob is thousands of 255 KiB chunks —
+    * O(n²) per group); order is restored by the sort in `finish`. */
   class ReassembleBytes extends Aggregator[(Int, Array[Byte]), ChunkBuf, Array[Byte]] {
     def zero: ChunkBuf = ChunkBuf(Nil, Nil)
     def reduce(b: ChunkBuf, a: (Int, Array[Byte])): ChunkBuf =
-      ChunkBuf(b.ns :+ a._1, b.datas :+ a._2)
+      ChunkBuf(a._1 +: b.ns, a._2 +: b.datas)
     def merge(b1: ChunkBuf, b2: ChunkBuf): ChunkBuf =
-      ChunkBuf(b1.ns ++ b2.ns, b1.datas ++ b2.datas)
+      if (b1.ns.size >= b2.ns.size) ChunkBuf(b2.ns ++: b1.ns, b2.datas ++: b1.datas)
+      else ChunkBuf(b1.ns ++: b2.ns, b1.datas ++: b2.datas)
     def finish(b: ChunkBuf): Array[Byte] = {
       val total = b.datas.iterator.map(_.length).sum
       val out = new Array[Byte](total)

@@ -17,13 +17,19 @@ object Skew {
 
   /** Salted inner equi-join. `big ⋈ small` on `key`, with the big side's
     * rows spread across `salt` sub-keys. Result is row-identical to the
-    * plain join (salting only changes the partitioning). */
+    * plain join (salting only changes the partitioning).
+    *
+    * The salt mixes row content with a per-row physical component
+    * (`monotonically_increasing_id`): content alone would send EXACT
+    * duplicate rows of a hot key — the most common skew shape — to one
+    * reducer, mitigating nothing. The trade-off is that the partitioning
+    * (never the result set) can differ across runs if the input's
+    * physical row order differs. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
     require(salt > 0)
-    // content-derived salt: deterministic (re-runs produce identical
-    // partitioning), and distinct rows of a hot key spread uniformly
     val saltCol: Column =
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*), lit(salt.toLong))
+      pmod(xxhash64(big.columns.map(col).toIndexedSeq :+ monotonically_increasing_id(): _*),
+        lit(salt.toLong))
     val bigS = big.withColumn("__salt", saltCol)
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salt.toLong - 1))))

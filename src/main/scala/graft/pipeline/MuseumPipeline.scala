@@ -49,7 +49,14 @@ object MuseumPipeline {
       .join(images.filter(col("status") === 200),                        // F3 via inner join
         col("primaryImage") === col("url"), "inner")
       .filter(col("bytes").isNotNull)                                    // F6: failed download drops row
-      .limit(maxDownloads)                                               // L1: filter-then-limit
+      // L1: filter-then-limit. Ordered first: limit on an unordered frame
+      // picks an arbitrary subset (varies with partitioning/AQE), which
+      // would undercut the deterministic derived ids below. Catalyst plans
+      // sort+limit as TakeOrderedAndProject (per-partition top-k + merge),
+      // not a global sort. The reference's sequential loop is id-ordered
+      // too (ingestion.py:38).
+      .orderBy(col("objectID"), col("primaryImage"))
+      .limit(maxDownloads)
       // The reference mints a fresh ObjectId per ingested row
       // (ingestion.py:60); we derive from (objectID, primaryImage) so the
       // id is deterministic yet distinct for duplicate objectIDs arriving

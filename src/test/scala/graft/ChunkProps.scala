@@ -38,6 +38,23 @@ object ChunkProps extends Properties("graft") {
     }
   }
 
+  property("ReassembleBytes aggregator: many-chunk file (>=1000 chunks)") =
+    forAll(Gen.chooseNum(Long.MinValue, Long.MaxValue)) { seed =>
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, udaf}
+      // 1200 chunks of 64 B: would take minutes under the old O(n²)
+      // Seq-append buffer; linear accumulation finishes instantly.
+      val payload = new Array[Byte](1200 * 64)
+      new scala.util.Random(seed).nextBytes(payload)
+      val df = Seq(("big", payload)).toDF("_id", "data")
+      val chunks = Chunking.split(df, "_id", "data", 64)
+      val rb = udaf(new Chunking.ReassembleBytes)
+      val back = chunks.groupBy("files_id")
+        .agg(rb(col("n"), col("data")).as("data"))
+        .collect().head.getAs[Array[Byte]]("data")
+      java.util.Arrays.equals(back, payload)
+    }
+
   property("splitLabel is a total partition into the three labels") =
     forAll(Gen.listOfN(200, Gen.chooseNum(0L, Long.MaxValue / 2654435761L))) { keys =>
       import spark.implicits._
