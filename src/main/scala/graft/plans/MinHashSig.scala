@@ -4,7 +4,7 @@ import java.security.MessageDigest
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -21,11 +21,25 @@ import graft.functions.Portable
   * (A_j·h + B_j) mod P. The declarative version walks the shingle array
   * through 16 separate interpreted higher-order transforms plus a
   * string md5→hex→conv round trip; this walks it once with no
-  * allocation. CodegenFallback is fine — the expression itself is the
-  * hot loop, not the glue around it. */
-case class MinHashSig(child: Expression) extends UnaryExpression with CodegenFallback {
+  * allocation.
+  *
+  * `doGenCode` emits a call to the static [[MinHashSig.compute]] — the
+  * hot loop is this expression itself, so the win over CodegenFallback
+  * is not the loop body but keeping the ENCLOSING projection inside
+  * whole-stage codegen (a single fallback expression forces the whole
+  * stage back to interpreted row-at-a-time eval).
+  *
+  * An empty shingle array yields null (there is no minimum over zero
+  * shingles), so `nullable` is true regardless of the child's
+  * nullability — the default would let Catalyst treat the slot as
+  * non-null for a non-nullable child (e.g. a literal `array()` through
+  * the registered `graft_minhash_sig` SQL function) and mis-optimize
+  * consumers. */
+case class MinHashSig(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
@@ -34,8 +48,35 @@ case class MinHashSig(child: Expression) extends UnaryExpression with CodegenFal
         s"minhash_sig expects array<string>, got $other")
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // nullSafeCodeGen handles the child-null path; the result can ALSO be
+    // null (empty array), so re-derive isNull from the computed value.
+    val result = nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.plans.MinHashSig.compute($c);
+         |${ev.isNull} = (${ev.value} == null);
+       """.stripMargin)
+    result
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+
+  /** One MD5 instance per executor thread — `compute` runs once per row
+    * inside generated code; a fresh `getInstance` per row is measurable. */
+  private val mdLocal: ThreadLocal[MessageDigest] = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** The signature kernel, static so generated Java can call it directly.
+    * Returns null for an empty array (see class doc). */
+  def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return null
     val k = Portable.MinhashK
@@ -43,7 +84,7 @@ case class MinHashSig(child: Expression) extends UnaryExpression with CodegenFal
     val a = Portable.minhashA
     val b = Portable.minhashB
     val mins = Array.fill(k)(Long.MaxValue)
-    val md = MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i)
@@ -64,11 +105,6 @@ case class MinHashSig(child: Expression) extends UnaryExpression with CodegenFal
     new GenericArrayData(mins)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-}
-
-object MinHashSig {
   /** Register `graft_minhash_sig` on the session's function registry so
     * it is usable from selectExpr/SQL. Idempotent. */
   def register(spark: SparkSession): Unit =
