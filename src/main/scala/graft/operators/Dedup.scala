@@ -173,6 +173,40 @@ object Dedup {
         Tables.documents(s, dir).selectExpr("doc_id", s"md5($canon) AS cfp"),
         Seq("cfp"), Seq(col("doc_id")))
         .select("doc_id", "cfp").orderBy("doc_id")
+    }),
+
+    // Exact dedup with MERGES the oracle can see: the raw corpus has no
+    // exact duplicates, so q20 never exercises the keep-first tiebreak
+    // end-to-end. Plant deterministic duplicates — every doc_id % 20 == 0
+    // doc re-enters with a HIGHER id (loser: original survives) and every
+    // doc_id % 20 == 10 doc with a LOWER id (winner: the planted copy
+    // survives, visible as negative ids in the output). The kept set
+    // provably differs from both the raw corpus and the union input.
+    "q51_exact_dedup_merge" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val losers = docs.where("doc_id % 20 = 0").selectExpr("doc_id + 1000000 AS doc_id", "text")
+      val winners = docs.where("doc_id % 20 = 10").selectExpr("doc_id - 1000000 AS doc_id", "text")
+      val corpus = docs.unionAll(losers).unionAll(winners)
+      Relational.keepFirst(
+        corpus.selectExpr("doc_id", "md5(text) AS fp"),
+        Seq("fp"), Seq(col("doc_id")))
+        .select("doc_id", "fp").orderBy("doc_id")
+    }),
+
+    // Canonical dedup with visible merges: planted copies are case- and
+    // punctuation-perturbed (upper + trailing bang), so EXACT fingerprints
+    // differ but canonical fingerprints collide — only the canonical pass
+    // merges them, which is precisely the semantics q38 claims over q20.
+    "q52_canonical_dedup_merge" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val perturbed = docs.where("doc_id % 20 = 5")
+        .selectExpr("doc_id + 2000000 AS doc_id", "concat(upper(text), '!!') AS text")
+      val corpus = docs.unionAll(perturbed)
+      val canon = "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' '))"
+      Relational.keepFirst(
+        corpus.selectExpr("doc_id", s"md5($canon) AS cfp"),
+        Seq("cfp"), Seq(col("doc_id")))
+        .select("doc_id", "cfp").orderBy("doc_id")
     })
   )
 
@@ -227,6 +261,28 @@ object Dedup {
           |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS cfp,
           |    ROW_NUMBER() OVER (PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) ORDER BY doc_id) AS rn
           |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      "q51_exact_dedup_merge" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0
+          |  UNION ALL
+          |  SELECT doc_id - 1000000 AS doc_id, text FROM documents WHERE doc_id % 20 = 10)
+          |SELECT doc_id, fp FROM (
+          |  SELECT doc_id, md5(text) AS fp,
+          |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+          |  FROM corpus) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+      "q52_canonical_dedup_merge" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 2000000 AS doc_id, upper(text) || '!!' AS text
+          |  FROM documents WHERE doc_id % 20 = 5)
+          |SELECT doc_id, cfp FROM (
+          |  SELECT doc_id,
+          |    md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS cfp,
+          |    ROW_NUMBER() OVER (PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) ORDER BY doc_id) AS rn
+          |  FROM corpus) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
       "q23_simhash" ->
         s"""WITH t AS (
            |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM documents),
