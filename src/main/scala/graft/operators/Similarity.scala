@@ -79,67 +79,128 @@ object Similarity {
 
   // ---------------------------------------------------------------- IVF
 
-  /** IVF coarse index: k centroids (deterministic evenly-spaced seeds +
-    * `iters` Lloyd refinements) and the inverted assignment lists.
-    * Returns (centroids(cid, c), assignments(vec_id, cid)).
-    *
-    * The scale path complement to LSH bucketing: train once (tiny
-    * centroid table), broadcast centroids, assign with a narrow map, and
-    * search touches only `nprobe` of the k lists. Spark-only (Lloyd's
-    * FP averaging isn't cross-engine-exact); exactness is anchored by
-    * the spec's nprobe=k ≡ brute-force identity. Caches the vector frame
-    * for the training iterations; caller-managed eviction (as with
-    * Dedup.minhashNearDups — Bench clears between runs). */
-  def ivfIndex(embeddings: DataFrame, k: Int = 16, iters: Int = 2): (DataFrame, DataFrame) = {
-    val vecs = embeddings.selectExpr("vec_id", "cast(embedding as array<double>) AS v").cache()
-    val n = vecs.count()
-    val step = math.max(1L, n / k)
-    var centroids = vecs.where(s"vec_id % $step = 0 AND vec_id < ${step * k}")
-      .selectExpr(s"cast(vec_id / $step as long) AS cid", "v AS c")
+  /** Training sample: every `IvfTrainMod`-th vector by id. Lloyd only
+    * needs a representative sample to place centroids — training on the
+    * full corpus is the 100 TB anti-pattern the index exists to avoid. */
+  val IvfTrainMod: Long = 3
 
-    def assign(cents: DataFrame): DataFrame = {
-      val scored = vecs.crossJoin(broadcast(cents))
-        .selectExpr("vec_id", "cid", s"${cosineE("v", "c")} AS sim")
-      val w = Window.partitionBy(col("vec_id")).orderBy(col("sim").desc, col("cid"))
-      scored.withColumn("rn", row_number().over(w)).where("rn = 1")
-        .select("vec_id", "cid")
-    }
-
-    (1 to iters).foreach { _ =>
-      val assigned = assign(centroids).join(vecs, "vec_id")
-      val means = assigned
-        .select(col("cid"), posexplode(col("v")))
-        .toDF("cid", "dim", "x")
-        .groupBy("cid", "dim").agg(avg("x").as("m"))
-        .groupBy("cid")
-        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").as("c"))
-      // empty clusters keep their previous centroid
-      centroids = centroids.select(col("cid"), col("c").as("c_old"))
-        .join(means, Seq("cid"), "left_outer")
-        .selectExpr("cid", "coalesce(c, c_old) AS c")
-    }
-    (centroids, assign(centroids))
+  /** Cosine between an integer-quantized row vector column `q` (with its
+    * precomputed squared norm in column `nq`) and a LITERAL centroid —
+    * the dot and both norms are exact int64 arithmetic; only the final
+    * divide/sqrt touches floats, and those are IEEE-deterministic from
+    * exact integer inputs, so the rounded result is reproducible in any
+    * engine. */
+  private def centroidSimE(cvals: Array[Long]): String = {
+    val dot = s"aggregate(zip_with(q, array(${cvals.map(_ + "L").mkString(",")}), " +
+      "(x, y) -> x * y), 0L, (acc, v) -> acc + v)"
+    // exact: components are e3-quantized ints, partial sums < 2^53
+    val normC = math.sqrt(cvals.map(x => x.toDouble * x).sum)
+    s"round($dot / (sqrt(cast(nq as double)) * $normC), 6)"
   }
 
-  /** IVF search: rank centroids per query, expand the top-`nprobe`
-    * inverted lists, exact cosine + top-k within the candidates. With
-    * nprobe = k this is exactly brute force (the spec asserts it). */
+  /** (vec_id, q, …) + literal centroids → nearest-centroid id, as a pure
+    * projection: argmax over k literal struct scores via array_sort (max
+    * sim, ties to the smallest cid). NO join and NO shuffle — this is
+    * the "broadcast the model, assign with a narrow map" shape that
+    * scales to any corpus size, and with driver-literal centroids each
+    * Lloyd iteration's plan stays flat instead of growing a nested
+    * join lineage per iteration. */
+  private def assignTo(vecsQ: DataFrame, cents: Seq[(Long, Array[Long])]): DataFrame = {
+    val scored = cents.map { case (cid, c) =>
+      s"struct(${centroidSimE(c)} AS sim, ${-cid}L AS ncid, ${cid}L AS cid)"
+    }.mkString("array(", ", ", ")")
+    vecsQ
+      .withColumn("nq", expr("aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("cid", expr(s"element_at(array_sort($scored), ${cents.length}).cid"))
+      .drop("nq")
+  }
+
+  /** IVF coarse index over integer-quantized (e3) vectors. Returns
+    * (centroids(cid, c: array<bigint>), assignments(vec_id, cid)).
+    *
+    * Every arithmetic step is cross-engine exact, so q36 is fully
+    * DuckDB-oracle-checkable (not rows-only):
+    *  - vectors quantized to round(x*1000) int64;
+    *  - seeds: the k training vectors with the smallest portable
+    *    md5-48 hash of vec_id (deterministic pseudo-random spread);
+    *  - assignment: exact integer dot/norms, one float divide, round 6;
+    *  - centroid update: exact integer dimension sums, then a
+    *    truncating integer division (cast-to-long ≡ DuckDB trunc).
+    *
+    * Scale shape: trains on a 1/[[IvfTrainMod]] sample; each iteration
+    * is one narrow-map assignment + one partial-aggregated groupBy; the
+    * k×dim centroid model is collected to the driver per iteration
+    * (k·64 longs — a model, not data) and re-broadcast as literals, so
+    * the lineage is truncated every iteration and the final full-corpus
+    * assignment is a single narrow map with no shuffle at all. */
+  def ivfIndex(embeddings: DataFrame, k: Int = 16, iters: Int = 2,
+               trainMod: Long = IvfTrainMod): (DataFrame, DataFrame) = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val vecs = embeddings.selectExpr("vec_id", s"$quantE AS q")
+    val train = vecs.where(s"vec_id % $trainMod = 0")
+
+    val seeds: Array[(Long, Array[Long])] = train
+      .selectExpr("vec_id", "q", s"${sparkHash48("cast(vec_id as string)")} AS h")
+      .orderBy(col("h"), col("vec_id")).limit(k) // TakeOrdered top-k, no global sort
+      .collect().zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Long](1).toArray) }
+
+    var cents = seeds
+    (1 to iters).foreach { _ =>
+      val means = assignTo(train, cents)
+        .select(col("cid"), posexplode(col("q"))).toDF("cid", "dim", "x")
+        .groupBy("cid", "dim")
+        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+        // truncating division: Spark cast(double as bigint) drops toward
+        // zero, exactly DuckDB's trunc() — both divide the same exact ints
+        .selectExpr("cid", "dim", "cast(cast(s as double) / n as bigint) AS m")
+        .groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)").as("c"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+      // an empty cluster keeps its previous centroid
+      cents = cents.map { case (cid, c) => (cid, means.getOrElse(cid, c)) }
+    }
+
+    val centroids = cents.toSeq.map { case (cid, c) => (cid, c.toSeq) }
+      .toDF("cid", "c")
+    (centroids, assignTo(vecs, cents).select("vec_id", "cid"))
+  }
+
+  /** IVF search: rank centroids per query (same exact integer arithmetic
+    * as training), expand the top-`nprobe` inverted lists, then exact
+    * double cosine + top-k within the candidates (identical scoring to
+    * [[cosineTopK]], so nprobe = k is exactly brute force — the spec
+    * asserts it). The centroid model is collected (k rows) and inlined,
+    * so probe selection is a narrow map over the query set. */
   def ivfSearch(embeddings: DataFrame, centroids: DataFrame, assignments: DataFrame,
                 queryMaxId: Long = 10, nprobe: Int = 4, k: Int = 5): DataFrame = {
+    val cents: Array[(Long, Array[Long])] = centroids.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .sortBy(_._1)
+    val scored = cents.map { case (cid, c) =>
+      s"struct(${centroidSimE(c)} AS sim, ${-cid}L AS ncid, ${cid}L AS cid)"
+    }.mkString("array(", ", ", ")")
+    // top-nprobe by (sim desc, cid asc): ascending lexicographic sort on
+    // (sim, -cid) reversed
+    val probes = embeddings.where(s"vec_id < $queryMaxId")
+      .selectExpr("vec_id AS query_id", s"$quantE AS q")
+      .withColumn("nq", expr("aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("cid", explode(expr(
+        s"transform(slice(reverse(array_sort($scored)), 1, $nprobe), p -> p.cid)")))
+      .select("query_id", "cid")
+
     val vecs = embeddings.selectExpr("vec_id", "cast(embedding as array<double>) AS v")
     val queries = vecs.where(s"vec_id < $queryMaxId").toDF("query_id", "q")
-    val qc = queries.crossJoin(broadcast(centroids))
-      .selectExpr("query_id", "q", "cid", s"${cosineE("q", "c")} AS csim")
-    val wq = Window.partitionBy(col("query_id")).orderBy(col("csim").desc, col("cid"))
-    val probes = qc.withColumn("rn", row_number().over(wq)).where(s"rn <= $nprobe")
-      .select("query_id", "q", "cid")
-    val cands = probes.join(assignments, "cid")
+    val cands = broadcast(probes).join(assignments, "cid")
       .where(col("vec_id") =!= col("query_id"))
-      .select("query_id", "q", "vec_id")
-    val scored = cands.join(vecs, "vec_id")
+      .select("query_id", "vec_id")
+    val scoredCands = cands
+      .join(vecs, "vec_id")
+      .join(broadcast(queries), "query_id")
       .selectExpr("query_id", "vec_id", s"round(${cosineE("q", "v")}, 6) AS sim")
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w)).where(s"rank <= $k")
+    scoredCands.withColumn("rank", row_number().over(w)).where(s"rank <= $k")
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("sim"))
   }
 
@@ -174,14 +235,77 @@ object Similarity {
         .orderBy("label", "dim")
     }),
 
-    // IVF probe search (rows-only: Lloyd FP averaging is Spark-internal;
-    // exactness anchored by SimilaritySpec's nprobe=k ≡ brute identity).
+    // IVF probe search — fully oracle-checkable: quantized training
+    // arithmetic is exact in both engines (see ivfIndex), final scoring
+    // is q24's proven double-cosine-round-6.
     "q36_ann_ivf" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       val (cents, asg) = ivfIndex(e)
       ivfSearch(e, cents, asg).orderBy("query_id", "rank")
     })
   )
+
+  /** DuckDB twin of q36: the same seeds, `iters` unrolled Lloyd
+    * iterations, full assignment, probe selection, and candidate
+    * scoring, generated from the same constants as the Spark path. */
+  private def duckIvfSql(k: Int = 16, iters: Int = 2, trainMod: Long = IvfTrainMod,
+                         queryMaxId: Long = 10, nprobe: Int = 4, topk: Int = 5): String = {
+    // exact-integer centroid similarity between quantized vector t.q and
+    // centroid c.c, rounded to 6 dp — the DuckDB spelling of centroidSimE
+    val intSim =
+      """round(list_sum(list_transform(list_zip(t.q, c.c), s -> s[1] * s[2])) /
+        |        (sqrt(list_sum(list_transform(t.q, x -> x * x))) * sqrt(list_sum(list_transform(c.c, x -> x * x)))), 6)""".stripMargin
+    def assignCte(name: String, src: String, centsName: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, q, cid FROM (
+         |    SELECT t.vec_id, t.q, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+         |        $intSim DESC, c.cid) AS rn
+         |    FROM $src t CROSS JOIN $centsName c) WHERE rn = 1)""".stripMargin
+    val lloyd = (1 to iters).map { it =>
+      s"""${assignCte(s"a$it", "train", s"cents${it - 1}")},
+         |m$it AS (
+         |  SELECT cid, i - 1 AS dim, CAST(trunc(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+         |  FROM (SELECT cid, unnest(q) AS x, generate_subscripts(q, 1) AS i FROM a$it)
+         |  GROUP BY cid, dim),
+         |cents$it AS (
+         |  SELECT c0.cid, coalesce(mm.mc, c0.c) AS c
+         |  FROM cents${it - 1} c0 LEFT JOIN (
+         |    SELECT cid, list(m ORDER BY dim) AS mc FROM m$it GROUP BY cid) mm USING (cid))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH vecs AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings),
+       |train AS (SELECT vec_id, q FROM vecs WHERE vec_id % $trainMod = 0),
+       |cents0 AS (
+       |  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cid, q AS c
+       |  FROM (SELECT vec_id, q, ${duckHash48("CAST(vec_id AS VARCHAR)")} AS h FROM train)
+       |  ORDER BY h, vec_id LIMIT $k),
+       |$lloyd,
+       |${assignCte("asg", "vecs", s"cents$iters")},
+       |probes AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT t.vec_id AS query_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
+       |        $intSim DESC, c.cid) AS rn
+       |    FROM vecs t CROSS JOIN cents$iters c WHERE t.vec_id < $queryMaxId) WHERE rn <= $nprobe),
+       |cands AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id
+       |  FROM probes p JOIN asg a USING (cid) WHERE a.vec_id <> p.query_id),
+       |scored AS (
+       |  SELECT cd.query_id, cd.vec_id,
+       |    round(list_sum(list_transform(list_zip(qv.v, bv.v), s -> s[1] * s[2])) /
+       |      (sqrt(list_sum(list_transform(qv.v, x -> x * x))) * sqrt(list_sum(list_transform(bv.v, x -> x * x)))), 6) AS sim
+       |  FROM cands cd
+       |  JOIN vecs qv ON qv.vec_id = cd.query_id
+       |  JOIN vecs bv ON bv.vec_id = cd.vec_id)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, sim FROM (
+       |  SELECT query_id, vec_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+       |  FROM scored) WHERE rank <= $topk ORDER BY query_id, rank""".stripMargin
+  }
 
   def oracle: Map[String, String] = {
     val duckCos =
@@ -194,6 +318,7 @@ object Similarity {
       .map { case (d, j) => s"CASE WHEN $d >= 0 THEN ${1L << j} ELSE 0 END" }
       .mkString(" + ")
     Map(
+      "q36_ann_ivf" -> duckIvfSql(),
       "q49_label_centroids" ->
         """SELECT label, CAST(i - 1 AS INT) AS dim,
           |  CAST(SUM(CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS BIGINT) AS sum_e3,
