@@ -18,6 +18,10 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateT
   *  - T1: incremental exactly-once-ish append via `foreachBatch` +
   *    anti-join against already-processed keys — the F4 semantics with
   *    checkpointed state instead of a mutable flag column.
+  *
+  * Every stateful operator here bounds its state by the watermark: at
+  * 100 TB/day of events, state that only grows is the difference
+  * between a pipeline and an OOM.
   */
 object EventStream {
 
@@ -33,7 +37,11 @@ object EventStream {
       .select(col("w.start").as("hour"), col("event_type"),
         col("n_events"), col("value_cents"))
 
-  /** Session row emitted by the sessionizers. */
+  /** Session fragment emitted by the sessionizers. `sess` is the
+    * session's START time in unix micros — a stable identifier that
+    * survives state eviction (an ordinal counter would restart at 0
+    * after the watermark evicts an idle user's state, colliding with
+    * that user's earlier session ids). */
   case class UserSession(user_id: Long, sess: Long, n_events: Long)
 
   /** Sessionization via Spark's native `session_window` (gap-merged
@@ -45,83 +53,135 @@ object EventStream {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
 
-  /** Sessionizer state: ordinal of the currently-open session and the
+  /** Sessionizer state: start (µs) of the currently-open session and the
     * micro-second timestamp of its last event. */
-  case class SessState(curSess: Long, lastUs: Long)
+  case class SessState(curStart: Long, lastUs: Long)
 
   /** Sessionization as custom state (`flatMapGroupsWithState`) — the
     * KeyValueGroupedDataset surface for state Spark's built-ins can't
     * express. Input rows are (user_id, unix_micros, event_id).
     *
-    * State carries (open-session ordinal, last event time), so a session
-    * spanning micro-batches keeps ONE ordinal: each batch emits a
-    * *fragment* (user_id, sess, n_events_in_this_batch) and fragments of
-    * the same session share `sess` — downstream sums by (user_id, sess)
-    * to get total session sizes (Append mode cannot retract the earlier
+    * State carries (open-session start, last event time), so a session
+    * spanning micro-batches keeps ONE id: each batch emits a *fragment*
+    * (user_id, sess, n_events_in_this_batch) and fragments of the same
+    * session share `sess` — downstream sums by (user_id, sess) to get
+    * total session sizes (Append mode cannot retract the earlier
     * fragment). In batch mode each group sees all its events at once, so
     * fragments ≡ whole sessions and the output matches q35 exactly (the
-    * spec cross-checks this). */
-  def sessionizeStateful(events: Dataset[(Long, Long, Long)],
-                         gapUs: Long = 1800000000L): Dataset[UserSession] = {
+    * spec cross-checks this).
+    *
+    * State is EVICTED once the event-time watermark passes the open
+    * session's gap deadline (`EventTimeTimeout`): a user idle past the
+    * gap can contribute nothing more to that session, so its state row
+    * is dead weight — without eviction every user_id ever seen is held
+    * forever. Streaming callers must define a watermark upstream (the
+    * timeout is driven by it); in batch mode timeouts never fire, which
+    * is correct — a batch group is complete by construction. */
+  def sessionizeStateful(events: DataFrame, gapUs: Long = 1800000000L,
+                         watermark: String = "2 hours"): Dataset[UserSession] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_._1)
-      .flatMapGroupsWithState[SessState, UserSession](OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, it: Iterator[(Long, Long, Long)], state: GroupState[SessState]) =>
-          val st = state.getOption.getOrElse(SessState(0L, Long.MinValue))
-          val sorted = it.toIndexedSeq.sortBy(e => (e._2, e._3))
-          val fragments = scala.collection.mutable.ArrayBuffer.empty[UserSession]
-          var sess = st.curSess
-          var lastUs = st.lastUs
-          var n = 0L
-          sorted.foreach { case (_, us, _) =>
-            if (lastUs == Long.MinValue || us - lastUs > gapUs) {
-              if (n > 0) fragments += UserSession(user, sess, n)
-              sess += 1; n = 0
+    // EventTimeTimeout is watermark-driven: streaming input must carry
+    // one (batch input has no watermark and timeouts never fire there).
+    // The watermarked ts column itself must survive the projection — the
+    // analyzer requires the watermark tag on this operator's input.
+    val isStreaming = events.isStreaming // plain val: the closure must not capture the DataFrame
+    val wm = if (isStreaming) events.withWatermark("ts", watermark) else events
+    val tuples = wm.selectExpr("user_id", "unix_micros(ts) AS us", "event_id", "ts")
+      .as[(Long, Long, Long, java.sql.Timestamp)]
+    tuples.groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, UserSession](OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, it: Iterator[(Long, Long, Long, java.sql.Timestamp)], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the gap deadline: the open session can
+            // never be extended — drop the state row, emit nothing (its
+            // fragments were already emitted eagerly).
+            state.remove()
+            Iterator.empty
+          } else {
+            val st = state.getOption.getOrElse(SessState(Long.MinValue, Long.MinValue))
+            val sorted = it.toIndexedSeq.sortBy(e => (e._2, e._3))
+            val fragments = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+            var start = st.curStart
+            var lastUs = st.lastUs
+            var n = 0L
+            sorted.foreach { case (_, us, _, _) =>
+              if (lastUs == Long.MinValue || us - lastUs > gapUs) {
+                if (n > 0) fragments += UserSession(user, start, n)
+                start = us; n = 0
+              }
+              n += 1
+              lastUs = us
             }
-            n += 1
-            lastUs = us
+            if (n > 0) fragments += UserSession(user, start, n)
+            state.update(SessState(start, lastUs))
+            // evict once the watermark proves the session gap has passed;
+            // the timeout must sit strictly above the current watermark
+            // (Spark rejects a timestamp at or below it). In batch mode
+            // there is no watermark (and timeouts never fire): skip.
+            if (isStreaming) {
+              val deadlineMs = lastUs / 1000L + gapUs / 1000L
+              state.setTimeoutTimestamp(math.max(deadlineMs, state.getCurrentWatermarkMs() + 1L))
+            }
+            fragments.iterator
           }
-          if (n > 0) fragments += UserSession(user, sess, n)
-          state.update(SessState(sess, lastUs))
-          fragments.iterator
       }
   }
 
-  /** Streaming exact dedup: drop re-observations of a key, with state
-    * bounded by the event-time watermark (a key older than the watermark
-    * can be forgotten — without the watermark the state grows without
-    * bound, which at 100 TB/day of events is the difference between a
-    * working pipeline and an OOM). The streaming twin of q20's batch
-    * keep-first dedup for continuous corpus ingestion. */
+  /** Streaming exact dedup: drop re-observations of a KEY — regardless
+    * of the re-observation's timestamp — with state bounded by the
+    * event-time watermark (`dropDuplicatesWithinWatermark`): a key older
+    * than the watermark delay can be forgotten. The streaming twin of
+    * q20's batch keep-first dedup for continuous corpus ingestion.
+    * Within-delay redeliveries dedup exactly; a re-observation arriving
+    * later than the watermark delay is treated as new — the bounded-state
+    * trade every streaming dedup makes. */
   def streamingDedup(stream: DataFrame, keyCols: Seq[String],
                      eventTimeCol: String, watermark: String = "1 hour"): DataFrame =
     stream
       .withWatermark(eventTimeCol, watermark)
-      .dropDuplicates(keyCols :+ eventTimeCol)
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** T1: incremental append sink. Each micro-batch is anti-joined against
     * the keys already present in `targetPath`, so re-delivered rows are
     * ignored — the reference's re-run-safety filter, generalized. The
     * checkpoint makes restarts resume, not reprocess.
     *
+    * The target is laid out partitioned by a key-hash bucket (`__kb`,
+    * `numBuckets` directories), and each batch reads back ONLY the
+    * buckets its own keys hash into — partition pruning makes the
+    * per-batch lookup O(batch's share of the target), not O(target):
+    * re-reading the whole target per micro-batch is the scale
+    * anti-pattern this layout exists to avoid. `__kb` is an internal
+    * column visible in the target schema (the price of pruning without
+    * a MERGE-capable table format).
+    *
     * Target existence is checked explicitly (Hadoop FS) — a transient
     * READ failure of an existing target must fail the batch, not be
     * mistaken for "first write" and silently duplicate rows. The empty
     * fallback takes the key's type from the batch schema. */
   def incrementalAppend(stream: DataFrame, keyCol: String,
-                        targetPath: String, checkpointPath: String): DataStreamWriter[Row] =
+                        targetPath: String, checkpointPath: String,
+                        numBuckets: Int = 16): DataStreamWriter[Row] =
     stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val path = new org.apache.hadoop.fs.Path(targetPath)
-        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        val existingKeys =
-          if (fs.exists(path)) spark.read.parquet(targetPath).select(keyCol)
-          else batch.select(keyCol).limit(0)
-        batch.join(existingKeys, Seq(keyCol), "left_anti")
-          .write.mode("append").parquet(targetPath)
+        val withB = batch.withColumn("__kb",
+          pmod(xxhash64(col(keyCol)), lit(numBuckets.toLong)))
+        val buckets = withB.select("__kb").distinct().collect().map(_.getLong(0))
+        if (buckets.nonEmpty) {
+          val path = new org.apache.hadoop.fs.Path(targetPath)
+          val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val existingKeys =
+            if (fs.exists(path))
+              spark.read.parquet(targetPath)
+                .where(col("__kb").isin(buckets.map(Long.box): _*)) // partition pruning
+                .select(keyCol)
+            else withB.select(keyCol).limit(0)
+          withB.join(existingKeys, Seq(keyCol), "left_anti")
+            .write.mode("append").partitionBy("__kb").parquet(targetPath)
+        }
       }
 }

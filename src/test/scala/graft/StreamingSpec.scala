@@ -51,10 +51,8 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("stateful flatMapGroupsWithState sessionizer matches the q35 window formulation") {
-    import spark.implicits._
     val batch = Tables.events(spark, "/root/testdata/sf0.001")
-      .selectExpr("user_id", "unix_micros(ts) AS us", "event_id")
-      .as[(Long, Long, Long)]
+      .select("user_id", "ts", "event_id")
     val stateful = EventStream.sessionizeStateful(batch)
       .groupBy("user_id").agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
     val q35 = SparkEntry.queries("q35_sessionize")(spark, "/root/testdata/sf0.001")
@@ -75,27 +73,67 @@ class StreamingSpec extends AnyFunSuite {
       val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
       Files.copy(part.toPath, Paths.get(src, name), StandardCopyOption.REPLACE_EXISTING)
     }
+    def eventsDf(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("user_id", "us", "event_id")
+        .selectExpr("user_id", "timestamp_micros(us) AS ts", "event_id")
     // batch 1: user 7, one event at t0
-    stage(Seq((7L, t0, 1L)).toDF("user_id", "us", "event_id"), "b1.parquet")
+    stage(eventsDf(Seq((7L, t0, 1L))), "b1.parquet")
     val stream = spark.readStream
-      .schema("user_id LONG, us LONG, event_id LONG")
+      .schema("user_id LONG, ts TIMESTAMP, event_id LONG")
       .parquet(src)
-      .as[(Long, Long, Long)]
     val q = EventStream.sessionizeStateful(stream)
       .writeStream.outputMode("append").format("memory").queryName("sess_frag")
       .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
     q.processAllAvailable()
     // batch 2: same user, 5 minutes later — INSIDE the 30-minute gap, so
-    // this must be a fragment of the SAME session ordinal, plus a later
-    // event outside the gap opening session 2
-    stage(Seq((7L, t0 + 300L * 1000000L, 2L), (7L, t0 + 3600L * 1000000L, 3L))
-      .toDF("user_id", "us", "event_id"), "b2.parquet")
+    // this must be a fragment of the SAME session id (= the session's
+    // start time), plus a later event outside the gap opening a second
+    // session whose id is its own start time
+    stage(eventsDf(Seq((7L, t0 + 300L * 1000000L, 2L), (7L, t0 + 3600L * 1000000L, 3L))),
+      "b2.parquet")
     q.processAllAvailable(); q.stop()
     val frags = spark.table("sess_frag").orderBy("sess", "n_events")
       .collect().map(r => (r.getLong(1), r.getLong(2))) // (sess, n)
-    // fragments: (1,1) from batch1, (1,1) continuation + (2,1) from batch2
-    assert(frags.toSeq == Seq((1L, 1L), (1L, 1L), (2L, 1L)),
+    // fragments: (t0,1) from batch1, (t0,1) continuation + (t0+1h,1)
+    assert(frags.toSeq == Seq((t0, 1L), (t0, 1L), (t0 + 3600L * 1000000L, 1L)),
       s"got ${frags.toSeq}")
+  }
+
+  test("sessionizer state is EVICTED once the watermark passes the gap deadline") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val src = Files.createTempDirectory("sess_evict").toString
+    val t0 = 1700000000000000L // µs
+    def eventsDf(rows: Seq[(Long, Long, Long)]) =
+      rows.toDF("user_id", "us", "event_id")
+        .selectExpr("user_id", "timestamp_micros(us) AS ts", "event_id")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = Files.createTempDirectory("sess_evict_stage").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(src, name), StandardCopyOption.REPLACE_EXISTING)
+    }
+    stage(eventsDf(Seq((7L, t0, 1L))), "b1.parquet")
+    val stream = spark.readStream
+      .schema("user_id LONG, ts TIMESTAMP, event_id LONG").parquet(src)
+    val q = EventStream.sessionizeStateful(stream)
+      .writeStream.outputMode("append").format("memory").queryName("sess_evict")
+      .trigger(Trigger.ProcessingTime("100 milliseconds")).start()
+    q.processAllAvailable()
+    // batch 2 advances event time 10 h: after it commits, the watermark
+    // (2 h delay) sits far past user 7's 30-min gap deadline
+    stage(eventsDf(Seq((8L, t0 + 36000L * 1000000L, 2L))), "b2.parquet")
+    q.processAllAvailable()
+    // batch 3 triggers timeout processing under the advanced watermark
+    stage(eventsDf(Seq((9L, t0 + 36001L * 1000000L, 3L))), "b3.parquet")
+    q.processAllAvailable()
+    val stateRows = q.recentProgress.reverse
+      .find(_.stateOperators.nonEmpty).get.stateOperators.head.numRowsTotal
+    q.stop()
+    // user 7's state evicted; users 8 and 9 still open
+    assert(stateRows == 2, s"expected 2 live state rows after eviction, got $stateRows")
+    // eviction emits nothing: exactly the three observed fragments
+    assert(spark.table("sess_evict").count() == 3)
   }
 
   test("session_window sessionization agrees with the gap-based session count") {
