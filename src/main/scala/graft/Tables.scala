@@ -2,23 +2,29 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.sources.{ParquetConnector, StorageConnector}
+
 /** Loaders for the driver's TPC-H-ish parquet testdata (see TESTDATA.md).
   *
   * Every operator in this library is a pure `DataFrame => DataFrame`
-  * transform; these helpers are the only place that touches storage paths,
-  * so swapping parquet for a real connector (e.g. MongoDB/GridFS, as the
-  * reference uses — /root/reference/src/ingestion.py:17-20) is a one-file
-  * change. Scans stay fully declarative so Catalyst pushes filters and
-  * prunes columns into the parquet reader.
+  * transform; storage is reached only through
+  * [[graft.sources.StorageConnector]] (default: parquet), so swapping in
+  * a real connector (e.g. MongoDB/GridFS, as the reference uses —
+  * /root/reference/src/ingestion.py:17-20) replaces one factory method.
+  * Scans stay fully declarative so Catalyst pushes filters and prunes
+  * columns into the reader.
   */
 object Tables {
   val names: Seq[String] = Seq(
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** The connector for a data directory — the single swap point. */
+  def connector(sfDir: String): StorageConnector = new ParquetConnector(sfDir)
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") events(spark, sfDir)
-    else spark.read.parquet(s"$sfDir/$name.parquet")
+    else connector(sfDir).read(spark, name)
 
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
     * (micros) refuses to read directly; read it as a long via the legacy
@@ -26,7 +32,7 @@ object Tables {
     * queries never emit a raw `ts` — only date_trunc'd buckets. */
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/events.parquet")
+    connector(sfDir).read(spark, "events")
   }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
