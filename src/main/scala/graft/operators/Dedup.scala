@@ -111,6 +111,48 @@ object Dedup {
       .where(s"j1000 >= $thresholdPerMille")
   }
 
+  /** Near-dup CLUSTERS from the pair graph: connected components via
+    * iterative hash-min label propagation, labeling every involved doc
+    * with the smallest doc_id reachable from it. Pairs alone can't drive
+    * deletion — when A~B and B~C but A≁C, pairwise keep-first would drop
+    * B and C against different survivors; the cluster label gives ONE
+    * representative (`keep = doc_id == cluster`) per transitive group,
+    * which is what corpus dedup actually deletes against.
+    *
+    * Scale shape: the standard GraphX-style hash-min loop — per
+    * iteration one equi-join + partial-aggregated groupBy over the
+    * (sparse) near-dup edge list, caches swapped per iteration,
+    * converging in O(component diameter) rounds (near-dup clusters are
+    * shallow; `maxIters` is a safety bound). Driver only sees the
+    * convergence flag, never the data. */
+  def nearDupClusters(docs: DataFrame, thresholdPerMille: Int = 500,
+                      maxIters: Int = 10): DataFrame = {
+    val pairs = minhashNearDups(docs, thresholdPerMille).select("doc_a", "doc_b")
+    val edges = pairs.unionAll(pairs.selectExpr("doc_b AS doc_a", "doc_a AS doc_b")).cache()
+    var labels = edges.selectExpr("doc_a AS doc_id").distinct()
+      .selectExpr("doc_id", "doc_id AS label").cache()
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.selectExpr("doc_id AS nbr", "label AS nbr_label"),
+          col("doc_b") === col("nbr"))
+        .groupBy("doc_a").agg(min("nbr_label").as("nbr_min"))
+      val next = labels
+        .join(nbrMin, labels("doc_id") === nbrMin("doc_a"), "left")
+        .selectExpr("doc_id", "least(label, coalesce(nbr_min, label)) AS label")
+        .cache()
+      converged = next
+        .join(labels.selectExpr("doc_id", "label AS old"), "doc_id")
+        .where("label < old").isEmpty
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels.selectExpr("doc_id", "label AS cluster", "doc_id = label AS keep")
+  }
+
   /** 48-bit SimHash over distinct tokens (portable hash ⇒ oracle-checkable). */
   def simhash(docs: DataFrame): DataFrame = {
     val thE = s"transform(array_distinct($toksE), t -> ${sparkHash48("t")})"
@@ -141,10 +183,13 @@ object Dedup {
       // blocking window: bounded id range AND bounded length — a single
       // megabyte-scale document would otherwise dominate the gram-set
       // arithmetic in BOTH engines (observed 100×); oversized docs belong
-      // to the MinHash path (q22), not the brute-force verifier
+      // to the MinHash path (q22), not the brute-force verifier. The
+      // window is a fixed 200-doc block (scale-CONSTANT by construction);
+      // cached because it feeds both sides of the pair join.
       val g = Tables.documents(s, dir)
-        .where("doc_id < 300 AND length(text) BETWEEN 5 AND 10000")
+        .where("doc_id < 200 AND length(text) BETWEEN 5 AND 10000")
         .selectExpr("doc_id", s"$grams AS g", "length(text) AS len")
+        .cache()
       // length blocking (10·max ≤ 13·min ⇔ ratio ≤ 1.3, integer-exact):
       // a J≥0.5 pair can't differ much in length, so skip the Jaccard
       // arithmetic for pairs that obviously can't match
@@ -207,7 +252,12 @@ object Dedup {
         corpus.selectExpr("doc_id", s"md5($canon) AS cfp"),
         Seq("cfp"), Seq(col("doc_id")))
         .select("doc_id", "cfp").orderBy("doc_id")
-    })
+    }),
+
+    // Near-dup clusters: connected components over q22's pair graph —
+    // one representative per transitive near-dup group.
+    "q53_dedup_clusters" -> ((s, dir) =>
+      nearDupClusters(Tables.documents(s, dir)).orderBy("doc_id"))
   )
 
   private def duckShingles = "list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))"
@@ -221,6 +271,21 @@ object Dedup {
       s"concat_ws('_', ${parts.mkString(", ")}) AS b$b"
     }.mkString(", ")
     val bandMatch = (0 until Bands).map(b => s"a.b$b = b.b$b").mkString(" OR ")
+    // shared LSH pipeline CTEs (tokens → shingles → hashes → signatures →
+    // bands), used by both q22 (pairs) and q53 (clusters)
+    val duckLshCtes =
+      s"""t AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+         |sh AS (
+         |  SELECT doc_id, $duckShingles AS sh FROM t WHERE len(toks) >= 2),
+         |hs AS (
+         |  SELECT doc_id, sh, list_transform(sh, s -> ${duckHash48("s")} % ${P}) AS hs FROM sh WHERE len(sh) > 0),
+         |sigs AS (
+         |  SELECT doc_id, sh,
+         |  $sigExprs
+         |  FROM hs),
+         |banded AS (
+         |  SELECT doc_id, sh, $bandExprs FROM sigs)""".stripMargin
     Map(
       "q20_exact_dedup" ->
         """SELECT doc_id, fp FROM (
@@ -231,30 +296,38 @@ object Dedup {
         """WITH g AS (
           |  SELECT doc_id, list_distinct(list_transform(range(1, length(text) - 3), i -> substr(text, i, 5))) AS g,
           |    length(text) AS len
-          |  FROM documents WHERE doc_id < 300 AND length(text) BETWEEN 5 AND 10000)
+          |  FROM documents WHERE doc_id < 200 AND length(text) BETWEEN 5 AND 10000)
           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
           |  CAST(round(1000.0 * len(list_intersect(a.g, b.g)) / len(list_distinct(list_concat(a.g, b.g)))) AS BIGINT) AS j1000
           |FROM g a JOIN g b ON a.doc_id < b.doc_id AND 10 * greatest(a.len, b.len) <= 13 * least(a.len, b.len)
           |WHERE 1000.0 * len(list_intersect(a.g, b.g)) / len(list_distinct(list_concat(a.g, b.g))) >= 499.5
           |ORDER BY doc_a, doc_b""".stripMargin,
       "q22_minhash_lsh" ->
-        s"""WITH t AS (
-           |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
-           |sh AS (
-           |  SELECT doc_id, $duckShingles AS sh FROM t WHERE len(toks) >= 2),
-           |hs AS (
-           |  SELECT doc_id, sh, list_transform(sh, s -> ${duckHash48("s")} % ${P}) AS hs FROM sh WHERE len(sh) > 0),
-           |sigs AS (
-           |  SELECT doc_id, sh,
-           |  $sigExprs
-           |  FROM hs),
-           |banded AS (
-           |  SELECT doc_id, sh, $bandExprs FROM sigs)
+        s"""WITH $duckLshCtes
            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            |  CAST(round(1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) AS j1000
            |FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ($bandMatch)
            |WHERE 1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 499.5
            |ORDER BY doc_a, doc_b""".stripMargin,
+      // connected components over the same pair graph: hash-min label
+      // propagation as a recursive CTE — `walk` enumerates every id
+      // reachable from a doc over symmetric edges; MIN over it is the
+      // component representative
+      "q53_dedup_clusters" ->
+        s"""WITH RECURSIVE $duckLshCtes,
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ($bandMatch)
+           |  WHERE 1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 499.5),
+           |edges AS (
+           |  SELECT doc_a, doc_b FROM pairs
+           |  UNION SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
+           |walk AS (
+           |  SELECT doc_a AS doc_id, doc_a AS label FROM edges
+           |  UNION
+           |  SELECT e.doc_a AS doc_id, w.label FROM edges e JOIN walk w ON w.doc_id = e.doc_b)
+           |SELECT doc_id, MIN(label) AS cluster, (doc_id = MIN(label)) AS keep
+           |FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "q38_canonical_dedup" ->
         """SELECT doc_id, cfp FROM (
           |  SELECT doc_id,

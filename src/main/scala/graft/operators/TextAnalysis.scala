@@ -46,6 +46,24 @@ object TextAnalysis {
 
   private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
 
+  /** PII patterns, deliberately backslash-free (`[.]` instead of `\.`)
+    * so the IDENTICAL pattern text is valid in Java regex (Spark) and
+    * RE2 (DuckDB) without fighting two escaping layers. */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+  val PhoneRe: String = "[+][0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+  /** HTML tag pattern for text extraction (markup → whitespace). */
+  val TagRe: String = "<[^>]+>"
+
+  /** The raw corpus carries no PII/markup, so these queries plant
+    * deterministic specimens (like q51's planted duplicates) to make the
+    * scrub semantics oracle-visible: every 3rd doc gains an email, every
+    * 5th a phone number, every 4th an HTML wrapper. */
+  private val plantedPiiE =
+    "concat(text," +
+    " CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', doc_id, '@example.com now') ELSE '' END," +
+    " CASE WHEN doc_id % 5 = 0 THEN concat(' call +1-555-', lpad(cast(doc_id % 10000 as string), 4, '0'), ' today') ELSE '' END)"
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -125,6 +143,37 @@ object TextAnalysis {
         // engines, this column catches it before q22/q23 confuse anyone
         s"${graft.functions.Portable.sparkHash48("text")} AS fp48")
         .orderBy("doc_id")
+    }),
+
+    // PII scrub: count emails/phones, fingerprint the redacted text —
+    // the pre-training privacy pass every production corpus runs.
+    // Expression-only (regexp_* are codegen'd), narrow map at any scale.
+    "q54_pii_redact" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .selectExpr("doc_id", s"$plantedPiiE AS text")
+        .selectExpr(
+          "doc_id",
+          s"cast(size(regexp_extract_all(text, '$EmailRe', 0)) as bigint) AS n_emails",
+          s"cast(size(regexp_extract_all(text, '$PhoneRe', 0)) as bigint) AS n_phones",
+          s"md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>'), '$PhoneRe', '<PHONE>')) AS red_fp")
+        .orderBy("doc_id")
+    }),
+
+    // HTML-to-text extraction: markup → whitespace → collapse — the
+    // web-corpus text-extraction pass, with planted markup (see above).
+    "q55_html_strip" -> ((s, dir) => {
+      val planted = "CASE WHEN doc_id % 4 = 1 THEN " +
+        "concat('<html><body><p class=\"x\">', text, '</p><br/></body></html>') ELSE text END"
+      Tables.documents(s, dir)
+        .selectExpr("doc_id", s"$planted AS html")
+        .selectExpr(
+          "doc_id",
+          s"trim(regexp_replace(regexp_replace(html, '$TagRe', ' '), '  +', ' ')) AS stripped")
+        .selectExpr(
+          "doc_id",
+          "cast(length(stripped) as bigint) AS len_stripped",
+          "md5(stripped) AS strip_fp")
+        .orderBy("doc_id")
     })
   )
 
@@ -164,6 +213,27 @@ object TextAnalysis {
         s"""SELECT doc_id, md5(lower(trim(text))) AS fp,
            |  ${graft.functions.Portable.duckHash48("text")} AS fp48
            |FROM documents ORDER BY doc_id""".stripMargin,
+      "q54_pii_redact" ->
+        s"""WITH planted AS (
+           |  SELECT doc_id, concat(text,
+           |    CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', doc_id, '@example.com now') ELSE '' END,
+           |    CASE WHEN doc_id % 5 = 0 THEN concat(' call +1-555-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'), ' today') ELSE '' END) AS text
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CAST(len(regexp_extract_all(text, '$EmailRe')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(text, '$PhoneRe')) AS BIGINT) AS n_phones,
+           |  md5(regexp_replace(regexp_replace(text, '$EmailRe', '<EMAIL>', 'g'), '$PhoneRe', '<PHONE>', 'g')) AS red_fp
+           |FROM planted ORDER BY doc_id""".stripMargin,
+      "q55_html_strip" ->
+        s"""WITH planted AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id % 4 = 1 THEN concat('<html><body><p class="x">', text, '</p><br/></body></html>') ELSE text END AS html
+           |  FROM documents),
+           |s AS (
+           |  SELECT doc_id, trim(regexp_replace(regexp_replace(html, '$TagRe', ' ', 'g'), '  +', ' ', 'g')) AS stripped
+           |  FROM planted)
+           |SELECT doc_id, CAST(length(stripped) AS BIGINT) AS len_stripped, md5(stripped) AS strip_fp
+           |FROM s ORDER BY doc_id""".stripMargin,
       "q37_gopher_quality" ->
         """WITH t AS (
           |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,

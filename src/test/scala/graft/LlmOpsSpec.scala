@@ -34,6 +34,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(missed.isEmpty, s"LSH missed strong pairs: $missed")
   }
 
+  test("near-dup clusters are transitive: a chain A~B~C collapses to ONE representative") {
+    // three near-identical docs forming a chain (A and C differ more from
+    // each other than either does from B) + one unrelated doc
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val chain = Seq(
+      (10L, base + " alpha beta"),
+      (20L, base + " alpha gamma"),
+      (30L, base + " delta gamma"),
+      (99L, (1 to 60).map(i => s"other$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val clusters = Dedup.nearDupClusters(chain)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    // all three chain docs labeled with the min id, only doc 10 kept
+    assert(clusters(10L) == ((10L, true)))
+    assert(clusters(20L) == ((10L, false)))
+    assert(clusters(30L) == ((10L, false)))
+    assert(!clusters.contains(99L)) // not in any pair -> not in the graph
+  }
+
   test("native MinHashSig expression is bit-identical to the declarative SQL path") {
     val native = Dedup.signatures(docs).drop("sh").orderBy("doc_id")
     val sql = Dedup.signaturesSql(docs).drop("sh").orderBy("doc_id")
