@@ -131,6 +131,10 @@ object Dedup {
     val edges = pairs.unionAll(pairs.selectExpr("doc_b AS doc_a", "doc_a AS doc_b")).cache()
     var labels = edges.selectExpr("doc_a AS doc_id").distinct()
       .selectExpr("doc_id", "doc_id AS label").cache()
+    // labels only ever DECREASE, so sum(label) is a strictly-decreasing
+    // potential: an unchanged sum ⇔ fixpoint — one cheap aggregate per
+    // round instead of a join-based change count
+    var prevSum = Option.empty[Long]
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -142,9 +146,9 @@ object Dedup {
         .join(nbrMin, labels("doc_id") === nbrMin("doc_a"), "left")
         .selectExpr("doc_id", "least(label, coalesce(nbr_min, label)) AS label")
         .cache()
-      converged = next
-        .join(labels.selectExpr("doc_id", "label AS old"), "doc_id")
-        .where("label < old").isEmpty
+      val sum = next.agg(org.apache.spark.sql.functions.sum("label")).collect()(0).getLong(0)
+      converged = prevSum.contains(sum)
+      prevSum = Some(sum)
       labels.unpersist()
       labels = next
       it += 1
