@@ -133,7 +133,8 @@ object Dedup {
       .selectExpr("doc_id", "doc_id AS label").cache()
     // labels only ever DECREASE, so sum(label) is a strictly-decreasing
     // potential: an unchanged sum ⇔ fixpoint — one cheap aggregate per
-    // round instead of a join-based change count
+    // round instead of a join-based change count. Read null-safely: on a
+    // clean corpus (no near-dup pairs) the sum over zero rows is NULL.
     var prevSum = Option.empty[Long]
     var converged = false
     var it = 0
@@ -146,7 +147,8 @@ object Dedup {
         .join(nbrMin, labels("doc_id") === nbrMin("doc_a"), "left")
         .selectExpr("doc_id", "least(label, coalesce(nbr_min, label)) AS label")
         .cache()
-      val sum = next.agg(org.apache.spark.sql.functions.sum("label")).collect()(0).getLong(0)
+      val sumRow = next.agg(org.apache.spark.sql.functions.sum("label")).collect()(0)
+      val sum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
       converged = prevSum.contains(sum)
       prevSum = Some(sum)
       labels.unpersist()
@@ -154,6 +156,13 @@ object Dedup {
       it += 1
     }
     edges.unpersist()
+    // a component whose diameter exceeds maxIters would exit un-converged
+    // with silently SPLIT clusters (and diverge from the oracle's exact
+    // transitive closure) — make that loud, never silent
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupClusters: label propagation did not converge within $maxIters iterations; " +
+        "raise maxIters (a component's diameter exceeds it)")
     labels.selectExpr("doc_id", "label AS cluster", "doc_id = label AS keep")
   }
 

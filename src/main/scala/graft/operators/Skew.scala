@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Skew mitigation for joins whose key distribution is heavy-tailed
   * (at 100 TB one hot key can pin a single reducer for hours while the
@@ -19,18 +20,25 @@ object Skew {
     * rows spread across `salt` sub-keys. Result is row-identical to the
     * plain join (salting only changes the partitioning).
     *
-    * The salt mixes row content with a per-row physical component
-    * (`monotonically_increasing_id`): content alone would send EXACT
+    * The per-row salt component is a stable ordinal from `zipWithIndex`,
+    * not `monotonically_increasing_id`: content alone would send EXACT
     * duplicate rows of a hot key — the most common skew shape — to one
-    * reducer, mitigating nothing. The trade-off is that the partitioning
-    * (never the result set) can differ across runs if the input's
-    * physical row order differs. */
+    * reducer, mitigating nothing, while `monotonically_increasing_id` is
+    * nondeterministic under fetch-failure-driven partial map-stage
+    * recomputation (rows could be re-salted to a different reducer,
+    * losing/duplicating join rows). `zipWithIndex` is deterministic as
+    * long as the input's partition contents are (true for file scans and
+    * checkpointed frames — the documented precondition); the ordinal is
+    * assigned once, before the join's shuffle, so retries re-derive the
+    * same salt for the same row. Round-robin `ordinal % salt` spreads a
+    * hot key's rows perfectly evenly, duplicates included. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
     require(salt > 0)
-    val saltCol: Column =
-      pmod(xxhash64(big.columns.map(col).toIndexedSeq :+ monotonically_increasing_id(): _*),
-        lit(salt.toLong))
-    val bigS = big.withColumn("__salt", saltCol)
+    val spark = big.sparkSession
+    val indexed = big.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (i % salt))
+    }
+    val bigS = spark.createDataFrame(indexed, big.schema.add("__salt", LongType, nullable = false))
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
     bigS.join(smallS, Seq(key, "__salt"), "inner").drop("__salt")

@@ -174,14 +174,26 @@ object EventStream {
         if (buckets.nonEmpty) {
           val path = new org.apache.hadoop.fs.Path(targetPath)
           val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val existingKeys =
-            if (fs.exists(path))
-              spark.read.parquet(targetPath)
-                .where(col("__kb").isin(buckets.map(Long.box): _*)) // partition pruning
+          // A target created by an older (unpartitioned) layout has no
+          // __kb column: pruning on it would throw AnalysisException, and
+          // appending partitioned files into it would mix layouts. Detect
+          // once per batch; legacy targets get a full-target key read
+          // (correct, just unpruned) and an unpartitioned append, so the
+          // target's layout is never mixed.
+          val existing = if (fs.exists(path)) Some(spark.read.parquet(targetPath)) else None
+          val partitioned = existing.forall(_.columns.contains("__kb"))
+          val existingKeys = existing match {
+            case Some(e) if partitioned =>
+              e.where(col("__kb").isin(buckets.map(Long.box): _*)) // partition pruning
                 .select(keyCol)
-            else withB.select(keyCol).limit(0)
-          withB.join(existingKeys, Seq(keyCol), "left_anti")
-            .write.mode("append").partitionBy("__kb").parquet(targetPath)
+            case Some(e) => e.select(keyCol)
+            case None    => withB.select(keyCol).limit(0)
+          }
+          val novel = withB.join(existingKeys, Seq(keyCol), "left_anti")
+          if (partitioned)
+            novel.write.mode("append").partitionBy("__kb").parquet(targetPath)
+          else
+            novel.drop("__kb").write.mode("append").parquet(targetPath)
         }
       }
 }
