@@ -58,6 +58,21 @@ object Portable {
   val planes: Seq[Seq[Int]] =
     (0 until LshPlanes).map(j => (0 until EmbeddingDim).map(i => planeSign(j, i)))
 
+  /** Multi-band LSH candidate generation: number of independent band
+    * tables. Recall comes from the union across bands; candidate volume
+    * is bounded per band by [[lshBandBits]]. */
+  val LshBands = 4
+
+  /** Bits per band, scaled with corpus size: bitlen(n-1) + 3 (floor 8).
+    * 2^bits ≈ 8·n buckets per band, so the expected bucket-local
+    * self-join output stays LINEAR-ish in n instead of the fixed-256-
+    * bucket Θ(n²/256) blowup — the round-2 scale gap. Integer-exact in
+    * both engines: Spark computes it driver-side from `Long` bit length;
+    * the DuckDB twin spells the identical value as
+    * `greatest(8, length(bin(n - 1)) + 3)`. */
+  def lshBandBits(n: Long): Int =
+    math.max(8, 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1)) + 3)
+
   /** A plane as an array literal — identical text is valid in both Spark
     * SQL and DuckDB (`array(1,-1,...)` is Spark-only; `[1,-1,...]` is
     * DuckDB-only; `array(...)` chosen per dialect by the caller). */

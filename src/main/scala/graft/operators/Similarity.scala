@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -63,18 +63,52 @@ object Similarity {
       .selectExpr("vec_id", s"cast($bucketE as bigint) AS bucket")
   }
 
-  /** LSH-bucketed near-neighbor candidates: pairs sharing a bucket, with
-    * exact cosine attached — the ANN candidate join at scale (equi-join
-    * on bucket, never a cross product). */
-  def lshCandidates(embeddings: DataFrame): DataFrame = {
-    val vecs = embeddings.selectExpr("vec_id", "cast(embedding as array<double>) AS v")
-    val buckets = lshBuckets(embeddings)
-    val withV = buckets.join(vecs, "vec_id")
-    val a = withV.toDF("vec_a", "bucket", "va")
-    val b = withV.toDF("vec_b", "bucket", "vb")
-    a.join(b, "bucket")
+  /** Per-vector band signatures: (vec_id, band, bucket) — one row per
+    * band, bucket = the band's sign-bit string, computed by the native
+    * [[graft.plans.LshBandSigs]] expression (one compiled pass over all
+    * bands·nbits·dim plane components). Plane j of the shared md5-parity
+    * family serves band/bit via j = band·nbits + bit. */
+  def lshBandSignatures(embeddings: DataFrame, bands: Int, nbits: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val planes: Seq[Seq[Long]] =
+      (0 until bands * nbits).map(j => (0 until EmbeddingDim).map(i => planeSign(j, i).toLong))
+    embeddings.selectExpr("vec_id", s"$quantE AS q")
+      .withColumn("sigs",
+        ColumnBridge.column(graft.plans.LshBandSigs(ColumnBridge.expression(col("q")), planes, bands)))
+      .select(col("vec_id"), posexplode(col("sigs")))
+      .toDF("vec_id", "band", "bucket")
+  }
+
+  /** Multi-band LSH near-neighbor candidates: pairs sharing a bucket in
+    * ANY band, with exact cosine attached.
+    *
+    * Candidate generation stays an equi-join on (band, bucket) — never a
+    * cross product — and, unlike round 2's single fixed-256-bucket table,
+    * the per-band bucket count scales with the corpus
+    * ([[graft.functions.Portable.lshBandBits]]: 2^bits ≈ 8n), so expected
+    * bucket occupancy — and with it the self-join's output — stays
+    * LINEAR-ish in n at any scale. Recall is recovered across
+    * [[graft.functions.Portable.LshBands]] independent band tables
+    * (union + distinct on the pair), the same band-union shape Dedup's
+    * MinHash LSH uses. The chosen shape is logged (no silent caps: every
+    * sharing pair is emitted). */
+  def lshCandidatesBanded(embeddings: DataFrame, bands: Int = LshBands): DataFrame = {
+    val n = embeddings.count()
+    val nbits = lshBandBits(n)
+    org.slf4j.LoggerFactory.getLogger(getClass).info(
+      s"lshCandidatesBanded: n=$n bands=$bands bits/band=$nbits " +
+        s"(~${8 * n} buckets/band; expected candidates O(n), no caps applied)")
+    val sigs = lshBandSignatures(embeddings, bands, nbits)
+    val a = sigs.toDF("vec_a", "band", "bucket")
+    val b = sigs.toDF("vec_b", "band", "bucket")
+    val pairs = a.join(b, Seq("band", "bucket"))
       .where(col("vec_a") < col("vec_b"))
-      .selectExpr("vec_a", "vec_b", "bucket", s"round(${cosineE("va", "vb")}, 6) AS sim")
+      .select("vec_a", "vec_b").distinct()
+    val vecs = embeddings.selectExpr("vec_id", "cast(embedding as array<double>) AS v")
+    pairs
+      .join(vecs.toDF("vec_a", "va"), "vec_a")
+      .join(vecs.toDF("vec_b", "vb"), "vec_b")
+      .selectExpr("vec_a", "vec_b", s"round(${cosineE("va", "vb")}, 6) AS sim")
   }
 
   // ---------------------------------------------------------------- IVF
@@ -84,36 +118,38 @@ object Similarity {
     * full corpus is the 100 TB anti-pattern the index exists to avoid. */
   val IvfTrainMod: Long = 3
 
-  /** Cosine between an integer-quantized row vector column `q` (with its
-    * precomputed squared norm in column `nq`) and a LITERAL centroid —
-    * the dot and both norms are exact int64 arithmetic; only the final
-    * divide/sqrt touches floats, and those are IEEE-deterministic from
-    * exact integer inputs, so the rounded result is reproducible in any
-    * engine. */
-  private def centroidSimE(cvals: Array[Long]): String = {
-    val dot = s"aggregate(zip_with(q, array(${cvals.map(_ + "L").mkString(",")}), " +
-      "(x, y) -> x * y), 0L, (acc, v) -> acc + v)"
-    // exact: components are e3-quantized ints, partial sums < 2^53
-    val normC = math.sqrt(cvals.map(x => x.toDouble * x).sum)
-    s"round($dot / (sqrt(cast(nq as double)) * $normC), 6)"
+  /** Per-row scores against every centroid as struct(sim, ncid, cid)
+    * per centroid — the (sim, -cid, cid) ranking structs.
+    *
+    * The k·dim inner loop is the native codegen'd
+    * [[graft.plans.CentroidSims]] expression (round 2 built k
+    * string-parsed struct literals — Catalyst re-parsed them on every
+    * action; round 3's first cut used `transform`+`aggregate` lambdas —
+    * interpreted HOF eval, ~3.5 s of the bench on its own). Only the
+    * k-element ranking-struct wrap remains on the HOF path (k=16
+    * elements per row — negligible). Spark's own `round(_, 6)` is
+    * applied here so the rounding rule is identical to every other
+    * oracle-matched similarity in this file. Requires the invariant
+    * (held by construction in [[ivfIndex]]) that cids are the positions
+    * 0..k-1. */
+  private def centScores(cents: Seq[(Long, Array[Long])]): Column = {
+    val sorted = cents.sortBy(_._1)
+    require(sorted.map(_._1) == sorted.indices.map(_.toLong),
+      s"centroid ids must be positional 0..k-1, got ${sorted.map(_._1)}")
+    import org.apache.spark.sql.graft.ColumnBridge
+    val sims = ColumnBridge.column(
+      graft.plans.CentroidSims(ColumnBridge.expression(col("q")), sorted.map(_._2.toSeq)))
+    transform(sims, (s, i) =>
+      struct(round(s, 6).as("sim"), (-i).cast("long").as("ncid"), i.cast("long").as("cid")))
   }
 
-  /** (vec_id, q, …) + literal centroids → nearest-centroid id, as a pure
-    * projection: argmax over k literal struct scores via array_sort (max
-    * sim, ties to the smallest cid). NO join and NO shuffle — this is
-    * the "broadcast the model, assign with a narrow map" shape that
-    * scales to any corpus size, and with driver-literal centroids each
-    * Lloyd iteration's plan stays flat instead of growing a nested
-    * join lineage per iteration. */
-  private def assignTo(vecsQ: DataFrame, cents: Seq[(Long, Array[Long])]): DataFrame = {
-    val scored = cents.map { case (cid, c) =>
-      s"struct(${centroidSimE(c)} AS sim, ${-cid}L AS ncid, ${cid}L AS cid)"
-    }.mkString("array(", ", ", ")")
-    vecsQ
-      .withColumn("nq", expr("aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
-      .withColumn("cid", expr(s"element_at(array_sort($scored), ${cents.length}).cid"))
-      .drop("nq")
-  }
+  /** (vec_id, q, …) + the centroid model → nearest-centroid id, as a pure
+    * projection: argmax via `array_max` over the score structs (max sim,
+    * ties to the smallest cid). NO join and NO shuffle — "broadcast the
+    * model, assign with a narrow map", the shape that scales to any
+    * corpus size; the lineage stays flat across Lloyd iterations. */
+  private def assignTo(vecsQ: DataFrame, cents: Seq[(Long, Array[Long])]): DataFrame =
+    vecsQ.withColumn("cid", array_max(centScores(cents)).getField("cid"))
 
   /** IVF coarse index over integer-quantized (e3) vectors. Returns
     * (centroids(cid, c: array<bigint>), assignments(vec_id, cid)).
@@ -146,18 +182,24 @@ object Similarity {
       .collect().zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Long](1).toArray) }
 
+    // centroid update in ONE partial-aggregated shuffle: 64 dimension-wise
+    // long sums as agg columns (exact in any shuffle order) instead of
+    // round 2's posexplode → groupBy(cid,dim) → groupBy(cid) two-shuffle
+    // chain — at 100 TB the map-side combine reduces each partition to
+    // ≤k rows of 64 longs before the exchange. The k×64 sums collect to
+    // the driver (a model, not data) and the truncating division happens
+    // there: (s.toDouble/n).toLong truncates toward zero, exactly
+    // Spark's cast(double as bigint) and DuckDB's trunc().
+    val sumCols = (0 until EmbeddingDim).map(d => sum(element_at(col("q"), d + 1)).as(s"s$d"))
     var cents = seeds
     (1 to iters).foreach { _ =>
       val means = assignTo(train, cents)
-        .select(col("cid"), posexplode(col("q"))).toDF("cid", "dim", "x")
-        .groupBy("cid", "dim")
-        .agg(sum("x").as("s"), count(lit(1)).as("n"))
-        // truncating division: Spark cast(double as bigint) drops toward
-        // zero, exactly DuckDB's trunc() — both divide the same exact ints
-        .selectExpr("cid", "dim", "cast(cast(s as double) / n as bigint) AS m")
         .groupBy("cid")
-        .agg(expr("transform(array_sort(collect_list(struct(dim, m))), p -> p.m)").as("c"))
-        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+        .collect().map { r =>
+          val n = r.getLong(1)
+          r.getLong(0) -> Array.tabulate(EmbeddingDim)(d => (r.getLong(2 + d).toDouble / n).toLong)
+        }.toMap
       // an empty cluster keeps its previous centroid
       cents = cents.map { case (cid, c) => (cid, means.getOrElse(cid, c)) }
     }
@@ -178,16 +220,14 @@ object Similarity {
     val cents: Array[(Long, Array[Long])] = centroids.collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
       .sortBy(_._1)
-    val scored = cents.map { case (cid, c) =>
-      s"struct(${centroidSimE(c)} AS sim, ${-cid}L AS ncid, ${cid}L AS cid)"
-    }.mkString("array(", ", ", ")")
     // top-nprobe by (sim desc, cid asc): ascending lexicographic sort on
-    // (sim, -cid) reversed
+    // (sim, ncid) structs, reversed — same ranking as round 2, over the
+    // single-literal centroid matrix instead of k parsed struct literals
     val probes = embeddings.where(s"vec_id < $queryMaxId")
       .selectExpr("vec_id AS query_id", s"$quantE AS q")
-      .withColumn("nq", expr("aggregate(zip_with(q, q, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
-      .withColumn("cid", explode(expr(
-        s"transform(slice(reverse(array_sort($scored)), 1, $nprobe), p -> p.cid)")))
+      .withColumn("cid", explode(
+        transform(slice(reverse(array_sort(centScores(cents))), 1, nprobe),
+          p => p.getField("cid"))))
       .select("query_id", "cid")
 
     val vecs = embeddings.selectExpr("vec_id", "cast(embedding as array<double>) AS v")
@@ -213,10 +253,10 @@ object Similarity {
     "q25_ann_lsh_buckets" -> ((s, dir) =>
       lshBuckets(Tables.embeddings(s, dir)).orderBy("vec_id")),
 
-    // Bucket-local strong pairs: the ANN join path end-to-end (bucket
-    // equi-join + exact cosine + threshold).
+    // Multi-band strong pairs: the ANN candidate path end-to-end
+    // ((band,bucket) equi-join + pair dedup + exact cosine + threshold).
     "q26_ann_lsh_pairs" -> ((s, dir) =>
-      lshCandidates(Tables.embeddings(s, dir))
+      lshCandidatesBanded(Tables.embeddings(s, dir))
         .where("sim >= 0.2")
         .selectExpr("vec_a", "vec_b", "cast(round(sim * 1000000) as bigint) AS sim_e6")
         .orderBy("vec_a", "vec_b")),
@@ -341,16 +381,40 @@ object Similarity {
         s"""SELECT vec_id, CAST($duckBucket AS BIGINT) AS bucket FROM (
            |  SELECT vec_id, list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
            |  FROM embeddings) ORDER BY vec_id""".stripMargin,
+      // Multi-band twin: nbits is computed IN SQL from count(*) with the
+      // same integer formula as Portable.lshBandBits (length of the
+      // binary spelling of n-1, +3, floor 8), and plane signs re-derive
+      // the identical md5-parity family, so the oracle follows the Spark
+      // side at ANY scale factor without a per-SF constant.
       "q26_ann_lsh_pairs" ->
-        s"""WITH b AS (
-           |  SELECT vec_id, CAST($duckBucket AS BIGINT) AS bucket FROM (
-           |    SELECT vec_id, list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
-           |    FROM embeddings)),
-           |vecs AS (
-           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        s"""WITH params AS (
+           |  SELECT greatest(8, length(bin(CAST(greatest(1, COUNT(*) - 1) AS BIGINT))) + 3) AS nbits
+           |  FROM embeddings),
+           |qv AS (
+           |  SELECT vec_id, list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
+           |  FROM embeddings),
+           |grid AS (
+           |  SELECT band, bit
+           |  FROM (SELECT unnest(range(${LshBands})) AS band),
+           |       (SELECT unnest(range((SELECT nbits FROM params))) AS bit)),
+           |planes AS (
+           |  SELECT band, bit,
+           |    list(CASE WHEN ${duckHash48(
+                  s"concat('plane_', CAST(band * (SELECT nbits FROM params) + bit AS VARCHAR), '_', CAST(dim AS VARCHAR))")} % 2 = 0
+           |      THEN -1 ELSE 1 END ORDER BY dim) AS p
+           |  FROM grid, (SELECT unnest(range(64)) AS dim)
+           |  GROUP BY band, bit),
+           |sigs AS (
+           |  SELECT v.vec_id, pl.band,
+           |    string_agg(CASE WHEN list_sum(list_transform(list_zip(v.q, pl.p), s -> s[1] * s[2])) >= 0
+           |      THEN '1' ELSE '0' END, '' ORDER BY pl.bit) AS bucket
+           |  FROM qv v CROSS JOIN planes pl
+           |  GROUP BY v.vec_id, pl.band),
            |pairs AS (
-           |  SELECT ba.vec_id AS vec_a, bb.vec_id AS vec_b
-           |  FROM b ba JOIN b bb ON ba.bucket = bb.bucket AND ba.vec_id < bb.vec_id)
+           |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+           |  FROM sigs a JOIN sigs b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+           |vecs AS (
+           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
            |SELECT p.vec_a, p.vec_b,
            |  CAST(round(round($duckCos, 6) * 1000000) AS BIGINT) AS sim_e6
            |FROM pairs p JOIN vecs a ON a.vec_id = p.vec_a JOIN vecs b ON b.vec_id = p.vec_b

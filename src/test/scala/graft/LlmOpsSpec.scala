@@ -53,6 +53,16 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!clusters.contains(99L)) // not in any pair -> not in the graph
   }
 
+  test("near-dup clusters on a clean corpus (no pairs) return an empty frame, not an NPE") {
+    // every doc unique: no near-dup pairs, labels frame is empty, and the
+    // convergence aggregate is NULL — must come back empty, never throw
+    val clean = (1 to 5).map(i => (i.toLong, (1 to 40).map(j => s"u${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.nearDupClusters(clean)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq == Seq("doc_id", "cluster", "keep"))
+  }
+
   test("native MinHashSig expression is bit-identical to the declarative SQL path") {
     val native = Dedup.signatures(docs).drop("sh").orderBy("doc_id")
     val sql = Dedup.signaturesSql(docs).drop("sh").orderBy("doc_id")
@@ -98,6 +108,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(b.count() == Tables.embeddings(spark, sf).count())
     val range = b.agg(min("bucket"), max("bucket")).collect()(0)
     assert(range.getLong(0) >= 0L && range.getLong(1) <= 255L)
+  }
+
+  test("banded LSH: exact duplicates collide in every band; candidate volume is a small fraction of all pairs") {
+    val e = Tables.embeddings(spark, sf)
+    val n = e.count()
+    val pairs = Similarity.lshCandidatesBanded(e)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // union across bands is deduped — each pair at most once
+    assert(pairs.distinct.length == pairs.length)
+    // corpus-scaled bits keep the candidate set far below all-pairs
+    assert(pairs.length < n * (n - 1) / 2 / 10,
+      s"${pairs.length} candidates for $n vectors — bucket join degenerating toward all-pairs")
+    // a planted exact duplicate has identical dot signs in every band, so
+    // it MUST surface as a candidate with cosine exactly 1.0
+    val base = e.orderBy("vec_id").limit(1)
+    val dup = base.selectExpr("100001L AS vec_id", "embedding")
+      .unionByName(base.selectExpr("100002L AS vec_id", "embedding"))
+    val withDup = e.select("vec_id", "embedding").unionByName(dup)
+    val hit = Similarity.lshCandidatesBanded(withDup)
+      .where("vec_a = 100001 AND vec_b = 100002").collect()
+    assert(hit.length == 1 && hit(0).getDouble(2) == 1.0)
   }
 
   test("IVF with nprobe=k is exactly brute force; nprobe=4 keeps useful recall") {
