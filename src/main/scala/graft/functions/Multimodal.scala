@@ -105,14 +105,19 @@ object Multimodal {
         col("f._1").as("mean_amp"), col("f._2").as("rms"), col("f._3").as("zero_crossings"))
 
   // ---------------------------------------------------------------- query
-  // Not SQL-expressible (binary + UDFs) ⇒ registered without an oracle
-  // twin; the driver records a rows-only check (SparkEntry contract).
+  // The media BYTES aren't SQL-expressible, but the typed-metadata
+  // surface IS fully deterministic: the planted JPEGs have known
+  // dimensions (really decoded via ImageIO — the oracle checks the
+  // decode), and the doc-derived audio/video rows carry fixed
+  // durations/rates. Projecting the portable metadata columns (media_id
+  // stays internal — it's engine-native xxhash64) makes q30 fully
+  // hash-checkable against a VALUES-literal DuckDB twin.
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_media_meta" -> ((s, dir) => {
       import s.implicits._
       // deterministic in-memory media fixture (no media in testdata);
-      // sfDir is unused by construction — documents supply stable blobs
+      // documents supply stable blobs for the non-image kinds
       val docs = Tables.documents(s, dir).limit(8)
         .selectExpr("doc_id", "cast(text as binary) AS data")
       val imgs = Seq(
@@ -122,8 +127,29 @@ object Multimodal {
       val audio = docs.selectExpr("'audio' AS kind", "data", "cast(2000 as long) AS duration_ms")
       val video = docs.selectExpr("'video' AS kind", "data", "cast(5000 as long) AS duration_ms")
       mediaTable(imgs.unionByName(audio).unionByName(video))
-        .select("media_id", "kind", "meta.width", "meta.height", "meta.duration_ms")
-        .orderBy("kind", "media_id")
+        .selectExpr("kind", "meta.width AS width", "meta.height AS height",
+          "meta.sample_rate AS sample_rate", "meta.duration_ms AS duration_ms",
+          "meta.n_channels AS n_channels")
+        .orderBy("kind", "duration_ms", "width")
     })
   )
+
+  /** DuckDB twin of q30: the expected metadata rows as literals — 2
+    * planted JPEGs whose dims the REAL ImageIO decode must reproduce,
+    * 8 audio + 8 video rows with the fixture's fixed durations. */
+  def oracle: Map[String, String] = {
+    val audioRows = Seq.fill(8)(
+      "('audio', CAST(NULL AS INT), CAST(NULL AS INT), 8000, CAST(2000 AS BIGINT), 1)")
+    val imageRows = Seq(
+      "('image', 64, 48, CAST(NULL AS INT), CAST(0 AS BIGINT), CAST(NULL AS INT))",
+      "('image', 320, 240, CAST(NULL AS INT), CAST(0 AS BIGINT), CAST(NULL AS INT))")
+    val videoRows = Seq.fill(8)(
+      "('video', CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT), CAST(5000 AS BIGINT), CAST(NULL AS INT))")
+    Map(
+      "q30_media_meta" ->
+        s"""SELECT kind, width, height, sample_rate, duration_ms, n_channels FROM (VALUES
+           |  ${(audioRows ++ imageRows ++ videoRows).mkString(",\n  ")}
+           |) AS t(kind, width, height, sample_rate, duration_ms, n_channels)
+           |ORDER BY kind, duration_ms, width""".stripMargin)
+  }
 }

@@ -415,15 +415,36 @@ object Relational {
           col("o_orderpriority").asc_nulls_first)
     }),
 
-    // Approximate sketches (HLL distinct, quantile sketch) — rows-only:
-    // sketch internals are engine-specific, so the gate is the spec's
-    // error-bound check against the exact answers, not a hash compare.
+    // Approximate sketches (HLL distinct, quantile sketch). Sketch
+    // INTERNALS are engine-specific, so the hash-checkable surface is
+    // exact aggregates + within-bounds FLAGS: Spark emits the exact
+    // answers alongside booleans asserting |approx − exact| ≤ ε·exact;
+    // the DuckDB twin computes the same exact answers and literal TRUE.
+    // A sketch drifting outside its documented error bound flips a flag
+    // and fails the hash compare — the bound is verified end-to-end, not
+    // just in a spec. ε = 10% against an HLL configured at 2% rsd and a
+    // 1/1000-quantile sketch: generous enough to never flake, tight
+    // enough that a broken sketch (or a wrong merge) trips it.
     "q47_sketches" -> ((s, dir) => {
+      // exact median over INTEGER CENTS: interpolation then lands on .0
+      // or .5 exactly, and ×2 makes it an exact integer — no FP-boundary
+      // rounding hazard between engines (the raw-double median can sit a
+      // half-ulp from a half-cent and round differently).
       Tables.lineitem(s, dir)
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+             approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
+             expr("percentile(cast(round(l_extendedprice * 100) as bigint), 0.5)")
+               .as("exact_median_cents"),
              expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_median"),
              count(lit(1)).as("n_rows"))
+        .selectExpr(
+          "l_returnflag",
+          "n_parts",
+          "cast(round(exact_median_cents * 2) as bigint) AS median_half_cents",
+          "n_rows",
+          "abs(approx_parts - n_parts) <= 0.1 * n_parts AS cd_within_bounds",
+          "abs(approx_median * 100 - exact_median_cents) <= 0.1 * exact_median_cents AS med_within_bounds")
         .orderBy("l_returnflag")
     }),
 
@@ -635,6 +656,18 @@ object Relational {
         |  CAST(COUNT(*) AS BIGINT) AS n_orders
         |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
         |ORDER BY g, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    // q47: exact aggregates + literal TRUE bound flags — the hash compare
+    // then verifies Spark's sketch error bounds end-to-end (a drifting
+    // sketch flips a Spark-side flag and mismatches). quantile_cont over
+    // integer cents interpolates to .0/.5 exactly; ×2 = exact integer.
+    "q47_sketches" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+        |  CAST(round(quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) * 2) AS BIGINT) AS median_half_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  TRUE AS cd_within_bounds,
+        |  TRUE AS med_within_bounds
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q50_funnel" ->
       """SELECT user_id,
         |  CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS has_signup,
