@@ -53,6 +53,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!clusters.contains(99L)) // not in any pair -> not in the graph
   }
 
+  test("pointer-jumped clustering collapses a planted 10-chain in O(log d) rounds") {
+    // sliding 100-token windows, step 3: adjacent docs' shingle Jaccard
+    // ≈ 941‰ (edge at threshold 900), two-apart ≈ 886‰ (no shortcut
+    // edge) — a genuine diameter-9 chain. Plain hash-min needs ~10
+    // rounds; the pointer-jump shortcut must finish in ≲ log₂(9)+2.
+    val toks = (0 until 127).map(i => f"ct$i%03d")
+    val chain = (0 until 10).map { i =>
+      ((i + 1).toLong, toks.slice(i * 3, i * 3 + 100).mkString(" "))
+    }.toDF("doc_id", "text")
+    val (clusters, iters) = Dedup.nearDupClustersStats(chain, thresholdPerMille = 900)
+    val m = clusters.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m.size == 10 && (1L to 10L).forall(m(_) == 1L), s"clusters: $m")
+    assert(iters <= 6, s"took $iters rounds for a 10-chain — pointer jumping not effective")
+  }
+
   test("near-dup clusters on a clean corpus (no pairs) return an empty frame, not an NPE") {
     // every doc unique: no near-dup pairs, labels frame is empty, and the
     // convergence aggregate is NULL — must come back empty, never throw
@@ -147,6 +162,27 @@ class LlmOpsSpec extends AnyFunSuite {
     val bruteSet = brute.select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (probed intersect bruteSet).size.toDouble / bruteSet.size
     assert(recall >= 0.2, s"recall@5 with nprobe=4 was $recall")
+  }
+
+  test("sequence packing: no sequence exceeds the budget, all but the last per shard are exactly full, tokens conserved") {
+    import graft.operators.Packing
+    val plan = Packing.packSequences(docs).cache()
+    try {
+      val perSeq = plan.groupBy("shard", "seq_id").agg(sum("seg_tokens").as("n"))
+      assert(perSeq.where(s"n > ${Packing.DefaultBudget}").count() == 0)
+      // every sequence except each shard's last is exactly full
+      val lastSeq = plan.groupBy("shard").agg(max("seq_id").as("last_seq"))
+      val notFull = perSeq.join(lastSeq, "shard")
+        .where(s"seq_id < last_seq AND n != ${Packing.DefaultBudget}")
+      assert(notFull.count() == 0)
+      // no token lost or duplicated by the overlap arithmetic
+      val packed = plan.agg(sum("seg_tokens")).collect()(0).getLong(0)
+      val source = docs.selectExpr(s"cast(size(${graft.functions.Portable.sparkToks}) as bigint) AS n")
+        .agg(sum("n")).collect()(0).getLong(0)
+      assert(packed == source)
+      // deterministic: same input -> same plan
+      assert(Packing.packSequences(docs).except(plan).count() == 0)
+    } finally plan.unpersist()
   }
 
   test("rolling fingerprint and BPE-ish token count are deterministic and sane") {
