@@ -119,18 +119,32 @@ object Dedup {
     * representative (`keep = doc_id == cluster`) per transitive group,
     * which is what corpus dedup actually deletes against.
     *
-    * Scale shape: the standard GraphX-style hash-min loop — per
-    * iteration one equi-join + partial-aggregated groupBy over the
-    * (sparse) near-dup edge list, caches swapped per iteration,
-    * converging in O(component diameter) rounds (near-dup clusters are
-    * shallow; `maxIters` is a safety bound). Driver only sees the
-    * convergence flag, never the data. */
+    * Scale shape: per round, hash-min over the (sparse) near-dup edge
+    * list (one equi-join + partial-aggregated groupBy) FOLLOWED by a
+    * pointer-jump shortcut `label ← label(label)` (one self-equi-join) —
+    * the large-star/small-star-style path halving that collapses
+    * chain-shaped components in O(log diameter) rounds instead of the
+    * O(diameter) of plain propagation. Caches are swapped per round and
+    * the driver only ever sees the convergence scalar, never the data;
+    * `maxIters` is a safety bound. */
   def nearDupClusters(docs: DataFrame, thresholdPerMille: Int = 500,
-                      maxIters: Int = 10): DataFrame = {
+                      maxIters: Int = 10): DataFrame =
+    nearDupClustersStats(docs, thresholdPerMille, maxIters)._1
+
+  /** [[nearDupClusters]] + the number of rounds run (exposed for the
+    * convergence-rate spec; the last round only confirms the fixpoint). */
+  private[graft] def nearDupClustersStats(docs: DataFrame, thresholdPerMille: Int = 500,
+                                          maxIters: Int = 10): (DataFrame, Int) = {
     val pairs = minhashNearDups(docs, thresholdPerMille).select("doc_a", "doc_b")
     val edges = pairs.unionAll(pairs.selectExpr("doc_b AS doc_a", "doc_a AS doc_b")).cache()
+    // localCheckpoint (not cache) on the per-round label frames: each
+    // round references the previous labels in BOTH the hash-min join and
+    // the pointer-jump self-join, so without lineage truncation the
+    // logical plan grows exponentially with rounds (a cache truncates
+    // execution, not the plan — Catalyst still analyzes the full tree).
+    // Executor-local blocks, nothing on the driver.
     var labels = edges.selectExpr("doc_a AS doc_id").distinct()
-      .selectExpr("doc_id", "doc_id AS label").cache()
+      .selectExpr("doc_id", "doc_id AS label").localCheckpoint()
     // labels only ever DECREASE, so sum(label) is a strictly-decreasing
     // potential: an unchanged sum ⇔ fixpoint — one cheap aggregate per
     // round instead of a join-based change count. Read null-safely: on a
@@ -143,27 +157,36 @@ object Dedup {
         .join(labels.selectExpr("doc_id AS nbr", "label AS nbr_label"),
           col("doc_b") === col("nbr"))
         .groupBy("doc_a").agg(min("nbr_label").as("nbr_min"))
-      val next = labels
+      val relabeled = labels
         .join(nbrMin, labels("doc_id") === nbrMin("doc_a"), "left")
         .selectExpr("doc_id", "least(label, coalesce(nbr_min, label)) AS label")
-        .cache()
+        .localCheckpoint()
+      // pointer jump: adopt the label's own label. Every label IS a node
+      // id present in `relabeled` (labels are minima over node ids), so
+      // the inner self-join is total; monotone (label(label) ≤ label), so
+      // the sum potential still detects the fixpoint.
+      val next = relabeled.toDF("doc_id", "lbl")
+        .join(relabeled.toDF("lbl", "lbl2"), "lbl")
+        .selectExpr("doc_id", "lbl2 AS label")
+        .localCheckpoint()
       val sumRow = next.agg(org.apache.spark.sql.functions.sum("label")).collect()(0)
       val sum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
       converged = prevSum.contains(sum)
       prevSum = Some(sum)
       labels.unpersist()
+      relabeled.unpersist()
       labels = next
       it += 1
     }
     edges.unpersist()
-    // a component whose diameter exceeds maxIters would exit un-converged
-    // with silently SPLIT clusters (and diverge from the oracle's exact
-    // transitive closure) — make that loud, never silent
+    // a component whose diameter outruns maxIters (even at log-halving)
+    // would exit un-converged with silently SPLIT clusters (and diverge
+    // from the oracle's exact transitive closure) — loud, never silent
     if (!converged)
       throw new IllegalStateException(
         s"nearDupClusters: label propagation did not converge within $maxIters iterations; " +
         "raise maxIters (a component's diameter exceeds it)")
-    labels.selectExpr("doc_id", "label AS cluster", "doc_id = label AS keep")
+    (labels.selectExpr("doc_id", "label AS cluster", "doc_id = label AS keep"), it)
   }
 
   /** 48-bit SimHash over distinct tokens (portable hash ⇒ oracle-checkable). */

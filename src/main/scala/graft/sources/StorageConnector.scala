@@ -51,6 +51,54 @@ class ParquetConnector(root: String) extends StorageConnector {
     df.write.mode(mode).parquet(s"$root/$name.parquet")
 }
 
+/** In-process stateful store with REAL append semantics — the third
+  * implementation, exercising the external-store API shape a
+  * mongo-spark/GridFS connector has (a stateful server that accumulates
+  * inserts across writes, unlike a file overwrite or a view swap):
+  *  - `Append`        → bulk-insert into the existing collection
+  *                      (schema-checked, like a typed collection)
+  *  - `Overwrite`     → drop + insert
+  *  - `ErrorIfExists` / `Ignore` → the usual create semantics
+  *
+  * Rows live in a driver-side map — this is the TEST/DEV stand-in for a
+  * real server (the store itself is external state, not Spark data; a
+  * real connector keeps the same call contract and streams partitions
+  * instead of collecting). `read` returns a LocalRelation over the
+  * current contents, so the operator graph above the seam is unchanged. */
+class InMemoryStoreConnector extends StorageConnector {
+  import org.apache.spark.sql.Row
+  import org.apache.spark.sql.types.StructType
+  import scala.jdk.CollectionConverters._
+
+  private val store =
+    scala.collection.mutable.Map.empty[String, (StructType, Vector[Row])]
+
+  override def read(spark: SparkSession, name: String): DataFrame =
+    store.synchronized(store.get(name)) match {
+      case Some((schema, rows)) => spark.createDataFrame(rows.asJava, schema)
+      case None => throw new NoSuchElementException(s"no such collection: $name")
+    }
+
+  override def write(df: DataFrame, name: String, mode: SaveMode): Unit = {
+    val rows = df.collect().toVector // the store IS the driver-side state
+    store.synchronized {
+      (mode, store.get(name)) match {
+        case (SaveMode.Overwrite, _) => store(name) = (df.schema, rows)
+        case (SaveMode.Append, Some((schema, old))) =>
+          require(schema == df.schema,
+            s"append schema mismatch for $name: $schema vs ${df.schema}")
+          store(name) = (schema, old ++ rows)
+        case (SaveMode.Append, None) => store(name) = (df.schema, rows)
+        case (SaveMode.ErrorIfExists, Some(_)) =>
+          throw new IllegalStateException(s"collection exists: $name")
+        case (SaveMode.ErrorIfExists, None) => store(name) = (df.schema, rows)
+        case (SaveMode.Ignore, Some(_)) => ()
+        case (SaveMode.Ignore, None) => store(name) = (df.schema, rows)
+      }
+    }
+  }
+}
+
 /** Session-catalog connector: collections live as temp views — a second,
   * storage-free implementation proving operators are connector-agnostic
   * (and a handy shape for tests and notebook sessions). Temp views have
