@@ -100,8 +100,14 @@ object Dedup {
     * lives until the session evicts it or the caller runs
     * `spark.catalog.clearCache()` — long-lived sessions calling this per
     * corpus batch should clear between batches (Bench does). */
-  def minhashNearDups(docs: DataFrame, thresholdPerMille: Int = 500): DataFrame = {
-    val sigs = signatures(docs).cache()
+  def minhashNearDups(docs: DataFrame, thresholdPerMille: Int = 500): DataFrame =
+    minhashNearDupsFrom(signatures(docs).cache(), thresholdPerMille)
+
+  /** The pair plan over an already-materialized signature frame — split
+    * out so callers that OWN the signature cache (e.g.
+    * [[nearDupClustersStats]]) can release it the moment their derived
+    * state is materialized, instead of leaking it for the session. */
+  private[graft] def minhashNearDupsFrom(sigs: DataFrame, thresholdPerMille: Int): DataFrame = {
     val sh = sigs.select(col("doc_id"), col("sh"))
     val cand = candidatePairs(sigs)
     cand
@@ -135,8 +141,14 @@ object Dedup {
     * convergence-rate spec; the last round only confirms the fixpoint). */
   private[graft] def nearDupClustersStats(docs: DataFrame, thresholdPerMille: Int = 500,
                                           maxIters: Int = 10): (DataFrame, Int) = {
-    val pairs = minhashNearDups(docs, thresholdPerMille).select("doc_a", "doc_b")
-    val edges = pairs.unionAll(pairs.selectExpr("doc_b AS doc_a", "doc_a AS doc_b")).cache()
+    // own the signature cache: once the edge list is materialized by the
+    // (eager) localCheckpoint below, the signatures are no longer needed
+    // — release them instead of leaking the cache for the session
+    val sigs = signatures(docs).cache()
+    val pairs = minhashNearDupsFrom(sigs, thresholdPerMille).select("doc_a", "doc_b")
+    val edges = pairs.unionAll(pairs.selectExpr("doc_b AS doc_a", "doc_a AS doc_b"))
+      .localCheckpoint()
+    sigs.unpersist()
     // localCheckpoint (not cache) on the per-round label frames: each
     // round references the previous labels in BOTH the hash-min join and
     // the pointer-jump self-join, so without lineage truncation the
