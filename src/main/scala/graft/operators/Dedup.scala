@@ -172,11 +172,14 @@ object Dedup {
       val relabeled = labels
         .join(nbrMin, labels("doc_id") === nbrMin("doc_a"), "left")
         .selectExpr("doc_id", "least(label, coalesce(nbr_min, label)) AS label")
-        .localCheckpoint()
       // pointer jump: adopt the label's own label. Every label IS a node
       // id present in `relabeled` (labels are minima over node ids), so
       // the inner self-join is total; monotone (label(label) ≤ label), so
-      // the sum potential still detects the fixpoint.
+      // the sum potential still detects the fixpoint. `relabeled` is
+      // deliberately NOT materialized: recomputing the cheap hash-min
+      // join on both sides of the self-join costs less than a second
+      // per-round checkpoint, and the plan stays bounded because `labels`
+      // is a checkpointed leaf.
       val next = relabeled.toDF("doc_id", "lbl")
         .join(relabeled.toDF("lbl", "lbl2"), "lbl")
         .selectExpr("doc_id", "lbl2 AS label")
@@ -186,7 +189,6 @@ object Dedup {
       converged = prevSum.contains(sum)
       prevSum = Some(sum)
       labels.unpersist()
-      relabeled.unpersist()
       labels = next
       it += 1
     }

@@ -185,6 +185,39 @@ class LlmOpsSpec extends AnyFunSuite {
     } finally plan.unpersist()
   }
 
+  test("stratified sampling is deterministic and respects per-stratum rates") {
+    import graft.operators.Curation
+    val s1 = Curation.stratifiedSample(docs).collect().map(_.getLong(0)).sorted.toSeq
+    val s2 = Curation.stratifiedSample(docs).collect().map(_.getLong(0)).sorted.toSeq
+    assert(s1 == s2 && s1.nonEmpty)
+    // every long doc kept; kept share of each stratum ≈ its rate (hash
+    // uniformity over the portable md5-48, generous tolerance)
+    val kept = Curation.stratifiedSample(docs).groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val all = docs.selectExpr(
+      "CASE WHEN length(text) >= 2000 THEN 'long' WHEN length(text) >= 500 THEN 'mid' ELSE 'short' END AS stratum")
+      .groupBy("stratum").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept.getOrElse("long", 0L) == all.getOrElse("long", 0L)) // 100% stratum fully kept
+    Seq("mid" -> 0.50, "short" -> 0.25).foreach { case (st, rate) =>
+      all.get(st).filter(_ >= 50).foreach { n =>
+        val share = kept.getOrElse(st, 0L).toDouble / n
+        assert(math.abs(share - rate) < 0.2, s"$st kept $share of $n at rate $rate")
+      }
+    }
+  }
+
+  test("mixture allocation sums exactly to the budget, each source within 1 of its proportional share") {
+    import graft.operators.Curation
+    val rows = Curation.mixtureAllocation(docs, budget = 10000L).collect()
+    assert(rows.map(_.getLong(2)).sum == 10000L)
+    val total = rows.map(_.getLong(1)).sum.toDouble
+    rows.foreach { r =>
+      val exact = 10000L * r.getLong(1) / total
+      assert(math.abs(r.getLong(2) - exact) <= 1.0,
+        s"source ${r.getLong(0)}: alloc ${r.getLong(2)} vs exact $exact")
+    }
+  }
+
   test("rolling fingerprint and BPE-ish token count are deterministic and sane") {
     val fp1 = TextAnalysis.rollingFingerprint(docs).orderBy("doc_id").collect().toSeq
     val fp2 = TextAnalysis.rollingFingerprint(docs).orderBy("doc_id").collect().toSeq
