@@ -141,14 +141,26 @@ object Dedup {
     * convergence-rate spec; the last round only confirms the fixpoint). */
   private[graft] def nearDupClustersStats(docs: DataFrame, thresholdPerMille: Int = 500,
                                           maxIters: Int = 10): (DataFrame, Int) = {
-    // own the signature cache: once the edge list is materialized by the
-    // (eager) localCheckpoint below, the signatures are no longer needed
-    // — release them instead of leaking the cache for the session
+    // own the signature cache: once the edge list is materialized inside
+    // labelPropagateStats (eager localCheckpoint), the signatures are no
+    // longer needed — release them instead of leaking the cache
     val sigs = signatures(docs).cache()
-    val pairs = minhashNearDupsFrom(sigs, thresholdPerMille).select("doc_a", "doc_b")
-    val edges = pairs.unionAll(pairs.selectExpr("doc_b AS doc_a", "doc_a AS doc_b"))
-      .localCheckpoint()
+    val pairs = minhashNearDupsFrom(sigs, thresholdPerMille)
+      .selectExpr("doc_a AS a", "doc_b AS b")
+    val (labels, it) = labelPropagateStats(pairs, maxIters)
     sigs.unpersist()
+    (labels.selectExpr("id AS doc_id", "label AS cluster", "id = label AS keep"), it)
+  }
+
+  /** Connected components over an undirected pair list `(a, b)` —
+    * hash-min label propagation with pointer jumping. Returns
+    * `(id, label)` for every node that appears in a pair (label = the
+    * smallest reachable id) plus the round count. Shared by the text
+    * near-dup path (q53) and the embedding near-dup path (q59). */
+  private[operators] def labelPropagateStats(pairs: DataFrame, maxIters: Int): (DataFrame, Int) = {
+    val edges = pairs.unionAll(pairs.selectExpr("b AS a", "a AS b"))
+      .toDF("doc_a", "doc_b")
+      .localCheckpoint()
     // localCheckpoint (not cache) on the per-round label frames: each
     // round references the previous labels in BOTH the hash-min join and
     // the pointer-jump self-join, so without lineage truncation the
@@ -198,9 +210,9 @@ object Dedup {
     // from the oracle's exact transitive closure) — loud, never silent
     if (!converged)
       throw new IllegalStateException(
-        s"nearDupClusters: label propagation did not converge within $maxIters iterations; " +
+        s"labelPropagate: did not converge within $maxIters iterations; " +
         "raise maxIters (a component's diameter exceeds it)")
-    (labels.selectExpr("doc_id", "label AS cluster", "doc_id = label AS keep"), it)
+    (labels.selectExpr("doc_id AS id", "label"), it)
   }
 
   /** 48-bit SimHash over distinct tokens (portable hash ⇒ oracle-checkable). */

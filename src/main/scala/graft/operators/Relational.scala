@@ -462,6 +462,46 @@ object Relational {
         .orderBy("user_id")
     }),
 
+    // TPC-H Q10 shape (returned-item reporting): who returned the most
+    // revenue last quarter — 4-way join, quarter filter, top-20.
+    "q60_tpch_q10" -> ((s, dir) => {
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .where("o_orderdate >= cast('1996-01-01' as timestamp) AND " +
+               "o_orderdate < cast('1996-04-01' as timestamp) AND l_returnflag = 'R'")
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
+          .cast("long").as("revenue_cents"))
+        .selectExpr("c_custkey", "c_name", "n_name",
+          "cast(round(c_acctbal * 100) as bigint) AS acctbal_cents", "revenue_cents")
+        .orderBy(col("revenue_cents").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q18 shape (large-volume customers): orders whose total
+    // quantity clears a threshold — grouped-HAVING subquery as a
+    // semi-join against the fact, then re-aggregate.
+    "q61_tpch_q18" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val big = l.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .where("qty > 300")
+        .selectExpr("l_orderkey AS o_orderkey")
+      Tables.orders(s, dir)
+        .join(big, Seq("o_orderkey"), "left_semi")
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .selectExpr("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+          "cast(round(o_totalprice * 100) as bigint) AS totalprice_cents",
+          "cast(round(qty) as bigint) AS sum_qty")
+        .orderBy(col("totalprice_cents").desc, col("o_orderkey"))
+    }),
+
     // Event-time tumbling window (hourly) aggregation; exact value via e4 fixed point.
     "q17_hourly" -> ((s, dir) => {
       Tables.events(s, dir)
@@ -668,6 +708,30 @@ object Relational {
         |  TRUE AS cd_within_bounds,
         |  TRUE AS med_within_bounds
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q60_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= CAST('1996-01-01' AS TIMESTAMP)
+        |  AND o_orderdate < CAST('1996-04-01' AS TIMESTAMP)
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue_cents DESC, c_custkey LIMIT 20""".stripMargin,
+    "q61_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+        |  CAST(round(SUM(l_quantity)) AS BIGINT) AS sum_qty
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 300)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY totalprice_cents DESC, o_orderkey""".stripMargin,
     "q50_funnel" ->
       """SELECT user_id,
         |  CAST(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS has_signup,

@@ -275,6 +275,27 @@ object Similarity {
         .orderBy("label", "dim")
     }),
 
+    // Embedding near-dup clusters with planted merges: exact copies
+    // (+1e6 ids) and 1.02-scaled copies (+2e6 ids — same dot signs, so
+    // they collide with their originals in every band), clustered by
+    // label propagation over the ≥0.9-cosine pair graph. The embedding
+    // side of the dedup DECISION story: one representative per group.
+    "q59_embed_dedup_clusters" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .selectExpr("vec_id", "cast(embedding as array<double>) AS embedding")
+      val corpus = e
+        .unionByName(e.where("vec_id % 25 = 0")
+          .selectExpr("vec_id + 1000000 AS vec_id", "embedding"))
+        .unionByName(e.where("vec_id % 25 = 5")
+          .selectExpr("vec_id + 2000000 AS vec_id",
+            "transform(embedding, x -> x * 1.02D) AS embedding"))
+      val pairs = lshCandidatesBanded(corpus)
+        .where("sim >= 0.9").selectExpr("vec_a AS a", "vec_b AS b")
+      val (labels, _) = Dedup.labelPropagateStats(pairs, maxIters = 10)
+      labels.selectExpr("id AS vec_id", "label AS cluster", "id = label AS keep")
+        .orderBy("vec_id")
+    }),
+
     // IVF probe search — fully oracle-checkable: quantized training
     // arithmetic is exact in both engines (see ivfIndex), final scoring
     // is q24's proven double-cosine-round-6.
@@ -347,6 +368,41 @@ object Similarity {
        |  FROM scored) WHERE rank <= $topk ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Shared DuckDB CTE chain for multi-band LSH candidate generation over
+    * relation `src` (vec_id, embedding): corpus-scaled bit width from
+    * count(*), md5-parity planes, per-band bucket strings, and the
+    * deduped candidate pairs (`cand`) + double vectors (`vecs`) the
+    * caller's confirm step joins. */
+  private def duckBandedCtes(src: String): String =
+    s"""params AS (
+       |  SELECT greatest(8, length(bin(CAST(greatest(1, COUNT(*) - 1) AS BIGINT))) + 3) AS nbits
+       |  FROM $src),
+       |qv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
+       |  FROM $src),
+       |grid AS (
+       |  SELECT band, bit
+       |  FROM (SELECT unnest(range(${LshBands})) AS band),
+       |       (SELECT unnest(range((SELECT nbits FROM params))) AS bit)),
+       |planes AS (
+       |  SELECT band, bit,
+       |    list(CASE WHEN ${duckHash48(
+              s"concat('plane_', CAST(band * (SELECT nbits FROM params) + bit AS VARCHAR), '_', CAST(dim AS VARCHAR))")} % 2 = 0
+       |      THEN -1 ELSE 1 END ORDER BY dim) AS p
+       |  FROM grid, (SELECT unnest(range(64)) AS dim)
+       |  GROUP BY band, bit),
+       |sigs AS (
+       |  SELECT v.vec_id, pl.band,
+       |    string_agg(CASE WHEN list_sum(list_transform(list_zip(v.q, pl.p), s -> s[1] * s[2])) >= 0
+       |      THEN '1' ELSE '0' END, '' ORDER BY pl.bit) AS bucket
+       |  FROM qv v CROSS JOIN planes pl
+       |  GROUP BY v.vec_id, pl.band),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM sigs a JOIN sigs b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |vecs AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM $src)""".stripMargin
+
   def oracle: Map[String, String] = {
     val duckCos =
       """list_sum(list_transform(list_zip(a.v, b.v), s -> s[1] * s[2])) /
@@ -387,39 +443,39 @@ object Similarity {
       // the identical md5-parity family, so the oracle follows the Spark
       // side at ANY scale factor without a per-SF constant.
       "q26_ann_lsh_pairs" ->
-        s"""WITH params AS (
-           |  SELECT greatest(8, length(bin(CAST(greatest(1, COUNT(*) - 1) AS BIGINT))) + 3) AS nbits
-           |  FROM embeddings),
-           |qv AS (
-           |  SELECT vec_id, list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
-           |  FROM embeddings),
-           |grid AS (
-           |  SELECT band, bit
-           |  FROM (SELECT unnest(range(${LshBands})) AS band),
-           |       (SELECT unnest(range((SELECT nbits FROM params))) AS bit)),
-           |planes AS (
-           |  SELECT band, bit,
-           |    list(CASE WHEN ${duckHash48(
-                  s"concat('plane_', CAST(band * (SELECT nbits FROM params) + bit AS VARCHAR), '_', CAST(dim AS VARCHAR))")} % 2 = 0
-           |      THEN -1 ELSE 1 END ORDER BY dim) AS p
-           |  FROM grid, (SELECT unnest(range(64)) AS dim)
-           |  GROUP BY band, bit),
-           |sigs AS (
-           |  SELECT v.vec_id, pl.band,
-           |    string_agg(CASE WHEN list_sum(list_transform(list_zip(v.q, pl.p), s -> s[1] * s[2])) >= 0
-           |      THEN '1' ELSE '0' END, '' ORDER BY pl.bit) AS bucket
-           |  FROM qv v CROSS JOIN planes pl
-           |  GROUP BY v.vec_id, pl.band),
-           |pairs AS (
-           |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-           |  FROM sigs a JOIN sigs b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
-           |vecs AS (
-           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings)
+        s"""WITH ${duckBandedCtes("embeddings")}
            |SELECT p.vec_a, p.vec_b,
            |  CAST(round(round($duckCos, 6) * 1000000) AS BIGINT) AS sim_e6
-           |FROM pairs p JOIN vecs a ON a.vec_id = p.vec_a JOIN vecs b ON b.vec_id = p.vec_b
+           |FROM cand p JOIN vecs a ON a.vec_id = p.vec_a JOIN vecs b ON b.vec_id = p.vec_b
            |WHERE round($duckCos, 6) >= 0.2
-           |ORDER BY vec_a, vec_b""".stripMargin
+           |ORDER BY vec_a, vec_b""".stripMargin,
+      // Embedding-near-dup clusters over a corpus with PLANTED merges
+      // (exact copies + 1.02-scaled copies — scaling preserves dot signs,
+      // so planted rows collide with their originals in every band):
+      // transitive closure of the ≥0.9-cosine pair graph, exactly q53's
+      // walk on the embedding side.
+      "q59_embed_dedup_clusters" ->
+        s"""WITH RECURSIVE corpus AS (
+           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 1000000 AS vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+           |  FROM embeddings WHERE vec_id % 25 = 0
+           |  UNION ALL
+           |  SELECT vec_id + 2000000 AS vec_id, list_transform(embedding, x -> x::DOUBLE * 1.02) AS embedding
+           |  FROM embeddings WHERE vec_id % 25 = 5),
+           |${duckBandedCtes("corpus")},
+           |hi AS (
+           |  SELECT p.vec_a, p.vec_b
+           |  FROM cand p JOIN vecs a ON a.vec_id = p.vec_a JOIN vecs b ON b.vec_id = p.vec_b
+           |  WHERE round($duckCos, 6) >= 0.9),
+           |edges AS (
+           |  SELECT vec_a, vec_b FROM hi UNION SELECT vec_b AS vec_a, vec_a AS vec_b FROM hi),
+           |walk AS (
+           |  SELECT vec_a AS vec_id, vec_a AS label FROM edges
+           |  UNION
+           |  SELECT e.vec_a AS vec_id, w.label FROM edges e JOIN walk w ON w.vec_id = e.vec_b)
+           |SELECT vec_id, MIN(label) AS cluster, (vec_id = MIN(label)) AS keep
+           |FROM walk GROUP BY vec_id ORDER BY vec_id""".stripMargin
     )
   }
 }
