@@ -65,6 +65,49 @@ object Curation {
         "quota + if(rk <= leftover, 1, 0) AS alloc")
   }
 
+  /** Benchmark decontamination: flag training documents sharing any
+    * `gram`-token shingle with a held-out eval set (here: every
+    * `evalMod`-th doc stands in for the benchmark). The standard
+    * n-gram-overlap test pretraining pipelines run before training.
+    *
+    * Scale shape: the eval shingle set is benchmark-sized (small) —
+    * Spark broadcasts it into a LEFT SEMI hash join against the exploded
+    * training shingles; the corpus itself never shuffles. */
+  def decontaminate(docs: DataFrame, gram: Int = 6, evalMod: Long = 97): DataFrame = {
+    val sh = docs
+      .selectExpr("doc_id", s"$sparkToks AS toks")
+      // guarded: sequence(1, 0) is DESCENDING in Spark, so short docs
+      // must short-circuit to an empty shingle list instead
+      .selectExpr("doc_id",
+        s"CASE WHEN size(toks) >= $gram THEN " +
+        s"transform(sequence(1, size(toks) - ${gram - 1}), i -> concat_ws(' ', slice(toks, i, $gram))) " +
+        "ELSE array() END AS sh")
+    val evalSh = sh.where(s"doc_id % $evalMod = 3")
+      .select(explode(col("sh")).as("shingle")).distinct()
+    val train = sh.where(s"doc_id % $evalMod != 3")
+    val contaminated = train
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .join(broadcast(evalSh), Seq("shingle"), "left_semi")
+      .select("doc_id").distinct()
+    train.select("doc_id")
+      .join(contaminated.withColumn("contaminated", lit(true)), Seq("doc_id"), "left")
+      .selectExpr("doc_id", "coalesce(contaminated, false) AS contaminated")
+  }
+
+  /** Per-source cap, best-first: keep at most `cap` documents per source
+    * ranked by descending length (a quality proxy), ties by doc_id — the
+    * per-domain cap crawl curation applies so no single site dominates
+    * the mix. One shuffle on source; `WindowGroupLimit` pre-filters
+    * map-side before the exchange. */
+  def sourceCap(docs: DataFrame, cap: Int = 15): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .where(s"rk <= $cap")
+      .selectExpr("doc_id", "source", "n_chars", "cast(rk as bigint) AS rk")
+  }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -72,7 +115,21 @@ object Curation {
       stratifiedSample(Tables.documents(s, dir)).orderBy("doc_id")),
 
     "q58_mixture_alloc" -> ((s, dir) =>
-      mixtureAllocation(Tables.documents(s, dir)).orderBy("source"))
+      mixtureAllocation(Tables.documents(s, dir)).orderBy("source")),
+
+    // Planted leakage: copies of eval docs re-inserted as training rows
+    // (+3e6 ids — (id+3000000) % 97 ≠ 3 for id ≡ 3, so every copy lands
+    // in the train split) make the contamination detection itself
+    // oracle-visible at any scale factor.
+    "q62_decontaminate" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val corpus = d.unionByName(
+        d.where("doc_id % 97 = 3").selectExpr("doc_id + 3000000 AS doc_id", "text"))
+      decontaminate(corpus).orderBy("doc_id")
+    }),
+
+    "q63_source_cap" -> ((s, dir) =>
+      sourceCap(Tables.documents(s, dir)).orderBy("source", "rk"))
   )
 
   def oracle: Map[String, String] = Map(
@@ -109,6 +166,34 @@ object Curation {
         |  FROM a)
         |SELECT source, n_tokens,
         |  CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
-        |FROM r ORDER BY source""".stripMargin
+        |FROM r ORDER BY source""".stripMargin,
+
+    "q62_decontaminate" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id, text FROM documents WHERE doc_id % 97 = 3),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(1, len(toks) - 4)),
+        |      i -> array_to_string(toks[i:i+5], ' ')) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM corpus)),
+        |eval_sh AS (
+        |  SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE doc_id % 97 = 3),
+        |train AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 != 3),
+        |contaminated AS (
+        |  SELECT DISTINCT t.doc_id
+        |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM train) t
+        |  JOIN eval_sh e ON t.shingle = e.shingle)
+        |SELECT t.doc_id, (c.doc_id IS NOT NULL) AS contaminated
+        |FROM train t LEFT JOIN contaminated c ON t.doc_id = c.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "q63_source_cap" ->
+      """SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 15 ORDER BY source, rk""".stripMargin
   )
 }

@@ -218,6 +218,32 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination flags exactly the planted eval copies") {
+    val out = SparkEntry.queries("q62_decontaminate")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // eval docs themselves are excluded from the train output
+    assert(out.keys.forall(_ % 97 != 3))
+    // every planted copy (+3e6 of an eval doc with >=6 tokens) is flagged
+    val planted = docs.where("doc_id % 97 = 3")
+      .selectExpr("doc_id + 3000000 AS doc_id", s"size(${graft.functions.Portable.sparkToks}) AS n")
+      .collect().filter(_.getInt(1) >= 6).map(_.getLong(0))
+    assert(planted.nonEmpty && planted.forall(out(_)))
+  }
+
+  test("source cap keeps exactly the longest docs per source") {
+    import graft.operators.Curation
+    val kept = Curation.sourceCap(Tables.documents(spark, sf), cap = 15)
+      .collect().groupBy(_.getString(1))
+    kept.values.foreach(rs => assert(rs.length <= 15))
+    // for each source, the kept set IS the top-15 by (n_chars desc, doc_id)
+    val bySource = Tables.documents(spark, sf).select("doc_id", "source", "n_chars")
+      .collect().groupBy(_.getString(1))
+    bySource.foreach { case (src, rows) =>
+      val expect = rows.sortBy(r => (-r.getLong(2), r.getLong(0))).take(15).map(_.getLong(0)).toSet
+      assert(kept(src).map(_.getLong(0)).toSet == expect, s"source $src")
+    }
+  }
+
   test("rolling fingerprint and BPE-ish token count are deterministic and sane") {
     val fp1 = TextAnalysis.rollingFingerprint(docs).orderBy("doc_id").collect().toSeq
     val fp2 = TextAnalysis.rollingFingerprint(docs).orderBy("doc_id").collect().toSeq
