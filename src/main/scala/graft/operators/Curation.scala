@@ -82,11 +82,17 @@ object Curation {
         s"CASE WHEN size(toks) >= $gram THEN " +
         s"transform(sequence(1, size(toks) - ${gram - 1}), i -> concat_ws(' ', slice(toks, i, $gram))) " +
         "ELSE array() END AS sh")
+    // explode_outer + post-filter, NOT explode: explode's implicit
+    // `size(sh) > 0` filter gets pushed below the projection with the
+    // whole shingle transform substituted in — the interpreted HOF would
+    // run twice per row (observed in the post-scan filters)
     val evalSh = sh.where(s"doc_id % $evalMod = 3")
-      .select(explode(col("sh")).as("shingle")).distinct()
+      .select(explode_outer(col("sh")).as("shingle"))
+      .where("shingle IS NOT NULL").distinct()
     val train = sh.where(s"doc_id % $evalMod != 3")
     val contaminated = train
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
+      .where("shingle IS NOT NULL")
       .join(broadcast(evalSh), Seq("shingle"), "left_semi")
       .select("doc_id").distinct()
     train.select("doc_id")
