@@ -26,12 +26,22 @@ import graft.functions.Portable._
   */
 object Similarity {
 
-  /** Cosine similarity between two array<double> columns, as an
-    * expression folding in index order. */
-  private def cosineE(a: String, b: String): String = {
+  /** Cosine similarity between two array<double> columns, as a SQL
+    * expression folding in index order — the DECLARATIVE twin of the
+    * native [[graft.plans.CosineSim]], kept for the bit-identity spec
+    * (same role as Dedup.signaturesSql vs MinHashSig). */
+  private[graft] def cosineE(a: String, b: String): String = {
     def dot(x: String, y: String) =
       s"aggregate(zip_with($x, $y, (p, q) -> p * q), 0D, (acc, v) -> acc + v)"
     s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+  }
+
+  /** Native cosine (fold-order-identical to [[cosineE]]) — the exact
+    * confirm/scoring kernel on every candidate join's hot path. */
+  private[graft] def cosineN(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.CosineSim(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
   /** Brute-force cosine top-k neighbors for each query vector. */
@@ -40,7 +50,7 @@ object Similarity {
     val queries = vecs.where(s"vec_id < $queryMaxId").toDF("query_id", "q")
     val scored = vecs.crossJoin(broadcast(queries))
       .where(col("vec_id") =!= col("query_id"))
-      .selectExpr("query_id", "vec_id", s"round(${cosineE("q", "v")}, 6) AS sim")
+      .select(col("query_id"), col("vec_id"), round(cosineN(col("q"), col("v")), 6).as("sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -108,7 +118,7 @@ object Similarity {
     pairs
       .join(vecs.toDF("vec_a", "va"), "vec_a")
       .join(vecs.toDF("vec_b", "vb"), "vec_b")
-      .selectExpr("vec_a", "vec_b", s"round(${cosineE("va", "vb")}, 6) AS sim")
+      .select(col("vec_a"), col("vec_b"), round(cosineN(col("va"), col("vb")), 6).as("sim"))
   }
 
   // ---------------------------------------------------------------- IVF
@@ -238,7 +248,7 @@ object Similarity {
     val scoredCands = cands
       .join(vecs, "vec_id")
       .join(broadcast(queries), "query_id")
-      .selectExpr("query_id", "vec_id", s"round(${cosineE("q", "v")}, 6) AS sim")
+      .select(col("query_id"), col("vec_id"), round(cosineN(col("q"), col("v")), 6).as("sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
     scoredCands.withColumn("rank", row_number().over(w)).where(s"rank <= $k")
       .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id"), col("sim"))

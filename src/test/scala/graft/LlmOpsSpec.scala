@@ -146,6 +146,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(hit.length == 1 && hit(0).getDouble(2) == 1.0)
   }
 
+  test("native CosineSim is bit-identical to the declarative fold") {
+    val e = Tables.embeddings(spark, sf)
+      .selectExpr("vec_id", "cast(embedding as array<double>) AS v")
+    val pairs = e.toDF("a_id", "a").crossJoin(e.toDF("b_id", "b"))
+      .where("a_id < 20 AND b_id BETWEEN 20 AND 60")
+    val native = pairs.select(col("a_id"), col("b_id"),
+      Similarity.cosineN(col("a"), col("b")).as("s"))
+    val sql = pairs.selectExpr("a_id", "b_id", s"${Similarity.cosineE("a", "b")} AS s")
+    // raw doubles, no rounding: the folds must agree to the last bit
+    assert(native.exceptAll(sql).count() == 0 && sql.exceptAll(native).count() == 0)
+  }
+
   test("IVF with nprobe=k is exactly brute force; nprobe=4 keeps useful recall") {
     val e = Tables.embeddings(spark, sf)
     val (cents, asg) = Similarity.ivfIndex(e, k = 16, iters = 2)
