@@ -36,6 +36,7 @@ object GraftSession {
       Tables.load(spark, sfDir, n).createOrReplaceTempView(n)
     }
     graft.plans.MinHashSig.register(spark)
+    graft.plans.CosineSim.register(spark)
   }
 
   // Typed rows for the core tables (compile-time field checks where a

@@ -19,6 +19,10 @@ class GraftSessionSpec extends AnyFunSuite {
     val sig = spark.sql("SELECT graft_minhash_sig(array('a b', 'b c')) AS s")
       .collect()(0).getSeq[Long](0)
     assert(sig.length == graft.functions.Portable.MinhashK)
+    val cos = spark.sql(
+      "SELECT graft_cosine_sim(array(1D, 0D, 1D), array(1D, 0D, 1D)) AS c")
+      .collect()(0).getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
   }
 
   test("typed Dataset accessors expose compile-checked fields") {
