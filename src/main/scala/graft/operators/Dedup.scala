@@ -87,10 +87,21 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard (per mille) between two shingle-array columns. */
-  private def jaccardE(a: String, b: String): String =
+  /** Exact Jaccard (per mille) between two shingle-array columns —
+    * the DECLARATIVE twin of the native [[graft.plans.JaccardMille]],
+    * kept for the bit-identity spec. */
+  private[graft] def jaccardE(a: String, b: String): String =
     s"cast(round(1000.0 * size(array_intersect($a, $b)) / " +
     s"size(array_union($a, $b))) as bigint)"
+
+  /** Native per-mille Jaccard (set semantics + rounding identical to
+    * [[jaccardE]]) — the confirm kernel on every near-dup hot path. */
+  private[graft] def jaccardN(a: org.apache.spark.sql.Column,
+                              b: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.JaccardMille(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
   /** Full MinHash+LSH near-dup detection: candidates from banding, then
     * exact-Jaccard confirmation at `threshold` (per mille).
@@ -113,7 +124,7 @@ object Dedup {
     cand
       .join(sh.toDF("doc_a", "sh_a"), "doc_a")
       .join(sh.toDF("doc_b", "sh_b"), "doc_b")
-      .selectExpr("doc_a", "doc_b", s"${jaccardE("sh_a", "sh_b")} AS j1000")
+      .select(col("doc_a"), col("doc_b"), jaccardN(col("sh_a"), col("sh_b")).as("j1000"))
       .where(s"j1000 >= $thresholdPerMille")
   }
 
@@ -258,7 +269,7 @@ object Dedup {
       g.toDF("doc_a", "g_a", "len_a").crossJoin(g.toDF("doc_b", "g_b", "len_b"))
         .where(col("doc_a") < col("doc_b"))
         .where("10 * greatest(len_a, len_b) <= 13 * least(len_a, len_b)")
-        .selectExpr("doc_a", "doc_b", s"${jaccardE("g_a", "g_b")} AS j1000")
+        .select(col("doc_a"), col("doc_b"), jaccardN(col("g_a"), col("g_b")).as("j1000"))
         .where("j1000 >= 500")
         .orderBy("doc_a", "doc_b")
     }),

@@ -146,6 +146,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(hit.length == 1 && hit(0).getDouble(2) == 1.0)
   }
 
+  test("native JaccardMille is bit-identical to the declarative set expression") {
+    val sh = Dedup.shingled(docs)
+    val pairs = sh.toDF("a_id", "sh_a").crossJoin(sh.toDF("b_id", "sh_b"))
+      .where("a_id < 30 AND b_id >= 30 AND b_id < 90")
+    val native = pairs.select(col("a_id"), col("b_id"),
+      Dedup.jaccardN(col("sh_a"), col("sh_b")).as("j"))
+    val sql = pairs.selectExpr("a_id", "b_id", s"${Dedup.jaccardE("sh_a", "sh_b")} AS j")
+    assert(native.exceptAll(sql).count() == 0 && sql.exceptAll(native).count() == 0)
+    // duplicate-bearing inputs still follow set semantics
+    val dup = Seq((Seq("x", "x", "y"), Seq("y", "z", "z"))).toDF("a", "b")
+    assert(dup.select(Dedup.jaccardN(col("a"), col("b"))).collect()(0).getLong(0) == 333L)
+  }
+
   test("native CosineSim is bit-identical to the declarative fold") {
     val e = Tables.embeddings(spark, sf)
       .selectExpr("vec_id", "cast(embedding as array<double>) AS v")
