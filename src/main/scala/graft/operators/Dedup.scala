@@ -203,10 +203,13 @@ object Dedup {
       // join on both sides of the self-join costs less than a second
       // per-round checkpoint, and the plan stays bounded because `labels`
       // is a checkpointed leaf.
+      // lazy checkpoint: the convergence aggregate right below is the
+      // action that materializes it, so each round runs ONE job instead
+      // of two (eager checkpoint + separate aggregate)
       val next = relabeled.toDF("doc_id", "lbl")
         .join(relabeled.toDF("lbl", "lbl2"), "lbl")
         .selectExpr("doc_id", "lbl2 AS label")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val sumRow = next.agg(org.apache.spark.sql.functions.sum("label")).collect()(0)
       val sum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
       converged = prevSum.contains(sum)
