@@ -50,6 +50,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.except(streamed).count() == 0)
   }
 
+  test("curation sampling runs UNCHANGED on a stream and matches the batch result") {
+    // stratifiedSample is a stateless transform, so the same function
+    // works on readStream input with no modification — the stream/batch
+    // unification claim for the curation layer, proven end-to-end
+    val d = Files.createTempDirectory("docs_stream").toString
+    Files.copy(Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      Paths.get(d, "part-0.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val stream = spark.readStream.schema(schema).parquet(d)
+    val q = graft.operators.Curation.stratifiedSample(stream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sample_stream")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("sample_stream")
+    val batch = graft.operators.Curation.stratifiedSample(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+  }
+
   test("stateful flatMapGroupsWithState sessionizer matches the q35 window formulation") {
     val batch = Tables.events(spark, "/root/testdata/sf0.001")
       .select("user_id", "ts", "event_id")
