@@ -25,6 +25,26 @@ class GraftSessionSpec extends AnyFunSuite {
     assert(math.abs(cos - 1.0) < 1e-12)
   }
 
+  test("custom Generator graft_shingles matches the declarative shingle path") {
+    GraftSession.registerAll(spark, sf)
+    // same multiset of 2-gram shingles per doc as Dedup.shingled (which
+    // dedups) — compare distinct sets
+    val gen = spark.sql(
+      """SELECT doc_id, collect_set(shingle) AS sh FROM (
+        |  SELECT doc_id, graft_shingles(text, 2) AS shingle FROM documents)
+        |GROUP BY doc_id""".stripMargin)
+    val decl = graft.operators.Dedup.shingled(
+      Tables.documents(spark, sf)).toDF("doc_id", "sh")
+    val genSorted = gen.selectExpr("doc_id", "array_sort(sh) AS sh")
+    val declSorted = decl.selectExpr("doc_id", "array_sort(sh) AS sh")
+    assert(genSorted.except(declSorted).count() == 0
+      && declSorted.except(genSorted).count() == 0)
+    // generator output feeds LATERAL-style SQL directly
+    val n = spark.sql(
+      "SELECT count(*) FROM (SELECT graft_shingles(text, 3) FROM documents)").collect()(0).getLong(0)
+    assert(n > 0)
+  }
+
   test("typed Dataset accessors expose compile-checked fields") {
     import spark.implicits._
     val li = GraftSession.lineitems(spark, sf)
