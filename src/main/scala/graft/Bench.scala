@@ -55,22 +55,29 @@ object Bench {
       (name, median, times)
     }
     def fmt(d: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, d)
+    // Two renditions of the same result:
+    //  - stdout: compact (medians only, no per-rep arrays). The driver
+    //    captures a bounded tail of stdout and JSON-parses the last line;
+    //    round 3's line with embedded reps grew past that window and the
+    //    parse came back null, so the stdout line must stay small even as
+    //    queries are added.
+    //  - file: full detail including per-rep arrays, for variance audits.
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val repJson = results.map { case (k, _, ts) =>
       "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"median_total","value":${fmt(total)},"unit":"sec","warmup":1,"timed_reps":$reps,"errors":$errs,"queries":$qs,"reps":$repJson,"sf":"$sfDir"}"""
-    // Belt-and-braces for the driver's parser: stdout can get wrapped by a
-    // build-tool logger ("[info] ..."), so also persist the line to a file.
+    val head = s""""metric":"median_total","value":${fmt(total)},"unit":"sec","warmup":1,"timed_reps":$reps,"errors":$errs,"queries":$qs"""
+    val compact = s"""{$head,"sf":"$sfDir"}"""
+    val full = s"""{$head,"reps":$repJson,"sf":"$sfDir"}"""
     // NonFatal only: swallowing OutOfMemoryError/InterruptedException here
     // would mask a dying JVM as a bench-output hiccup.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case scala.util.control.NonFatal(_) => () }
-    println(json)
+    println(compact)
     spark.stop()
   }
 }
