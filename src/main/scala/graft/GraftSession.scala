@@ -38,6 +38,7 @@ object GraftSession {
     graft.plans.MinHashSig.register(spark)
     graft.plans.CosineSim.register(spark)
     graft.plans.ShingleGen.register(spark)
+    graft.plans.CharShingles.register(spark)
   }
 
   // Typed rows for the core tables (compile-time field checks where a

@@ -255,7 +255,14 @@ object Dedup {
     // Brute-force char-5-gram Jaccard near-dups inside a bounded blocking
     // window (the verification path for q22's LSH).
     "q21_ngram_jaccard" -> ((s, dir) => {
-      val grams = "array_distinct(transform(sequence(1, length(text) - 4), i -> substring(text, i, 5)))"
+      // native one-loop-per-row gram extraction: the declarative
+      // transform+substring spelling is CodegenFallback and its
+      // interpreted per-element eval made this query's latency a
+      // function of JIT tier-up (6.5 s cold vs 0.7 s hot on the same
+      // input in the round-3 bench reps)
+      import org.apache.spark.sql.graft.ColumnBridge
+      val grams = ColumnBridge.column(graft.plans.CharShingles(
+        ColumnBridge.expression(col("text")), 5))
       // blocking window: bounded id range AND bounded length — a single
       // megabyte-scale document would otherwise dominate the gram-set
       // arithmetic in BOTH engines (observed 100×); oversized docs belong
@@ -264,7 +271,7 @@ object Dedup {
       // cached because it feeds both sides of the pair join.
       val g = Tables.documents(s, dir)
         .where("doc_id < 200 AND length(text) BETWEEN 5 AND 10000")
-        .selectExpr("doc_id", s"$grams AS g", "length(text) AS len")
+        .select(col("doc_id"), grams.as("g"), expr("length(text)").as("len"))
         .cache()
       // length blocking (10·max ≤ 13·min ⇔ ratio ≤ 1.3, integer-exact):
       // a J≥0.5 pair can't differ much in length, so skip the Jaccard

@@ -159,6 +159,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(dup.select(Dedup.jaccardN(col("a"), col("b"))).collect()(0).getLong(0) == 333L)
   }
 
+  test("native CharShingles is bit-identical to the declarative transform on its guarded domain") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val d = docs.where("length(text) >= 5").limit(100)
+    val native = d.select(col("doc_id"), ColumnBridge.column(
+      graft.plans.CharShingles(ColumnBridge.expression(col("text")), 5)).as("g"))
+    val sql = d.selectExpr("doc_id",
+      "array_distinct(transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))) AS g")
+    // exact arrays including element ORDER (first occurrence), not just sets
+    assert(native.exceptAll(sql).count() == 0 && sql.exceptAll(native).count() == 0)
+    // short input: empty array (documented divergence from sequence(1,0)=[1,0])
+    val short = Seq("abc").toDF("text").select(ColumnBridge.column(
+      graft.plans.CharShingles(ColumnBridge.expression(col("text")), 5)).as("g"))
+    assert(short.selectExpr("size(g)").collect()(0).getInt(0) == 0)
+    // code points, not UTF-16 chars: a supplementary char is ONE position
+    val sup = Seq("a😀bcd").toDF("text") // a😀bcd = 5 code points
+    val g = sup.select(ColumnBridge.column(
+      graft.plans.CharShingles(ColumnBridge.expression(col("text")), 5)).as("g"))
+      .selectExpr("g", "element_at(g, 1) AS first")
+    val row = g.collect()(0)
+    assert(row.getSeq[String](0).length == 1 && row.getString(1) == "a😀bcd")
+    // SQL substring agrees on the same input (the parity that matters)
+    val sqlSup = sup.selectExpr(
+      "array_distinct(transform(sequence(1, length(text) - 4), i -> substring(text, i, 5))) AS g")
+    assert(g.select("g").exceptAll(sqlSup).count() == 0)
+  }
+
   test("native CosineSim is bit-identical to the declarative fold") {
     val e = Tables.embeddings(spark, sf)
       .selectExpr("vec_id", "cast(embedding as array<double>) AS v")
