@@ -48,6 +48,38 @@ object Temporal {
     carried.where(col("__tag") === 1).drop("__tag")
   }
 
+  /** Native as-of join through the custom plan node
+    * ([[graft.plans.AsOfJoinPlan]] → [[graft.plans.AsOfJoinExec]]) —
+    * same contract as [[asofJoin]], but planned as a first-class
+    * operator: one ClusteredDistribution shuffle per side (elided when
+    * a side is already partitioned by the key), then a streaming
+    * single-buffered-row merge per partition. q64 runs THIS path
+    * against the same DuckDB ASOF oracle that checks the composed q48,
+    * so both formulations are independently verified.
+    *
+    * Distinct left/right column names are the caller's job (the node
+    * outputs both sides verbatim); every right column is re-aliased
+    * internally so self-joins (both sides reading one source) can't
+    * collide on attribute ids. */
+  def asofJoinNative(left: DataFrame, right: DataFrame,
+      leftKey: String, leftTime: String,
+      rightKey: String, rightTime: String): DataFrame = {
+    import org.apache.spark.sql.graft.PlanBridge
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    val spark = left.sparkSession
+    PlanBridge.ensureStrategy(spark, graft.plans.AsOfJoinStrategy)
+    // fresh exprIds for the whole right side (alias-to-same-name) — the
+    // custom node gets none of the analyzer's join deduplication
+    val r = right.select(right.columns.map(c => col(c).as(c)): _*)
+    val lPlan = PlanBridge.analyzed(left)
+    val rPlan = PlanBridge.analyzed(r)
+    def attr(p: LogicalPlan, n: String) = p.output.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"asofJoinNative: no column '$n'"))
+    PlanBridge.ofRows(spark, graft.plans.AsOfJoinPlan(lPlan, rPlan,
+      attr(lPlan, leftKey), attr(rPlan, rightKey),
+      attr(lPlan, leftTime), attr(rPlan, rightTime)))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // For each purchase, the most recent prior (or simultaneous) view by
     // the same user.
@@ -60,11 +92,32 @@ object Temporal {
       asofJoin(purchases, views, "user_id", "t")
         .selectExpr("user_id", "purchase_id", "coalesce(view_id, -1) AS view_id")
         .orderBy("user_id", "purchase_id")
+    }),
+
+    // Same question as q48 through the NATIVE custom-plan path; the
+    // identical oracle makes the two implementations check each other.
+    "q64_asof_native" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where("event_type = 'purchase'")
+        .selectExpr("user_id", "unix_micros(ts) AS t", "event_id AS purchase_id")
+      val views = ev.where("event_type = 'view'")
+        .selectExpr("user_id AS v_user", "unix_micros(ts) AS v_t", "event_id AS view_id")
+      asofJoinNative(purchases, views, "user_id", "t", "v_user", "v_t")
+        .selectExpr("user_id", "purchase_id", "coalesce(view_id, -1) AS view_id")
+        .orderBy("user_id", "purchase_id")
     })
   )
 
   def oracle: Map[String, String] = Map(
     "q48_asof_join" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id AS purchase_id FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id AS view_id FROM events WHERE event_type = 'view')
+        |SELECT p.user_id, p.purchase_id, coalesce(v.view_id, -1) AS view_id
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.t <= p.t
+        |ORDER BY p.user_id, purchase_id""".stripMargin,
+    "q64_asof_native" ->
       """WITH p AS (
         |  SELECT user_id, epoch_us(ts) AS t, event_id AS purchase_id FROM events WHERE event_type = 'purchase'),
         |v AS (

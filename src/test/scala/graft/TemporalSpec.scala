@@ -28,4 +28,74 @@ class TemporalSpec extends AnyFunSuite {
     val out = Temporal.asofJoin(left, right, "k", "t").collect()
     assert(out(0).getString(3) == "v")
   }
+
+  test("native as-of join agrees row-for-row with the composed formulation on real events") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val p = ev.where("event_type = 'purchase'")
+      .selectExpr("user_id", "unix_micros(ts) AS t", "event_id AS purchase_id")
+    val v = ev.where("event_type = 'view'")
+      .selectExpr("user_id AS vu", "unix_micros(ts) AS vt", "event_id AS view_id")
+    val native = Temporal.asofJoinNative(p, v, "user_id", "t", "vu", "vt")
+      .selectExpr("user_id", "purchase_id", "coalesce(view_id, -1) AS view_id")
+    val composed = Temporal.asofJoin(p,
+        v.selectExpr("vu AS user_id", "vt AS t", "view_id"), "user_id", "t")
+      .selectExpr("user_id", "purchase_id", "coalesce(view_id, -1) AS view_id")
+    assert(native.count() == p.count()) // left join: every purchase kept
+    assert(native.exceptAll(composed).count() == 0 &&
+           composed.exceptAll(native).count() == 0)
+  }
+
+  test("native as-of join: nulls never match, unmatched lefts keep null right columns") {
+    val left = Seq((Some(1L), Some(100L), "p1"), (Some(1L), None, "p2"),
+        (None, Some(50L), "p3"), (Some(9L), Some(10L), "p4"))
+      .toDF("k", "t", "lp")
+    val right = Seq((Some(1L), Some(90L), "v1"), (Some(1L), None, "vnull"),
+        (None, Some(1L), "vk"))
+      .toDF("rk", "rt", "rp")
+    val out = Temporal.asofJoinNative(left, right, "k", "t", "rk", "rt")
+      .selectExpr("lp", "rp").collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(out == Map("p1" -> "v1", "p2" -> null, "p3" -> null, "p4" -> null))
+  }
+
+  test("native as-of join plans one exchange per side and reuses existing partitioning") {
+    import org.apache.spark.sql.graft.PlanBridge
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions.col
+    // AQE wraps every materialized stage in a LEAF node (ShuffleQueryStage,
+    // ResultQueryStage), so plain collect() sees nothing — recurse through
+    // each stage's wrapped plan and count the real exchanges
+    def shuffles(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+      case q: QueryStageExec => shuffles(q.plan)
+      case e: ShuffleExchangeLike => 1 + e.children.map(shuffles).sum
+      case other => other.children.map(shuffles).sum
+    }
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect() // run THIS dataset's QE so AQE finalizes its plan
+      shuffles(PlanBridge.executedPlan(df))
+    }
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val p = ev.where("event_type = 'purchase'")
+      .selectExpr("user_id", "unix_micros(ts) AS t", "event_id AS purchase_id")
+    val v = ev.where("event_type = 'view'")
+      .selectExpr("user_id AS vu", "unix_micros(ts) AS vt", "event_id AS view_id")
+    val plain = Temporal.asofJoinNative(p, v, "user_id", "t", "vu", "vt")
+    assert(exchanges(plain) == 2, "one hash exchange per side")
+    // pre-partitioned inputs: the node's ClusteredDistribution is already
+    // satisfied, so EnsureRequirements adds NO further exchange — the
+    // property that lets a 100TB pipeline pay its shuffle once upstream
+    val pPre = p.repartition(4, col("user_id"))
+    val vPre = v.repartition(4, col("vu"))
+    val pre = Temporal.asofJoinNative(pPre, vPre, "user_id", "t", "vu", "vt")
+    assert(exchanges(pre) == 2, "only the two explicit repartitions — none added")
+  }
+
+  test("GraftExtensions installs the as-of strategy via spark.sql.extensions") {
+    import org.apache.spark.sql.graft.PlanBridge
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext)
+    assert(PlanBridge.plannerStrategies(ext, spark).contains(graft.plans.AsOfJoinStrategy))
+  }
 }
