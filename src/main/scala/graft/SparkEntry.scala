@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Chunking, Curation, Dedup, Packing, Relational, Similarity, Temporal, TextAnalysis}
+import graft.operators.{Anomaly, Chunking, Curation, Dedup, Packing, Relational, Similarity, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,10 +22,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Chunking.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Temporal.queries ++
-      Packing.queries ++ Curation.queries ++ graft.functions.Multimodal.queries
+      Packing.queries ++ Curation.queries ++ Anomaly.queries ++ graft.functions.Multimodal.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Chunking.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ TextAnalysis.oracle ++ Temporal.oracle ++
-      Packing.oracle ++ Curation.oracle ++ graft.functions.Multimodal.oracle
+      Packing.oracle ++ Curation.oracle ++ Anomaly.oracle ++ graft.functions.Multimodal.oracle
 }

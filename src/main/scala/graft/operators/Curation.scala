@@ -116,6 +116,51 @@ object Curation {
 
   // ---------------------------------------------------------------- queries
 
+  /** RAG-style overlapping text chunking: windows of `size` chars every
+    * `stride` chars (stride < size ⇒ overlap), last partial window kept.
+    * Pure narrow map + generator — no shuffle at any scale; chunk count
+    * per doc is ceil(len/stride), so output is linear in corpus bytes.
+    * Emits md5 rather than the chunk text to keep result sets bounded. */
+  def textChunks(docs: DataFrame, size: Int = 400, stride: Int = 300): DataFrame =
+    docs.where("length(text) >= 1")
+      .selectExpr("doc_id", "text", s"sequence(1, length(text), $stride) AS starts")
+      .select(col("doc_id"), col("text"), posexplode(col("starts")).as(Seq("idx", "start")))
+      .selectExpr(
+        "doc_id",
+        "cast(idx as bigint) AS chunk_idx",
+        "cast(start as bigint) AS start",
+        s"cast(length(substring(text, start, $size)) as bigint) AS chunk_len",
+        s"md5(substring(text, start, $size)) AS chunk_md5")
+
+  /** Global vocabulary top-k: token → corpus frequency, ties broken by
+    * token text so the cut at k is deterministic. Partial-agg combine on
+    * the flat-mapped tokens, then TakeOrdered — the classic two-phase
+    * top-k that never materializes the full sorted vocab. */
+  def vocabTopK(docs: DataFrame, k: Int = 50): DataFrame =
+    docs.selectExpr(s"$sparkToks AS toks")
+      .selectExpr("explode(toks) AS tok").where("tok != ''")
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("tok")).limit(k)
+
+  /** Per-document top terms by integer-exact tf-idf: score_e6 =
+    * tf·10^6 div df (idf as literal inverse document frequency — no
+    * float log, so both engines agree to the last bit). Two partial
+    * aggregations (tf on (doc,term), df on term) + one vocab join + a
+    * per-doc window over ≤ vocab rows — every stage map-side combines,
+    * and the window partitions by doc_id, so skew is bounded by
+    * tokens-per-doc, not corpus size. */
+  def tfidfTop(docs: DataFrame, topPerDoc: Int = 3): DataFrame = {
+    val toks = docs.selectExpr("doc_id", s"$sparkToks AS toks")
+      .selectExpr("doc_id", "explode(toks) AS tok").where("tok != ''")
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(desc("score_e6"), asc("tok"))
+    tf.join(df, "tok")
+      .selectExpr("doc_id", "tok", "tf", "df", "tf * 1000000 div df AS score_e6")
+      .withColumn("rk", row_number().over(w)).where(s"rk <= $topPerDoc")
+      .selectExpr("doc_id", "tok", "tf", "df", "score_e6", "cast(rk as bigint) AS rk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q57_stratified_sample" -> ((s, dir) =>
       stratifiedSample(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -135,7 +180,16 @@ object Curation {
     }),
 
     "q63_source_cap" -> ((s, dir) =>
-      sourceCap(Tables.documents(s, dir)).orderBy("source", "rk"))
+      sourceCap(Tables.documents(s, dir)).orderBy("source", "rk")),
+
+    "q65_text_chunks" -> ((s, dir) =>
+      textChunks(Tables.documents(s, dir)).orderBy("doc_id", "chunk_idx")),
+
+    "q66_vocab_topk" -> ((s, dir) =>
+      vocabTopK(Tables.documents(s, dir))),
+
+    "q67_tfidf_top" -> ((s, dir) =>
+      tfidfTop(Tables.documents(s, dir)).orderBy("doc_id", "rk"))
   )
 
   def oracle: Map[String, String] = Map(
@@ -200,6 +254,38 @@ object Curation {
         |  SELECT doc_id, source, n_chars,
         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM documents)
-        |WHERE rk <= 15 ORDER BY source, rk""".stripMargin
+        |WHERE rk <= 15 ORDER BY source, rk""".stripMargin,
+
+    "q65_text_chunks" ->
+      """SELECT doc_id,
+        |  (start - 1) // 300 AS chunk_idx,
+        |  CAST(start AS BIGINT) AS start,
+        |  CAST(length(substr(text, CAST(start AS INTEGER), 400)) AS BIGINT) AS chunk_len,
+        |  md5(substr(text, CAST(start AS INTEGER), 400)) AS chunk_md5
+        |FROM (
+        |  SELECT doc_id, text, unnest(range(1, length(text) + 1, 300)) AS start
+        |  FROM documents WHERE length(text) >= 1)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q66_vocab_topk" ->
+      """SELECT tok, count(*) AS cnt FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents)
+        |WHERE tok != ''
+        |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 50""".stripMargin,
+
+    "q67_tfidf_top" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+        |tf AS (
+        |  SELECT doc_id, tok, count(*) AS tf FROM toks WHERE tok != '' GROUP BY 1, 2),
+        |df AS (
+        |  SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+        |    (tf.tf * 1000000) // df.df AS score_e6,
+        |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY (tf.tf * 1000000) // df.df DESC, tf.tok) AS rk
+        |  FROM tf JOIN df USING (tok))
+        |SELECT doc_id, tok, tf, df, score_e6, CAST(rk AS BIGINT) AS rk
+        |FROM scored WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin
   )
 }

