@@ -14,6 +14,25 @@ object SparkTestSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  /** Count real shuffle exchanges in a (possibly AQE-finalized) plan.
+    * AQE wraps materialized stages in LEAF nodes (ShuffleQueryStage,
+    * ResultQueryStage), so a plain collect() sees nothing — recurse
+    * through each stage's wrapped plan. Callers must run the DataFrame
+    * first so the adaptive plan is final. */
+  def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    df.collect()
+    def go(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+      case q: QueryStageExec => go(q.plan)
+      case e: ShuffleExchangeLike => 1 + e.children.map(go).sum
+      case other => other.children.map(go).sum
+    }
+    go(org.apache.spark.sql.graft.PlanBridge.executedPlan(df))
+  }
 }
 
 class RelationalSpec extends AnyFunSuite {

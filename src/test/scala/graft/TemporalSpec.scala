@@ -59,23 +59,9 @@ class TemporalSpec extends AnyFunSuite {
 
   test("native as-of join plans one exchange per side and reuses existing partitioning") {
     import org.apache.spark.sql.graft.PlanBridge
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.functions.col
-    // AQE wraps every materialized stage in a LEAF node (ShuffleQueryStage,
-    // ResultQueryStage), so plain collect() sees nothing — recurse through
-    // each stage's wrapped plan and count the real exchanges
-    def shuffles(p: SparkPlan): Int = p match {
-      case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
-      case q: QueryStageExec => shuffles(q.plan)
-      case e: ShuffleExchangeLike => 1 + e.children.map(shuffles).sum
-      case other => other.children.map(shuffles).sum
-    }
-    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
-      df.collect() // run THIS dataset's QE so AQE finalizes its plan
-      shuffles(PlanBridge.executedPlan(df))
-    }
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      SparkTestSession.shuffles(df)
     val ev = Tables.events(spark, "/root/testdata/sf0.001")
     val p = ev.where("event_type = 'purchase'")
       .selectExpr("user_id", "unix_micros(ts) AS t", "event_id AS purchase_id")
