@@ -39,6 +39,7 @@ object GraftSession {
     graft.plans.CosineSim.register(spark)
     graft.plans.ShingleGen.register(spark)
     graft.plans.CharShingles.register(spark)
+    graft.plans.SimHashSig.register(spark)
   }
 
   // Typed rows for the core tables (compile-time field checks where a

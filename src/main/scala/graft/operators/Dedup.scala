@@ -229,10 +229,22 @@ object Dedup {
     (labels.selectExpr("doc_id AS id", "label"), it)
   }
 
-  /** 48-bit SimHash over distinct tokens (portable hash ⇒ oracle-checkable). */
+  /** 48-bit SimHash over distinct tokens (portable hash ⇒ oracle-checkable).
+    * Native one-pass kernel ([[graft.plans.SimHashSig]]); the declarative
+    * twin below exists for the bit-identity spec. */
   def simhash(docs: DataFrame): DataFrame = {
-    val thE = s"transform(array_distinct($toksE), t -> ${sparkHash48("t")})"
+    import org.apache.spark.sql.graft.ColumnBridge
     docs.where(s"size($toksE) >= 1") // cheap pre-projection guard (see shingled)
+      .select(col("doc_id"), ColumnBridge.column(graft.plans.SimHashSig(
+        ColumnBridge.expression(expr(toksE)))).as("simhash"))
+  }
+
+  /** Declarative SimHash — 48 interpreted aggregate passes + per-token
+    * md5 inside a transform lambda; kept ONLY as the spec twin proving
+    * [[simhash]]'s native kernel bit-identical. */
+  private[graft] def simhashDeclarative(docs: DataFrame): DataFrame = {
+    val thE = s"transform(array_distinct($toksE), t -> ${sparkHash48("t")})"
+    docs.where(s"size($toksE) >= 1")
       .selectExpr("doc_id", s"$thE AS th")
       .selectExpr("doc_id",
         "aggregate(transform(sequence(0, 47), b -> " +
@@ -259,7 +271,12 @@ object Dedup {
     * mode. */
   def simhashPairs(docs: DataFrame, maxHam: Int = 3): DataFrame = {
     require(maxHam <= 3, "4 bands of 12 bits guarantee recall only to Hamming 3")
-    val sigs = simhash(docs) // (doc_id, simhash)
+    // cached: the signature frame feeds FIVE branches (both sides of the
+    // identical-sig join, the band table, and both expansion joins) —
+    // uncached, Catalyst recomputes the signature aggregation per branch
+    // and the query multiplies ~8× (56 s vs 7 s at sf0.1). Caller-managed
+    // like minhashNearDups (Bench clears the cache between reps).
+    val sigs = simhash(docs).cache() // (doc_id, simhash)
     val ham0 = sigs.toDF("doc_a", "sim_a")
       .join(sigs.toDF("doc_b", "sim_b"),
         col("sim_a") === col("sim_b") && col("doc_a") < col("doc_b"))

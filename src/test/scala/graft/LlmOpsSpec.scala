@@ -185,6 +185,18 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(g.select("g").exceptAll(sqlSup).count() == 0)
   }
 
+  test("native SimHashSig is bit-identical to the declarative 48-pass aggregate") {
+    val native = Dedup.simhash(docs)
+    val declarative = Dedup.simhashDeclarative(docs)
+    assert(native.exceptAll(declarative).count() == 0 &&
+           declarative.exceptAll(native).count() == 0)
+    // duplicate tokens vote once (array_distinct semantics)
+    val dup = Seq(("a a a b", 1L)).toDF("text", "doc_id")
+    val one = Seq(("a b", 1L)).toDF("text", "doc_id")
+    assert(Dedup.simhash(dup).select("simhash").collect()(0).getLong(0) ==
+           Dedup.simhash(one).select("simhash").collect()(0).getLong(0))
+  }
+
   test("native CosineSim is bit-identical to the declarative fold") {
     val e = Tables.embeddings(spark, sf)
       .selectExpr("vec_id", "cast(embedding as array<double>) AS v")
