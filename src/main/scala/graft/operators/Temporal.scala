@@ -80,6 +80,34 @@ object Temporal {
       attr(lPlan, leftTime), attr(rPlan, rightTime)))
   }
 
+  /** Pure range join (NO equi key): for each left row, aggregate right
+    * rows whose time falls in [leftTime − window, leftTime].
+    *
+    * Spark plans a range-only condition as BroadcastNestedLoopJoin —
+    * quadratic work and a driver-sized build side, the canonical
+    * scale-killer. This decomposes the range into fixed-width buckets
+    * (width = the window): a right row lives in exactly one bucket, a
+    * left row's interval spans at most two, so exploding the left side
+    * to its ≤ 2 candidate buckets turns the whole thing into an
+    * EQUI-join on bucket id + a residual range filter. One shuffle per
+    * side, pair work linear in true matches per bucket; a time-skewed
+    * hot bucket is AQE's skew-split case, not a cross product. */
+  def rangeCountBucketed(left: DataFrame, right: DataFrame,
+      leftTime: String, rightTime: String, windowMicros: Long): DataFrame = {
+    val probes = left.withColumn("__bks",
+      array_distinct(array(
+        expr(s"($leftTime - $windowMicros) div $windowMicros"),
+        expr(s"$leftTime div $windowMicros"))))
+      .withColumn("__bk", explode(col("__bks"))).drop("__bks")
+    val buckets = right.withColumn("__bk", expr(s"$rightTime div $windowMicros"))
+    probes.join(buckets, Seq("__bk"), "left")
+      .withColumn(rightTime, when(
+        col(rightTime).between(col(leftTime) - windowMicros, col(leftTime)),
+        col(rightTime)))
+      .groupBy(left.columns.map(col): _*)
+      .agg(count(col(rightTime)).as("n_in_window"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // For each purchase, the most recent prior (or simultaneous) view by
     // the same user.
@@ -105,6 +133,19 @@ object Temporal {
       asofJoinNative(purchases, views, "user_id", "t", "v_user", "v_t")
         .selectExpr("user_id", "purchase_id", "coalesce(view_id, -1) AS view_id")
         .orderBy("user_id", "purchase_id")
+    }),
+
+    // Pure range join: views (ANY user) in the 10 minutes before each
+    // purchase — no equi key, so naive Spark would nested-loop it.
+    "q70_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where("event_type = 'purchase'")
+        .selectExpr("event_id AS purchase_id", "unix_micros(ts) AS t")
+      val views = ev.where("event_type = 'view'")
+        .selectExpr("unix_micros(ts) AS vt")
+      rangeCountBucketed(purchases, views, "t", "vt", 600000000L)
+        .selectExpr("purchase_id", "n_in_window AS n_views")
+        .orderBy("purchase_id")
     })
   )
 
@@ -124,6 +165,15 @@ object Temporal {
         |  SELECT user_id, epoch_us(ts) AS t, event_id AS view_id FROM events WHERE event_type = 'view')
         |SELECT p.user_id, p.purchase_id, coalesce(v.view_id, -1) AS view_id
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND v.t <= p.t
-        |ORDER BY p.user_id, purchase_id""".stripMargin
+        |ORDER BY p.user_id, purchase_id""".stripMargin,
+
+    "q70_range_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT epoch_us(ts) AS vt FROM events WHERE event_type = 'view')
+        |SELECT p.purchase_id, count(v.vt) AS n_views
+        |FROM p LEFT JOIN v ON v.vt BETWEEN p.t - 600000000 AND p.t
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

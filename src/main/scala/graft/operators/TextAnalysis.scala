@@ -174,6 +174,21 @@ object TextAnalysis {
           "cast(length(stripped) as bigint) AS len_stripped",
           "md5(stripped) AS strip_fp")
         .orderBy("doc_id")
+    }),
+
+    // Token counting two ways: whitespace words and a BPE-style
+    // pre-tokenizer split (letter runs | single digits | punct runs —
+    // the GPT-2-family shape; digits split singly so numbers never form
+    // giant tokens). The e3 ratio is the "tokens per word" fertility a
+    // budget planner multiplies corpus word counts by. Narrow map only.
+    "q71_bpe_tokens" -> ((s, dir) => {
+      Tables.documents(s, dir).selectExpr(
+        "doc_id",
+        s"cast(size($toksE) as bigint) AS n_words",
+        "cast(size(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\\\s]+', 0)) as bigint) AS n_bpeish")
+      .selectExpr("doc_id", "n_words", "n_bpeish",
+        "n_bpeish * 1000 div n_words AS fertility_e3")
+      .orderBy("doc_id")
     })
   )
 
@@ -257,7 +272,16 @@ object TextAnalysis {
           |  (len(toks) >= 5 AND len(toks) <= 100000
           |   AND round(100.0 * list_sum(list_transform(toks, tk -> length(tk))) / len(toks)) BETWEEN 200 AND 1200
           |   AND round(10000.0 * n_symbols / len) < 3000) AS passes
-          |FROM g JOIN rep ON g.doc_id = rep.doc_id ORDER BY g.doc_id""".stripMargin
+          |FROM g JOIN rep ON g.doc_id = rep.doc_id ORDER BY g.doc_id""".stripMargin,
+
+      "q71_bpe_tokens" ->
+        """SELECT doc_id, n_words, n_bpeish, (n_bpeish * 1000) // n_words AS fertility_e3
+          |FROM (
+          |  SELECT doc_id,
+          |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+          |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpeish
+          |  FROM documents)
+          |ORDER BY doc_id""".stripMargin
     )
   }
 }

@@ -78,6 +78,34 @@ class TemporalSpec extends AnyFunSuite {
     assert(exchanges(pre) == 2, "only the two explicit repartitions — none added")
   }
 
+  test("bucketized range join equals the naive range join and plans as an equi-join") {
+    import org.apache.spark.sql.functions.col
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val p = ev.where("event_type = 'purchase'")
+      .selectExpr("event_id AS purchase_id", "unix_micros(ts) AS t")
+    val v = ev.where("event_type = 'view'").selectExpr("unix_micros(ts) AS vt")
+    val bucketed = Temporal.rangeCountBucketed(p, v, "t", "vt", 600000000L)
+      .selectExpr("purchase_id", "n_in_window")
+    val naive = p.join(v, col("vt").between(col("t") - 600000000L, col("t")), "left")
+      .groupBy("purchase_id").agg(org.apache.spark.sql.functions.count(col("vt")).as("n_in_window"))
+    assert(bucketed.exceptAll(naive).count() == 0 && naive.exceptAll(bucketed).count() == 0)
+    // purchases with zero views in window are kept (left semantics)
+    assert(bucketed.count() == p.count())
+    // and the plan is hash/merge join on the bucket id — never nested loop
+    bucketed.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    def joins(pl: SparkPlan): Seq[String] = pl match {
+      case a: AdaptiveSparkPlanExec => joins(a.executedPlan)
+      case q: QueryStageExec => joins(q.plan)
+      case j: BaseJoinExec => j.nodeName +: j.children.flatMap(joins)
+      case other => other.children.flatMap(joins)
+    }
+    val names = joins(org.apache.spark.sql.graft.PlanBridge.executedPlan(bucketed))
+    assert(names.nonEmpty && names.forall(!_.toLowerCase.contains("nestedloop")), names.toString)
+  }
+
   test("GraftExtensions installs the as-of strategy via spark.sql.extensions") {
     import org.apache.spark.sql.graft.PlanBridge
     val ext = new org.apache.spark.sql.SparkSessionExtensions
