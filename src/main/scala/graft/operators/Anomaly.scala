@@ -28,20 +28,33 @@ import graft.Tables
   * stream. */
 object Anomaly {
 
-  /** Events whose value deviates more than `z` sample standard
-    * deviations from their event_type's mean. */
-  def valueAnomalies(events: DataFrame, z: Int = 3): DataFrame = {
-    val cents = events.selectExpr(
-      "event_id", "event_type",
-      "cast(round(value * 100) as decimal(38,0)) AS x")
-    val stats = cents.groupBy("event_type").agg(
+  /** Per-type moment sums (n, Σx, Σx²) over integer cents — the model
+    * side of the detector. A handful of rows; broadcast-sized. */
+  def stats(events: DataFrame): DataFrame =
+    centsOf(events).groupBy("event_type").agg(
       count(lit(1)).cast("decimal(38,0)").as("n"),
       sum("x").as("s"),
       sum(expr("x * x")).as("q"))
-    cents.join(stats, "event_type")
+
+  /** Score events against a (possibly frozen) stats frame. Works
+    * identically on a batch frame and a STREAMING frame — the join is
+    * stream-static (equi on event_type) and the filter is stateless, so
+    * online scoring IS the batch operator applied to a stream
+    * (StreamingSpec proves flag-for-flag equality). */
+  def flagAgainst(events: DataFrame, stats: DataFrame, z: Int = 3): DataFrame =
+    centsOf(events).join(stats, "event_type")
       .where(s"(n * x - s) * (n * x - s) * (n - 1) > ${z * z} * n * (n * q - s * s)")
       .selectExpr("event_id", "event_type", "cast(x as bigint) AS value_cents")
-  }
+
+  /** Events whose value deviates more than `z` sample standard
+    * deviations from their event_type's mean. */
+  def valueAnomalies(events: DataFrame, z: Int = 3): DataFrame =
+    flagAgainst(events, stats(events), z)
+
+  private def centsOf(events: DataFrame): DataFrame =
+    events.selectExpr(
+      "event_id", "event_type",
+      "cast(round(value * 100) as decimal(38,0)) AS x")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_value_anomaly" -> ((s, dir) =>

@@ -324,6 +324,34 @@ object Relational {
 
     // Classic TPC-H shapes adapted to this schema (o_orderpriority stands
     // in for o_shippriority; revenue in exact cents).
+    // TPC-H Q1 pricing summary — every aggregate integer-exact: per-row
+    // cents rounding is deterministic (same IEEE product both engines,
+    // half-up = half-away-from-zero for positives), integer sums are
+    // shuffle-order-independent, and the averages are integer divisions
+    // of those sums. One partial-agg shuffle over 6 groups.
+    "q72_tpch_q1" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= "1998-09-02")
+        .selectExpr(
+          "l_returnflag", "l_linestatus",
+          "cast(round(l_quantity) as bigint) AS qty",
+          "cast(round(l_extendedprice * 100) as bigint) AS base_c",
+          "cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint) AS disc_c",
+          "cast(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) as bigint) AS charge_c")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("qty").cast("long").as("sum_qty"),
+          sum("base_c").cast("long").as("sum_base_cents"),
+          sum("disc_c").cast("long").as("sum_disc_cents"),
+          sum("charge_c").cast("long").as("sum_charge_cents"),
+          count(lit(1)).as("n_rows"))
+        .selectExpr("l_returnflag", "l_linestatus", "sum_qty", "sum_base_cents",
+          "sum_disc_cents", "sum_charge_cents",
+          "100 * sum_qty div n_rows AS avg_qty_e2",
+          "sum_base_cents div n_rows AS avg_base_cents", "n_rows")
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
     "q40_tpch_q3" -> ((s, dir) => {
       val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.orders(s, dir).filter(col("o_orderdate") < "1998-03-15")
@@ -635,6 +663,23 @@ object Relational {
         |  FROM f)
         |SELECT user_id, CAST(sess AS BIGINT) AS sess, CAST(COUNT(*) AS BIGINT) AS n_events
         |FROM s GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
+    "q72_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(qty) AS BIGINT) AS sum_qty,
+        |  CAST(SUM(base_c) AS BIGINT) AS sum_base_cents,
+        |  CAST(SUM(disc_c) AS BIGINT) AS sum_disc_cents,
+        |  CAST(SUM(charge_c) AS BIGINT) AS sum_charge_cents,
+        |  (100 * CAST(SUM(qty) AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS avg_qty_e2,
+        |  CAST(SUM(base_c) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS avg_base_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(round(l_quantity) AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS base_c,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS disc_c,
+        |    CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT) AS charge_c
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q40_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

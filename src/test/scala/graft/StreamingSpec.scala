@@ -31,6 +31,21 @@ class StreamingSpec extends AnyFunSuite {
     d
   }
 
+  test("streaming anomaly scoring equals the batch flags (stream-static join, same operator)") {
+    import graft.operators.Anomaly
+    val dir = stageEvents()
+    val batchEvents = Tables.events(spark, "/root/testdata/sf0.001")
+    val model = Anomaly.stats(batchEvents) // frozen model side
+    val q = Anomaly.flagAgainst(streamingEvents(dir), model)
+      .writeStream.outputMode("append").format("memory").queryName("anom_stream")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("anom_stream")
+    val batch = Anomaly.flagAgainst(batchEvents, model)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
+  }
+
   test("T2: streaming hourly rollup matches the batch q17 aggregation") {
     val dir = stageEvents()
     val q = EventStream.hourlyRollup(streamingEvents(dir))
