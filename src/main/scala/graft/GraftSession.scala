@@ -40,6 +40,7 @@ object GraftSession {
     graft.plans.ShingleGen.register(spark)
     graft.plans.CharShingles.register(spark)
     graft.plans.SimHashSig.register(spark)
+    graft.plans.ChunkGen.register(spark)
   }
 
   // Typed rows for the core tables (compile-time field checks where a

@@ -121,16 +121,21 @@ object Curation {
     * Pure narrow map + generator — no shuffle at any scale; chunk count
     * per doc is ceil(len/stride), so output is linear in corpus bytes.
     * Emits md5 rather than the chunk text to keep result sets bounded. */
-  def textChunks(docs: DataFrame, size: Int = 400, stride: Int = 300): DataFrame =
+  def textChunks(docs: DataFrame, size: Int = 400, stride: Int = 300): DataFrame = {
+    // one-pass custom Generator: the posexplode+substring spelling is
+    // Θ(L²/stride) per NON-ASCII doc (substring seeks code points from
+    // char 0; the ASCII fast path hides it until one emoji shows up).
+    // ChunkGen decodes each document once regardless of content.
+    import org.apache.spark.sql.graft.ColumnBridge
     docs.where("length(text) >= 1")
-      .selectExpr("doc_id", "text", s"sequence(1, length(text), $stride) AS starts")
-      .select(col("doc_id"), col("text"), posexplode(col("starts")).as(Seq("idx", "start")))
+      .select(col("doc_id"), ColumnBridge.column(graft.plans.ChunkGen(
+        ColumnBridge.expression(col("text")), size, stride))
+        .as(Seq("chunk_idx", "start", "chunk")))
       .selectExpr(
-        "doc_id",
-        "cast(idx as bigint) AS chunk_idx",
-        "cast(start as bigint) AS start",
-        s"cast(length(substring(text, start, $size)) as bigint) AS chunk_len",
-        s"md5(substring(text, start, $size)) AS chunk_md5")
+        "doc_id", "chunk_idx", "start",
+        "cast(length(chunk) as bigint) AS chunk_len",
+        "md5(chunk) AS chunk_md5")
+  }
 
   /** Global vocabulary top-k: token → corpus frequency, ties broken by
     * token text so the cut at k is deterministic. Partial-agg combine on

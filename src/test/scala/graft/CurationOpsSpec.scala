@@ -31,6 +31,21 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(byDoc.where("n != ceil(len / 300.0)").count() == 0)
   }
 
+  test("ChunkGen matches the declarative substring spelling, including non-ASCII") {
+    // a code-point-heavy doc where the ASCII fast path does NOT apply:
+    // ChunkGen and SQL substring must still agree position-for-position
+    val text = ("héllo wörld 😀 " * 40).trim
+    val one = Seq((1L, text)).toDF("doc_id", "text")
+    val gen = Curation.textChunks(one, size = 50, stride = 30)
+    val sql = one
+      .selectExpr("doc_id", "text", "sequence(1, length(text), 30) AS starts")
+      .select(col("doc_id"), col("text"), posexplode(col("starts")).as(Seq("idx", "start")))
+      .selectExpr("doc_id", "cast(idx as bigint) AS chunk_idx", "cast(start as bigint) AS start",
+        "cast(length(substring(text, start, 50)) as bigint) AS chunk_len",
+        "md5(substring(text, start, 50)) AS chunk_md5")
+    assert(gen.exceptAll(sql).count() == 0 && sql.exceptAll(gen).count() == 0)
+  }
+
   test("vocabTopK returns exactly k rows in (count desc, token asc) order") {
     val top = Curation.vocabTopK(docs, k = 20).collect()
     assert(top.length == 20)
