@@ -22,10 +22,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Chunking.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Temporal.queries ++
-      Packing.queries ++ Curation.queries ++ Anomaly.queries ++ graft.functions.Multimodal.queries
+      Packing.queries ++ Curation.queries ++ Anomaly.queries ++
+      graft.functions.Multimodal.queries ++ graft.sources.v2.StoreQueries.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Chunking.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ TextAnalysis.oracle ++ Temporal.oracle ++
-      Packing.oracle ++ Curation.oracle ++ Anomaly.oracle ++ graft.functions.Multimodal.oracle
+      Packing.oracle ++ Curation.oracle ++ Anomaly.oracle ++
+      graft.functions.Multimodal.oracle ++ graft.sources.v2.StoreQueries.oracle
 }

@@ -68,6 +68,8 @@ object Temporal {
     import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
     val spark = left.sparkSession
     PlanBridge.ensureStrategy(spark, graft.plans.AsOfJoinStrategy)
+    PlanBridge.ensureOptimizerRule(spark, graft.plans.AsOfFilterPushdown)
+    PlanBridge.ensureOptimizerRule(spark, graft.plans.AsOfColumnPruning)
     // fresh exprIds for the whole right side (alias-to-same-name) — the
     // custom node gets none of the analyzer's join deduplication
     val r = right.select(right.columns.map(c => col(c).as(c)): _*)

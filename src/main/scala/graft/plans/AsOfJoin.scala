@@ -60,8 +60,14 @@ object AsOfJoinStrategy extends SparkStrategy {
   * path for a cluster. (Runtime registration on an existing session:
   * `PlanBridge.ensureStrategy`.) */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    // the custom node's own optimizer algebra (see AsOfJoinRules) —
+    // without these, a Filter/Project above the node never reaches the
+    // scans, because Catalyst's built-in rules don't know the node
+    ext.injectOptimizerRule(_ => AsOfFilterPushdown)
+    ext.injectOptimizerRule(_ => AsOfColumnPruning)
+  }
 }
 
 /** Physical sort-merge as-of zipper. Requires children clustered by

@@ -42,6 +42,27 @@ object PlanBridge {
       exp.extraStrategies = exp.extraStrategies :+ strategy
   }
 
+  /** Idempotently add an optimizer rule to an already-running session —
+    * the runtime twin of `injectOptimizerRule` (same reason as
+    * [[ensureStrategy]]: the driver's sessions are built without
+    * `spark.sql.extensions`). `ExperimentalMethods.extraOptimizations`
+    * run as their own batch inside the optimizer. */
+  def ensureOptimizerRule(spark: SparkSession,
+                          rule: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraOptimizations.contains(rule))
+      exp.extraOptimizations = exp.extraOptimizations :+ rule
+  }
+
+  /** Optimized logical plan — used by specs asserting rule rewrites. */
+  def optimized(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.optimizedPlan
+
+  /** The optimizer rules an extensions config would install (spec twin
+    * of [[plannerStrategies]]). */
+  def optimizerRules(ext: SparkSessionExtensions, spark: SparkSession): Seq[org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]] =
+    ext.buildOptimizerRules(spark)
+
   /** The planner strategies an extensions config would install — lets a
     * spec prove `spark.sql.extensions=graft.plans.GraftExtensions`
     * wires the same strategy object without needing a fresh JVM-wide

@@ -1,0 +1,191 @@
+package graft.sources.v2
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** Backing registry for the `graft-store` DataSource V2 connector
+  * ([[GraftStoreProvider]]) — the stand-in for the reference's external
+  * document store (MongoDB collections + GridFS buckets,
+  * /root/reference/src/ingestion.py:17-20), shaped the way a real
+  * server-backed connector shapes its metadata:
+  *
+  *  - a collection is a SCHEMA plus a list of range-sharded SEGMENTS
+  *    (rows clustered by a shard key, like Mongo chunk ranges or a
+  *    lakehouse file manifest);
+  *  - each segment carries ZONE MAPS (per-column min/max) so the scan
+  *    can do data skipping: pushed filters prune whole segments before
+  *    any row is read — the lever that matters at 100 TB, where the
+  *    manifest is touched on the driver and only surviving segments
+  *    become input partitions;
+  *  - segments embed their rows, so an [[org.apache.spark.sql.connector.read.InputPartition]]
+  *    serializes the segment to the executor that reads it — the same
+  *    life-cycle a real connector has (driver plans from metadata,
+  *    executors fetch their shard), exercised honestly in one JVM.
+  *
+  * Values are stored as plain JVM externals (Long/Int/Double/String/
+  * Boolean/Array[Byte]/java.sql.Timestamp) and converted at the scan
+  * boundary by [[RowConverters]] — no dependence on Spark-private
+  * converter API. */
+object GraftStore {
+
+  /** One range shard: contiguous rows (sorted by the shard key at
+    * registration) + per-column zone maps over the comparable columns. */
+  case class Segment(rows: Vector[Row], zones: Map[String, (Any, Any)])
+      extends Serializable
+
+  case class Collection(schema: StructType, shardKey: Option[String],
+                        segments: Vector[Segment]) {
+    def rows: Vector[Row] = segments.flatMap(_.rows)
+  }
+
+  private val store = scala.collection.mutable.Map.empty[String, Collection]
+
+  /** Scan-side observability for specs and PLANS.md evidence: segments
+    * pruned by zone maps across all scans since the last reset. */
+  val segmentsSkipped = new AtomicLong(0)
+  val segmentsRead = new AtomicLong(0)
+  def resetCounters(): Unit = { segmentsSkipped.set(0); segmentsRead.set(0) }
+
+  private def comparable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | DoubleType | FloatType | StringType => true
+    case _ => false
+  }
+
+  /** Natural ordering on the external value types zone maps hold. */
+  private[v2] def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long)       => java.lang.Long.compare(x, y)
+    case (x: Int, y: Int)         => java.lang.Integer.compare(x, y)
+    case (x: Long, y: Int)        => java.lang.Long.compare(x, y.toLong)
+    case (x: Int, y: Long)        => java.lang.Long.compare(x.toLong, y)
+    case (x: Double, y: Double)   => java.lang.Double.compare(x, y)
+    case (x: Float, y: Float)     => java.lang.Float.compare(x, y)
+    case (x: String, y: String)   => x.compareTo(y)
+    case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
+    case _ => throw new IllegalArgumentException(
+      s"incomparable zone-map values: ${a.getClass} vs ${b.getClass}")
+  }
+
+  private def zoneMaps(schema: StructType, rows: Vector[Row]): Map[String, (Any, Any)] =
+    schema.fields.iterator.filter(f => comparable(f.dataType)).flatMap { f =>
+      val idx = schema.fieldIndex(f.name)
+      val vals = rows.iterator.map(_.get(idx)).filter(_ != null).toVector
+      if (vals.isEmpty) None
+      else Some(f.name -> (vals.min(Ordering.fromLessThan[Any](cmp(_, _) < 0)),
+                           vals.max(Ordering.fromLessThan[Any](cmp(_, _) < 0))))
+    }.toMap
+
+  private def shard(schema: StructType, shardKey: Option[String],
+                    rows: Vector[Row], numSegments: Int): Vector[Segment] = {
+    val ordered = shardKey match {
+      case Some(key) =>
+        val idx = schema.fieldIndex(key)
+        // nulls first, then natural order: contiguous key ranges per
+        // segment => disjoint zone maps => pruning actually prunes
+        rows.sortWith { (a, b) =>
+          (a.get(idx), b.get(idx)) match {
+            case (null, null) => false
+            case (null, _)    => true
+            case (_, null)    => false
+            case (x, y)       => cmp(x, y) < 0
+          }
+        }
+      case None => rows
+    }
+    if (ordered.isEmpty) Vector(Segment(Vector.empty, Map.empty))
+    else {
+      val per = math.max(1, math.ceil(ordered.size.toDouble / numSegments).toInt)
+      ordered.grouped(per).map(g => Segment(g, zoneMaps(schema, g))).toVector
+    }
+  }
+
+  /** Register (Overwrite) a collection from driver-side rows. */
+  def register(name: String, schema: StructType, rows: Seq[Row],
+               shardKey: Option[String] = None, numSegments: Int = 8): Unit =
+    store.synchronized {
+      store(name) = Collection(schema, shardKey,
+        shard(schema, shardKey, rows.toVector, numSegments))
+    }
+
+  /** Convenience: materialize a DataFrame into the store (the test/dev
+    * ingest path; a real deployment writes through the connector's
+    * [[org.apache.spark.sql.connector.write.BatchWrite]] instead). */
+  def load(name: String, df: DataFrame, shardKey: Option[String] = None,
+           numSegments: Int = 8): Unit =
+    register(name, df.schema, df.collect().toIndexedSeq, shardKey, numSegments)
+
+  /** Append rows, preserving the collection's shard layout (re-shards —
+    * the moral equivalent of a compaction after an append batch). */
+  def append(name: String, schema: StructType, rows: Seq[Row],
+             numSegments: Int = 8): Unit = store.synchronized {
+    store.get(name) match {
+      case Some(c) =>
+        require(c.schema == schema,
+          s"append schema mismatch for $name: ${c.schema} vs $schema")
+        store(name) = Collection(c.schema, c.shardKey,
+          shard(c.schema, c.shardKey, c.rows ++ rows, numSegments))
+      case None => register(name, schema, rows, None, numSegments)
+    }
+  }
+
+  def get(name: String): Collection = store.synchronized {
+    store.getOrElse(name,
+      throw new NoSuchElementException(s"graft-store: no such collection: $name"))
+  }
+  def exists(name: String): Boolean = store.synchronized(store.contains(name))
+  def drop(name: String): Unit = store.synchronized { store.remove(name) }
+
+  // ------------------------------------------------------------ filters
+
+  /** The filter classes the scan claims (evaluates exactly per row AND
+    * uses for zone-map pruning); everything else is left to Spark as a
+    * residual. */
+  private[v2] def supported(f: Filter, schema: StructType): Boolean = f match {
+    case EqualTo(a, _) => schema.fieldNames.contains(a)
+    case GreaterThan(a, _) => schema.fieldNames.contains(a)
+    case GreaterThanOrEqual(a, _) => schema.fieldNames.contains(a)
+    case LessThan(a, _) => schema.fieldNames.contains(a)
+    case LessThanOrEqual(a, _) => schema.fieldNames.contains(a)
+    case In(a, _) => schema.fieldNames.contains(a)
+    case IsNull(a) => schema.fieldNames.contains(a)
+    case IsNotNull(a) => schema.fieldNames.contains(a)
+    case And(l, r) => supported(l, schema) && supported(r, schema)
+    case _ => false
+  }
+
+  /** Exact row-level evaluation of a claimed filter (three-valued null
+    * semantics collapse to "keep only definite true", which is what a
+    * Filter means). */
+  private[v2] def eval(f: Filter, row: Row, schema: StructType): Boolean = {
+    def v(attr: String): Any = row.get(schema.fieldIndex(attr))
+    f match {
+      case EqualTo(a, x)            => val y = v(a); y != null && cmp(y, x) == 0
+      case GreaterThan(a, x)        => val y = v(a); y != null && cmp(y, x) > 0
+      case GreaterThanOrEqual(a, x) => val y = v(a); y != null && cmp(y, x) >= 0
+      case LessThan(a, x)           => val y = v(a); y != null && cmp(y, x) < 0
+      case LessThanOrEqual(a, x)    => val y = v(a); y != null && cmp(y, x) <= 0
+      case In(a, xs)                => val y = v(a); y != null && xs.exists(x => x != null && cmp(y, x) == 0)
+      case IsNull(a)                => v(a) == null
+      case IsNotNull(a)             => v(a) != null
+      case And(l, r)                => eval(l, row, schema) && eval(r, row, schema)
+      case other => throw new IllegalStateException(s"unclaimed filter reached eval: $other")
+    }
+  }
+
+  /** Can `seg` possibly contain a row passing `f`? Conservative: any
+    * filter shape the zone maps can't reason about keeps the segment. */
+  private[v2] def mightMatch(f: Filter, seg: Segment): Boolean = f match {
+    case EqualTo(a, x) => seg.zones.get(a).forall { case (lo, hi) =>
+      cmp(x, lo) >= 0 && cmp(x, hi) <= 0 }
+    case GreaterThan(a, x) => seg.zones.get(a).forall { case (_, hi) => cmp(hi, x) > 0 }
+    case GreaterThanOrEqual(a, x) => seg.zones.get(a).forall { case (_, hi) => cmp(hi, x) >= 0 }
+    case LessThan(a, x) => seg.zones.get(a).forall { case (lo, _) => cmp(lo, x) < 0 }
+    case LessThanOrEqual(a, x) => seg.zones.get(a).forall { case (lo, _) => cmp(lo, x) <= 0 }
+    case In(a, xs) => seg.zones.get(a).forall { case (lo, hi) =>
+      xs.exists(x => x != null && cmp(x, lo) >= 0 && cmp(x, hi) <= 0) }
+    case And(l, r) => mightMatch(l, seg) && mightMatch(r, seg)
+    case _ => true // IsNull/IsNotNull and anything else: no zone info
+  }
+}

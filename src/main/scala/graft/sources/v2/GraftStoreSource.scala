@@ -1,0 +1,291 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, DateTimeUtils, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `graft-store` — a full DataSource V2 connector over [[GraftStore]],
+  * the remaining §2.1/§2.2 Spark-extension surface: the reference reads
+  * and writes an external document store through a driver
+  * (/root/reference/src/ingestion.py:17-20, transform_load.py:13-19);
+  * the Spark-native equivalent of "a Mongo/GridFS driver" is exactly a
+  * DSv2 TableProvider, and this one exercises every part of the
+  * life-cycle a 1000-executor scan depends on:
+  *
+  *  - **planning**: one InputPartition per store segment — parallelism
+  *    follows the data layout, not a driver loop;
+  *  - **filter pushdown** ([[SupportsPushDownFilters]]): claimed filters
+  *    are (a) used on the DRIVER to prune whole segments via zone maps
+  *    (data skipping — pruned segments are never serialized, shipped,
+  *    or read) and (b) re-applied exactly per row in the reader, so
+  *    claiming them is sound and Spark plans no residual for them;
+  *  - **column pruning** ([[SupportsPushDownRequiredColumns]]): readers
+  *    emit only the required columns;
+  *  - **write protocol**: executors buffer their partition and send it
+  *    as a [[WriterCommitMessage]]; the DRIVER commits atomically
+  *    (append or truncate+overwrite) — the standard two-phase DSv2
+  *    commit, so a failed task never half-writes the store;
+  *  - **micro-batch streaming** ([[MicroBatchStream]]): the collection
+  *    replays in bounded row-count batches with durable integer
+  *    offsets, so `readStream.format("graft-store")` gets restart/
+  *    exactly-once semantics from the engine (StreamingSpec proves
+  *    batch/stream agreement and checkpoint restart).
+  *
+  * Usage: `spark.read.format("graft-store").option("name", c).load()`.
+  */
+class GraftStoreProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-store"
+
+  private def collName(options: CaseInsensitiveStringMap): String = {
+    val n = options.get("name")
+    require(n != null, "graft-store requires .option(\"name\", <collection>)")
+    n
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GraftStore.get(collName(options)).schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new GraftStoreTable(properties.get("name"), schema,
+      Option(properties.get("batchrows")).map(_.toInt).getOrElse(0))
+
+  // a write to a collection that does not exist yet supplies its schema
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+class GraftStoreTable(name: String, tableSchema: StructType, batchRows: Int)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"graft-store:$name"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] = Set(
+    TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+    TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(name, schema,
+      if (batchRows > 0) batchRows else Option(options.get("batchrows")).map(_.toInt).getOrElse(100))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(name, info.schema())
+}
+
+// ---------------------------------------------------------------- read
+
+class GraftScanBuilder(name: String, schema: StructType, batchRows: Int)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, residual) = filters.partition(GraftStore.supported(_, schema))
+    pushed = sup
+    residual // Spark keeps evaluating only these
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new GraftScan(name, schema, required, pushed, batchRows)
+}
+
+class GraftScan(name: String, fullSchema: StructType, required: StructType,
+                filters: Array[Filter], batchRows: Int) extends Scan {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft-store:$name PushedFilters: ${filters.mkString("[", ", ", "]")}, " +
+      s"ReadSchema: ${required.catalogString}"
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val coll = GraftStore.get(name)
+      val (kept, skipped) = coll.segments.partition(seg =>
+        filters.forall(GraftStore.mightMatch(_, seg)))
+      GraftStore.segmentsSkipped.addAndGet(skipped.size)
+      GraftStore.segmentsRead.addAndGet(kept.size)
+      kept.map(seg => GraftInputPartition(seg.rows): InputPartition).toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GraftReaderFactory(fullSchema, required, filters)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new GraftMicroBatchStream(name, fullSchema, required, filters, batchRows)
+}
+
+/** The segment's rows ride inside the partition: the driver plans from
+  * metadata, the executor receives exactly its shard — no shared state
+  * assumed between driver and executor. */
+case class GraftInputPartition(rows: Vector[Row]) extends InputPartition
+
+class GraftReaderFactory(fullSchema: StructType, required: StructType,
+                         filters: Array[Filter]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val rows = partition.asInstanceOf[GraftInputPartition].rows
+    val idxs = required.fields.map(f => fullSchema.fieldIndex(f.name))
+    val convs = required.fields.map(f => RowConverters.toCatalyst(f.dataType))
+    val it = rows.iterator
+      .filter(r => filters.forall(GraftStore.eval(_, r, fullSchema)))
+      .map { r =>
+        val out = new GenericInternalRow(idxs.length)
+        var i = 0
+        while (i < idxs.length) { out.update(i, convs(i)(r.get(idxs(i)))); i += 1 }
+        out: InternalRow
+      }
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
+
+// ---------------------------------------------------------------- write
+
+class GraftWriteBuilder(name: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = new GraftBatchWrite(name, schema, doTruncate)
+  }
+}
+
+case class GraftCommitMessage(rows: Vector[Row]) extends WriterCommitMessage
+
+class GraftBatchWrite(name: String, schema: StructType, truncate: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new GraftWriterFactory(schema)
+
+  /** Driver-side atomic commit: nothing lands in the store until every
+    * task has succeeded — the point of the two-phase protocol. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val rows = messages.iterator
+      .flatMap(_.asInstanceOf[GraftCommitMessage].rows).toVector
+    if (truncate) GraftStore.register(name, schema, rows)
+    else GraftStore.append(name, schema, rows)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class GraftWriterFactory(schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val convs = schema.fields.map(f => RowConverters.toScala(f.dataType))
+      private val buf = Vector.newBuilder[Row]
+      override def write(record: InternalRow): Unit =
+        buf += Row.fromSeq(Array.tabulate(schema.length) { i =>
+          convs(i)(record.get(i, schema(i).dataType))
+        }.toIndexedSeq)
+      override def commit(): WriterCommitMessage = GraftCommitMessage(buf.result())
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+}
+
+// ------------------------------------------------------------ streaming
+
+/** Row-count offset into the collection's stable row order. */
+case class GraftOffset(rowIndex: Long) extends Offset {
+  override def json(): String = rowIndex.toString
+}
+
+/** Replays the collection in `batchRows`-row micro-batches. The row
+  * order is frozen at stream construction (segment order — the
+  * registration sort), so offsets are durable across restarts as long
+  * as the collection is, which is the contract a replayable source
+  * (Kafka, a CDC log) provides. */
+class GraftMicroBatchStream(name: String, fullSchema: StructType,
+                            required: StructType, filters: Array[Filter],
+                            batchRows: Int) extends MicroBatchStream {
+  private lazy val rows: Vector[Row] = GraftStore.get(name).rows
+
+  override def initialOffset(): Offset = GraftOffset(0L)
+  override def latestOffset(): Offset = GraftOffset(rows.size.toLong)
+  override def deserializeOffset(json: String): Offset = GraftOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[GraftOffset].rowIndex.toInt
+    val hi = end.asInstanceOf[GraftOffset].rowIndex.toInt
+    rows.slice(lo, hi).grouped(math.max(1, batchRows))
+      .map(g => GraftInputPartition(g): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(fullSchema, required, filters)
+}
+
+// ----------------------------------------------------------- converters
+
+/** External (Row) ⇄ Catalyst (InternalRow) value conversion for the
+  * types the store supports — written against the PUBLIC column-value
+  * contracts (UTF8String, ArrayData, DateTimeUtils) rather than any
+  * Spark-internal converter registry. */
+object RowConverters {
+  def toCatalyst(dt: DataType): Any => Any = dt match {
+    case StringType => v => if (v == null) null else UTF8String.fromString(v.asInstanceOf[String])
+    case TimestampType => v => if (v == null) null else DateTimeUtils.fromJavaTimestamp(v.asInstanceOf[java.sql.Timestamp])
+    case DateType => v => if (v == null) null else DateTimeUtils.fromJavaDate(v.asInstanceOf[java.sql.Date])
+    case ArrayType(et, _) =>
+      val ec = toCatalyst(et)
+      v => if (v == null) null
+        else new GenericArrayData(v.asInstanceOf[scala.collection.Seq[Any]].map(ec).toArray)
+    case MapType(kt, vt, _) =>
+      val (kc, vc) = (toCatalyst(kt), toCatalyst(vt))
+      v => if (v == null) null else {
+        val m = v.asInstanceOf[scala.collection.Map[Any, Any]]
+        ArrayBasedMapData(m.keys.map(kc).toArray, m.values.map(vc).toArray)
+      }
+    case st: StructType =>
+      val cs = st.fields.map(f => toCatalyst(f.dataType))
+      v => if (v == null) null else {
+        val r = v.asInstanceOf[Row]
+        new GenericInternalRow(Array.tabulate(st.length)(i => cs(i)(r.get(i))))
+      }
+    case _ => identity // Long/Int/Double/Float/Boolean/Byte/Short/Binary pass through
+  }
+
+  def toScala(dt: DataType): Any => Any = dt match {
+    case StringType => v => if (v == null) null else v.toString
+    case TimestampType => v => if (v == null) null else DateTimeUtils.toJavaTimestamp(v.asInstanceOf[Long])
+    case DateType => v => if (v == null) null else DateTimeUtils.toJavaDate(v.asInstanceOf[Int])
+    case ArrayType(et, _) =>
+      val ec = toScala(et)
+      v => if (v == null) null
+        else v.asInstanceOf[ArrayData].toObjectArray(et).map(ec).toIndexedSeq
+    case MapType(kt, vt, _) =>
+      val (kc, vc) = (toScala(kt), toScala(vt))
+      v => if (v == null) null else {
+        val m = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+        m.keyArray().toObjectArray(kt).map(kc)
+          .zip(m.valueArray().toObjectArray(vt).map(vc)).toMap
+      }
+    case st: StructType =>
+      val cs = st.fields.map(f => toScala(f.dataType))
+      v => if (v == null) null else {
+        val r = v.asInstanceOf[InternalRow]
+        Row.fromSeq(Array.tabulate(st.length)(i => cs(i)(r.get(i, st(i).dataType))).toIndexedSeq)
+      }
+    case _ => identity
+  }
+}

@@ -33,6 +33,26 @@ object SparkTestSession {
     }
     go(org.apache.spark.sql.graft.PlanBridge.executedPlan(df))
   }
+
+  /** Collect physical nodes through AQE wrappers (same reason as
+    * [[shuffles]]: query stages hide their plans from plain collect).
+    * Runs the DataFrame first so the adaptive plan is final. */
+  def collectExec[T](df: org.apache.spark.sql.DataFrame)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    df.collect()
+    def go(p: SparkPlan): Seq[T] = {
+      val here = pf.lift(p).toSeq
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+        case q: QueryStageExec => go(q.plan)
+        case other => other.children.flatMap(go)
+      }
+      here ++ below
+    }
+    go(org.apache.spark.sql.graft.PlanBridge.executedPlan(df))
+  }
 }
 
 class RelationalSpec extends AnyFunSuite {
