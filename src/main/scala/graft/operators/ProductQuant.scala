@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Portable._
+
+/** Product quantization (IVF-PQ's compression half) over the
+  * `embeddings` table — the memory-side ANN lever: a 64-dim float
+  * vector compresses to m=4 byte-sized codes (64× smaller), and search
+  * scores candidates against the codebook instead of the raw vectors.
+  * At 100 TB of embeddings that is the difference between an index that
+  * fits in executor memory and one that doesn't.
+  *
+  * Every arithmetic step is integer-exact in both engines (same
+  * playbook as [[Similarity.ivfIndex]]), so the WHOLE pipeline — seed
+  * selection, Lloyd training per subspace, corpus encoding, and the
+  * asymmetric-distance (ADC) search — is DuckDB-oracle-checked, not
+  * rows-only:
+  *  - vectors quantized to round(x·1000) int64; distances are exact
+  *    int64 SQUARED L2 (PQ's canonical metric; no sqrt, no floats);
+  *  - seeds: per subspace, the k training subvectors with the smallest
+  *    portable md5-48 of ("pq_" + s + "_" + vec_id);
+  *  - centroid update: exact integer dimension sums, truncating
+  *    division (cast-to-long ≡ DuckDB trunc); empty cluster keeps its
+  *    previous centroid;
+  *  - ties everywhere break to the smaller centroid id / vec_id.
+  *
+  * Scale shape: trains on a 1/trainMod sample; each Lloyd step is one
+  * narrow-map encode + ONE partial-aggregated shuffle on (s, cid)
+  * (subdim long sums as agg columns — map-side combine reduces every
+  * partition to ≤ m·k rows before the exchange); the m·k·subdim model
+  * collects to the driver (a model, not data) and is inlined into the
+  * native [[graft.plans.PqCodes]] / [[graft.plans.PqAdc]] kernels, so
+  * corpus encoding is a shuffle-free narrow map and the search is the
+  * corpus-scan × broadcast-query-batch pattern of [[Similarity.cosineTopK]]. */
+object ProductQuant {
+
+  val M = 4          // subspaces
+  val K = 16         // centroids per subspace
+  val SubDim: Int = EmbeddingDim / M
+  val Iters = 2
+  val TrainMod: Long = 3
+
+  private val quantE =
+    "transform(cast(embedding as array<double>), x -> cast(round(x * 1000) as bigint))"
+
+  private def codesCol(q: Column, cents: Seq[Seq[Seq[Long]]]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.PqCodes(ColumnBridge.expression(q), cents))
+  }
+  private def adcCol(q: Column, codes: Column, cents: Seq[Seq[Seq[Long]]]): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(graft.plans.PqAdc(
+      ColumnBridge.expression(q), ColumnBridge.expression(codes), cents))
+  }
+
+  /** Train the m×k×subdim codebook on every `trainMod`-th vector. */
+  def pqTrain(embeddings: DataFrame, iters: Int = Iters,
+              trainMod: Long = TrainMod): Seq[Seq[Seq[Long]]] = {
+    val vecs = embeddings.selectExpr("vec_id", s"$quantE AS q")
+    val train = vecs.where(s"vec_id % $trainMod = 0")
+
+    // per-subspace seeds by portable hash (deterministic pseudo-random
+    // spread, cross-engine identical)
+    val subs = train.select(col("vec_id"), posexplode_outer(expr(
+        s"transform(sequence(0, ${M - 1}), s -> slice(q, s * $SubDim + 1, $SubDim))")))
+      .toDF("vec_id", "s", "subq")
+      .where(col("s").isNotNull)
+    val seeds = subs
+      .selectExpr("s", "vec_id", "subq",
+        s"${sparkHash48("concat('pq_', cast(s as string), '_', cast(vec_id as string))")} AS h")
+      .withColumn("rn", row_number().over(Window.partitionBy("s").orderBy("h", "vec_id")))
+      .where(s"rn <= $K")
+      .collect()
+
+    var cents: Vector[Vector[Array[Long]]] = {
+      val bySeed = seeds.map(r =>
+        (r.getInt(0), r.getInt(4) - 1) -> r.getSeq[Long](2).toArray).toMap
+      Vector.tabulate(M)(s => Vector.tabulate(K)(c => bySeed((s, c))))
+    }
+
+    val sumCols = (0 until SubDim).map(d => sum(element_at(col("subq"), d + 1)).as(s"s$d"))
+    (1 to iters).foreach { _ =>
+      val centsSeq: Seq[Seq[Seq[Long]]] = cents.map(_.map(_.toSeq: Seq[Long]))
+      val means = train
+        .withColumn("codes", codesCol(col("q"), centsSeq))
+        .select(col("q"), posexplode_outer(col("codes"))).toDF("q", "s", "cid")
+        .where(col("s").isNotNull)
+        .withColumn("subq", expr(s"slice(q, s * $SubDim + 1, $SubDim)"))
+        .groupBy("s", "cid")
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+        .collect().map { r =>
+          val n = r.getLong(2)
+          (r.getInt(0), r.getInt(1)) ->
+            Array.tabulate(SubDim)(d => (r.getLong(3 + d).toDouble / n).toLong)
+        }.toMap
+      cents = Vector.tabulate(M)(s => Vector.tabulate(K)(c =>
+        means.getOrElse((s, c), cents(s)(c))))
+    }
+    cents.map(_.map(_.toSeq: Seq[Long]))
+  }
+
+  /** Encode the corpus: (vec_id, codes array<int>) — narrow map, no
+    * shuffle, 64 bytes → m bytes per vector. */
+  def pqEncode(embeddings: DataFrame, cents: Seq[Seq[Seq[Long]]]): DataFrame =
+    embeddings.selectExpr("vec_id", s"$quantE AS q")
+      .select(col("vec_id"), codesCol(col("q"), cents).as("codes"))
+
+  /** ADC top-k: each query vector scans the ENCODED corpus (broadcast
+    * query batch × corpus scan — the corpus itself never shuffles),
+    * scoring candidates by exact-integer asymmetric distance. */
+  def pqSearch(embeddings: DataFrame, cents: Seq[Seq[Seq[Long]]],
+               queryMaxId: Long = 10, k: Int = 5): DataFrame = {
+    val codes = pqEncode(embeddings, cents)
+    val queries = embeddings.where(s"vec_id < $queryMaxId")
+      .selectExpr("vec_id AS query_id", s"$quantE AS qq")
+    val scored = codes.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        adcCol(col("qq"), col("codes"), cents).as("adc"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc").asc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).where(s"rank <= $k")
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("adc"))
+  }
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_ann_pq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      pqSearch(e, pqTrain(e)).orderBy("query_id", "rank")
+    })
+  )
+
+  /** DuckDB twin: the same seeds, `Iters` unrolled Lloyd iterations per
+    * subspace (uniformly, keyed by (s, cid)), full-corpus encoding, and
+    * ADC scoring — generated from the same constants as the Spark path. */
+  private def duckPqSql(m: Int = M, k: Int = K, subdim: Int = SubDim,
+                        iters: Int = Iters, trainMod: Long = TrainMod,
+                        queryMaxId: Long = 10, topk: Int = 5): String = {
+    val dist =
+      "list_sum(list_transform(list_zip(t.subq, c.c), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    def assignCte(name: String, src: String, centsName: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, s, subq, cid FROM (
+         |    SELECT t.vec_id, t.s, t.subq, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.s ORDER BY $dist ASC, c.cid) AS rn
+         |    FROM $src t JOIN $centsName c ON c.s = t.s) WHERE rn = 1)""".stripMargin
+    val lloyd = (1 to iters).map { it =>
+      s"""${assignCte(s"a$it", "train", s"cents${it - 1}")},
+         |m$it AS (
+         |  SELECT s, cid, i - 1 AS dim,
+         |    CAST(trunc(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mval
+         |  FROM (SELECT s, cid, unnest(subq) AS x, generate_subscripts(subq, 1) AS i FROM a$it)
+         |  GROUP BY s, cid, dim),
+         |cents$it AS (
+         |  SELECT c0.s, c0.cid, coalesce(mm.mc, c0.c) AS c
+         |  FROM cents${it - 1} c0 LEFT JOIN (
+         |    SELECT s, cid, list(mval ORDER BY dim) AS mc FROM m$it GROUP BY s, cid) mm
+         |  ON mm.s = c0.s AND mm.cid = c0.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH vecs AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |subs AS (
+       |  SELECT vec_id, s,
+       |    q[CAST(s * $subdim + 1 AS INT):CAST(s * $subdim + $subdim AS INT)] AS subq
+       |  FROM vecs, (SELECT unnest(range($m)) AS s)),
+       |train AS (SELECT vec_id, s, subq FROM subs WHERE vec_id % $trainMod = 0),
+       |cents0 AS (
+       |  SELECT s, rn - 1 AS cid, subq AS c FROM (
+       |    SELECT s, subq, ROW_NUMBER() OVER (PARTITION BY s ORDER BY h, vec_id) AS rn
+       |    FROM (SELECT s, vec_id, subq,
+       |      ${duckHash48("concat('pq_', CAST(s AS VARCHAR), '_', CAST(vec_id AS VARCHAR))")} AS h
+       |      FROM train)) WHERE rn <= $k),
+       |$lloyd,
+       |${assignCte("codes", "subs", s"cents$iters")},
+       |adc AS (
+       |  SELECT t.vec_id AS query_id, cd.vec_id,
+       |    CAST(SUM($dist) AS BIGINT) AS adc
+       |  FROM subs t
+       |  JOIN codes cd ON t.vec_id < $queryMaxId AND cd.vec_id <> t.vec_id AND cd.s = t.s
+       |  JOIN cents$iters c ON c.s = cd.s AND c.cid = cd.cid
+       |  GROUP BY 1, 2)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, adc FROM (
+       |  SELECT query_id, vec_id, adc,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id) AS rank
+       |  FROM adc) WHERE rank <= $topk ORDER BY query_id, rank""".stripMargin
+  }
+
+  def oracle: Map[String, String] = Map("q75_ann_pq" -> duckPqSql())
+}
