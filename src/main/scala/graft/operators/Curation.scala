@@ -166,7 +166,55 @@ object Curation {
       .selectExpr("doc_id", "tok", "tf", "df", "score_e6", "cast(rk as bigint) AS rk")
   }
 
+  /** Cross-document boilerplate removal (the C4/CCNet pattern): any
+    * fixed-width token block occurring in more than `maxDocs` DISTINCT
+    * documents is boilerplate (nav bars, cookie banners, license
+    * headers) and is struck from EVERY document; each document is then
+    * reassembled from its surviving blocks in order.
+    *
+    * Scale shape: one generator (no shuffle) explodes docs to blocks;
+    * the boilerplate set is ONE partial-aggregated groupBy on the block
+    * string (count-distinct of doc_id collapses map-side); the strike
+    * is an equi-join back on the block; reassembly is one ordered
+    * collect per doc — the per-group buffer holds one document. Nothing
+    * here is quadratic and nothing collects to the driver, which is why
+    * this exact shape (hash, count, join back) is what the published
+    * web-scale pipelines run.
+    *
+    * Output fingerprints the cleaned text (portable md5) instead of
+    * shipping it — the oracle hash-checks reconstruction byte-exactly
+    * without megabyte rows. */
+  def crossDocDedup(docs: DataFrame, blockWords: Int = 4, maxDocs: Long = 2): DataFrame = {
+    val toks = docs.selectExpr("doc_id", s"$sparkToks AS toks")
+    val blocks = toks.select(col("doc_id"), posexplode_outer(expr(
+        s"""CASE WHEN size(toks) = 0 THEN array()
+           | ELSE transform(sequence(0, cast(ceil(size(toks) / ${blockWords}.0) as int) - 1),
+           |   i -> array_join(slice(toks, i * $blockWords + 1, $blockWords), ' ')) END""".stripMargin)))
+      .toDF("doc_id", "i", "block")
+      .where(col("i").isNotNull)
+    val boiler = blocks.groupBy("block")
+      .agg(countDistinct("doc_id").as("nd")).where(s"nd > $maxDocs")
+      .select(col("block"), lit(1).as("bad"))
+    blocks.join(boiler, Seq("block"), "left")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        sum(when(col("bad").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        md5(expr(
+          "array_join(transform(array_sort(collect_list(CASE WHEN bad IS NULL THEN struct(i, block) END)), x -> x.block), ' ')"))
+          .as("clean_fp"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Planted boilerplate: a fixed 8-word banner (2 whole blocks)
+    // prepended to every 7th document, so the cross-doc counts, the
+    // strike, AND the byte-exact reassembly are all oracle-visible.
+    "q76_cross_doc_dedup" -> ((s, dir) => {
+      val corpus = Tables.documents(s, dir).selectExpr("doc_id",
+        "CASE WHEN doc_id % 7 = 0 THEN concat('please subscribe to our newsletter today now dear reader ', text) ELSE text END AS text")
+      crossDocDedup(corpus).orderBy("doc_id")
+    }),
+
     "q57_stratified_sample" -> ((s, dir) =>
       stratifiedSample(Tables.documents(s, dir)).orderBy("doc_id")),
 
@@ -198,6 +246,26 @@ object Curation {
   )
 
   def oracle: Map[String, String] = Map(
+    "q76_cross_doc_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |    THEN concat('please subscribe to our newsletter today now dear reader ', text)
+        |    ELSE text END AS text
+        |  FROM documents),
+        |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM corpus),
+        |blocks AS (
+        |  SELECT doc_id, i,
+        |    array_to_string(toks[CAST(i*4+1 AS INT):CAST(i*4+4 AS INT)], ' ') AS block
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(0, CAST(ceil(len(toks)/4.0) AS BIGINT))) AS i FROM toks)),
+        |boiler AS (
+        |  SELECT block FROM blocks GROUP BY block HAVING count(DISTINCT doc_id) > 2)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+        |  CAST(sum(CASE WHEN bo.block IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  md5(coalesce(string_agg(CASE WHEN bo.block IS NULL THEN b.block END, ' ' ORDER BY b.i), '')) AS clean_fp
+        |FROM blocks b LEFT JOIN boiler bo ON b.block = bo.block
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+
     "q57_stratified_sample" ->
       s"""SELECT doc_id, stratum, h100 FROM (
          |  SELECT doc_id,

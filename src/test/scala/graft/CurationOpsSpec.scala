@@ -77,6 +77,30 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(exact.count() > 0, "testdata has heavy-tailed values; expected anomalies")
   }
 
+  test("crossDocDedup strikes planted boilerplate and reassembles byte-exactly") {
+    val corpus = docs.selectExpr("doc_id",
+      "CASE WHEN doc_id % 7 = 0 THEN concat('please subscribe to our newsletter today now dear reader ', text) ELSE text END AS text")
+    val out = Curation.crossDocDedup(corpus)
+
+    // every planted doc loses at least its two banner blocks
+    val planted = out.where("doc_id % 7 = 0")
+    assert(planted.where("n_removed < 2").count() == 0)
+    assert(planted.count() > 0)
+
+    // block accounting: n_blocks == ceil(tokens / 4)
+    val counts = corpus.selectExpr("doc_id",
+      "cast(ceil(size(split(trim(text), '\\\\s+')) / 4.0) as bigint) AS want")
+      .join(out, "doc_id")
+    assert(counts.where("n_blocks != want").count() == 0)
+
+    // untouched docs reassemble to their exact original token stream
+    val untouched = out.where("n_removed = 0")
+      .join(corpus.selectExpr("doc_id",
+        "md5(array_join(split(trim(text), '\\\\s+'), ' ')) AS orig_fp"), "doc_id")
+    assert(untouched.count() > 0)
+    assert(untouched.where("clean_fp != orig_fp").count() == 0)
+  }
+
   test("simhashPairs equals the brute-force Hamming join (banding is exact, not probabilistic)") {
     val sigs = Dedup.simhash(docs)
     val brute = sigs.toDF("doc_a", "sim_a")
