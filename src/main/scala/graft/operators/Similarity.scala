@@ -306,6 +306,41 @@ object Similarity {
         .orderBy("vec_id")
     }),
 
+    // SemDeDup-style keep policy over q59's planted-merge corpus: each
+    // semantic cluster keeps its HIGHEST-QUALITY member (adjusted
+    // length score, ties to the smallest id) instead of q59's
+    // smallest-id representative — the decision rule the published
+    // semantic-dedup pipelines actually ship. The quality adjustment
+    // makes the two rules PROVABLY different: exact copies (+1e6 ids)
+    // score −7 (original wins on quality), scaled copies (+2e6 ids)
+    // score +50 (the COPY wins — keep=true lands on a non-minimal id,
+    // which min-id labeling can never produce). Quality joins back via
+    // one equi-join on the base id; the cluster machinery is unchanged.
+    "q79_semantic_keep" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+        .selectExpr("vec_id", "cast(embedding as array<double>) AS embedding")
+      val corpus = e
+        .unionByName(e.where("vec_id % 25 = 0")
+          .selectExpr("vec_id + 1000000 AS vec_id", "embedding"))
+        .unionByName(e.where("vec_id % 25 = 5")
+          .selectExpr("vec_id + 2000000 AS vec_id",
+            "transform(embedding, x -> x * 1.02D) AS embedding"))
+      val pairs = lshCandidatesBanded(corpus)
+        .where("sim >= 0.9").selectExpr("vec_a AS a", "vec_b AS b")
+      val (labels, _) = Dedup.labelPropagateStats(pairs, maxIters = 10)
+      val quality = Tables.documents(s, dir).selectExpr("doc_id AS base_id", "n_chars")
+      val w = Window.partitionBy("cluster").orderBy(desc("q_adj"), asc("vec_id"))
+      labels.selectExpr("id AS vec_id", "label AS cluster",
+          "id % 1000000 AS base_id")
+        .join(quality, "base_id")
+        .withColumn("q_adj", col("n_chars") +
+          when(col("vec_id") >= 2000000, 50L)
+            .when(col("vec_id") >= 1000000, -7L).otherwise(0L))
+        .withColumn("keep", row_number().over(w) === 1)
+        .select("vec_id", "cluster", "q_adj", "keep")
+        .orderBy("vec_id")
+    }),
+
     // IVF probe search — fully oracle-checkable: quantized training
     // arithmetic is exact in both engines (see ivfIndex), final scoring
     // is q24's proven double-cosine-round-6.
@@ -464,6 +499,39 @@ object Similarity {
       // so planted rows collide with their originals in every band):
       // transitive closure of the ≥0.9-cosine pair graph, exactly q53's
       // walk on the embedding side.
+      // q59's planted corpus + recursive-walk clusters, then the
+      // quality-ranked keep: highest adjusted score per cluster, ties
+      // to the smallest id.
+      "q79_semantic_keep" ->
+        s"""WITH RECURSIVE corpus AS (
+           |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 1000000 AS vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding
+           |  FROM embeddings WHERE vec_id % 25 = 0
+           |  UNION ALL
+           |  SELECT vec_id + 2000000 AS vec_id, list_transform(embedding, x -> x::DOUBLE * 1.02) AS embedding
+           |  FROM embeddings WHERE vec_id % 25 = 5),
+           |${duckBandedCtes("corpus")},
+           |hi AS (
+           |  SELECT p.vec_a, p.vec_b
+           |  FROM cand p JOIN vecs a ON a.vec_id = p.vec_a JOIN vecs b ON b.vec_id = p.vec_b
+           |  WHERE round($duckCos, 6) >= 0.9),
+           |edges AS (
+           |  SELECT vec_a, vec_b FROM hi UNION SELECT vec_b AS vec_a, vec_a AS vec_b FROM hi),
+           |walk AS (
+           |  SELECT vec_a AS vec_id, vec_a AS label FROM edges
+           |  UNION
+           |  SELECT e.vec_a AS vec_id, w.label FROM edges e JOIN walk w ON w.vec_id = e.vec_b),
+           |labels AS (SELECT vec_id, MIN(label) AS cluster FROM walk GROUP BY vec_id),
+           |scored AS (
+           |  SELECT l.vec_id, l.cluster,
+           |    d.n_chars + CASE WHEN l.vec_id >= 2000000 THEN 50
+           |                     WHEN l.vec_id >= 1000000 THEN -7 ELSE 0 END AS q_adj
+           |  FROM labels l JOIN documents d ON d.doc_id = l.vec_id % 1000000)
+           |SELECT vec_id, cluster, CAST(q_adj AS BIGINT) AS q_adj,
+           |  (ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY q_adj DESC, vec_id) = 1) AS keep
+           |FROM scored ORDER BY vec_id""".stripMargin,
+
       "q59_embed_dedup_clusters" ->
         s"""WITH RECURSIVE corpus AS (
            |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS embedding FROM embeddings
