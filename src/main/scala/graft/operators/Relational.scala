@@ -352,6 +352,46 @@ object Relational {
         .orderBy("l_returnflag", "l_linestatus")
     }),
 
+    // TPC-H Q4 adapted (no l_commitdate/l_receiptdate in this schema:
+    // "late" = shipped after the order date): priority counts of orders
+    // in a quarter having at least one late line. EXISTS plans as a
+    // LEFT SEMI join — one shuffle pair, no row duplication however
+    // many lines match (the reason Q4 is a semi-join benchmark).
+    "q80_tpch_q4" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1996-04-01")
+      val l = Tables.lineitem(s, dir)
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // TPC-H Q21 adapted (returns instead of receipt-delays): suppliers
+    // who were the SOLE supplier with returned ('R') lines in a
+    // multi-supplier order — a correlated EXISTS + NOT EXISTS pair,
+    // planned as one semi and one anti join over the same distinct
+    // (order, supplier) frame. Counts are per distinct pair, top 10.
+    "q81_tpch_q21" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_returnflag")
+      val pairs = l.select("l_orderkey", "l_suppkey").distinct()
+      val multi = pairs.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp")).where("n_supp >= 2")
+        .select("l_orderkey")
+      val returned = l.where("l_returnflag = 'R'")
+        .select("l_orderkey", "l_suppkey").distinct()
+      val others = returned.toDF("l_orderkey", "o_suppkey")
+      val sole = returned
+        .join(multi, "l_orderkey") // EXISTS: order has >= 2 suppliers
+        .join(others, returned("l_orderkey") === others("l_orderkey") &&
+          returned("l_suppkey") =!= others("o_suppkey"), "left_anti") // NOT EXISTS other returner
+      sole.join(Tables.supplier(s, dir),
+          sole("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(desc("numwait"), asc("s_name")).limit(10)
+    }),
+
     "q40_tpch_q3" -> ((s, dir) => {
       val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.orders(s, dir).filter(col("o_orderdate") < "1998-03-15")
@@ -680,6 +720,28 @@ object Relational {
         |    CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT) AS charge_c
         |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00')
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q80_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q81_tpch_q21" ->
+      """WITH pairs AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem),
+        |multi AS (SELECT l_orderkey FROM pairs GROUP BY l_orderkey HAVING COUNT(*) >= 2),
+        |returned AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem WHERE l_returnflag = 'R'),
+        |sole AS (
+        |  SELECT r.l_orderkey, r.l_suppkey FROM returned r
+        |  WHERE r.l_orderkey IN (SELECT l_orderkey FROM multi)
+        |    AND NOT EXISTS (SELECT 1 FROM returned o
+        |                    WHERE o.l_orderkey = r.l_orderkey AND o.l_suppkey <> r.l_suppkey))
+        |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM sole JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+
     "q40_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents

@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, DateTim
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
@@ -213,14 +213,41 @@ case class GraftOffset(rowIndex: Long) extends Offset {
   * order is frozen at stream construction (segment order — the
   * registration sort), so offsets are durable across restarts as long
   * as the collection is, which is the contract a replayable source
-  * (Kafka, a CDC log) provides. */
+  * (Kafka, a CDC log) provides.
+  *
+  * Admission control ([[SupportsTriggerAvailableNow]], which extends
+  * SupportsAdmissionControl) makes the batching REAL rather than
+  * partition-level: the engine asks for the next offset under a
+  * `maxRows` limit, so a backlog replays as many bounded micro-batches
+  * (each checkpointed) instead of one giant catch-up batch — the
+  * property that keeps recovery memory flat when a stream restarts
+  * against hours of backlog. Trigger.AvailableNow additionally
+  * snapshots the end offset up front (`prepareForTriggerAvailableNow`)
+  * and drains the bounded batches up to exactly that point. */
 class GraftMicroBatchStream(name: String, fullSchema: StructType,
                             required: StructType, filters: Array[Filter],
-                            batchRows: Int) extends MicroBatchStream {
+                            batchRows: Int)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
   private lazy val rows: Vector[Row] = GraftStore.get(name).rows
+  // end-of-data snapshot taken at AvailableNow start; Long.MaxValue
+  // sentinel = continuous mode (no cap beyond current data)
+  @volatile private var availableNowCap: Long = Long.MaxValue
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = rows.size.toLong
 
   override def initialOffset(): Offset = GraftOffset(0L)
   override def latestOffset(): Offset = GraftOffset(rows.size.toLong)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchRows)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[GraftOffset].rowIndex
+    val cap = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => r.maxRows()
+      case _ => rows.size.toLong
+    }
+    GraftOffset(math.min(math.min(rows.size.toLong, availableNowCap), from + cap))
+  }
+  override def reportLatestOffset(): Offset = GraftOffset(rows.size.toLong)
   override def deserializeOffset(json: String): Offset = GraftOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

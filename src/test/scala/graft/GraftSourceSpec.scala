@@ -97,7 +97,7 @@ class GraftSourceSpec extends AnyFunSuite {
     GraftStore.load(name, base, shardKey = Some("doc_id"), numSegments = 4)
     val ckpt = Files.createTempDirectory("graft_v2_ckpt").toString
 
-    def runOnce(): Unit = {
+    def runOnce(): Int = {
       val q = spark.readStream.format("graft-store")
         .option("name", name).option("batchrows", "64").load()
         .groupBy("lang").agg(count(lit(1)).as("n"))
@@ -106,14 +106,18 @@ class GraftSourceSpec extends AnyFunSuite {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination(60000)
       assert(!q.isActive)
+      q.recentProgress.count(_.numInputRows > 0)
     }
 
-    runOnce()
+    val batchesSeen = runOnce()
     val streamed = spark.table("v2_sink").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val batch = base.groupBy("lang").agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streamed == batch)
+    // admission control: 400 backlog rows under maxRows=64 must replay
+    // as multiple bounded micro-batches, not one catch-up batch
+    assert(batchesSeen >= 4, s"expected >=4 bounded micro-batches, saw $batchesSeen")
 
     // append rows AFTER the watermark of consumed offsets (larger shard
     // keys keep the frozen prefix order stable), restart from the same
