@@ -106,11 +106,26 @@ class GraftScanBuilder(name: String, schema: StructType, batchRows: Int)
 }
 
 class GraftScan(name: String, fullSchema: StructType, required: StructType,
-                filters: Array[Filter], batchRows: Int) extends Scan {
+                filters: Array[Filter], batchRows: Int)
+    extends Scan with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-store:$name PushedFilters: ${filters.mkString("[", ", ", "]")}, " +
       s"ReadSchema: ${required.catalogString}"
+
+  /** Post-pruning statistics for the optimizer: row count over the
+    * segments that survive zone-map pruning, sized at the PRUNED column
+    * width — what lets Catalyst/AQE pick a broadcast join when the
+    * filtered scan is small, without a hint. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private lazy val survivors = GraftStore.get(name).segments
+      .filter(seg => filters.forall(GraftStore.mightMatch(_, seg)))
+    private lazy val rowCount = survivors.map(_.rows.size.toLong).sum
+    private lazy val rowWidth = required.fields.map(_.dataType.defaultSize.toLong).sum.max(1L)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(rowCount * rowWidth)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rowCount)
+  }
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {

@@ -77,6 +77,28 @@ class GraftSourceSpec extends AnyFunSuite {
       "contains() is not claimed; Spark must keep it as a residual filter")
   }
 
+  test("reported post-pruning statistics let the planner broadcast the store side") {
+    loadDocs("v2_docs")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val conf = spark.conf
+    val old = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // threshold below the parquet side's size but above the PRUNED
+      // store scan's reported size: only correct DSv2 stats make the
+      // broadcast happen (the DSv2 default without stats is
+      // defaultSizeInBytes = "assume huge" => sort-merge)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "10240")
+      val tiny = read("v2_docs").where(col("doc_id") > maxId - 5)
+        .selectExpr("doc_id", "lang AS l2")
+      val joined = docs.join(tiny, "doc_id")
+      val bhj = SparkTestSession.collectExec(joined) {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }
+      assert(bhj.nonEmpty, "pruned store scan should broadcast under its reported stats")
+      assert(joined.count() == 5)
+    } finally conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("DSv2 write: overwrite and append commit atomically through the driver") {
     val name = "v2_write"
     docs.limit(100).write.format("graft-store").option("name", name)
