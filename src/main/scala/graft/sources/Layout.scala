@@ -54,7 +54,8 @@ object Layout {
     * ((v−min)·65535 must fit in int64). */
   def zorderWrite(df: DataFrame, xE: String, yE: String, path: String,
                   nFiles: Int = 8): Unit = {
-    val b = df.selectExpr(s"min($xE)", s"max($xE)", s"min($yE)", s"max($yE)").head()
+    val b = df.selectExpr(s"cast(min($xE) as bigint)", s"cast(max($xE) as bigint)",
+      s"cast(min($yE) as bigint)", s"cast(max($yE) as bigint)").head()
     def norm(e: String, lo: Long, hi: Long): String =
       s"((($e) - $lo) * 65535) div ${math.max(1L, hi - lo)}"
     df.withColumn("__z", expr(mortonE(

@@ -34,4 +34,34 @@ object Sinks {
 
   /** Read back a bucketed table by name. */
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
+
+  /** Small-file compaction (the standing lakehouse maintenance op): a
+    * streaming/incremental writer leaves thousands of KB-sized files,
+    * and at 100 TB the scan's task-scheduling overhead and footer reads
+    * come to dominate. Rewrite the dataset into
+    * ceil(totalBytes / targetBytes) files and atomically swap
+    * directories (write to `<path>.__compact`, then rename) so readers
+    * never observe a half-written layout.
+    *
+    * Size comes from the file system, not a data scan; the rewrite is
+    * one job with no shuffle (`coalesce`, not `repartition` — merging
+    * partitions needs no exchange). Returns (filesBefore, filesAfter). */
+  def compactSmallFiles(spark: SparkSession, path: String,
+                        targetBytes: Long = 128L << 20): (Int, Int) = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: String) = fs.listStatus(new Path(p))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    val before = dataFiles(path)
+    val total = before.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val tmp = path + ".__compact"
+    spark.read.parquet(path).coalesce(nOut)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    val afterCount = dataFiles(tmp).length
+    fs.delete(new Path(path), true)
+    require(fs.rename(new Path(tmp), new Path(path)),
+      s"compaction rename failed for $path")
+    (before.length, afterCount)
+  }
 }

@@ -135,6 +135,28 @@ object EventStream {
     * Within-delay redeliveries dedup exactly; a re-observation arriving
     * later than the watermark delay is treated as new — the bounded-state
     * trade every streaming dedup makes. */
+  /** Stream-stream INTERVAL join: each purchase matched to the same
+    * user's views in the preceding `windowMinutes` — the canonical
+    * watermarked two-stream join. Both inputs carry event-time
+    * watermarks and the join condition bounds the time range, which is
+    * exactly what lets Spark EVICT buffered rows from both sides' join
+    * state (an equi-only condition on two streams would buffer
+    * forever — the stream-join analog of the unbounded-state mistake).
+    * Inner join ⇒ results are emitted as soon as both sides arrive;
+    * correctness vs the batch twin is spec-checked. */
+  def purchaseViewJoin(events: DataFrame, watermark: String = "30 minutes",
+                       windowMinutes: Int = 10): DataFrame = {
+    val purchases = events.where("event_type = 'purchase'")
+      .selectExpr("user_id AS p_user", "ts AS p_ts", "event_id AS purchase_id")
+      .withWatermark("p_ts", watermark)
+    val views = events.where("event_type = 'view'")
+      .selectExpr("user_id AS v_user", "ts AS v_ts", "event_id AS view_id")
+      .withWatermark("v_ts", watermark)
+    purchases.join(views, expr(
+      s"p_user = v_user AND v_ts BETWEEN p_ts - INTERVAL $windowMinutes MINUTES AND p_ts"))
+      .select(col("purchase_id"), col("view_id"))
+  }
+
   def streamingDedup(stream: DataFrame, keyCols: Seq[String],
                      eventTimeCol: String, watermark: String = "1 hour"): DataFrame =
     stream

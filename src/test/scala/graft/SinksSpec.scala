@@ -48,6 +48,19 @@ class SinksSpec extends AnyFunSuite {
     }
   }
 
+  test("compaction shrinks the file count, preserves every row, swaps atomically") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    docs.repartition(32).write.parquet(dir) // the small-file mess
+    val want = docs.count()
+    val (before, after) = Sinks.compactSmallFiles(spark, dir, targetBytes = 1L << 20)
+    assert(before == 32 && after < before,
+      s"expected fewer files after compaction, got $before -> $after")
+    val back = spark.read.parquet(dir)
+    assert(back.count() == want)
+    assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
     val c = Tables.customer(spark, sf).select(col("c_custkey").as("o_custkey"), col("c_name"))

@@ -46,6 +46,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    val dir = stageEvents()
+    val q = EventStream.purchaseViewJoin(streamingEvents(dir))
+      .writeStream.outputMode("append").format("memory").queryName("ssj_stream")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("ssj_stream")
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val batch = ev.where("event_type = 'purchase'")
+      .selectExpr("user_id AS p_user", "unix_micros(ts) AS pt", "event_id AS purchase_id")
+      .join(ev.where("event_type = 'view'")
+        .selectExpr("user_id AS v_user", "unix_micros(ts) AS vt", "event_id AS view_id"),
+        expr("p_user = v_user AND vt BETWEEN pt - 600000000 AND pt"))
+      .select("purchase_id", "view_id")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
+  }
+
   test("T2: streaming hourly rollup matches the batch q17 aggregation") {
     val dir = stageEvents()
     val q = EventStream.hourlyRollup(streamingEvents(dir))
