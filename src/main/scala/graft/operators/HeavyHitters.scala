@@ -70,9 +70,11 @@ object HeavyHitters {
     val est: Map[String, Long] =
       toks.select(udaf(new MisraGries(k)).apply(col("tok")))
         .head().getMap[String, Long](0).toMap
-    val n = toks.count()
-    val exact = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") * k > n)
+    // vocab-sized frame: localCheckpoint so the total-count action and
+    // the heavy filter reuse ONE scan of the token stream (not three)
+    val exactAll = toks.groupBy("tok").agg(count(lit(1)).as("cnt")).localCheckpoint()
+    val n = exactAll.agg(sum("cnt")).head().getLong(0)
+    val exact = exactAll.where(col("cnt") * k > n)
     val estMap = typedLit(est)
     exact.select(col("tok"), col("cnt"),
         element_at(estMap, col("tok")).isNotNull.as("in_sketch"),

@@ -107,11 +107,27 @@ class GraftScanBuilder(name: String, schema: StructType, batchRows: Int)
 
 class GraftScan(name: String, fullSchema: StructType, required: StructType,
                 filters: Array[Filter], batchRows: Int)
-    extends Scan with SupportsReportStatistics {
+    extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-store:$name PushedFilters: ${filters.mkString("[", ", ", "]")}, " +
       s"ReadSchema: ${required.catalogString}"
+
+  /** Runtime (dynamic) filtering: at execution time Spark hands the
+    * scan the join side's actual key values (an `In` filter built from
+    * a reused broadcast), and segment pruning re-runs against them —
+    * the DSv2 form of dynamic partition pruning. A selective dimension
+    * join therefore skips most fact segments without any static
+    * predicate in the query. */
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    // must be a subset of the scan's OUTPUT: Spark resolves these
+    // against the pruned relation, not the table schema
+    required.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilters = filters.filter(GraftStore.supported(_, fullSchema))
+
+  private def allFilters: Array[Filter] = filters ++ runtimeFilters
 
   /** Post-pruning statistics for the optimizer: row count over the
     * segments that survive zone-map pruning, sized at the PRUNED column
@@ -130,14 +146,15 @@ class GraftScan(name: String, fullSchema: StructType, required: StructType,
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val coll = GraftStore.get(name)
+      val fs = allFilters
       val (kept, skipped) = coll.segments.partition(seg =>
-        filters.forall(GraftStore.mightMatch(_, seg)))
+        fs.forall(GraftStore.mightMatch(_, seg)))
       GraftStore.segmentsSkipped.addAndGet(skipped.size)
       GraftStore.segmentsRead.addAndGet(kept.size)
       kept.map(seg => GraftInputPartition(seg.rows): InputPartition).toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new GraftReaderFactory(fullSchema, required, filters)
+      new GraftReaderFactory(fullSchema, required, allFilters)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =

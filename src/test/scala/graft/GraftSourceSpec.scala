@@ -99,6 +99,21 @@ class GraftSourceSpec extends AnyFunSuite {
     } finally conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("runtime filtering re-prunes segments from the join side's actual keys") {
+    loadDocs("v2_docs")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    // NO static predicate on the store side: only the dim join can prune
+    val fact = read("v2_docs")
+    val dim = docs.where(col("doc_id") > maxId - 5) // selective filtering side
+      .select(col("doc_id"), lit("d").as("tag"))
+    GraftStore.resetCounters()
+    val joined = fact.join(dim, "doc_id")
+    assert(joined.count() == 5)
+    assert(GraftStore.segmentsSkipped.get() > 0,
+      s"runtime filter should prune segments, skipped=${GraftStore.segmentsSkipped.get()} " +
+        s"read=${GraftStore.segmentsRead.get()}")
+  }
+
   test("DSv2 write: overwrite and append commit atomically through the driver") {
     val name = "v2_write"
     docs.limit(100).write.format("graft-store").option("name", name)
