@@ -392,6 +392,80 @@ object Relational {
         .orderBy(desc("numwait"), asc("s_name")).limit(10)
     }),
 
+    // TPC-H Q7 volume shipping: revenue between two nations by year —
+    // a 4-way join where nation joins BOTH ends (supplier + customer);
+    // the OR'd nation-pair predicate sits on the joined frame.
+    "q82_tpch_q7" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") <= "1997-12-31")
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val su = Tables.supplier(s, dir)
+      val n1 = Tables.nation(s, dir).toDF("n1_key", "supp_nation", "n1_r")
+      val n2 = Tables.nation(s, dir).toDF("n2_key", "cust_nation", "n2_r")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n1), su("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), c("c_nationkey") === col("n2_key"))
+        .where("(supp_nation = 'NATION_1' AND cust_nation = 'NATION_2') OR " +
+               "(supp_nation = 'NATION_2' AND cust_nation = 'NATION_1')")
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("yr"))
+        .agg(sum(expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
+          .cast("long").as("revenue_cents"))
+        .orderBy("supp_nation", "cust_nation", "yr")
+    }),
+
+    // TPC-H Q8 market share: one nation's share of PROMO-part revenue
+    // into one region, by year. Ratio emitted as integer-exact
+    // numerator/denominator cents plus share_e6 (num·1e6 div den).
+    "q83_tpch_q8" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") <= "1997-12-31")
+      val c = Tables.customer(s, dir)
+      val su = Tables.supplier(s, dir)
+      val p = Tables.part(s, dir).filter(col("p_type") === "PROMO")
+      val nc = Tables.nation(s, dir).toDF("nc_key", "nc_name", "nc_r")
+      val ns = Tables.nation(s, dir).toDF("ns_key", "supp_nation", "ns_r")
+      val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(nc), c("c_nationkey") === col("nc_key"))
+        .join(broadcast(r), col("nc_r") === r("r_regionkey"))
+        .join(broadcast(ns), su("s_nationkey") === col("ns_key"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(
+          sum(expr("CASE WHEN supp_nation = 'NATION_3' THEN cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint) ELSE 0L END"))
+            .cast("long").as("nation_cents"),
+          sum(expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
+            .cast("long").as("total_cents"))
+        .selectExpr("yr", "nation_cents", "total_cents",
+          "nation_cents * 1000000 div total_cents AS share_e6")
+        .orderBy("yr")
+    }),
+
+    // TPC-H Q14 promo revenue share by month over 1996 — same
+    // integer-ratio contract as q83.
+    "q84_tpch_q14" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+      val p = Tables.part(s, dir)
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .groupBy(month(col("l_shipdate")).cast("long").as("mo"))
+        .agg(
+          sum(expr("CASE WHEN p_type = 'PROMO' THEN cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint) ELSE 0L END"))
+            .cast("long").as("promo_cents"),
+          sum(expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
+            .cast("long").as("total_cents"))
+        .selectExpr("mo", "promo_cents", "total_cents",
+          "promo_cents * 1000000 div total_cents AS promo_e6")
+        .orderBy("mo")
+    }),
+
     "q40_tpch_q3" -> ((s, dir) => {
       val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.orders(s, dir).filter(col("o_orderdate") < "1998-03-15")
@@ -741,6 +815,59 @@ object Relational {
         |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
         |FROM sole JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin,
+
+    "q82_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS yr,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate <= TIMESTAMP '1997-12-31 00:00:00'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') OR
+        |       (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q83_tpch_q8" ->
+      """SELECT yr, nation_cents, total_cents,
+        |  nation_cents * 1000000 // total_cents AS share_e6
+        |FROM (
+        |  SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |    CAST(SUM(CASE WHEN ns.n_name = 'NATION_3'
+        |      THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS nation_cents,
+        |    CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation nc ON c_nationkey = nc.n_nationkey
+        |  JOIN region ON nc.n_regionkey = r_regionkey
+        |  JOIN nation ns ON s_nationkey = ns.n_nationkey
+        |  WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate <= TIMESTAMP '1997-12-31 00:00:00'
+        |  GROUP BY yr)
+        |ORDER BY yr""".stripMargin,
+
+    "q84_tpch_q14" ->
+      """SELECT mo, promo_cents, total_cents,
+        |  promo_cents * 1000000 // total_cents AS promo_e6
+        |FROM (
+        |  SELECT CAST(month(l_shipdate) AS BIGINT) AS mo,
+        |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS promo_cents,
+        |    CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY mo)
+        |ORDER BY mo""".stripMargin,
 
     "q40_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
