@@ -73,7 +73,10 @@ object HeavyHitters {
     // vocab-sized frame: localCheckpoint so the total-count action and
     // the heavy filter reuse ONE scan of the token stream (not three)
     val exactAll = toks.groupBy("tok").agg(count(lit(1)).as("cnt")).localCheckpoint()
-    val n = exactAll.agg(sum("cnt")).head().getLong(0)
+    // sum over an empty vocab is null — an empty corpus must yield an
+    // empty result, not an NPE
+    val n = Option(exactAll.agg(sum("cnt")).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     val exact = exactAll.where(col("cnt") * k > n)
     val estMap = typedLit(est)
     exact.select(col("tok"), col("cnt"),

@@ -79,6 +79,9 @@ object ProductQuant {
     var cents: Vector[Vector[Array[Long]]] = {
       val bySeed = seeds.map(r =>
         (r.getInt(0), r.getInt(4) - 1) -> r.getSeq[Long](2).toArray).toMap
+      require(bySeed.size == M * K,
+        s"PQ training needs >= $K sample vectors per subspace " +
+          s"(got ${seeds.length / M} — corpus too small for k=$K)")
       Vector.tabulate(M)(s => Vector.tabulate(K)(c => bySeed((s, c))))
     }
 

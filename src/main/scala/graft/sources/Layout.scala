@@ -56,6 +56,9 @@ object Layout {
                   nFiles: Int = 8): Unit = {
     val b = df.selectExpr(s"cast(min($xE) as bigint)", s"cast(max($xE) as bigint)",
       s"cast(min($yE) as bigint)", s"cast(max($yE) as bigint)").head()
+    if (b.isNullAt(0)) { // empty input: nothing to cluster, write as-is
+      df.write.mode("overwrite").parquet(path); return
+    }
     def norm(e: String, lo: Long, hi: Long): String =
       s"((($e) - $lo) * 65535) div ${math.max(1L, hi - lo)}"
     df.withColumn("__z", expr(mortonE(

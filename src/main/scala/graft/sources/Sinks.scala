@@ -53,6 +53,7 @@ object Sinks {
     def dataFiles(p: String) = fs.listStatus(new Path(p))
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     val before = dataFiles(path)
+    if (before.isEmpty) return (0, 0) // nothing to compact
     val total = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     val tmp = path + ".__compact"

@@ -128,6 +128,19 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(read(name).count() == 20)
   }
 
+  test("edge cases: empty collection and a filter that prunes every segment") {
+    GraftStore.register("v2_empty", docs.schema, Seq.empty, Some("doc_id"))
+    assert(read("v2_empty").count() == 0)
+
+    loadDocs("v2_docs")
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    // predicate beyond every zone map: all segments pruned, zero rows
+    GraftStore.resetCounters()
+    assert(read("v2_docs").where(col("doc_id") > maxId + 1000).count() == 0)
+    assert(GraftStore.segmentsRead.get() == 0,
+      s"no segment should survive, read=${GraftStore.segmentsRead.get()}")
+  }
+
   test("micro-batch stream: bounded batches, batch/stream agreement, durable offsets") {
     val name = "v2_stream"
     val base = docs.where("doc_id < 400")

@@ -25,6 +25,12 @@ class HeavyHittersSpec extends AnyFunSuite {
     }
   }
 
+  test("empty corpus yields an empty result, not an error") {
+    val out = HeavyHitters.heavyHitters(
+      Seq.empty[String].toDF("tok"), k = 8)
+    assert(out.collect().isEmpty)
+  }
+
   test("exact heavy set is partitioning-independent even though estimates are not") {
     val a = HeavyHitters.heavyHitters(stream.toDF("tok").repartition(2), k = 8)
       .select("tok", "cnt").collect().toSet
