@@ -61,6 +61,32 @@ class SinksSpec extends AnyFunSuite {
     assert(back.exceptAll(docs).count() == 0 && docs.exceptAll(back).count() == 0)
   }
 
+  test("AQE splits a skewed join partition at runtime (the no-code skew path)") {
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes").map(k => k -> conf.get(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // tiny thresholds so the planted hot key counts as skew at test size
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+      import spark.implicits._
+      // one hot key carrying ~99% of the left side
+      val left = spark.range(50000).selectExpr("IF(id % 100 = 0, id, 1L) AS k", "id AS v")
+      val right = spark.range(500).selectExpr("id AS k", "id * 10 AS w")
+      val joined = left.join(right, "k")
+      val smj = SparkTestSession.collectExec(joined) {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.isSkewJoin
+      }
+      assert(smj.nonEmpty && smj.contains(true),
+        s"AQE should mark the SMJ as a skew join, got $smj")
+    } finally saved.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
     val c = Tables.customer(spark, sf).select(col("c_custkey").as("o_custkey"), col("c_name"))
