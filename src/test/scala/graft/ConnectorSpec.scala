@@ -51,6 +51,10 @@ class ConnectorSpec extends AnyFunSuite {
     assert(roundTrip(new InMemoryStoreConnector) == 50)
   }
 
+  test("DSv2 connector: the same pipeline through the full scan/commit protocol") {
+    assert(roundTrip(new graft.sources.v2.GraftStoreV2Connector) == 50)
+  }
+
   test("in-memory store connector: append ACCUMULATES across writes like a real collection") {
     val c = new InMemoryStoreConnector
     val docs = Tables.documents(spark, sf).select("doc_id", "text")
