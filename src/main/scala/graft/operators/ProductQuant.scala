@@ -136,15 +136,46 @@ object ProductQuant {
     "q75_ann_pq" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
       pqSearch(e, pqTrain(e)).orderBy("query_id", "rank")
+    }),
+
+    // The composed index — IVF-PQ, the shape production ANN systems
+    // actually deploy: the coarse IVF quantizer prunes the corpus to
+    // the probed inverted lists (so the scan is a FRACTION of the
+    // corpus), and PQ codes rank those candidates by exact-integer
+    // asymmetric distance against 4-byte codes instead of 256-byte
+    // vectors. Both halves are the independently-oracle-proven q36 and
+    // q75 pipelines; this query joins them on the candidate set.
+    "q86_ann_ivfpq" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val (cents, asg) = Similarity.ivfIndex(e)
+      val pq = pqTrain(e)
+      val cands = broadcast(Similarity.ivfProbes(e, cents))
+        .join(asg, "cid")
+        .where(col("vec_id") =!= col("query_id"))
+        .select("query_id", "vec_id")
+      val queries = e.where("vec_id < 10")
+        .selectExpr("vec_id AS query_id", s"$quantE AS qq")
+      val scored = cands
+        .join(pqEncode(e, pq), "vec_id")
+        .join(broadcast(queries), "query_id")
+        .select(col("query_id"), col("vec_id"),
+          adcCol(col("qq"), col("codes"), pq).as("adc"))
+      val w = Window.partitionBy("query_id").orderBy(col("adc").asc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w)).where("rank <= 5")
+        .select(col("query_id"), col("rank").cast("long").as("rank"),
+          col("vec_id"), col("adc"))
+        .orderBy("query_id", "rank")
     })
   )
 
-  /** DuckDB twin: the same seeds, `Iters` unrolled Lloyd iterations per
-    * subspace (uniformly, keyed by (s, cid)), full-corpus encoding, and
-    * ADC scoring — generated from the same constants as the Spark path. */
-  private def duckPqSql(m: Int = M, k: Int = K, subdim: Int = SubDim,
-                        iters: Int = Iters, trainMod: Long = TrainMod,
-                        queryMaxId: Long = 10, topk: Int = 5): String = {
+  /** PQ CTE chain — subspaces, per-subspace Lloyd, corpus codes — over
+    * a quantized source relation `vecsRel` (vec_id, q). CTE names take
+    * prefix `p` so the chain composes with the IVF chain (q86) without
+    * name collisions. Final codebook CTE: `${p}cents$iters`; codes:
+    * `${p}codes`. */
+  private[operators] def duckPqCodesCtes(p: String, vecsRel: String,
+      m: Int = M, k: Int = K, subdim: Int = SubDim,
+      iters: Int = Iters, trainMod: Long = TrainMod): String = {
     val dist =
       "list_sum(list_transform(list_zip(t.subq, c.c), z -> (z[1] - z[2]) * (z[1] - z[2])))"
     def assignCte(name: String, src: String, centsName: String): String =
@@ -154,47 +185,81 @@ object ProductQuant {
          |      ROW_NUMBER() OVER (PARTITION BY t.vec_id, t.s ORDER BY $dist ASC, c.cid) AS rn
          |    FROM $src t JOIN $centsName c ON c.s = t.s) WHERE rn = 1)""".stripMargin
     val lloyd = (1 to iters).map { it =>
-      s"""${assignCte(s"a$it", "train", s"cents${it - 1}")},
-         |m$it AS (
+      s"""${assignCte(s"${p}a$it", s"${p}train", s"${p}cents${it - 1}")},
+         |${p}m$it AS (
          |  SELECT s, cid, i - 1 AS dim,
          |    CAST(trunc(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mval
-         |  FROM (SELECT s, cid, unnest(subq) AS x, generate_subscripts(subq, 1) AS i FROM a$it)
+         |  FROM (SELECT s, cid, unnest(subq) AS x, generate_subscripts(subq, 1) AS i FROM ${p}a$it)
          |  GROUP BY s, cid, dim),
-         |cents$it AS (
+         |${p}cents$it AS (
          |  SELECT c0.s, c0.cid, coalesce(mm.mc, c0.c) AS c
-         |  FROM cents${it - 1} c0 LEFT JOIN (
-         |    SELECT s, cid, list(mval ORDER BY dim) AS mc FROM m$it GROUP BY s, cid) mm
+         |  FROM ${p}cents${it - 1} c0 LEFT JOIN (
+         |    SELECT s, cid, list(mval ORDER BY dim) AS mc FROM ${p}m$it GROUP BY s, cid) mm
          |  ON mm.s = c0.s AND mm.cid = c0.cid)""".stripMargin
     }.mkString(",\n")
-    s"""WITH vecs AS (
-       |  SELECT vec_id,
-       |    list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
-       |  FROM embeddings),
-       |subs AS (
+    s"""${p}subs AS (
        |  SELECT vec_id, s,
        |    q[CAST(s * $subdim + 1 AS INT):CAST(s * $subdim + $subdim AS INT)] AS subq
-       |  FROM vecs, (SELECT unnest(range($m)) AS s)),
-       |train AS (SELECT vec_id, s, subq FROM subs WHERE vec_id % $trainMod = 0),
-       |cents0 AS (
+       |  FROM $vecsRel, (SELECT unnest(range($m)) AS s)),
+       |${p}train AS (SELECT vec_id, s, subq FROM ${p}subs WHERE vec_id % $trainMod = 0),
+       |${p}cents0 AS (
        |  SELECT s, rn - 1 AS cid, subq AS c FROM (
        |    SELECT s, subq, ROW_NUMBER() OVER (PARTITION BY s ORDER BY h, vec_id) AS rn
        |    FROM (SELECT s, vec_id, subq,
        |      ${duckHash48("concat('pq_', CAST(s AS VARCHAR), '_', CAST(vec_id AS VARCHAR))")} AS h
-       |      FROM train)) WHERE rn <= $k),
+       |      FROM ${p}train)) WHERE rn <= $k),
        |$lloyd,
-       |${assignCte("codes", "subs", s"cents$iters")},
+       |${assignCte(s"${p}codes", s"${p}subs", s"${p}cents$iters")}""".stripMargin
+  }
+
+  /** The ADC distance between a query subvector (alias `qs`) and the
+    * centroid a candidate's code points at (alias `pc`). */
+  private def duckAdcDist =
+    "list_sum(list_transform(list_zip(qs.subq, pc.c), z -> (z[1] - z[2]) * (z[1] - z[2])))"
+
+  /** DuckDB twin of q75: the same seeds, `Iters` unrolled Lloyd
+    * iterations per subspace (uniformly, keyed by (s, cid)),
+    * full-corpus encoding, and ADC scoring over ALL candidates. */
+  private def duckPqSql(m: Int = M, k: Int = K, subdim: Int = SubDim,
+                        iters: Int = Iters, trainMod: Long = TrainMod,
+                        queryMaxId: Long = 10, topk: Int = 5): String =
+    s"""WITH vecs AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |${duckPqCodesCtes("", "vecs", m, k, subdim, iters, trainMod)},
        |adc AS (
-       |  SELECT t.vec_id AS query_id, cd.vec_id,
-       |    CAST(SUM($dist) AS BIGINT) AS adc
-       |  FROM subs t
-       |  JOIN codes cd ON t.vec_id < $queryMaxId AND cd.vec_id <> t.vec_id AND cd.s = t.s
-       |  JOIN cents$iters c ON c.s = cd.s AND c.cid = cd.cid
+       |  SELECT qs.vec_id AS query_id, cd.vec_id,
+       |    CAST(SUM($duckAdcDist) AS BIGINT) AS adc
+       |  FROM subs qs
+       |  JOIN codes cd ON qs.vec_id < $queryMaxId AND cd.vec_id <> qs.vec_id AND cd.s = qs.s
+       |  JOIN cents$iters pc ON pc.s = cd.s AND pc.cid = cd.cid
        |  GROUP BY 1, 2)
        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, adc FROM (
        |  SELECT query_id, vec_id, adc,
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id) AS rank
        |  FROM adc) WHERE rank <= $topk ORDER BY query_id, rank""".stripMargin
-  }
 
-  def oracle: Map[String, String] = Map("q75_ann_pq" -> duckPqSql())
+  /** DuckDB twin of q86: IVF candidate generation composed with
+    * PQ-coded ADC ranking — the two proven chains joined on the
+    * candidate set. */
+  private def duckIvfPqSql(iters: Int = Iters, topk: Int = 5): String =
+    s"""WITH ${Similarity.duckIvfCandsCtes()},
+       |${duckPqCodesCtes("pq_", "vecs")},
+       |adc AS (
+       |  SELECT c.query_id, c.vec_id,
+       |    CAST(SUM($duckAdcDist) AS BIGINT) AS adc
+       |  FROM cands c
+       |  JOIN pq_subs qs ON qs.vec_id = c.query_id
+       |  JOIN pq_codes cd ON cd.vec_id = c.vec_id AND cd.s = qs.s
+       |  JOIN pq_cents$iters pc ON pc.s = cd.s AND pc.cid = cd.cid
+       |  GROUP BY 1, 2)
+       |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, adc FROM (
+       |  SELECT query_id, vec_id, adc,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id) AS rank
+       |  FROM adc) WHERE rank <= $topk ORDER BY query_id, rank""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "q75_ann_pq" -> duckPqSql(),
+    "q86_ann_ivfpq" -> duckIvfPqSql())
 }

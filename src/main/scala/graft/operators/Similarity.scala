@@ -225,21 +225,27 @@ object Similarity {
     * [[cosineTopK]], so nprobe = k is exactly brute force — the spec
     * asserts it). The centroid model is collected (k rows) and inlined,
     * so probe selection is a narrow map over the query set. */
-  def ivfSearch(embeddings: DataFrame, centroids: DataFrame, assignments: DataFrame,
-                queryMaxId: Long = 10, nprobe: Int = 4, k: Int = 5): DataFrame = {
+  /** Per-query top-`nprobe` centroid ids — the probe-selection half of
+    * [[ivfSearch]], shared with the composed IVF-PQ search (q86). */
+  private[operators] def ivfProbes(embeddings: DataFrame, centroids: DataFrame,
+                                   queryMaxId: Long = 10, nprobe: Int = 4): DataFrame = {
     val cents: Array[(Long, Array[Long])] = centroids.collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
       .sortBy(_._1)
     // top-nprobe by (sim desc, cid asc): ascending lexicographic sort on
     // (sim, ncid) structs, reversed — same ranking as round 2, over the
     // single-literal centroid matrix instead of k parsed struct literals
-    val probes = embeddings.where(s"vec_id < $queryMaxId")
+    embeddings.where(s"vec_id < $queryMaxId")
       .selectExpr("vec_id AS query_id", s"$quantE AS q")
       .withColumn("cid", explode(
         transform(slice(reverse(array_sort(centScores(cents))), 1, nprobe),
           p => p.getField("cid"))))
       .select("query_id", "cid")
+  }
 
+  def ivfSearch(embeddings: DataFrame, centroids: DataFrame, assignments: DataFrame,
+                queryMaxId: Long = 10, nprobe: Int = 4, k: Int = 5): DataFrame = {
+    val probes = ivfProbes(embeddings, centroids, queryMaxId, nprobe)
     val vecs = embeddings.selectExpr("vec_id", "cast(embedding as array<double>) AS v")
     val queries = vecs.where(s"vec_id < $queryMaxId").toDF("query_id", "q")
     val cands = broadcast(probes).join(assignments, "cid")
@@ -351,13 +357,10 @@ object Similarity {
     })
   )
 
-  /** DuckDB twin of q36: the same seeds, `iters` unrolled Lloyd
-    * iterations, full assignment, probe selection, and candidate
-    * scoring, generated from the same constants as the Spark path. */
-  private def duckIvfSql(k: Int = 16, iters: Int = 2, trainMod: Long = IvfTrainMod,
-                         queryMaxId: Long = 10, nprobe: Int = 4, topk: Int = 5): String = {
-    // exact-integer centroid similarity between quantized vector t.q and
-    // centroid c.c, rounded to 6 dp — the DuckDB spelling of centroidSimE
+  /** IVF CTE chain through `cands` (query_id, vec_id candidates) —
+    * shared by the q36 twin and the composed IVF-PQ twin (q86). */
+  private[operators] def duckIvfCandsCtes(k: Int = 16, iters: Int = 2,
+      trainMod: Long = IvfTrainMod, queryMaxId: Long = 10, nprobe: Int = 4): String = {
     val intSim =
       """round(list_sum(list_transform(list_zip(t.q, c.c), s -> s[1] * s[2])) /
         |        (sqrt(list_sum(list_transform(t.q, x -> x * x))) * sqrt(list_sum(list_transform(c.c, x -> x * x)))), 6)""".stripMargin
@@ -379,7 +382,7 @@ object Similarity {
          |  FROM cents${it - 1} c0 LEFT JOIN (
          |    SELECT cid, list(m ORDER BY dim) AS mc FROM m$it GROUP BY cid) mm USING (cid))""".stripMargin
     }.mkString(",\n")
-    s"""WITH vecs AS (
+    s"""vecs AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q,
        |    list_transform(embedding, x -> x::DOUBLE) AS v
@@ -399,7 +402,15 @@ object Similarity {
        |    FROM vecs t CROSS JOIN cents$iters c WHERE t.vec_id < $queryMaxId) WHERE rn <= $nprobe),
        |cands AS (
        |  SELECT DISTINCT p.query_id, a.vec_id
-       |  FROM probes p JOIN asg a USING (cid) WHERE a.vec_id <> p.query_id),
+       |  FROM probes p JOIN asg a USING (cid) WHERE a.vec_id <> p.query_id)""".stripMargin
+  }
+
+  /** DuckDB twin of q36: the same seeds, `iters` unrolled Lloyd
+    * iterations, full assignment, probe selection, and candidate
+    * scoring, generated from the same constants as the Spark path. */
+  private def duckIvfSql(k: Int = 16, iters: Int = 2, trainMod: Long = IvfTrainMod,
+                         queryMaxId: Long = 10, nprobe: Int = 4, topk: Int = 5): String = {
+    s"""WITH ${duckIvfCandsCtes(k, iters, trainMod, queryMaxId, nprobe)},
        |scored AS (
        |  SELECT cd.query_id, cd.vec_id,
        |    round(list_sum(list_transform(list_zip(qv.v, bv.v), s -> s[1] * s[2])) /

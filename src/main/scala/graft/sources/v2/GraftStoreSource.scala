@@ -87,10 +87,15 @@ class GraftStoreTable(name: String, tableSchema: StructType, batchRows: Int)
 // ---------------------------------------------------------------- read
 
 class GraftScanBuilder(name: String, schema: StructType, batchRows: Int)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+
+  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = schema
+  private var aggRow: Option[(StructType, Row)] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (sup, residual) = filters.partition(GraftStore.supported(_, schema))
@@ -102,7 +107,81 @@ class GraftScanBuilder(name: String, schema: StructType, batchRows: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new GraftScan(name, schema, required, pushed, batchRows)
+  /** MIN/MAX/COUNT(*) answered from the store's METADATA — zone maps
+    * and segment row counts — without deserializing a single row: the
+    * same trick a parquet footer or a store's collection stats serve.
+    * Conservative scope: no grouping, no filters (a zone map describes
+    * the whole segment, not a filtered subset), Min/Max only on
+    * zone-mapped columns (a segment with no zone entry holds no
+    * non-null values for that column — skipping it matches SQL
+    * null-ignoring MIN/MAX). */
+  private def colName(f: AggregateFunc): Option[String] = f match {
+    case m: Min => m.column() match {
+      case r: NamedReference if r.fieldNames().length == 1 => Some(r.fieldNames()(0))
+      case _ => None
+    }
+    case m: Max => m.column() match {
+      case r: NamedReference if r.fieldNames().length == 1 => Some(r.fieldNames()(0))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    pushed.isEmpty && aggregation.groupByExpressions().isEmpty &&
+      aggregation.aggregateExpressions().forall {
+        case _: CountStar => true
+        case f @ (_: Min | _: Max) => colName(f).exists { c =>
+          schema.fieldNames.contains(c) &&
+            GraftStore.get(name).segments.forall(s =>
+              s.zones.contains(c) || s.rows.forall(_.get(schema.fieldIndex(c)) == null))
+        }
+        case _ => false
+      }
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (!supportCompletePushDown(aggregation)) return false
+    val segs = GraftStore.get(name).segments
+    val fields = scala.collection.mutable.ArrayBuffer.empty[StructField]
+    val values = scala.collection.mutable.ArrayBuffer.empty[Any]
+    aggregation.aggregateExpressions().foreach {
+      case _: CountStar =>
+        fields += StructField("count(*)", LongType, nullable = false)
+        values += segs.map(_.rows.size.toLong).sum
+      case f @ (_: Min | _: Max) =>
+        val c = colName(f).get
+        val zones = segs.flatMap(_.zones.get(c))
+        val v =
+          if (zones.isEmpty) null
+          else if (f.isInstanceOf[Min]) zones.map(_._1).min(Ordering.fromLessThan[Any](GraftStore.cmp(_, _) < 0))
+          else zones.map(_._2).max(Ordering.fromLessThan[Any](GraftStore.cmp(_, _) < 0))
+        fields += StructField(f.toString, schema(schema.fieldIndex(c)).dataType)
+        values += v
+      case other => throw new IllegalStateException(s"unexpected pushed agg: $other")
+    }
+    aggRow = Some((StructType(fields.toSeq), Row.fromSeq(values.toSeq)))
+    true
+  }
+
+  override def build(): Scan = aggRow match {
+    case Some((aggSchema, row)) => new GraftAggScan(name, aggSchema, row)
+    case None => new GraftScan(name, schema, required, pushed, batchRows)
+  }
+}
+
+/** Scan for a completely-pushed aggregation: one partition, one
+  * metadata-derived row, zero segment reads (the store counters stay
+  * untouched — the spec's proof that no data moved). */
+class GraftAggScan(name: String, aggSchema: StructType, row: Row) extends Scan {
+  override def readSchema(): StructType = aggSchema
+  override def description(): String =
+    s"graft-store:$name PushedAggregates: ${aggSchema.fieldNames.mkString("[", ", ", "]")} (metadata-only)"
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(GraftInputPartition(Vector(row)))
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GraftReaderFactory(aggSchema, aggSchema, Array.empty)
+  }
 }
 
 class GraftScan(name: String, fullSchema: StructType, required: StructType,

@@ -41,6 +41,19 @@ object StoreQueries {
         .groupBy("lang", "source")
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("chars"))
         .orderBy("lang", "source")
+    }),
+
+    // Complete aggregate pushdown: COUNT(*)/MIN/MAX answered from the
+    // store's zone maps and segment counts — zero rows deserialized
+    // (GraftSourceSpec proves the counters stay at 0). The oracle
+    // recomputes the same aggregates from the raw parquet, so a hash
+    // match proves the METADATA is consistent with the data.
+    "q85_dsv2_agg" -> ((s, dir) => {
+      val name = ensureLoaded(s, dir)
+      s.read.format("graft-store").option("name", name).load()
+        .agg(count(lit(1)).as("n_rows"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
     })
   )
 
@@ -49,6 +62,11 @@ object StoreQueries {
       """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents WHERE doc_id >= 100 AND n_chars >= 200
-        |GROUP BY lang, source ORDER BY lang, source""".stripMargin
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q85_dsv2_agg" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+        |  CAST(MIN(n_chars) AS BIGINT) AS min_chars, CAST(MAX(n_chars) AS BIGINT) AS max_chars
+        |FROM documents""".stripMargin
   )
 }

@@ -128,6 +128,34 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(read(name).count() == 20)
   }
 
+  test("MIN/MAX/COUNT(*) are answered from store metadata with zero segment reads") {
+    loadDocs("v2_docs")
+    GraftStore.resetCounters()
+    val agg = read("v2_docs").agg(
+      count(lit(1)).as("n"), min("doc_id").as("lo"), max("doc_id").as("hi"),
+      max("n_chars").as("mc"))
+    val got = agg.head()
+    val want = docs.agg(count(lit(1)), min("doc_id"), max("doc_id"), max("n_chars")).head()
+    assert(got == want)
+    // the proof: no segment was planned or read — the values came from
+    // zone maps and segment row counts alone
+    assert(GraftStore.segmentsRead.get() == 0,
+      s"metadata-only agg must not read segments, read=${GraftStore.segmentsRead.get()}")
+    // and no aggregate exec remains above the scan (complete pushdown)
+    assert(SparkTestSession.collectExec(agg) {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec => h
+    }.isEmpty, "complete pushdown should leave no HashAggregate in the plan")
+  }
+
+  test("aggregate pushdown declines when a filter is present (zone maps can't subset)") {
+    loadDocs("v2_docs")
+    val filtered = read("v2_docs").where(col("doc_id") > 100)
+      .agg(min("n_chars"), max("n_chars"), count(lit(1)))
+    val want = docs.where(col("doc_id") > 100)
+      .agg(min("n_chars"), max("n_chars"), count(lit(1))).head()
+    assert(filtered.head() == want) // correct via the normal scan path
+  }
+
   test("edge cases: empty collection and a filter that prunes every segment") {
     GraftStore.register("v2_empty", docs.schema, Seq.empty, Some("doc_id"))
     assert(read("v2_empty").count() == 0)
