@@ -466,6 +466,112 @@ object Relational {
         .orderBy("mo")
     }),
 
+    // TPC-H Q13 customer distribution adapted (no o_comment in this
+    // schema; the excluded class is URGENT-priority orders, and every
+    // customer here has SOME order so the left-outer zero bucket comes
+    // from the filter, as in the original): customers × their count of
+    // urgent orders — LEFT OUTER so zero-count customers survive —
+    // then the distribution of those counts. The first aggregation
+    // shuffles on custkey; the second groups a 1500-row frame on a
+    // tiny domain (partial agg collapses it map-side).
+    "q87_tpch_q13" -> ((s, dir) => {
+      val c = Tables.customer(s, dir).select("c_custkey")
+      val o = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_custkey")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    }),
+
+    // TPC-H Q15 top supplier: quarterly revenue per supplier, keep the
+    // supplier(s) at the maximum. Revenue in exact cents makes the max
+    // well-defined across engines; the max is a ONE-ROW aggregate
+    // broadcast back (a rank() over an unpartitioned window would
+    // funnel every supplier through a single task at scale).
+    "q88_tpch_q15" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1996-04-01")
+        .groupBy(col("l_suppkey"))
+        .agg(sum(expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
+          .cast("long").as("total_revenue_cents"))
+      val top = rev.agg(max("total_revenue_cents").as("mx"))
+      rev.join(broadcast(top), col("total_revenue_cents") === col("mx"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue_cents"))
+        .orderBy("s_suppkey")
+    }),
+
+    // TPC-H Q17 small-quantity parts adapted (no p_container): for one
+    // brand, lines whose quantity is under HALF that part's average.
+    // The correlated scalar subquery is decorrelated into one per-part
+    // aggregate joined back — at scale a single extra shuffle of
+    // (partkey, sum, count) rows instead of a per-row subquery. The
+    // threshold compare is integer-exact by cross-multiplication:
+    // qty < 0.5·(qsum/qn)  ⇔  2·qty·qn < qsum (quantities integral).
+    "q89_tpch_q17" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val pa = l.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(expr("cast(round(l_quantity) as bigint)")).cast("long").as("qsum"),
+             count(lit(1)).as("qn"))
+      val p = Tables.part(s, dir).filter(col("p_brand") === "Brand#1")
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(pa, l("l_partkey") === pa("pk"))
+        .where(expr("2 * cast(round(l_quantity) as bigint) * qn < qsum"))
+        .agg(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+          .cast("long").as("total_cents"),
+          count(lit(1)).as("n_rows"))
+        .selectExpr("total_cents", "n_rows", "total_cents div n_rows AS avg_cents")
+    }),
+
+    // TPC-H Q19 discounted-revenue adapted (no container/shipmode): a
+    // 3-arm OR-of-ANDs over (brand, size, quantity) bands on a joined
+    // pair — the classic test that the optimizer extracts the common
+    // join key from the disjunction and pushes the per-table arms into
+    // both scans instead of evaluating the OR post-join only.
+    "q90_tpch_q19" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)"))
+          .cast("long").as("revenue_cents"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // TPC-H Q22 global-sales-opportunity adapted (no c_phone — the
+    // country-code arm is a nationkey set; every customer has SOME
+    // order, so "dormant" = no order since 1999): above-average-balance
+    // customers in 7 nations with no recent orders. The average is a
+    // one-row aggregate (broadcast scalar, integer-floor division both
+    // engines), the NOT EXISTS a left-anti join against date-filtered
+    // orders — both inputs shrink before the only real shuffle.
+    "q91_tpch_q22" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+        .where(col("c_nationkey").isin(0, 1, 2, 3, 4, 5, 6))
+        .withColumn("bal_cents", expr("cast(round(c_acctbal * 100) as bigint)"))
+      val thr = c.where(col("c_acctbal") > 0)
+        .agg(expr("sum(bal_cents) div count(1)").as("thr"))
+      val recent = Tables.orders(s, dir)
+        .where(col("o_orderdate") >= "1999-01-01").select("o_custkey")
+      c.crossJoin(broadcast(thr))
+        .where(col("bal_cents") > col("thr"))
+        .join(recent, c("c_custkey") === recent("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          sum("bal_cents").cast("long").as("totacctbal_cents"))
+        .orderBy("cntrycode")
+    }),
+
     "q40_tpch_q3" -> ((s, dir) => {
       val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.orders(s, dir).filter(col("o_orderdate") < "1998-03-15")
@@ -868,6 +974,67 @@ object Relational {
         |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  GROUP BY mo)
         |ORDER BY mo""".stripMargin,
+
+    "q87_tpch_q13" ->
+      """SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+        |  SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority = '1-URGENT'
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q88_tpch_q15" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS total_revenue_cents
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue_cents
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue_cents = (SELECT MAX(total_revenue_cents) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q89_tpch_q17" ->
+      """WITH pa AS (
+        |  SELECT l_partkey AS pk,
+        |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qsum,
+        |    CAST(COUNT(*) AS BIGINT) AS qn
+        |  FROM lineitem GROUP BY 1)
+        |SELECT total_cents, n_rows, total_cents // n_rows AS avg_cents FROM (
+        |  SELECT CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+        |    CAST(COUNT(*) AS BIGINT) AS n_rows
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey JOIN pa ON l_partkey = pk
+        |  WHERE p_brand = 'Brand#1'
+        |    AND 2 * CAST(round(l_quantity) AS BIGINT) * qn < qsum)""".stripMargin,
+
+    "q90_tpch_q19" ->
+      """SELECT
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q91_tpch_q22" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_nationkey, c_acctbal,
+        |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        |  FROM customer WHERE c_nationkey IN (0, 1, 2, 3, 4, 5, 6)),
+        |thr AS (
+        |  SELECT CAST(SUM(bal_cents) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS thr
+        |  FROM c WHERE c_acctbal > 0)
+        |SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+        |  CAST(COUNT(*) AS BIGINT) AS numcust,
+        |  CAST(SUM(bal_cents) AS BIGINT) AS totacctbal_cents
+        |FROM c, thr
+        |WHERE bal_cents > thr
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin,
 
     "q40_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,

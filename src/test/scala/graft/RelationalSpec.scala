@@ -122,6 +122,30 @@ class RelationalSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("q90's OR-of-ANDs pushes per-table arms into both parquet scans") {
+    // the Q19 optimizer test: Catalyst must extract table-local
+    // conjuncts from the 3-arm disjunction and push them below the
+    // join — a scan reading ALL of part/lineitem for this query would
+    // be the 100 TB failure mode
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = SparkEntry.queries("q90_tpch_q19")(spark, sf)
+    val pushed = SparkTestSession.collectExec(df) { case sc: FileSourceScanExec => sc }
+      .flatMap(_.metadata.get("PushedFilters"))
+    assert(pushed.exists(f => f.contains("p_brand") && f.contains("Or")),
+      s"part scan must carry the extracted brand/size disjunction, got: $pushed")
+    assert(pushed.exists(f => f.contains("l_quantity")),
+      s"lineitem scan must carry the quantity envelope, got: $pushed")
+  }
+
+  test("q88's max-revenue lookup joins via broadcast, not a shuffle") {
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = SparkEntry.queries("q88_tpch_q15")(spark, sf)
+    df.collect()
+    assert(SparkTestSession.collectExec(df) {
+      case b: BroadcastHashJoinExec => b
+    }.nonEmpty, "1-row max aggregate must broadcast back to the revenue frame")
+  }
+
   test("sketches stay within error bounds of the exact answers") {
     // q47 now carries its own bound verdicts (hash-checked against the
     // oracle's literal TRUE); the spec asserts the flags and the exact
