@@ -37,7 +37,8 @@ object GraftStore {
       extends Serializable
 
   case class Collection(schema: StructType, shardKey: Option[String],
-                        segments: Vector[Segment]) {
+                        segments: Vector[Segment],
+                        clusterKey: Option[String] = None) {
     def rows: Vector[Row] = segments.flatMap(_.rows)
   }
 
@@ -109,12 +110,35 @@ object GraftStore {
         shard(schema, shardKey, rows.toVector, numSegments))
     }
 
+  /** Register a collection CLUSTERED on a key: exactly one segment per
+    * distinct key value (deterministic key order). This is the layout
+    * contract behind storage-partitioned joins — the scan can then
+    * report [[org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning]]
+    * and two collections clustered on their join key join with ZERO
+    * shuffle (the DSv2 analogue of two bucketed tables, or of Mongo
+    * collections sharded on the same key). Identity clustering is the
+    * demo-friendly transform; a production store would typically use
+    * `bucket(n, key)` so cardinality doesn't drive partition count. */
+  def registerClustered(name: String, schema: StructType, rows: Seq[Row],
+                        clusterKey: String): Unit = store.synchronized {
+    val idx = schema.fieldIndex(clusterKey)
+    val segs = rows.toVector.groupBy(_.get(idx)).toVector
+      .sortWith { case ((a, _), (b, _)) =>
+        if (a == null) b != null else if (b == null) false else cmp(a, b) < 0 }
+      .map { case (_, g) => Segment(g, zoneMaps(schema, g)) }
+    store(name) = Collection(schema, None, segs, clusterKey = Some(clusterKey))
+  }
+
   /** Convenience: materialize a DataFrame into the store (the test/dev
     * ingest path; a real deployment writes through the connector's
     * [[org.apache.spark.sql.connector.write.BatchWrite]] instead). */
   def load(name: String, df: DataFrame, shardKey: Option[String] = None,
            numSegments: Int = 8): Unit =
     register(name, df.schema, df.collect().toIndexedSeq, shardKey, numSegments)
+
+  /** [[registerClustered]] from a DataFrame. */
+  def loadClustered(name: String, df: DataFrame, clusterKey: String): Unit =
+    registerClustered(name, df.schema, df.collect().toIndexedSeq, clusterKey)
 
   /** Append rows, preserving the collection's shard layout (re-shards —
     * the moral equivalent of a compaction after an append batch). */
@@ -124,8 +148,11 @@ object GraftStore {
       case Some(c) =>
         require(c.schema == schema,
           s"append schema mismatch for $name: ${c.schema} vs $schema")
-        store(name) = Collection(c.schema, c.shardKey,
-          shard(c.schema, c.shardKey, c.rows ++ rows, numSegments))
+        c.clusterKey match {
+          case Some(k) => registerClustered(name, c.schema, c.rows ++ rows, k)
+          case None => store(name) = Collection(c.schema, c.shardKey,
+            shard(c.schema, c.shardKey, c.rows ++ rows, numSegments))
+        }
       case None => register(name, schema, rows, None, numSegments)
     }
   }

@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, ArrayData, DateTim
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
@@ -186,7 +187,8 @@ class GraftAggScan(name: String, aggSchema: StructType, row: Row) extends Scan {
 
 class GraftScan(name: String, fullSchema: StructType, required: StructType,
                 filters: Array[Filter], batchRows: Int)
-    extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering {
+    extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering
+    with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-store:$name PushedFilters: ${filters.mkString("[", ", ", "]")}, " +
@@ -222,15 +224,54 @@ class GraftScan(name: String, fullSchema: StructType, required: StructType,
     override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rowCount)
   }
 
+  /** Segments surviving zone-map pruning under the CURRENT filter set
+    * (static + runtime) — the single source of truth shared by
+    * partition planning and partitioning reporting, so the two always
+    * agree on the partition count. */
+  private def survivors: Vector[GraftStore.Segment] =
+    GraftStore.get(name).segments.filter(seg =>
+      allFilters.forall(GraftStore.mightMatch(_, seg)))
+
+  /** Key-grouped partitioning for cluster-keyed collections: each
+    * segment holds exactly ONE cluster-key value (registerClustered's
+    * layout contract), so the scan reports
+    * `KeyGroupedPartitioning(identity(key), nSegments)` and Spark's
+    * storage-partitioned join elides BOTH shuffles when two collections
+    * clustered on the join key meet (requires
+    * spark.sql.sources.v2.bucketing.enabled). Declared only when the
+    * key survives column pruning — the partition values must be
+    * resolvable against the scan's OUTPUT. */
+  override def outputPartitioning(): Partitioning = {
+    val coll = GraftStore.get(name)
+    val kept = survivors
+    coll.clusterKey match {
+      case Some(k) if required.fieldNames.contains(k) && kept.nonEmpty &&
+          kept.forall(_.rows.nonEmpty) =>
+        new KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.identity(k)),
+          kept.size)
+      case _ => new UnknownPartitioning(kept.size)
+    }
+  }
+
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val coll = GraftStore.get(name)
-      val fs = allFilters
-      val (kept, skipped) = coll.segments.partition(seg =>
-        fs.forall(GraftStore.mightMatch(_, seg)))
-      GraftStore.segmentsSkipped.addAndGet(skipped.size)
+      val kept = survivors
+      GraftStore.segmentsSkipped.addAndGet(coll.segments.size - kept.size)
       GraftStore.segmentsRead.addAndGet(kept.size)
-      kept.map(seg => GraftInputPartition(seg.rows): InputPartition).toArray
+      coll.clusterKey match {
+        case Some(k) if required.fieldNames.contains(k) && kept.nonEmpty &&
+            kept.forall(_.rows.nonEmpty) =>
+          val idx = coll.schema.fieldIndex(k)
+          val conv = RowConverters.toCatalyst(coll.schema(idx).dataType)
+          kept.map { seg =>
+            val key = new GenericInternalRow(Array[Any](conv(seg.rows.head.get(idx))))
+            GraftKeyedInputPartition(seg.rows, key): InputPartition
+          }.toArray
+        case _ =>
+          kept.map(seg => GraftInputPartition(seg.rows): InputPartition).toArray
+      }
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftReaderFactory(fullSchema, required, allFilters)
@@ -245,10 +286,22 @@ class GraftScan(name: String, fullSchema: StructType, required: StructType,
   * assumed between driver and executor. */
 case class GraftInputPartition(rows: Vector[Row]) extends InputPartition
 
+/** A partition of a cluster-keyed collection: advertises its single
+  * cluster-key value so Spark can align co-keyed scans for a
+  * storage-partitioned join. */
+case class GraftKeyedInputPartition(rows: Vector[Row], key: InternalRow)
+    extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key
+}
+
 class GraftReaderFactory(fullSchema: StructType, required: StructType,
                          filters: Array[Filter]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val rows = partition.asInstanceOf[GraftInputPartition].rows
+    val rows = partition match {
+      case GraftInputPartition(rs) => rs
+      case GraftKeyedInputPartition(rs, _) => rs
+      case other => throw new IllegalStateException(s"unexpected partition: $other")
+    }
     val idxs = required.fields.map(f => fullSchema.fieldIndex(f.name))
     val convs = required.fields.map(f => RowConverters.toCatalyst(f.dataType))
     val it = rows.iterator

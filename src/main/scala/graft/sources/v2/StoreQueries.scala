@@ -54,8 +54,44 @@ object StoreQueries {
         .agg(count(lit(1)).as("n_rows"),
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
           min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+    }),
+
+    // Storage-partitioned join: documents and per-language stats both
+    // live in the store CLUSTERED on lang, the scans report
+    // KeyGroupedPartitioning(identity(lang)), and the join plans with
+    // zero pre-join exchanges (GraftSourceSpec proves shuffles == 0
+    // with broadcast disabled). "Docs longer than their language's
+    // average" — the join is row-level, so a wrong alignment would be
+    // oracle-visible immediately.
+    "q92_spj_join" -> ((s, dir) => {
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val (docsName, statsName) = ensureClustered(s, dir)
+      val d = s.read.format("graft-store").option("name", docsName).load()
+      val st = s.read.format("graft-store").option("name", statsName).load()
+      d.join(st, "lang")
+        .where(col("n_chars") > col("avg_chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_above"),
+          sum("n_chars").cast("long").as("chars_above"),
+          max("avg_chars").as("avg_chars"))
+        .orderBy("lang")
     })
   )
+
+  private def ensureClustered(spark: SparkSession, sfDir: String): (String, String) = {
+    val suffix = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val (dn, sn) = ("documents_by_lang_" + suffix, "lang_stats_" + suffix)
+    loaded.synchronized {
+      if (!loaded.contains(dn)) {
+        val docs = Tables.documents(spark, sfDir)
+        GraftStore.loadClustered(dn, docs, "lang")
+        GraftStore.loadClustered(sn, docs.groupBy("lang")
+          .agg(expr("sum(n_chars) div count(1)").as("avg_chars")), "lang")
+        loaded += dn
+      }
+    }
+    (dn, sn)
+  }
 
   def oracle: Map[String, String] = Map(
     "q73_dsv2_scan" ->
@@ -67,6 +103,16 @@ object StoreQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT) AS max_doc,
         |  CAST(MIN(n_chars) AS BIGINT) AS min_chars, CAST(MAX(n_chars) AS BIGINT) AS max_chars
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q92_spj_join" ->
+      """WITH stats AS (
+        |  SELECT lang, CAST(SUM(n_chars) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS avg_chars
+        |  FROM documents GROUP BY lang)
+        |SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_above,
+        |  CAST(SUM(d.n_chars) AS BIGINT) AS chars_above,
+        |  CAST(MAX(s.avg_chars) AS BIGINT) AS avg_chars
+        |FROM documents d JOIN stats s ON d.lang = s.lang
+        |WHERE d.n_chars > s.avg_chars
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
   )
 }

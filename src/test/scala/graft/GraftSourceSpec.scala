@@ -156,6 +156,51 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(filtered.head() == want) // correct via the normal scan path
   }
 
+  test("storage-partitioned join: co-clustered collections join with ZERO shuffles") {
+    // two collections clustered on the join key; the scans report
+    // KeyGroupedPartitioning, so the join needs no exchange on either
+    // side. Broadcast is disabled so the shuffle-free plan can only
+    // come from the reported partitioning, not from a broadcast.
+    GraftStore.loadClustered("spj_docs", docs, "lang")
+    val stats = docs.groupBy("lang")
+      .agg(expr("sum(n_chars) div count(1)").as("avg_chars"))
+    GraftStore.loadClustered("spj_stats", stats, "lang")
+    val withConf = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = withConf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    withConf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = read("spj_docs").join(read("spj_stats"), "lang")
+        .where(col("n_chars") > col("avg_chars"))
+        .select("lang", "doc_id", "n_chars", "avg_chars")
+      val got = joined.orderBy("doc_id").collect()
+      assert(SparkTestSession.shuffles(joined) == 0,
+        "co-clustered storage-partitioned join must plan no exchange")
+
+      // same result as the plain parquet formulation
+      val want = docs.join(stats, "lang")
+        .where(col("n_chars") > col("avg_chars"))
+        .select("lang", "doc_id", "n_chars", "avg_chars")
+        .orderBy("doc_id").collect()
+      assert(got.toSeq == want.toSeq && got.nonEmpty)
+
+      // negative control: the same join against a range-sharded (not
+      // cluster-keyed) collection must shuffle — the zero above is the
+      // reported partitioning at work, not an artifact of data size
+      loadDocs("spj_plain")
+      val control = read("spj_plain").join(read("spj_stats"), "lang")
+        .where(col("n_chars") > col("avg_chars"))
+      control.collect()
+      assert(SparkTestSession.shuffles(control) > 0,
+        "unclustered side must still require an exchange")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("edge cases: empty collection and a filter that prunes every segment") {
     GraftStore.register("v2_empty", docs.schema, Seq.empty, Some("doc_id"))
     assert(read("v2_empty").count() == 0)
