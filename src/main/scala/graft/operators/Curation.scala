@@ -100,6 +100,40 @@ object Curation {
       .selectExpr("doc_id", "coalesce(contaminated, false) AS contaminated")
   }
 
+  /** Bloom-prefiltered exact-hash decontamination: drop every training
+    * document whose text fingerprint appears in the eval set, WITHOUT
+    * shuffling the corpus.
+    *
+    * The plain spelling is a corpus-wide anti-join on the fingerprint —
+    * at 100 TB that is a full shuffle of the training side. Here the
+    * eval fingerprints are folded into a Bloom filter (distributed
+    * build via treeAggregate, sketch-sized result on the driver) and
+    * probed by a native codegen'd expression in the scan: rows the
+    * filter rejects are DEFINITELY clean (no false negatives), so only
+    * the candidate sliver — true matches plus the fpp share — reaches
+    * the exact confirm join against the broadcast eval set. The result
+    * is byte-identical to the plain anti-join; only the data movement
+    * changes: full-corpus shuffle → narrow map + candidate-sized
+    * broadcast join.
+    *
+    * Fingerprint is the portable 48-bit hash (`Portable.sparkHash48`),
+    * so the DuckDB twin reproduces the join exactly. */
+  def bloomDecontaminate(train: DataFrame, evalDocs: DataFrame,
+                         fpp: Double = 0.01): DataFrame = {
+    val t = train.selectExpr("doc_id", s"${sparkHash48("text")} AS fp")
+    val e = evalDocs.selectExpr(s"${sparkHash48("text")} AS fp").distinct()
+    val bloom = e.stat.bloomFilter("fp", math.max(1L, e.count()), fpp)
+    val might = org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.BloomMightContainLong(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("fp")), bloom))
+    val flagged = t.withColumn("might", might)
+    val definitelyClean = flagged.where(!col("might")).select("doc_id", "fp")
+    val confirmedClean = flagged.where(col("might"))
+      .join(broadcast(e), Seq("fp"), "left_anti")
+      .select("doc_id", "fp")
+    definitelyClean.unionByName(confirmedClean).select("doc_id")
+  }
+
   /** Per-source cap, best-first: keep at most `cap` documents per source
     * ranked by descending length (a quality proxy), ties by doc_id — the
     * per-domain cap crawl curation applies so no single site dominates
@@ -232,6 +266,18 @@ object Curation {
       decontaminate(corpus).orderBy("doc_id")
     }),
 
+    // Same planted-leakage construction as q62, but exact-hash
+    // decontamination through the Bloom prefilter: the kept set must be
+    // byte-identical to the plain anti-join (the oracle IS the plain
+    // anti-join — a false negative anywhere would hash-mismatch).
+    "q93_bloom_decontam" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val evalDocs = d.where("doc_id % 97 = 3")
+      val train = d.where("doc_id % 97 != 3").unionByName(
+        evalDocs.selectExpr("doc_id + 3000000 AS doc_id", "text"))
+      bloomDecontaminate(train, evalDocs).orderBy("doc_id")
+    }),
+
     "q63_source_cap" -> ((s, dir) =>
       sourceCap(Tables.documents(s, dir)).orderBy("source", "rk")),
 
@@ -321,6 +367,20 @@ object Curation {
         |SELECT t.doc_id, (c.doc_id IS NOT NULL) AS contaminated
         |FROM train t LEFT JOIN contaminated c ON t.doc_id = c.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    "q93_bloom_decontam" ->
+      s"""WITH ev AS (
+         |  SELECT DISTINCT ${duckHash48("text")} AS fp
+         |  FROM documents WHERE doc_id % 97 = 3),
+         |train AS (
+         |  SELECT doc_id, ${duckHash48("text")} AS fp
+         |  FROM documents WHERE doc_id % 97 != 3
+         |  UNION ALL
+         |  SELECT doc_id + 3000000 AS doc_id, ${duckHash48("text")} AS fp
+         |  FROM documents WHERE doc_id % 97 = 3)
+         |SELECT doc_id FROM train t
+         |WHERE NOT EXISTS (SELECT 1 FROM ev e WHERE e.fp = t.fp)
+         |ORDER BY doc_id""".stripMargin,
 
     "q63_source_cap" ->
       """SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS rk FROM (

@@ -293,6 +293,40 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(planted.nonEmpty && planted.forall(out(_)))
   }
 
+  test("bloom decontamination equals the plain anti-join and prunes map-side") {
+    import graft.operators.Curation
+    val d = docs.select("doc_id", "text")
+    val evalDocs = d.where("doc_id % 97 = 3")
+    val train = d.where("doc_id % 97 != 3").unionByName(
+      evalDocs.selectExpr("doc_id + 3000000 AS doc_id", "text"))
+
+    // exactness: the prefiltered path is byte-identical to the anti-join
+    val got = Curation.bloomDecontaminate(train, evalDocs)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val fpE = s"${graft.functions.Portable.sparkHash48("text")} AS fp"
+    val want = train.selectExpr("doc_id", fpE)
+      .join(evalDocs.selectExpr(fpE), Seq("fp"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == want && got.nonEmpty)
+
+    // every planted copy is gone, clean rows survive
+    val planted = evalDocs.selectExpr("doc_id + 3000000 AS doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(planted.nonEmpty && got.forall(id => !planted.contains(id)))
+
+    // the scale claim: the bloom admits only the candidate sliver —
+    // true matches plus ~fpp of the clean corpus — so the exact join
+    // sees a tiny fraction of the training side
+    val e = evalDocs.selectExpr(fpE).distinct()
+    val bloom = e.stat.bloomFilter("fp", math.max(1L, e.count()), 0.01)
+    val trainN = train.count()
+    val candidates = train.selectExpr(fpE)
+      .collect().count(r => bloom.mightContainLong(r.getLong(0)))
+    val trueMatches = trainN - want.size
+    assert(candidates <= trueMatches + math.max(5L, (trainN * 0.05).toLong),
+      s"bloom admitted $candidates of $trainN (true matches: $trueMatches)")
+  }
+
   test("source cap keeps exactly the longest docs per source") {
     import graft.operators.Curation
     val kept = Curation.sourceCap(Tables.documents(spark, sf), cap = 15)
