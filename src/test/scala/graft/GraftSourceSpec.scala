@@ -201,6 +201,38 @@ class GraftSourceSpec extends AnyFunSuite {
     }
   }
 
+  test("flat projections read as columnar batches; nested schemas fall back to rows") {
+    import org.apache.spark.sql.execution.ColumnarToRowExec
+    loadDocs("v2_docs")
+    // documents is all flat types: the scan must report columnar and the
+    // plan must carry the ColumnarToRow boundary
+    val flat = read("v2_docs").where(col("n_chars") >= 100)
+    val got = flat.orderBy("doc_id").collect()
+    val scans = SparkTestSession.collectExec(flat) {
+      case b: BatchScanExec => b
+    }
+    assert(scans.nonEmpty && scans.forall(_.supportsColumnar),
+      "flat-typed store scan should be vectorized")
+    assert(SparkTestSession.collectExec(flat) {
+      case c: ColumnarToRowExec => c
+    }.nonEmpty, "columnar scan needs a ColumnarToRow boundary in the plan")
+    val want = docs.where(col("n_chars") >= 100).orderBy("doc_id").collect()
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+
+    // an array column in the projection cannot vectorize: row fallback,
+    // same results
+    val emb = Tables.embeddings(spark, sf)
+    GraftStore.load("v2_emb", emb, shardKey = Some("vec_id"), numSegments = 4)
+    val nested = read("v2_emb")
+    val gotN = nested.orderBy("vec_id").collect()
+    val nestedScans = SparkTestSession.collectExec(nested) {
+      case b: BatchScanExec => b
+    }
+    assert(nestedScans.nonEmpty && !nestedScans.exists(_.supportsColumnar),
+      "array-typed projection must fall back to the row reader")
+    assert(gotN.toSeq == emb.orderBy("vec_id").collect().toSeq)
+  }
+
   test("edge cases: empty collection and a filter that prunes every segment") {
     GraftStore.register("v2_empty", docs.schema, Seq.empty, Some("doc_id"))
     assert(read("v2_empty").count() == 0)
