@@ -23,6 +23,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // storage-partitioned joins for clustered graft-store scans (q92)
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -39,16 +41,26 @@ object Bench {
     // three timed reps per query, report the MEDIAN; cache cleared before
     // each rep so every timed run pays its full cost. A failing query is
     // reported in "errors" and counted as -1, never as a fast success.
+    // Reps are ROUND-ROBIN (full pass over all queries, then the next
+    // pass) rather than back-to-back: round 5 showed a transient machine
+    // load spike inflating all three consecutive reps of the same query
+    // (q01 1.59→4.34→6.51 s on unchanged code); interleaving spreads any
+    // spike across many queries so each query's median stays robust.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val errors = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = names.map { name =>
-      val times = (1 to reps).map { _ =>
+    val timesByName = scala.collection.mutable.Map.empty[String, Vector[Double]]
+    (1 to reps).foreach { _ =>
+      names.foreach { name =>
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
         val ok = try { SparkEntry.queries(name)(spark, sfDir).count(); true }
                  catch { case scala.util.control.NonFatal(_) => false }
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        val t = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        timesByName(name) = timesByName.getOrElse(name, Vector.empty) :+ t
       }
+    }
+    val results = names.map { name =>
+      val times = timesByName(name)
       val median =
         if (times.contains(-1.0)) { errors += name; -1.0 }
         else times.sorted.apply(times.size / 2)
@@ -56,21 +68,22 @@ object Bench {
     }
     def fmt(d: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, d)
     // Two renditions of the same result:
-    //  - stdout: compact (medians only, no per-rep arrays). The driver
-    //    captures a bounded tail of stdout and JSON-parses the last line;
-    //    round 3's line with embedded reps grew past that window and the
-    //    parse came back null, so the stdout line must stay small even as
-    //    queries are added.
-    //  - file: full detail including per-rep arrays, for variance audits.
+    //  - stdout: MINIMAL (total + error list + query count only). The
+    //    driver captures a bounded tail of stdout and JSON-parses the
+    //    last line; at 92 queries even a medians-only per-query map
+    //    outgrew that window (BENCH_r05.parsed came back null), so the
+    //    per-query map now lives ONLY in the file.
+    //  - file: full detail (per-query medians + per-rep arrays), for
+    //    variance audits.
     val qs = results.map { case (k, v, _) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val repJson = results.map { case (k, _, ts) =>
       "\"" + k + "\":" + ts.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val head = s""""metric":"median_total","value":${fmt(total)},"unit":"sec","warmup":1,"timed_reps":$reps,"errors":$errs,"queries":$qs"""
-    val compact = s"""{$head,"sf":"$sfDir"}"""
-    val full = s"""{$head,"reps":$repJson,"sf":"$sfDir"}"""
+    val head = s""""metric":"median_total","value":${fmt(total)},"unit":"sec","warmup":1,"timed_reps":$reps,"n_queries":${results.size},"errors":$errs"""
+    val compact = s"""{$head,"detail":"BENCH_OUT.json","sf":"$sfDir"}"""
+    val full = s"""{$head,"queries":$qs,"reps":$repJson,"sf":"$sfDir"}"""
     // NonFatal only: swallowing OutOfMemoryError/InterruptedException here
     // would mask a dying JVM as a bench-output hiccup.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")

@@ -393,21 +393,30 @@ object Relational {
     }),
 
     // TPC-H Q7 volume shipping: revenue between two nations by year —
-    // a 4-way join where nation joins BOTH ends (supplier + customer);
-    // the OR'd nation-pair predicate sits on the joined frame.
+    // a 4-way join where nation joins BOTH ends (supplier + customer).
+    // The literal OR'd nation-pair predicate spans both sides, but its
+    // IMPLIED single-side conjuncts (each nation column IN the pair) are
+    // pushable — Catalyst does not derive them, so we do: filter both
+    // 25-row nation frames to 2 rows and broadcast-join supplier/customer
+    // to them BEFORE the expensive orderkey join, eliminating ~92% of
+    // fact rows up front; the OR residual then only sees 2×2 nation combos.
     "q82_tpch_q7" -> ((s, dir) => {
+      val pair = Seq("NATION_1", "NATION_2")
       val l = Tables.lineitem(s, dir)
         .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") <= "1997-12-31")
       val o = Tables.orders(s, dir)
-      val c = Tables.customer(s, dir)
-      val su = Tables.supplier(s, dir)
       val n1 = Tables.nation(s, dir).toDF("n1_key", "supp_nation", "n1_r")
+        .where(col("supp_nation").isin(pair: _*))
       val n2 = Tables.nation(s, dir).toDF("n2_key", "cust_nation", "n2_r")
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(c, o("o_custkey") === c("c_custkey"))
-        .join(su, l("l_suppkey") === su("s_suppkey"))
-        .join(broadcast(n1), su("s_nationkey") === col("n1_key"))
-        .join(broadcast(n2), c("c_nationkey") === col("n2_key"))
+        .where(col("cust_nation").isin(pair: _*))
+      // supplier/customer pre-pruned to the two nations (broadcast, 2-row dims)
+      val su = Tables.supplier(s, dir)
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      val c = Tables.customer(s, dir)
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+      l.join(su, l("l_suppkey") === col("s_suppkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === col("c_custkey"))
         .where("(supp_nation = 'NATION_1' AND cust_nation = 'NATION_2') OR " +
                "(supp_nation = 'NATION_2' AND cust_nation = 'NATION_1')")
         .groupBy(col("supp_nation"), col("cust_nation"),
@@ -570,6 +579,52 @@ object Relational {
         .agg(count(lit(1)).as("numcust"),
           sum("bal_cents").cast("long").as("totacctbal_cents"))
         .orderBy("cntrycode")
+    }),
+
+    // TPC-H Q12 shipping-priority split adapted (no l_shipmode /
+    // commit / receipt dates): lineitem⋈orders two-class conditional
+    // agg — URGENT+HIGH orders vs the rest, per return flag, over one
+    // ship year. Both CASE sums ride ONE partial aggregate after the
+    // orderkey join; the date + flag filters land in the lineitem scan
+    // (PushedFilters), so the join input is pre-shrunk map-side.
+    "q94_tpch_q12" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select("l_orderkey", "l_returnflag")
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .cast("long").as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+            .cast("long").as("low_line_count"))
+        .orderBy("l_returnflag")
+    }),
+
+    // TPC-H Q16 supplier relationship count adapted (no partsupp, no
+    // s_comment): the observed part⋈supplier pairs come from lineitem
+    // (DISTINCT partkey,suppkey — the partsupp stand-in), "complaint"
+    // suppliers are the negative-balance ones, removed by anti-join
+    // BEFORE the expensive distinct-count; suppliers counted DISTINCT
+    // per (brand, type, size) over filtered parts. The pair-distinct
+    // and the count-distinct are the only two real shuffles; part and
+    // the excluded-supplier sliver broadcast under AQE.
+    "q95_tpch_q16" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .select("l_partkey", "l_suppkey").distinct()
+      val p = Tables.part(s, dir)
+        .where(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+          col("p_size").isin(1, 4, 9, 14, 19, 23))
+      val complainers = Tables.supplier(s, dir)
+        .where(col("s_acctbal") < 0).select("s_suppkey")
+      pairs
+        .join(complainers, pairs("l_suppkey") === complainers("s_suppkey"), "left_anti")
+        .join(p, pairs("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
     }),
 
     "q40_tpch_q3" -> ((s, dir) => {
@@ -1035,6 +1090,30 @@ object Relational {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
         |GROUP BY c_nationkey ORDER BY cntrycode""".stripMargin,
+
+    "q94_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_returnflag IN ('A', 'R')
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q95_tpch_q16" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |kept AS (
+        |  SELECT l_partkey, l_suppkey FROM pairs
+        |  WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0))
+        |SELECT p_brand, p_type, p_size,
+        |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM kept JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
 
     "q40_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
