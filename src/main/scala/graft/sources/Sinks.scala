@@ -60,9 +60,21 @@ object Sinks {
     spark.read.parquet(path).coalesce(nOut)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
     val afterCount = dataFiles(tmp).length
-    fs.delete(new Path(path), true)
-    require(fs.rename(new Path(tmp), new Path(path)),
-      s"compaction rename failed for $path")
+    // Swap via rename-aside, not delete-then-rename: deleting the live
+    // directory first opens a window where readers see a missing path,
+    // and a failed rename would leave ONLY the .__compact copy. Renames
+    // are metadata-only on HDFS-like filesystems; the old copy is
+    // deleted last, after the new layout is live, so a crash at any
+    // point leaves a complete dataset at `path` or at `path.__old`.
+    val old = new Path(path + ".__old")
+    fs.delete(old, true) // clear any leftover from a prior crashed swap
+    require(fs.rename(new Path(path), old),
+      s"compaction aside-rename failed for $path")
+    if (!fs.rename(new Path(tmp), new Path(path))) {
+      fs.rename(old, new Path(path)) // restore the original layout
+      throw new IllegalStateException(s"compaction rename failed for $path")
+    }
+    fs.delete(old, true)
     (before.length, afterCount)
   }
 }

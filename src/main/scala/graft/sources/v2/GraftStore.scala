@@ -168,14 +168,27 @@ object GraftStore {
 
   /** The filter classes the scan claims (evaluates exactly per row AND
     * uses for zone-map pruning); everything else is left to Spark as a
-    * residual. */
+    * residual.
+    *
+    * Comparison filters are only claimed on columns whose type [[cmp]]
+    * can actually order — a claimed filter is REMOVED from Spark's
+    * residual, so claiming (say) a Timestamp comparison that cmp can't
+    * evaluate wouldn't degrade gracefully, it would crash the scan (or
+    * worse, silently drop the predicate). Null tests need no ordering
+    * and stay claimable on any column. */
+  private def claimable(a: String, schema: StructType): Boolean =
+    schema.fields.find(_.name == a).exists(f => f.dataType match {
+      case LongType | IntegerType | DoubleType | FloatType | StringType |
+           BooleanType => true
+      case _ => false
+    })
   private[v2] def supported(f: Filter, schema: StructType): Boolean = f match {
-    case EqualTo(a, _) => schema.fieldNames.contains(a)
-    case GreaterThan(a, _) => schema.fieldNames.contains(a)
-    case GreaterThanOrEqual(a, _) => schema.fieldNames.contains(a)
-    case LessThan(a, _) => schema.fieldNames.contains(a)
-    case LessThanOrEqual(a, _) => schema.fieldNames.contains(a)
-    case In(a, _) => schema.fieldNames.contains(a)
+    case EqualTo(a, _) => claimable(a, schema)
+    case GreaterThan(a, _) => claimable(a, schema)
+    case GreaterThanOrEqual(a, _) => claimable(a, schema)
+    case LessThan(a, _) => claimable(a, schema)
+    case LessThanOrEqual(a, _) => claimable(a, schema)
+    case In(a, _) => claimable(a, schema)
     case IsNull(a) => schema.fieldNames.contains(a)
     case IsNotNull(a) => schema.fieldNames.contains(a)
     case And(l, r) => supported(l, schema) && supported(r, schema)

@@ -255,12 +255,24 @@ class GraftScan(name: String, fullSchema: StructType, required: StructType,
     }
   }
 
+  // Spark may call planInputPartitions more than once per query
+  // (partitioning reporting, runtime-filter re-planning, AQE), so the
+  // skip/read observability counters contribute each scan's LATEST
+  // planning pass exactly once: re-planning replaces this scan's prior
+  // contribution instead of double-counting it. Last-pass-wins is the
+  // meaningful reading — the post-runtime-filter pass is the one whose
+  // pruning the query actually executed with.
+  private val recordedSkipRead =
+    new java.util.concurrent.atomic.AtomicReference[(Long, Long)]((0L, 0L))
+
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val coll = GraftStore.get(name)
       val kept = survivors
-      GraftStore.segmentsSkipped.addAndGet(coll.segments.size - kept.size)
-      GraftStore.segmentsRead.addAndGet(kept.size)
+      val now = (coll.segments.size.toLong - kept.size, kept.size.toLong)
+      val prev = recordedSkipRead.getAndSet(now)
+      GraftStore.segmentsSkipped.addAndGet(now._1 - prev._1)
+      GraftStore.segmentsRead.addAndGet(now._2 - prev._2)
       coll.clusterKey match {
         case Some(k) if required.fieldNames.contains(k) && kept.nonEmpty &&
             kept.forall(_.rows.nonEmpty) =>
@@ -464,7 +476,14 @@ class GraftMicroBatchStream(name: String, fullSchema: StructType,
                             required: StructType, filters: Array[Filter],
                             batchRows: Int)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
-  private lazy val rows: Vector[Row] = GraftStore.get(name).rows
+  // LIVE read, not a start-of-stream snapshot: rows appended while the
+  // stream runs surface in the next latestOffset() poll (what the
+  // replayable-source framing promises). Offset durability then rests on
+  // the store's row order being append-stable — true for unsharded
+  // appends (order-preserving; only segment boundaries move) — while a
+  // re-SHARDING rewrite during a running stream breaks replay the same
+  // way rewriting a Kafka topic's log would: don't do that.
+  private def rows: Vector[Row] = GraftStore.get(name).rows
   // end-of-data snapshot taken at AvailableNow start; Long.MaxValue
   // sentinel = continuous mode (no cap beyond current data)
   @volatile private var availableNowCap: Long = Long.MaxValue

@@ -63,8 +63,11 @@ object StoreQueries {
     // with broadcast disabled). "Docs longer than their language's
     // average" — the join is row-level, so a wrong alignment would be
     // oracle-visible immediately.
+    // Requires spark.sql.sources.v2.bucketing.enabled=true, set in the
+    // HARNESS session builders (Verify/Bench/Explain) and the spec's
+    // conf scope — not here: a conf set inside a query closure would
+    // silently change join planning for every later query in the session.
     "q92_spj_join" -> ((s, dir) => {
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
       val (docsName, statsName) = ensureClustered(s, dir)
       val d = s.read.format("graft-store").option("name", docsName).load()
       val st = s.read.format("graft-store").option("name", statsName).load()
