@@ -161,8 +161,39 @@ object GraftStore {
     store.getOrElse(name,
       throw new NoSuchElementException(s"graft-store: no such collection: $name"))
   }
+
+  // ------------------------------------------------- streaming commits
+
+  /** Epoch ids already committed per collection: micro-batch re-delivery
+    * after a stream restart re-commits the last epoch, and exactly-once
+    * means that replay must be a no-op. A real store would persist this
+    * ledger next to the data (it IS the transaction log); here it lives
+    * exactly as long as the store itself, which is the same durability
+    * domain. */
+  private val committedEpochs =
+    scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+
+  /** Idempotent per-epoch streaming commit: appends (or overwrites, for
+    * Complete-mode sinks) exactly once per (collection, epoch); a replay
+    * of an already-committed epoch returns false and changes nothing. */
+  def commitEpoch(name: String, schema: StructType, rows: Seq[Row],
+                  epochId: Long, truncate: Boolean,
+                  numSegments: Int = 8): Boolean = store.synchronized {
+    val seen = committedEpochs.getOrElseUpdate(name, scala.collection.mutable.Set.empty)
+    if (seen.contains(epochId)) false
+    else {
+      if (truncate) register(name, schema, rows, None, numSegments)
+      else if (exists(name)) append(name, schema, rows, numSegments)
+      else register(name, schema, rows, None, numSegments)
+      seen += epochId
+      true
+    }
+  }
   def exists(name: String): Boolean = store.synchronized(store.contains(name))
-  def drop(name: String): Unit = store.synchronized { store.remove(name) }
+  def drop(name: String): Unit = store.synchronized {
+    store.remove(name)
+    committedEpochs.remove(name) // a re-created collection starts a fresh ledger
+  }
 
   // ------------------------------------------------------------ filters
 

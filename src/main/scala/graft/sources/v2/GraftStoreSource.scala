@@ -14,6 +14,7 @@ import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -76,7 +77,8 @@ class GraftStoreTable(name: String, tableSchema: StructType, batchRows: Int)
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] = Set(
     TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
-    TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ).asJava
+    TableCapability.TRUNCATE, TableCapability.MICRO_BATCH_READ,
+    TableCapability.STREAMING_WRITE).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(name, schema,
@@ -414,6 +416,8 @@ class GraftWriteBuilder(name: String, schema: StructType)
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new GraftBatchWrite(name, schema, doTruncate)
+    override def toStreaming: StreamingWrite =
+      new GraftStreamingWrite(name, schema, doTruncate)
   }
 }
 
@@ -433,6 +437,38 @@ class GraftBatchWrite(name: String, schema: StructType, truncate: Boolean)
     else GraftStore.append(name, schema, rows)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** Streaming (micro-batch) write: each epoch runs the same two-phase
+  * protocol as the batch path — executors buffer and send commit
+  * messages, the DRIVER applies them atomically — plus an epoch ledger
+  * in the store ([[GraftStore.commitEpoch]]) so the epoch re-delivered
+  * after a restart commits as a no-op: exactly-once into the store with
+  * an at-least-once engine, the standard idempotent-sink contract.
+  * Append mode appends per epoch; Complete mode (truncate) overwrites
+  * per epoch, which is idempotent by construction but still ledgered so
+  * a replayed epoch can't clobber a newer one. */
+class GraftStreamingWrite(name: String, schema: StructType, truncate: Boolean)
+    extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    GraftStreamingWriterFactory(schema)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val rows = messages.iterator
+      .flatMap(_.asInstanceOf[GraftCommitMessage].rows).toVector
+    GraftStore.commitEpoch(name, schema, rows, epochId, truncate)
+  }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** Top-level case class (NOT an inner anonymous class): the factory is
+  * serialized to executors, and an inner class would drag the
+  * non-serializable StreamingWrite along as its outer reference. */
+case class GraftStreamingWriterFactory(schema: StructType)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new GraftWriterFactory(schema).createWriter(partitionId, taskId)
 }
 
 class GraftWriterFactory(schema: StructType) extends DataWriterFactory {

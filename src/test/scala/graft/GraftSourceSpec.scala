@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.sources.v2.{GraftScan, GraftStore}
+import graft.sources.v2.{GraftInputPartition, GraftReaderFactory, GraftScan, GraftStore}
 
 /** DataSource V2 connector (`graft-store`): scan planning, zone-map data
   * skipping, filter/column pushdown, two-phase write commit, and the
@@ -231,6 +231,27 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(nestedScans.nonEmpty && !nestedScans.exists(_.supportsColumnar),
       "array-typed projection must fall back to the row reader")
     assert(gotN.toSeq == emb.orderBy("vec_id").collect().toSeq)
+
+    // drive the columnar reader directly: the batches' row counts must
+    // account for exactly the partition's filtered rows, every batch
+    // bounded by the 1024 vector allocation
+    val coll = GraftStore.get("v2_docs")
+    val schema = coll.schema
+    val fac = new GraftReaderFactory(schema, schema, Array.empty)
+    coll.segments.filter(_.rows.nonEmpty).foreach { seg =>
+      val part = GraftInputPartition(seg.rows)
+      assert(fac.supportColumnarReads(part))
+      val reader = fac.createColumnarReader(part)
+      var total = 0L
+      while (reader.next()) {
+        val b = reader.get()
+        assert(b.numRows > 0 && b.numRows <= 1024)
+        total += b.numRows
+      }
+      reader.close()
+      assert(total == seg.rows.size,
+        s"columnar batches must cover the partition: $total vs ${seg.rows.size}")
+    }
   }
 
   test("edge cases: empty collection and a filter that prunes every segment") {
@@ -285,5 +306,49 @@ class GraftSourceSpec extends AnyFunSuite {
     val batch2 = docs.groupBy("lang").agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(streamed2 == batch2)
+  }
+
+  test("streaming write: store-to-store round trip is exactly-once across restart") {
+    val src = "v2_wsrc"
+    val dst = "v2_wdst"
+    val base = docs.where("doc_id < 300")
+    GraftStore.load(src, base, shardKey = Some("doc_id"), numSegments = 4)
+    GraftStore.drop(dst)
+    val ckpt = Files.createTempDirectory("graft_v2_wckpt").toString
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-store")
+        .option("name", src).option("batchrows", "64").load()
+        .writeStream.format("graft-store").option("name", dst)
+        .outputMode("append").option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      assert(!q.isActive)
+    }
+
+    runOnce()
+    val dstDf = spark.read.format("graft-store").option("name", dst).load()
+    assert(dstDf.count() == base.count(),
+      "every source row lands in the store exactly once")
+
+    // append a tail delta to the source (larger shard keys keep the
+    // consumed prefix stable), restart from the same checkpoint: the
+    // delta commits, nothing already committed duplicates
+    GraftStore.append(src, base.schema,
+      docs.where("doc_id >= 300 AND doc_id < 400").collect().toIndexedSeq,
+      numSegments = 4)
+    runOnce()
+    val got = spark.read.format("graft-store").option("name", dst).load()
+      .orderBy("doc_id").collect()
+    val want = docs.where("doc_id < 400").orderBy("doc_id").collect()
+    assert(got.toSeq == want.toSeq,
+      "exactly-once across restart: no lost and no duplicated rows")
+
+    // the epoch ledger directly: a re-delivered epoch commits as a no-op
+    val before = GraftStore.get(dst).rows.size
+    assert(!GraftStore.commitEpoch(dst, base.schema,
+      base.collect().toIndexedSeq, epochId = 0L, truncate = false))
+    assert(GraftStore.get(dst).rows.size == before,
+      "replaying an already-committed epoch must change nothing")
   }
 }
