@@ -102,6 +102,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(a.except(b).count() == 0 && b.except(a).count() == 0)
   }
 
+  test("pipeline persists through the graft-store connector: metadata + both GridFS buckets round-trip") {
+    import graft.operators.Chunking
+    val names = Seq("artwork_metadata", "fs_files", "fs_chunks",
+      "fs_transformed_files", "fs_transformed_chunks")
+    // E1→E2 results land in the external store through the DSv2 write
+    // path (driver-atomic two-phase commit), binary chunk columns included
+    names.foreach { n =>
+      out(n).write.format("graft-store").option("name", s"mus_$n")
+        .mode("overwrite").save()
+    }
+    def readBack(n: String) =
+      spark.read.format("graft-store").option("name", s"mus_$n").load()
+    names.foreach { n =>
+      assert(readBack(n).count() == out(n).count(),
+        s"$n row count through the connector")
+    }
+    // byte fidelity: every chunk payload hashes identically after the
+    // connector write + read (binary end-to-end, both buckets)
+    def sig(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("files_id"), col("n"), md5(col("data")).as("h"))
+      .orderBy("files_id", "n").collect().toSeq
+    assert(sig(readBack("fs_chunks")) == sig(out("fs_chunks")))
+    assert(sig(readBack("fs_transformed_chunks")) == sig(out("fs_transformed_chunks")))
+    // and the store-backed bucket reassembles to the same blobs (S5/J2
+    // running entirely against the connector)
+    def blobSig(df: org.apache.spark.sql.DataFrame) =
+      Chunking.reassemble(df)
+        .select(col("files_id"), md5(col("data")).as("h"))
+        .orderBy("files_id").collect().toSeq
+    val fromStore = blobSig(readBack("fs_transformed_chunks"))
+    assert(fromStore == blobSig(out("fs_transformed_chunks")) && fromStore.nonEmpty)
+  }
+
   test("transform is idempotent (F4): second run processes zero new rows") {
     val (again, tFiles2, _) = MuseumPipeline.transform(meta, out("fs_files"), out("fs_chunks"))
     assert(tFiles2.count() == 0) // everything already has lineage or failed decode... except 110 retries
