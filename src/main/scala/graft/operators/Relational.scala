@@ -627,6 +627,62 @@ object Relational {
         .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
     }),
 
+    // TPC-H Q9 product-type profit adapted (no partsupp — supply cost
+    // modeled as 60% of the part's retail price, in exact cents): for
+    // parts matching a name fragment, profit per supplier nation per
+    // order year. The fact table joins the filtered part sliver FIRST
+    // (broadcast under AQE) so the supplier/orders joins see only
+    // matching lines; every money term is integral cents.
+    "q96_tpch_q9" -> ((s, dir) => {
+      val p = Tables.part(s, dir).where(col("p_name").like("%gear%"))
+        .withColumn("cost_cents", expr("cast(round(p_retailprice * 60) as bigint)"))
+        .select("p_partkey", "cost_cents")
+      val l = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir).select("o_orderkey", "o_orderdate")
+      val su = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+      l.join(p, l("l_partkey") === p("p_partkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).cast("long").as("yr"))
+        .agg(sum(expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint) " +
+            "- cost_cents * cast(round(l_quantity) as bigint)"))
+          .cast("long").as("profit_cents"))
+        .orderBy(asc("nation"), desc("yr"))
+    }),
+
+    // TPC-H Q20 excess-stock suppliers adapted (no partsupp): the
+    // supplier-part relationship AND its "available quantity" both
+    // derive from lineitem — availqty := the pair's all-time shipped
+    // quantity, the threshold := half the part's total 1996 shipments.
+    // Pairs beating the threshold mark their supplier (DISTINCT +
+    // semi-join — each EXISTS is exactly one join); the one-nation
+    // filter prunes the supplier probe side first. Integer-exact
+    // threshold by cross-multiplication: 2*avail > tot96.
+    "q97_tpch_q20" -> ((s, dir) => {
+      val l = Tables.lineitem(s, dir)
+      val parts = Tables.part(s, dir).where(col("p_name").like("small%"))
+        .select("p_partkey")
+      val lp = l.join(parts, l("l_partkey") === parts("p_partkey"))
+      val avail = lp
+        .groupBy(col("l_partkey").as("ap"), col("l_suppkey").as("asup"))
+        .agg(sum(expr("cast(round(l_quantity) as bigint)")).cast("long").as("availqty"))
+      val total96 = lp
+        .where(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
+        .groupBy(col("l_partkey").as("tp"))
+        .agg(sum(expr("cast(round(l_quantity) as bigint)")).cast("long").as("tot96"))
+      val marked = avail.join(total96, col("ap") === col("tp"))
+        .where(expr("2 * availqty > tot96"))
+        .select(col("asup")).distinct()
+      Tables.supplier(s, dir)
+        .where(col("s_nationkey") === 3)
+        .join(marked, col("s_suppkey") === col("asup"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    }),
+
     "q40_tpch_q3" -> ((s, dir) => {
       val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.orders(s, dir).filter(col("o_orderdate") < "1998-03-15")
@@ -1114,6 +1170,39 @@ object Relational {
         |  AND p_size IN (1, 4, 9, 14, 19, 23)
         |GROUP BY p_brand, p_type, p_size
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q96_tpch_q9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+        |       - CAST(round(p_retailprice * 60) AS BIGINT) * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS profit_cents
+        |FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY n_name, yr ORDER BY nation, yr DESC""".stripMargin,
+
+    "q97_tpch_q20" ->
+      """WITH parts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+        |avail AS (
+        |  SELECT l_partkey AS ap, l_suppkey AS asup,
+        |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS availqty
+        |  FROM lineitem JOIN parts ON l_partkey = p_partkey
+        |  GROUP BY ap, asup),
+        |total96 AS (
+        |  SELECT l_partkey AS tp,
+        |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS tot96
+        |  FROM lineitem JOIN parts ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  GROUP BY tp)
+        |SELECT s_suppkey, s_name FROM supplier
+        |WHERE s_nationkey = 3
+        |  AND s_suppkey IN (
+        |    SELECT asup FROM avail JOIN total96 ON ap = tp
+        |    WHERE 2 * availqty > tot96)
+        |ORDER BY s_suppkey""".stripMargin,
 
     "q40_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,

@@ -84,8 +84,15 @@ class GraftStoreTable(name: String, tableSchema: StructType, batchRows: Int)
     new GraftScanBuilder(name, schema,
       if (batchRows > 0) batchRows else Option(options.get("batchrows")).map(_.toInt).getOrElse(100))
 
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(name, info.schema())
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    // shard key for the written layout: explicit write option first,
+    // else whatever layout the existing collection already has (appends
+    // keep the zone-map story intact without re-stating the key)
+    val optKey = Option(info.options.get("shardkey"))
+    val existingKey =
+      if (GraftStore.exists(name)) GraftStore.get(name).shardKey else None
+    new GraftWriteBuilder(name, info.schema(), optKey.orElse(existingKey))
+  }
 }
 
 // ---------------------------------------------------------------- read
@@ -409,31 +416,65 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType,
 
 // ---------------------------------------------------------------- write
 
-class GraftWriteBuilder(name: String, schema: StructType)
+class GraftWriteBuilder(name: String, schema: StructType,
+                        shardKey: Option[String] = None)
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
-  override def build(): Write = new Write {
-    override def toBatch: BatchWrite = new GraftBatchWrite(name, schema, doTruncate)
-    override def toStreaming: StreamingWrite =
-      new GraftStreamingWrite(name, schema, doTruncate)
+  override def build(): Write = new GraftWrite(name, schema, doTruncate, shardKey)
+}
+
+/** Write description. For a sharded target the write DECLARES its
+  * layout need ([[RequiresDistributionAndOrdering]]): Spark plans a
+  * cluster-by-key exchange plus a per-partition sort BEFORE the write,
+  * so rows arrive at each writer already grouped and ordered by the
+  * shard key — at scale that means executors emit ready-made range
+  * segments (contiguous keys ⇒ disjoint zone maps ⇒ pruning works on
+  * the very next scan) instead of shipping a shuffle's worth of rows to
+  * the store and asking IT to re-sort. The same declared-need mechanism
+  * a real lakehouse sink (Iceberg/Delta) uses for clustered writes. */
+class GraftWrite(name: String, schema: StructType, truncate: Boolean,
+                 shardKey: Option[String])
+    extends Write with RequiresDistributionAndOrdering {
+  import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+  import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
+
+  override def requiredDistribution(): Distribution = shardKey match {
+    // ordered (range) distribution, not hash-clustered: a range exchange
+    // gives every writer a CONTIGUOUS key span, which is what makes the
+    // landed segments' zone maps disjoint — hash clustering would put
+    // scattered keys in each segment and pruning would prune nothing
+    case Some(k) => Distributions.ordered(Array(
+      Expressions.sort(Expressions.identity(k), SortDirection.ASCENDING)))
+    case None => Distributions.unspecified()
   }
+  override def requiredOrdering(): Array[SortOrder] = shardKey match {
+    case Some(k) => Array(Expressions.sort(Expressions.identity(k), SortDirection.ASCENDING))
+    case None => Array.empty
+  }
+  override def toBatch: BatchWrite = new GraftBatchWrite(name, schema, truncate, shardKey)
+  override def toStreaming: StreamingWrite =
+    new GraftStreamingWrite(name, schema, truncate)
 }
 
 case class GraftCommitMessage(rows: Vector[Row]) extends WriterCommitMessage
 
-class GraftBatchWrite(name: String, schema: StructType, truncate: Boolean)
+class GraftBatchWrite(name: String, schema: StructType, truncate: Boolean,
+                      shardKey: Option[String] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new GraftWriterFactory(schema)
 
   /** Driver-side atomic commit: nothing lands in the store until every
-    * task has succeeded — the point of the two-phase protocol. */
+    * task has succeeded — the point of the two-phase protocol. A sharded
+    * write registers with its shard key, so the collection lands with
+    * range segments + zone maps (the rows already arrived clustered and
+    * sorted thanks to [[GraftWrite.requiredDistribution]]). */
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val rows = messages.iterator
       .flatMap(_.asInstanceOf[GraftCommitMessage].rows).toVector
-    if (truncate) GraftStore.register(name, schema, rows)
+    if (truncate) GraftStore.register(name, schema, rows, shardKey)
     else GraftStore.append(name, schema, rows)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()

@@ -308,6 +308,50 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(streamed2 == batch2)
   }
 
+  test("write-side distribution: sharded connector writes plan a range exchange + sort and land pruning zone maps") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+
+    val name = "v2_dist"
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        captured.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      // scrambled input: the declared distribution, not the input layout,
+      // must produce the clustered arrival order
+      docs.repartition(7).write.format("graft-store").option("name", name)
+        .option("shardkey", "doc_id").mode("overwrite").save()
+      def hit: Option[String] = {
+        import scala.jdk.CollectionConverters._
+        captured.iterator.asScala.find(s =>
+          s.contains("rangepartitioning(doc_id") && s.contains("Sort [doc_id"))
+      }
+      val deadline = System.currentTimeMillis() + 30000
+      while (hit.isEmpty && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      import scala.jdk.CollectionConverters._
+      assert(hit.nonEmpty,
+        "declared ordered distribution must plan a range exchange + sort " +
+          s"before the write; captured plans:\n${captured.iterator.asScala.mkString("\n---\n")}")
+    } finally spark.listenerManager.unregister(listener)
+
+    // the landed collection carries the shard layout and its zone maps prune
+    val coll = GraftStore.get(name)
+    assert(coll.shardKey.contains("doc_id"))
+    GraftStore.resetCounters()
+    read(name).where(col("doc_id") < 50).collect()
+    assert(GraftStore.segmentsSkipped.get() > 0,
+      s"sharded-write zone maps must prune, skipped=${GraftStore.segmentsSkipped.get()}")
+
+    // appends inherit the existing layout without re-stating the key
+    docs.write.format("graft-store").option("name", name).mode("append").save()
+    assert(GraftStore.get(name).shardKey.contains("doc_id"))
+    assert(GraftStore.get(name).rows.size == docs.count() * 2)
+  }
+
   test("streaming write: store-to-store round trip is exactly-once across restart") {
     val src = "v2_wsrc"
     val dst = "v2_wdst"
