@@ -239,7 +239,38 @@ object Curation {
           .as("clean_fp"))
   }
 
+  /** Statistical-LM quality scoring (the CCNet/KenLM perplexity-filter
+    * signal, made integer-exact): a bigram model trained on the corpus
+    * itself scores every document by the MEAN corpus probability of its
+    * bigrams — p(w2|w1) = c(w1,w2) / c(w1,·) in e6 fixed point (integer
+    * division in both engines, no float log). Low score = improbable
+    * word sequences, the docs a perplexity filter drops.
+    *
+    * Scale shape: bigram extraction is ONE window shuffle keyed by
+    * doc_id (lag over position — never a token-level self-join); model
+    * training is two partial-agg shuffles over bigram rows; scoring is
+    * one equi-join on (w1,w2) + a per-doc aggregate. The model lives in
+    * the cluster as a table — it is never collected. */
+  def bigramLmScore(docs: DataFrame): DataFrame = {
+    val toks = docs.selectExpr("doc_id", s"$sparkToks AS toks")
+      .select(col("doc_id"), posexplode(col("toks"))).toDF("doc_id", "pos", "w")
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val bigrams = toks.withColumn("w1", lag("w", 1).over(byPos))
+      .where("w1 IS NOT NULL").selectExpr("doc_id", "w1", "w AS w2")
+    val pairCnt = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val prefCnt = bigrams.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val probs = pairCnt.join(prefCnt, "w1")
+      .selectExpr("w1", "w2", "c12 * 1000000 div c1 AS p_e6")
+    bigrams.join(probs, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(expr("sum(p_e6) div count(1)").as("lm_score_e6"),
+        count(lit(1)).as("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_bigram_lm" -> ((s, dir) => bigramLmScore(Tables.documents(s, dir))),
+
     // Planted boilerplate: a fixed 8-word banner (2 whole blocks)
     // prepended to every 7th document, so the cross-doc counts, the
     // strike, AND the byte-exact reassembly are all oracle-visible.
@@ -292,6 +323,29 @@ object Curation {
   )
 
   def oracle: Map[String, String] = Map(
+    "q98_bigram_lm" ->
+      """WITH toks AS (
+        |  SELECT doc_id, s.w AS w, s.pos AS pos FROM (
+        |    SELECT doc_id, unnest(list_transform(
+        |      regexp_split_to_array(trim(text), '\s+'),
+        |      (x, i) -> struct_pack(w := x, pos := i))) AS s
+        |    FROM documents)),
+        |bg AS (
+        |  SELECT doc_id, w1, w2 FROM (
+        |    SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1, w AS w2
+        |    FROM toks)
+        |  WHERE w1 IS NOT NULL),
+        |pair_cnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
+        |pref_cnt AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+        |probs AS (
+        |  SELECT pair_cnt.w1, pair_cnt.w2, c12 * 1000000 // c1 AS p_e6
+        |  FROM pair_cnt JOIN pref_cnt ON pair_cnt.w1 = pref_cnt.w1)
+        |SELECT doc_id,
+        |  CAST(SUM(p_e6) // COUNT(*) AS BIGINT) AS lm_score_e6,
+        |  CAST(COUNT(*) AS BIGINT) AS n_bigrams
+        |FROM bg JOIN probs ON bg.w1 = probs.w1 AND bg.w2 = probs.w2
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "q76_cross_doc_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id, CASE WHEN doc_id % 7 = 0

@@ -840,21 +840,21 @@ object Relational {
     }),
 
     // TPC-H Q18 shape (large-volume customers): orders whose total
-    // quantity clears a threshold — grouped-HAVING subquery as a
-    // semi-join against the fact, then re-aggregate.
+    // quantity clears a threshold. The textbook form is a grouped-HAVING
+    // semi-join followed by a RE-aggregate of lineitem — but the HAVING
+    // frame already carries each qualifying order's exact quantity sum
+    // (the re-aggregate over all of that order's lines reproduces it
+    // verbatim), so carrying `qty` through an INNER join needs ONE
+    // lineitem aggregate instead of two and no second fact join: half
+    // the fact shuffles for an identical result (round-6 rewrite; was
+    // the slowest query in the round-6 bench at 3.05 s).
     "q61_tpch_q18" -> ((s, dir) => {
-      val l = Tables.lineitem(s, dir)
-      val big = l.groupBy(col("l_orderkey"))
+      val big = Tables.lineitem(s, dir).groupBy(col("l_orderkey"))
         .agg(sum(col("l_quantity")).as("qty"))
         .where("qty > 300")
-        .selectExpr("l_orderkey AS o_orderkey")
       Tables.orders(s, dir)
-        .join(big, Seq("o_orderkey"), "left_semi")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
         .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
-        .join(l, col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
-          col("o_orderdate"), col("o_totalprice"))
-        .agg(sum(col("l_quantity")).as("qty"))
         .selectExpr("c_name", "c_custkey", "o_orderkey", "o_orderdate",
           "cast(round(o_totalprice * 100) as bigint) AS totalprice_cents",
           "cast(round(qty) as bigint) AS sum_qty")

@@ -1,0 +1,143 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** V2 catalog plugin over [[GraftStore]] — the SQL-surface completion of
+  * the connector: registered as
+  * `spark.sql.catalog.graft_cat = graft.sources.v2.GraftCatalog`, it
+  * makes store collections addressable as `graft_cat.<ns>.<table>` from
+  * plain SQL (`CREATE TABLE` / `INSERT INTO` / `SELECT` / `DROP TABLE`)
+  * and from `df.writeTo(...)` — the same way Iceberg/Delta expose a
+  * lakehouse. Tables loaded through the catalog are the SAME
+  * [[GraftStoreTable]] the path-based reads use, so every scan feature
+  * (zone-map pruning, pushdown, columnar batches, runtime filtering,
+  * storage-partitioned joins) and the two-phase write protocol apply to
+  * SQL traffic unchanged.
+  *
+  * `PARTITIONED BY (col)` at CREATE time maps the first identity
+  * transform to the store's shard key: data inserted through the
+  * catalog lands range-sharded with zone maps on that column (and the
+  * write declares its distribution need, see [[GraftWrite]]).
+  *
+  * Namespaces are implicit (a namespace "exists" iff a collection key
+  * carries its prefix, plus anything created explicitly) — the store is
+  * a flat keyspace, as Mongo databases are. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catName: String = _
+  // explicitly-created namespaces (CREATE NAMESPACE) — collection-derived
+  // namespaces union in
+  private val createdNs = scala.collection.mutable.Set.empty[Seq[String]]
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catName = name
+  override def name(): String = catName
+
+  private def key(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+
+  // ------------------------------------------------------------ tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val prefix = namespace.mkString(".") + "."
+    GraftStore.names.collect {
+      case n if n.startsWith(prefix) && !n.stripPrefix(prefix).contains(".") =>
+        Identifier.of(namespace, n.stripPrefix(prefix))
+    }.toArray
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    val k = key(ident)
+    if (!GraftStore.exists(k)) throw new NoSuchTableException(ident)
+    new GraftStoreTable(k, GraftStore.get(k).schema, 0)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    GraftStore.exists(key(ident))
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    val k = key(ident)
+    if (GraftStore.exists(k)) throw new TableAlreadyExistsException(ident)
+    // first identity transform = shard key (range layout + zone maps)
+    val shardKey = partitions.collectFirst {
+      case t if t.name == "identity" && t.references().nonEmpty =>
+        t.references()(0).fieldNames.mkString(".")
+    }
+    GraftStore.register(k, schema, Seq.empty, shardKey)
+    createdNs += ident.namespace().toSeq
+    new GraftStoreTable(k, schema, 0)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft-store collections are schema-immutable; recreate instead")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val k = key(ident)
+    val existed = GraftStore.exists(k)
+    if (existed) GraftStore.drop(k)
+    existed
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!GraftStore.exists(key(oldIdent))) throw new NoSuchTableException(oldIdent)
+    if (GraftStore.exists(key(newIdent))) throw new TableAlreadyExistsException(newIdent)
+    GraftStore.rename(key(oldIdent), key(newIdent))
+  }
+
+  // -------------------------------------------------------- namespaces
+
+  private def allNamespaces: Seq[Seq[String]] = {
+    val derived = GraftStore.names
+      .map(_.split('.').toSeq.dropRight(1)).filter(_.nonEmpty)
+    (derived ++ createdNs.toSeq).distinct.sortBy(_.mkString("."))
+  }
+
+  override def listNamespaces(): Array[Array[String]] =
+    allNamespaces.map(_.toArray).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val p = namespace.toSeq
+    val kids = allNamespaces.filter(ns => ns.length > p.length && ns.startsWith(p))
+      .map(_.take(p.length + 1)).distinct
+    if (kids.isEmpty && !namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    kids.map(_.toArray).toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || allNamespaces.exists(_.startsWith(namespace.toSeq))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit =
+    createdNs.synchronized { createdNs += namespace.toSeq }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft-store namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = namespace.toSeq
+    val tables = GraftStore.names.filter(_.split('.').toSeq.dropRight(1) == p)
+    if (tables.nonEmpty && !cascade) return false
+    tables.foreach(GraftStore.drop)
+    createdNs.synchronized { createdNs -= p }
+    true
+  }
+}

@@ -146,7 +146,11 @@ object GraftStore {
              numSegments: Int = 8): Unit = store.synchronized {
     store.get(name) match {
       case Some(c) =>
-        require(c.schema == schema,
+        // layout equality = names + types; nullability is a constraint,
+        // not a layout — an INSERT's query schema legitimately arrives
+        // non-nullable against a nullable DDL schema
+        require(c.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+            schema.fields.map(f => (f.name, f.dataType)).toSeq,
           s"append schema mismatch for $name: ${c.schema} vs $schema")
         c.clusterKey match {
           case Some(k) => registerClustered(name, c.schema, c.rows ++ rows, k)
@@ -190,6 +194,14 @@ object GraftStore {
     }
   }
   def exists(name: String): Boolean = store.synchronized(store.contains(name))
+  def names: Seq[String] = store.synchronized(store.keys.toVector.sorted)
+  /** Metadata-only rename (the catalog surface needs it). */
+  def rename(from: String, to: String): Unit = store.synchronized {
+    require(store.contains(from), s"graft-store: no such collection: $from")
+    require(!store.contains(to), s"graft-store: collection exists: $to")
+    store(to) = store.remove(from).get
+    committedEpochs.remove(from).foreach(committedEpochs(to) = _)
+  }
   def drop(name: String): Unit = store.synchronized {
     store.remove(name)
     committedEpochs.remove(name) // a re-created collection starts a fresh ledger

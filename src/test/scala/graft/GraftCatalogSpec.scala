@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.v2.GraftStore
+
+/** SQL surface over the store through the V2 catalog plugin
+  * ([[graft.sources.v2.GraftCatalog]]): DDL/DML address collections as
+  * `graft_cat.<ns>.<table>`, and everything resolves to the same
+  * GraftStoreTable the path-based API uses — so pruning/pushdown and
+  * the two-phase write protocol apply to SQL traffic unchanged. */
+class GraftCatalogSpec extends AnyFunSuite {
+  lazy val spark = {
+    val s = SparkTestSession.spark
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s
+  }
+
+  test("SQL DDL/DML: create (partitioned), insert, select, show, rename, drop") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.lake")
+    spark.sql("CREATE TABLE graft_cat.lake.t (id BIGINT, v STRING) PARTITIONED BY (id)")
+    spark.sql("INSERT INTO graft_cat.lake.t VALUES (3, 'c'), (1, 'a'), (2, 'b')")
+    val got = spark.sql("SELECT id, v FROM graft_cat.lake.t ORDER BY id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // PARTITIONED BY (id) became the store shard key
+    assert(GraftStore.get("lake.t").shardKey.contains("id"))
+    assert(spark.sql("SHOW TABLES IN graft_cat.lake").collect()
+      .map(_.getString(1)).contains("t"))
+    spark.sql("ALTER TABLE graft_cat.lake.t RENAME TO lake.t2")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.lake.t2")
+      .collect()(0).getLong(0) == 3)
+    spark.sql("DROP TABLE graft_cat.lake.t2")
+    assert(!GraftStore.exists("lake.t2") && !GraftStore.exists("lake.t"))
+  }
+
+  test("writeTo appends through the catalog; catalog scans keep zone-map pruning") {
+    import spark.implicits._
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.lake")
+    spark.sql("CREATE TABLE graft_cat.lake.rows (doc_id BIGINT, n BIGINT) PARTITIONED BY (doc_id)")
+    (0L until 200L).map(i => (i, i * 2)).toDF("doc_id", "n")
+      .writeTo("graft_cat.lake.rows").append()
+    assert(GraftStore.get("lake.rows").shardKey.contains("doc_id"))
+    GraftStore.resetCounters()
+    val cnt = spark.sql(
+      "SELECT count(*) FROM graft_cat.lake.rows WHERE doc_id < 25")
+      .collect()(0).getLong(0)
+    assert(cnt == 25)
+    assert(GraftStore.segmentsSkipped.get() > 0,
+      s"zone maps must prune catalog scans, skipped=${GraftStore.segmentsSkipped.get()}")
+    spark.sql("DROP TABLE graft_cat.lake.rows")
+  }
+}
