@@ -72,7 +72,31 @@ class GraftStoreProvider extends TableProvider with DataSourceRegister {
 }
 
 class GraftStoreTable(name: String, tableSchema: StructType, batchRows: Int)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+
+  /** Row-level `DELETE FROM ... WHERE ...` (the reference's K4 point
+    * delete, on the SQL surface): only claim predicates the store can
+    * evaluate EXACTLY ([[GraftStore.supported]] — same gate as scan
+    * pushdown); anything else makes Spark reject the delete rather than
+    * silently over- or under-deleting. The rewrite keeps every row the
+    * predicate does NOT definitely match and re-shards, preserving the
+    * collection's layout (an anti-join recompute, exactly how the
+    * engine's batch K4 works). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    val schema = GraftStore.get(name).schema
+    filters.forall(GraftStore.supported(_, schema))
+  }
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val coll = GraftStore.get(name)
+    val kept = coll.rows.filterNot(r =>
+      filters.forall(GraftStore.eval(_, r, coll.schema)))
+    coll.clusterKey match {
+      case Some(k) => GraftStore.registerClustered(name, coll.schema, kept, k)
+      case None => GraftStore.register(name, coll.schema, kept, coll.shardKey,
+        math.max(1, coll.segments.size))
+    }
+  }
   override def name(): String = s"graft-store:$name"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] = Set(

@@ -34,6 +34,27 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(!GraftStore.exists("lake.t2") && !GraftStore.exists("lake.t"))
   }
 
+  test("SQL DELETE deletes exactly the claimed predicate; unclaimable predicates are rejected loudly") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.lake")
+    spark.sql("CREATE TABLE graft_cat.lake.del (id BIGINT, v STRING) PARTITIONED BY (id)")
+    spark.sql("INSERT INTO graft_cat.lake.del SELECT id, cast(id AS string) FROM range(100)")
+    spark.sql("DELETE FROM graft_cat.lake.del WHERE id >= 10 AND id < 30")
+    val left = spark.sql("SELECT id FROM graft_cat.lake.del ORDER BY id").collect().map(_.getLong(0))
+    assert(left.length == 80 && !left.exists(i => i >= 10 && i < 30))
+    // layout survives the rewrite: still sharded, zone maps still prune
+    assert(GraftStore.get("lake.del").shardKey.contains("id"))
+    GraftStore.resetCounters()
+    spark.sql("SELECT count(*) FROM graft_cat.lake.del WHERE id >= 90").collect()
+    assert(GraftStore.segmentsSkipped.get() > 0)
+    // a predicate the store can't evaluate exactly must be REJECTED, not
+    // approximated (silent over/under-delete would corrupt the table)
+    assertThrows[Exception] {
+      spark.sql("DELETE FROM graft_cat.lake.del WHERE v LIKE '%1%'")
+    }
+    assert(spark.sql("SELECT count(*) FROM graft_cat.lake.del").collect()(0).getLong(0) == 80)
+    spark.sql("DROP TABLE graft_cat.lake.del")
+  }
+
   test("writeTo appends through the catalog; catalog scans keep zone-map pruning") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.lake")
