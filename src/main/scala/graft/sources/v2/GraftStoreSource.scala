@@ -288,6 +288,20 @@ class GraftScan(name: String, fullSchema: StructType, required: StructType,
     }
   }
 
+  /** First-class DSv2 observability: the scan's pruning evidence rides
+    * the engine's own metric channel (SQL UI / listener events), not
+    * just the test-support global counters. Driver metrics are pulled
+    * AFTER execution, so they report the final (post-runtime-filter)
+    * pruning decision. */
+  override def supportedCustomMetrics(): Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new GraftSegmentsReadMetric, new GraftSegmentsSkippedMetric)
+  override def reportDriverMetrics(): Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] = {
+    val total = GraftStore.get(name).segments.size
+    val kept = survivors.size
+    Array(GraftSegmentTaskMetric("graftSegmentsRead", kept.toLong),
+      GraftSegmentTaskMetric("graftSegmentsSkipped", (total - kept).toLong))
+  }
+
   // Spark may call planInputPartitions more than once per query
   // (partitioning reporting, runtime-filter re-planning, AQE), so the
   // skip/read observability counters contribute each scan's LATEST
@@ -326,6 +340,24 @@ class GraftScan(name: String, fullSchema: StructType, required: StructType,
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new GraftMicroBatchStream(name, fullSchema, required, filters, batchRows)
 }
+
+/** Sum-aggregated scan metrics (segments read / skipped). Zero-arg
+  * top-level classes: Spark re-instantiates CustomMetric reflectively
+  * on the listener path. */
+class GraftSegmentsReadMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "graftSegmentsRead"
+  override def description(): String = "store segments read"
+}
+class GraftSegmentsSkippedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "graftSegmentsSkipped"
+  override def description(): String = "store segments skipped (zone maps)"
+}
+
+case class GraftSegmentTaskMetric(override val name: String,
+                                  override val value: Long)
+    extends org.apache.spark.sql.connector.metric.CustomTaskMetric
 
 /** The segment's rows ride inside the partition: the driver plans from
   * metadata, the executor receives exactly its shard — no shared state

@@ -308,6 +308,30 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(streamed2 == batch2)
   }
 
+  test("scan pruning evidence rides DSv2 custom metrics (SQL metric channel)") {
+    loadDocs("v2_metrics")
+    val df = read("v2_metrics").where(col("doc_id") >= 400)
+    assert(df.collect().nonEmpty)
+    val scans = SparkTestSession.collectExec(df) { case b: BatchScanExec => b }
+    assert(scans.nonEmpty)
+    // supportedCustomMetrics landed in the exec node's SQLMetric map
+    val m = scans.head.metrics
+    assert(m.contains("graftSegmentsRead") && m.contains("graftSegmentsSkipped"),
+      s"scan must expose segment metrics, has ${m.keys}")
+    // the values the engine pulls over that channel
+    // (Scan.reportDriverMetrics — post-execution, so the final pruning
+    // decision): every metric name resolves, skip+read account for all
+    // 8 segments, and the selective range filter skipped most
+    val reported = scans.head.scan.asInstanceOf[GraftScan]
+      .reportDriverMetrics().map(t => t.name -> t.value).toMap
+    assert(reported.keySet == Set("graftSegmentsRead", "graftSegmentsSkipped"))
+    assert(reported.keySet.subsetOf(m.keySet))
+    assert(reported("graftSegmentsSkipped") > 0,
+      s"selective range filter must skip segments via the metric channel: $reported")
+    assert(reported("graftSegmentsRead") > 0)
+    assert(reported("graftSegmentsRead") + reported("graftSegmentsSkipped") == 8)
+  }
+
   test("write-side distribution: sharded connector writes plan a range exchange + sort and land pruning zone maps") {
     import org.apache.spark.sql.execution.QueryExecution
     import org.apache.spark.sql.util.QueryExecutionListener
