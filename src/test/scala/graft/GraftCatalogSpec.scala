@@ -55,6 +55,23 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_cat.lake.del")
   }
 
+  test("streaming read through the catalog: readStream.table drains the collection") {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.lake")
+    spark.sql("CREATE TABLE graft_cat.lake.ev (id BIGINT, v STRING) PARTITIONED BY (id)")
+    spark.sql("INSERT INTO graft_cat.lake.ev SELECT id, cast(id AS string) FROM range(300)")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cat_ckpt").toString
+    val q = spark.readStream.table("graft_cat.lake.ev")
+      .groupBy().count()
+      .writeStream.format("memory").queryName("cat_sink")
+      .outputMode("complete").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(!q.isActive)
+    assert(spark.table("cat_sink").collect()(0).getLong(0) == 300)
+    spark.sql("DROP TABLE graft_cat.lake.ev")
+  }
+
   test("writeTo appends through the catalog; catalog scans keep zone-map pruning") {
     import spark.implicits._
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.lake")
