@@ -4,8 +4,9 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -30,7 +31,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Namespaces are implicit (a namespace "exists" iff a collection key
   * carries its prefix, plus anything created explicitly) — the store is
   * a flat keyspace, as Mongo databases are. */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catName: String = _
   // explicitly-created namespaces (CREATE NAMESPACE) — collection-derived
@@ -95,12 +97,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     GraftStore.rename(key(oldIdent), key(newIdent))
   }
 
+  // --------------------------------------------------------- functions
+
+  /** SQL-addressable engine kernels: `graft_cat.fns.<name>(...)` — see
+    * [[GraftFunctions]]. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(GraftFunctions.Namespace))
+      GraftFunctions.names.map(Identifier.of(GraftFunctions.Namespace, _)).toArray
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.namespace.sameElements(GraftFunctions.Namespace))
+      GraftFunctions.load(ident.name)
+        .getOrElse(throw new NoSuchFunctionException(ident))
+    else throw new NoSuchFunctionException(ident)
+
   // -------------------------------------------------------- namespaces
 
   private def allNamespaces: Seq[Seq[String]] = {
     val derived = GraftStore.names
       .map(_.split('.').toSeq.dropRight(1)).filter(_.nonEmpty)
-    (derived ++ createdNs.toSeq).distinct.sortBy(_.mkString("."))
+    (derived ++ createdNs.toSeq :+ GraftFunctions.Namespace.toSeq)
+      .distinct.sortBy(_.mkString("."))
   }
 
   override def listNamespaces(): Array[Array[String]] =

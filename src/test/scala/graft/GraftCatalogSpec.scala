@@ -55,6 +55,33 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_cat.lake.del")
   }
 
+  test("catalog functions: engine kernels are SQL-addressable and match the expression path") {
+    // hash48 ≡ the portable md5-prefix hash the oracle twins use
+    val viaCatalog = spark.sql("SELECT graft_cat.fns.hash48('hello') AS h")
+      .collect()(0).getLong(0)
+    val viaExpr = spark.sql(
+      s"SELECT ${graft.functions.Portable.sparkHash48("'hello'")} AS h")
+      .collect()(0).getLong(0)
+    assert(viaCatalog == viaExpr)
+    // cosine6: parallel vectors → 1.0; orthogonal → 0.0
+    val cs = spark.sql(
+      """SELECT graft_cat.fns.cosine6(array(1D, 2D), array(2D, 4D)) AS a,
+        |       graft_cat.fns.cosine6(array(1D, 0D), array(0D, 3D)) AS b""".stripMargin)
+      .collect()(0)
+    assert(cs.getDouble(0) == 1.0 && cs.getDouble(1) == 0.0)
+    // distributed use over a store table
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.lake")
+    spark.sql("CREATE TABLE graft_cat.lake.fx (id BIGINT, t STRING) PARTITIONED BY (id)")
+    spark.sql("INSERT INTO graft_cat.lake.fx SELECT id, 'a b  c' FROM range(50)")
+    val n = spark.sql(
+      "SELECT sum(graft_cat.fns.token_count(t)) AS n FROM graft_cat.lake.fx")
+      .collect()(0).getLong(0)
+    assert(n == 150L)
+    assert(spark.sql("SHOW FUNCTIONS IN graft_cat.fns").collect()
+      .map(_.getString(0)).exists(_.endsWith("hash48")))
+    spark.sql("DROP TABLE graft_cat.lake.fx")
+  }
+
   test("streaming read through the catalog: readStream.table drains the collection") {
     import org.apache.spark.sql.streaming.Trigger
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.lake")
