@@ -140,6 +140,21 @@ object GraftStore {
   def loadClustered(name: String, df: DataFrame, clusterKey: String): Unit =
     registerClustered(name, df.schema, df.collect().toIndexedSeq, clusterKey)
 
+  /** Replace a collection's rows wholesale, PRESERVING its layout
+    * (shard/cluster key, segment count) — the commit primitive for
+    * copy-on-write row-level operations (SQL UPDATE/MERGE). */
+  def replaceAll(name: String, schema: StructType, rows: Seq[Row]): Unit =
+    store.synchronized {
+      store.get(name) match {
+        case Some(c) => c.clusterKey match {
+          case Some(k) => registerClustered(name, c.schema, rows, k)
+          case None => register(name, c.schema, rows, c.shardKey,
+            math.max(1, c.segments.size))
+        }
+        case None => register(name, schema, rows)
+      }
+    }
+
   /** Append rows, preserving the collection's shard layout (re-shards —
     * the moral equivalent of a compaction after an append batch). */
   def append(name: String, schema: StructType, rows: Seq[Row],

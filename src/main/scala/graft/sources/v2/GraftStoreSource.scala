@@ -73,7 +73,27 @@ class GraftStoreProvider extends TableProvider with DataSourceRegister {
 
 class GraftStoreTable(name: String, tableSchema: StructType, batchRows: Int)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+
+  /** Group-based (copy-on-write) row-level operations — SQL UPDATE and
+    * MERGE: Spark rewrites the statement into "read the affected
+    * groups, apply the changes, write those groups back"
+    * (ReplaceData). The group here is the WHOLE collection (the way a
+    * single-file table behaves), so the operation's scan is a dedicated
+    * FULL scan with no zone-map pruning, no claimed filters, and no
+    * runtime filtering: with whole-collection replacement, any row the
+    * scan dropped would be silently DELETED by the write-back. A
+    * multi-segment deployment would instead report per-segment groups
+    * and prune via runtime group filtering, but correctness-first wins
+    * at this granularity; the replace commit preserves the shard layout
+    * ([[GraftStore.replaceAll]]). */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new GraftRowLevelOperation(name, tableSchema, info.command())
+    }
 
   /** Row-level `DELETE FROM ... WHERE ...` (the reference's K4 point
     * delete, on the SQL surface): only claim predicates the store can
@@ -534,6 +554,86 @@ class GraftBatchWrite(name: String, schema: StructType, truncate: Boolean,
     else GraftStore.append(name, schema, rows)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** Copy-on-write row-level operation (UPDATE/MERGE): full-fidelity scan
+  * in, whole-collection replacement out. See the rationale on
+  * [[GraftStoreTable.newRowLevelOperationBuilder]]. */
+class GraftRowLevelOperation(name: String, schema: StructType,
+                             cmd: RowLevelOperation.Command)
+    extends RowLevelOperation {
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft-store copy-on-write $cmd"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new GraftFullScan(name)
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new GraftReplaceDataWrite(name, info.schema())
+      }
+    }
+}
+
+/** Full-fidelity scan for row-level rewrites: every segment, every row,
+  * no pruning of any kind — the write-back replaces the whole
+  * collection, so a dropped row would be a lost row. */
+class GraftFullScan(name: String) extends Scan {
+  override def readSchema(): StructType = GraftStore.get(name).schema
+  override def description(): String = s"graft-store:$name full (row-level op)"
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      GraftStore.get(name).segments
+        .map(seg => GraftInputPartition(seg.rows): InputPartition).toArray
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val schema = GraftStore.get(name).schema
+      new GraftReaderFactory(schema, schema, Array.empty)
+    }
+  }
+}
+
+/** ReplaceData commit: the rewritten dataset (updated matching rows +
+  * untouched rest) lands atomically, layout preserved.
+  *
+  * The rewrite's PHYSICAL input rows carry engine bookkeeping PREPENDED
+  * to the table columns (`__row_operation` in the 4.x group-based
+  * rewrite) while `LogicalWriteInfo.schema()` reports only the table
+  * columns — the writer skips the leading extras by offset
+  * (numFields − schema.length), so only real data lands. */
+class GraftReplaceDataWrite(name: String, schema: StructType)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    GraftReplaceDataWriterFactory(schema)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val rows = messages.iterator
+      .flatMap(_.asInstanceOf[GraftCommitMessage].rows).toVector
+    GraftStore.replaceAll(name, schema, rows)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+case class GraftReplaceDataWriterFactory(schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val convs = schema.fields.map(f => RowConverters.toScala(f.dataType))
+      private val buf = Vector.newBuilder[Row]
+      override def write(record: InternalRow): Unit = {
+        val off = record.numFields - schema.length
+        require(off >= 0, s"row-level write row has ${record.numFields} fields " +
+          s"for ${schema.length}-column schema")
+        buf += Row.fromSeq(Array.tabulate(schema.length) { i =>
+          convs(i)(record.get(off + i, schema(i).dataType))
+        }.toIndexedSeq)
+      }
+      override def commit(): WriterCommitMessage = GraftCommitMessage(buf.result())
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
 }
 
 /** Streaming (micro-batch) write: each epoch runs the same two-phase

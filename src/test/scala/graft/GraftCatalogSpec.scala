@@ -46,13 +46,46 @@ class GraftCatalogSpec extends AnyFunSuite {
     GraftStore.resetCounters()
     spark.sql("SELECT count(*) FROM graft_cat.lake.del WHERE id >= 90").collect()
     assert(GraftStore.segmentsSkipped.get() > 0)
-    // a predicate the store can't evaluate exactly must be REJECTED, not
-    // approximated (silent over/under-delete would corrupt the table)
-    assertThrows[Exception] {
-      spark.sql("DELETE FROM graft_cat.lake.del WHERE v LIKE '%1%'")
-    }
-    assert(spark.sql("SELECT count(*) FROM graft_cat.lake.del").collect()(0).getLong(0) == 80)
+    // a predicate the store can't evaluate exactly can't use the fast
+    // metadata delete — it falls back to the copy-on-write row-level
+    // rewrite and must still delete EXACTLY
+    spark.sql("DELETE FROM graft_cat.lake.del WHERE v LIKE '%1%'")
+    val after = spark.sql("SELECT id FROM graft_cat.lake.del ORDER BY id")
+      .collect().map(_.getLong(0)).toSet
+    val expected = left.toSet.filterNot(_.toString.contains("1"))
+    assert(after == expected,
+      s"row-level DELETE must drop exactly the LIKE matches; diff=${after.diff(expected) ++ expected.diff(after)}")
     spark.sql("DROP TABLE graft_cat.lake.del")
+  }
+
+  test("SQL UPDATE and MERGE via copy-on-write row-level operations") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.lake")
+    spark.sql("CREATE TABLE graft_cat.lake.up (id BIGINT, v STRING) PARTITIONED BY (id)")
+    spark.sql("INSERT INTO graft_cat.lake.up SELECT id, cast(id AS string) FROM range(100)")
+
+    spark.sql("UPDATE graft_cat.lake.up SET v = 'X' WHERE id < 10")
+    val rows = spark.sql("SELECT id, v FROM graft_cat.lake.up ORDER BY id").collect()
+    assert(rows.length == 100, "UPDATE must not lose or duplicate rows")
+    assert(rows.take(10).forall(_.getString(1) == "X"))
+    assert(rows.drop(10).forall(r => r.getString(1) == r.getLong(0).toString),
+      "non-matching rows must be untouched")
+    // layout survives the copy-on-write
+    assert(GraftStore.get("lake.up").shardKey.contains("id"))
+
+    // MERGE routes through the same operation: matched update + not-matched insert
+    spark.sql(
+      """MERGE INTO graft_cat.lake.up t
+        |USING (SELECT id * 5 AS id, 'M' AS v FROM range(25)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    val merged = spark.sql("SELECT id, v FROM graft_cat.lake.up ORDER BY id").collect()
+    // source ids 0,5,...,120: 20 match (0..95 step 5), 5 insert (100..120 step 5)
+    assert(merged.length == 105)
+    assert(merged.filter(_.getLong(0) % 5 == 0).forall(_.getString(1) == "M"))
+    assert(merged.filter(r => r.getLong(0) % 5 != 0 && r.getLong(0) >= 10)
+      .forall(r => r.getString(1) == r.getLong(0).toString))
+    spark.sql("DROP TABLE graft_cat.lake.up")
   }
 
   test("catalog functions: engine kernels are SQL-addressable and match the expression path") {
