@@ -15,9 +15,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * the connector: registered as
   * `spark.sql.catalog.graft_cat = graft.sources.v2.GraftCatalog`, it
   * makes store collections addressable as `graft_cat.<ns>.<table>` from
-  * plain SQL (`CREATE TABLE` / `INSERT INTO` / `SELECT` / `DROP TABLE`)
-  * and from `df.writeTo(...)` — the same way Iceberg/Delta expose a
-  * lakehouse. Tables loaded through the catalog are the SAME
+  * plain SQL (`CREATE TABLE` / `INSERT INTO` / `SELECT` / `UPDATE` /
+  * `MERGE` / `DELETE` / `DROP TABLE`), from `df.writeTo(...)` /
+  * `readStream.table(...)`, and through catalog functions
+  * (`graft_cat.fns.*`, [[GraftFunctions]]) — the same way Iceberg/Delta
+  * expose a lakehouse. Tables loaded through the catalog are the SAME
   * [[GraftStoreTable]] the path-based reads use, so every scan feature
   * (zone-map pruning, pushdown, columnar batches, runtime filtering,
   * storage-partitioned joins) and the two-phase write protocol apply to
