@@ -74,7 +74,21 @@ class GraftStoreProvider extends TableProvider with DataSourceRegister {
 class GraftStoreTable(name: String, tableSchema: StructType, batchRows: Int)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_segment` metadata column: the ordinal of the store segment a row
+    * came from (pre-pruning numbering) — the hidden provenance column a
+    * lakehouse exposes as `_file`/`_partition`. `SELECT _segment, ...`
+    * makes segment skew and pruning behavior directly queryable.
+    * Batch-scan only; streaming/row-level paths never request it. */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = "_segment"
+      override def dataType(): DataType = IntegerType
+      override def comment(): String =
+        "ordinal of the store segment the row came from"
+    })
 
   /** Group-based (copy-on-write) row-level operations — SQL UPDATE and
     * MERGE: Spark rewrites the statement into "read the affected
@@ -279,12 +293,15 @@ class GraftScan(name: String, fullSchema: StructType, required: StructType,
   }
 
   /** Segments surviving zone-map pruning under the CURRENT filter set
-    * (static + runtime) — the single source of truth shared by
-    * partition planning and partitioning reporting, so the two always
-    * agree on the partition count. */
-  private def survivors: Vector[GraftStore.Segment] =
-    GraftStore.get(name).segments.filter(seg =>
-      allFilters.forall(GraftStore.mightMatch(_, seg)))
+    * (static + runtime), with their ORIGINAL ordinals (pre-pruning —
+    * what the `_segment` metadata column reports) — the single source
+    * of truth shared by partition planning and partitioning reporting,
+    * so the two always agree on the partition count. */
+  private def survivorsIdx: Vector[(GraftStore.Segment, Int)] =
+    GraftStore.get(name).segments.zipWithIndex.filter { case (seg, _) =>
+      allFilters.forall(GraftStore.mightMatch(_, seg))
+    }
+  private def survivors: Vector[GraftStore.Segment] = survivorsIdx.map(_._1)
 
   /** Key-grouped partitioning for cluster-keyed collections: each
     * segment holds exactly ONE cluster-key value (registerClustered's
@@ -335,22 +352,24 @@ class GraftScan(name: String, fullSchema: StructType, required: StructType,
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val coll = GraftStore.get(name)
-      val kept = survivors
+      val kept = survivorsIdx
       val now = (coll.segments.size.toLong - kept.size, kept.size.toLong)
       val prev = recordedSkipRead.getAndSet(now)
       GraftStore.segmentsSkipped.addAndGet(now._1 - prev._1)
       GraftStore.segmentsRead.addAndGet(now._2 - prev._2)
       coll.clusterKey match {
         case Some(k) if required.fieldNames.contains(k) && kept.nonEmpty &&
-            kept.forall(_.rows.nonEmpty) =>
+            kept.forall(_._1.rows.nonEmpty) =>
           val idx = coll.schema.fieldIndex(k)
           val conv = RowConverters.toCatalyst(coll.schema(idx).dataType)
-          kept.map { seg =>
+          kept.map { case (seg, segId) =>
             val key = new GenericInternalRow(Array[Any](conv(seg.rows.head.get(idx))))
-            GraftKeyedInputPartition(seg.rows, key): InputPartition
+            GraftKeyedInputPartition(seg.rows, key, segId): InputPartition
           }.toArray
         case _ =>
-          kept.map(seg => GraftInputPartition(seg.rows): InputPartition).toArray
+          kept.map { case (seg, segId) =>
+            GraftInputPartition(seg.rows, segId): InputPartition
+          }.toArray
       }
     }
     override def createReaderFactory(): PartitionReaderFactory =
@@ -382,12 +401,14 @@ case class GraftSegmentTaskMetric(override val name: String,
 /** The segment's rows ride inside the partition: the driver plans from
   * metadata, the executor receives exactly its shard — no shared state
   * assumed between driver and executor. */
-case class GraftInputPartition(rows: Vector[Row]) extends InputPartition
+case class GraftInputPartition(rows: Vector[Row], segmentId: Int = -1)
+    extends InputPartition
 
 /** A partition of a cluster-keyed collection: advertises its single
   * cluster-key value so Spark can align co-keyed scans for a
   * storage-partitioned join. */
-case class GraftKeyedInputPartition(rows: Vector[Row], key: InternalRow)
+case class GraftKeyedInputPartition(rows: Vector[Row], key: InternalRow,
+                                    segmentId: Int = -1)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
@@ -396,23 +417,41 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType,
                          filters: Array[Filter]) extends PartitionReaderFactory {
 
   private def partitionRows(partition: InputPartition): Vector[Row] = partition match {
-    case GraftInputPartition(rs) => rs
-    case GraftKeyedInputPartition(rs, _) => rs
+    case GraftInputPartition(rs, _) => rs
+    case GraftKeyedInputPartition(rs, _, _) => rs
     case other => throw new IllegalStateException(s"unexpected partition: $other")
+  }
+
+  private def segmentIdOf(partition: InputPartition): Int = partition match {
+    case GraftInputPartition(_, id) => id
+    case GraftKeyedInputPartition(_, _, id) => id
+    case _ => -1
   }
 
   private def filteredRows(partition: InputPartition): Iterator[Row] =
     partitionRows(partition).iterator
       .filter(r => filters.forall(GraftStore.eval(_, r, fullSchema)))
 
+  /** Per-required-field Catalyst-value getters; the `_segment` metadata
+    * column is synthesized from the partition, everything else reads
+    * from the stored row. */
+  private def getters(segId: Int): Array[Row => Any] =
+    required.fields.map { f =>
+      if (f.name == "_segment") { (_: Row) => segId }
+      else {
+        val idx = fullSchema.fieldIndex(f.name)
+        val conv = RowConverters.toCatalyst(f.dataType)
+        (r: Row) => conv(r.get(idx))
+      }
+    }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val idxs = required.fields.map(f => fullSchema.fieldIndex(f.name))
-    val convs = required.fields.map(f => RowConverters.toCatalyst(f.dataType))
+    val gets = getters(segmentIdOf(partition))
     val it = filteredRows(partition)
       .map { r =>
-        val out = new GenericInternalRow(idxs.length)
+        val out = new GenericInternalRow(gets.length)
         var i = 0
-        while (i < idxs.length) { out.update(i, convs(i)(r.get(idxs(i)))); i += 1 }
+        while (i < gets.length) { out.update(i, gets(i)(r)); i += 1 }
         out: InternalRow
       }
     new PartitionReader[InternalRow] {
@@ -442,8 +481,7 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType,
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
-    val idxs = required.fields.map(f => fullSchema.fieldIndex(f.name))
-    val convs = required.fields.map(f => RowConverters.toCatalyst(f.dataType))
+    val gets = getters(segmentIdOf(partition))
     val batchSize = 1024
     val it = filteredRows(partition)
     new PartitionReader[ColumnarBatch] {
@@ -457,8 +495,8 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType,
           while (it.hasNext && n < batchSize) {
             val r = it.next()
             var i = 0
-            while (i < idxs.length) {
-              val v = convs(i)(r.get(idxs(i)))
+            while (i < gets.length) {
+              val v = gets(i)(r)
               val vec = vectors(i)
               if (v == null) vec.putNull(n)
               else required.fields(i).dataType match {

@@ -308,6 +308,22 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(streamed2 == batch2)
   }
 
+  test("_segment metadata column reports the (pre-pruning) segment ordinal") {
+    loadDocs("v2_segcol")
+    // every one of the 8 segments is represented, ordinals 0..7
+    val segs = read("v2_segcol").select(col("_segment")).distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(segs == (0 until 8), s"got $segs")
+    // pruning keeps ORIGINAL ordinals: the lowest doc_id range is segment 0
+    val seg0 = read("v2_segcol").where(col("doc_id") < 10)
+      .select(col("_segment")).distinct().collect().map(_.getInt(0)).toSeq
+    assert(seg0 == Seq(0), s"got $seg0")
+    // joins with data columns (the skew-debugging query shape)
+    val perSeg = read("v2_segcol").groupBy("_segment")
+      .agg(count(lit(1)).as("n")).collect()
+    assert(perSeg.length == 8 && perSeg.map(_.getLong(1)).sum == docs.count())
+  }
+
   test("scan pruning evidence rides DSv2 custom metrics (SQL metric channel)") {
     loadDocs("v2_metrics")
     val df = read("v2_metrics").where(col("doc_id") >= 400)
