@@ -137,6 +137,7 @@ object ProductQuant {
     * k×M×SubDim value, so the memo just skips the repeated Lloyd jobs. */
   private val pqMemo =
     scala.collection.mutable.Map.empty[(SparkSession, String), Seq[Seq[Seq[Long]]]]
+  Memos.register(() => pqMemo.synchronized(pqMemo.clear()))
   private def pqTrainFor(s: SparkSession, dir: String): Seq[Seq[Seq[Long]]] =
     pqMemo.synchronized {
       pqMemo.getOrElseUpdate((s, dir), pqTrain(Tables.embeddings(s, dir)))

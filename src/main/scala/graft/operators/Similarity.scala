@@ -271,6 +271,7 @@ object Similarity {
     * per session serves every caller instead of one count per query run. */
   private val embCountMemo =
     scala.collection.mutable.Map.empty[(SparkSession, String), Long]
+  Memos.register(() => embCountMemo.synchronized(embCountMemo.clear()))
   private def embeddingsCount(s: SparkSession, dir: String): Long =
     embCountMemo.synchronized {
       embCountMemo.getOrElseUpdate((s, dir), Tables.embeddings(s, dir).count())
@@ -294,6 +295,7 @@ object Similarity {
     * re-running the identical 10-round pipeline. */
   private val labelsMemo =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  Memos.register(() => labelsMemo.synchronized(labelsMemo.clear()))
   private def plantedLabels(s: SparkSession, dir: String): DataFrame =
     labelsMemo.synchronized {
       labelsMemo.getOrElseUpdate((s, dir), {
@@ -316,6 +318,7 @@ object Similarity {
     * the assignment frame: n rows of two longs, executor-local. */
   private val ivfMemo =
     scala.collection.mutable.Map.empty[(SparkSession, String), (DataFrame, DataFrame)]
+  Memos.register(() => ivfMemo.synchronized(ivfMemo.clear()))
   def ivfIndexFor(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     ivfMemo.synchronized {
       ivfMemo.getOrElseUpdate((s, dir), {

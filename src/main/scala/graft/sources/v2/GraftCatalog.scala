@@ -50,13 +50,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   // ------------------------------------------------------------ tables
 
-  override def listTables(namespace: Array[String]): Array[Identifier] = {
-    val prefix = namespace.mkString(".") + "."
-    GraftStore.names.collect {
-      case n if n.startsWith(prefix) && !n.stripPrefix(prefix).contains(".") =>
-        Identifier.of(namespace, n.stripPrefix(prefix))
-    }.toArray
-  }
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) {
+      // top-level: collections whose key carries no namespace at all —
+      // this is how path-API collections surface in SHOW TABLES
+      GraftStore.names.filterNot(_.contains("."))
+        .map(Identifier.of(Array.empty[String], _)).toArray
+    } else {
+      val prefix = namespace.mkString(".") + "."
+      val found = GraftStore.names.collect {
+        case n if n.startsWith(prefix) && !n.stripPrefix(prefix).contains(".") =>
+          Identifier.of(namespace, n.stripPrefix(prefix))
+      }
+      if (found.isEmpty && !namespaceExists(namespace))
+        throw new NoSuchNamespaceException(namespace)
+      found.toArray
+    }
 
   override def loadTable(ident: Identifier): Table = {
     val k = key(ident)
@@ -78,7 +87,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         t.references()(0).fieldNames.mkString(".")
     }
     GraftStore.register(k, schema, Seq.empty, shardKey)
-    createdNs += ident.namespace().toSeq
+    createdNs.synchronized { createdNs += ident.namespace().toSeq }
     new GraftStoreTable(k, schema, 0)
   }
 
@@ -120,7 +129,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def allNamespaces: Seq[Seq[String]] = {
     val derived = GraftStore.names
       .map(_.split('.').toSeq.dropRight(1)).filter(_.nonEmpty)
-    (derived ++ createdNs.toSeq :+ GraftFunctions.Namespace.toSeq)
+    val created = createdNs.synchronized(createdNs.toSeq)
+    (derived ++ created :+ GraftFunctions.Namespace.toSeq)
       .distinct.sortBy(_.mkString("."))
   }
 
@@ -155,10 +165,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     val p = namespace.toSeq
-    val tables = GraftStore.names.filter(_.split('.').toSeq.dropRight(1) == p)
+    if (!namespaceExists(namespace)) return false
+    // CASCADE reaches tables at ANY depth under the namespace — a.b.t
+    // lives "inside" namespace a just as much as a.t does
+    val tables = GraftStore.names.filter { n =>
+      val ns = n.split('.').toSeq.dropRight(1)
+      ns.length >= p.length && ns.startsWith(p)
+    }
     if (tables.nonEmpty && !cascade) return false
     tables.foreach(GraftStore.drop)
-    createdNs.synchronized { createdNs -= p }
+    createdNs.synchronized {
+      createdNs.filterInPlace(ns => !(ns.length >= p.length && ns.startsWith(p)))
+    }
     true
   }
 }

@@ -44,6 +44,20 @@ object GraftStore {
 
   private val store = scala.collection.mutable.Map.empty[String, Collection]
 
+  /** Per-collection ROW-ORDER epoch: bumped whenever an operation may
+    * REORDER existing rows (register/registerClustered/re-sorting
+    * append) rather than extend them. Streaming sources capture it at
+    * start and fail LOUDLY if it changes mid-stream — a row-index
+    * offset into a reordered collection would silently re-deliver some
+    * rows and lose others, the same way rewriting a Kafka topic's log
+    * breaks its consumers. Order-preserving tail appends (new keys ≥
+    * the current max, or unsharded appends) do NOT bump it. */
+  private val orderEpochs = scala.collection.mutable.Map.empty[String, Long]
+  private def bumpOrderEpoch(name: String): Unit =
+    orderEpochs(name) = orderEpochs.getOrElse(name, 0L) + 1L
+  def orderEpoch(name: String): Long =
+    store.synchronized(orderEpochs.getOrElse(name, 0L))
+
   /** Scan-side observability for specs and PLANS.md evidence: segments
     * pruned by zone maps across all scans since the last reset. */
   val segmentsSkipped = new AtomicLong(0)
@@ -108,6 +122,7 @@ object GraftStore {
     store.synchronized {
       store(name) = Collection(schema, shardKey,
         shard(schema, shardKey, rows.toVector, numSegments))
+      bumpOrderEpoch(name) // full rewrite: any row order may change
     }
 
   /** Register a collection CLUSTERED on a key: exactly one segment per
@@ -127,6 +142,7 @@ object GraftStore {
         if (a == null) b != null else if (b == null) false else cmp(a, b) < 0 }
       .map { case (_, g) => Segment(g, zoneMaps(schema, g)) }
     store(name) = Collection(schema, None, segs, clusterKey = Some(clusterKey))
+    bumpOrderEpoch(name) // clustering regroups rows arbitrarily
   }
 
   /** Convenience: materialize a DataFrame into the store (the test/dev
@@ -169,8 +185,26 @@ object GraftStore {
           s"append schema mismatch for $name: ${c.schema} vs $schema")
         c.clusterKey match {
           case Some(k) => registerClustered(name, c.schema, c.rows ++ rows, k)
-          case None => store(name) = Collection(c.schema, c.shardKey,
-            shard(c.schema, c.shardKey, c.rows ++ rows, numSegments))
+          case None =>
+            // Does this append preserve the existing row order? Unsharded:
+            // always (rows extend). Sharded: the re-shard's stable sort
+            // keeps the old prefix intact iff every new key ≥ the current
+            // max (a pure tail append); anything else interleaves new rows
+            // into the consumed prefix, so streaming offsets must break
+            // LOUDLY — the order epoch records it.
+            val tailSafe = c.shardKey match {
+              case None => true
+              case Some(key) =>
+                val idx = c.schema.fieldIndex(key)
+                val oldMax = c.rows.iterator.map(_.get(idx))
+                  .filter(_ != null)
+                  .reduceOption((a, b) => if (cmp(a, b) >= 0) a else b)
+                rows.forall(_.get(idx) != null) &&
+                  oldMax.forall(mx => rows.forall(r => cmp(r.get(idx), mx) >= 0))
+            }
+            store(name) = Collection(c.schema, c.shardKey,
+              shard(c.schema, c.shardKey, c.rows ++ rows, numSegments))
+            if (!tailSafe) bumpOrderEpoch(name)
         }
       case None => register(name, schema, rows, None, numSegments)
     }
@@ -194,16 +228,22 @@ object GraftStore {
 
   /** Idempotent per-epoch streaming commit: appends (or overwrites, for
     * Complete-mode sinks) exactly once per (collection, epoch); a replay
-    * of an already-committed epoch returns false and changes nothing. */
+    * of an already-committed epoch returns false and changes nothing.
+    * The landed layout keeps the collection's existing shard key (or the
+    * write's declared one for a fresh/truncated collection) — a
+    * streaming sink must not silently strip the zone-map layout its
+    * batch twin preserves. */
   def commitEpoch(name: String, schema: StructType, rows: Seq[Row],
                   epochId: Long, truncate: Boolean,
+                  shardKey: Option[String] = None,
                   numSegments: Int = 8): Boolean = store.synchronized {
     val seen = committedEpochs.getOrElseUpdate(name, scala.collection.mutable.Set.empty)
     if (seen.contains(epochId)) false
     else {
-      if (truncate) register(name, schema, rows, None, numSegments)
+      val key = (if (exists(name)) get(name).shardKey else None).orElse(shardKey)
+      if (truncate) register(name, schema, rows, key, numSegments)
       else if (exists(name)) append(name, schema, rows, numSegments)
-      else register(name, schema, rows, None, numSegments)
+      else register(name, schema, rows, key, numSegments)
       seen += epochId
       true
     }

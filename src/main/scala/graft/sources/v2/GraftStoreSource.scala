@@ -434,15 +434,18 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType,
 
   /** Per-required-field Catalyst-value getters; the `_segment` metadata
     * column is synthesized from the partition, everything else reads
-    * from the stored row. */
+    * from the stored row. DATA columns win the name: a collection that
+    * really stores a `_segment` column reads its own values (Spark
+    * likewise hides metadata columns shadowed by data columns). */
   private def getters(segId: Int): Array[Row => Any] =
     required.fields.map { f =>
-      if (f.name == "_segment") { (_: Row) => segId }
-      else {
+      if (fullSchema.fieldNames.contains(f.name)) {
         val idx = fullSchema.fieldIndex(f.name)
         val conv = RowConverters.toCatalyst(f.dataType)
         (r: Row) => conv(r.get(idx))
-      }
+      } else if (f.name == "_segment") { (_: Row) => segId }
+      else throw new IllegalStateException(
+        s"graft-store reader: unknown required column ${f.name}")
     }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -569,7 +572,7 @@ class GraftWrite(name: String, schema: StructType, truncate: Boolean,
   }
   override def toBatch: BatchWrite = new GraftBatchWrite(name, schema, truncate, shardKey)
   override def toStreaming: StreamingWrite =
-    new GraftStreamingWrite(name, schema, truncate)
+    new GraftStreamingWrite(name, schema, truncate, shardKey)
 }
 
 case class GraftCommitMessage(rows: Vector[Row]) extends WriterCommitMessage
@@ -683,7 +686,8 @@ case class GraftReplaceDataWriterFactory(schema: StructType)
   * Append mode appends per epoch; Complete mode (truncate) overwrites
   * per epoch, which is idempotent by construction but still ledgered so
   * a replayed epoch can't clobber a newer one. */
-class GraftStreamingWrite(name: String, schema: StructType, truncate: Boolean)
+class GraftStreamingWrite(name: String, schema: StructType, truncate: Boolean,
+                          shardKey: Option[String] = None)
     extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     GraftStreamingWriterFactory(schema)
@@ -691,7 +695,7 @@ class GraftStreamingWrite(name: String, schema: StructType, truncate: Boolean)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val rows = messages.iterator
       .flatMap(_.asInstanceOf[GraftCommitMessage].rows).toVector
-    GraftStore.commitEpoch(name, schema, rows, epochId, truncate)
+    GraftStore.commitEpoch(name, schema, rows, epochId, truncate, shardKey)
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -723,9 +727,13 @@ class GraftWriterFactory(schema: StructType) extends DataWriterFactory {
 
 // ------------------------------------------------------------ streaming
 
-/** Row-count offset into the collection's stable row order. */
-case class GraftOffset(rowIndex: Long) extends Offset {
-  override def json(): String = rowIndex.toString
+/** Row-count offset into the collection's stable row order, stamped
+  * with the order epoch it was minted under — a checkpoint resumed
+  * against a REORDERED collection (different epoch) is detected at
+  * deserialization instead of silently replaying wrong rows. */
+case class GraftOffset(rowIndex: Long, epoch: Long = -1L) extends Offset {
+  override def json(): String =
+    if (epoch < 0) rowIndex.toString else s"$rowIndex:$epoch"
 }
 
 /** Replays the collection in `batchRows`-row micro-batches. The row
@@ -750,11 +758,21 @@ class GraftMicroBatchStream(name: String, fullSchema: StructType,
   // LIVE read, not a start-of-stream snapshot: rows appended while the
   // stream runs surface in the next latestOffset() poll (what the
   // replayable-source framing promises). Offset durability then rests on
-  // the store's row order being append-stable — true for unsharded
-  // appends (order-preserving; only segment boundaries move) — while a
-  // re-SHARDING rewrite during a running stream breaks replay the same
-  // way rewriting a Kafka topic's log would: don't do that.
-  private def rows: Vector[Row] = GraftStore.get(name).rows
+  // the store's row order being append-stable — unsharded appends and
+  // sharded TAIL appends (new keys ≥ current max) qualify — and the
+  // store's order epoch GUARDS it: a reordering rewrite (re-register,
+  // re-cluster, mid-range sharded append) mid-stream fails the next poll
+  // loudly instead of silently re-delivering some rows and losing others.
+  private val startEpoch: Long = GraftStore.orderEpoch(name)
+  private def rows: Vector[Row] = {
+    val now = GraftStore.orderEpoch(name)
+    if (now != startEpoch)
+      throw new IllegalStateException(
+        s"graft-store stream on '$name': collection row order was rewritten " +
+          s"mid-stream (order epoch $startEpoch -> $now); row-index offsets " +
+          "are no longer valid — restart the stream from a fresh checkpoint")
+    GraftStore.get(name).rows
+  }
   // end-of-data snapshot taken at AvailableNow start; Long.MaxValue
   // sentinel = continuous mode (no cap beyond current data)
   @volatile private var availableNowCap: Long = Long.MaxValue
@@ -762,8 +780,8 @@ class GraftMicroBatchStream(name: String, fullSchema: StructType,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = rows.size.toLong
 
-  override def initialOffset(): Offset = GraftOffset(0L)
-  override def latestOffset(): Offset = GraftOffset(rows.size.toLong)
+  override def initialOffset(): Offset = GraftOffset(0L, startEpoch)
+  override def latestOffset(): Offset = GraftOffset(rows.size.toLong, startEpoch)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchRows)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[GraftOffset].rowIndex
@@ -771,10 +789,22 @@ class GraftMicroBatchStream(name: String, fullSchema: StructType,
       case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => r.maxRows()
       case _ => rows.size.toLong
     }
-    GraftOffset(math.min(math.min(rows.size.toLong, availableNowCap), from + cap))
+    GraftOffset(math.min(math.min(rows.size.toLong, availableNowCap), from + cap),
+      startEpoch)
   }
-  override def reportLatestOffset(): Offset = GraftOffset(rows.size.toLong)
-  override def deserializeOffset(json: String): Offset = GraftOffset(json.toLong)
+  override def reportLatestOffset(): Offset = GraftOffset(rows.size.toLong, startEpoch)
+  override def deserializeOffset(json: String): Offset = json.split(':') match {
+    case Array(idx) => GraftOffset(idx.toLong) // pre-epoch checkpoint: no check
+    case Array(idx, ep) =>
+      val cur = GraftStore.orderEpoch(name)
+      if (ep.toLong != cur)
+        throw new IllegalStateException(
+          s"graft-store stream on '$name': checkpointed offset was minted " +
+            s"under order epoch ${ep.toLong} but the collection is now at " +
+            s"epoch $cur — row order was rewritten between runs; restart " +
+            "from a fresh checkpoint")
+      GraftOffset(idx.toLong, ep.toLong)
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 

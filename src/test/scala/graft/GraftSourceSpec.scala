@@ -392,6 +392,48 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(GraftStore.get(name).rows.size == docs.count() * 2)
   }
 
+  test("order-epoch guard: a reordering rewrite fails a running stream loudly; tail appends don't") {
+    import graft.sources.v2.GraftMicroBatchStream
+    val name = "v2_epoch_guard"
+    val base = docs.where("doc_id < 200")
+    GraftStore.load(name, base, shardKey = Some("doc_id"), numSegments = 4)
+    val stream = new GraftMicroBatchStream(name, base.schema, base.schema,
+      Array.empty, 64)
+    val n0 = stream.latestOffset()
+    // tail append (keys ≥ current max): order-preserving, stream lives on
+    GraftStore.append(name, base.schema,
+      docs.where("doc_id >= 200 AND doc_id < 250").collect().toIndexedSeq,
+      numSegments = 4)
+    assert(stream.latestOffset().asInstanceOf[graft.sources.v2.GraftOffset].rowIndex >
+      n0.asInstanceOf[graft.sources.v2.GraftOffset].rowIndex)
+    // MID-RANGE append: the re-shard's sort interleaves into the consumed
+    // prefix — the next poll must fail loudly, not silently re-deliver
+    GraftStore.append(name, base.schema,
+      docs.where("doc_id >= 250 AND doc_id < 260")
+        .selectExpr("doc_id - 200 AS doc_id", "text", "lang", "source", "n_chars")
+        .collect().toIndexedSeq, numSegments = 4)
+    assertThrows[IllegalStateException] { stream.latestOffset() }
+    // and a checkpointed offset from the old epoch is rejected on restart
+    val restarted = new GraftMicroBatchStream(name, base.schema, base.schema,
+      Array.empty, 64)
+    assertThrows[IllegalStateException] { restarted.deserializeOffset(n0.json()) }
+  }
+
+  test("streaming commits keep the shard layout (declared or inherited)") {
+    val name = "v2_shardkeep"
+    GraftStore.drop(name)
+    val rows = docs.limit(100).collect().toIndexedSeq
+    // fresh collection: the write's declared shard key lands
+    assert(GraftStore.commitEpoch(name, docs.schema, rows, 0L,
+      truncate = false, shardKey = Some("doc_id")))
+    assert(GraftStore.get(name).shardKey.contains("doc_id"))
+    // Complete-mode truncate on an existing sharded collection keeps it
+    assert(GraftStore.commitEpoch(name, docs.schema, rows, 1L, truncate = true))
+    assert(GraftStore.get(name).shardKey.contains("doc_id"),
+      "truncate epoch must not strip the zone-map layout")
+    GraftStore.drop(name)
+  }
+
   test("streaming write: store-to-store round trip is exactly-once across restart") {
     val src = "v2_wsrc"
     val dst = "v2_wdst"
