@@ -62,6 +62,9 @@ object GraftStore {
     * pruned by zone maps across all scans since the last reset. */
   val segmentsSkipped = new AtomicLong(0)
   val segmentsRead = new AtomicLong(0)
+  /** Segments the last row-level (UPDATE/MERGE) commit actually
+    * replaced — group-pruning evidence for specs. */
+  val rowLevelSegmentsReplaced = new AtomicLong(0)
   def resetCounters(): Unit = { segmentsSkipped.set(0); segmentsRead.set(0) }
 
   private def comparable(dt: DataType): Boolean = dt match {

@@ -597,62 +597,120 @@ class GraftBatchWrite(name: String, schema: StructType, truncate: Boolean,
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
 
-/** Copy-on-write row-level operation (UPDATE/MERGE): full-fidelity scan
-  * in, whole-collection replacement out. See the rationale on
-  * [[GraftStoreTable.newRowLevelOperationBuilder]]. */
+/** Copy-on-write row-level operation (UPDATE/MERGE) with SEGMENT-level
+  * group pruning: the operation declares `_segment` as its required
+  * metadata attribute, so Spark's runtime group filtering plans a
+  * side-query for the segments that actually contain matching rows and
+  * hands them to the scan as an `In(_segment, ...)` runtime filter. The
+  * scan then reads ONLY those segments (whole segments — never
+  * row-filtered, a dropped row would be a lost row), and the commit
+  * replaces exactly the scanned segments, leaving the rest untouched:
+  * a narrow UPDATE on a sharded collection rewrites one segment, not
+  * the table — the Iceberg-style copy-on-write shape that matters at
+  * 100 TB. Without a runtime filter (conf off, or a condition the
+  * side-query can't bound) every segment is scanned and replaced —
+  * the correct, conservative fallback. */
 class GraftRowLevelOperation(name: String, schema: StructType,
                              cmd: RowLevelOperation.Command)
     extends RowLevelOperation {
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"graft-store copy-on-write $cmd"
 
+  override def requiredMetadataAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_segment"))
+
+  /** Segment ordinals the rewrite's scan actually planned — the commit
+    * replaces exactly these. None = no scan planned yet (treat as all). */
+  @volatile private[v2] var scannedSegments: Option[Set[Int]] = None
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new GraftFullScan(name)
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = {
+        val base = GraftStore.get(name).schema
+        StructType(base.fields :+ StructField("_segment", IntegerType, nullable = false))
+      }
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan =
+        new GraftGroupScan(name, required, GraftRowLevelOperation.this)
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new GraftReplaceDataWrite(name, info.schema())
+          new GraftReplaceDataWrite(name, info.schema(), GraftRowLevelOperation.this)
       }
     }
 }
 
-/** Full-fidelity scan for row-level rewrites: every segment, every row,
-  * no pruning of any kind — the write-back replaces the whole
-  * collection, so a dropped row would be a lost row. */
-class GraftFullScan(name: String) extends Scan {
-  override def readSchema(): StructType = GraftStore.get(name).schema
-  override def description(): String = s"graft-store:$name full (row-level op)"
+/** Row-level-rewrite scan: emits whole segments (rows are NEVER
+  * filtered), prunable only at SEGMENT granularity via the runtime
+  * group filter on `_segment`. Records what it planned on the owning
+  * operation so the commit knows which segments to replace. */
+class GraftGroupScan(name: String, required: StructType,
+                     op: GraftRowLevelOperation)
+    extends Scan with SupportsRuntimeFiltering {
+  override def readSchema(): StructType = required
+  override def description(): String =
+    s"graft-store:$name group scan (row-level op), ReadSchema: ${required.catalogString}"
+
+  @volatile private var keptSegments: Option[Set[Int]] = None
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_segment"))
+  override def filter(filters: Array[Filter]): Unit =
+    filters.foreach {
+      case org.apache.spark.sql.sources.In("_segment", values) =>
+        keptSegments = Some(values.collect {
+          case i: java.lang.Integer => i.intValue
+          case l: java.lang.Long => l.intValue
+        }.toSet)
+      case _ => () // unknown runtime filter: keep every segment (safe)
+    }
+
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] =
-      GraftStore.get(name).segments
-        .map(seg => GraftInputPartition(seg.rows): InputPartition).toArray
+    override def planInputPartitions(): Array[InputPartition] = {
+      val segs = GraftStore.get(name).segments.zipWithIndex
+      val kept = keptSegments match {
+        case Some(ids) => segs.filter { case (_, i) => ids.contains(i) }
+        case None => segs
+      }
+      op.scannedSegments = Some(kept.map(_._2).toSet)
+      kept.map { case (seg, i) =>
+        GraftInputPartition(seg.rows, i): InputPartition
+      }.toArray
+    }
     override def createReaderFactory(): PartitionReaderFactory = {
-      val schema = GraftStore.get(name).schema
-      new GraftReaderFactory(schema, schema, Array.empty)
+      val full = GraftStore.get(name).schema
+      new GraftReaderFactory(full, required, Array.empty)
     }
   }
 }
 
-/** ReplaceData commit: the rewritten dataset (updated matching rows +
-  * untouched rest) lands atomically, layout preserved.
+/** ReplaceData commit: the rewritten rows replace EXACTLY the segments
+  * the operation's scan planned; untouched segments keep their rows.
+  * Layout (shard/cluster key) is preserved.
   *
   * The rewrite's PHYSICAL input rows carry engine bookkeeping PREPENDED
   * to the table columns (`__row_operation` in the 4.x group-based
   * rewrite) while `LogicalWriteInfo.schema()` reports only the table
   * columns — the writer skips the leading extras by offset
   * (numFields − schema.length), so only real data lands. */
-class GraftReplaceDataWrite(name: String, schema: StructType)
+class GraftReplaceDataWrite(name: String, schema: StructType,
+                            op: GraftRowLevelOperation)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     GraftReplaceDataWriterFactory(schema)
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val rows = messages.iterator
+    val newRows = messages.iterator
       .flatMap(_.asInstanceOf[GraftCommitMessage].rows).toVector
-    GraftStore.replaceAll(name, schema, rows)
+    val coll = GraftStore.get(name)
+    val replaced = op.scannedSegments.getOrElse(coll.segments.indices.toSet)
+    GraftStore.rowLevelSegmentsReplaced.set(replaced.size.toLong)
+    val untouched = coll.segments.zipWithIndex.collect {
+      case (seg, i) if !replaced.contains(i) => seg.rows
+    }.flatten
+    GraftStore.replaceAll(name, schema, untouched ++ newRows)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }

@@ -71,6 +71,12 @@ class GraftCatalogSpec extends AnyFunSuite {
       "non-matching rows must be untouched")
     // layout survives the copy-on-write
     assert(GraftStore.get("lake.up").shardKey.contains("id"))
+    // GROUP PRUNING: the narrow condition touches one of the 8 range
+    // segments, so runtime group filtering must confine the rewrite —
+    // only the matching segment(s) get replaced, not the table
+    val replaced = GraftStore.rowLevelSegmentsReplaced.get()
+    assert(replaced < 8,
+      s"narrow UPDATE must not rewrite every segment (replaced=$replaced)")
 
     // MERGE routes through the same operation: matched update + not-matched insert
     spark.sql(
