@@ -131,6 +131,17 @@ class GraftStoreTable(name: String, tableSchema: StructType, batchRows: Int)
         math.max(1, coll.segments.size))
     }
   }
+
+  /** `TRUNCATE TABLE`: drop every row, keep the collection (and its
+    * layout) addressable. */
+  override def truncateTable(): Boolean = {
+    val coll = GraftStore.get(name)
+    coll.clusterKey match {
+      case Some(k) => GraftStore.registerClustered(name, coll.schema, Seq.empty, k)
+      case None => GraftStore.register(name, coll.schema, Seq.empty, coll.shardKey)
+    }
+    true
+  }
   override def name(): String = s"graft-store:$name"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] = Set(

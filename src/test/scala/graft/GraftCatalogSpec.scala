@@ -94,6 +94,18 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_cat.lake.up")
   }
 
+  test("TRUNCATE TABLE empties the collection but keeps it addressable") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.lake")
+    spark.sql("CREATE TABLE graft_cat.lake.tr (id BIGINT, v STRING) PARTITIONED BY (id)")
+    spark.sql("INSERT INTO graft_cat.lake.tr SELECT id, cast(id AS string) FROM range(40)")
+    spark.sql("TRUNCATE TABLE graft_cat.lake.tr")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.lake.tr").collect()(0).getLong(0) == 0)
+    // still writable after the truncate
+    spark.sql("INSERT INTO graft_cat.lake.tr VALUES (1, 'a')")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.lake.tr").collect()(0).getLong(0) == 1)
+    spark.sql("DROP TABLE graft_cat.lake.tr")
+  }
+
   test("catalog functions: engine kernels are SQL-addressable and match the expression path") {
     // hash48 ≡ the portable md5-prefix hash the oracle twins use
     val viaCatalog = spark.sql("SELECT graft_cat.fns.hash48('hello') AS h")
