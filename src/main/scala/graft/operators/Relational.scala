@@ -657,24 +657,34 @@ object Relational {
     // supplier-part relationship AND its "available quantity" both
     // derive from lineitem — availqty := the pair's all-time shipped
     // quantity, the threshold := half the part's total 1996 shipments.
-    // Pairs beating the threshold mark their supplier (DISTINCT +
-    // semi-join — each EXISTS is exactly one join); the one-nation
-    // filter prunes the supplier probe side first. Integer-exact
-    // threshold by cross-multiplication: 2*avail > tot96.
+    // The part-filtered fact join runs ONCE: a single per-(part,supp)
+    // aggregate emits the all-time sum AND the 1996-only slice as a
+    // conditional sum; the per-part 1996 total is then a window over
+    // the already-tiny pair frame (the q61/Q18 single-aggregate
+    // pattern — never aggregate the fact join twice). `tot96 > 0`
+    // replicates the old inner-join semantics exactly: a part appears
+    // in the 1996 total iff it shipped in 1996, and quantities are ≥1
+    // so presence ⟺ positive sum. Pairs beating the threshold mark
+    // their supplier (DISTINCT + semi-join — each EXISTS is exactly
+    // one join); the one-nation filter prunes the supplier probe side
+    // first. Integer-exact threshold by cross-multiplication:
+    // 2*avail > tot96.
     "q97_tpch_q20" -> ((s, dir) => {
       val l = Tables.lineitem(s, dir)
       val parts = Tables.part(s, dir).where(col("p_name").like("small%"))
         .select("p_partkey")
       val lp = l.join(parts, l("l_partkey") === parts("p_partkey"))
-      val avail = lp
+      val pairs = lp
         .groupBy(col("l_partkey").as("ap"), col("l_suppkey").as("asup"))
-        .agg(sum(expr("cast(round(l_quantity) as bigint)")).cast("long").as("availqty"))
-      val total96 = lp
-        .where(col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01")
-        .groupBy(col("l_partkey").as("tp"))
-        .agg(sum(expr("cast(round(l_quantity) as bigint)")).cast("long").as("tot96"))
-      val marked = avail.join(total96, col("ap") === col("tp"))
-        .where(expr("2 * availqty > tot96"))
+        .agg(
+          sum(expr("cast(round(l_quantity) as bigint)")).cast("long").as("availqty"),
+          sum(when(
+            col("l_shipdate") >= "1996-01-01" && col("l_shipdate") < "1997-01-01",
+            expr("cast(round(l_quantity) as bigint)")).otherwise(0L))
+            .cast("long").as("qty96"))
+      val marked = pairs
+        .withColumn("tot96", sum(col("qty96")).over(Window.partitionBy(col("ap"))))
+        .where(expr("tot96 > 0 AND 2 * availqty > tot96"))
         .select(col("asup")).distinct()
       Tables.supplier(s, dir)
         .where(col("s_nationkey") === 3)
