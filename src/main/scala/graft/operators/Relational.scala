@@ -693,6 +693,75 @@ object Relational {
         .orderBy("s_suppkey")
     }),
 
+    // TPC-H Q2 min-cost-supplier adapted (no partsupp): the
+    // supplier-part relationship comes from lineitem (the q95/q97
+    // stand-in) and "supply cost" := the pair's cheapest observed line
+    // total in exact cents (MIN of round(l_extendedprice*100)) — real
+    // per-pair variation without a partsupp table. The correlated
+    // scalar subquery ("cost = MIN cost among this part's region
+    // suppliers") is a window MIN over the already part+region-filtered
+    // pair frame, so the fact aggregate runs once and everything after
+    // it is tiny; the part sliver and region-supplier sliver broadcast
+    // under AQE. Ties at the min are kept, as in Q2. The full sort key
+    // is a total order (pairs are distinct), so LIMIT is deterministic.
+    "q99_tpch_q2" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .agg(min(expr("cast(round(l_extendedprice * 100) as bigint)"))
+          .cast("long").as("cost_cents"))
+      val p = Tables.part(s, dir)
+        .where(col("p_size").between(10, 20) && col("p_type") === "LARGE")
+        .select("p_partkey", "p_brand")
+      val n = Tables.nation(s, dir).select("n_nationkey", "n_regionkey", "n_name")
+      val r = Tables.region(s, dir).where(col("r_name") === "EUROPE")
+        .select("r_regionkey")
+      val esupp = Tables.supplier(s, dir)
+        .join(broadcast(n), col("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+      pairs
+        .join(p, col("pk") === p("p_partkey"))
+        .join(esupp, col("sk") === col("s_suppkey"))
+        .withColumn("mincost",
+          min(col("cost_cents")).over(Window.partitionBy(col("pk"))))
+        .where(col("cost_cents") === col("mincost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "cost_cents")
+        .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"), asc("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q11 important-stock adapted (no partsupp): per-pair
+    // available quantity AND unit-cost stand-ins both derive from
+    // lineitem in ONE aggregate (availqty := all-time rounded shipped
+    // quantity, q97's convention; cost := cheapest line total in
+    // cents, q99's convention); stock value per part = sum(cost*qty)
+    // over one nation's suppliers. The global threshold (0.1% of the
+    // nation's total stock value) is a 1-row aggregate broadcast back
+    // over the tiny per-part frame — integer-exact by
+    // cross-multiplication (1000 * value > total), never a float
+    // fraction.
+    "q100_tpch_q11" -> ((s, dir) => {
+      val pairs = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
+        .agg(
+          min(expr("cast(round(l_extendedprice * 100) as bigint)"))
+            .cast("long").as("cost_cents"),
+          sum(expr("cast(round(l_quantity) as bigint)")).cast("long").as("availqty"))
+      val natsupp = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir).where(col("n_name") === "NATION_9")
+          .select("n_nationkey")), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
+      val pv = pairs
+        .join(broadcast(natsupp), col("sk") === col("s_suppkey"), "left_semi")
+        .groupBy(col("pk").as("p_partkey"))
+        .agg(sum(col("cost_cents") * col("availqty")).cast("long").as("value_cents"))
+      val total = pv.agg(sum(col("value_cents")).cast("long").as("tot"))
+      pv.crossJoin(broadcast(total))
+        .where(expr("1000 * value_cents > tot"))
+        .select("p_partkey", "value_cents")
+        .orderBy(desc("value_cents"), asc("p_partkey"))
+    }),
+
     "q40_tpch_q3" -> ((s, dir) => {
       val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.orders(s, dir).filter(col("o_orderdate") < "1998-03-15")
@@ -1213,6 +1282,42 @@ object Relational {
         |    SELECT asup FROM avail JOIN total96 ON ap = tp
         |    WHERE 2 * availqty > tot96)
         |ORDER BY s_suppkey""".stripMargin,
+
+    "q99_tpch_q2" ->
+      """WITH pairs AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk,
+        |    MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cents
+        |  FROM lineitem GROUP BY pk, sk),
+        |esupp AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |ep AS (
+        |  SELECT p_partkey, p_brand, s_name, s_acctbal, n_name, cost_cents,
+        |    MIN(cost_cents) OVER (PARTITION BY p_partkey) AS mincost
+        |  FROM pairs JOIN esupp ON sk = s_suppkey
+        |  JOIN part ON pk = p_partkey
+        |  WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, cost_cents
+        |FROM ep WHERE cost_cents = mincost
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+
+    "q100_tpch_q11" ->
+      """WITH pairs AS (
+        |  SELECT l_partkey AS pk, l_suppkey AS sk,
+        |    MIN(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_cents,
+        |    CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS availqty
+        |  FROM lineitem GROUP BY pk, sk),
+        |pv AS (
+        |  SELECT pk AS p_partkey, CAST(SUM(cost_cents * availqty) AS BIGINT) AS value_cents
+        |  FROM pairs
+        |  WHERE sk IN (SELECT s_suppkey FROM supplier JOIN nation
+        |               ON s_nationkey = n_nationkey WHERE n_name = 'NATION_9')
+        |  GROUP BY pk)
+        |SELECT p_partkey, value_cents FROM pv
+        |WHERE 1000 * value_cents > (SELECT CAST(SUM(value_cents) AS BIGINT) FROM pv)
+        |ORDER BY value_cents DESC, p_partkey""".stripMargin,
 
     "q40_tpch_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
