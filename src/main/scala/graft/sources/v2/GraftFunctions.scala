@@ -49,6 +49,9 @@ object GraftFunctions {
         override def inputTypes(): Array[DataType] = Array(StringType)
         override def resultType(): DataType = LongType
         override def name(): String = "hash48"
+        // anonymous classes have a null getCanonicalName — a stable id
+        // keeps V2 predicate translation (UserDefinedScalarFunc) safe
+        override def canonicalName(): String = "graft.hash48"
         override def produceResult(input: InternalRow): java.lang.Long = {
           if (input.isNullAt(0)) return null
           val s = input.getUTF8String(0).toString
@@ -73,6 +76,9 @@ object GraftFunctions {
           Array(ArrayType(DoubleType), ArrayType(DoubleType))
         override def resultType(): DataType = DoubleType
         override def name(): String = "cosine6"
+        // anonymous classes have a null getCanonicalName — a stable id
+        // keeps V2 predicate translation (UserDefinedScalarFunc) safe
+        override def canonicalName(): String = "graft.cosine6"
         override def produceResult(input: InternalRow): java.lang.Double = {
           if (input.isNullAt(0) || input.isNullAt(1)) return null
           val a = input.get(0, ArrayType(DoubleType)).asInstanceOf[ArrayData]
@@ -107,6 +113,9 @@ object GraftFunctions {
         override def inputTypes(): Array[DataType] = Array(StringType)
         override def resultType(): DataType = LongType
         override def name(): String = "token_count"
+        // anonymous classes have a null getCanonicalName — a stable id
+        // keeps V2 predicate translation (UserDefinedScalarFunc) safe
+        override def canonicalName(): String = "graft.token_count"
         override def produceResult(input: InternalRow): java.lang.Long = {
           if (input.isNullAt(0)) return null
           val s = input.getUTF8String(0).toString.trim

@@ -175,9 +175,19 @@ object GraftStore {
     }
 
   /** Append rows, preserving the collection's shard layout (re-shards —
-    * the moral equivalent of a compaction after an append batch). */
+    * the moral equivalent of a compaction after an append batch).
+    * `numSegments <= 0` (the default) means "preserve the collection's
+    * existing segment count" — an append must not silently re-lay a
+    * 4-segment collection out as 8. An EMPTY collection (a freshly
+    * CREATEd catalog table is one empty segment) has no established
+    * layout yet, so the first real append uses the default 8 — pinning
+    * it to the placeholder's 1 segment would kill pruning forever. */
   def append(name: String, schema: StructType, rows: Seq[Row],
-             numSegments: Int = 8): Unit = store.synchronized {
+             numSegments: Int = -1): Unit = store.synchronized {
+    val segCount =
+      if (numSegments > 0) numSegments
+      else store.get(name).filter(_.rows.nonEmpty)
+        .map(c => math.max(1, c.segments.size)).getOrElse(8)
     store.get(name) match {
       case Some(c) =>
         // layout equality = names + types; nullability is a constraint,
@@ -206,12 +216,63 @@ object GraftStore {
                   oldMax.forall(mx => rows.forall(r => cmp(r.get(idx), mx) >= 0))
             }
             store(name) = Collection(c.schema, c.shardKey,
-              shard(c.schema, c.shardKey, c.rows ++ rows, numSegments))
+              shard(c.schema, c.shardKey, c.rows ++ rows, segCount))
             if (!tailSafe) bumpOrderEpoch(name)
         }
-      case None => register(name, schema, rows, None, numSegments)
+      case None => register(name, schema, rows, None, segCount)
     }
   }
+
+  /** Re-register `rows` under `coll`'s existing layout (cluster key, or
+    * shard key + segment count). Callers hold the store lock. */
+  private def relayout(name: String, coll: Collection, rows: Seq[Row]): Unit =
+    coll.clusterKey match {
+      case Some(k) => registerClustered(name, coll.schema, rows, k)
+      case None => register(name, coll.schema, rows, coll.shardKey,
+        math.max(1, coll.segments.size))
+    }
+
+  /** Atomic `DELETE FROM ... WHERE`: the read-filter-register cycle runs
+    * under the store lock, so a concurrent append/write between the read
+    * and the re-register cannot be silently lost (the batch/streaming
+    * commit paths already lock — mutations must ALL be atomic). */
+  def deleteWhere(name: String, filters: Array[Filter]): Unit =
+    store.synchronized {
+      val coll = get(name)
+      val kept = coll.rows.filterNot(r =>
+        filters.forall(eval(_, r, coll.schema)))
+      relayout(name, coll, kept)
+    }
+
+  /** Atomic `TRUNCATE TABLE`: drop every row, keep the collection (and
+    * its layout) addressable. */
+  def truncate(name: String): Unit = store.synchronized {
+    relayout(name, get(name), Vector.empty)
+  }
+
+  /** Atomic commit for a copy-on-write row-level operation (UPDATE/
+    * MERGE): verifies the collection's segment list is EXACTLY the one
+    * the operation's scan planned against (reference equality — every
+    * mutation path installs a fresh segment vector, so `eq` is an exact
+    * and O(1) staleness test), then swaps the scanned segments' rows for
+    * the rewrite output, preserving layout. A concurrent mutation
+    * between scan planning and commit fails LOUDLY: merging against a
+    * moved collection would drop or duplicate rows. */
+  def commitReplace(name: String, schema: StructType, replacedIds: Set[Int],
+                    plannedSegments: Vector[Segment], newRows: Seq[Row]): Unit =
+    store.synchronized {
+      val coll = get(name)
+      if (coll.segments ne plannedSegments)
+        throw new IllegalStateException(
+          s"graft-store: collection '$name' was mutated between row-level " +
+            "scan planning and commit; aborting the replace instead of " +
+            "merging against moved segments")
+      rowLevelSegmentsReplaced.set(replacedIds.size.toLong)
+      val untouched = coll.segments.zipWithIndex.collect {
+        case (seg, i) if !replacedIds.contains(i) => seg.rows
+      }.flatten
+      replaceAll(name, schema, untouched ++ newRows)
+    }
 
   def get(name: String): Collection = store.synchronized {
     store.getOrElse(name,
@@ -220,33 +281,42 @@ object GraftStore {
 
   // ------------------------------------------------- streaming commits
 
-  /** Epoch ids already committed per collection: micro-batch re-delivery
-    * after a stream restart re-commits the last epoch, and exactly-once
-    * means that replay must be a no-op. A real store would persist this
-    * ledger next to the data (it IS the transaction log); here it lives
-    * exactly as long as the store itself, which is the same durability
-    * domain. */
+  /** Epoch ids already committed per (collection, streaming query):
+    * micro-batch re-delivery after a stream restart re-commits the last
+    * epoch, and exactly-once means that replay must be a no-op. Keyed by
+    * the STREAMING QUERY ID as well as the collection — a second query
+    * writing to the same collection, or a restart with a fresh
+    * checkpoint (epoch numbering restarts at 0), is a legitimate new
+    * writer whose epochs must land, not be skipped as replays. A real
+    * store would persist this ledger next to the data (it IS the
+    * transaction log); here it lives exactly as long as the store
+    * itself, which is the same durability domain. */
   private val committedEpochs =
-    scala.collection.mutable.Map.empty[String, scala.collection.mutable.Set[Long]]
+    scala.collection.mutable.Map.empty[(String, String), scala.collection.mutable.Set[Long]]
 
   /** Idempotent per-epoch streaming commit: appends (or overwrites, for
-    * Complete-mode sinks) exactly once per (collection, epoch); a replay
-    * of an already-committed epoch returns false and changes nothing.
-    * The landed layout keeps the collection's existing shard key (or the
-    * write's declared one for a fresh/truncated collection) — a
-    * streaming sink must not silently strip the zone-map layout its
+    * Complete-mode sinks) exactly once per (collection, query, epoch); a
+    * replay of an already-committed epoch returns false and changes
+    * nothing. The landed layout keeps the collection's existing shard
+    * key (or the write's declared one for a fresh/truncated collection)
+    * — a streaming sink must not silently strip the zone-map layout its
     * batch twin preserves. */
   def commitEpoch(name: String, schema: StructType, rows: Seq[Row],
                   epochId: Long, truncate: Boolean,
                   shardKey: Option[String] = None,
-                  numSegments: Int = 8): Boolean = store.synchronized {
-    val seen = committedEpochs.getOrElseUpdate(name, scala.collection.mutable.Set.empty)
+                  numSegments: Int = -1,
+                  queryId: String = ""): Boolean = store.synchronized {
+    val seen = committedEpochs.getOrElseUpdate((name, queryId),
+      scala.collection.mutable.Set.empty)
     if (seen.contains(epochId)) false
     else {
       val key = (if (exists(name)) get(name).shardKey else None).orElse(shardKey)
-      if (truncate) register(name, schema, rows, key, numSegments)
+      if (truncate) register(name, schema, rows, key,
+        if (numSegments > 0) numSegments
+        else store.get(name).map(c => math.max(1, c.segments.size)).getOrElse(8))
       else if (exists(name)) append(name, schema, rows, numSegments)
-      else register(name, schema, rows, key, numSegments)
+      else register(name, schema, rows, key,
+        if (numSegments > 0) numSegments else 8)
       seen += epochId
       true
     }
@@ -258,11 +328,15 @@ object GraftStore {
     require(store.contains(from), s"graft-store: no such collection: $from")
     require(!store.contains(to), s"graft-store: collection exists: $to")
     store(to) = store.remove(from).get
-    committedEpochs.remove(from).foreach(committedEpochs(to) = _)
+    committedEpochs.keys.filter(_._1 == from).toVector.foreach { k =>
+      committedEpochs((to, k._2)) = committedEpochs.remove(k).get
+    }
   }
   def drop(name: String): Unit = store.synchronized {
     store.remove(name)
-    committedEpochs.remove(name) // a re-created collection starts a fresh ledger
+    // a re-created collection starts a fresh ledger
+    committedEpochs.keys.filter(_._1 == name).toVector
+      .foreach(committedEpochs.remove)
   }
 
   // ------------------------------------------------------------ filters

@@ -121,25 +121,15 @@ class GraftStoreTable(name: String, tableSchema: StructType, batchRows: Int)
     val schema = GraftStore.get(name).schema
     filters.forall(GraftStore.supported(_, schema))
   }
-  override def deleteWhere(filters: Array[Filter]): Unit = {
-    val coll = GraftStore.get(name)
-    val kept = coll.rows.filterNot(r =>
-      filters.forall(GraftStore.eval(_, r, coll.schema)))
-    coll.clusterKey match {
-      case Some(k) => GraftStore.registerClustered(name, coll.schema, kept, k)
-      case None => GraftStore.register(name, coll.schema, kept, coll.shardKey,
-        math.max(1, coll.segments.size))
-    }
-  }
+  override def deleteWhere(filters: Array[Filter]): Unit =
+    // store-level atomic primitive: the read-filter-register cycle runs
+    // under the store lock, like every other mutation path
+    GraftStore.deleteWhere(name, filters)
 
   /** `TRUNCATE TABLE`: drop every row, keep the collection (and its
     * layout) addressable. */
   override def truncateTable(): Boolean = {
-    val coll = GraftStore.get(name)
-    coll.clusterKey match {
-      case Some(k) => GraftStore.registerClustered(name, coll.schema, Seq.empty, k)
-      case None => GraftStore.register(name, coll.schema, Seq.empty, coll.shardKey)
-    }
+    GraftStore.truncate(name)
     true
   }
   override def name(): String = s"graft-store:$name"
@@ -160,7 +150,8 @@ class GraftStoreTable(name: String, tableSchema: StructType, batchRows: Int)
     val optKey = Option(info.options.get("shardkey"))
     val existingKey =
       if (GraftStore.exists(name)) GraftStore.get(name).shardKey else None
-    new GraftWriteBuilder(name, info.schema(), optKey.orElse(existingKey))
+    new GraftWriteBuilder(name, info.schema(), optKey.orElse(existingKey),
+      info.queryId())
   }
 }
 
@@ -545,12 +536,14 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType,
 // ---------------------------------------------------------------- write
 
 class GraftWriteBuilder(name: String, schema: StructType,
-                        shardKey: Option[String] = None)
+                        shardKey: Option[String] = None,
+                        queryId: String = "")
     extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
 
-  override def build(): Write = new GraftWrite(name, schema, doTruncate, shardKey)
+  override def build(): Write =
+    new GraftWrite(name, schema, doTruncate, shardKey, queryId)
 }
 
 /** Write description. For a sharded target the write DECLARES its
@@ -563,7 +556,7 @@ class GraftWriteBuilder(name: String, schema: StructType,
   * the store and asking IT to re-sort. The same declared-need mechanism
   * a real lakehouse sink (Iceberg/Delta) uses for clustered writes. */
 class GraftWrite(name: String, schema: StructType, truncate: Boolean,
-                 shardKey: Option[String])
+                 shardKey: Option[String], queryId: String = "")
     extends Write with RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
   import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
@@ -583,7 +576,7 @@ class GraftWrite(name: String, schema: StructType, truncate: Boolean,
   }
   override def toBatch: BatchWrite = new GraftBatchWrite(name, schema, truncate, shardKey)
   override def toStreaming: StreamingWrite =
-    new GraftStreamingWrite(name, schema, truncate, shardKey)
+    new GraftStreamingWrite(name, schema, truncate, shardKey, queryId)
 }
 
 case class GraftCommitMessage(rows: Vector[Row]) extends WriterCommitMessage
@@ -630,9 +623,14 @@ class GraftRowLevelOperation(name: String, schema: StructType,
   override def requiredMetadataAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     Array(org.apache.spark.sql.connector.expressions.Expressions.column("_segment"))
 
-  /** Segment ordinals the rewrite's scan actually planned — the commit
-    * replaces exactly these. None = no scan planned yet (treat as all). */
-  @volatile private[v2] var scannedSegments: Option[Set[Int]] = None
+  /** What the rewrite's scan planned: the segment ordinals it kept AND
+    * the exact segment list it planned against. The commit replaces
+    * exactly the kept ordinals and VALIDATES (by reference — every
+    * store mutation installs a fresh vector) that the collection's
+    * segments are still the planned ones, failing loudly otherwise:
+    * a commit computed against moved segments would drop or duplicate
+    * rows. None = no scan planned yet. */
+  @volatile private[v2] var planned: Option[(Set[Int], Vector[GraftStore.Segment])] = None
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns {
@@ -681,12 +679,13 @@ class GraftGroupScan(name: String, required: StructType,
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
-      val segs = GraftStore.get(name).segments.zipWithIndex
+      val allSegs = GraftStore.get(name).segments
+      val segs = allSegs.zipWithIndex
       val kept = keptSegments match {
         case Some(ids) => segs.filter { case (_, i) => ids.contains(i) }
         case None => segs
       }
-      op.scannedSegments = Some(kept.map(_._2).toSet)
+      op.planned = Some((kept.map(_._2).toSet, allSegs))
       kept.map { case (seg, i) =>
         GraftInputPartition(seg.rows, i): InputPartition
       }.toArray
@@ -715,13 +714,12 @@ class GraftReplaceDataWrite(name: String, schema: StructType,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val newRows = messages.iterator
       .flatMap(_.asInstanceOf[GraftCommitMessage].rows).toVector
-    val coll = GraftStore.get(name)
-    val replaced = op.scannedSegments.getOrElse(coll.segments.indices.toSet)
-    GraftStore.rowLevelSegmentsReplaced.set(replaced.size.toLong)
-    val untouched = coll.segments.zipWithIndex.collect {
-      case (seg, i) if !replaced.contains(i) => seg.rows
-    }.flatten
-    GraftStore.replaceAll(name, schema, untouched ++ newRows)
+    val (replaced, plannedSegs) = op.planned.getOrElse(
+      throw new IllegalStateException(
+        s"graft-store: row-level commit on '$name' before scan planning"))
+    // atomic + validated in the store: fails loudly if the collection's
+    // segment list moved between scan planning and this commit
+    GraftStore.commitReplace(name, schema, replaced, plannedSegs, newRows)
   }
   override def abort(messages: Array[WriterCommitMessage]): Unit = ()
 }
@@ -756,7 +754,8 @@ case class GraftReplaceDataWriterFactory(schema: StructType)
   * per epoch, which is idempotent by construction but still ledgered so
   * a replayed epoch can't clobber a newer one. */
 class GraftStreamingWrite(name: String, schema: StructType, truncate: Boolean,
-                          shardKey: Option[String] = None)
+                          shardKey: Option[String] = None,
+                          queryId: String = "")
     extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     GraftStreamingWriterFactory(schema)
@@ -764,7 +763,11 @@ class GraftStreamingWrite(name: String, schema: StructType, truncate: Boolean,
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val rows = messages.iterator
       .flatMap(_.asInstanceOf[GraftCommitMessage].rows).toVector
-    GraftStore.commitEpoch(name, schema, rows, epochId, truncate, shardKey)
+    // the ledger key includes the streaming query id: a different query
+    // (or a fresh checkpoint restarting epoch numbering at 0) is a new
+    // writer, not a replay
+    GraftStore.commitEpoch(name, schema, rows, epochId, truncate, shardKey,
+      queryId = queryId)
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = ()
 }

@@ -470,11 +470,65 @@ class GraftSourceSpec extends AnyFunSuite {
     assert(got.toSeq == want.toSeq,
       "exactly-once across restart: no lost and no duplicated rows")
 
-    // the epoch ledger directly: a re-delivered epoch commits as a no-op
+    // the epoch ledger directly: a re-delivered epoch (same query id)
+    // commits as a no-op
     val before = GraftStore.get(dst).rows.size
+    assert(GraftStore.commitEpoch(dst, base.schema,
+      Seq.empty, epochId = 99L, truncate = false, queryId = "ledger-probe"))
     assert(!GraftStore.commitEpoch(dst, base.schema,
-      base.collect().toIndexedSeq, epochId = 0L, truncate = false))
+      base.collect().toIndexedSeq, epochId = 99L, truncate = false,
+      queryId = "ledger-probe"))
     assert(GraftStore.get(dst).rows.size == before,
       "replaying an already-committed epoch must change nothing")
+  }
+
+  test("epoch ledger is keyed by streaming query id, not just collection") {
+    val name = "v2_qid"
+    GraftStore.drop(name)
+    val rows = docs.limit(10).collect().toIndexedSeq
+    // query A commits epoch 0
+    assert(GraftStore.commitEpoch(name, docs.schema, rows, 0L,
+      truncate = false, queryId = "query-A"))
+    // a DIFFERENT query writing to the same collection also starts at
+    // epoch 0 (fresh checkpoint) — it is a new writer, not a replay
+    assert(GraftStore.commitEpoch(name, docs.schema, rows, 0L,
+      truncate = false, queryId = "query-B"),
+      "a second query's epoch 0 must land, not be skipped as a replay")
+    assert(GraftStore.get(name).rows.size == 20)
+    // while a true replay (same query, same epoch) stays a no-op
+    assert(!GraftStore.commitEpoch(name, docs.schema, rows, 0L,
+      truncate = false, queryId = "query-A"))
+    assert(GraftStore.get(name).rows.size == 20)
+    GraftStore.drop(name)
+  }
+
+  test("append preserves the collection's segment count") {
+    val name = "v2_segkeep"
+    GraftStore.load(name, docs.where("doc_id < 200"),
+      shardKey = Some("doc_id"), numSegments = 4)
+    assert(GraftStore.get(name).segments.size == 4)
+    // default (no explicit numSegments) keeps the 4-segment layout —
+    // the DSv2 append commit path relies on this
+    GraftStore.append(name, docs.schema,
+      docs.where("doc_id >= 200 AND doc_id < 260").collect().toIndexedSeq)
+    assert(GraftStore.get(name).segments.size == 4,
+      "an append must not silently re-lay a 4-segment collection out as 8")
+    GraftStore.drop(name)
+  }
+
+  test("row-level commit fails loudly if the collection moved after planning") {
+    val name = "v2_stale"
+    GraftStore.load(name, docs.where("doc_id < 100"),
+      shardKey = Some("doc_id"), numSegments = 2)
+    val plannedSegs = GraftStore.get(name).segments
+    // a concurrent writer mutates the collection between scan planning
+    // and the replace commit
+    GraftStore.append(name, docs.schema,
+      docs.where("doc_id >= 100 AND doc_id < 110").collect().toIndexedSeq)
+    assertThrows[IllegalStateException] {
+      GraftStore.commitReplace(name, docs.schema, Set(0), plannedSegs,
+        Seq.empty)
+    }
+    GraftStore.drop(name)
   }
 }
