@@ -70,7 +70,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def loadTable(ident: Identifier): Table = {
     val k = key(ident)
     if (!GraftStore.exists(k)) throw new NoSuchTableException(ident)
-    new GraftStoreTable(k, GraftStore.get(k).schema, 0)
+    new GraftStoreTable(k, GraftStore.get(k).schema, 0,
+      GraftStore.props(k).getOrElse("rowlevel", "delta"))
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -87,8 +88,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         t.references()(0).fieldNames.mkString(".")
     }
     GraftStore.register(k, schema, Seq.empty, shardKey)
+    // persist TBLPROPERTIES (e.g. rowlevel = delta|group) with the
+    // collection so loadTable sees them on every later statement
+    GraftStore.setProps(k, properties.asScala.toMap)
     createdNs.synchronized { createdNs += ident.namespace().toSeq }
-    new GraftStoreTable(k, schema, 0)
+    new GraftStoreTable(k, schema, 0,
+      GraftStore.props(k).getOrElse("rowlevel", "delta"))
   }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =

@@ -65,6 +65,10 @@ object GraftStore {
   /** Segments the last row-level (UPDATE/MERGE) commit actually
     * replaced — group-pruning evidence for specs. */
   val rowLevelSegmentsReplaced = new AtomicLong(0)
+  /** Rows the last DELTA row-level commit shipped (deletes + updates +
+    * inserts) — the O(changed-rows) evidence for specs: a 1-row UPDATE
+    * through the delta path ships 1 row, not a segment. */
+  val rowLevelRowsShipped = new AtomicLong(0)
   def resetCounters(): Unit = { segmentsSkipped.set(0); segmentsRead.set(0) }
 
   private def comparable(dt: DataType): Boolean = dt match {
@@ -274,6 +278,47 @@ object GraftStore {
       replaceAll(name, schema, untouched ++ newRows)
     }
 
+  /** Atomic commit for a DELTA row-level operation (UPDATE/MERGE/DELETE
+    * through [[org.apache.spark.sql.connector.write.SupportsDelta]]):
+    * only the CHANGED rows crossed the wire — deletes and updates are
+    * addressed by `_pos` (the row's ordinal in the collection's stable
+    * row order, the same order the streaming offsets ride), inserts
+    * append. Same staleness validation as [[commitReplace]]: positions
+    * minted at scan time are meaningless against a mutated collection,
+    * so a concurrent writer fails the commit loudly. Layout is
+    * preserved via [[replaceAll]]. */
+  def commitDelta(name: String, schema: StructType,
+                  plannedSegments: Vector[Segment], deleted: Set[Long],
+                  updated: Map[Long, Row], inserted: Seq[Row]): Unit =
+    store.synchronized {
+      val coll = get(name)
+      if (coll.segments ne plannedSegments)
+        throw new IllegalStateException(
+          s"graft-store: collection '$name' was mutated between delta " +
+            "scan planning and commit; row positions are stale — aborting")
+      rowLevelRowsShipped.set(deleted.size.toLong + updated.size + inserted.size)
+      val out = Vector.newBuilder[Row]
+      var pos = 0L
+      coll.segments.foreach(_.rows.foreach { r =>
+        if (!deleted.contains(pos)) out += updated.getOrElse(pos, r)
+        pos += 1
+      })
+      replaceAll(name, schema, out.result() ++ inserted)
+    }
+
+  // ----------------------------------------------------- table props
+
+  /** Per-collection table properties (the catalog's TBLPROPERTIES /
+    * the provider's options) — e.g. `rowlevel` = `delta` (default) |
+    * `group` selects the row-level-operation strategy. Metadata-only;
+    * lives and dies with the collection. */
+  private val tableProps =
+    scala.collection.mutable.Map.empty[String, Map[String, String]]
+  def setProps(name: String, props: Map[String, String]): Unit =
+    store.synchronized { if (props.nonEmpty) tableProps(name) = props }
+  def props(name: String): Map[String, String] =
+    store.synchronized(tableProps.getOrElse(name, Map.empty))
+
   def get(name: String): Collection = store.synchronized {
     store.getOrElse(name,
       throw new NoSuchElementException(s"graft-store: no such collection: $name"))
@@ -331,12 +376,14 @@ object GraftStore {
     committedEpochs.keys.filter(_._1 == from).toVector.foreach { k =>
       committedEpochs((to, k._2)) = committedEpochs.remove(k).get
     }
+    tableProps.remove(from).foreach(tableProps(to) = _)
   }
   def drop(name: String): Unit = store.synchronized {
     store.remove(name)
     // a re-created collection starts a fresh ledger
     committedEpochs.keys.filter(_._1 == name).toVector
       .foreach(committedEpochs.remove)
+    tableProps.remove(name)
   }
 
   // ------------------------------------------------------------ filters

@@ -65,48 +65,70 @@ class GraftStoreProvider extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new GraftStoreTable(properties.get("name"), schema,
-      Option(properties.get("batchrows")).map(_.toInt).getOrElse(0))
+      Option(properties.get("batchrows")).map(_.toInt).getOrElse(0),
+      Option(properties.get("rowlevel")).getOrElse(
+        GraftStore.props(properties.get("name"))
+          .getOrElse("rowlevel", "delta")))
 
   // a write to a collection that does not exist yet supplies its schema
   override def supportsExternalMetadata(): Boolean = true
 }
 
-class GraftStoreTable(name: String, tableSchema: StructType, batchRows: Int)
+class GraftStoreTable(name: String, tableSchema: StructType, batchRows: Int,
+                      rowLevelMode: String = "delta")
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
 
-  /** `_segment` metadata column: the ordinal of the store segment a row
-    * came from (pre-pruning numbering) — the hidden provenance column a
-    * lakehouse exposes as `_file`/`_partition`. `SELECT _segment, ...`
-    * makes segment skew and pruning behavior directly queryable.
-    * Batch-scan only; streaming/row-level paths never request it. */
+  /** Metadata columns — the hidden provenance columns a lakehouse
+    * exposes as `_file`/`_pos`:
+    *  - `_segment`: ordinal of the store segment a row came from
+    *    (pre-pruning numbering) — makes segment skew and pruning
+    *    behavior directly queryable;
+    *  - `_pos`: the row's ordinal in the collection's stable row order
+    *    (the same order streaming offsets ride) — the row identity the
+    *    DELTA row-level path addresses deletes/updates by. */
   override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = "_segment"
-      override def dataType(): DataType = IntegerType
-      override def comment(): String =
-        "ordinal of the store segment the row came from"
-    })
+    Array(
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_segment"
+        override def dataType(): DataType = IntegerType
+        override def comment(): String =
+          "ordinal of the store segment the row came from"
+      },
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = "_pos"
+        override def dataType(): DataType = LongType
+        override def isNullable: Boolean = false // row-id contract
+        override def comment(): String =
+          "row ordinal in the collection's stable row order"
+      })
 
-  /** Group-based (copy-on-write) row-level operations — SQL UPDATE and
-    * MERGE: Spark rewrites the statement into "read the affected
-    * groups, apply the changes, write those groups back"
-    * (ReplaceData). The group here is the WHOLE collection (the way a
-    * single-file table behaves), so the operation's scan is a dedicated
-    * FULL scan with no zone-map pruning, no claimed filters, and no
-    * runtime filtering: with whole-collection replacement, any row the
-    * scan dropped would be silently DELETED by the write-back. A
-    * multi-segment deployment would instead report per-segment groups
-    * and prune via runtime group filtering, but correctness-first wins
-    * at this granularity; the replace commit preserves the shard layout
-    * ([[GraftStore.replaceAll]]). */
+  /** Row-level operations — SQL UPDATE / MERGE / predicate DELETE.
+    *
+    * Default is the DELTA strategy ([[GraftDeltaOperation]],
+    * `SupportsDelta`): the operation's scan row-filters freely (zone
+    * maps + exact pushdown — in delta mode a dropped row is just an
+    * unchanged row), and only the CHANGED rows cross the wire, each
+    * addressed by the `_pos` row id — a 1-row UPDATE ships 1 row, the
+    * Iceberg merge-on-read shape.
+    *
+    * `TBLPROPERTIES ('rowlevel'='group')` selects the copy-on-write
+    * GROUP strategy instead ([[GraftRowLevelOperation]]): Spark reads
+    * the affected segments WHOLE (runtime group filtering on
+    * `_segment` confines the rewrite; no row filtering — with group
+    * replacement a dropped row would be a deleted row) and the commit
+    * swaps exactly those segments. That's the right trade when deltas
+    * would accumulate faster than segments can absorb them. */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     new RowLevelOperationBuilder {
       override def build(): RowLevelOperation =
-        new GraftRowLevelOperation(name, tableSchema, info.command())
+        if (rowLevelMode == "group")
+          new GraftRowLevelOperation(name, tableSchema, info.command())
+        else
+          new GraftDeltaOperation(name, tableSchema, info.command(), batchRows)
     }
 
   /** Row-level `DELETE FROM ... WHERE ...` (the reference's K4 point
@@ -157,7 +179,8 @@ class GraftStoreTable(name: String, tableSchema: StructType, batchRows: Int)
 
 // ---------------------------------------------------------------- read
 
-class GraftScanBuilder(name: String, schema: StructType, batchRows: Int)
+class GraftScanBuilder(name: String, schema: StructType, batchRows: Int,
+                       planListener: Vector[GraftStore.Segment] => Unit = _ => ())
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
@@ -236,7 +259,8 @@ class GraftScanBuilder(name: String, schema: StructType, batchRows: Int)
 
   override def build(): Scan = aggRow match {
     case Some((aggSchema, row)) => new GraftAggScan(name, aggSchema, row)
-    case None => new GraftScan(name, schema, required, pushed, batchRows)
+    case None => new GraftScan(name, schema, required, pushed, batchRows,
+      planListener)
   }
 }
 
@@ -256,7 +280,8 @@ class GraftAggScan(name: String, aggSchema: StructType, row: Row) extends Scan {
 }
 
 class GraftScan(name: String, fullSchema: StructType, required: StructType,
-                filters: Array[Filter], batchRows: Int)
+                filters: Array[Filter], batchRows: Int,
+                planListener: Vector[GraftStore.Segment] => Unit = _ => ())
     extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
   override def readSchema(): StructType = required
@@ -359,6 +384,10 @@ class GraftScan(name: String, fullSchema: StructType, required: StructType,
       val prev = recordedSkipRead.getAndSet(now)
       GraftStore.segmentsSkipped.addAndGet(now._1 - prev._1)
       GraftStore.segmentsRead.addAndGet(now._2 - prev._2)
+      planListener(coll.segments)
+      // global row ordinal of each segment's first row (over ALL
+      // segments, pre-pruning) — the `_pos` metadata column's base
+      val bases = coll.segments.scanLeft(0L)(_ + _.rows.size)
       coll.clusterKey match {
         case Some(k) if required.fieldNames.contains(k) && kept.nonEmpty &&
             kept.forall(_._1.rows.nonEmpty) =>
@@ -366,11 +395,11 @@ class GraftScan(name: String, fullSchema: StructType, required: StructType,
           val conv = RowConverters.toCatalyst(coll.schema(idx).dataType)
           kept.map { case (seg, segId) =>
             val key = new GenericInternalRow(Array[Any](conv(seg.rows.head.get(idx))))
-            GraftKeyedInputPartition(seg.rows, key, segId): InputPartition
+            GraftKeyedInputPartition(seg.rows, key, segId, bases(segId)): InputPartition
           }.toArray
         case _ =>
           kept.map { case (seg, segId) =>
-            GraftInputPartition(seg.rows, segId): InputPartition
+            GraftInputPartition(seg.rows, segId, bases(segId)): InputPartition
           }.toArray
       }
     }
@@ -403,14 +432,16 @@ case class GraftSegmentTaskMetric(override val name: String,
 /** The segment's rows ride inside the partition: the driver plans from
   * metadata, the executor receives exactly its shard — no shared state
   * assumed between driver and executor. */
-case class GraftInputPartition(rows: Vector[Row], segmentId: Int = -1)
+case class GraftInputPartition(rows: Vector[Row], segmentId: Int = -1,
+                               baseOffset: Long = -1L)
     extends InputPartition
 
 /** A partition of a cluster-keyed collection: advertises its single
   * cluster-key value so Spark can align co-keyed scans for a
   * storage-partitioned join. */
 case class GraftKeyedInputPartition(rows: Vector[Row], key: InternalRow,
-                                    segmentId: Int = -1)
+                                    segmentId: Int = -1,
+                                    baseOffset: Long = -1L)
     extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = key
 }
@@ -419,33 +450,48 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType,
                          filters: Array[Filter]) extends PartitionReaderFactory {
 
   private def partitionRows(partition: InputPartition): Vector[Row] = partition match {
-    case GraftInputPartition(rs, _) => rs
-    case GraftKeyedInputPartition(rs, _, _) => rs
+    case GraftInputPartition(rs, _, _) => rs
+    case GraftKeyedInputPartition(rs, _, _, _) => rs
     case other => throw new IllegalStateException(s"unexpected partition: $other")
   }
 
   private def segmentIdOf(partition: InputPartition): Int = partition match {
-    case GraftInputPartition(_, id) => id
-    case GraftKeyedInputPartition(_, _, id) => id
+    case GraftInputPartition(_, id, _) => id
+    case GraftKeyedInputPartition(_, _, id, _) => id
     case _ => -1
   }
 
-  private def filteredRows(partition: InputPartition): Iterator[Row] =
-    partitionRows(partition).iterator
-      .filter(r => filters.forall(GraftStore.eval(_, r, fullSchema)))
+  private def baseOffsetOf(partition: InputPartition): Long = partition match {
+    case GraftInputPartition(_, _, b) => b
+    case GraftKeyedInputPartition(_, _, _, b) => b
+    case _ => -1L
+  }
 
-  /** Per-required-field Catalyst-value getters; the `_segment` metadata
-    * column is synthesized from the partition, everything else reads
-    * from the stored row. DATA columns win the name: a collection that
-    * really stores a `_segment` column reads its own values (Spark
-    * likewise hides metadata columns shadowed by data columns). */
-  private def getters(segId: Int): Array[Row => Any] =
+  /** Rows paired with their GLOBAL position (segment base + local
+    * index). Positions are minted BEFORE filtering — `_pos` identifies
+    * the row in the collection's stable order, not in the filtered
+    * output. */
+  private def filteredRows(partition: InputPartition): Iterator[(Row, Long)] = {
+    val base = baseOffsetOf(partition)
+    partitionRows(partition).iterator.zipWithIndex
+      .map { case (r, i) => (r, if (base >= 0) base + i else -1L) }
+      .filter { case (r, _) => filters.forall(GraftStore.eval(_, r, fullSchema)) }
+  }
+
+  /** Per-required-field Catalyst-value getters; the `_segment`/`_pos`
+    * metadata columns are synthesized from the partition, everything
+    * else reads from the stored row. DATA columns win the name: a
+    * collection that really stores a `_segment` column reads its own
+    * values (Spark likewise hides metadata columns shadowed by data
+    * columns). */
+  private def getters(segId: Int): Array[(Row, Long) => Any] =
     required.fields.map { f =>
       if (fullSchema.fieldNames.contains(f.name)) {
         val idx = fullSchema.fieldIndex(f.name)
         val conv = RowConverters.toCatalyst(f.dataType)
-        (r: Row) => conv(r.get(idx))
-      } else if (f.name == "_segment") { (_: Row) => segId }
+        (r: Row, _: Long) => conv(r.get(idx))
+      } else if (f.name == "_segment") { (_: Row, _: Long) => segId }
+      else if (f.name == "_pos") { (_: Row, p: Long) => p }
       else throw new IllegalStateException(
         s"graft-store reader: unknown required column ${f.name}")
     }
@@ -453,10 +499,10 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val gets = getters(segmentIdOf(partition))
     val it = filteredRows(partition)
-      .map { r =>
+      .map { case (r, p) =>
         val out = new GenericInternalRow(gets.length)
         var i = 0
-        while (i < gets.length) { out.update(i, gets(i)(r)); i += 1 }
+        while (i < gets.length) { out.update(i, gets(i)(r, p)); i += 1 }
         out: InternalRow
       }
     new PartitionReader[InternalRow] {
@@ -498,10 +544,10 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType,
           val vectors = OnHeapColumnVector.allocateColumns(batchSize, required)
           var n = 0
           while (it.hasNext && n < batchSize) {
-            val r = it.next()
+            val (r, p) = it.next()
             var i = 0
             while (i < gets.length) {
-              val v = gets(i)(r)
+              val v = gets(i)(r, p)
               val vec = vectors(i)
               if (v == null) vec.putNull(n)
               else required.fields(i).dataType match {
@@ -739,6 +785,113 @@ case class GraftReplaceDataWriterFactory(schema: StructType)
         }.toIndexedSeq)
       }
       override def commit(): WriterCommitMessage = GraftCommitMessage(buf.result())
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+}
+
+/** DELTA row-level operation (UPDATE/MERGE/predicate-DELETE through
+  * [[SupportsDelta]]) — the merge-on-read-style narrow path and the
+  * default strategy: the operation's scan is the FULL-FEATURED
+  * [[GraftScan]] (zone-map segment pruning, exact filter pushdown,
+  * column pruning, runtime filtering — in delta mode row filtering is
+  * SAFE: a row the scan drops is simply an unchanged row), rows are
+  * identified by the `_pos` metadata column (ordinal in the
+  * collection's stable row order), and only the CHANGED rows cross the
+  * wire as typed delete/update/insert deltas. A 1-row UPDATE ships 1
+  * row where the group path re-writes a whole segment. The commit
+  * validates the collection hasn't moved since scan planning
+  * ([[GraftStore.commitDelta]]) — positions against a mutated
+  * collection would be stale. */
+class GraftDeltaOperation(name: String, schema: StructType,
+                          cmd: RowLevelOperation.Command, batchRows: Int)
+    extends RowLevelOperation with SupportsDelta {
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"graft-store delta $cmd"
+
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_pos"))
+
+  /** Segment list the delta scan planned against — commit staleness
+    * validation, same contract as the group path's `planned`. */
+  @volatile private[v2] var plannedSegments: Option[Vector[GraftStore.Segment]] = None
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(name, GraftStore.get(name).schema,
+      if (batchRows > 0) batchRows else 100,
+      segs => plannedSegments = Some(segs))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite =
+        new GraftDeltaWrite(name, info.schema(), GraftDeltaOperation.this)
+    }
+}
+
+class GraftDeltaWrite(name: String, rowSchema: StructType,
+                      op: GraftDeltaOperation) extends DeltaWrite {
+  override def toBatch: DeltaBatchWrite =
+    new GraftDeltaBatchWrite(name, rowSchema, op)
+}
+
+class GraftDeltaBatchWrite(name: String, rowSchema: StructType,
+                           op: GraftDeltaOperation) extends DeltaBatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DeltaWriterFactory =
+    GraftDeltaWriterFactory(rowSchema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val ds = messages.map(_.asInstanceOf[GraftDeltaMessage])
+    val planned = op.plannedSegments.getOrElse(
+      throw new IllegalStateException(
+        s"graft-store: delta commit on '$name' before scan planning"))
+    GraftStore.commitDelta(name, rowSchema, planned,
+      ds.iterator.flatMap(_.deleted).toSet,
+      ds.iterator.flatMap(_.updated).toMap,
+      ds.iterator.flatMap(_.inserted).toVector)
+  }
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+/** The delta a task produced: row positions to delete, (position →
+  * replacement row) updates, and appended inserts — O(changed rows),
+  * never O(segment). */
+case class GraftDeltaMessage(deleted: Vector[Long],
+                             updated: Vector[(Long, Row)],
+                             inserted: Vector[Row]) extends WriterCommitMessage
+
+/** Top-level case class (serialized to executors — no outer refs). The
+  * engine's WriteDelta projections split each input row into the
+  * operation's (id, metadata, row) parts before the writer sees them,
+  * so `row` carries exactly the table columns (a defensive offset
+  * guards against engine-prepended bookkeeping, mirroring
+  * [[GraftReplaceDataWriterFactory]]). */
+case class GraftDeltaWriterFactory(schema: StructType)
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      private val convs = schema.fields.map(f => RowConverters.toScala(f.dataType))
+      private val deleted = Vector.newBuilder[Long]
+      private val updated = Vector.newBuilder[(Long, Row)]
+      private val inserted = Vector.newBuilder[Row]
+
+      private def toRow(rec: InternalRow): Row = {
+        val off = rec.numFields - schema.length
+        require(off >= 0, s"delta write row has ${rec.numFields} fields " +
+          s"for ${schema.length}-column schema")
+        Row.fromSeq(Array.tabulate(schema.length) { i =>
+          convs(i)(rec.get(off + i, schema(i).dataType))
+        }.toIndexedSeq)
+      }
+
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        deleted += id.getLong(0)
+      override def update(meta: InternalRow, id: InternalRow,
+                          row: InternalRow): Unit =
+        updated += ((id.getLong(0), toRow(row)))
+      override def insert(row: InternalRow): Unit = inserted += toRow(row)
+
+      override def commit(): WriterCommitMessage =
+        GraftDeltaMessage(deleted.result(), updated.result(), inserted.result())
       override def abort(): Unit = ()
       override def close(): Unit = ()
     }

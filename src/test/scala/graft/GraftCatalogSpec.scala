@@ -60,7 +60,9 @@ class GraftCatalogSpec extends AnyFunSuite {
 
   test("SQL UPDATE and MERGE via copy-on-write row-level operations") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.lake")
-    spark.sql("CREATE TABLE graft_cat.lake.up (id BIGINT, v STRING) PARTITIONED BY (id)")
+    // rowlevel=group pins the copy-on-write strategy (delta is default)
+    spark.sql("CREATE TABLE graft_cat.lake.up (id BIGINT, v STRING) " +
+      "PARTITIONED BY (id) TBLPROPERTIES ('rowlevel'='group')")
     spark.sql("INSERT INTO graft_cat.lake.up SELECT id, cast(id AS string) FROM range(100)")
 
     spark.sql("UPDATE graft_cat.lake.up SET v = 'X' WHERE id < 10")
@@ -92,6 +94,56 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(merged.filter(r => r.getLong(0) % 5 != 0 && r.getLong(0) >= 10)
       .forall(r => r.getString(1) == r.getLong(0).toString))
     spark.sql("DROP TABLE graft_cat.lake.up")
+  }
+
+  test("delta row-level operations ship O(changed rows), not segments") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.lake")
+    // default strategy IS delta — no property needed
+    spark.sql("CREATE TABLE graft_cat.lake.dl (id BIGINT, v STRING) PARTITIONED BY (id)")
+    spark.sql("INSERT INTO graft_cat.lake.dl SELECT id, cast(id AS string) FROM range(100)")
+    val segs = GraftStore.get("lake.dl").segments.size
+    assert(segs == 8)
+
+    // a 1-row UPDATE ships exactly 1 row through the write path
+    spark.sql("UPDATE graft_cat.lake.dl SET v = 'X' WHERE id = 42")
+    assert(GraftStore.rowLevelRowsShipped.get() == 1,
+      s"1-row delta UPDATE must ship 1 row, shipped=${GraftStore.rowLevelRowsShipped.get()}")
+    val rows = spark.sql("SELECT id, v FROM graft_cat.lake.dl ORDER BY id").collect()
+    assert(rows.length == 100, "UPDATE must not lose or duplicate rows")
+    assert(rows(42).getString(1) == "X")
+    assert(rows.filter(_.getLong(0) != 42)
+      .forall(r => r.getString(1) == r.getLong(0).toString),
+      "non-matching rows must be untouched")
+    // layout survives the delta commit
+    assert(GraftStore.get("lake.dl").shardKey.contains("id"))
+    assert(GraftStore.get("lake.dl").segments.size == segs)
+
+    // MERGE: 20 matched updates + 5 not-matched inserts = 25 shipped
+    spark.sql(
+      """MERGE INTO graft_cat.lake.dl t
+        |USING (SELECT id * 5 AS id, 'M' AS v FROM range(25)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    assert(GraftStore.rowLevelRowsShipped.get() == 25,
+      s"MERGE must ship matched+inserted rows only, shipped=${GraftStore.rowLevelRowsShipped.get()}")
+    val merged = spark.sql("SELECT id, v FROM graft_cat.lake.dl ORDER BY id").collect()
+    assert(merged.length == 105)
+    assert(merged.filter(_.getLong(0) % 5 == 0).forall(_.getString(1) == "M"))
+    assert(merged.filter(r => r.getLong(0) % 5 != 0 && r.getLong(0) != 42)
+      .forall(r => r.getString(1) == r.getLong(0).toString))
+
+    // matched DELETE through the delta path stays exact
+    spark.sql(
+      """MERGE INTO graft_cat.lake.dl t
+        |USING (SELECT id * 10 AS id FROM range(11)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    val afterDel = spark.sql("SELECT id FROM graft_cat.lake.dl ORDER BY id")
+      .collect().map(_.getLong(0))
+    assert(afterDel.length == 94 && !afterDel.exists(i => i % 10 == 0 && i <= 100),
+      "matched-delete must drop exactly the matched ids")
+    spark.sql("DROP TABLE graft_cat.lake.dl")
   }
 
   test("TRUNCATE TABLE empties the collection but keeps it addressable") {
