@@ -67,6 +67,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // scans, because Catalyst's built-in rules don't know the node
     ext.injectOptimizerRule(_ => AsOfFilterPushdown)
     ext.injectOptimizerRule(_ => AsOfColumnPruning)
+    // SQL views over the graft catalog: DDL interception + definition
+    // splicing. Injected into the HINTS batch (which precedes the
+    // Resolution batch) so graft-view commands are rewritten before
+    // ResolveSessionCatalog can reject them as non-session views — see
+    // graft.sources.v2.GraftViews.
+    ext.injectHintResolutionRule(spark => graft.sources.v2.GraftViewRules(spark))
   }
 }
 

@@ -4,8 +4,8 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
-import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchNamespaceException, NoSuchTableException, NoSuchViewException, TableAlreadyExistsException, ViewAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange, View, ViewCatalog, ViewChange, ViewInfo}
 import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types.StructType
@@ -34,7 +34,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * carries its prefix, plus anything created explicitly) — the store is
   * a flat keyspace, as Mongo databases are. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog with ViewCatalog {
 
   private var catName: String = _
   // explicitly-created namespaces (CREATE NAMESPACE) — collection-derived
@@ -82,6 +82,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
                            properties: util.Map[String, String]): Table = {
     val k = key(ident)
     if (GraftStore.exists(k)) throw new TableAlreadyExistsException(ident)
+    // tables and views share one name space (as in every SQL catalog)
+    if (GraftViewRegistry.exists(ident))
+      throw new TableAlreadyExistsException(ident)
     // first identity transform = shard key (range layout + zone maps)
     val shardKey = partitions.collectFirst {
       case t if t.name == "identity" && t.references().nonEmpty =>
@@ -129,13 +132,71 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         .getOrElse(throw new NoSuchFunctionException(ident))
     else throw new NoSuchFunctionException(ident)
 
+  // ------------------------------------------------------------- views
+
+  /** `ViewCatalog` over [[GraftViewRegistry]] — SQL DDL reaches these
+    * through [[GraftViewRules]] (vanilla Spark has no analyzer path to
+    * a V2 view catalog; see [[GraftViews]]). Views and tables share one
+    * name space: creation refuses a name the other kind already holds. */
+  override def listViews(namespace: String*): Array[Identifier] = {
+    if (namespace.nonEmpty && !namespaceExists(namespace.toArray) &&
+        !GraftViewRegistry.namespaces.exists(_.startsWith(namespace.toSeq)))
+      throw new NoSuchNamespaceException(namespace.toArray)
+    GraftViewRegistry.list(namespace.toSeq).toArray
+  }
+
+  override def loadView(ident: Identifier): View =
+    GraftViewRegistry.get(ident).map(new GraftView(ident, _))
+      .getOrElse(throw new NoSuchViewException(ident))
+
+  override def viewExists(ident: Identifier): Boolean =
+    GraftViewRegistry.exists(ident)
+
+  override def createView(info: ViewInfo): View = {
+    if (tableExists(info.ident))
+      throw new TableAlreadyExistsException(info.ident)
+    GraftViewRegistry.put(info.ident, recOf(info), replace = false)
+    createdNs.synchronized { createdNs += info.ident.namespace().toSeq }
+    loadView(info.ident)
+  }
+
+  override def replaceView(info: ViewInfo, orCreate: Boolean): View = {
+    if (tableExists(info.ident))
+      throw new TableAlreadyExistsException(info.ident)
+    if (!orCreate && !viewExists(info.ident))
+      throw new NoSuchViewException(info.ident)
+    GraftViewRegistry.put(info.ident, recOf(info), replace = true)
+    createdNs.synchronized { createdNs += info.ident.namespace().toSeq }
+    loadView(info.ident)
+  }
+
+  private def recOf(info: ViewInfo): GraftViewRegistry.Rec =
+    GraftViewRegistry.Rec(info.sql, info.currentCatalog,
+      info.currentNamespace.toSeq, info.schema,
+      info.queryColumnNames.toSeq, info.columnAliases.toSeq,
+      info.columnComments.toSeq, info.properties.asScala.toMap)
+
+  override def alterView(ident: Identifier, changes: ViewChange*): View = {
+    GraftViewRegistry.alter(ident, changes)
+    loadView(ident)
+  }
+
+  override def dropView(ident: Identifier): Boolean =
+    GraftViewRegistry.drop(ident)
+
+  override def renameView(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (tableExists(newIdent)) throw new ViewAlreadyExistsException(newIdent)
+    GraftViewRegistry.rename(oldIdent, newIdent)
+  }
+
   // -------------------------------------------------------- namespaces
 
   private def allNamespaces: Seq[Seq[String]] = {
     val derived = GraftStore.names
       .map(_.split('.').toSeq.dropRight(1)).filter(_.nonEmpty)
     val created = createdNs.synchronized(createdNs.toSeq)
-    (derived ++ created :+ GraftFunctions.Namespace.toSeq)
+    (derived ++ created ++ GraftViewRegistry.namespaces :+
+      GraftFunctions.Namespace.toSeq)
       .distinct.sortBy(_.mkString("."))
   }
 

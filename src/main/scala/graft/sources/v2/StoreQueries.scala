@@ -78,6 +78,29 @@ object StoreQueries {
           sum("n_chars").cast("long").as("chars_above"),
           max("avg_chars").as("avg_chars"))
         .orderBy("lang")
+    }),
+
+    // SQL views over the catalog ([[GraftViews]]): two stacked CREATE OR
+    // REPLACE VIEWs — a row-filter view over the store collection, a
+    // rollup view over THAT — then a SELECT from the top view. The
+    // DuckDB twin inlines the view bodies, so a hash match proves view
+    // expansion is semantically invisible (a pure driver-side plan
+    // splice: the store scan under two view layers still sees the
+    // pushed filter and prunes segments by zone map). Requires
+    // spark.sql.extensions=graft.plans.GraftExtensions, set in the
+    // harness session builders (Verify/Bench/Explain — extensions are
+    // build-time static conf, not settable from inside a query).
+    "q101_view_sql" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+      val name = ensureLoaded(s, dir)
+      s.sql(s"""CREATE OR REPLACE VIEW graft_cat.vws.long_docs AS
+                |SELECT lang, source, n_chars FROM graft_cat.`$name`
+                |WHERE n_chars >= 500""".stripMargin)
+      s.sql("""CREATE OR REPLACE VIEW graft_cat.vws.lang_rollup AS
+              |SELECT lang, COUNT(*) AS n_docs,
+              |  CAST(SUM(n_chars) AS BIGINT) AS chars
+              |FROM graft_cat.vws.long_docs GROUP BY lang""".stripMargin)
+      s.sql("SELECT lang, n_docs, chars FROM graft_cat.vws.lang_rollup ORDER BY lang")
     })
   )
 
@@ -116,6 +139,11 @@ object StoreQueries {
         |  CAST(MAX(s.avg_chars) AS BIGINT) AS avg_chars
         |FROM documents d JOIN stats s ON d.lang = s.lang
         |WHERE d.n_chars > s.avg_chars
-        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "q101_view_sql" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE n_chars >= 500
+        |GROUP BY lang ORDER BY lang""".stripMargin
   )
 }
