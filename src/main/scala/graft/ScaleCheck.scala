@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.v2.GraftStore
+
+/** Connector scale check: proves the DISK-BACKED graft-store survives a
+  * dataset far larger than the JVM heap — the property the in-memory
+  * protocol double cannot have (it collects rows to the driver), and
+  * the reason [[GraftStore.loadDisk]] exists.
+  *
+  * Method: the sf0.1 documents table is replicated `SPARK_GRAFT_REPLICATE`
+  * times (default 400× ⇒ 2M rows ≈ sf40-equivalent for this table,
+  * ≈650 MB raw text — several times the check's 512 MB heap once
+  * represented as JVM rows; each replica shifts `doc_id` by the id
+  * span so shard-key ranges stay disjoint and zone maps stay
+  * selective), ingested through the
+  * DISTRIBUTED disk path (executors write range-partitioned parquet;
+  * the driver reads only footers), then the three connector queries
+  * (q73 scan+rollup, q85 metadata aggregates, q92 storage-partitioned
+  * join) run THROUGH the connector and are checked against the same
+  * computation over the raw DataFrame — a self-oracle at a scale the
+  * DuckDB harness doesn't generate.
+  *
+  * Run it with a DELIBERATELY small heap to make the claim falsifiable
+  * (java -Xmx512m, spark jars + target classes on the classpath, main
+  * class graft.ScaleCheck).
+  * An in-memory store at this scale would OOM on the driver collect;
+  * the disk store must stay green. Prints one JSON line. */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val replicate = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "400").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scale-check")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val base = Tables.documents(spark, sfDir)
+    val span = base.agg(max("doc_id")).head().getLong(0) + 1L
+    // replicas shift doc_id so the shard key keeps a contiguous, disjoint
+    // range per replica — the same key distribution a larger SF would have
+    // (crossJoin keeps the plan flat where an N-way union would not)
+    val big = spark.range(replicate.toLong).crossJoin(base)
+      .withColumn("doc_id", col("doc_id") + col("id") * lit(span))
+      .drop("id").select(base.columns.map(col).toIndexedSeq: _*)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_scale").toString
+    val t0 = System.nanoTime()
+    GraftStore.loadDisk("scale_docs", big, "doc_id", 64, dir)
+    GraftStore.loadClusteredDisk("scale_docs_by_lang", big, "lang", dir)
+    GraftStore.loadClusteredDisk("scale_lang_stats",
+      big.groupBy("lang").agg(expr("sum(n_chars) div count(1)").as("avg_chars")),
+      "lang", dir)
+    val ingestSec = (System.nanoTime() - t0) / 1e9
+
+    def read(name: String): DataFrame =
+      spark.read.format("graft-store").option("name", name).load()
+    def rowsMatch(got: DataFrame, want: DataFrame): Boolean =
+      got.count() == want.count() && got.except(want).count() == 0 &&
+        want.except(got).count() == 0
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
+    val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def check(name: String)(got: => DataFrame, want: => DataFrame): Unit = {
+      val s = System.nanoTime()
+      val ok = rowsMatch(got, want)
+      times(name) = (System.nanoTime() - s) / 1e9
+      results(name) = ok
+    }
+
+    check("q73_dsv2_scan")(
+      read("scale_docs")
+        .where(col("doc_id") >= 100 && col("n_chars") >= 200)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("chars")),
+      big.where(col("doc_id") >= 100 && col("n_chars") >= 200)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("chars")))
+
+    check("q85_dsv2_agg")(
+      read("scale_docs").agg(count(lit(1)).as("n_rows"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars")),
+      big.agg(count(lit(1)).as("n_rows"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars")))
+
+    {
+      val stats = big.groupBy("lang")
+        .agg(expr("sum(n_chars) div count(1)").as("avg_chars"))
+      check("q92_spj_join")(
+        read("scale_docs_by_lang").join(read("scale_lang_stats"), "lang")
+          .where(col("n_chars") > col("avg_chars"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_above"),
+            sum("n_chars").cast("long").as("chars_above"),
+            max("avg_chars").as("avg_chars")),
+        big.join(stats, "lang")
+          .where(col("n_chars") > col("avg_chars"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_above"),
+            sum("n_chars").cast("long").as("chars_above"),
+            max("avg_chars").as("avg_chars")))
+    }
+
+    val rows = GraftStore.get("scale_docs").rowCount
+    val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
+    val allOk = results.values.forall(identity)
+    val json =
+      s"""{"metric":"scale_check","ok":$allOk,"rows":$rows,""" +
+        s""""replicate":$replicate,"heap_mb":$heapMb,""" +
+        s""""ingest_sec":${f"$ingestSec%.2f"},""" +
+        s""""checks":{${results.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
+        s""""times":{${times.map { case (k, v) => s""""$k":${f"$v%.2f"}""" }.mkString(",")}},""" +
+        s""""sf":"$sfDir"}"""
+    println(json)
+    spark.stop()
+    if (!allOk) sys.exit(1)
+  }
+}

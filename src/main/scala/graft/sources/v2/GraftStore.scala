@@ -31,15 +31,72 @@ import org.apache.spark.sql.types._
   * converter API. */
 object GraftStore {
 
+  /** Where a segment's rows live. The zone maps and the manifest stay
+    * on the driver either way; the payload is what ships inside an
+    * InputPartition — materialized rows for the in-memory default, a
+    * parquet path list for disk-backed collections (the executor then
+    * STREAMS the file instead of deserializing a row vector, so scan
+    * memory is O(1) in segment size). */
+  sealed trait SegmentPayload extends Serializable {
+    def count: Long
+    /** Opens a FRESH iterator. Disk-backed iterators are Closeable and
+      * self-close at exhaustion; abandon-early callers must close. */
+    def iterator: Iterator[Row]
+  }
+  case class MemRows(data: Vector[Row]) extends SegmentPayload {
+    override def count: Long = data.size.toLong
+    override def iterator: Iterator[Row] = data.iterator
+  }
+  /** Rows in parquet files on shared storage (local dir here; an object
+    * store in a real deployment — the manifest carries paths, not
+    * bytes). `constants` injects columns absent from the files (the
+    * `key=value` partition-directory column of clustered layouts). */
+  case class ParquetRows(paths: Vector[String], schema: StructType, count: Long,
+                         constants: Map[Int, Any] = Map.empty)
+      extends SegmentPayload {
+    override def iterator: Iterator[Row] =
+      GraftParquet.openIterator(paths, schema, constants)
+  }
+
   /** One range shard: contiguous rows (sorted by the shard key at
     * registration) + per-column zone maps over the comparable columns. */
-  case class Segment(rows: Vector[Row], zones: Map[String, (Any, Any)])
-      extends Serializable
+  case class Segment(payload: SegmentPayload, zones: Map[String, (Any, Any)])
+      extends Serializable {
+    /** Materializing accessor — driver-side mutation paths only; scans
+      * must use [[payload]]/[[iterator]] so disk segments stream. */
+    def rows: Vector[Row] = payload match {
+      case MemRows(d) => d
+      case p =>
+        val it = p.iterator
+        try it.toVector finally GraftParquet.closeQuietly(it)
+    }
+    def iterator: Iterator[Row] = payload.iterator
+    def count: Long = payload.count
+    def firstRow: Option[Row] = payload match {
+      case MemRows(d) => d.headOption
+      case p =>
+        val it = p.iterator
+        try { if (it.hasNext) Some(it.next()) else None }
+        finally GraftParquet.closeQuietly(it)
+    }
+    /** Short-circuit-safe streaming forall (closes the disk reader even
+      * when the predicate fails early). */
+    def forallRows(p: Row => Boolean): Boolean = {
+      val it = payload.iterator
+      try it.forall(p) finally GraftParquet.closeQuietly(it)
+    }
+  }
+  object Segment {
+    def apply(rows: Vector[Row], zones: Map[String, (Any, Any)]): Segment =
+      new Segment(MemRows(rows), zones)
+  }
 
   case class Collection(schema: StructType, shardKey: Option[String],
                         segments: Vector[Segment],
-                        clusterKey: Option[String] = None) {
+                        clusterKey: Option[String] = None,
+                        payloadDir: Option[String] = None) {
     def rows: Vector[Row] = segments.flatMap(_.rows)
+    def rowCount: Long = segments.map(_.count).sum
   }
 
   private val store = scala.collection.mutable.Map.empty[String, Collection]
@@ -123,12 +180,49 @@ object GraftStore {
     }
   }
 
-  /** Register (Overwrite) a collection from driver-side rows. */
+  /** Monotonic spill-generation counter: every (re-)registration of a
+    * disk-backed collection lands its files under a fresh subdirectory,
+    * so segments still referenced by in-flight scans or serialized
+    * partitions keep reading consistent bytes (MVCC-by-immutable-files,
+    * the lakehouse norm; stale generations are garbage, reclaimed when
+    * the payload dir is). */
+  private val spillGen = new AtomicLong(0)
+
+  /** Spill in-memory segments to parquet under `dir` (zone maps stay as
+    * computed — driver-side rows are exact, no need for footer stats). */
+  private def spill(name: String, schema: StructType, segs: Vector[Segment],
+                    dir: String): Vector[Segment] = {
+    GraftParquet.unsupported(schema).foreach { f =>
+      throw new IllegalArgumentException(
+        s"graft-store: disk payload for '$name' cannot carry column " +
+          s"${f.name}: ${f.dataType.catalogString} (flat scalar schemas only)")
+    }
+    val sub = s"$dir/${name.replaceAll("[^A-Za-z0-9._-]", "_")}-g${spillGen.incrementAndGet()}"
+    new java.io.File(sub).mkdirs()
+    segs.zipWithIndex.map { case (seg, i) =>
+      if (seg.count == 0L) seg
+      else {
+        val path = s"$sub/seg-$i.parquet"
+        val it = seg.payload.iterator
+        val n = try GraftParquet.write(path, schema, it)
+                finally GraftParquet.closeQuietly(it)
+        Segment(ParquetRows(Vector(path), schema, n, Map.empty), seg.zones)
+      }
+    }
+  }
+
+  /** Register (Overwrite) a collection from driver-side rows. Payload
+    * mode is STICKY: re-registering an existing disk-backed collection
+    * (every mutation path funnels here) re-spills to its payload dir
+    * unless `payloadDir` explicitly overrides. */
   def register(name: String, schema: StructType, rows: Seq[Row],
-               shardKey: Option[String] = None, numSegments: Int = 8): Unit =
+               shardKey: Option[String] = None, numSegments: Int = 8,
+               payloadDir: Option[String] = None): Unit =
     store.synchronized {
+      val dir = payloadDir.orElse(store.get(name).flatMap(_.payloadDir))
+      val segs = shard(schema, shardKey, rows.toVector, numSegments)
       store(name) = Collection(schema, shardKey,
-        shard(schema, shardKey, rows.toVector, numSegments))
+        dir.map(spill(name, schema, segs, _)).getOrElse(segs), payloadDir = dir)
       bumpOrderEpoch(name) // full rewrite: any row order may change
     }
 
@@ -142,13 +236,17 @@ object GraftStore {
     * demo-friendly transform; a production store would typically use
     * `bucket(n, key)` so cardinality doesn't drive partition count. */
   def registerClustered(name: String, schema: StructType, rows: Seq[Row],
-                        clusterKey: String): Unit = store.synchronized {
+                        clusterKey: String,
+                        payloadDir: Option[String] = None): Unit = store.synchronized {
     val idx = schema.fieldIndex(clusterKey)
     val segs = rows.toVector.groupBy(_.get(idx)).toVector
       .sortWith { case ((a, _), (b, _)) =>
         if (a == null) b != null else if (b == null) false else cmp(a, b) < 0 }
       .map { case (_, g) => Segment(g, zoneMaps(schema, g)) }
-    store(name) = Collection(schema, None, segs, clusterKey = Some(clusterKey))
+    val dir = payloadDir.orElse(store.get(name).flatMap(_.payloadDir))
+    store(name) = Collection(schema, None,
+      dir.map(spill(name, schema, segs, _)).getOrElse(segs),
+      clusterKey = Some(clusterKey), payloadDir = dir)
     bumpOrderEpoch(name) // clustering regroups rows arbitrarily
   }
 
@@ -162,6 +260,111 @@ object GraftStore {
   /** [[registerClustered]] from a DataFrame. */
   def loadClustered(name: String, df: DataFrame, clusterKey: String): Unit =
     registerClustered(name, df.schema, df.collect().toIndexedSeq, clusterKey)
+
+  /** Disk-backed DISTRIBUTED ingest — the path that scales past driver
+    * RAM: executors range-partition and write the parquet payload
+    * directly (`repartitionByRange` + per-partition sort gives each
+    * file a contiguous key span, so zone maps land disjoint), and the
+    * driver touches only FOOTERS — zone maps and row counts come from
+    * parquet column statistics, zero rows ever materialize driver-side.
+    * Exactly how a lakehouse manifest is built, and the layout twin of
+    * [[register]]'s driver-side sharding. */
+  def loadDisk(name: String, df: DataFrame, shardKey: String,
+               numSegments: Int, dir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    GraftParquet.unsupported(df.schema).foreach { f =>
+      throw new IllegalArgumentException(
+        s"graft-store: disk payload for '$name' cannot carry column " +
+          s"${f.name}: ${f.dataType.catalogString} (flat scalar schemas only)")
+    }
+    val sub = s"$dir/${name.replaceAll("[^A-Za-z0-9._-]", "_")}-g${spillGen.incrementAndGet()}"
+    val spark = df.sparkSession
+    // the reader speaks INT64 micros; INT96 timestamps would not round-trip
+    val tsKey = "spark.sql.parquet.outputTimestampType"
+    val prevTs = spark.conf.getOption(tsKey)
+    spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+    try df.repartitionByRange(math.max(1, numSegments), col(shardKey))
+      .sortWithinPartitions(shardKey)
+      .write.mode("overwrite").parquet(sub)
+    finally prevTs match {
+      case Some(v) => spark.conf.set(tsKey, v)
+      case None => spark.conf.unset(tsKey)
+    }
+    val segs = GraftParquet.listPartFiles(sub).map { p =>
+      val (n, zones) = GraftParquet.footerStats(p, df.schema)
+      Segment(ParquetRows(Vector(p), df.schema, n), zones)
+    }.filter(_.count > 0L)
+    store.synchronized {
+      store(name) = Collection(df.schema, Some(shardKey),
+        if (segs.isEmpty) Vector(Segment(Vector.empty[Row], Map.empty[String, (Any, Any)]))
+        else segs,
+        payloadDir = Some(dir))
+      bumpOrderEpoch(name)
+    }
+  }
+
+  /** Disk-backed [[loadClustered]]: one `key=value` partition directory
+    * per distinct cluster-key value (`partitionBy` after a key
+    * repartition ⇒ exactly one writer per key), each directory one
+    * segment — the layout contract behind storage-partitioned joins,
+    * built without driver-side rows. The key column lives in the
+    * directory NAME, not the files; the segment payload re-injects it
+    * as a constant. */
+  def loadClusteredDisk(name: String, df: DataFrame, clusterKey: String,
+                        dir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    GraftParquet.unsupported(df.schema).foreach { f =>
+      throw new IllegalArgumentException(
+        s"graft-store: disk payload for '$name' cannot carry column " +
+          s"${f.name}: ${f.dataType.catalogString} (flat scalar schemas only)")
+    }
+    val sub = s"$dir/${name.replaceAll("[^A-Za-z0-9._-]", "_")}-g${spillGen.incrementAndGet()}"
+    df.repartition(col(clusterKey))
+      .write.partitionBy(clusterKey).mode("overwrite").parquet(sub)
+    val schema = df.schema
+    val keyIdx = schema.fieldIndex(clusterKey)
+    val keyType = schema(keyIdx).dataType
+    def typedKey(s: String): Any = keyType match {
+      case StringType => s
+      case LongType => s.toLong
+      case IntegerType => s.toInt
+      case DoubleType => s.toDouble
+      case FloatType => s.toFloat
+      case BooleanType => s.toBoolean
+      case other => throw new IllegalArgumentException(
+        s"graft-store: unsupported cluster-key type for disk layout: $other")
+    }
+    val segs = GraftParquet.listKeyDirs(sub, clusterKey).map { case (raw, files) =>
+      val key = raw.map(typedKey).orNull
+      var count = 0L
+      var zones = Map.empty[String, (Any, Any)]
+      files.zipWithIndex.foreach { case (f, fi) =>
+        val (n, z) = GraftParquet.footerStats(f, schema)
+        count += n
+        // INTERSECT columns across files: a column one file lacks valid
+        // stats for cannot keep the other file's bounds (they may not
+        // cover its values) — and a dropped zone is always safe
+        zones =
+          if (fi == 0) z
+          else zones.keySet.intersect(z.keySet).iterator.map { c =>
+            val ((l0, h0), (l1, h1)) = (zones(c), z(c))
+            c -> ((if (cmp(l1, l0) < 0) l1 else l0,
+                   if (cmp(h1, h0) > 0) h1 else h0))
+          }.toMap
+      }
+      if (key != null) zones += (clusterKey -> (key, key))
+      (key, Segment(ParquetRows(files, schema, count, Map(keyIdx -> key)), zones))
+    }.sortWith { case ((a, _), (b, _)) =>
+      if (a == null) b != null else if (b == null) false else cmp(a, b) < 0
+    }.map(_._2)
+    store.synchronized {
+      store(name) = Collection(schema, None,
+        if (segs.isEmpty) Vector(Segment(Vector.empty[Row], Map.empty[String, (Any, Any)]))
+        else segs,
+        clusterKey = Some(clusterKey), payloadDir = Some(dir))
+      bumpOrderEpoch(name)
+    }
+  }
 
   /** Replace a collection's rows wholesale, PRESERVING its layout
     * (shard/cluster key, segment count) — the commit primitive for
@@ -190,7 +393,7 @@ object GraftStore {
              numSegments: Int = -1): Unit = store.synchronized {
     val segCount =
       if (numSegments > 0) numSegments
-      else store.get(name).filter(_.rows.nonEmpty)
+      else store.get(name).filter(_.rowCount > 0)
         .map(c => math.max(1, c.segments.size)).getOrElse(8)
     store.get(name) match {
       case Some(c) =>
@@ -219,8 +422,10 @@ object GraftStore {
                 rows.forall(_.get(idx) != null) &&
                   oldMax.forall(mx => rows.forall(r => cmp(r.get(idx), mx) >= 0))
             }
+            val segs = shard(c.schema, c.shardKey, c.rows ++ rows, segCount)
             store(name) = Collection(c.schema, c.shardKey,
-              shard(c.schema, c.shardKey, c.rows ++ rows, segCount))
+              c.payloadDir.map(spill(name, c.schema, segs, _)).getOrElse(segs),
+              payloadDir = c.payloadDir)
             if (!tailSafe) bumpOrderEpoch(name)
         }
       case None => register(name, schema, rows, None, segCount)
@@ -299,7 +504,7 @@ object GraftStore {
       rowLevelRowsShipped.set(deleted.size.toLong + updated.size + inserted.size)
       val out = Vector.newBuilder[Row]
       var pos = 0L
-      coll.segments.foreach(_.rows.foreach { r =>
+      coll.segments.foreach(_.iterator.foreach { r =>
         if (!deleted.contains(pos)) out += updated.getOrElse(pos, r)
         pos += 1
       })

@@ -228,7 +228,7 @@ class GraftScanBuilder(name: String, schema: StructType, batchRows: Int,
         case f @ (_: Min | _: Max) => colName(f).exists { c =>
           schema.fieldNames.contains(c) &&
             GraftStore.get(name).segments.forall(s =>
-              s.zones.contains(c) || s.rows.forall(_.get(schema.fieldIndex(c)) == null))
+              s.zones.contains(c) || s.forallRows(_.get(schema.fieldIndex(c)) == null))
         }
         case _ => false
       }
@@ -241,7 +241,7 @@ class GraftScanBuilder(name: String, schema: StructType, batchRows: Int,
     aggregation.aggregateExpressions().foreach {
       case _: CountStar =>
         fields += StructField("count(*)", LongType, nullable = false)
-        values += segs.map(_.rows.size.toLong).sum
+        values += segs.map(_.count).sum
       case f @ (_: Min | _: Max) =>
         val c = colName(f).get
         val zones = segs.flatMap(_.zones.get(c))
@@ -312,7 +312,7 @@ class GraftScan(name: String, fullSchema: StructType, required: StructType,
   override def estimateStatistics(): Statistics = new Statistics {
     private lazy val survivors = GraftStore.get(name).segments
       .filter(seg => filters.forall(GraftStore.mightMatch(_, seg)))
-    private lazy val rowCount = survivors.map(_.rows.size.toLong).sum
+    private lazy val rowCount = survivors.map(_.count).sum
     private lazy val rowWidth = required.fields.map(_.dataType.defaultSize.toLong).sum.max(1L)
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(rowCount * rowWidth)
@@ -344,7 +344,7 @@ class GraftScan(name: String, fullSchema: StructType, required: StructType,
     val kept = survivors
     coll.clusterKey match {
       case Some(k) if required.fieldNames.contains(k) && kept.nonEmpty &&
-          kept.forall(_.rows.nonEmpty) =>
+          kept.forall(_.count > 0L) =>
         new KeyGroupedPartitioning(
           Array(org.apache.spark.sql.connector.expressions.Expressions.identity(k)),
           kept.size)
@@ -387,19 +387,27 @@ class GraftScan(name: String, fullSchema: StructType, required: StructType,
       planListener(coll.segments)
       // global row ordinal of each segment's first row (over ALL
       // segments, pre-pruning) — the `_pos` metadata column's base
-      val bases = coll.segments.scanLeft(0L)(_ + _.rows.size)
+      val bases = coll.segments.scanLeft(0L)(_ + _.count)
       coll.clusterKey match {
         case Some(k) if required.fieldNames.contains(k) && kept.nonEmpty &&
-            kept.forall(_._1.rows.nonEmpty) =>
+            kept.forall(_._1.count > 0L) =>
           val idx = coll.schema.fieldIndex(k)
           val conv = RowConverters.toCatalyst(coll.schema(idx).dataType)
           kept.map { case (seg, segId) =>
-            val key = new GenericInternalRow(Array[Any](conv(seg.rows.head.get(idx))))
-            GraftKeyedInputPartition(seg.rows, key, segId, bases(segId)): InputPartition
+            // disk-clustered segments carry the key as a payload constant
+            // (the file omits the partition-directory column) — no reader
+            // open at planning time
+            val keyVal = seg.payload match {
+              case GraftStore.ParquetRows(_, _, _, consts) if consts.contains(idx) =>
+                consts(idx)
+              case _ => seg.firstRow.get.get(idx)
+            }
+            val key = new GenericInternalRow(Array[Any](conv(keyVal)))
+            GraftKeyedInputPartition(seg.payload, key, segId, bases(segId)): InputPartition
           }.toArray
         case _ =>
           kept.map { case (seg, segId) =>
-            GraftInputPartition(seg.rows, segId, bases(segId)): InputPartition
+            GraftInputPartition(seg.payload, segId, bases(segId)): InputPartition
           }.toArray
       }
     }
@@ -429,17 +437,26 @@ case class GraftSegmentTaskMetric(override val name: String,
                                   override val value: Long)
     extends org.apache.spark.sql.connector.metric.CustomTaskMetric
 
-/** The segment's rows ride inside the partition: the driver plans from
-  * metadata, the executor receives exactly its shard — no shared state
-  * assumed between driver and executor. */
-case class GraftInputPartition(rows: Vector[Row], segmentId: Int = -1,
+/** The segment's PAYLOAD rides inside the partition: the driver plans
+  * from metadata, the executor receives exactly its shard — in-memory
+  * rows serialize with the task; a disk payload serializes as paths
+  * and the executor STREAMS the parquet file (scan memory stays O(1)
+  * in segment size). No shared state assumed between driver and
+  * executor beyond the payload's storage. */
+case class GraftInputPartition(payload: GraftStore.SegmentPayload,
+                               segmentId: Int = -1,
                                baseOffset: Long = -1L)
     extends InputPartition
+object GraftInputPartition {
+  def apply(rows: Vector[Row]): GraftInputPartition =
+    GraftInputPartition(GraftStore.MemRows(rows))
+}
 
 /** A partition of a cluster-keyed collection: advertises its single
   * cluster-key value so Spark can align co-keyed scans for a
   * storage-partitioned join. */
-case class GraftKeyedInputPartition(rows: Vector[Row], key: InternalRow,
+case class GraftKeyedInputPartition(payload: GraftStore.SegmentPayload,
+                                    key: InternalRow,
                                     segmentId: Int = -1,
                                     baseOffset: Long = -1L)
     extends InputPartition with HasPartitionKey {
@@ -449,11 +466,12 @@ case class GraftKeyedInputPartition(rows: Vector[Row], key: InternalRow,
 class GraftReaderFactory(fullSchema: StructType, required: StructType,
                          filters: Array[Filter]) extends PartitionReaderFactory {
 
-  private def partitionRows(partition: InputPartition): Vector[Row] = partition match {
-    case GraftInputPartition(rs, _, _) => rs
-    case GraftKeyedInputPartition(rs, _, _, _) => rs
-    case other => throw new IllegalStateException(s"unexpected partition: $other")
-  }
+  private def payloadOf(partition: InputPartition): GraftStore.SegmentPayload =
+    partition match {
+      case GraftInputPartition(p, _, _) => p
+      case GraftKeyedInputPartition(p, _, _, _) => p
+      case other => throw new IllegalStateException(s"unexpected partition: $other")
+    }
 
   private def segmentIdOf(partition: InputPartition): Int = partition match {
     case GraftInputPartition(_, id, _) => id
@@ -470,12 +488,15 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType,
   /** Rows paired with their GLOBAL position (segment base + local
     * index). Positions are minted BEFORE filtering — `_pos` identifies
     * the row in the collection's stable order, not in the filtered
-    * output. */
-  private def filteredRows(partition: InputPartition): Iterator[(Row, Long)] = {
+    * output. Returns the raw payload iterator too, so the caller can
+    * close a disk reader abandoned before exhaustion (LIMITs). */
+  private def filteredRows(partition: InputPartition): (Iterator[(Row, Long)], Iterator[Row]) = {
     val base = baseOffsetOf(partition)
-    partitionRows(partition).iterator.zipWithIndex
+    val raw = payloadOf(partition).iterator
+    val it = raw.zipWithIndex
       .map { case (r, i) => (r, if (base >= 0) base + i else -1L) }
       .filter { case (r, _) => filters.forall(GraftStore.eval(_, r, fullSchema)) }
+    (it, raw)
   }
 
   /** Per-required-field Catalyst-value getters; the `_segment`/`_pos`
@@ -498,7 +519,8 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType,
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val gets = getters(segmentIdOf(partition))
-    val it = filteredRows(partition)
+    val (rows, raw) = filteredRows(partition)
+    val it = rows
       .map { case (r, p) =>
         val out = new GenericInternalRow(gets.length)
         var i = 0
@@ -509,7 +531,7 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType,
       private var cur: InternalRow = _
       override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
       override def get(): InternalRow = cur
-      override def close(): Unit = ()
+      override def close(): Unit = GraftParquet.closeQuietly(raw)
     }
   }
 
@@ -534,11 +556,11 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType,
     import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
     val gets = getters(segmentIdOf(partition))
     val batchSize = 1024
-    val it = filteredRows(partition)
+    val (it, raw) = filteredRows(partition)
     new PartitionReader[ColumnarBatch] {
       private var batch: ColumnarBatch = _
       override def next(): Boolean = {
-        close()
+        closeBatch()
         if (!it.hasNext) { batch = null; false }
         else {
           val vectors = OnHeapColumnVector.allocateColumns(batchSize, required)
@@ -574,7 +596,9 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType,
         }
       }
       override def get(): ColumnarBatch = batch
-      override def close(): Unit = if (batch != null) { batch.close(); batch = null }
+      private def closeBatch(): Unit =
+        if (batch != null) { batch.close(); batch = null }
+      override def close(): Unit = { closeBatch(); GraftParquet.closeQuietly(raw) }
     }
   }
 }
@@ -733,7 +757,7 @@ class GraftGroupScan(name: String, required: StructType,
       }
       op.planned = Some((kept.map(_._2).toSet, allSegs))
       kept.map { case (seg, i) =>
-        GraftInputPartition(seg.rows, i): InputPartition
+        GraftInputPartition(seg.payload, i): InputPartition
       }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory = {

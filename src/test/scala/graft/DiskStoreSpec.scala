@@ -1,0 +1,186 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.v2.GraftStore
+
+/** Disk-backed segment payloads: collections whose rows live in parquet
+  * files while zone maps and the segment manifest stay in driver
+  * memory. Proves (1) the distributed ingest path materializes ZERO
+  * rows driver-side yet yields the same query results, pruning, and
+  * aggregate pushdown as the in-memory store; (2) clustered disk
+  * layouts keep the storage-partitioned-join contract; (3) mutations on
+  * a disk collection stay disk-backed and exact; (4) every supported
+  * value type round-trips through the parquet payload. */
+class DiskStoreSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def docs = Tables.documents(spark, sf)
+  private def read(name: String) =
+    spark.read.format("graft-store").option("name", name).load()
+  private def diskSegments(name: String) =
+    GraftStore.get(name).segments.filter(_.count > 0)
+
+  private lazy val dir = Files.createTempDirectory("graft_disk").toString
+
+  private def loadBoth(): Unit = {
+    GraftStore.load("dsk_mem", docs, shardKey = Some("doc_id"), numSegments = 8)
+    GraftStore.loadDisk("dsk_docs", docs, "doc_id", 8, dir)
+  }
+
+  test("loadDisk: parity with the in-memory store, rows live on disk") {
+    loadBoth()
+    // every non-empty segment is parquet-backed — the driver manifest
+    // holds paths + zone maps, not row vectors
+    assert(diskSegments("dsk_docs").nonEmpty)
+    diskSegments("dsk_docs").foreach { s =>
+      assert(s.payload.isInstanceOf[GraftStore.ParquetRows],
+        s"expected parquet payload, got ${s.payload.getClass}")
+    }
+    val (mem, dsk) = (read("dsk_mem"), read("dsk_docs"))
+    assert(dsk.schema.fieldNames.toSeq == mem.schema.fieldNames.toSeq)
+    assert(dsk.count() == mem.count())
+    assert(dsk.except(mem).count() == 0 && mem.except(dsk).count() == 0)
+  }
+
+  test("loadDisk: footer-derived zone maps prune segments") {
+    loadBoth()
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    GraftStore.resetCounters()
+    val filtered = read("dsk_docs").where(col("doc_id") > maxId - 10)
+    val got = filtered.collect().map(_.getLong(0)).sorted
+    val want = docs.where(col("doc_id") > maxId - 10)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == want.toSeq && got.nonEmpty)
+    assert(GraftStore.segmentsSkipped.get() >= 6,
+      s"parquet footer zone maps must prune, skipped=${GraftStore.segmentsSkipped.get()}")
+    assert(GraftStore.segmentsRead.get() <= 2)
+  }
+
+  test("loadDisk: MIN/MAX/COUNT pushdown answers from footer metadata, zero reads") {
+    loadBoth()
+    GraftStore.resetCounters()
+    val agg = read("dsk_docs").agg(
+      count(lit(1)).as("n"), min("doc_id").as("lo"), max("doc_id").as("hi"))
+    val r = agg.head()
+    val w = docs.agg(count(lit(1)), min("doc_id"), max("doc_id")).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      (w.getLong(0), w.getLong(1), w.getLong(2)))
+    assert(GraftStore.segmentsRead.get() == 0,
+      "complete aggregate pushdown must not read a segment")
+  }
+
+  test("loadClusteredDisk: storage-partitioned join stays exchange-free") {
+    GraftStore.loadClusteredDisk("dsk_spj_docs", docs, "lang", dir)
+    val stats = docs.groupBy("lang")
+      .agg(expr("sum(n_chars) div count(1)").as("avg_chars"))
+    GraftStore.loadClusteredDisk("dsk_spj_stats", stats, "lang", dir)
+    diskSegments("dsk_spj_docs").foreach(s =>
+      assert(s.payload.isInstanceOf[GraftStore.ParquetRows]))
+
+    val withConf = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = withConf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    withConf.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val joined = read("dsk_spj_docs").join(read("dsk_spj_stats"), "lang")
+        .where(col("n_chars") > col("avg_chars"))
+        .select("lang", "doc_id", "n_chars", "avg_chars")
+      val got = joined.orderBy("doc_id").collect()
+      assert(SparkTestSession.shuffles(joined) == 0,
+        "co-clustered disk collections must join with no exchange")
+      val want = docs.join(stats, "lang")
+        .where(col("n_chars") > col("avg_chars"))
+        .select("lang", "doc_id", "n_chars", "avg_chars")
+        .orderBy("doc_id").collect()
+      assert(got.toSeq == want.toSeq && got.nonEmpty)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("mutations on a disk collection stay disk-backed and exact") {
+    GraftStore.loadDisk("dsk_mut", docs, "doc_id", 8, dir)
+    val total = docs.count()
+    val dropped = docs.where(col("lang") === "en").count()
+    assert(dropped > 0)
+
+    // connector-path DELETE (SupportsDelete fast path)
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    spark.sql("DELETE FROM graft_cat.`dsk_mut` WHERE lang = 'en'")
+    assert(read("dsk_mut").count() == total - dropped)
+    assert(read("dsk_mut").where(col("lang") === "en").count() == 0)
+
+    // payload mode survived the rewrite; layout (8 segments) preserved
+    assert(GraftStore.get("dsk_mut").payloadDir.contains(dir))
+    diskSegments("dsk_mut").foreach(s =>
+      assert(s.payload.isInstanceOf[GraftStore.ParquetRows],
+        "mutation must re-spill, not silently fall back to memory"))
+    assert(GraftStore.get("dsk_mut").segments.size == 8)
+
+    // appends through the connector keep disk mode too
+    docs.where(col("lang") === "en").limit(5)
+      .write.format("graft-store").option("name", "dsk_mut").mode("append").save()
+    assert(read("dsk_mut").where(col("lang") === "en").count() == 5)
+    diskSegments("dsk_mut").foreach(s =>
+      assert(s.payload.isInstanceOf[GraftStore.ParquetRows]))
+  }
+
+  test("every supported value type round-trips through the parquet payload") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("i", IntegerType),
+      StructField("d", DoubleType), StructField("f", FloatType),
+      StructField("b", BooleanType), StructField("s", StringType),
+      StructField("bin", BinaryType), StructField("ts", TimestampType),
+      StructField("dt", DateType)))
+    val rows = Seq(
+      Row(1L, 7, 1.5, 2.5f, true, "alpha", Array[Byte](1, 2, 3),
+        java.sql.Timestamp.valueOf("2024-03-01 10:20:30.123456"),
+        java.sql.Date.valueOf("2024-03-01")),
+      Row(2L, null, null, null, null, null, null, null, null),
+      Row(3L, -7, -1.5, -2.5f, false, "béta %20=x/y",
+        Array[Byte](-1, 0, 127),
+        java.sql.Timestamp.valueOf("1969-12-31 23:59:59.999999"),
+        java.sql.Date.valueOf("1969-12-31")))
+    GraftStore.register("dsk_types", schema, rows, shardKey = Some("id"),
+      numSegments = 2, payloadDir = Some(dir))
+    diskSegments("dsk_types").foreach(s =>
+      assert(s.payload.isInstanceOf[GraftStore.ParquetRows]))
+    val back = read("dsk_types").orderBy("id").collect()
+    assert(back.length == 3)
+    rows.sortBy(_.getLong(0)).zip(back).foreach { case (want, got) =>
+      (0 until schema.length).foreach { i =>
+        (want.get(i), got.get(i)) match {
+          case (a: Array[Byte], b: Array[Byte]) => assert(a.toSeq == b.toSeq)
+          case (a, b) => assert(a == b, s"col ${schema(i).name}: $a != $b")
+        }
+      }
+    }
+  }
+
+  test("clustered disk layout injects the partition-directory key column") {
+    // keys that exercise path escaping and a null partition
+    val schema = StructType(Seq(
+      StructField("k", StringType), StructField("v", LongType)))
+    val rows = Seq(Row("plain", 1L), Row("with space", 2L),
+      Row("a/b=c%d", 3L), Row(null, 4L), Row("plain", 5L))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    GraftStore.loadClusteredDisk("dsk_keys", df, "k", dir)
+    val back = read("dsk_keys").orderBy("v").collect()
+    assert(back.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(
+      ("plain", 1L), ("with space", 2L), ("a/b=c%d", 3L), (null, 4L),
+      ("plain", 5L)))
+    // one segment per distinct key, including the null bucket
+    assert(GraftStore.get("dsk_keys").segments.size == 4)
+  }
+}
