@@ -218,4 +218,57 @@ class GraftCatalogSpec extends AnyFunSuite {
       s"zone maps must prune catalog scans, skipped=${GraftStore.segmentsSkipped.get()}")
     spark.sql("DROP TABLE graft_cat.lake.rows")
   }
+
+  test("writeStream.toTable: exactly-once into a catalog table across restart, layout kept") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = "cat_stream_src"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    GraftStore.drop(src)
+    GraftStore.load(src, docs.where("doc_id < 300"),
+      shardKey = Some("doc_id"), numSegments = 4)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.lake")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.strm")
+    spark.sql("""CREATE TABLE graft_cat.lake.strm
+                |(doc_id BIGINT, text STRING, lang STRING, source STRING,
+                | n_chars BIGINT) PARTITIONED BY (doc_id)""".stripMargin)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cat_wckpt").toString
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-store")
+        .option("name", src).option("batchrows", "64").load()
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .toTable("graft_cat.lake.strm")
+      q.awaitTermination(60000)
+      assert(!q.isActive)
+    }
+
+    runOnce()
+    assert(spark.table("graft_cat.lake.strm").count() ==
+      docs.where("doc_id < 300").count(),
+      "every source row lands through the catalog exactly once")
+
+    // tail-append the source, restart from the same checkpoint: only the
+    // delta commits (the epoch ledger makes re-delivery a no-op)
+    GraftStore.append(src, docs.schema,
+      docs.where("doc_id >= 300 AND doc_id < 400").collect().toIndexedSeq,
+      numSegments = 4)
+    runOnce()
+    val got = spark.table("graft_cat.lake.strm").orderBy("doc_id").collect()
+    val want = docs.where("doc_id < 400").orderBy("doc_id").collect()
+    assert(got.toSeq == want.toSeq,
+      "exactly-once across restart: no lost and no duplicated rows")
+
+    // the streamed table keeps the shard-key layout the DDL declared, so
+    // zone maps prune catalog scans over streamed data
+    assert(GraftStore.get("lake.strm").shardKey.contains("doc_id"),
+      "streaming write through the catalog must not strip the layout")
+    GraftStore.resetCounters()
+    spark.sql("SELECT count(*) FROM graft_cat.lake.strm WHERE doc_id < 25").collect()
+    assert(GraftStore.segmentsSkipped.get() > 0,
+      s"zone maps must prune streamed catalog tables, skipped=${GraftStore.segmentsSkipped.get()}")
+    spark.sql("DROP TABLE graft_cat.lake.strm")
+    GraftStore.drop(src)
+  }
 }
