@@ -49,6 +49,24 @@ object Relational {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** W1 as ONE hash aggregation: `min` over a struct ordered by
+    * (`order`, then `payload`) picks the same row as [[keepFirst]]'s
+    * row_number (exactly the same when `order` is unique per key, which
+    * every caller here guarantees). The scale trade against the window
+    * form: a hash aggregate PARTIAL-aggregates map-side (each input
+    * partition ships at most one candidate per key instead of every
+    * row) and never sorts, where the window must shuffle all rows and
+    * sort each partition. Needs all carried columns inside one
+    * orderable struct — use [[keepFirst]] when payloads aren't
+    * orderable or the full row must pass through untouched. */
+  def keepFirstAgg(df: DataFrame, keys: Seq[String], order: Seq[String],
+                   payload: Seq[String]): DataFrame = {
+    val carried = order ++ payload
+    df.groupBy(keys.map(col): _*)
+      .agg(min(struct(carried.map(col): _*)).as("__first"))
+      .select(keys.map(col) ++ carried.map(c => col(s"__first.$c")): _*)
+  }
+
   /** J3: dedup via anti-join — the reference's delete-the-victims form
     * (transform_load.py:62-70). Semantically equal to keepFirst; kept as
     * the explicit anti-join surface. */
@@ -79,11 +97,17 @@ object Relational {
   // sides (driver hash-compares after sorting columns by name).
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // Flagship: W1 dedup + A1 group-count + H1 having in one plan.
+    // Flagship: W1 dedup + A1 group-count + H1 having in one plan. The
+    // dedup runs as the AGGREGATE form of W1 (keepFirstAgg): map-side
+    // partial aggregation ships one candidate per (orderkey, partkey)
+    // per input partition and nothing is ever sorted — the window form
+    // would shuffle and sort every row. (l_linenumber is unique within
+    // an order, so the picked rows are identical.)
     "q01_dedup_group" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
-      val first = keepFirst(li, Seq("l_orderkey", "l_partkey"),
-        Seq(col("l_linenumber"), col("l_suppkey")))
+      val first = keepFirstAgg(li, Seq("l_orderkey", "l_partkey"),
+        Seq("l_linenumber", "l_suppkey"),
+        Seq("l_returnflag", "l_quantity", "l_extendedprice"))
       first.groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
              // round-then-cast: Spark ANSI CAST(double AS long) truncates,
@@ -98,7 +122,8 @@ object Relational {
     // W1 alone: deduped row subset, deterministic keep-first.
     "q02_keep_first" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
-      keepFirst(li, Seq("l_orderkey", "l_partkey"), Seq(col("l_linenumber"), col("l_suppkey")))
+      keepFirstAgg(li, Seq("l_orderkey", "l_partkey"),
+        Seq("l_linenumber", "l_suppkey"), Seq("l_quantity", "l_returnflag"))
         .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_returnflag")
         .orderBy("l_orderkey", "l_partkey")
     }),
@@ -373,20 +398,23 @@ object Relational {
     // multi-supplier order — a correlated EXISTS + NOT EXISTS pair,
     // planned as one semi and one anti join over the same distinct
     // (order, supplier) frame. Counts are per distinct pair, top 10.
+    // One pass over the (orderkey, suppkey) pair frame instead of the
+    // textbook EXISTS/NOT-EXISTS pair of distincts + anti-join (the
+    // q61/q97 pattern): per pair, did this supplier return anything;
+    // per order, how many suppliers, how many returned, and WHICH
+    // supplier if exactly one. "Sole returner among ≥2-supplier orders"
+    // is then a filter — two fact shuffles total (pair agg, order agg,
+    // both map-side combined), no anti-join, supplier dim broadcast.
     "q81_tpch_q21" -> ((s, dir) => {
-      val l = Tables.lineitem(s, dir).select("l_orderkey", "l_suppkey", "l_returnflag")
-      val pairs = l.select("l_orderkey", "l_suppkey").distinct()
-      val multi = pairs.groupBy("l_orderkey")
-        .agg(count(lit(1)).as("n_supp")).where("n_supp >= 2")
-        .select("l_orderkey")
-      val returned = l.where("l_returnflag = 'R'")
-        .select("l_orderkey", "l_suppkey").distinct()
-      val others = returned.toDF("l_orderkey", "o_suppkey")
-      val sole = returned
-        .join(multi, "l_orderkey") // EXISTS: order has >= 2 suppliers
-        .join(others, returned("l_orderkey") === others("l_orderkey") &&
-          returned("l_suppkey") =!= others("o_suppkey"), "left_anti") // NOT EXISTS other returner
-      sole.join(Tables.supplier(s, dir),
+      val pairAgg = Tables.lineitem(s, dir)
+        .select("l_orderkey", "l_suppkey", "l_returnflag")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("ret"))
+      val sole = pairAgg.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"), sum("ret").as("n_ret"),
+          max(when(col("ret") === 1, col("l_suppkey"))).as("l_suppkey"))
+        .where("n_supp >= 2 AND n_ret = 1")
+      sole.join(broadcast(Tables.supplier(s, dir)),
           sole("l_suppkey") === col("s_suppkey"))
         .groupBy("s_name").agg(count(lit(1)).as("numwait"))
         .orderBy(desc("numwait"), asc("s_name")).limit(10)

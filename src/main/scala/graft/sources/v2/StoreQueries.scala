@@ -29,6 +29,23 @@ object StoreQueries {
     name
   }
 
+  /** Disk-backed twin of [[ensureLoaded]]: the DISTRIBUTED ingest path
+    * (executors write range-partitioned parquet; the driver reads only
+    * footers — zero rows materialize driver-side), so the correctness
+    * gate exercises the payload mode that scales past driver RAM. */
+  private def ensureDisk(spark: SparkSession, sfDir: String): String = {
+    val name = "documents_disk_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    loaded.synchronized {
+      if (!loaded.contains(name)) {
+        val dir = java.nio.file.Files.createTempDirectory("graft_disk_q").toString
+        GraftStore.loadDisk(name, Tables.documents(spark, sfDir),
+          shardKey = "doc_id", numSegments = 8, dir = dir)
+        loaded += name
+      }
+    }
+    name
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // S4 through the DSv2 surface: claimed range filter (doc_id — the
     // shard key, so zone maps prune segments) + claimed n_chars filter
@@ -90,6 +107,20 @@ object StoreQueries {
     // spark.sql.extensions=graft.plans.GraftExtensions, set in the
     // harness session builders (Verify/Bench/Explain — extensions are
     // build-time static conf, not settable from inside a query).
+    // S4 through the DISK-BACKED connector: same scan shape as q73 but
+    // the collection's rows live in parquet segment files the executors
+    // stream (zone maps from file footers, zero driver-side rows at
+    // ingest). A hash match against the same DuckDB twin as q73 proves
+    // the two payload modes are indistinguishable to a query.
+    "q102_disk_scan" -> ((s, dir) => {
+      val name = ensureDisk(s, dir)
+      s.read.format("graft-store").option("name", name).load()
+        .where(col("doc_id") >= 100 && col("n_chars") >= 200)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast("long").as("chars"))
+        .orderBy("lang", "source")
+    }),
+
     "q101_view_sql" -> ((s, dir) => {
       s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
       val name = ensureLoaded(s, dir)
@@ -140,6 +171,11 @@ object StoreQueries {
         |FROM documents d JOIN stats s ON d.lang = s.lang
         |WHERE d.n_chars > s.avg_chars
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    "q102_disk_scan" ->
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents WHERE doc_id >= 100 AND n_chars >= 200
+        |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "q101_view_sql" ->
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars
