@@ -640,16 +640,25 @@ object Relational {
     // and the count-distinct are the only two real shuffles; part and
     // the excluded-supplier sliver broadcast under AQE.
     "q95_tpch_q16" -> ((s, dir) => {
-      val pairs = Tables.lineitem(s, dir)
-        .select("l_partkey", "l_suppkey").distinct()
+      // selective part filter BELOW the distinct: the broadcast join
+      // prunes fact rows before the (pk, sk) dedup shuffle, and the
+      // part attributes ride through the distinct (functionally
+      // dependent on pk) so no second part join is needed. The
+      // complaint-supplier anti-join stays above the dedup — it removes
+      // suppliers, not parts, and runs on the already-small frame.
       val p = Tables.part(s, dir)
         .where(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
           col("p_size").isin(1, 4, 9, 14, 19, 23))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+      val pairs = Tables.lineitem(s, dir)
+        .select("l_partkey", "l_suppkey")
+        .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+        .select("l_partkey", "l_suppkey", "p_brand", "p_type", "p_size")
+        .distinct()
       val complainers = Tables.supplier(s, dir)
         .where(col("s_acctbal") < 0).select("s_suppkey")
       pairs
         .join(complainers, pairs("l_suppkey") === complainers("s_suppkey"), "left_anti")
-        .join(p, pairs("l_partkey") === p("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(countDistinct("l_suppkey").as("supplier_cnt"))
         .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"), asc("p_size"))
@@ -733,13 +742,21 @@ object Relational {
     // under AQE. Ties at the min are kept, as in Q2. The full sort key
     // is a total order (pairs are distinct), so LIMIT is deterministic.
     "q99_tpch_q2" -> ((s, dir) => {
-      val pairs = Tables.lineitem(s, dir)
-        .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
-        .agg(min(expr("cast(round(l_extendedprice * 100) as bigint)"))
-          .cast("long").as("cost_cents"))
+      // part filter BELOW the pair aggregation (the q97/Q20 pattern):
+      // the filter drops whole parts, so per-(pk, sk) minima are
+      // unchanged for survivors — the broadcast join prunes the fact
+      // BEFORE the aggregate instead of aggregating all pairs and
+      // discarding most. p_brand rides the groupBy (functionally
+      // dependent on pk), saving a second part join.
       val p = Tables.part(s, dir)
         .where(col("p_size").between(10, 20) && col("p_type") === "LARGE")
         .select("p_partkey", "p_brand")
+      val pairs = Tables.lineitem(s, dir)
+        .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+        .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
+          col("p_partkey"), col("p_brand"))
+        .agg(min(expr("cast(round(l_extendedprice * 100) as bigint)"))
+          .cast("long").as("cost_cents"))
       val n = Tables.nation(s, dir).select("n_nationkey", "n_regionkey", "n_name")
       val r = Tables.region(s, dir).where(col("r_name") === "EUROPE")
         .select("r_regionkey")
@@ -748,7 +765,6 @@ object Relational {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
       pairs
-        .join(p, col("pk") === p("p_partkey"))
         .join(esupp, col("sk") === col("s_suppkey"))
         .withColumn("mincost",
           min(col("cost_cents")).over(Window.partitionBy(col("pk"))))
@@ -769,18 +785,22 @@ object Relational {
     // cross-multiplication (1000 * value > total), never a float
     // fraction.
     "q100_tpch_q11" -> ((s, dir) => {
+      // nation semi-join BELOW the pair aggregation: it drops whole
+      // suppliers (so whole pairs — per-pair minima/sums unchanged for
+      // survivors), and pruning ~24/25 of fact rows before the pair
+      // shuffle beats aggregating everything and discarding after.
+      val natsupp = Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir).where(col("n_name") === "NATION_9")
+          .select("n_nationkey")), col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey")
       val pairs = Tables.lineitem(s, dir)
+        .join(broadcast(natsupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
         .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
         .agg(
           min(expr("cast(round(l_extendedprice * 100) as bigint)"))
             .cast("long").as("cost_cents"),
           sum(expr("cast(round(l_quantity) as bigint)")).cast("long").as("availqty"))
-      val natsupp = Tables.supplier(s, dir)
-        .join(broadcast(Tables.nation(s, dir).where(col("n_name") === "NATION_9")
-          .select("n_nationkey")), col("s_nationkey") === col("n_nationkey"))
-        .select("s_suppkey")
       val pv = pairs
-        .join(broadcast(natsupp), col("sk") === col("s_suppkey"), "left_semi")
         .groupBy(col("pk").as("p_partkey"))
         .agg(sum(col("cost_cents") * col("availqty")).cast("long").as("value_cents"))
       val total = pv.agg(sum(col("value_cents")).cast("long").as("tot"))
