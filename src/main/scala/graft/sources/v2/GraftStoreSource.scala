@@ -452,6 +452,16 @@ object GraftInputPartition {
     GraftInputPartition(GraftStore.MemRows(rows))
 }
 
+/** A row-range slice of one segment's payload — micro-batch streaming
+  * partitions. `fromRow`/`untilRow` are LOCAL ordinals within the
+  * segment; `baseOffset` is the global ordinal of `fromRow` (the `_pos`
+  * base). The executor opens the payload and skips to the range, so
+  * the driver plans batches from counts alone. */
+case class GraftSlicePartition(payload: GraftStore.SegmentPayload,
+                               fromRow: Int, untilRow: Int,
+                               baseOffset: Long)
+    extends InputPartition
+
 /** A partition of a cluster-keyed collection: advertises its single
   * cluster-key value so Spark can align co-keyed scans for a
   * storage-partitioned join. */
@@ -466,23 +476,10 @@ case class GraftKeyedInputPartition(payload: GraftStore.SegmentPayload,
 class GraftReaderFactory(fullSchema: StructType, required: StructType,
                          filters: Array[Filter]) extends PartitionReaderFactory {
 
-  private def payloadOf(partition: InputPartition): GraftStore.SegmentPayload =
-    partition match {
-      case GraftInputPartition(p, _, _) => p
-      case GraftKeyedInputPartition(p, _, _, _) => p
-      case other => throw new IllegalStateException(s"unexpected partition: $other")
-    }
-
   private def segmentIdOf(partition: InputPartition): Int = partition match {
     case GraftInputPartition(_, id, _) => id
     case GraftKeyedInputPartition(_, _, id, _) => id
     case _ => -1
-  }
-
-  private def baseOffsetOf(partition: InputPartition): Long = partition match {
-    case GraftInputPartition(_, _, b) => b
-    case GraftKeyedInputPartition(_, _, _, b) => b
-    case _ => -1L
   }
 
   /** Rows paired with their GLOBAL position (segment base + local
@@ -491,9 +488,19 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType,
     * output. Returns the raw payload iterator too, so the caller can
     * close a disk reader abandoned before exhaustion (LIMITs). */
   private def filteredRows(partition: InputPartition): (Iterator[(Row, Long)], Iterator[Row]) = {
-    val base = baseOffsetOf(partition)
-    val raw = payloadOf(partition).iterator
-    val it = raw.zipWithIndex
+    val (raw, rows, base) = partition match {
+      case GraftInputPartition(p, _, b) =>
+        val it = p.iterator; (it, it, b)
+      case GraftKeyedInputPartition(p, _, _, b) =>
+        val it = p.iterator; (it, it, b)
+      case GraftSlicePartition(p, from, until, b) =>
+        // raw stays the CLOSEABLE underlying iterator; the slice view
+        // wraps it (a disk payload skips `from` rows sequentially —
+        // the same cost shape as any log replay from an offset)
+        val it = p.iterator; (it, it.slice(from, until), b)
+      case other => throw new IllegalStateException(s"unexpected partition: $other")
+    }
+    val it = rows.zipWithIndex
       .map { case (r, i) => (r, if (base >= 0) base + i else -1L) }
       .filter { case (r, _) => filters.forall(GraftStore.eval(_, r, fullSchema)) }
     (it, raw)
@@ -1013,35 +1020,41 @@ class GraftMicroBatchStream(name: String, fullSchema: StructType,
   // re-cluster, mid-range sharded append) mid-stream fails the next poll
   // loudly instead of silently re-delivering some rows and losing others.
   private val startEpoch: Long = GraftStore.orderEpoch(name)
-  private def rows: Vector[Row] = {
+  /** Epoch-checked manifest access: offsets are row indexes into the
+    * collection's stable order, so a reordering rewrite mid-stream must
+    * fail loudly. METADATA only — planning never materializes rows
+    * (counts come from the manifest; partitions carry payload slices),
+    * so streaming a disk-backed collection keeps the driver at O(1). */
+  private def coll: GraftStore.Collection = {
     val now = GraftStore.orderEpoch(name)
     if (now != startEpoch)
       throw new IllegalStateException(
         s"graft-store stream on '$name': collection row order was rewritten " +
           s"mid-stream (order epoch $startEpoch -> $now); row-index offsets " +
           "are no longer valid — restart the stream from a fresh checkpoint")
-    GraftStore.get(name).rows
+    GraftStore.get(name)
   }
+  private def totalRows: Long = coll.rowCount
   // end-of-data snapshot taken at AvailableNow start; Long.MaxValue
   // sentinel = continuous mode (no cap beyond current data)
   @volatile private var availableNowCap: Long = Long.MaxValue
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = rows.size.toLong
+    availableNowCap = totalRows
 
   override def initialOffset(): Offset = GraftOffset(0L, startEpoch)
-  override def latestOffset(): Offset = GraftOffset(rows.size.toLong, startEpoch)
+  override def latestOffset(): Offset = GraftOffset(totalRows, startEpoch)
   override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchRows)
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val from = start.asInstanceOf[GraftOffset].rowIndex
     val cap = limit match {
       case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows => r.maxRows()
-      case _ => rows.size.toLong
+      case _ => totalRows
     }
-    GraftOffset(math.min(math.min(rows.size.toLong, availableNowCap), from + cap),
+    GraftOffset(math.min(math.min(totalRows, availableNowCap), from + cap),
       startEpoch)
   }
-  override def reportLatestOffset(): Offset = GraftOffset(rows.size.toLong, startEpoch)
+  override def reportLatestOffset(): Offset = GraftOffset(totalRows, startEpoch)
   override def deserializeOffset(json: String): Offset = json.split(':') match {
     case Array(idx) => GraftOffset(idx.toLong) // pre-epoch checkpoint: no check
     case Array(idx, ep) =>
@@ -1057,11 +1070,29 @@ class GraftMicroBatchStream(name: String, fullSchema: StructType,
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
+  /** Batch [lo, hi) as payload SLICES against the segment manifest:
+    * each overlapping segment contributes `batchRows`-sized row-range
+    * partitions that the EXECUTOR reads from the segment payload —
+    * no row ever materializes on the driver, so a micro-batch over a
+    * disk-backed collection costs the driver only arithmetic. */
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val lo = start.asInstanceOf[GraftOffset].rowIndex.toInt
-    val hi = end.asInstanceOf[GraftOffset].rowIndex.toInt
-    rows.slice(lo, hi).grouped(math.max(1, batchRows))
-      .map(g => GraftInputPartition(g): InputPartition).toArray
+    val lo = start.asInstanceOf[GraftOffset].rowIndex
+    val hi = end.asInstanceOf[GraftOffset].rowIndex
+    val parts = Array.newBuilder[InputPartition]
+    var base = 0L
+    coll.segments.foreach { seg =>
+      val a = math.max(lo, base)
+      val b = math.min(hi, base + seg.count)
+      var from = a
+      while (from < b) {
+        val until = math.min(from + math.max(1, batchRows), b)
+        parts += GraftSlicePartition(seg.payload,
+          (from - base).toInt, (until - base).toInt, from)
+        from = until
+      }
+      base += seg.count
+    }
+    parts.result()
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(fullSchema, required, filters)

@@ -167,6 +167,27 @@ class DiskStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming a disk collection: bounded micro-batches, parity with batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    GraftStore.loadDisk("dsk_stream", docs, "doc_id", 4, dir)
+    val ckpt = Files.createTempDirectory("graft_disk_ckpt").toString
+    val q = spark.readStream.format("graft-store")
+      .option("name", "dsk_stream").option("batchrows", "64").load()
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("dsk_sink")
+      .outputMode("complete").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    assert(!q.isActive)
+    val got = spark.table("dsk_sink").orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want && got.nonEmpty,
+      "streamed disk collection must replay every row exactly once")
+  }
+
   test("clustered disk layout injects the partition-directory key column") {
     // keys that exercise path escaping and a null partition
     val schema = StructType(Seq(
