@@ -90,7 +90,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case t if t.name == "identity" && t.references().nonEmpty =>
         t.references()(0).fieldNames.mkString(".")
     }
-    GraftStore.register(k, schema, Seq.empty, shardKey)
+    // TBLPROPERTIES ('payload'='disk'[, 'payload.dir'='<dir>']) makes
+    // the table disk-backed from birth: payload mode is sticky, so
+    // every later INSERT/UPDATE/append spills its segments to parquet
+    // instead of holding rows in memory
+    val props = properties.asScala.toMap
+    val payloadDir = props.get("payload") match {
+      case Some("disk") => Some(props.getOrElse("payload.dir",
+        java.nio.file.Files.createTempDirectory("graft_store_payload").toString))
+      case _ => None
+    }
+    GraftStore.register(k, schema, Seq.empty, shardKey, payloadDir = payloadDir)
     // persist TBLPROPERTIES (e.g. rowlevel = delta|group) with the
     // collection so loadTable sees them on every later statement
     GraftStore.setProps(k, properties.asScala.toMap)

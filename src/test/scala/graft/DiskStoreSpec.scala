@@ -167,6 +167,31 @@ class DiskStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("SQL: CREATE TABLE TBLPROPERTIES('payload'='disk') is disk-backed from birth") {
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.lake")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.disk_t")
+    spark.sql("""CREATE TABLE graft_cat.lake.disk_t (id BIGINT, v STRING)
+                |PARTITIONED BY (id) TBLPROPERTIES ('payload'='disk')""".stripMargin)
+    spark.sql("INSERT INTO graft_cat.lake.disk_t SELECT id, cast(id AS string) FROM range(500)")
+    // every INSERTed segment landed as parquet, and SQL sees exact rows
+    diskSegments("lake.disk_t").foreach(s =>
+      assert(s.payload.isInstanceOf[GraftStore.ParquetRows],
+        "a payload=disk table must spill INSERTs to parquet"))
+    assert(spark.sql("SELECT count(*) FROM graft_cat.lake.disk_t").head().getLong(0) == 500)
+    GraftStore.resetCounters()
+    assert(spark.sql(
+      "SELECT count(*) FROM graft_cat.lake.disk_t WHERE id < 50").head().getLong(0) == 50)
+    assert(GraftStore.segmentsSkipped.get() > 0,
+      "zone maps must prune disk-backed catalog tables")
+    // row-level DML keeps working (and stays on disk)
+    spark.sql("DELETE FROM graft_cat.lake.disk_t WHERE id >= 400")
+    assert(spark.sql("SELECT count(*) FROM graft_cat.lake.disk_t").head().getLong(0) == 400)
+    diskSegments("lake.disk_t").foreach(s =>
+      assert(s.payload.isInstanceOf[GraftStore.ParquetRows]))
+    spark.sql("DROP TABLE graft_cat.lake.disk_t")
+  }
+
   test("streaming a disk collection: bounded micro-batches, parity with batch") {
     import org.apache.spark.sql.streaming.Trigger
     GraftStore.loadDisk("dsk_stream", docs, "doc_id", 4, dir)
