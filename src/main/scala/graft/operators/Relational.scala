@@ -461,18 +461,22 @@ object Relational {
       val l = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir)
         .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") <= "1997-12-31")
-      val c = Tables.customer(s, dir)
       val su = Tables.supplier(s, dir)
       val p = Tables.part(s, dir).filter(col("p_type") === "PROMO")
       val nc = Tables.nation(s, dir).toDF("nc_key", "nc_name", "nc_r")
       val ns = Tables.nation(s, dir).toDF("ns_key", "supp_nation", "ns_r")
       val r = Tables.region(s, dir).filter(col("r_name") === "ASIA")
+      // customer pre-pruned to the region BEFORE meeting the fact (the
+      // q82 pattern): the nation⋈region broadcast chain keeps ~1/5 of
+      // customers, so every join above the o⋈c edge carries 5× fewer
+      // rows than filtering after the join would
+      val c = Tables.customer(s, dir)
+        .join(broadcast(nc), col("c_nationkey") === col("nc_key"))
+        .join(broadcast(r), col("nc_r") === r("r_regionkey"))
       l.join(p, l("l_partkey") === p("p_partkey"))
         .join(o, l("l_orderkey") === o("o_orderkey"))
         .join(c, o("o_custkey") === c("c_custkey"))
         .join(su, l("l_suppkey") === su("s_suppkey"))
-        .join(broadcast(nc), c("c_nationkey") === col("nc_key"))
-        .join(broadcast(r), col("nc_r") === r("r_regionkey"))
         .join(broadcast(ns), su("s_nationkey") === col("ns_key"))
         .groupBy(year(col("o_orderdate")).cast("long").as("yr"))
         .agg(
