@@ -39,6 +39,11 @@ object ScaleCheck {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // cap parquet row-group buffers: N concurrent writers each hold a
+      // row group in memory, so the default 128 MB would couple write
+      // memory to segment size — 32 MB keeps ingest heap flat at any
+      // replication factor
+      .config("spark.hadoop.parquet.block.size", (32 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -304,22 +304,31 @@ object GraftStore {
   }
 
   /** Disk-backed [[loadClustered]]: one `key=value` partition directory
-    * per distinct cluster-key value (`partitionBy` after a key
-    * repartition ⇒ exactly one writer per key), each directory one
+    * per distinct cluster-key value, each directory one (multi-file)
     * segment — the layout contract behind storage-partitioned joins,
     * built without driver-side rows. The key column lives in the
     * directory NAME, not the files; the segment payload re-injects it
-    * as a constant. */
+    * as a constant.
+    *
+    * The pre-write exchange is a RANGE repartition on (key, input id),
+    * not a hash repartition on the key: hash-by-key hands every row of
+    * a key to ONE writer, so a hot key's whole payload must fit a
+    * single task (the classic skewed-writer OOM). Range-with-tiebreak
+    * splits a hot key across `numSlices` writers — each key directory
+    * then holds several files, and the segment reads them in order;
+    * writer memory is bounded by the SLICE, not the key. */
   def loadClusteredDisk(name: String, df: DataFrame, clusterKey: String,
-                        dir: String): Unit = {
-    import org.apache.spark.sql.functions.col
+                        dir: String, numSlices: Int = 64): Unit = {
+    import org.apache.spark.sql.functions.{col, monotonically_increasing_id}
     GraftParquet.unsupported(df.schema).foreach { f =>
       throw new IllegalArgumentException(
         s"graft-store: disk payload for '$name' cannot carry column " +
           s"${f.name}: ${f.dataType.catalogString} (flat scalar schemas only)")
     }
     val sub = s"$dir/${name.replaceAll("[^A-Za-z0-9._-]", "_")}-g${spillGen.incrementAndGet()}"
-    df.repartition(col(clusterKey))
+    df.withColumn("__slice", monotonically_increasing_id())
+      .repartitionByRange(math.max(1, numSlices), col(clusterKey), col("__slice"))
+      .drop("__slice")
       .write.partitionBy(clusterKey).mode("overwrite").parquet(sub)
     val schema = df.schema
     val keyIdx = schema.fieldIndex(clusterKey)
