@@ -74,6 +74,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       GraftStore.props(k).getOrElse("rowlevel", "delta"))
   }
 
+  /** `SELECT ... FROM t VERSION AS OF n` — time travel over the store's
+    * retained generations ([[GraftStore.getVersion]]). The snapshot
+    * binds as the reserved read-only name `k@v<n>`, so the whole scan
+    * stack (zone-map pruning, pushdown, columnar reads) serves the
+    * historical segment vector unchanged, and any write against it
+    * fails loudly in [[GraftStore]]. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val k = key(ident)
+    if (!GraftStore.exists(k)) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft-store: VERSION AS OF takes a numeric generation, got '$version'")
+    }
+    val snap = GraftStore.getVersion(k, v) // validates retention
+    new GraftStoreTable(s"$k@v$v", snap.schema, 0, "delta")
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     GraftStore.exists(key(ident))
 

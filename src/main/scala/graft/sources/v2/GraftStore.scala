@@ -101,6 +101,61 @@ object GraftStore {
 
   private val store = scala.collection.mutable.Map.empty[String, Collection]
 
+  // ---------------------------------------------------------- versions
+  /** Time travel falls out of the store's MVCC-by-immutable-vectors
+    * design: every mutation INSTALLS a fresh `Collection` (fresh
+    * segment vector; disk payloads additionally land under a fresh
+    * generation subdirectory), so a historical version is just a
+    * retained reference — snapshots share structure with the live
+    * collection, and for disk-backed collections they pin only file
+    * PATHS. The last [[maxVersions]] generations are retained per
+    * collection; SQL reaches them via `VERSION AS OF n`
+    * ([[GraftCatalog.loadTable(ident, version)]]) and the provider via
+    * `.option("name", "coll@v<n>")`. Snapshot names are READ-ONLY:
+    * every mutation path funnels through [[install]], which rejects
+    * them loudly.
+    *
+    * Retention cost: a disk-backed version pins file paths (immutable
+    * generations — the production shape, where retention is a storage
+    * policy); an in-memory version pins its row vectors, so the window
+    * is deliberately small and a mutation-churned memory collection
+    * trades RAM for history exactly like any uncompacted MVCC store. */
+  private val versions =
+    scala.collection.mutable.Map.empty[String, Vector[(Long, Collection)]]
+  private val generation = scala.collection.mutable.Map.empty[String, Long]
+  private val maxVersions = 16
+  private val SnapshotName = "^(.*)@v([0-9]+)$".r
+
+  /** The single choke point every mutation installs through: bumps the
+    * collection's generation and records the new state in the version
+    * ring. Callers hold the store lock. */
+  private def install(name: String, coll: Collection): Unit = {
+    name match {
+      case SnapshotName(_, v) => throw new UnsupportedOperationException(
+        s"graft-store: '$name' is a read-only VERSION AS OF $v snapshot")
+      case _ => ()
+    }
+    store(name) = coll
+    val gen = generation.getOrElse(name, 0L) + 1L
+    generation(name) = gen
+    versions(name) =
+      (versions.getOrElse(name, Vector.empty) :+ (gen, coll)).takeRight(maxVersions)
+  }
+
+  /** Current version number (the one `VERSION AS OF` would name). */
+  def currentVersion(name: String): Long =
+    store.synchronized(generation.getOrElse(name, 0L))
+
+  /** The collection as of version `v` — throws if unknown or evicted
+    * from the retained window. */
+  def getVersion(name: String, v: Long): Collection = store.synchronized {
+    versions.getOrElse(name, Vector.empty).find(_._1 == v).map(_._2).getOrElse {
+      val have = versions.getOrElse(name, Vector.empty).map(_._1)
+      throw new NoSuchElementException(
+        s"graft-store: no version $v of '$name' (retained: ${have.mkString(", ")})")
+    }
+  }
+
   /** Per-collection ROW-ORDER epoch: bumped whenever an operation may
     * REORDER existing rows (register/registerClustered/re-sorting
     * append) rather than extend them. Streaming sources capture it at
@@ -221,8 +276,8 @@ object GraftStore {
     store.synchronized {
       val dir = payloadDir.orElse(store.get(name).flatMap(_.payloadDir))
       val segs = shard(schema, shardKey, rows.toVector, numSegments)
-      store(name) = Collection(schema, shardKey,
-        dir.map(spill(name, schema, segs, _)).getOrElse(segs), payloadDir = dir)
+      install(name, Collection(schema, shardKey,
+        dir.map(spill(name, schema, segs, _)).getOrElse(segs), payloadDir = dir))
       bumpOrderEpoch(name) // full rewrite: any row order may change
     }
 
@@ -244,9 +299,9 @@ object GraftStore {
         if (a == null) b != null else if (b == null) false else cmp(a, b) < 0 }
       .map { case (_, g) => Segment(g, zoneMaps(schema, g)) }
     val dir = payloadDir.orElse(store.get(name).flatMap(_.payloadDir))
-    store(name) = Collection(schema, None,
+    install(name, Collection(schema, None,
       dir.map(spill(name, schema, segs, _)).getOrElse(segs),
-      clusterKey = Some(clusterKey), payloadDir = dir)
+      clusterKey = Some(clusterKey), payloadDir = dir))
     bumpOrderEpoch(name) // clustering regroups rows arbitrarily
   }
 
@@ -295,10 +350,10 @@ object GraftStore {
       Segment(ParquetRows(Vector(p), df.schema, n), zones)
     }.filter(_.count > 0L)
     store.synchronized {
-      store(name) = Collection(df.schema, Some(shardKey),
+      install(name, Collection(df.schema, Some(shardKey),
         if (segs.isEmpty) Vector(Segment(Vector.empty[Row], Map.empty[String, (Any, Any)]))
         else segs,
-        payloadDir = Some(dir))
+        payloadDir = Some(dir)))
       bumpOrderEpoch(name)
     }
   }
@@ -367,10 +422,10 @@ object GraftStore {
       if (a == null) b != null else if (b == null) false else cmp(a, b) < 0
     }.map(_._2)
     store.synchronized {
-      store(name) = Collection(schema, None,
+      install(name, Collection(schema, None,
         if (segs.isEmpty) Vector(Segment(Vector.empty[Row], Map.empty[String, (Any, Any)]))
         else segs,
-        clusterKey = Some(clusterKey), payloadDir = Some(dir))
+        clusterKey = Some(clusterKey), payloadDir = Some(dir)))
       bumpOrderEpoch(name)
     }
   }
@@ -432,9 +487,9 @@ object GraftStore {
                   oldMax.forall(mx => rows.forall(r => cmp(r.get(idx), mx) >= 0))
             }
             val segs = shard(c.schema, c.shardKey, c.rows ++ rows, segCount)
-            store(name) = Collection(c.schema, c.shardKey,
+            install(name, Collection(c.schema, c.shardKey,
               c.payloadDir.map(spill(name, c.schema, segs, _)).getOrElse(segs),
-              payloadDir = c.payloadDir)
+              payloadDir = c.payloadDir))
             if (!tailSafe) bumpOrderEpoch(name)
         }
       case None => register(name, schema, rows, None, segCount)
@@ -534,8 +589,15 @@ object GraftStore {
     store.synchronized(tableProps.getOrElse(name, Map.empty))
 
   def get(name: String): Collection = store.synchronized {
-    store.getOrElse(name,
-      throw new NoSuchElementException(s"graft-store: no such collection: $name"))
+    name match {
+      // `coll@v<n>` resolves to the retained version-n snapshot — the
+      // read path for time travel; [[install]] keeps such names
+      // unwritable
+      case SnapshotName(base, v) if store.contains(base) =>
+        getVersion(base, v.toLong)
+      case _ => store.getOrElse(name,
+        throw new NoSuchElementException(s"graft-store: no such collection: $name"))
+    }
   }
 
   // ------------------------------------------------- streaming commits
@@ -587,6 +649,8 @@ object GraftStore {
     require(store.contains(from), s"graft-store: no such collection: $from")
     require(!store.contains(to), s"graft-store: collection exists: $to")
     store(to) = store.remove(from).get
+    versions.remove(from).foreach(versions(to) = _)
+    generation.remove(from).foreach(generation(to) = _)
     committedEpochs.keys.filter(_._1 == from).toVector.foreach { k =>
       committedEpochs((to, k._2)) = committedEpochs.remove(k).get
     }
@@ -594,7 +658,9 @@ object GraftStore {
   }
   def drop(name: String): Unit = store.synchronized {
     store.remove(name)
-    // a re-created collection starts a fresh ledger
+    // a re-created collection starts a fresh ledger and a fresh history
+    versions.remove(name)
+    generation.remove(name)
     committedEpochs.keys.filter(_._1 == name).toVector
       .foreach(committedEpochs.remove)
     tableProps.remove(name)

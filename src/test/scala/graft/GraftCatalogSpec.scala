@@ -219,6 +219,55 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_cat.lake.rows")
   }
 
+  test("VERSION AS OF: time travel over retained store generations") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.lake")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.tt")
+    spark.sql("CREATE TABLE graft_cat.lake.tt (id BIGINT, v STRING) PARTITIONED BY (id)")
+    spark.sql("INSERT INTO graft_cat.lake.tt SELECT id, 'first' FROM range(100)")
+    val v1 = GraftStore.currentVersion("lake.tt")
+    spark.sql("UPDATE graft_cat.lake.tt SET v = 'second' WHERE id < 50")
+    val v2 = GraftStore.currentVersion("lake.tt")
+    spark.sql("DELETE FROM graft_cat.lake.tt WHERE id >= 90")
+    assert(v2 > v1)
+
+    def count(q: String) = spark.sql(q).head().getLong(0)
+    // live table reflects all three mutations
+    assert(count("SELECT count(*) FROM graft_cat.lake.tt") == 90)
+    // v1: after the INSERT, before the UPDATE
+    assert(count(s"SELECT count(*) FROM graft_cat.lake.tt VERSION AS OF $v1") == 100)
+    assert(count(s"SELECT count(*) FROM graft_cat.lake.tt VERSION AS OF $v1 WHERE v = 'second'") == 0)
+    // v2: after the UPDATE, before the DELETE
+    assert(count(s"SELECT count(*) FROM graft_cat.lake.tt VERSION AS OF $v2 WHERE v = 'second'") == 50)
+    assert(count(s"SELECT count(*) FROM graft_cat.lake.tt VERSION AS OF $v2") == 100)
+
+    // snapshots keep the scan stack: zone maps prune historical reads
+    GraftStore.resetCounters()
+    assert(count(s"SELECT count(*) FROM graft_cat.lake.tt VERSION AS OF $v1 WHERE id < 13") == 13)
+    assert(GraftStore.segmentsSkipped.get() > 0,
+      "snapshot scans must keep zone-map pruning")
+
+    // the provider path reads the same snapshot by reserved name
+    val viaProvider = spark.read.format("graft-store")
+      .option("name", s"lake.tt@v$v1").load().count()
+    assert(viaProvider == 100)
+
+    // snapshots are read-only: a write against one fails loudly
+    val ex = intercept[Exception] {
+      spark.sql(s"DELETE FROM graft_cat.lake.tt VERSION AS OF $v1 WHERE id = 1")
+    }
+    // (Spark rejects DML-on-time-travel itself or the store does; either
+    // way it must not silently land)
+    assert(ex != null)
+    assert(count("SELECT count(*) FROM graft_cat.lake.tt") == 90)
+
+    // an evicted/unknown version is a loud error, never empty results
+    val missing = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM graft_cat.lake.tt VERSION AS OF 9999").collect()
+    }
+    assert(missing.getMessage.contains("9999"))
+    spark.sql("DROP TABLE graft_cat.lake.tt")
+  }
+
   test("writeStream.toTable: exactly-once into a catalog table across restart, layout kept") {
     import org.apache.spark.sql.streaming.Trigger
     val src = "cat_stream_src"
