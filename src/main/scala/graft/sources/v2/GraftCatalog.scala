@@ -91,6 +91,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftStoreTable(s"$k@v$v", snap.schema, 0, "delta")
   }
 
+  /** `SELECT ... FROM t TIMESTAMP AS OF ts` — Spark hands the timestamp
+    * as epoch MICROSECONDS; it resolves to the latest generation
+    * installed at or before it, then binds like `VERSION AS OF`. */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val k = key(ident)
+    if (!GraftStore.exists(k)) throw new NoSuchTableException(ident)
+    loadTable(ident, GraftStore.versionAt(k, timestampMicros).toString)
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     GraftStore.exists(key(ident))
 

@@ -120,8 +120,9 @@ object GraftStore {
     * policy); an in-memory version pins its row vectors, so the window
     * is deliberately small and a mutation-churned memory collection
     * trades RAM for history exactly like any uncompacted MVCC store. */
+  /** (generation, installed-at epoch micros, snapshot). */
   private val versions =
-    scala.collection.mutable.Map.empty[String, Vector[(Long, Collection)]]
+    scala.collection.mutable.Map.empty[String, Vector[(Long, Long, Collection)]]
   private val generation = scala.collection.mutable.Map.empty[String, Long]
   private val maxVersions = 16
   private val SnapshotName = "^(.*)@v([0-9]+)$".r
@@ -138,8 +139,8 @@ object GraftStore {
     store(name) = coll
     val gen = generation.getOrElse(name, 0L) + 1L
     generation(name) = gen
-    versions(name) =
-      (versions.getOrElse(name, Vector.empty) :+ (gen, coll)).takeRight(maxVersions)
+    versions(name) = (versions.getOrElse(name, Vector.empty) :+
+      ((gen, System.currentTimeMillis() * 1000L, coll))).takeRight(maxVersions)
   }
 
   /** Current version number (the one `VERSION AS OF` would name). */
@@ -149,11 +150,23 @@ object GraftStore {
   /** The collection as of version `v` — throws if unknown or evicted
     * from the retained window. */
   def getVersion(name: String, v: Long): Collection = store.synchronized {
-    versions.getOrElse(name, Vector.empty).find(_._1 == v).map(_._2).getOrElse {
+    versions.getOrElse(name, Vector.empty).find(_._1 == v).map(_._3).getOrElse {
       val have = versions.getOrElse(name, Vector.empty).map(_._1)
       throw new NoSuchElementException(
         s"graft-store: no version $v of '$name' (retained: ${have.mkString(", ")})")
     }
+  }
+
+  /** The latest retained version installed at or before `tsMicros`
+    * (epoch microseconds — `TIMESTAMP AS OF`), as its generation
+    * number. Throws if the timestamp predates the retained window. */
+  def versionAt(name: String, tsMicros: Long): Long = store.synchronized {
+    versions.getOrElse(name, Vector.empty)
+      .filter(_._2 <= tsMicros).lastOption.map(_._1).getOrElse {
+        throw new NoSuchElementException(
+          s"graft-store: no retained version of '$name' at or before " +
+            s"timestamp $tsMicros (history may have been evicted)")
+      }
   }
 
   /** Per-collection ROW-ORDER epoch: bumped whenever an operation may

@@ -268,6 +268,30 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_cat.lake.tt")
   }
 
+  test("TIMESTAMP AS OF resolves to the latest generation at that instant") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.lake")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.ts")
+    spark.sql("CREATE TABLE graft_cat.lake.ts (id BIGINT) PARTITIONED BY (id)")
+    spark.sql("INSERT INTO graft_cat.lake.ts SELECT id FROM range(10)")
+    Thread.sleep(5) // distinct install instants
+    val between = java.time.Instant.now()
+    Thread.sleep(5)
+    spark.sql("INSERT INTO graft_cat.lake.ts SELECT id + 100 FROM range(10)")
+    def count(q: String) = spark.sql(q).head().getLong(0)
+    assert(count("SELECT count(*) FROM graft_cat.lake.ts") == 20)
+    val tsLit = java.sql.Timestamp.from(between).toString
+    assert(count(
+      s"SELECT count(*) FROM graft_cat.lake.ts TIMESTAMP AS OF '$tsLit'") == 10,
+      "the snapshot between the inserts must see only the first batch")
+    // predating the whole history errors loudly
+    val early = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM graft_cat.lake.ts TIMESTAMP AS OF '1999-01-01 00:00:00'")
+        .collect()
+    }
+    assert(early != null)
+    spark.sql("DROP TABLE graft_cat.lake.ts")
+  }
+
   test("writeStream.toTable: exactly-once into a catalog table across restart, layout kept") {
     import org.apache.spark.sql.streaming.Trigger
     val src = "cat_stream_src"
