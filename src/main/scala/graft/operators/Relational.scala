@@ -98,33 +98,56 @@ object Relational {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Flagship: W1 dedup + A1 group-count + H1 having in one plan. The
-    // dedup runs as the AGGREGATE form of W1 (keepFirstAgg): map-side
-    // partial aggregation ships one candidate per (orderkey, partkey)
-    // per input partition and nothing is ever sorted — the window form
-    // would shuffle and sort every row. (l_linenumber is unique within
-    // an order, so the picked rows are identical.)
+    // dedup runs as a HASH-aggregable form of W1: the (l_linenumber,
+    // l_suppkey) order packs into ONE long (ln is 1..7, suppkey fits 32
+    // bits — the packed value preserves lexicographic order and is
+    // unique per key), the kept row's columns come from `min_by`
+    // against it, and the single-char returnflag rides as its ascii
+    // code so every aggregation buffer is a mutable primitive. That
+    // keeps BOTH aggregates in HashAggregate with map-side partial
+    // combine — min(struct(...)) would carry a struct buffer and fall
+    // back to SortAggregate (sort per partition, twice), and the
+    // window form would shuffle + sort every row.
     "q01_dedup_group" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
-      val first = keepFirstAgg(li, Seq("l_orderkey", "l_partkey"),
-        Seq("l_linenumber", "l_suppkey"),
-        Seq("l_returnflag", "l_quantity", "l_extendedprice"))
-      first.groupBy(col("l_returnflag"))
+        .select(col("l_orderkey"), col("l_partkey"),
+          (col("l_linenumber") * lit(4294967296L) + col("l_suppkey")).as("ord"),
+          ascii(col("l_returnflag")).as("flag_a"),
+          col("l_quantity"), cents(col("l_extendedprice")).as("price_cents"))
+      val first = li.groupBy("l_orderkey", "l_partkey")
+        .agg(min_by(col("flag_a"), col("ord")).as("flag_a"),
+          min_by(col("l_quantity"), col("ord")).as("l_quantity"),
+          min_by(col("price_cents"), col("ord")).as("price_cents"))
+      first.groupBy(chr(col("flag_a")).as("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
              // round-then-cast: Spark ANSI CAST(double AS long) truncates,
              // DuckDB's rounds — explicit round() makes both agree even if
              // quantities ever turn fractional
              round(sum(col("l_quantity"))).cast("long").as("sum_qty"),
-             sum(cents(col("l_extendedprice"))).cast("long").as("revenue_cents"))
+             sum(col("price_cents")).cast("long").as("revenue_cents"))
         .filter(col("n_rows") > 10)
         .orderBy(col("l_returnflag"))
     }),
 
     // W1 alone: deduped row subset, deterministic keep-first.
+    // W1 alone, same hash-aggregable encoding as q01: the kept row's
+    // (l_linenumber, l_suppkey) decode from the packed min order key,
+    // the rest arrives via min_by — all buffers primitive, so the dedup
+    // is ONE HashAggregate with map-side combine instead of a
+    // window-sort (or a struct-min SortAggregate).
     "q02_keep_first" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
-      keepFirstAgg(li, Seq("l_orderkey", "l_partkey"),
-        Seq("l_linenumber", "l_suppkey"), Seq("l_quantity", "l_returnflag"))
-        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity", "l_returnflag")
+        .select(col("l_orderkey"), col("l_partkey"),
+          (col("l_linenumber") * lit(4294967296L) + col("l_suppkey")).as("ord"),
+          ascii(col("l_returnflag")).as("flag_a"), col("l_quantity"))
+      li.groupBy("l_orderkey", "l_partkey")
+        .agg(min(col("ord")).as("ord"),
+          min_by(col("l_quantity"), col("ord")).as("l_quantity"),
+          min_by(col("flag_a"), col("ord")).as("flag_a"))
+        .select(col("l_orderkey"), col("l_partkey"),
+          (col("ord") % lit(4294967296L)).as("l_suppkey"),
+          expr("ord div 4294967296").as("l_linenumber"),
+          col("l_quantity"), chr(col("flag_a")).as("l_returnflag"))
         .orderBy("l_orderkey", "l_partkey")
     }),
 
