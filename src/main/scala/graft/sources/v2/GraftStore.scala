@@ -482,21 +482,36 @@ object GraftStore {
           s"append schema mismatch for $name: ${c.schema} vs $schema")
         c.clusterKey match {
           case Some(k) => registerClustered(name, c.schema, c.rows ++ rows, k)
+          // disk-backed: new rows land as a fresh TAIL segment, existing
+          // segments survive by reference — appending to a collection
+          // bigger than driver RAM must not re-shard it (the compaction
+          // operator exists for when small tail segments accumulate).
+          // Row positions are unchanged (strictly-after tail), so the
+          // order epoch never bumps on this path; the cost is zone
+          // spans that may overlap the existing layout (looser pruning,
+          // never wrong).
+          case None if c.payloadDir.isDefined && c.rowCount > 0 =>
+            appendTailSegment(name, rows.toVector)
           case None =>
             // Does this append preserve the existing row order? Unsharded:
             // always (rows extend). Sharded: the re-shard's stable sort
             // keeps the old prefix intact iff every new key ≥ the current
             // max (a pure tail append); anything else interleaves new rows
             // into the consumed prefix, so streaming offsets must break
-            // LOUDLY — the order epoch records it.
+            // LOUDLY — the order epoch records it. The old maximum comes
+            // from the zone maps (exact per-segment min/max), never from
+            // materializing rows; a non-empty segment with no zone entry
+            // for the key leaves the maximum unknowable → conservative
+            // not-tail-safe.
             val tailSafe = c.shardKey match {
               case None => true
               case Some(key) =>
                 val idx = c.schema.fieldIndex(key)
-                val oldMax = c.rows.iterator.map(_.get(idx))
-                  .filter(_ != null)
+                val zonesComplete = c.segments.forall(s =>
+                  s.count == 0 || s.zones.contains(key))
+                val oldMax = c.segments.flatMap(_.zones.get(key)).map(_._2)
                   .reduceOption((a, b) => if (cmp(a, b) >= 0) a else b)
-                rows.forall(_.get(idx) != null) &&
+                zonesComplete && rows.forall(_.get(idx) != null) &&
                   oldMax.forall(mx => rows.forall(r => cmp(r.get(idx), mx) >= 0))
             }
             val segs = shard(c.schema, c.shardKey, c.rows ++ rows, segCount)
@@ -518,16 +533,64 @@ object GraftStore {
         math.max(1, coll.segments.size))
     }
 
-  /** Atomic `DELETE FROM ... WHERE`: the read-filter-register cycle runs
-    * under the store lock, so a concurrent append/write between the read
-    * and the re-register cannot be silently lost (the batch/streaming
-    * commit paths already lock — mutations must ALL be atomic). */
+  /** SEGMENT-LOCAL rewrite: each segment either survives BY REFERENCE
+    * (`transform` returns None — zero IO, zero memory) or is rebuilt by
+    * STREAMING its replacement iterator straight to the new payload —
+    * disk segments spill to a fresh generation file with exact
+    * footer-derived zone maps; memory segments materialize only
+    * themselves. This is what keeps mutations O(touched segments) on a
+    * collection that is far larger than driver RAM — the global
+    * relayout (materialize everything, re-shard) would be the ingest
+    * OOM all over again. Row positions may shift, so the order epoch
+    * always bumps. Callers hold the store lock. */
+  private def rewriteSegments(name: String, coll: Collection,
+      transform: (Segment, Int, Long) => Option[Iterator[Row]]): Unit = {
+    val bases = coll.segments.scanLeft(0L)(_ + _.count)
+    lazy val sub = {
+      val d = s"${coll.payloadDir.get}/${name.replaceAll("[^A-Za-z0-9._-]", "_")}-g${spillGen.incrementAndGet()}"
+      new java.io.File(d).mkdirs()
+      d
+    }
+    val segs = coll.segments.zipWithIndex.map { case (seg, i) =>
+      transform(seg, i, bases(i)) match {
+        case None => seg
+        case Some(it) => coll.payloadDir match {
+          case Some(_) =>
+            val path = s"$sub/seg-$i.parquet"
+            // write() drains the iterator, so the disk reader under a
+            // derived iterator self-closes at exhaustion
+            val n = GraftParquet.write(path, coll.schema, it)
+            if (n == 0L) Segment(Vector.empty[Row], Map.empty[String, (Any, Any)])
+            else {
+              val (cnt, zones) = GraftParquet.footerStats(path, coll.schema)
+              Segment(ParquetRows(Vector(path), coll.schema, cnt), zones)
+            }
+          case None =>
+            val rows = it.toVector
+            Segment(rows, zoneMaps(coll.schema, rows))
+        }
+      }
+    }
+    install(name, coll.copy(segments = segs))
+    bumpOrderEpoch(name)
+  }
+
+  /** Atomic `DELETE FROM ... WHERE`, SEGMENT-LOCAL: zone maps first
+    * prove which segments can possibly hold a matching row — everything
+    * else survives by reference — and candidate segments stream through
+    * the filter into fresh payloads. A narrow delete on a sharded
+    * collection rewrites one segment, never the table, and never
+    * materializes the collection. Runs under the store lock, so a
+    * concurrent append/write cannot be silently lost. */
   def deleteWhere(name: String, filters: Array[Filter]): Unit =
     store.synchronized {
       val coll = get(name)
-      val kept = coll.rows.filterNot(r =>
-        filters.forall(eval(_, r, coll.schema)))
-      relayout(name, coll, kept)
+      rewriteSegments(name, coll, (seg, _, _) =>
+        // DELETE matches rows passing ALL filters; a segment where the
+        // zone maps refute any one filter cannot contain a match
+        if (!filters.forall(mightMatch(_, seg))) None
+        else Some(seg.iterator.filterNot(r =>
+          filters.forall(eval(_, r, coll.schema)))))
     }
 
   /** Atomic `TRUNCATE TABLE`: drop every row, keep the collection (and
@@ -554,10 +617,45 @@ object GraftStore {
             "scan planning and commit; aborting the replace instead of " +
             "merging against moved segments")
       rowLevelSegmentsReplaced.set(replacedIds.size.toLong)
-      val untouched = coll.segments.zipWithIndex.collect {
-        case (seg, i) if !replacedIds.contains(i) => seg.rows
-      }.flatten
-      replaceAll(name, schema, untouched ++ newRows)
+      coll.clusterKey match {
+        // a cluster-keyed collection must rebuild globally: an UPDATE
+        // may MOVE a row between key segments
+        case Some(_) =>
+          val untouched = coll.segments.zipWithIndex.collect {
+            case (seg, i) if !replacedIds.contains(i) => seg.rows
+          }.flatten
+          replaceAll(name, schema, untouched ++ newRows)
+        case None if replacedIds.isEmpty =>
+          if (newRows.nonEmpty) replaceAll(name, schema, newRows)
+        // range-sharded: untouched segments survive BY REFERENCE; the
+        // rewrite output (already driver-side — it arrived in commit
+        // messages) re-sorts by the shard key and refills EXACTLY the
+        // replaced ordinals. Zone maps are recomputed per refilled
+        // segment, so pruning stays correct even if the new spans
+        // overlap the untouched ones (looser, never wrong) — the
+        // O(collection) global re-shard was the ingest OOM in
+        // disguise for disk-backed collections.
+        case None =>
+          val slots = replacedIds.toVector.sorted
+          val sorted = coll.shardKey match {
+            case Some(k) =>
+              val idx = coll.schema.fieldIndex(k)
+              newRows.toVector.sortWith { (a, b) =>
+                (a.get(idx), b.get(idx)) match {
+                  case (null, null) => false
+                  case (null, _) => true
+                  case (_, null) => false
+                  case (x, y) => cmp(x, y) < 0
+                }
+              }
+            case None => newRows.toVector
+          }
+          val per = math.max(1, math.ceil(sorted.size.toDouble / slots.size).toInt)
+          val chunks = sorted.grouped(per).toVector.padTo(slots.size, Vector.empty[Row])
+          val refills: Map[Int, Vector[Row]] = slots.zip(chunks).toMap
+          rewriteSegments(name, coll, (_, i, _) =>
+            refills.get(i).map(_.iterator))
+      }
     }
 
   /** Atomic commit for a DELTA row-level operation (UPDATE/MERGE/DELETE
@@ -579,14 +677,60 @@ object GraftStore {
           s"graft-store: collection '$name' was mutated between delta " +
             "scan planning and commit; row positions are stale — aborting")
       rowLevelRowsShipped.set(deleted.size.toLong + updated.size + inserted.size)
-      val out = Vector.newBuilder[Row]
-      var pos = 0L
-      coll.segments.foreach(_.iterator.foreach { r =>
-        if (!deleted.contains(pos)) out += updated.getOrElse(pos, r)
-        pos += 1
-      })
-      replaceAll(name, schema, out.result() ++ inserted)
+      coll.clusterKey match {
+        // cluster-keyed: an update may move a row between key segments —
+        // rebuild globally (collections small enough to cluster in the
+        // test double; a production store would re-route by key)
+        case Some(_) =>
+          val out = Vector.newBuilder[Row]
+          var pos = 0L
+          coll.segments.foreach(_.iterator.foreach { r =>
+            if (!deleted.contains(pos)) out += updated.getOrElse(pos, r)
+            pos += 1
+          })
+          replaceAll(name, schema, out.result() ++ inserted)
+        // range-sharded: patch ONLY segments that own a delta position —
+        // everything else survives by reference; inserts land as a
+        // fresh tail segment. A 1-row UPDATE on a disk collection
+        // rewrites 1 segment file and never materializes the rest.
+        case None =>
+          rewriteDeltas(name, coll, deleted, updated)
+          if (inserted.nonEmpty) appendTailSegment(name, inserted.toVector)
+      }
     }
+
+  /** Position-addressed delete/update patches, segment-locally. Callers
+    * hold the store lock. */
+  private def rewriteDeltas(name: String, coll: Collection,
+                            deleted: Set[Long], updated: Map[Long, Row]): Unit =
+    rewriteSegments(name, coll, (seg, _, base) => {
+      val end = base + seg.count
+      val touched = deleted.exists(p => p >= base && p < end) ||
+        updated.keys.exists(p => p >= base && p < end)
+      if (!touched) None
+      else Some(seg.iterator.zipWithIndex.flatMap { case (r, j) =>
+        val pos = base + j
+        if (deleted.contains(pos)) None else Some(updated.getOrElse(pos, r))
+      })
+    })
+
+  /** Append `rows` as a fresh TAIL segment (sorted by the shard key for
+    * a tight zone map), leaving every existing segment untouched — the
+    * O(batch) append for collections too large to re-shard per batch.
+    * Existing row positions are unchanged (new rows land strictly
+    * after), so the order epoch does NOT bump. Callers hold the store
+    * lock. */
+  private def appendTailSegment(name: String, rows: Vector[Row]): Unit = {
+    val coll = get(name)
+    val segs = shard(coll.schema, coll.shardKey, rows, 1)
+      .filter(_.count > 0)
+    val spilled = coll.payloadDir match {
+      case Some(dir) => spill(name, coll.schema, segs, dir)
+      case None => segs
+    }
+    if (spilled.nonEmpty)
+      install(name, coll.copy(segments = coll.segments ++ spilled))
+  }
 
   // ----------------------------------------------------- table props
 

@@ -192,6 +192,45 @@ class DiskStoreSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_cat.lake.disk_t")
   }
 
+  test("mutations are segment-local: untouched disk segments survive by reference") {
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    GraftStore.loadDisk("dsk_local", docs, "doc_id", 8, dir)
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    def payloads() = GraftStore.get("dsk_local").segments.map(_.payload)
+
+    // narrow DELETE: zone maps confine the rewrite to the tail segment(s)
+    val before = payloads()
+    spark.sql(s"DELETE FROM graft_cat.`dsk_local` WHERE doc_id > ${maxId - 10}")
+    val afterDelete = payloads()
+    assert(read("dsk_local").count() == docs.where(col("doc_id") <= maxId - 10).count())
+    val keptByRef = before.zip(afterDelete).count { case (a, b) => a eq b }
+    assert(keptByRef >= 6,
+      s"a narrow delete must keep most segments by reference, kept=$keptByRef of 8")
+    assert(before.zip(afterDelete).exists { case (a, b) => !(a eq b) },
+      "the matching segment must actually be rewritten")
+
+    // 1-row delta UPDATE: exactly one segment file changes
+    val preUpdate = payloads()
+    spark.sql("UPDATE graft_cat.`dsk_local` SET lang = 'xx' WHERE doc_id = 5")
+    val postUpdate = payloads()
+    assert(read("dsk_local").where("lang = 'xx'").count() == 1)
+    assert(preUpdate.zip(postUpdate).count { case (a, b) => !(a eq b) } == 1,
+      "a 1-row update must rewrite exactly one segment")
+
+    // append: every existing segment untouched, one tail segment added
+    val preAppend = payloads()
+    val epochBefore = GraftStore.orderEpoch("dsk_local")
+    docs.limit(7).write.format("graft-store")
+      .option("name", "dsk_local").mode("append").save()
+    val postAppend = payloads()
+    assert(postAppend.size == preAppend.size + 1, "append must add a tail segment")
+    preAppend.zip(postAppend).foreach { case (a, b) =>
+      assert(a eq b, "append must not touch existing segments")
+    }
+    assert(GraftStore.orderEpoch("dsk_local") == epochBefore,
+      "a tail append preserves row positions - streaming offsets stay valid")
+  }
+
   test("streaming a disk collection: bounded micro-batches, parity with batch") {
     import org.apache.spark.sql.streaming.Trigger
     GraftStore.loadDisk("dsk_stream", docs, "doc_id", 4, dir)
