@@ -116,6 +116,19 @@ object ScaleCheck {
             max("avg_chars").as("avg_chars")))
     }
 
+    // mutation at scale: a ranged DELETE on the full disk collection
+    // must stream segment-locally (zone maps confine the rewrite) — a
+    // driver-materializing path would OOM here long before finishing
+    {
+      val cut = span.toDouble * (replicate - 1) // last replica's id range
+      val expect = big.where(col("doc_id") <= cut).count()
+      val t = System.nanoTime()
+      GraftStore.deleteWhere("scale_docs",
+        Array(org.apache.spark.sql.sources.GreaterThan("doc_id", cut.toLong)))
+      times("delete_range") = (System.nanoTime() - t) / 1e9
+      results("delete_range") = read("scale_docs").count() == expect
+    }
+
     val rows = GraftStore.get("scale_docs").rowCount
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val allOk = results.values.forall(identity)
