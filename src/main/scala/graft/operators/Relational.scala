@@ -49,24 +49,6 @@ object Relational {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** W1 as ONE hash aggregation: `min` over a struct ordered by
-    * (`order`, then `payload`) picks the same row as [[keepFirst]]'s
-    * row_number (exactly the same when `order` is unique per key, which
-    * every caller here guarantees). The scale trade against the window
-    * form: a hash aggregate PARTIAL-aggregates map-side (each input
-    * partition ships at most one candidate per key instead of every
-    * row) and never sorts, where the window must shuffle all rows and
-    * sort each partition. Needs all carried columns inside one
-    * orderable struct — use [[keepFirst]] when payloads aren't
-    * orderable or the full row must pass through untouched. */
-  def keepFirstAgg(df: DataFrame, keys: Seq[String], order: Seq[String],
-                   payload: Seq[String]): DataFrame = {
-    val carried = order ++ payload
-    df.groupBy(keys.map(col): _*)
-      .agg(min(struct(carried.map(col): _*)).as("__first"))
-      .select(keys.map(col) ++ carried.map(c => col(s"__first.$c")): _*)
-  }
-
   /** J3: dedup via anti-join — the reference's delete-the-victims form
     * (transform_load.py:62-70). Semantically equal to keepFirst; kept as
     * the explicit anti-join surface. */
