@@ -34,7 +34,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * carries its prefix, plus anything created explicitly) — the store is
   * a flat keyspace, as Mongo databases are. */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog with ViewCatalog {
+    with FunctionCatalog with ViewCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+
+  /** `CALL graft_cat.system.<proc>(...)` — maintenance commands
+    * ([[GraftProcedures]]: distributed compaction). */
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    val ok = ident.namespace().toSeq == GraftProcedures.namespace.toSeq
+    (if (ok) GraftProcedures.load(ident.name()) else None).getOrElse(
+      throw new RuntimeException(
+        s"graft-store: no such procedure: ${ident.namespace().mkString(".")}.${ident.name()}"))
+  }
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == GraftProcedures.namespace.toSeq)
+      GraftProcedures.names.map(Identifier.of(GraftProcedures.namespace, _)).toArray
+    else Array.empty
 
   private var catName: String = _
   // explicitly-created namespaces (CREATE NAMESPACE) — collection-derived

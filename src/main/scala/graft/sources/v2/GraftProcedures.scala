@@ -1,0 +1,71 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+
+/** Maintenance procedures for the `graft_cat` catalog — the SQL `CALL`
+  * surface (Spark 4 ProcedureCatalog) for operations that are commands
+  * on the STORE rather than queries over a table:
+  *
+  *   CALL graft_cat.system.compact(tbl => 'lake.t', segments => 8)
+  *
+  * `compact` runs [[GraftStore.compact]]: a distributed re-ingest of a
+  * fragmented collection through its own connector scan (the remedy
+  * for tail segments accumulated by per-epoch appends) and returns one
+  * row of evidence — segment counts before/after and the resulting
+  * row count. */
+object GraftProcedures {
+
+  val namespace: Array[String] = Array("system")
+
+  def load(name: String): Option[UnboundProcedure] = name match {
+    case "compact" => Some(CompactProcedure)
+    case _ => None
+  }
+  def names: Seq[String] = Seq("compact")
+
+  private object CompactProcedure extends UnboundProcedure {
+    override def name(): String = "compact"
+    override def description(): String =
+      "distributed compaction of a graft-store collection's segment layout"
+    override def bind(inputType: StructType): BoundProcedure = Bound
+  }
+
+  private object Bound extends BoundProcedure {
+    override def name(): String = "compact"
+    override def description(): String = CompactProcedure.description()
+    override def isDeterministic: Boolean = false // mutates the store
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("tbl", StringType)
+        .comment("collection name as the catalog sees it, e.g. lake.t").build(),
+      ProcedureParameter.in("segments", IntegerType)
+        .defaultValue("-1")
+        .comment("target segment count; -1 = min(current, 8)").build())
+
+    private val outSchema = StructType(Seq(
+      StructField("segments_before", IntegerType, nullable = false),
+      StructField("segments_after", IntegerType, nullable = false),
+      StructField("row_count", LongType, nullable = false)))
+
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val tbl = input.getUTF8String(0).toString
+      val target = input.getInt(1)
+      val spark = SparkSession.active
+      val (before, after) = GraftStore.compact(tbl, spark, target)
+      val row = new GenericInternalRow(Array[Any](
+        before, after, GraftStore.get(tbl).rowCount))
+      util.Collections.singletonList(new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = outSchema
+        override def description(): String = s"graft-store compact($tbl)"
+      }: Scan).iterator()
+    }
+  }
+}

@@ -339,6 +339,23 @@ object GraftStore {
     * [[register]]'s driver-side sharding. */
   def loadDisk(name: String, df: DataFrame, shardKey: String,
                numSegments: Int, dir: String): Unit = {
+    val segs = writeRangeSegments(name, df, Some(shardKey), numSegments, dir)
+    store.synchronized {
+      install(name, Collection(df.schema, Some(shardKey),
+        if (segs.isEmpty) Vector(Segment(Vector.empty[Row], Map.empty[String, (Any, Any)]))
+        else segs,
+        payloadDir = Some(dir)))
+      bumpOrderEpoch(name)
+    }
+  }
+
+  /** Distributed range-sharded parquet write + footer-derived segments —
+    * shared by [[loadDisk]] and [[compact]]: executors write, the
+    * driver touches only footers. Without a shard key the exchange is a
+    * plain round-robin repartition (no pruning layout to build). */
+  private def writeRangeSegments(name: String, df: DataFrame,
+                                 shardKey: Option[String], numSegments: Int,
+                                 dir: String): Vector[Segment] = {
     import org.apache.spark.sql.functions.col
     GraftParquet.unsupported(df.schema).foreach { f =>
       throw new IllegalArgumentException(
@@ -351,24 +368,67 @@ object GraftStore {
     val tsKey = "spark.sql.parquet.outputTimestampType"
     val prevTs = spark.conf.getOption(tsKey)
     spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try df.repartitionByRange(math.max(1, numSegments), col(shardKey))
-      .sortWithinPartitions(shardKey)
-      .write.mode("overwrite").parquet(sub)
-    finally prevTs match {
+    try {
+      val arranged = shardKey match {
+        case Some(k) => df.repartitionByRange(math.max(1, numSegments), col(k))
+          .sortWithinPartitions(k)
+        case None => df.repartition(math.max(1, numSegments))
+      }
+      arranged.write.mode("overwrite").parquet(sub)
+    } finally prevTs match {
       case Some(v) => spark.conf.set(tsKey, v)
       case None => spark.conf.unset(tsKey)
     }
-    val segs = GraftParquet.listPartFiles(sub).map { p =>
+    GraftParquet.listPartFiles(sub).map { p =>
       val (n, zones) = GraftParquet.footerStats(p, df.schema)
       Segment(ParquetRows(Vector(p), df.schema, n), zones)
     }.filter(_.count > 0L)
-    store.synchronized {
-      install(name, Collection(df.schema, Some(shardKey),
-        if (segs.isEmpty) Vector(Segment(Vector.empty[Row], Map.empty[String, (Any, Any)]))
-        else segs,
-        payloadDir = Some(dir)))
-      bumpOrderEpoch(name)
+  }
+
+  /** DISTRIBUTED compaction: re-ingest the collection through its own
+    * connector scan — executors read the fragmented segments and write
+    * a fresh range layout; the driver swaps manifests. This is the
+    * answer to tail-segment accumulation from per-epoch appends (small
+    * files): zone spans become disjoint again and pruning recovers its
+    * selectivity. Optimistic like the row-level commits: the Spark job
+    * runs WITHOUT the store lock, and the swap validates the segment
+    * list is still the one it read (reference equality), failing loudly
+    * if a writer raced. Reorders rows ⇒ order epoch bumps (streaming
+    * readers must restart, as after any rewrite). In-memory collections
+    * just relayout. Returns (segments before, segments after). */
+  def compact(name: String, spark: org.apache.spark.sql.SparkSession,
+              numSegments: Int = -1): (Int, Int) = {
+    val before = get(name)
+    require(before.clusterKey.isEmpty,
+      s"graft-store: '$name' is cluster-keyed — its layout is already one segment per key")
+    val target =
+      if (numSegments > 0) numSegments
+      else math.max(1, math.min(before.segments.size, 8))
+    before.payloadDir match {
+      case Some(dir) =>
+        val df = spark.read.format("graft-store").option("name", name).load()
+        val segs = writeRangeSegments(name, df, before.shardKey, target, dir)
+        store.synchronized {
+          val now = get(name)
+          if (now.segments ne before.segments)
+            throw new IllegalStateException(
+              s"graft-store: collection '$name' was mutated during compaction; " +
+                "rerun against the new state")
+          install(name, now.copy(segments =
+            if (segs.isEmpty) Vector(Segment(Vector.empty[Row], Map.empty[String, (Any, Any)]))
+            else segs))
+          bumpOrderEpoch(name)
+        }
+      case None => store.synchronized {
+        val now = get(name)
+        if (now.segments ne before.segments)
+          throw new IllegalStateException(
+            s"graft-store: collection '$name' was mutated during compaction; " +
+              "rerun against the new state")
+        register(name, now.schema, now.rows, now.shardKey, target)
+      }
     }
+    (before.segments.size, get(name).segments.size)
   }
 
   /** Disk-backed [[loadClustered]]: one `key=value` partition directory

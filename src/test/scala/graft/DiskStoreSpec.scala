@@ -231,6 +231,35 @@ class DiskStoreSpec extends AnyFunSuite {
       "a tail append preserves row positions - streaming offsets stay valid")
   }
 
+  test("CALL compact: distributed re-layout heals tail-segment fragmentation") {
+    spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    GraftStore.loadDisk("dsk_frag", docs.where("doc_id < 300"), "doc_id", 4, dir)
+    // fragment: five appends = five tail segments overlapping the layout
+    (0 until 5).foreach { i =>
+      docs.where(s"doc_id >= ${300 + i * 20} AND doc_id < ${320 + i * 20}")
+        .write.format("graft-store").option("name", "dsk_frag")
+        .mode("append").save()
+    }
+    val fragmented = GraftStore.get("dsk_frag").segments.size
+    assert(fragmented == 9, s"expected 4 + 5 tail segments, got $fragmented")
+    val want = docs.where("doc_id < 400").count()
+
+    val out = spark.sql(
+      "CALL graft_cat.system.compact(tbl => 'dsk_frag', segments => 4)").collect()
+    assert(out.length == 1 && out(0).getInt(0) == 9 && out(0).getInt(1) == 4 &&
+      out(0).getLong(2) == want, s"unexpected CALL result: ${out.toSeq}")
+
+    // healed layout: exact rows, disjoint zones prune again, disk-backed
+    assert(read("dsk_frag").count() == want)
+    assert(read("dsk_frag").except(docs.where("doc_id < 400")).count() == 0)
+    diskSegments("dsk_frag").foreach(s =>
+      assert(s.payload.isInstanceOf[GraftStore.ParquetRows]))
+    GraftStore.resetCounters()
+    read("dsk_frag").where(col("doc_id") < 50).count()
+    assert(GraftStore.segmentsSkipped.get() >= 2,
+      s"compacted layout must prune, skipped=${GraftStore.segmentsSkipped.get()}")
+  }
+
   test("streaming a disk collection: bounded micro-batches, parity with batch") {
     import org.apache.spark.sql.streaming.Trigger
     GraftStore.loadDisk("dsk_stream", docs, "doc_id", 4, dir)
