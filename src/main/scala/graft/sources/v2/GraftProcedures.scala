@@ -26,9 +26,49 @@ object GraftProcedures {
 
   def load(name: String): Option[UnboundProcedure] = name match {
     case "compact" => Some(CompactProcedure)
+    case "history" => Some(HistoryProcedure)
     case _ => None
   }
-  def names: Seq[String] = Seq("compact")
+  def names: Seq[String] = Seq("compact", "history")
+
+  /** `CALL graft_cat.system.history(tbl => 't')` — the retained
+    * time-travel generations (the `DESCRIBE HISTORY` analog): one row
+    * per version with its install instant, row count, and segment
+    * count; `VERSION AS OF` takes the `version` column verbatim. */
+  private object HistoryProcedure extends UnboundProcedure {
+    override def name(): String = "history"
+    override def description(): String =
+      "retained time-travel versions of a graft-store collection"
+    override def bind(inputType: StructType): BoundProcedure = HistoryBound
+  }
+
+  private object HistoryBound extends BoundProcedure {
+    override def name(): String = "history"
+    override def description(): String = HistoryProcedure.description()
+    override def isDeterministic: Boolean = false // reads mutable state
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("tbl", StringType)
+        .comment("collection name as the catalog sees it").build())
+
+    private val outSchema = StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("installed_at", TimestampType, nullable = false),
+      StructField("row_count", LongType, nullable = false),
+      StructField("segments", IntegerType, nullable = false)))
+
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val tbl = input.getUTF8String(0).toString
+      val out = GraftStore.versionHistory(tbl).map { case (gen, ts, rows, segs) =>
+        new GenericInternalRow(Array[Any](gen, ts, rows, segs)): InternalRow
+      }.toArray
+      util.Collections.singletonList(new LocalScan {
+        override def rows(): Array[InternalRow] = out
+        override def readSchema(): StructType = outSchema
+        override def description(): String = s"graft-store history($tbl)"
+      }: Scan).iterator()
+    }
+  }
 
   private object CompactProcedure extends UnboundProcedure {
     override def name(): String = "compact"

@@ -157,6 +157,17 @@ object GraftStore {
     }
   }
 
+  /** Retained history for `CALL system.history`: (generation,
+    * installed-at micros, row count, segment count), oldest first. */
+  def versionHistory(name: String): Vector[(Long, Long, Long, Int)] =
+    store.synchronized {
+      if (!store.contains(name))
+        throw new NoSuchElementException(s"graft-store: no such collection: $name")
+      versions.getOrElse(name, Vector.empty).map { case (gen, ts, c) =>
+        (gen, ts, c.rowCount, c.segments.size)
+      }
+    }
+
   /** The latest retained version installed at or before `tsMicros`
     * (epoch microseconds — `TIMESTAMP AS OF`), as its generation
     * number. Throws if the timestamp predates the retained window. */

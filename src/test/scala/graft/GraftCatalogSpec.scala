@@ -268,6 +268,23 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_cat.lake.tt")
   }
 
+  test("CALL system.history lists the retained generations, joinable to VERSION AS OF") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.lake")
+    spark.sql("DROP TABLE IF EXISTS graft_cat.lake.h")
+    spark.sql("CREATE TABLE graft_cat.lake.h (id BIGINT) PARTITIONED BY (id)")
+    spark.sql("INSERT INTO graft_cat.lake.h SELECT id FROM range(10)")
+    spark.sql("INSERT INTO graft_cat.lake.h SELECT id + 10 FROM range(5)")
+    val hist = spark.sql("CALL graft_cat.system.history(tbl => 'lake.h')").collect()
+    assert(hist.length == 3, s"create + 2 inserts = 3 generations, got ${hist.length}")
+    assert(hist.map(_.getLong(2)).toSeq == Seq(0L, 10L, 15L),
+      "row counts must track the mutation history")
+    // the version column feeds VERSION AS OF directly
+    val v = hist(1).getLong(0)
+    assert(spark.sql(s"SELECT count(*) FROM graft_cat.lake.h VERSION AS OF $v")
+      .head().getLong(0) == 10)
+    spark.sql("DROP TABLE graft_cat.lake.h")
+  }
+
   test("TIMESTAMP AS OF resolves to the latest generation at that instant") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.lake")
     spark.sql("DROP TABLE IF EXISTS graft_cat.lake.ts")
