@@ -27,9 +27,11 @@ object GraftProcedures {
   def load(name: String): Option[UnboundProcedure] = name match {
     case "compact" => Some(CompactProcedure)
     case "history" => Some(HistoryProcedure)
+    case "vacuum" => Some(VacuumProcedure)
+    case "zorder" => Some(ZorderProcedure)
     case _ => None
   }
-  def names: Seq[String] = Seq("compact", "history")
+  def names: Seq[String] = Seq("compact", "history", "vacuum", "zorder")
 
   /** `CALL graft_cat.system.history(tbl => 't')` — the retained
     * time-travel generations (the `DESCRIBE HISTORY` analog): one row
@@ -105,6 +107,98 @@ object GraftProcedures {
         override def rows(): Array[InternalRow] = Array(row)
         override def readSchema(): StructType = outSchema
         override def description(): String = s"graft-store compact($tbl)"
+      }: Scan).iterator()
+    }
+  }
+
+  /** `CALL graft_cat.system.vacuum(tbl => 't', keep_last => 1)` —
+    * expire time-travel generations beyond the last `keep_last` and
+    * delete disk payload files no longer referenced by any live
+    * collection or retained version (the `VACUUM` analog). Returns the
+    * reclamation evidence: versions expired, files deleted, bytes
+    * reclaimed, versions still retained. */
+  private object VacuumProcedure extends UnboundProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String =
+      "expire time-travel history and reclaim unreferenced disk payload files"
+    override def bind(inputType: StructType): BoundProcedure = VacuumBound
+  }
+
+  private object VacuumBound extends BoundProcedure {
+    override def name(): String = "vacuum"
+    override def description(): String = VacuumProcedure.description()
+    override def isDeterministic: Boolean = false // mutates the store
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("tbl", StringType)
+        .comment("collection name as the catalog sees it").build(),
+      ProcedureParameter.in("keep_last", IntegerType)
+        .defaultValue("1")
+        .comment("retained generations after the vacuum (>= 1)").build())
+
+    private val outSchema = StructType(Seq(
+      StructField("expired_versions", IntegerType, nullable = false),
+      StructField("deleted_files", IntegerType, nullable = false),
+      StructField("reclaimed_bytes", LongType, nullable = false),
+      StructField("retained_versions", IntegerType, nullable = false)))
+
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val tbl = input.getUTF8String(0).toString
+      val keep = input.getInt(1)
+      val (expired, files, bytes) = GraftStore.vacuum(tbl, keep)
+      val row = new GenericInternalRow(Array[Any](
+        expired, files, bytes, GraftStore.versionHistory(tbl).size))
+      util.Collections.singletonList(new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = outSchema
+        override def description(): String = s"graft-store vacuum($tbl)"
+      }: Scan).iterator()
+    }
+  }
+
+  /** `CALL graft_cat.system.zorder(tbl => 't', x => 'a', y => 'b')` —
+    * distributed 2-D re-clustering on the Morton code of two numeric
+    * columns, so zone maps prune on predicates over EITHER dimension
+    * (the `OPTIMIZE ... ZORDER BY` analog). */
+  private object ZorderProcedure extends UnboundProcedure {
+    override def name(): String = "zorder"
+    override def description(): String =
+      "re-cluster a collection on the Morton code of two numeric columns"
+    override def bind(inputType: StructType): BoundProcedure = ZorderBound
+  }
+
+  private object ZorderBound extends BoundProcedure {
+    override def name(): String = "zorder"
+    override def description(): String = ZorderProcedure.description()
+    override def isDeterministic: Boolean = false // mutates the store
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("tbl", StringType)
+        .comment("collection name as the catalog sees it").build(),
+      ProcedureParameter.in("x", StringType)
+        .comment("first z-order dimension (numeric column)").build(),
+      ProcedureParameter.in("y", StringType)
+        .comment("second z-order dimension (numeric column)").build(),
+      ProcedureParameter.in("segments", IntegerType)
+        .defaultValue("-1")
+        .comment("target segment count; -1 = keep current").build())
+
+    private val outSchema = StructType(Seq(
+      StructField("segments_before", IntegerType, nullable = false),
+      StructField("segments_after", IntegerType, nullable = false),
+      StructField("row_count", LongType, nullable = false)))
+
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val tbl = input.getUTF8String(0).toString
+      val (x, y) = (input.getUTF8String(1).toString, input.getUTF8String(2).toString)
+      val target = input.getInt(3)
+      val (before, after) = GraftStore.zorder(tbl, SparkSession.active, x, y, target)
+      val row = new GenericInternalRow(Array[Any](
+        before, after, GraftStore.get(tbl).rowCount))
+      util.Collections.singletonList(new LocalScan {
+        override def rows(): Array[InternalRow] = Array(row)
+        override def readSchema(): StructType = outSchema
+        override def description(): String = s"graft-store zorder($tbl)"
       }: Scan).iterator()
     }
   }

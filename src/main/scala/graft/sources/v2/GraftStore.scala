@@ -267,6 +267,38 @@ object GraftStore {
     * the payload dir is). */
   private val spillGen = new AtomicLong(0)
 
+  /** Generation subdirectories with a distributed write IN FLIGHT:
+    * compact/zorder/loadDisk/loadClusteredDisk write parquet OUTSIDE
+    * the store lock and only then install the manifest. [[vacuum]]
+    * treats a pinned directory as referenced — without the pin, a
+    * vacuum racing the write could sweep freshly-written files between
+    * the write and the manifest swap. Pinned/unpinned under the store
+    * lock; a failed install leaves the files unpinned garbage for the
+    * next vacuum to reclaim. */
+  private val pendingDirs = scala.collection.mutable.Set.empty[String]
+  /** One canonical form for a payload path. Segment manifests carry
+    * whatever the writer produced — `file:/…` URIs from distributed
+    * writes, plain paths from driver-side spills — and [[vacuum]]'s
+    * keep/delete decision is a set-membership test over these strings,
+    * so the normalization IS the correctness of the sweep. */
+  private def canonicalPath(p: String): String = {
+    val f =
+      if (p.startsWith("file:"))
+        try new java.io.File(java.net.URI.create(p).getPath)
+        catch { case _: IllegalArgumentException | _: NullPointerException =>
+          new java.io.File(p.stripPrefix("file:")) }
+      else new java.io.File(p)
+    try f.getCanonicalPath
+    catch { case _: java.io.IOException => f.getAbsolutePath }
+  }
+  private def freshGenDir(name: String, dir: String): String = {
+    val sub = s"$dir/${name.replaceAll("[^A-Za-z0-9._-]", "_")}-g${spillGen.incrementAndGet()}"
+    store.synchronized { pendingDirs += canonicalPath(sub) }
+    sub
+  }
+  private def unpin(sub: String): Unit =
+    store.synchronized { pendingDirs -= canonicalPath(sub) }
+
   /** Spill in-memory segments to parquet under `dir` (zone maps stay as
     * computed — driver-side rows are exact, no need for footer stats). */
   private def spill(name: String, schema: StructType, segs: Vector[Segment],
@@ -350,43 +382,37 @@ object GraftStore {
     * [[register]]'s driver-side sharding. */
   def loadDisk(name: String, df: DataFrame, shardKey: String,
                numSegments: Int, dir: String): Unit = {
-    val segs = writeRangeSegments(name, df, Some(shardKey), numSegments, dir)
-    store.synchronized {
-      install(name, Collection(df.schema, Some(shardKey),
-        if (segs.isEmpty) Vector(Segment(Vector.empty[Row], Map.empty[String, (Any, Any)]))
-        else segs,
-        payloadDir = Some(dir)))
-      bumpOrderEpoch(name)
-    }
+    val sub = freshGenDir(name, dir)
+    try {
+      val segs = writeRangeSegments(name, df, Some(shardKey), numSegments, sub)
+      store.synchronized {
+        install(name, Collection(df.schema, Some(shardKey),
+          if (segs.isEmpty) Vector(Segment(Vector.empty[Row], Map.empty[String, (Any, Any)]))
+          else segs,
+          payloadDir = Some(dir)))
+        bumpOrderEpoch(name)
+      }
+    } finally unpin(sub)
   }
 
-  /** Distributed range-sharded parquet write + footer-derived segments —
-    * shared by [[loadDisk]] and [[compact]]: executors write, the
-    * driver touches only footers. Without a shard key the exchange is a
-    * plain round-robin repartition (no pruning layout to build). */
-  private def writeRangeSegments(name: String, df: DataFrame,
-                                 shardKey: Option[String], numSegments: Int,
-                                 dir: String): Vector[Segment] = {
-    import org.apache.spark.sql.functions.col
+  /** Distributed parquet write into a fresh generation dir + footer-
+    * derived segments: executors arrange and write, the driver touches
+    * only footers. The arrangement (range shard, z-order, …) decides
+    * the zone-map layout; `sub` comes pre-pinned from [[freshGenDir]]. */
+  private def writeSegmentsVia(name: String, df: DataFrame, sub: String)
+                              (arrange: DataFrame => DataFrame): Vector[Segment] = {
     GraftParquet.unsupported(df.schema).foreach { f =>
       throw new IllegalArgumentException(
         s"graft-store: disk payload for '$name' cannot carry column " +
           s"${f.name}: ${f.dataType.catalogString} (flat scalar schemas only)")
     }
-    val sub = s"$dir/${name.replaceAll("[^A-Za-z0-9._-]", "_")}-g${spillGen.incrementAndGet()}"
     val spark = df.sparkSession
     // the reader speaks INT64 micros; INT96 timestamps would not round-trip
     val tsKey = "spark.sql.parquet.outputTimestampType"
     val prevTs = spark.conf.getOption(tsKey)
     spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try {
-      val arranged = shardKey match {
-        case Some(k) => df.repartitionByRange(math.max(1, numSegments), col(k))
-          .sortWithinPartitions(k)
-        case None => df.repartition(math.max(1, numSegments))
-      }
-      arranged.write.mode("overwrite").parquet(sub)
-    } finally prevTs match {
+    try arrange(df).write.mode("overwrite").parquet(sub)
+    finally prevTs match {
       case Some(v) => spark.conf.set(tsKey, v)
       case None => spark.conf.unset(tsKey)
     }
@@ -394,6 +420,22 @@ object GraftStore {
       val (n, zones) = GraftParquet.footerStats(p, df.schema)
       Segment(ParquetRows(Vector(p), df.schema, n), zones)
     }.filter(_.count > 0L)
+  }
+
+  /** Range-sharded arrangement — shared by [[loadDisk]] and [[compact]].
+    * Without a shard key the exchange is a plain round-robin
+    * repartition (no pruning layout to build). */
+  private def writeRangeSegments(name: String, df: DataFrame,
+                                 shardKey: Option[String], numSegments: Int,
+                                 sub: String): Vector[Segment] = {
+    import org.apache.spark.sql.functions.col
+    writeSegmentsVia(name, df, sub) { d =>
+      shardKey match {
+        case Some(k) => d.repartitionByRange(math.max(1, numSegments), col(k))
+          .sortWithinPartitions(k)
+        case None => d.repartition(math.max(1, numSegments))
+      }
+    }
   }
 
   /** DISTRIBUTED compaction: re-ingest the collection through its own
@@ -418,18 +460,21 @@ object GraftStore {
     before.payloadDir match {
       case Some(dir) =>
         val df = spark.read.format("graft-store").option("name", name).load()
-        val segs = writeRangeSegments(name, df, before.shardKey, target, dir)
-        store.synchronized {
-          val now = get(name)
-          if (now.segments ne before.segments)
-            throw new IllegalStateException(
-              s"graft-store: collection '$name' was mutated during compaction; " +
-                "rerun against the new state")
-          install(name, now.copy(segments =
-            if (segs.isEmpty) Vector(Segment(Vector.empty[Row], Map.empty[String, (Any, Any)]))
-            else segs))
-          bumpOrderEpoch(name)
-        }
+        val sub = freshGenDir(name, dir)
+        try {
+          val segs = writeRangeSegments(name, df, before.shardKey, target, sub)
+          store.synchronized {
+            val now = get(name)
+            if (now.segments ne before.segments)
+              throw new IllegalStateException(
+                s"graft-store: collection '$name' was mutated during compaction; " +
+                  "rerun against the new state")
+            install(name, now.copy(segments =
+              if (segs.isEmpty) Vector(Segment(Vector.empty[Row], Map.empty[String, (Any, Any)]))
+              else segs))
+            bumpOrderEpoch(name)
+          }
+        } finally unpin(sub)
       case None => store.synchronized {
         val now = get(name)
         if (now.segments ne before.segments)
@@ -440,6 +485,152 @@ object GraftStore {
       }
     }
     (before.segments.size, get(name).segments.size)
+  }
+
+  /** DISTRIBUTED 2-D re-clustering (`CALL system.zorder`): re-ingest
+    * the collection through its own connector scan, laid out by the
+    * Morton interleave of two numeric columns
+    * ([[graft.sources.Layout.mortonE]], each dimension normalized to
+    * 16 bits over its observed min/max). A range shard is selective in
+    * exactly ONE dimension — after z-order every segment covers a tight
+    * RECTANGLE in (x, y) space, so zone maps prune on predicates over
+    * EITHER column (or both). The footer-derived zone maps stay exact
+    * min/max over the real values, so pruning correctness never depends
+    * on the quantization; the layout only decides how tight they are.
+    *
+    * The min/max bounds probe is answered by the connector's aggregate
+    * pushdown (zone maps), so the driver pays two metadata lookups, not
+    * a scan. The re-layout drops the shard key (rows are no longer
+    * range-contiguous in it — its zone maps keep pruning, just looser)
+    * and records the layout in the collection props. Same optimistic
+    * concurrency + order-epoch rules as [[compact]]. */
+  def zorder(name: String, spark: org.apache.spark.sql.SparkSession,
+             xCol: String, yCol: String, numSegments: Int = -1): (Int, Int) = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val before = get(name)
+    require(before.clusterKey.isEmpty,
+      s"graft-store: '$name' is cluster-keyed — one segment per key value; z-order does not apply")
+    Seq(xCol, yCol).foreach { c =>
+      val f = before.schema.fields.find(_.name == c).getOrElse(throw
+        new IllegalArgumentException(s"graft-store: no such column: $c"))
+      require(f.dataType.isInstanceOf[NumericType],
+        s"graft-store: z-order column $c must be numeric, got ${f.dataType.catalogString}")
+    }
+    val target =
+      if (numSegments > 0) numSegments
+      else math.max(1, before.segments.size)
+    def zArranged(df: DataFrame): DataFrame = {
+      val (xE, yE) = (s"cast(`$xCol` as bigint)", s"cast(`$yCol` as bigint)")
+      val b = df.selectExpr(s"min($xE)", s"max($xE)", s"min($yE)", s"max($yE)").head()
+      if (b.isNullAt(0)) return df.repartition(1) // empty/all-null: nothing to cluster
+      def norm(e: String, lo: Long, hi: Long): String =
+        s"(((coalesce($e, $lo)) - $lo) * 65535) div ${math.max(1L, hi - lo)}"
+      df.withColumn("__z", expr(graft.sources.Layout.mortonE(
+          graft.sources.Layout.clampE(norm(xE, b.getLong(0), b.getLong(1))),
+          graft.sources.Layout.clampE(norm(yE, b.getLong(2), b.getLong(3))))))
+        .repartitionByRange(target, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    }
+    def swap(now: Collection, segs: Vector[Segment]): Unit = {
+      if (now.segments ne before.segments)
+        throw new IllegalStateException(
+          s"graft-store: collection '$name' was mutated during z-order; " +
+            "rerun against the new state")
+      install(name, now.copy(shardKey = None, segments =
+        if (segs.isEmpty) Vector(Segment(Vector.empty[Row], Map.empty[String, (Any, Any)]))
+        else segs))
+      setProps(name, props(name) + ("layout" -> s"zorder($xCol, $yCol)"))
+      bumpOrderEpoch(name)
+    }
+    before.payloadDir match {
+      case Some(dir) =>
+        val df = spark.read.format("graft-store").option("name", name).load()
+        val sub = freshGenDir(name, dir)
+        try {
+          val segs = writeSegmentsVia(name, df, sub)(zArranged)
+          store.synchronized(swap(get(name), segs))
+        } finally unpin(sub)
+      case None =>
+        // in-memory collections are driver-resident by contract: arrange
+        // through the same local session and re-chunk into `target`
+        val df = spark.read.format("graft-store").option("name", name).load()
+        val arranged = zArranged(df).collect().toVector
+        val per = math.max(1L, (arranged.size + target - 1L) / target).toInt
+        val segs = arranged.grouped(per).map { chunk =>
+          Segment(chunk, zoneMaps(before.schema, chunk))
+        }.toVector
+        store.synchronized(swap(get(name), segs))
+    }
+    (before.segments.size, get(name).segments.size)
+  }
+
+  /** Expire time-travel history and reclaim unreferenced disk payload
+    * (`CALL system.vacuum`): trims the collection's retained version
+    * ring to the last `keepLast` generations, then sweeps the
+    * collection's generation subdirectories, deleting every file not
+    * referenced by ANY live collection or retained version STORE-WIDE
+    * (a sanitized-name prefix collision between collections must never
+    * delete a sibling's files) and not pinned by an in-flight
+    * distributed write ([[pendingDirs]]). Segment structure sharing
+    * makes this safe-by-construction for narrow mutations: a
+    * generation that survived segment-local rewrite shares payload
+    * FILES with its successors, and shared files stay referenced.
+    *
+    * The classic vacuum caveat applies (same as any MVCC store): a
+    * scan that planned against a now-expired generation and is still
+    * running loses its files. Expired `VERSION AS OF` reads fail
+    * loudly with the retained window in the message.
+    *
+    * Returns (expired versions, deleted files, reclaimed bytes). */
+  def vacuum(name: String, keepLast: Int = 1): (Int, Int, Long) = store.synchronized {
+    require(keepLast >= 1,
+      s"graft-store: vacuum keep_last must be >= 1, got $keepLast")
+    name match {
+      case SnapshotName(_, v) => throw new UnsupportedOperationException(
+        s"graft-store: '$name' is a read-only VERSION AS OF $v snapshot")
+      case _ => ()
+    }
+    val live = store.getOrElse(name, throw new NoSuchElementException(
+      s"graft-store: no such collection: $name"))
+    val all = versions.getOrElse(name, Vector.empty)
+    val kept = all.takeRight(keepLast)
+    versions(name) = kept
+    val expired = all.size - kept.size
+    live.payloadDir match {
+      case Some(dir) =>
+        // referenced = every parquet path any live collection or any
+        // retained version (store-wide) can still reach
+        def paths(c: Collection): Iterator[String] =
+          c.segments.iterator.flatMap(_.payload match {
+            case ParquetRows(ps, _, _, _) => ps
+            case _ => Nil
+          })
+        val referenced: Set[String] =
+          (store.valuesIterator.flatMap(paths) ++
+            versions.valuesIterator.flatMap(_.iterator).map(_._3).flatMap(paths))
+            .map(canonicalPath).toSet
+        val prefix = name.replaceAll("[^A-Za-z0-9._-]", "_") + "-g"
+        var files = 0
+        var bytes = 0L
+        // depth-first sweep: delete unreferenced files, then any
+        // directory the sweep emptied
+        def sweep(f: java.io.File): Unit = {
+          if (f.isDirectory) {
+            Option(f.listFiles()).getOrElse(Array.empty).foreach(sweep)
+            if (Option(f.listFiles()).forall(_.isEmpty)) f.delete()
+          } else if (!referenced.contains(canonicalPath(f.getPath))) {
+            val len = f.length()
+            if (f.delete()) { files += 1; bytes += len }
+          }
+        }
+        Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith(prefix) &&
+            !pendingDirs.contains(canonicalPath(f.getPath)))
+          .foreach(sweep)
+        (expired, files, bytes)
+      case None => (expired, 0, 0L)
+    }
   }
 
   /** Disk-backed [[loadClustered]]: one `key=value` partition directory
@@ -464,54 +655,56 @@ object GraftStore {
         s"graft-store: disk payload for '$name' cannot carry column " +
           s"${f.name}: ${f.dataType.catalogString} (flat scalar schemas only)")
     }
-    val sub = s"$dir/${name.replaceAll("[^A-Za-z0-9._-]", "_")}-g${spillGen.incrementAndGet()}"
-    df.withColumn("__slice", monotonically_increasing_id())
-      .repartitionByRange(math.max(1, numSlices), col(clusterKey), col("__slice"))
-      .drop("__slice")
-      .write.partitionBy(clusterKey).mode("overwrite").parquet(sub)
-    val schema = df.schema
-    val keyIdx = schema.fieldIndex(clusterKey)
-    val keyType = schema(keyIdx).dataType
-    def typedKey(s: String): Any = keyType match {
-      case StringType => s
-      case LongType => s.toLong
-      case IntegerType => s.toInt
-      case DoubleType => s.toDouble
-      case FloatType => s.toFloat
-      case BooleanType => s.toBoolean
-      case other => throw new IllegalArgumentException(
-        s"graft-store: unsupported cluster-key type for disk layout: $other")
-    }
-    val segs = GraftParquet.listKeyDirs(sub, clusterKey).map { case (raw, files) =>
-      val key = raw.map(typedKey).orNull
-      var count = 0L
-      var zones = Map.empty[String, (Any, Any)]
-      files.zipWithIndex.foreach { case (f, fi) =>
-        val (n, z) = GraftParquet.footerStats(f, schema)
-        count += n
-        // INTERSECT columns across files: a column one file lacks valid
-        // stats for cannot keep the other file's bounds (they may not
-        // cover its values) — and a dropped zone is always safe
-        zones =
-          if (fi == 0) z
-          else zones.keySet.intersect(z.keySet).iterator.map { c =>
-            val ((l0, h0), (l1, h1)) = (zones(c), z(c))
-            c -> ((if (cmp(l1, l0) < 0) l1 else l0,
-                   if (cmp(h1, h0) > 0) h1 else h0))
-          }.toMap
+    val sub = freshGenDir(name, dir)
+    try {
+      df.withColumn("__slice", monotonically_increasing_id())
+        .repartitionByRange(math.max(1, numSlices), col(clusterKey), col("__slice"))
+        .drop("__slice")
+        .write.partitionBy(clusterKey).mode("overwrite").parquet(sub)
+      val schema = df.schema
+      val keyIdx = schema.fieldIndex(clusterKey)
+      val keyType = schema(keyIdx).dataType
+      def typedKey(s: String): Any = keyType match {
+        case StringType => s
+        case LongType => s.toLong
+        case IntegerType => s.toInt
+        case DoubleType => s.toDouble
+        case FloatType => s.toFloat
+        case BooleanType => s.toBoolean
+        case other => throw new IllegalArgumentException(
+          s"graft-store: unsupported cluster-key type for disk layout: $other")
       }
-      if (key != null) zones += (clusterKey -> (key, key))
-      (key, Segment(ParquetRows(files, schema, count, Map(keyIdx -> key)), zones))
-    }.sortWith { case ((a, _), (b, _)) =>
-      if (a == null) b != null else if (b == null) false else cmp(a, b) < 0
-    }.map(_._2)
-    store.synchronized {
-      install(name, Collection(schema, None,
-        if (segs.isEmpty) Vector(Segment(Vector.empty[Row], Map.empty[String, (Any, Any)]))
-        else segs,
-        clusterKey = Some(clusterKey), payloadDir = Some(dir)))
-      bumpOrderEpoch(name)
-    }
+      val segs = GraftParquet.listKeyDirs(sub, clusterKey).map { case (raw, files) =>
+        val key = raw.map(typedKey).orNull
+        var count = 0L
+        var zones = Map.empty[String, (Any, Any)]
+        files.zipWithIndex.foreach { case (f, fi) =>
+          val (n, z) = GraftParquet.footerStats(f, schema)
+          count += n
+          // INTERSECT columns across files: a column one file lacks valid
+          // stats for cannot keep the other file's bounds (they may not
+          // cover its values) — and a dropped zone is always safe
+          zones =
+            if (fi == 0) z
+            else zones.keySet.intersect(z.keySet).iterator.map { c =>
+              val ((l0, h0), (l1, h1)) = (zones(c), z(c))
+              c -> ((if (cmp(l1, l0) < 0) l1 else l0,
+                     if (cmp(h1, h0) > 0) h1 else h0))
+            }.toMap
+        }
+        if (key != null) zones += (clusterKey -> (key, key))
+        (key, Segment(ParquetRows(files, schema, count, Map(keyIdx -> key)), zones))
+      }.sortWith { case ((a, _), (b, _)) =>
+        if (a == null) b != null else if (b == null) false else cmp(a, b) < 0
+      }.map(_._2)
+      store.synchronized {
+        install(name, Collection(schema, None,
+          if (segs.isEmpty) Vector(Segment(Vector.empty[Row], Map.empty[String, (Any, Any)]))
+          else segs,
+          clusterKey = Some(clusterKey), payloadDir = Some(dir)))
+        bumpOrderEpoch(name)
+      }
+    } finally unpin(sub)
   }
 
   /** Replace a collection's rows wholesale, PRESERVING its layout
