@@ -56,10 +56,14 @@ object ScaleCheck {
     val big = spark.range(replicate.toLong).crossJoin(base)
       .withColumn("doc_id", col("doc_id") + col("id") * lit(span))
       .drop("id").select(base.columns.map(col).toIndexedSeq: _*)
+      // a row-unique content fingerprint, decorrelated from the layout:
+      // the column class bloom skipping exists for
+      .withColumn("fp", md5(concat_ws("|", col("doc_id"), col("text"))))
 
     val dir = java.nio.file.Files.createTempDirectory("graft_scale").toString
     val t0 = System.nanoTime()
-    GraftStore.loadDisk("scale_docs", big, "doc_id", 64, dir)
+    GraftStore.loadDisk("scale_docs", big, "doc_id", 64, dir,
+      bloomCols = Map("fp" -> 100000L))
     GraftStore.loadClusteredDisk("scale_docs_by_lang", big, "lang", dir)
     GraftStore.loadClusteredDisk("scale_lang_stats",
       big.groupBy("lang").agg(expr("sum(n_chars) div count(1)").as("avg_chars")),
@@ -129,6 +133,71 @@ object ScaleCheck {
       results("delete_range") = read("scale_docs").count() == expect
     }
 
+    // maintenance at scale: distributed compaction re-layouts the (now
+    // delete-fragmented) collection through its own connector scan —
+    // executors do the IO, the driver swaps manifests
+    {
+      val expect = read("scale_docs").count()
+      val t = System.nanoTime()
+      val (b, a) = GraftStore.compact("scale_docs", spark, 32)
+      times("compact") = (System.nanoTime() - t) / 1e9
+      results("compact") = a == 32 && b >= a && read("scale_docs")
+        .where(col("n_chars") >= 200).count() ==
+        big.where(col("doc_id") <= span * (replicate - 1) && col("n_chars") >= 200).count() &&
+        read("scale_docs").count() == expect
+    }
+
+    // layout maintenance at scale: z-order re-clustering through the
+    // connector scan — after it, a narrow predicate on the SECOND
+    // dimension (n_chars) prunes segments a range shard on doc_id
+    // never could, while the row set stays byte-identical
+    val zorderSkipped: Long = {
+      val expect = read("scale_docs").count()
+      val liveIds = col("doc_id") <= span * (replicate - 1)
+      val b0 = big.agg(min("n_chars"), max("n_chars")).head()
+      val hi = b0.getLong(1) - (b0.getLong(1) - b0.getLong(0)) / 100
+      val t = System.nanoTime()
+      val (_, a) = GraftStore.zorder("scale_docs", spark, "doc_id", "n_chars", 32)
+      times("zorder") = (System.nanoTime() - t) / 1e9
+      GraftStore.resetCounters()
+      val narrow = read("scale_docs").where(col("n_chars") >= hi).count()
+      val skipped = GraftStore.segmentsSkipped.get()
+      results("zorder") = a == 32 && skipped > 0 &&
+        narrow == big.where(liveIds && col("n_chars") >= hi).count() &&
+        read("scale_docs").count() == expect
+      skipped
+    }
+
+    // history GC at scale: delete + compact + zorder above left expired
+    // generations of parquet on disk; vacuum must reclaim them while
+    // the live generation stays byte-complete
+    val vacuumMb: Long = {
+      val expect = read("scale_docs").count()
+      val t = System.nanoTime()
+      val (expired, files, bytes) = GraftStore.vacuum("scale_docs", 1)
+      times("vacuum") = (System.nanoTime() - t) / 1e9
+      results("vacuum") = expired >= 2 && files > 0 && bytes > 0L &&
+        read("scale_docs").count() == expect &&
+        read("scale_docs").where(col("n_chars") >= 200).count() ==
+          big.where(col("doc_id") <= span * (replicate - 1) && col("n_chars") >= 200).count()
+      bytes / (1024 * 1024)
+    }
+
+    // point lookup at scale: a bloom-indexed equality probe on the
+    // fingerprint column touches ONE segment of 32; zones alone would
+    // read all of them (md5 spans every segment's min/max)
+    val bloomSkipped: Long = {
+      val probe = read("scale_docs").where(col("doc_id") === 12345L)
+        .head().getAs[String]("fp")
+      GraftStore.resetCounters()
+      val t = System.nanoTime()
+      val n = read("scale_docs").where(col("fp") === probe).count()
+      times("bloom_point") = (System.nanoTime() - t) / 1e9
+      val skipped = GraftStore.segmentsSkipped.get()
+      results("bloom_point") = n == 1L && skipped >= 24
+      skipped
+    }
+
     val rows = GraftStore.get("scale_docs").rowCount
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val allOk = results.values.forall(identity)
@@ -136,6 +205,8 @@ object ScaleCheck {
       s"""{"metric":"scale_check","ok":$allOk,"rows":$rows,""" +
         s""""replicate":$replicate,"heap_mb":$heapMb,""" +
         s""""ingest_sec":${f"$ingestSec%.2f"},""" +
+        s""""zorder_skipped_segs":$zorderSkipped,"vacuum_reclaimed_mb":$vacuumMb,""" +
+        s""""bloom_skipped_segs":$bloomSkipped,""" +
         s""""checks":{${results.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
         s""""times":{${times.map { case (k, v) => s""""$k":${f"$v%.2f"}""" }.mkString(",")}},""" +
         s""""sf":"$sfDir"}"""

@@ -82,11 +82,19 @@ object GraftParquet {
     b.named("graft_segment")
   }
 
-  /** Spill rows to one parquet file; returns the row count. */
-  def write(path: String, schema: StructType, rows: Iterator[Row]): Long = {
+  /** Spill rows to one parquet file; returns the row count. `bloom`
+    * (column → expected NDV) enables parquet-native Bloom filters on
+    * those columns — the format computes them during the write, and
+    * [[bloomFilters]] reads them back for segment skipping. */
+  def write(path: String, schema: StructType, rows: Iterator[Row],
+            bloom: Map[String, Long] = Map.empty): Long = {
     val msg = messageType(schema)
-    val writer: ParquetWriter[Group] = ExampleParquetWriter
-      .builder(new Path(path)).withConf(conf).withType(msg).build()
+    var builder = ExampleParquetWriter
+      .builder(new Path(path)).withConf(conf).withType(msg)
+    bloom.foreach { case (c, ndv) =>
+      builder = builder.withBloomFilterEnabled(c, true).withBloomFilterNDV(c, ndv)
+    }
+    val writer: ParquetWriter[Group] = builder.build()
     val fac = new SimpleGroupFactory(msg)
     var n = 0L
     try rows.foreach { r =>
@@ -232,6 +240,34 @@ object GraftParquet {
     case FloatType   => v.asInstanceOf[java.lang.Float].floatValue
     case StringType  => v.asInstanceOf[Binary].toStringUsingUTF8
     case other => throw new IllegalArgumentException(s"no zone stats for $other")
+  }
+
+  /** Per-column Bloom filters from the file footer region, for segment
+    * skipping (column → one filter per row group; a value might be in
+    * the file iff SOME row group's filter might contain it). A column
+    * is returned only if EVERY non-empty row group carries a filter —
+    * a partial set would introduce false negatives, and a dropped
+    * bloom is always safe (the segment just isn't skipped). */
+  def bloomFilters(path: String, schema: StructType, cols: Seq[String])
+      : Map[String, Vector[org.apache.parquet.column.values.bloomfilter.BloomFilter]] = {
+    if (cols.isEmpty) return Map.empty
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
+    try {
+      val blocks = r.getFooter.getBlocks.asScala.toVector.filter(_.getRowCount > 0)
+      cols.iterator.filter(schema.fieldNames.contains).flatMap { c =>
+        var complete = true
+        val bfs = blocks.flatMap { b =>
+          if (!complete) Nil
+          else b.getColumns.asScala.find(_.getPath.toDotString == c) match {
+            case Some(chunk) =>
+              val bf = r.getBloomFilterDataReader(b).readBloomFilter(chunk)
+              if (bf == null) { complete = false; Nil } else Vector(bf)
+            case None => complete = false; Nil
+          }
+        }
+        if (complete && bfs.nonEmpty) Some(c -> bfs) else None
+      }.toMap
+    } finally r.close()
   }
 
   /** `part-*` data files under `dir`, in name order (range-partitioned

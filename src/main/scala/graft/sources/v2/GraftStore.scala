@@ -60,7 +60,32 @@ object GraftStore {
 
   /** One range shard: contiguous rows (sorted by the shard key at
     * registration) + per-column zone maps over the comparable columns. */
-  case class Segment(payload: SegmentPayload, zones: Map[String, (Any, Any)])
+  /** Driver-side per-column Bloom filter over one segment's values —
+    * equality/IN segment skipping for columns the LAYOUT is not
+    * organized by (a range shard or z-order makes min/max zones
+    * selective in its own dimensions; a point lookup on any OTHER
+    * column scans everything without this). Backed by parquet-native
+    * bloom filters (one per row group, computed by the format during
+    * the write); parquet guarantees no false negatives, so skipping on
+    * a miss is always safe. Never shipped to executors — input
+    * partitions carry payloads, not segments. */
+  final class SegmentBloom(
+      filters: Vector[org.apache.parquet.column.values.bloomfilter.BloomFilter]) {
+    def mightContain(v: Any): Boolean = v match {
+      case null => true
+      case s: String =>
+        val b = org.apache.parquet.io.api.Binary.fromString(s)
+        filters.exists(bf => bf.findHash(bf.hash(b)))
+      case l: Long => filters.exists(bf => bf.findHash(bf.hash(l)))
+      case i: Int => filters.exists(bf => bf.findHash(bf.hash(i)))
+      case d: Double => filters.exists(bf => bf.findHash(bf.hash(d)))
+      case f: Float => filters.exists(bf => bf.findHash(bf.hash(f)))
+      case _ => true // no bloom semantics for this type: never skip
+    }
+  }
+
+  case class Segment(payload: SegmentPayload, zones: Map[String, (Any, Any)],
+                     blooms: Map[String, SegmentBloom] = Map.empty)
       extends Serializable {
     /** Materializing accessor — driver-side mutation paths only; scans
       * must use [[payload]]/[[iterator]] so disk segments stream. */
@@ -299,6 +324,42 @@ object GraftStore {
   private def unpin(sub: String): Unit =
     store.synchronized { pendingDirs -= canonicalPath(sub) }
 
+  /** Bloom-skipping spec from table props: `bloom.columns` =
+    * `"col[:expectedNdv][,col2[:ndv2]…]"` (NDV defaults to 100000; size
+    * it near the PER-SEGMENT distinct count — parquet sizes each row
+    * group's filter from it). Read by every disk write path, so
+    * compaction / z-order / segment-local mutations regenerate the
+    * filters the table was declared with. */
+  private[v2] def bloomSpec(name: String): Map[String, Long] =
+    props(name).get("bloom.columns").map {
+      _.split(",").iterator.map(_.trim).filter(_.nonEmpty).map { tok =>
+        tok.split(":").map(_.trim) match {
+          case Array(c, n) => c -> n.toLong
+          case Array(c) => c -> 100000L
+          case _ => throw new IllegalArgumentException(
+            s"graft-store: bad bloom.columns token: '$tok' (want col or col:ndv)")
+        }
+      }.toMap
+    }.getOrElse(Map.empty)
+
+  /** The same spec as Spark parquet writer options (the distributed
+    * write paths; [[GraftParquet.write]] takes the spec directly). */
+  private def bloomWriteOptions(spec: Map[String, Long]): Map[String, String] =
+    spec.iterator.flatMap { case (c, ndv) => Seq(
+      s"parquet.bloom.filter.enabled#$c" -> "true",
+      s"parquet.bloom.filter.expected.ndv#$c" -> ndv.toString)
+    }.toMap
+
+  /** Read back a written segment file's bloom filters per the
+    * collection's spec (empty spec → empty map, zero footer IO). */
+  private def segBlooms(name: String, path: String,
+                        schema: StructType): Map[String, SegmentBloom] = {
+    val spec = bloomSpec(name)
+    if (spec.isEmpty) Map.empty
+    else GraftParquet.bloomFilters(path, schema, spec.keys.toSeq)
+      .map { case (c, bfs) => c -> new SegmentBloom(bfs) }
+  }
+
   /** Spill in-memory segments to parquet under `dir` (zone maps stay as
     * computed — driver-side rows are exact, no need for footer stats). */
   private def spill(name: String, schema: StructType, segs: Vector[Segment],
@@ -315,9 +376,10 @@ object GraftStore {
       else {
         val path = s"$sub/seg-$i.parquet"
         val it = seg.payload.iterator
-        val n = try GraftParquet.write(path, schema, it)
+        val n = try GraftParquet.write(path, schema, it, bloomSpec(name))
                 finally GraftParquet.closeQuietly(it)
-        Segment(ParquetRows(Vector(path), schema, n, Map.empty), seg.zones)
+        Segment(ParquetRows(Vector(path), schema, n, Map.empty), seg.zones,
+          segBlooms(name, path, schema))
       }
     }
   }
@@ -381,7 +443,11 @@ object GraftStore {
     * Exactly how a lakehouse manifest is built, and the layout twin of
     * [[register]]'s driver-side sharding. */
   def loadDisk(name: String, df: DataFrame, shardKey: String,
-               numSegments: Int, dir: String): Unit = {
+               numSegments: Int, dir: String,
+               bloomCols: Map[String, Long] = Map.empty): Unit = {
+    if (bloomCols.nonEmpty)
+      setProps(name, props(name) + ("bloom.columns" ->
+        bloomCols.map { case (c, n) => s"$c:$n" }.mkString(",")))
     val sub = freshGenDir(name, dir)
     try {
       val segs = writeRangeSegments(name, df, Some(shardKey), numSegments, sub)
@@ -411,14 +477,17 @@ object GraftStore {
     val tsKey = "spark.sql.parquet.outputTimestampType"
     val prevTs = spark.conf.getOption(tsKey)
     spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-    try arrange(df).write.mode("overwrite").parquet(sub)
+    try arrange(df).write
+      .options(bloomWriteOptions(bloomSpec(name)))
+      .mode("overwrite").parquet(sub)
     finally prevTs match {
       case Some(v) => spark.conf.set(tsKey, v)
       case None => spark.conf.unset(tsKey)
     }
     GraftParquet.listPartFiles(sub).map { p =>
       val (n, zones) = GraftParquet.footerStats(p, df.schema)
-      Segment(ParquetRows(Vector(p), df.schema, n), zones)
+      Segment(ParquetRows(Vector(p), df.schema, n), zones,
+        segBlooms(name, p, df.schema))
     }.filter(_.count > 0L)
   }
 
@@ -823,11 +892,12 @@ object GraftStore {
             val path = s"$sub/seg-$i.parquet"
             // write() drains the iterator, so the disk reader under a
             // derived iterator self-closes at exhaustion
-            val n = GraftParquet.write(path, coll.schema, it)
+            val n = GraftParquet.write(path, coll.schema, it, bloomSpec(name))
             if (n == 0L) Segment(Vector.empty[Row], Map.empty[String, (Any, Any)])
             else {
               val (cnt, zones) = GraftParquet.footerStats(path, coll.schema)
-              Segment(ParquetRows(Vector(path), coll.schema, cnt), zones)
+              Segment(ParquetRows(Vector(path), coll.schema, cnt), zones,
+                segBlooms(name, path, coll.schema))
             }
           case None =>
             val rows = it.toVector
@@ -1140,14 +1210,18 @@ object GraftStore {
   /** Can `seg` possibly contain a row passing `f`? Conservative: any
     * filter shape the zone maps can't reason about keeps the segment. */
   private[v2] def mightMatch(f: Filter, seg: Segment): Boolean = f match {
-    case EqualTo(a, x) => seg.zones.get(a).forall { case (lo, hi) =>
-      cmp(x, lo) >= 0 && cmp(x, hi) <= 0 }
+    case EqualTo(a, x) =>
+      seg.zones.get(a).forall { case (lo, hi) =>
+        cmp(x, lo) >= 0 && cmp(x, hi) <= 0 } &&
+        seg.blooms.get(a).forall(_.mightContain(x))
     case GreaterThan(a, x) => seg.zones.get(a).forall { case (_, hi) => cmp(hi, x) > 0 }
     case GreaterThanOrEqual(a, x) => seg.zones.get(a).forall { case (_, hi) => cmp(hi, x) >= 0 }
     case LessThan(a, x) => seg.zones.get(a).forall { case (lo, _) => cmp(lo, x) < 0 }
     case LessThanOrEqual(a, x) => seg.zones.get(a).forall { case (lo, _) => cmp(lo, x) <= 0 }
-    case In(a, xs) => seg.zones.get(a).forall { case (lo, hi) =>
-      xs.exists(x => x != null && cmp(x, lo) >= 0 && cmp(x, hi) <= 0) }
+    case In(a, xs) =>
+      seg.zones.get(a).forall { case (lo, hi) =>
+        xs.exists(x => x != null && cmp(x, lo) >= 0 && cmp(x, hi) <= 0) } &&
+        seg.blooms.get(a).forall(b => xs.exists(x => x != null && b.mightContain(x)))
     case And(l, r) => mightMatch(l, seg) && mightMatch(r, seg)
     case _ => true // IsNull/IsNotNull and anything else: no zone info
   }
