@@ -41,9 +41,10 @@ object ScaleCheck {
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       // cap parquet row-group buffers: N concurrent writers each hold a
       // row group in memory, so the default 128 MB would couple write
-      // memory to segment size — 32 MB keeps ingest heap flat at any
-      // replication factor
-      .config("spark.hadoop.parquet.block.size", (32 * 1024 * 1024).toString)
+      // memory to segment size — 16 MB bounds write heap at
+      // writers × 16 MB (the fp fingerprint column pushed 8 × 32 MB
+      // past the 512 MB ceiling)
+      .config("spark.hadoop.parquet.block.size", (16 * 1024 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -62,9 +63,16 @@ object ScaleCheck {
 
     val dir = java.nio.file.Files.createTempDirectory("graft_scale").toString
     val t0 = System.nanoTime()
+    // NDV sized near the per-segment cardinality at the COARSEST
+    // layout this collection reaches (32 segments ≈ 312k unique fps):
+    // an underdeclared NDV saturates the filter and silently degrades
+    // skipping (100k here measured ~45% FPP — 17/32 skipped, not
+    // 31/32), while oversizing pays driver heap per live segment
     GraftStore.loadDisk("scale_docs", big, "doc_id", 64, dir,
-      bloomCols = Map("fp" -> 100000L))
-    GraftStore.loadClusteredDisk("scale_docs_by_lang", big, "lang", dir)
+      bloomCols = Map("fp" -> 200000L))
+    // the clustered twins don't serve point lookups — keep the wide
+    // fingerprint column out of their write buffers
+    GraftStore.loadClusteredDisk("scale_docs_by_lang", big.drop("fp"), "lang", dir)
     GraftStore.loadClusteredDisk("scale_lang_stats",
       big.groupBy("lang").agg(expr("sum(n_chars) div count(1)").as("avg_chars")),
       "lang", dir)

@@ -133,6 +133,32 @@ object TextAnalysis {
         .orderBy("doc_id")
     }),
 
+    // Duplicate n-gram mass (the Gopher dup-2/3-gram signals): how much
+    // of a document consists of occurrences of REPEATED grams. q37's
+    // rep2 is the share of the single TOP gram; this is the total mass
+    // of all duplicated ones — the signal that catches a doc cycling
+    // through a dozen boilerplate phrases none of which dominates.
+    // Expression-only by the identity dup-mass = total − distinct
+    // (counts and chars both), so there is no per-gram grouping, no
+    // explode, and no shuffle — the whole signal computes inside the
+    // scan's projection at any corpus size.
+    "q103_dup_ngrams" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .selectExpr("doc_id", s"$toksE AS toks")
+        .selectExpr("doc_id",
+          "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks) - 2), i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2))) ELSE array() END AS g2",
+          "CASE WHEN size(toks) >= 3 THEN transform(sequence(0, size(toks) - 3), i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2), ' ', element_at(toks, i + 3))) ELSE array() END AS g3")
+        .selectExpr("doc_id",
+          "cast(size(g2) as bigint) AS n2",
+          "cast(size(g2) - size(array_distinct(g2)) as bigint) AS dup2",
+          "cast(aggregate(g2, 0L, (a, x) -> a + length(x)) - aggregate(array_distinct(g2), 0L, (a, x) -> a + length(x)) as bigint) AS dup2_chars",
+          "cast(size(g3) as bigint) AS n3",
+          "cast(size(g3) - size(array_distinct(g3)) as bigint) AS dup3",
+          // exact integer test, division-free: dup mass over 20% of grams
+          "(size(g2) - size(array_distinct(g2))) * 5 > size(g2) AS repetitive2")
+        .orderBy("doc_id")
+    }),
+
     // Content fingerprints: normalized md5 (portable) — the dedup key for
     // q20 and the lineage id for incremental corpus refreshes.
     "q29_fingerprint" -> ((s, dir) => {
@@ -273,6 +299,24 @@ object TextAnalysis {
           |   AND round(100.0 * list_sum(list_transform(toks, tk -> length(tk))) / len(toks)) BETWEEN 200 AND 1200
           |   AND round(10000.0 * n_symbols / len) < 3000) AS passes
           |FROM g JOIN rep ON g.doc_id = rep.doc_id ORDER BY g.doc_id""".stripMargin,
+
+      "q103_dup_ngrams" ->
+        """WITH t AS (
+          |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+          |g AS (
+          |  SELECT doc_id,
+          |    CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) ELSE []::VARCHAR[] END AS g2,
+          |    CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) ELSE []::VARCHAR[] END AS g3
+          |  FROM t)
+          |SELECT doc_id,
+          |  CAST(len(g2) AS BIGINT) AS n2,
+          |  CAST(len(g2) - len(list_distinct(g2)) AS BIGINT) AS dup2,
+          |  CAST(coalesce(list_sum(list_transform(g2, x -> length(x))), 0)
+          |     - coalesce(list_sum(list_transform(list_distinct(g2), x -> length(x))), 0) AS BIGINT) AS dup2_chars,
+          |  CAST(len(g3) AS BIGINT) AS n3,
+          |  CAST(len(g3) - len(list_distinct(g3)) AS BIGINT) AS dup3,
+          |  (len(g2) - len(list_distinct(g2))) * 5 > len(g2) AS repetitive2
+          |FROM g ORDER BY doc_id""".stripMargin,
 
       "q71_bpe_tokens" ->
         """SELECT doc_id, n_words, n_bpeish, (n_bpeish * 1000) // n_words AS fertility_e3

@@ -242,30 +242,92 @@ object GraftParquet {
     case other => throw new IllegalArgumentException(s"no zone stats for $other")
   }
 
-  /** Per-column Bloom filters from the file footer region, for segment
-    * skipping (column → one filter per row group; a value might be in
-    * the file iff SOME row group's filter might contain it). A column
-    * is returned only if EVERY non-empty row group carries a filter —
-    * a partial set would introduce false negatives, and a dropped
-    * bloom is always safe (the segment just isn't skipped). */
+  /** One row group's membership evidence for a column: the parquet
+    * Bloom filter, or — when the chunk ended up FULLY
+    * dictionary-encoded, in which case parquet deliberately omits the
+    * bloom because the dictionary IS an exact membership set (the same
+    * contract parquet's own DictionaryFilter relies on) — the decoded
+    * dictionary values. Both sides of the union are no-false-negative,
+    * so a skip is always safe. */
+  sealed trait ChunkProbe {
+    /** `v` is a parquet-typed value: Binary / Long / Integer / Double / Float. */
+    def mightContain(v: AnyRef): Boolean
+  }
+  private final case class BloomProbe(
+      bf: org.apache.parquet.column.values.bloomfilter.BloomFilter) extends ChunkProbe {
+    def mightContain(v: AnyRef): Boolean = bf.findHash(bf.hash(v))
+  }
+  private final case class DictProbe(values: Set[AnyRef]) extends ChunkProbe {
+    def mightContain(v: AnyRef): Boolean = values.contains(v)
+  }
+
+  /** Driver-built probe over explicit parquet-typed values — the
+    * MEMORY-payload twin of the footer-read path, so `bloom.columns`
+    * behaves identically across payload modes. The value set is known
+    * exactly, so the filter is sized at the true cardinality. */
+  def valueProbe(values: Set[AnyRef]): ChunkProbe = {
+    import org.apache.parquet.column.values.bloomfilter.BlockSplitBloomFilter
+    val bits = BlockSplitBloomFilter.optimalNumOfBits(math.max(8L, values.size.toLong), 0.01)
+    val bf = new BlockSplitBloomFilter(bits / 8)
+    values.foreach(v => bf.insertHash(bf.hash(v)))
+    BloomProbe(bf)
+  }
+
+  /** Per-column membership probes from the file footer region, for
+    * segment skipping (column → one probe per row group; a value might
+    * be in the file iff SOME row group's probe might contain it). A
+    * column is returned only if EVERY non-empty row group yields a
+    * probe — a partial set would introduce false negatives, and a
+    * dropped column is always safe (the segment just isn't skipped). */
   def bloomFilters(path: String, schema: StructType, cols: Seq[String])
-      : Map[String, Vector[org.apache.parquet.column.values.bloomfilter.BloomFilter]] = {
+      : Map[String, Vector[ChunkProbe]] = {
     if (cols.isEmpty) return Map.empty
     val r = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(path), conf))
     try {
       val blocks = r.getFooter.getBlocks.asScala.toVector.filter(_.getRowCount > 0)
+      val fileSchema = r.getFooter.getFileMetaData.getSchema
+      def dictProbe(b: org.apache.parquet.hadoop.metadata.BlockMetaData,
+                    chunk: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+                    c: String): Option[ChunkProbe] = {
+        val es = chunk.getEncodingStats
+        if (es == null || !es.hasDictionaryPages || es.hasNonDictionaryEncodedPages)
+          return None
+        val colDesc = fileSchema.getColumns.asScala
+          .find(_.getPath.toSeq == Seq(c)).getOrElse(return None)
+        val dictStore: org.apache.parquet.column.page.DictionaryPageReadStore =
+          r.getDictionaryReader(b)
+        val page = dictStore.readDictionaryPage(colDesc)
+        if (page == null) return None
+        val dict = page.getEncoding.initDictionary(colDesc, page)
+        val tn = colDesc.getPrimitiveType.getPrimitiveTypeName
+        val values: Set[AnyRef] = (0 to dict.getMaxId).map { i =>
+          (tn match {
+            case BINARY => dict.decodeToBinary(i)
+            case INT64 => java.lang.Long.valueOf(dict.decodeToLong(i))
+            case INT32 => java.lang.Integer.valueOf(dict.decodeToInt(i))
+            case DOUBLE => java.lang.Double.valueOf(dict.decodeToDouble(i))
+            case FLOAT => java.lang.Float.valueOf(dict.decodeToFloat(i))
+            case _ => return None
+          }): AnyRef
+        }.toSet
+        Some(DictProbe(values))
+      }
       cols.iterator.filter(schema.fieldNames.contains).flatMap { c =>
         var complete = true
-        val bfs = blocks.flatMap { b =>
+        val probes = blocks.flatMap { b =>
           if (!complete) Nil
           else b.getColumns.asScala.find(_.getPath.toDotString == c) match {
             case Some(chunk) =>
-              val bf = r.getBloomFilterDataReader(b).readBloomFilter(chunk)
-              if (bf == null) { complete = false; Nil } else Vector(bf)
+              Option(r.getBloomFilterDataReader(b).readBloomFilter(chunk))
+                .map(BloomProbe(_): ChunkProbe)
+                .orElse(dictProbe(b, chunk, c)) match {
+                case Some(p) => Vector(p)
+                case None => complete = false; Nil
+              }
             case None => complete = false; Nil
           }
         }
-        if (complete && bfs.nonEmpty) Some(c -> bfs) else None
+        if (complete && probes.nonEmpty) Some(c -> probes) else None
       }.toMap
     } finally r.close()
   }

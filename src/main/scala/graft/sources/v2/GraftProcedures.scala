@@ -29,9 +29,10 @@ object GraftProcedures {
     case "history" => Some(HistoryProcedure)
     case "vacuum" => Some(VacuumProcedure)
     case "zorder" => Some(ZorderProcedure)
+    case "detail" => Some(DetailProcedure)
     case _ => None
   }
-  def names: Seq[String] = Seq("compact", "history", "vacuum", "zorder")
+  def names: Seq[String] = Seq("compact", "detail", "history", "vacuum", "zorder")
 
   /** `CALL graft_cat.system.history(tbl => 't')` — the retained
     * time-travel generations (the `DESCRIBE HISTORY` analog): one row
@@ -107,6 +108,69 @@ object GraftProcedures {
         override def rows(): Array[InternalRow] = Array(row)
         override def readSchema(): StructType = outSchema
         override def description(): String = s"graft-store compact($tbl)"
+      }: Scan).iterator()
+    }
+  }
+
+  /** `CALL graft_cat.system.detail(tbl => 't')` — one row per segment:
+    * rows, payload kind, file count and bytes on disk, the zone-map
+    * span of every mapped column, and which columns carry Bloom
+    * filters (the `DESCRIBE DETAIL` analog, at segment granularity —
+    * the evidence surface for "is my layout actually prunable?"). */
+  private object DetailProcedure extends UnboundProcedure {
+    override def name(): String = "detail"
+    override def description(): String =
+      "per-segment layout detail of a graft-store collection"
+    override def bind(inputType: StructType): BoundProcedure = DetailBound
+  }
+
+  private object DetailBound extends BoundProcedure {
+    override def name(): String = "detail"
+    override def description(): String = DetailProcedure.description()
+    override def isDeterministic: Boolean = false // reads mutable state
+
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("tbl", StringType)
+        .comment("collection name as the catalog sees it").build())
+
+    private val outSchema = StructType(Seq(
+      StructField("segment", IntegerType, nullable = false),
+      StructField("rows", LongType, nullable = false),
+      StructField("payload", StringType, nullable = false),
+      StructField("files", IntegerType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("zones", StringType, nullable = false),
+      StructField("blooms", StringType, nullable = false)))
+
+    private def utf8(s: String) =
+      org.apache.spark.unsafe.types.UTF8String.fromString(s)
+
+    override def call(input: InternalRow): util.Iterator[Scan] = {
+      val tbl = input.getUTF8String(0).toString
+      val coll = GraftStore.get(tbl)
+      val out = coll.segments.zipWithIndex.map { case (seg, i) =>
+        val (kind, files, bytes) = seg.payload match {
+          case GraftStore.ParquetRows(paths, _, _, _) =>
+            val bs = paths.map { p =>
+              val f = if (p.startsWith("file:"))
+                new java.io.File(java.net.URI.create(p).getPath)
+              else new java.io.File(p)
+              f.length()
+            }.sum
+            ("parquet", paths.size, bs)
+          case _ => ("memory", 0, 0L)
+        }
+        val zones = seg.zones.toSeq.sortBy(_._1)
+          .map { case (c, (lo, hi)) => s"$c:[$lo..$hi]" }.mkString(", ")
+        val blooms = seg.blooms.keys.toSeq.sorted.mkString(", ")
+        new GenericInternalRow(Array[Any](
+          i, seg.count, utf8(kind), files, bytes, utf8(zones), utf8(blooms))
+        ): InternalRow
+      }.toArray
+      util.Collections.singletonList(new LocalScan {
+        override def rows(): Array[InternalRow] = out
+        override def readSchema(): StructType = outSchema
+        override def description(): String = s"graft-store detail($tbl)"
       }: Scan).iterator()
     }
   }

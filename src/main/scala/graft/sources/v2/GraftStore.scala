@@ -69,18 +69,18 @@ object GraftStore {
     * the write); parquet guarantees no false negatives, so skipping on
     * a miss is always safe. Never shipped to executors — input
     * partitions carry payloads, not segments. */
-  final class SegmentBloom(
-      filters: Vector[org.apache.parquet.column.values.bloomfilter.BloomFilter]) {
-    def mightContain(v: Any): Boolean = v match {
-      case null => true
-      case s: String =>
-        val b = org.apache.parquet.io.api.Binary.fromString(s)
-        filters.exists(bf => bf.findHash(bf.hash(b)))
-      case l: Long => filters.exists(bf => bf.findHash(bf.hash(l)))
-      case i: Int => filters.exists(bf => bf.findHash(bf.hash(i)))
-      case d: Double => filters.exists(bf => bf.findHash(bf.hash(d)))
-      case f: Float => filters.exists(bf => bf.findHash(bf.hash(f)))
-      case _ => true // no bloom semantics for this type: never skip
+  final class SegmentBloom(probes: Vector[GraftParquet.ChunkProbe]) {
+    def mightContain(v: Any): Boolean = {
+      val pv: AnyRef = v match {
+        case null => return true
+        case s: String => org.apache.parquet.io.api.Binary.fromString(s)
+        case l: Long => java.lang.Long.valueOf(l)
+        case i: Int => java.lang.Integer.valueOf(i)
+        case d: Double => java.lang.Double.valueOf(d)
+        case f: Float => java.lang.Float.valueOf(f)
+        case _ => return true // no probe semantics for this type: never skip
+      }
+      probes.exists(_.mightContain(pv))
     }
   }
 
@@ -114,6 +114,9 @@ object GraftStore {
   object Segment {
     def apply(rows: Vector[Row], zones: Map[String, (Any, Any)]): Segment =
       new Segment(MemRows(rows), zones)
+    def apply(rows: Vector[Row], zones: Map[String, (Any, Any)],
+              blooms: Map[String, SegmentBloom]): Segment =
+      new Segment(MemRows(rows), zones, blooms)
   }
 
   case class Collection(schema: StructType, shardKey: Option[String],
@@ -164,8 +167,19 @@ object GraftStore {
     store(name) = coll
     val gen = generation.getOrElse(name, 0L) + 1L
     generation(name) = gen
+    // The version ring keeps BLOOM-STRIPPED copies: blooms are derived
+    // data (re-readable from parquet footers any time) and only the
+    // LIVE collection prunes with them — pinning filters for up to
+    // maxVersions generations would cost O(versions × filter bytes) of
+    // driver heap for reads that never happen. Segment payloads and
+    // zone maps still share structure; time-travel scans keep zone-map
+    // pruning, just not bloom skipping.
+    val ringEntry =
+      if (coll.segments.forall(_.blooms.isEmpty)) coll
+      else coll.copy(segments = coll.segments.map(s =>
+        if (s.blooms.isEmpty) s else s.copy(blooms = Map.empty)))
     versions(name) = (versions.getOrElse(name, Vector.empty) :+
-      ((gen, System.currentTimeMillis() * 1000L, coll))).takeRight(maxVersions)
+      ((gen, System.currentTimeMillis() * 1000L, ringEntry))).takeRight(maxVersions)
   }
 
   /** Current version number (the one `VERSION AS OF` would name). */
@@ -360,6 +374,42 @@ object GraftStore {
       .map { case (c, bfs) => c -> new SegmentBloom(bfs) }
   }
 
+  /** Driver-built blooms for MEMORY payload segments — same spec, same
+    * pruning as the parquet footer path, sized at the true per-segment
+    * cardinality (the values are in hand). */
+  private def memBlooms(name: String, schema: StructType,
+                        rows: Vector[Row]): Map[String, SegmentBloom] = {
+    val spec = bloomSpec(name)
+    if (spec.isEmpty || rows.isEmpty) return Map.empty
+    spec.keys.toSeq.flatMap { c =>
+      schema.fields.find(_.name == c).filter(f => f.dataType match {
+        case StringType | LongType | IntegerType | DoubleType | FloatType => true
+        case _ => false
+      }).map { _ =>
+        val idx = schema.fieldIndex(c)
+        val vals: Set[AnyRef] = rows.iterator.map(_.get(idx)).filter(_ != null).map {
+          case s: String => org.apache.parquet.io.api.Binary.fromString(s): AnyRef
+          case l: Long => java.lang.Long.valueOf(l)
+          case i: Int => java.lang.Integer.valueOf(i)
+          case d: Double => java.lang.Double.valueOf(d)
+          case f: Float => java.lang.Float.valueOf(f)
+          case other => other.asInstanceOf[AnyRef] // unreachable per the type gate
+        }.toSet
+        c -> new SegmentBloom(Vector(GraftParquet.valueProbe(vals)))
+      }
+    }.toMap
+  }
+
+  /** Attach spec'd blooms to freshly built memory segments (disk
+    * segments read theirs from parquet footers instead). */
+  private def withMemBlooms(name: String, schema: StructType,
+                            segs: Vector[Segment]): Vector[Segment] =
+    if (bloomSpec(name).isEmpty) segs
+    else segs.map { s =>
+      if (s.count == 0L || !s.payload.isInstanceOf[MemRows]) s
+      else s.copy(blooms = memBlooms(name, schema, s.rows))
+    }
+
   /** Spill in-memory segments to parquet under `dir` (zone maps stay as
     * computed — driver-side rows are exact, no need for footer stats). */
   private def spill(name: String, schema: StructType, segs: Vector[Segment],
@@ -395,7 +445,8 @@ object GraftStore {
       val dir = payloadDir.orElse(store.get(name).flatMap(_.payloadDir))
       val segs = shard(schema, shardKey, rows.toVector, numSegments)
       install(name, Collection(schema, shardKey,
-        dir.map(spill(name, schema, segs, _)).getOrElse(segs), payloadDir = dir))
+        dir.map(spill(name, schema, segs, _))
+          .getOrElse(withMemBlooms(name, schema, segs)), payloadDir = dir))
       bumpOrderEpoch(name) // full rewrite: any row order may change
     }
 
@@ -418,7 +469,8 @@ object GraftStore {
       .map { case (_, g) => Segment(g, zoneMaps(schema, g)) }
     val dir = payloadDir.orElse(store.get(name).flatMap(_.payloadDir))
     install(name, Collection(schema, None,
-      dir.map(spill(name, schema, segs, _)).getOrElse(segs),
+      dir.map(spill(name, schema, segs, _))
+        .getOrElse(withMemBlooms(name, schema, segs)),
       clusterKey = Some(clusterKey), payloadDir = dir))
     bumpOrderEpoch(name) // clustering regroups rows arbitrarily
   }
@@ -627,7 +679,8 @@ object GraftStore {
         val arranged = zArranged(df).collect().toVector
         val per = math.max(1L, (arranged.size + target - 1L) / target).toInt
         val segs = arranged.grouped(per).map { chunk =>
-          Segment(chunk, zoneMaps(before.schema, chunk))
+          Segment(chunk, zoneMaps(before.schema, chunk),
+            memBlooms(name, before.schema, chunk))
         }.toVector
         store.synchronized(swap(get(name), segs))
     }
@@ -849,7 +902,8 @@ object GraftStore {
             }
             val segs = shard(c.schema, c.shardKey, c.rows ++ rows, segCount)
             install(name, Collection(c.schema, c.shardKey,
-              c.payloadDir.map(spill(name, c.schema, segs, _)).getOrElse(segs),
+              c.payloadDir.map(spill(name, c.schema, segs, _))
+                .getOrElse(withMemBlooms(name, c.schema, segs)),
               payloadDir = c.payloadDir))
             if (!tailSafe) bumpOrderEpoch(name)
         }
@@ -901,7 +955,8 @@ object GraftStore {
             }
           case None =>
             val rows = it.toVector
-            Segment(rows, zoneMaps(coll.schema, rows))
+            Segment(rows, zoneMaps(coll.schema, rows),
+              memBlooms(name, coll.schema, rows))
         }
       }
     }
@@ -1060,7 +1115,7 @@ object GraftStore {
       .filter(_.count > 0)
     val spilled = coll.payloadDir match {
       case Some(dir) => spill(name, coll.schema, segs, dir)
-      case None => segs
+      case None => withMemBlooms(name, coll.schema, segs)
     }
     if (spilled.nonEmpty)
       install(name, coll.copy(segments = coll.segments ++ spilled))

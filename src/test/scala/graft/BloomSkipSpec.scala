@@ -88,6 +88,35 @@ class BloomSkipSpec extends AnyFunSuite {
     GraftStore.drop("bl_m")
   }
 
+  test("memory payload parity: bloom.columns prunes in-memory tables identically") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.lake")
+    s.sql("DROP TABLE IF EXISTS graft_cat.lake.blm")
+    // NO payload=disk: rows stay driver-side MemRows; blooms must be
+    // built from the values at registration, same spec, same pruning
+    s.sql("""CREATE TABLE graft_cat.lake.blm (id BIGINT, k STRING)
+            |PARTITIONED BY (id)
+            |TBLPROPERTIES ('bloom.columns' = 'k:1500')""".stripMargin)
+    s.sql("INSERT INTO graft_cat.lake.blm SELECT id, md5(cast(id AS string)) FROM range(8192)")
+    val segs = GraftStore.get("lake.blm").segments.filter(_.count > 0)
+    assert(segs.forall(_.payload.isInstanceOf[GraftStore.MemRows]),
+      "this test must exercise the MEMORY payload path")
+    assert(segs.forall(_.blooms.contains("k")))
+    val probe = s.sql("SELECT md5(cast(4321 AS string))").head().getString(0)
+    GraftStore.resetCounters()
+    assert(s.sql(s"SELECT count(*) FROM graft_cat.lake.blm WHERE k = '$probe'")
+      .head().getLong(0) == 1L)
+    assert(GraftStore.segmentsSkipped.get() >= 5,
+      s"skipped=${GraftStore.segmentsSkipped.get()}")
+    // miss probe: everything skipped (memory path is exactly sized)
+    GraftStore.resetCounters()
+    assert(s.sql("SELECT count(*) FROM graft_cat.lake.blm WHERE k = 'nope'")
+      .head().getLong(0) == 0L)
+    assert(GraftStore.segmentsSkipped.get() >= 6)
+    s.sql("DROP TABLE graft_cat.lake.blm")
+  }
+
   test("SQL surface: TBLPROPERTIES bloom.columns on a disk table skips on point lookups") {
     val s = spark
     s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")

@@ -161,6 +161,23 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     GraftStore.drop("zo_mem")
   }
 
+  test("CALL system.detail: per-segment rows/files/bytes/zones/blooms evidence") {
+    val dir = Files.createTempDirectory("graft_det").toString
+    GraftStore.drop("det_t")
+    val df = spark.range(1000).selectExpr("id AS a", "md5(cast(id AS string)) AS k")
+    GraftStore.loadDisk("det_t", df, "a", 4, dir, bloomCols = Map("k" -> 500L))
+    val rows = spark.sql("CALL graft_cat.system.detail(tbl => 'det_t')").collect()
+    assert(rows.length == GraftStore.get("det_t").segments.size)
+    assert(rows.map(_.getLong(1)).sum == 1000L, "per-segment rows must total the table")
+    rows.foreach { r =>
+      assert(r.getString(2) == "parquet" && r.getInt(3) >= 1 && r.getLong(4) > 0L,
+        s"disk segment must report real files and bytes: $r")
+      assert(r.getString(5).contains("a:["), s"zone span for the shard key: $r")
+      assert(r.getString(6) == "k", s"bloom column listed: $r")
+    }
+    GraftStore.drop("det_t")
+  }
+
   test("vacuum rejects nonsense loudly: keep_last < 1, snapshots, unknown collections") {
     intercept[IllegalArgumentException](GraftStore.vacuum("whatever", 0))
     intercept[UnsupportedOperationException](GraftStore.vacuum("x@v3", 1))
