@@ -252,7 +252,7 @@ object GraftStore {
   }
 
   /** Natural ordering on the external value types zone maps hold. */
-  private[v2] def cmp(a: Any, b: Any): Int = (a, b) match {
+  private[graft] def cmp(a: Any, b: Any): Int = (a, b) match {
     case (x: Long, y: Long)       => java.lang.Long.compare(x, y)
     case (x: Int, y: Int)         => java.lang.Integer.compare(x, y)
     case (x: Long, y: Int)        => java.lang.Long.compare(x, y.toLong)

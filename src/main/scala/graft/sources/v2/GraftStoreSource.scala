@@ -227,8 +227,13 @@ class GraftScanBuilder(name: String, schema: StructType, batchRows: Int,
         case _: CountStar => true
         case f @ (_: Min | _: Max) => colName(f).exists { c =>
           schema.fieldNames.contains(c) &&
-            GraftStore.get(name).segments.forall(s =>
-              s.zones.contains(c) || s.forallRows(_.get(schema.fieldIndex(c)) == null))
+            GraftStore.get(name).segments.forall(s => s.zones.contains(c) ||
+              // the all-null probe is an O(segment) DRIVER-side stream:
+              // affordable for in-memory payloads only — a disk segment
+              // without a zone entry simply declines the pushdown and the
+              // aggregate runs as a normal (distributed) scan
+              (s.payload.isInstanceOf[GraftStore.MemRows] &&
+                s.forallRows(_.get(schema.fieldIndex(c)) == null)))
         }
         case _ => false
       }

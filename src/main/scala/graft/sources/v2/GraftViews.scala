@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{AnalysisException, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases, UnresolvedTableOrView, UnresolvedView, ViewAlreadyExistsException}
 import org.apache.spark.sql.catalyst.expressions.Attribute
-import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, InsertIntoStatement, LogicalPlan, RenameTable, SetViewProperties, ShowViews, SubqueryAlias, UnsetViewProperties}
+import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, InsertIntoStatement, LogicalPlan, RenameTable, SetViewProperties, ShowViews, SubqueryAlias, UnresolvedWith, UnsetViewProperties}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, View, ViewChange, ViewInfo}
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -53,10 +53,13 @@ object GraftViewRegistry {
       columnComments: Seq[String],
       properties: Map[String, String])
 
-  private val views = scala.collection.mutable.Map.empty[String, Rec]
+  // keyed by the PARTS VECTOR, never a joined string: an identifier part
+  // may itself contain '.', so view `a.b` in the root namespace and view
+  // `b` in namespace `a` are distinct keys
+  private val views = scala.collection.mutable.Map.empty[Seq[String], Rec]
 
-  private def key(ident: Identifier): String =
-    (ident.namespace() :+ ident.name()).mkString(".")
+  private def key(ident: Identifier): Seq[String] =
+    ident.namespace().toSeq :+ ident.name()
 
   def get(ident: Identifier): Option[Rec] = views.synchronized(views.get(key(ident)))
   def exists(ident: Identifier): Boolean = views.synchronized(views.contains(key(ident)))
@@ -93,16 +96,13 @@ object GraftViewRegistry {
   }
 
   def list(namespace: Seq[String]): Seq[Identifier] = views.synchronized {
-    views.keys.toSeq.sorted.flatMap { k =>
-      val parts = k.split('.').toSeq
-      if (parts.dropRight(1) == namespace)
-        Some(Identifier.of(namespace.toArray, parts.last))
-      else None
-    }
+    views.keys.toSeq.filter(_.dropRight(1) == namespace)
+      .sortBy(_.last)
+      .map(parts => Identifier.of(namespace.toArray, parts.last))
   }
 
   def namespaces: Seq[Seq[String]] = views.synchronized {
-    views.keys.toSeq.map(_.split('.').toSeq.dropRight(1)).filter(_.nonEmpty).distinct
+    views.keys.toSeq.map(_.dropRight(1)).filter(_.nonEmpty).distinct
   }
 
   /** Test isolation hook (mirrors the store's lifecycle helpers). */
@@ -161,10 +161,13 @@ case class GraftViewRules(spark: SparkSession) extends Rule[LogicalPlan] {
     resolveTarget(parts).filter { case (g, id) => g.viewExists(id) }
 
   /** Splice a view definition into the plan: parse the stored SQL,
-    * recursively expand nested graft views (cycle-checked), apply the
-    * ordinal column aliases the way `FROM t AS x(a,b)` does, and wrap
-    * in a SubqueryAlias so the view name survives into column
-    * qualification and EXPLAIN output. */
+    * resolve every table name inside the body against the view's
+    * CAPTURED catalog/namespace (the context recorded at CREATE time —
+    * mirroring Spark's `View` node, so `USE other_ns` at read time
+    * cannot rebind the body), recursively expand nested graft views
+    * (cycle-checked), apply the ordinal column aliases the way
+    * `FROM t AS x(a,b)` does, and wrap in a SubqueryAlias so the view
+    * name survives into column qualification and EXPLAIN output. */
   private def expand(g: GraftCatalog, ident: Identifier, seen: Set[String]): LogicalPlan = {
     val fqn = (g.name +: (ident.namespace() :+ ident.name()).toSeq).mkString(".")
     if (seen.contains(fqn))
@@ -172,9 +175,23 @@ case class GraftViewRules(spark: SparkSession) extends Rule[LogicalPlan] {
         Map("viewIdent" -> fqn, "newPath" -> (seen + fqn).mkString(" -> ")))
     val v = g.loadView(ident)
     val parsed = spark.sessionState.sqlParser.parsePlan(v.query)
+    // names a CTE inside the body defines must stay unqualified —
+    // they are plan-local, not catalog objects
+    val cteNames: Set[String] = parsed.collect {
+      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
+    }.flatten.toSet
+    val cm = spark.sessionState.catalogManager
+    def qualify(parts: Seq[String]): Seq[String] =
+      if (parts.length >= 2 && cm.isCatalogRegistered(parts.head)) parts
+      else if (parts.length == 1 && cteNames.contains(parts.head.toLowerCase)) parts
+      else if (parts.length == 1)
+        (v.currentCatalog +: v.currentNamespace.toSeq) :+ parts.head
+      else v.currentCatalog +: parts
     val expanded = parsed transformUp {
       case u @ UnresolvedRelation(parts, _, false) =>
-        asView(parts).map { case (g2, id2) => expand(g2, id2, seen + fqn) }.getOrElse(u)
+        val q = qualify(parts)
+        asView(q).map { case (g2, id2) => expand(g2, id2, seen + fqn) }
+          .getOrElse(if (q == parts) u else u.copy(multipartIdentifier = q))
     }
     val aliased =
       if (v.columnAliases.nonEmpty && !v.columnAliases.sameElements(v.queryColumnNames))

@@ -76,6 +76,45 @@ class DiskStoreSpec extends AnyFunSuite {
       "complete aggregate pushdown must not read a segment")
   }
 
+  test("string zones use UTF-8 binary order: supplementary chars never skip wrongly") {
+    // ordering law: cmp over strings ≡ unsigned UTF-8 byte order (the
+    // order parquet chunk statistics and Spark's UTF8String both use)
+    val samples = Seq("", "a", "ab", "z", "é", "퟿", "",
+      "�", "😀", "a😀")
+    for (x <- samples; y <- samples) {
+      val byBytes = java.util.Arrays.compareUnsigned(
+        x.getBytes("UTF-8"), y.getBytes("UTF-8"))
+      assert(Integer.signum(GraftStore.cmp(x, y)) == Integer.signum(byBytes),
+        s"cmp(${x.codePoints().toArray.toSeq}, ${y.codePoints().toArray.toSeq}) " +
+          "disagrees with UTF-8 byte order")
+    }
+    // end-to-end: footer stats order a supplementary-plane string ABOVE
+    // U+FFFD; a UTF-16 probe order would call the probe out-of-zone and
+    // silently skip the one segment that holds the row
+    import spark.implicits._
+    val df = Seq((1L, "apple"), (2L, "�-probe"),
+      (3L, "😀-emoji"), (4L, "zebra")).toDF("id", "s")
+    GraftStore.loadDisk("dsk_utf8", df, "s", 2, dir)
+    val got = read("dsk_utf8").where(col("s") === "�-probe").collect()
+    assert(got.length == 1 && got(0).getLong(0) == 2L,
+      "UTF-8/UTF-16 order mismatch must not zone-skip a matching segment")
+  }
+
+  test("MIN/MAX over a zone-less column on a disk collection declines pushdown") {
+    import spark.implicits._
+    val df = Seq((1L, true), (2L, false), (3L, true)).toDF("id", "flag")
+    GraftStore.loadDisk("dsk_nozone", df, "id", 2, dir)
+    val agg = read("dsk_nozone").agg(min("flag").as("lo"), max("flag").as("hi"))
+    // boolean columns never get footer zones: the scan must DECLINE the
+    // metadata answer (probing a disk segment for all-null would stream
+    // parquet on the driver during planning) and run a normal
+    // distributed aggregate instead
+    assert(!agg.queryExecution.executedPlan.toString.contains("metadata-only"),
+      "zone-less disk column must not take the metadata aggregate path")
+    val r = agg.head()
+    assert(!r.getBoolean(0) && r.getBoolean(1))
+  }
+
   test("loadClusteredDisk: storage-partitioned join stays exchange-free") {
     GraftStore.loadClusteredDisk("dsk_spj_docs", docs, "lang", dir)
     val stats = docs.groupBy("lang")

@@ -96,6 +96,31 @@ class GraftCatalogSpec extends AnyFunSuite {
     spark.sql("DROP TABLE graft_cat.lake.up")
   }
 
+  test("group MERGE with zero matched segments keeps every existing row") {
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.lake")
+    spark.sql("CREATE TABLE graft_cat.lake.nomatch (id BIGINT, v STRING) " +
+      "PARTITIONED BY (id) TBLPROPERTIES ('rowlevel'='group')")
+    spark.sql("INSERT INTO graft_cat.lake.nomatch " +
+      "SELECT id, cast(id AS string) FROM range(100)")
+    // every source id is beyond the table's range: the runtime group
+    // filter prunes ALL segments (replacedIds empty), newRows carries
+    // only the NOT-MATCHED inserts — the existing 100 rows must survive
+    spark.sql(
+      """MERGE INTO graft_cat.lake.nomatch t
+        |USING (SELECT id + 1000 AS id, 'I' AS v FROM range(5)) s
+        |ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)""".stripMargin)
+    val rows = spark.sql("SELECT id, v FROM graft_cat.lake.nomatch ORDER BY id").collect()
+    assert(rows.length == 105,
+      s"zero-matched-segment MERGE must keep existing rows (got ${rows.length})")
+    assert(rows.take(100).forall(r => r.getString(1) == r.getLong(0).toString),
+      "pre-existing rows must be untouched")
+    assert(rows.drop(100).forall(r => r.getString(1) == "I" && r.getLong(0) >= 1000),
+      "not-matched inserts must land")
+    spark.sql("DROP TABLE graft_cat.lake.nomatch")
+  }
+
   test("delta row-level operations ship O(changed rows), not segments") {
     spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.lake")
     // default strategy IS delta — no property needed

@@ -155,6 +155,54 @@ class GraftViewSpec extends AnyFunSuite {
     spark.sql("DROP VIEW graft_cat.vwt.occupied")
   }
 
+  test("view body resolves in the CAPTURED catalog/namespace, not the reader's") {
+    freshBase()
+    val cm = spark.sessionState.catalogManager
+    val prevCat = cm.currentCatalog.name()
+    val prevNs = cm.currentNamespace
+    try {
+      // create the view with vwt as the current namespace and an
+      // UNQUALIFIED body reference
+      spark.sql("USE graft_cat.vwt")
+      spark.sql("CREATE OR REPLACE VIEW ctxv AS SELECT id, v FROM base WHERE v >= 30")
+      // a decoy `base` in another namespace, then move the reader there
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.vwother")
+      spark.sql("DROP TABLE IF EXISTS graft_cat.vwother.base")
+      spark.sql("CREATE TABLE graft_cat.vwother.base (id BIGINT, grp STRING, v BIGINT)")
+      spark.sql("INSERT INTO graft_cat.vwother.base VALUES (999,'z',999)")
+      spark.sql("USE graft_cat.vwother")
+      val got = spark.sql("SELECT id FROM graft_cat.vwt.ctxv ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(3L, 4L, 5L),
+        "an unqualified name inside a view must bind to the CREATE-time namespace")
+    } finally {
+      cm.setCurrentCatalog(prevCat)
+      cm.setCurrentNamespace(prevNs)
+      spark.sql("DROP TABLE IF EXISTS graft_cat.vwother.base")
+    }
+  }
+
+  test("registry keys are part vectors: dotted names do not conflate") {
+    import org.apache.spark.sql.connector.catalog.Identifier
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("x", LongType)))
+    def rec(sql: String) = GraftViewRegistry.Rec(sql, "graft_cat", Seq("vwt"),
+      schema, Seq("x"), Seq("x"), Seq(""), Map.empty)
+    // view literally named "a.b" in the ROOT namespace vs view "b" in
+    // namespace "a" — distinct identities, never the same key
+    val dotted = Identifier.of(Array.empty[String], "a.b")
+    val nested = Identifier.of(Array("a"), "b")
+    GraftViewRegistry.put(dotted, rec("SELECT 1 AS x"), replace = true)
+    assert(!GraftViewRegistry.exists(nested))
+    GraftViewRegistry.put(nested, rec("SELECT 2 AS x"), replace = true)
+    assert(GraftViewRegistry.get(dotted).exists(_.sql == "SELECT 1 AS x"))
+    assert(GraftViewRegistry.get(nested).exists(_.sql == "SELECT 2 AS x"))
+    // listing attributes each to its own namespace
+    assert(GraftViewRegistry.list(Seq("a")).map(_.name()) == Seq("b"))
+    assert(GraftViewRegistry.list(Seq.empty).map(_.name()).contains("a.b"))
+    assert(GraftViewRegistry.drop(dotted) && GraftViewRegistry.drop(nested))
+  }
+
   test("zero-cost abstraction: a filter above a view reaches the store scan") {
     freshBase()
     spark.sql("CREATE OR REPLACE VIEW graft_cat.vwt.allrows AS SELECT id, grp, v FROM graft_cat.vwt.base")
