@@ -259,7 +259,16 @@ object GraftStore {
     case (x: Int, y: Long)        => java.lang.Long.compare(x.toLong, y)
     case (x: Double, y: Double)   => java.lang.Double.compare(x, y)
     case (x: Float, y: Float)     => java.lang.Float.compare(x, y)
-    case (x: String, y: String)   => x.compareTo(y)
+    // unsigned UTF-8 byte order — the order parquet footer statistics
+    // and Spark's UTF8String use. String.compareTo is UTF-16 code-unit
+    // order, which disagrees for supplementary-plane text (U+10000+
+    // encodes as surrogates below U+E000 in UTF-16 but above in UTF-8);
+    // a probe compared in the wrong order can wrongly leave a disk
+    // segment's footer-derived zone and silently skip matching rows.
+    case (x: String, y: String)   =>
+      java.util.Arrays.compareUnsigned(
+        x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     case (x: Boolean, y: Boolean) => java.lang.Boolean.compare(x, y)
     case _ => throw new IllegalArgumentException(
       s"incomparable zone-map values: ${a.getClass} vs ${b.getClass}")
@@ -1014,8 +1023,12 @@ object GraftStore {
             case (seg, i) if !replacedIds.contains(i) => seg.rows
           }.flatten
           replaceAll(name, schema, untouched ++ newRows)
+        // zero matched segments (the runtime group filter pruned them
+        // all — e.g. a MERGE whose every source key is NOT MATCHED):
+        // the rewrite output is pure inserts, so APPEND it; replacing
+        // the collection here would delete every existing row.
         case None if replacedIds.isEmpty =>
-          if (newRows.nonEmpty) replaceAll(name, schema, newRows)
+          if (newRows.nonEmpty) append(name, schema, newRows)
         // range-sharded: untouched segments survive BY REFERENCE; the
         // rewrite output (already driver-side — it arrived in commit
         // messages) re-sorts by the shard key and refills EXACTLY the

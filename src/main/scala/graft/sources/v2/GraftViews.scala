@@ -3,8 +3,8 @@ package graft.sources.v2
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{AnalysisException, Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{NoSuchViewException, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases, UnresolvedTableOrView, UnresolvedView, ViewAlreadyExistsException}
-import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.analysis.{CTESubstitution, NoSuchViewException, UnresolvedIdentifier, UnresolvedNamespace, UnresolvedRelation, UnresolvedSubqueryColumnAliases, UnresolvedTableOrView, UnresolvedView, ViewAlreadyExistsException}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{CreateView, DropView, InsertIntoStatement, LogicalPlan, RenameTable, SetViewProperties, ShowViews, SubqueryAlias, UnresolvedWith, UnsetViewProperties}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.connector.catalog.{Identifier, View, ViewChange, ViewInfo}
@@ -160,6 +160,48 @@ case class GraftViewRules(spark: SparkSession) extends Rule[LogicalPlan] {
   private def asView(parts: Seq[String]): Option[(GraftCatalog, Identifier)] =
     resolveTarget(parts).filter { case (g, id) => g.viewExists(id) }
 
+  /** Name normalization for CTE-shadowing checks, honoring
+    * `spark.sql.caseSensitive` the way the analyzer's resolver does. */
+  private def normName(s: String): String =
+    if (spark.sessionState.conf.caseSensitiveAnalysis) s
+    else s.toLowerCase(java.util.Locale.ROOT)
+
+  /** CTE-scope-aware, subquery-descending relation rewrite. A plain
+    * `transformUp` is wrong here twice over: it never enters plans
+    * nested inside subquery EXPRESSIONS (IN / EXISTS / scalar
+    * subqueries), so a table name there would escape qualification and
+    * rebind to the reader's context; and collecting CTE names plan-wide
+    * ignores scope — a table that merely shares a name with a CTE in a
+    * sibling scope must still be qualified. This walk threads the set
+    * of VISIBLE cte names: each definition sees the names defined
+    * before it in its own WITH (plus enclosing scopes, plus itself when
+    * the WITH allows recursion), the body sees them all, and nothing
+    * leaks across sibling scopes. */
+  private def rewriteRelations(plan: LogicalPlan, ctes: Set[String])(
+      onRelation: (UnresolvedRelation, Set[String]) => LogicalPlan): LogicalPlan =
+    plan match {
+      case w: UnresolvedWith =>
+        var visible = ctes
+        val defs = w.cteRelations.map { case (name, alias, maxRows) =>
+          val scope = if (w.allowRecursion) visible + normName(name) else visible
+          val rebuilt = alias.copy(child = rewriteRelations(alias.child, scope)(onRelation))
+          visible += normName(name)
+          (name, rebuilt, maxRows)
+        }
+        val newChild = rewriteRelations(w.child, visible)(onRelation)
+        val changed = (newChild ne w.child) ||
+          defs.zip(w.cteRelations).exists { case (a, b) => a._2 ne b._2 }
+        if (changed) w.copy(child = newChild, cteRelations = defs) else w
+      case u: UnresolvedRelation => onRelation(u, ctes)
+      case other =>
+        other.mapChildren(rewriteRelations(_, ctes)(onRelation))
+          .transformExpressionsUp {
+            case se: SubqueryExpression =>
+              val p = rewriteRelations(se.plan, ctes)(onRelation)
+              if (p ne se.plan) se.withNewPlan(p) else se
+          }
+    }
+
   /** Splice a view definition into the plan: parse the stored SQL,
     * resolve every table name inside the body against the view's
     * CAPTURED catalog/namespace (the context recorded at CREATE time —
@@ -175,29 +217,35 @@ case class GraftViewRules(spark: SparkSession) extends Rule[LogicalPlan] {
         Map("viewIdent" -> fqn, "newPath" -> (seen + fqn).mkString(" -> ")))
     val v = g.loadView(ident)
     val parsed = spark.sessionState.sqlParser.parsePlan(v.query)
-    // names a CTE inside the body defines must stay unqualified —
-    // they are plan-local, not catalog objects
-    val cteNames: Set[String] = parsed.collect {
-      case w: UnresolvedWith => w.cteRelations.map(_._1.toLowerCase)
-    }.flatten.toSet
     val cm = spark.sessionState.catalogManager
-    def qualify(parts: Seq[String]): Seq[String] =
+    // names a CTE in scope must stay unqualified — they are plan-local,
+    // not catalog objects; the traversal threads the scoped set
+    def qualify(parts: Seq[String], ctes: Set[String]): Seq[String] =
       if (parts.length >= 2 && cm.isCatalogRegistered(parts.head)) parts
-      else if (parts.length == 1 && cteNames.contains(parts.head.toLowerCase)) parts
+      else if (parts.length == 1 && ctes.contains(normName(parts.head))) parts
       else if (parts.length == 1)
         (v.currentCatalog +: v.currentNamespace.toSeq) :+ parts.head
       else v.currentCatalog +: parts
-    val expanded = parsed transformUp {
-      case u @ UnresolvedRelation(parts, _, false) =>
-        val q = qualify(parts)
+    val expanded = rewriteRelations(parsed, Set.empty) { (u, ctes) =>
+      if (u.isStreaming) u
+      else {
+        val q = qualify(u.multipartIdentifier, ctes)
         asView(q).map { case (g2, id2) => expand(g2, id2, seen + fqn) }
-          .getOrElse(if (q == parts) u else u.copy(multipartIdentifier = q))
+          .getOrElse(if (q == u.multipartIdentifier) u
+                     else u.copy(multipartIdentifier = q))
+      }
     }
     val aliased =
       if (v.columnAliases.nonEmpty && !v.columnAliases.sameElements(v.queryColumnNames))
         UnresolvedSubqueryColumnAliases(v.columnAliases.toSeq, expanded)
       else expanded
-    SubqueryAlias(ident.name(), aliased)
+    // The analyzer's Substitution batch (CTESubstitution) runs BEFORE
+    // the Hints batch this rule lives in, so a WITH inside a spliced
+    // body would never be substituted and `UnresolvedWith` would
+    // survive to the planner. Substitute it here, with Spark's own
+    // rule — scoping, precedence policy, and recursion all behave
+    // exactly as they would for inline SQL.
+    CTESubstitution(SubqueryAlias(ident.name(), aliased))
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
@@ -281,9 +329,11 @@ case class GraftViewRules(spark: SparkSession) extends Rule[LogicalPlan] {
         }
         case _ =>
       }
-      other resolveOperatorsUp {
-        case u @ UnresolvedRelation(parts, _, false) =>
-          asView(parts).map { case (g, id) => expand(g, id, Set.empty) }.getOrElse(u)
+      rewriteRelations(other, Set.empty) { (u, ctes) =>
+        val parts = u.multipartIdentifier
+        if (u.isStreaming ||
+            (parts.length == 1 && ctes.contains(normName(parts.head)))) u
+        else asView(parts).map { case (g, id) => expand(g, id, Set.empty) }.getOrElse(u)
       }
   }
 }

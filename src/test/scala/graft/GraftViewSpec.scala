@@ -182,6 +182,86 @@ class GraftViewSpec extends AnyFunSuite {
     }
   }
 
+  test("view body's SUBQUERY-expression references resolve in the captured context too") {
+    freshBase()
+    val cm = spark.sessionState.catalogManager
+    val prevCat = cm.currentCatalog.name()
+    val prevNs = cm.currentNamespace
+    try {
+      spark.sql("USE graft_cat.vwt")
+      // unqualified `base` appears ONLY inside subquery expressions —
+      // plans a plain transformUp never descends into
+      spark.sql("CREATE OR REPLACE VIEW subqv AS SELECT id FROM graft_cat.vwt.base " +
+        "WHERE v IN (SELECT max(v) FROM base) " +
+        "AND NOT EXISTS (SELECT 1 FROM base b WHERE b.id = 999)")
+      // decoy: reader's namespace has a `base` with (999,'z',999); if the
+      // subqueries rebind there, max(v)=999 matches nothing and the
+      // EXISTS flips — either way the answer changes
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.vwother")
+      spark.sql("DROP TABLE IF EXISTS graft_cat.vwother.base")
+      spark.sql("CREATE TABLE graft_cat.vwother.base (id BIGINT, grp STRING, v BIGINT)")
+      spark.sql("INSERT INTO graft_cat.vwother.base VALUES (999,'z',999)")
+      spark.sql("USE graft_cat.vwother")
+      val got = spark.sql("SELECT id FROM graft_cat.vwt.subqv").collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(5L),
+        "subquery-expression names inside a view must bind to the CREATE-time namespace")
+    } finally {
+      cm.setCurrentCatalog(prevCat)
+      cm.setCurrentNamespace(prevNs)
+      spark.sql("DROP TABLE IF EXISTS graft_cat.vwother.base")
+    }
+  }
+
+  test("a CTE name in a sibling scope does not leave a same-named table unqualified") {
+    freshBase()
+    val cm = spark.sessionState.catalogManager
+    val prevCat = cm.currentCatalog.name()
+    val prevNs = cm.currentNamespace
+    try {
+      spark.sql("USE graft_cat.vwt")
+      // one branch defines a CTE named `base`; the SIBLING branch
+      // references the TABLE base — which must still be qualified to the
+      // captured namespace (a plan-wide CTE-name exemption would leave it
+      // to rebind at read time)
+      spark.sql("CREATE OR REPLACE VIEW sibv AS " +
+        "SELECT id FROM (WITH base AS (SELECT 100L AS id) SELECT id FROM base) x " +
+        "UNION ALL SELECT id FROM base WHERE v >= 50")
+      spark.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.vwother")
+      spark.sql("DROP TABLE IF EXISTS graft_cat.vwother.base")
+      spark.sql("CREATE TABLE graft_cat.vwother.base (id BIGINT, grp STRING, v BIGINT)")
+      spark.sql("INSERT INTO graft_cat.vwother.base VALUES (999,'z',999)")
+      spark.sql("USE graft_cat.vwother")
+      val got = spark.sql("SELECT id FROM graft_cat.vwt.sibv ORDER BY id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(5L, 100L),
+        s"sibling-scope CTE name must not unbind the table reference (got $got)")
+    } finally {
+      cm.setCurrentCatalog(prevCat)
+      cm.setCurrentNamespace(prevNs)
+      spark.sql("DROP TABLE IF EXISTS graft_cat.vwother.base")
+    }
+  }
+
+  test("a reader's CTE shadows a same-named view") {
+    freshBase()
+    val cm = spark.sessionState.catalogManager
+    val prevCat = cm.currentCatalog.name()
+    val prevNs = cm.currentNamespace
+    try {
+      spark.sql("USE graft_cat.vwt")
+      spark.sql("CREATE OR REPLACE VIEW shadow AS SELECT id FROM graft_cat.vwt.base")
+      // standard SQL: the CTE wins over any catalog object of the same
+      // name — the splice rule must not expand the view here
+      val got = spark.sql("WITH shadow AS (SELECT 42L AS id) SELECT id FROM shadow")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == Seq(42L), "a CTE must shadow a like-named view")
+      spark.sql("DROP VIEW graft_cat.vwt.shadow")
+    } finally {
+      cm.setCurrentCatalog(prevCat)
+      cm.setCurrentNamespace(prevNs)
+    }
+  }
+
   test("registry keys are part vectors: dotted names do not conflate") {
     import org.apache.spark.sql.connector.catalog.Identifier
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
