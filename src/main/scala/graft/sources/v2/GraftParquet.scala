@@ -152,12 +152,57 @@ object GraftParquet {
       }
     }
 
+  /** Test-support observability: the read `MessageType` of the most
+    * recently opened file (what the decoder was actually asked for —
+    * specs assert pruned columns never appear here). */
+  @volatile var lastReadSchema: Option[MessageType] = None
+
+  /** Column-pruning read support: decode ONLY the columns of
+    * `requested` that the file actually carries — parquet then never
+    * reads the other columns' chunks (no pages, no decompression, no
+    * decode). When the intersection is empty (count-shaped reads, or a
+    * projection made entirely of partition-directory constants) the
+    * file's cheapest-to-decode column is kept so row multiplicity
+    * survives. Fields absent from the file come back as null /
+    * constants via [[converters]], same as the full-schema path. */
+  private final class ProjectedReadSupport(requested: MessageType)
+      extends GroupReadSupport {
+    override def init(context: org.apache.parquet.hadoop.api.InitContext)
+        : org.apache.parquet.hadoop.api.ReadSupport.ReadContext = {
+      val fileSchema = context.getFileSchema
+      val kept = requested.getFields.asScala.filter(f =>
+        fileSchema.containsField(f.getName) &&
+          fileSchema.getFields.get(fileSchema.getFieldIndex(f.getName)).isPrimitive)
+      val fields: java.util.List[org.apache.parquet.schema.Type] =
+        if (kept.nonEmpty) kept.asJava
+        else {
+          // decode-cost rank of the physical types we write
+          def cost(t: org.apache.parquet.schema.Type): Int =
+            t.asPrimitiveType().getPrimitiveTypeName match {
+              case BOOLEAN => 0
+              case INT32 | FLOAT => 1
+              case INT64 | DOUBLE => 2
+              case _ => 3 // BINARY & co
+            }
+          java.util.Collections.singletonList(
+            fileSchema.getFields.asScala.filter(_.isPrimitive).minBy(cost))
+        }
+      val proj = new MessageType(fileSchema.getName, fields)
+      lastReadSchema = Some(proj)
+      new org.apache.parquet.hadoop.api.ReadSupport.ReadContext(proj)
+    }
+  }
+
   /** Stream rows from `paths` in order as external Rows shaped by
     * `schema`. One file open at a time; memory is one row + reader
-    * buffers regardless of segment size. */
+    * buffers regardless of segment size. Only `schema`'s columns are
+    * DECODED — column chunks outside the projection are never read. */
   def openIterator(paths: Seq[String], schema: StructType,
                    constants: Map[Int, Any] = Map.empty): RowIter = new RowIter {
     private val c = conf
+    private val requested = messageType(StructType(
+      schema.fields.zipWithIndex
+        .filterNot { case (_, i) => constants.contains(i) }.map(_._1)))
     private var pathIdx = 0
     private var reader: ParquetReader[Group] = _
     private var convs: Array[Group => Any] = _
@@ -171,7 +216,8 @@ object GraftParquet {
       nextGroup = if (reader == null) null else reader.read()
       while (nextGroup == null && pathIdx < paths.length) {
         closeReader()
-        reader = ParquetReader.builder(new GroupReadSupport(), new Path(paths(pathIdx)))
+        reader = ParquetReader
+          .builder(new ProjectedReadSupport(requested), new Path(paths(pathIdx)))
           .withConf(c).build()
         pathIdx += 1
         nextGroup = reader.read()

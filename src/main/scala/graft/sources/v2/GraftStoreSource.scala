@@ -182,14 +182,66 @@ class GraftStoreTable(name: String, tableSchema: StructType, batchRows: Int,
 class GraftScanBuilder(name: String, schema: StructType, batchRows: Int,
                        planListener: Vector[GraftStore.Segment] => Unit = _ => ())
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
-  import org.apache.spark.sql.connector.expressions.NamedReference
+  import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection, SortOrder => V2SortOrder}
   import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, CountStar, Max, Min}
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = schema
   private var aggRow: Option[(StructType, Row)] = None
+  private var limit: Option[Int] = None
+  private var topNAsc: Option[Boolean] = None
+
+  /** LIMIT k pushdown — PARTIAL (Spark keeps its own limit on top, so
+    * the scan only ever has to return a SUPERSET of any k rows): each
+    * partition stops after k output rows, closing its disk reader
+    * early, and a filterless scan plans only a segment PREFIX whose
+    * cumulative row count covers k instead of streaming every segment
+    * of a preview query. */
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+
+  /** Always partial: Spark keeps its own limit/sort above the scan (the
+    * scan's job is to return fewer candidate rows, not the final
+    * answer) — required explicitly because both pushdown traits supply
+    * the same default. */
+  override def isPartiallyPushed(): Boolean = true
+
+  /** ORDER BY <shard key> [DESC] LIMIT k pushdown. The store's layout
+    * IS this order: rows are sorted by the shard key (nulls first) and
+    * chunked into segments, so ascending nulls-first order is exactly
+    * the segment sequence and descending nulls-last is its exact
+    * reverse. A filterless top-k therefore plans only the PREFIX
+    * (asc) / SUFFIX (desc) of segments covering k rows. Partial
+    * pushdown: Spark still sorts what the scan returns, so the
+    * contract is only "include every row that could be in the top k" —
+    * which a count-covering prefix/suffix of a key-ordered layout
+    * satisfies by construction. Declined when the order isn't the
+    * shard key's natural layout (cluster-keyed collections have no
+    * global order; mismatched null ordering would break the
+    * prefix/suffix equivalence). */
+  override def pushTopN(orders: Array[V2SortOrder], l: Int): Boolean = {
+    val coll = GraftStore.get(name)
+    val ok = orders.length == 1 && coll.clusterKey.isEmpty &&
+      coll.shardKey.exists { k =>
+        orders(0).expression() match {
+          case r: NamedReference =>
+            r.fieldNames().length == 1 && r.fieldNames()(0) == k
+          case _ => false
+        }
+      } && {
+        val asc = orders(0).direction() == SortDirection.ASCENDING
+        val no = orders(0).nullOrdering()
+        (asc && no == NullOrdering.NULLS_FIRST) ||
+          (!asc && no == NullOrdering.NULLS_LAST)
+      }
+    if (ok) {
+      limit = Some(l)
+      topNAsc = Some(orders(0).direction() == SortDirection.ASCENDING)
+    }
+    ok
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (sup, residual) = filters.partition(GraftStore.supported(_, schema))
@@ -265,7 +317,7 @@ class GraftScanBuilder(name: String, schema: StructType, batchRows: Int,
   override def build(): Scan = aggRow match {
     case Some((aggSchema, row)) => new GraftAggScan(name, aggSchema, row)
     case None => new GraftScan(name, schema, required, pushed, batchRows,
-      planListener)
+      planListener, limit, topNAsc)
   }
 }
 
@@ -286,12 +338,18 @@ class GraftAggScan(name: String, aggSchema: StructType, row: Row) extends Scan {
 
 class GraftScan(name: String, fullSchema: StructType, required: StructType,
                 filters: Array[Filter], batchRows: Int,
-                planListener: Vector[GraftStore.Segment] => Unit = _ => ())
+                planListener: Vector[GraftStore.Segment] => Unit = _ => (),
+                pushedLimit: Option[Int] = None,
+                topNAsc: Option[Boolean] = None)
     extends Scan with SupportsReportStatistics with SupportsRuntimeFiltering
     with SupportsReportPartitioning {
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-store:$name PushedFilters: ${filters.mkString("[", ", ", "]")}, " +
+      pushedLimit.map(k => topNAsc match {
+        case Some(asc) => s"PushedTopN: ${if (asc) "ASC" else "DESC"} LIMIT $k, "
+        case None => s"PushedLimit: $k, "
+      }).getOrElse("") +
       s"ReadSchema: ${required.catalogString}"
 
   /** Runtime (dynamic) filtering: at execution time Spark hands the
@@ -346,7 +404,7 @@ class GraftScan(name: String, fullSchema: StructType, required: StructType,
     * resolvable against the scan's OUTPUT. */
   override def outputPartitioning(): Partitioning = {
     val coll = GraftStore.get(name)
-    val kept = survivors
+    val kept = limitSelect(survivorsIdx).map(_._1)
     coll.clusterKey match {
       case Some(k) if required.fieldNames.contains(k) && kept.nonEmpty &&
           kept.forall(_.count > 0L) =>
@@ -381,10 +439,31 @@ class GraftScan(name: String, fullSchema: StructType, required: StructType,
   private val recordedSkipRead =
     new java.util.concurrent.atomic.AtomicReference[(Long, Long)]((0L, 0L))
 
+  /** Segment selection under a pushed LIMIT/TopN: with no filters (a
+    * filter could push the surviving rows arbitrarily deep into the
+    * layout) a count-covering PREFIX of the key-ordered segment vector
+    * contains any k rows — and for asc top-k it IS the first k rows;
+    * desc top-k takes the SUFFIX (the layout reversed). With filters
+    * present every survivor stays planned and only the per-partition
+    * early stop applies. */
+  private def limitSelect(kept: Vector[(GraftStore.Segment, Int)])
+      : Vector[(GraftStore.Segment, Int)] =
+    pushedLimit match {
+      case Some(k) if allFilters.isEmpty &&
+          GraftStore.get(name).clusterKey.isEmpty =>
+        val ordered = if (topNAsc.contains(false)) kept.reverse else kept
+        var cum = 0L
+        val taken = ordered.takeWhile { case (seg, _) =>
+          val need = cum < k; cum += seg.count; need
+        }
+        if (topNAsc.contains(false)) taken.reverse else taken
+      case _ => kept
+    }
+
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val coll = GraftStore.get(name)
-      val kept = survivorsIdx
+      val kept = limitSelect(survivorsIdx)
       val now = (coll.segments.size.toLong - kept.size, kept.size.toLong)
       val prev = recordedSkipRead.getAndSet(now)
       GraftStore.segmentsSkipped.addAndGet(now._1 - prev._1)
@@ -417,7 +496,13 @@ class GraftScan(name: String, fullSchema: StructType, required: StructType,
       }
     }
     override def createReaderFactory(): PartitionReaderFactory =
-      new GraftReaderFactory(fullSchema, required, allFilters)
+      // per-partition early stop: k output rows satisfy a plain LIMIT
+      // from any partition, and (rows being key-ascending within a
+      // segment) the FIRST k of a partition are its smallest for asc
+      // top-k; a desc top-k needs the segment's tail, so it reads the
+      // (suffix-selected) partitions fully and lets Spark sort
+      new GraftReaderFactory(fullSchema, required, allFilters,
+        if (topNAsc.contains(false)) None else pushedLimit)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -479,7 +564,9 @@ case class GraftKeyedInputPartition(payload: GraftStore.SegmentPayload,
 }
 
 class GraftReaderFactory(fullSchema: StructType, required: StructType,
-                         filters: Array[Filter]) extends PartitionReaderFactory {
+                         filters: Array[Filter],
+                         earlyStopK: Option[Int] = None)
+    extends PartitionReaderFactory {
 
   private def segmentIdOf(partition: InputPartition): Int = partition match {
     case GraftInputPartition(_, id, _) => id
@@ -487,40 +574,71 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType,
     case _ => -1
   }
 
+  /** The DATA columns this reader actually needs: the pruned projection
+    * plus every column the residual/pushed filters reference. For a
+    * disk payload this is the parquet READ schema — the other columns'
+    * chunks are never decoded (or even read off disk). */
+  private val neededCols: Set[String] =
+    required.fieldNames.toSet ++ filters.flatMap(_.references)
+
+  /** Open a partition's payload for reading. Disk payloads open a
+    * PROJECTED reader shaped by [[neededCols]]; in-memory payloads hand
+    * out their full rows (they are already materialized — there is
+    * nothing to save). Returns the rows plus the schema they are shaped
+    * by, which is what filter eval and the getters must index into. */
+  private def openPayload(p: GraftStore.SegmentPayload): (Iterator[Row], StructType) =
+    p match {
+      case pr: GraftStore.ParquetRows if !pr.schema.fieldNames.forall(neededCols) =>
+        val keepIdx = pr.schema.fields.zipWithIndex.collect {
+          case (f, i) if neededCols(f.name) || pr.constants.contains(i) => i
+        }
+        val pruned = StructType(keepIdx.map(pr.schema.fields(_)))
+        val consts = pr.constants.collect { case (i, v) if keepIdx.contains(i) =>
+          keepIdx.indexOf(i) -> v
+        }
+        (GraftParquet.openIterator(pr.paths, pruned, consts), pruned)
+      case other => (other.iterator, fullSchema)
+    }
+
   /** Rows paired with their GLOBAL position (segment base + local
     * index). Positions are minted BEFORE filtering — `_pos` identifies
     * the row in the collection's stable order, not in the filtered
     * output. Returns the raw payload iterator too, so the caller can
-    * close a disk reader abandoned before exhaustion (LIMITs). */
-  private def filteredRows(partition: InputPartition): (Iterator[(Row, Long)], Iterator[Row]) = {
-    val (raw, rows, base) = partition match {
+    * close a disk reader abandoned before exhaustion (LIMITs), and the
+    * row schema (pruned for disk payloads). */
+  private def filteredRows(partition: InputPartition)
+      : (Iterator[(Row, Long)], Iterator[Row], StructType) = {
+    val (raw, rows, base, rowSchema) = partition match {
       case GraftInputPartition(p, _, b) =>
-        val it = p.iterator; (it, it, b)
+        val (it, s) = openPayload(p); (it, it, b, s)
       case GraftKeyedInputPartition(p, _, _, b) =>
-        val it = p.iterator; (it, it, b)
+        val (it, s) = openPayload(p); (it, it, b, s)
       case GraftSlicePartition(p, from, until, b) =>
         // raw stays the CLOSEABLE underlying iterator; the slice view
         // wraps it (a disk payload skips `from` rows sequentially —
         // the same cost shape as any log replay from an offset)
-        val it = p.iterator; (it, it.slice(from, until), b)
+        val (it, s) = openPayload(p); (it, it.slice(from, until), b, s)
       case other => throw new IllegalStateException(s"unexpected partition: $other")
     }
     val it = rows.zipWithIndex
       .map { case (r, i) => (r, if (base >= 0) base + i else -1L) }
-      .filter { case (r, _) => filters.forall(GraftStore.eval(_, r, fullSchema)) }
-    (it, raw)
+      .filter { case (r, _) => filters.forall(GraftStore.eval(_, r, rowSchema)) }
+    // pushed-limit early stop: a partition never produces (or decodes)
+    // more than k output rows; the abandoned disk reader is closed by
+    // the PartitionReader's close()
+    (earlyStopK.map(it.take).getOrElse(it), raw, rowSchema)
   }
 
-  /** Per-required-field Catalyst-value getters; the `_segment`/`_pos`
-    * metadata columns are synthesized from the partition, everything
-    * else reads from the stored row. DATA columns win the name: a
-    * collection that really stores a `_segment` column reads its own
-    * values (Spark likewise hides metadata columns shadowed by data
-    * columns). */
-  private def getters(segId: Int): Array[(Row, Long) => Any] =
+  /** Per-required-field Catalyst-value getters over rows shaped by
+    * `rowSchema`; the `_segment`/`_pos` metadata columns are
+    * synthesized from the partition, everything else reads from the
+    * stored row. DATA columns win the name: a collection that really
+    * stores a `_segment` column reads its own values (Spark likewise
+    * hides metadata columns shadowed by data columns). */
+  private def getters(segId: Int, rowSchema: StructType): Array[(Row, Long) => Any] =
     required.fields.map { f =>
-      if (fullSchema.fieldNames.contains(f.name)) {
-        val idx = fullSchema.fieldIndex(f.name)
+      if (rowSchema.fieldNames.contains(f.name)) {
+        val idx = rowSchema.fieldIndex(f.name)
         val conv = RowConverters.toCatalyst(f.dataType)
         (r: Row, _: Long) => conv(r.get(idx))
       } else if (f.name == "_segment") { (_: Row, _: Long) => segId }
@@ -530,8 +648,8 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType,
     }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val gets = getters(segmentIdOf(partition))
-    val (rows, raw) = filteredRows(partition)
+    val (rows, raw, rowSchema) = filteredRows(partition)
+    val gets = getters(segmentIdOf(partition), rowSchema)
     val it = rows
       .map { case (r, p) =>
         val out = new GenericInternalRow(gets.length)
@@ -566,9 +684,9 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType,
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
-    val gets = getters(segmentIdOf(partition))
     val batchSize = 1024
-    val (it, raw) = filteredRows(partition)
+    val (it, raw, rowSchema) = filteredRows(partition)
+    val gets = getters(segmentIdOf(partition), rowSchema)
     new PartitionReader[ColumnarBatch] {
       private var batch: ColumnarBatch = _
       override def next(): Boolean = {
