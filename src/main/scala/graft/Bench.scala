@@ -75,6 +75,21 @@ object Bench {
         else times.sorted.apply(times.size / 2)
       (name, median, times)
     }
+    // Self-certification against ambient load: per-query MIN rides next
+    // to the median, and the headline carries a dispersion verdict. On
+    // a quiet machine median≈min for nearly every query; a transient
+    // load window inflates medians but rarely all three reps, so
+    // median/min > 1.5 on many queries is the signature of a
+    // contaminated run — `load_suspect` makes the record say so itself
+    // instead of leaving the inflation to be re-derived next round
+    // (round 7's official number was 52% over the same code's quiet
+    // re-record). The 0.15 s floor keeps sub-100ms queries, whose
+    // absolute jitter is scheduler noise, out of the verdict.
+    val minTotal = results.collect { case (_, m, ts) if m >= 0 =>
+      ts.filter(_ >= 0).min }.sum
+    val dispersed = results.count { case (_, m, ts) =>
+      m >= 0.15 && ts.forall(_ >= 0) && m / ts.min > 1.5 }
+    val loadSuspect = dispersed > 10
     def fmt(d: Double) = "%.4f".formatLocal(java.util.Locale.ROOT, d)
     // Two renditions of the same result:
     //  - stdout: MINIMAL (total + error list + query count only). The
@@ -91,9 +106,12 @@ object Bench {
     val total = results.collect { case (_, v, _) if v >= 0 => v }.sum
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
-    val head = s""""metric":"median_total","value":${fmt(total)},"unit":"sec","warmup":1,"timed_reps":$reps,"n_queries":${results.size},"errors":$errs"""
+    val mins = results.map { case (k, _, ts) =>
+      "\"" + k + "\":" + fmt(if (ts.contains(-1.0)) -1.0 else ts.min)
+    }.mkString("{", ",", "}")
+    val head = s""""metric":"median_total","value":${fmt(total)},"unit":"sec","min_total":${fmt(minTotal)},"dispersed_queries":$dispersed,"load_suspect":$loadSuspect,"warmup":1,"timed_reps":$reps,"n_queries":${results.size},"errors":$errs"""
     val compact = s"""{$head,"detail":"$outFile","sf":"$sfDir"}"""
-    val full = s"""{$head,"queries":$qs,"reps":$repJson,"sf":"$sfDir"}"""
+    val full = s"""{$head,"queries":$qs,"mins":$mins,"reps":$repJson,"sf":"$sfDir"}"""
     // NonFatal only: swallowing OutOfMemoryError/InterruptedException here
     // would mask a dying JVM as a bench-output hiccup.
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
