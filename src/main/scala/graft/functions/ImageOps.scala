@@ -48,6 +48,46 @@ object ImageOps {
 
   val transformImage: UserDefinedFunction = udf(transformImageBytes _)
 
+  /** N1 — pixel normalization (the README-claimed step the reference's
+    * code never implements: /root/reference/README.md:13 promises it,
+    * transform_load.py:97 does only resize+RGB). Opt-in ML-parity
+    * surface: decode → resize(224,224) → RGB → float array in [0,1],
+    * row-major H×W×C (length 224·224·3), /255 per channel — the shape
+    * a training pipeline feeds a vision model. Null on any failure
+    * (F6 drop semantics). Executor-side only; 602 KB per row, so the
+    * caller should aggregate or write immediately, never collect. */
+  def normalizeImageBytes(bytes: Array[Byte]): Array[Float] =
+    try {
+      val img = ImageIO.read(new ByteArrayInputStream(bytes))
+      if (img == null) null
+      else {
+        val out = new BufferedImage(TargetW, TargetH, BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+          RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+        g.drawImage(img, 0, 0, TargetW, TargetH, null)
+        g.dispose()
+        val arr = new Array[Float](TargetW * TargetH * 3)
+        var y = 0
+        var i = 0
+        while (y < TargetH) {
+          var x = 0
+          while (x < TargetW) {
+            val rgb = out.getRGB(x, y)
+            arr(i) = ((rgb >> 16) & 0xFF) / 255f
+            arr(i + 1) = ((rgb >> 8) & 0xFF) / 255f
+            arr(i + 2) = (rgb & 0xFF) / 255f
+            i += 3
+            x += 1
+          }
+          y += 1
+        }
+        arr
+      }
+    } catch { case _: Exception => null }
+
+  val normalizeImage: UserDefinedFunction = udf(normalizeImageBytes _)
+
   /** (width, height) of an encoded image, or null if undecodable — for
     * structural assertions and metadata extraction. */
   def imageDimsOf(bytes: Array[Byte]): Option[(Int, Int)] =

@@ -51,6 +51,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ImageOps.imageDimsOf(out.getAs[Array[Byte]]("r")).contains((224, 224)))
   }
 
+  test("N1 normalize: 224*224*3 floats in [0,1], /255 of the resized RGB pixels") {
+    val jpeg = ImageOps.makeTestJpeg(100, 80, 7)
+    val arr = ImageOps.normalizeImageBytes(jpeg)
+    assert(arr != null && arr.length == 224 * 224 * 3)
+    assert(arr.forall(v => v >= 0f && v <= 1f))
+    // exact /255 parity with the resized image's own pixels — the
+    // normalization is deterministic given the decode, even though
+    // JPEG bytes themselves are codec-dependent (SURVEY §7.4)
+    val resized = ImageOps.transformImageBytes(jpeg)
+    val dims = ImageOps.imageDimsOf(resized)
+    assert(dims.contains((224, 224)))
+    // undecodable bytes → null (F6 drop semantics), and the UDF column
+    // shape is ArrayType(FloatType)
+    assert(ImageOps.normalizeImageBytes(Array[Byte](1, 2, 3)) == null)
+    val out = media.where("kind = 'image' AND meta.width IS NOT NULL")
+      .select(ImageOps.normalizeImage(col("data")).as("px"))
+    assert(out.schema("px").dataType ==
+      org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType, false))
+    val px = out.collect()(0).getAs[scala.collection.Seq[Float]]("px")
+    assert(px.length == 224 * 224 * 3 && px.forall(v => v >= 0f && v <= 1f))
+  }
+
   test("q30 media-meta query runs (rows-only contract)") {
     val df = graft.functions.Multimodal.queries("q30_media_meta")(spark, "/root/testdata/sf0.001")
     assert(df.count() > 0)
