@@ -41,10 +41,19 @@ object ScaleCheck {
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       // cap parquet row-group buffers: N concurrent writers each hold a
       // row group in memory, so the default 128 MB would couple write
-      // memory to segment size — 16 MB bounds write heap at
-      // writers × 16 MB (the fp fingerprint column pushed 8 × 32 MB
-      // past the 512 MB ceiling)
-      .config("spark.hadoop.parquet.block.size", (16 * 1024 * 1024).toString)
+      // memory to segment size. 8 MB (plus 256 KB pages) bounds write
+      // heap at writers × ~10 MB — 16 MB blocks left the 512 MB heap
+      // one GC-unlucky window away from an ingest OOM (observed: 3 of 4
+      // runs failing in the snappy JNI-critical allocation path). More,
+      // smaller row groups slightly SLOW the scans this check times —
+      // the conservative direction for its numbers.
+      .config("spark.hadoop.parquet.block.size", (8 * 1024 * 1024).toString)
+      .config("spark.hadoop.parquet.page.size", (256 * 1024).toString)
+      // the compact/zorder write sorts spill heavily at this heap; the
+      // merge phase opens EVERY spill file with a read buffer (default
+      // 1 MB × spills × 8 concurrent writers was the OOM) — 64 KB keeps
+      // the merge's residency proportional to files, not megabytes each
+      .config("spark.unsafe.sorter.spill.reader.buffer.size", (64 * 1024).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -67,7 +76,12 @@ object ScaleCheck {
     // layout this collection reaches (32 segments ≈ 312k unique fps):
     // an underdeclared NDV saturates the filter and silently degrades
     // skipping (100k here measured ~45% FPP — 17/32 skipped, not
-    // 31/32), while oversizing pays driver heap per live segment
+    // 31/32). bloom.mode=lazy is the 512 MB-heap (and the 100 TB)
+    // posture: at 8 MB row groups this collection carries ~400 NDV-
+    // sized bitsets (~90 MB) — eagerly resident they crowd the later
+    // maintenance stages out of heap; lazily they live in the
+    // byte-capped LRU and load per probed segment.
+    GraftStore.setProps("scale_docs", Map("bloom.mode" -> "lazy"))
     GraftStore.loadDisk("scale_docs", big, "doc_id", 64, dir,
       bloomCols = Map("fp" -> 200000L))
     // the clustered twins don't serve point lookups — keep the wide
@@ -87,10 +101,12 @@ object ScaleCheck {
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Boolean]
     val times = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def check(name: String)(got: => DataFrame, want: => DataFrame): Unit = {
+      System.err.println(s"[scale] start $name")
       val s = System.nanoTime()
       val ok = rowsMatch(got, want)
       times(name) = (System.nanoTime() - s) / 1e9
       results(name) = ok
+      System.err.println(f"[scale] done $name ok=$ok ${times(name)}%.2f s")
     }
 
     check("q73_dsv2_scan")(
@@ -137,6 +153,7 @@ object ScaleCheck {
       val t = System.nanoTime()
       GraftStore.deleteWhere("scale_docs",
         Array(org.apache.spark.sql.sources.GreaterThan("doc_id", cut.toLong)))
+      System.err.println("[scale] section delete_range")
       times("delete_range") = (System.nanoTime() - t) / 1e9
       results("delete_range") = read("scale_docs").count() == expect
     }
@@ -148,6 +165,7 @@ object ScaleCheck {
       val expect = read("scale_docs").count()
       val t = System.nanoTime()
       val (b, a) = GraftStore.compact("scale_docs", spark, 32)
+      System.err.println("[scale] section compact")
       times("compact") = (System.nanoTime() - t) / 1e9
       results("compact") = a == 32 && b >= a && read("scale_docs")
         .where(col("n_chars") >= 200).count() ==
@@ -166,6 +184,7 @@ object ScaleCheck {
       val hi = b0.getLong(1) - (b0.getLong(1) - b0.getLong(0)) / 100
       val t = System.nanoTime()
       val (_, a) = GraftStore.zorder("scale_docs", spark, "doc_id", "n_chars", 32)
+      System.err.println("[scale] section zorder")
       times("zorder") = (System.nanoTime() - t) / 1e9
       GraftStore.resetCounters()
       val narrow = read("scale_docs").where(col("n_chars") >= hi).count()
@@ -183,6 +202,7 @@ object ScaleCheck {
       val expect = read("scale_docs").count()
       val t = System.nanoTime()
       val (expired, files, bytes) = GraftStore.vacuum("scale_docs", 1)
+      System.err.println("[scale] section vacuum")
       times("vacuum") = (System.nanoTime() - t) / 1e9
       results("vacuum") = expired >= 2 && files > 0 && bytes > 0L &&
         read("scale_docs").count() == expect &&
@@ -200,9 +220,13 @@ object ScaleCheck {
       GraftStore.resetCounters()
       val t = System.nanoTime()
       val n = read("scale_docs").where(col("fp") === probe).count()
+      System.err.println("[scale] section bloom_point")
       times("bloom_point") = (System.nanoTime() - t) / 1e9
       val skipped = GraftStore.segmentsSkipped.get()
-      results("bloom_point") = n == 1L && skipped >= 24
+      val cacheMb = GraftStore.BloomCache.residentBytes / (1024 * 1024)
+      System.err.println(s"[scale] bloom cache resident ${cacheMb} MB")
+      results("bloom_point") = n == 1L && skipped >= 24 &&
+        GraftStore.BloomCache.residentBytes <= 64L * 1024 * 1024
       skipped
     }
 

@@ -170,9 +170,14 @@ object GraftParquet {
     override def init(context: org.apache.parquet.hadoop.api.InitContext)
         : org.apache.parquet.hadoop.api.ReadSupport.ReadContext = {
       val fileSchema = context.getFileSchema
-      val kept = requested.getFields.asScala.filter(f =>
-        fileSchema.containsField(f.getName) &&
-          fileSchema.getFields.get(fileSchema.getFieldIndex(f.getName)).isPrimitive)
+      // project the FILE's own field instances: repetition must match
+      // the data (a Spark-written non-nullable column is REQUIRED; a
+      // rebuilt OPTIONAL field would make the decoder parse definition
+      // levels the pages don't carry)
+      val kept = requested.getFields.asScala.iterator.map(_.getName)
+        .filter(fileSchema.containsField)
+        .map(n => fileSchema.getFields.get(fileSchema.getFieldIndex(n)))
+        .filter(_.isPrimitive).toVector
       val fields: java.util.List[org.apache.parquet.schema.Type] =
         if (kept.nonEmpty) kept.asJava
         else {
@@ -298,13 +303,20 @@ object GraftParquet {
   sealed trait ChunkProbe {
     /** `v` is a parquet-typed value: Binary / Long / Integer / Double / Float. */
     def mightContain(v: AnyRef): Boolean
+    /** Driver-RAM cost of holding this probe — the manifest size model's
+      * unit (bloom: exact bitset bytes; dictionary: per-value estimate). */
+    def sizeBytes: Long
   }
   private final case class BloomProbe(
       bf: org.apache.parquet.column.values.bloomfilter.BloomFilter) extends ChunkProbe {
     def mightContain(v: AnyRef): Boolean = bf.findHash(bf.hash(v))
+    def sizeBytes: Long = bf.getBitsetSize.toLong
   }
   private final case class DictProbe(values: Set[AnyRef]) extends ChunkProbe {
     def mightContain(v: AnyRef): Boolean = values.contains(v)
+    // ~32 bytes/entry: boxed value + hash-set node; an estimate — the
+    // point is the ORDER of driver cost, not byte-exact accounting
+    def sizeBytes: Long = values.size.toLong * 32L
   }
 
   /** Driver-built probe over explicit parquet-typed values — the

@@ -139,6 +139,7 @@ object GraftProcedures {
       StructField("payload", StringType, nullable = false),
       StructField("files", IntegerType, nullable = false),
       StructField("bytes", LongType, nullable = false),
+      StructField("manifest_bytes", LongType, nullable = false),
       StructField("zones", StringType, nullable = false),
       StructField("blooms", StringType, nullable = false)))
 
@@ -164,7 +165,8 @@ object GraftProcedures {
           .map { case (c, (lo, hi)) => s"$c:[$lo..$hi]" }.mkString(", ")
         val blooms = seg.blooms.keys.toSeq.sorted.mkString(", ")
         new GenericInternalRow(Array[Any](
-          i, seg.count, utf8(kind), files, bytes, utf8(zones), utf8(blooms))
+          i, seg.count, utf8(kind), files, bytes, seg.manifestBytes,
+          utf8(zones), utf8(blooms))
         ): InternalRow
       }.toArray
       util.Collections.singletonList(new LocalScan {

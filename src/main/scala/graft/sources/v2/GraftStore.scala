@@ -69,7 +69,13 @@ object GraftStore {
     * the write); parquet guarantees no false negatives, so skipping on
     * a miss is always safe. Never shipped to executors — input
     * partitions carry payloads, not segments. */
-  final class SegmentBloom(probes: Vector[GraftParquet.ChunkProbe]) {
+  final class SegmentBloom(loader: () => Vector[GraftParquet.ChunkProbe],
+                           /** Driver-RAM size model: resident bytes for
+                             * eager blooms; 0 for lazy (the LRU cache
+                             * owns and bounds those bytes). */
+                           val residentBytes: Long) {
+    def this(probes: Vector[GraftParquet.ChunkProbe]) =
+      this(() => probes, probes.map(_.sizeBytes).sum)
     def mightContain(v: Any): Boolean = {
       val pv: AnyRef = v match {
         case null => return true
@@ -80,8 +86,55 @@ object GraftStore {
         case f: Float => java.lang.Float.valueOf(f)
         case _ => return true // no probe semantics for this type: never skip
       }
-      probes.exists(_.mightContain(pv))
+      val probes = loader()
+      // no usable evidence (lazy load found no complete probe set):
+      // never skip — exactly the eager path's "drop the column" answer
+      probes.nonEmpty && probes.exists(_.mightContain(pv))
     }
+  }
+
+  /** Bounded driver residency for lazy-mode bloom probes: an LRU keyed
+    * by (file, column), capped in ESTIMATED bytes
+    * (`graft.store.bloom.cache.bytes`, default 64 MB). At 100 TB an
+    * NDV-sized bloom per row group per segment is driver RAM the
+    * manifest cannot afford to pin; `bloom.mode = lazy` keeps the
+    * manifest to paths + zones and re-reads footers on demand, paying
+    * one footer read per cache miss instead of resident gigabytes.
+    * Misses (including incomplete probe sets) cache their answer too,
+    * so an unusable column costs one footer inspection, not one per
+    * probe. */
+  object BloomCache {
+    private def cap: Long = sys.props.get("graft.store.bloom.cache.bytes")
+      .map(_.toLong).getOrElse(64L * 1024 * 1024)
+    private val lru = new java.util.LinkedHashMap[(String, String),
+        (Vector[GraftParquet.ChunkProbe], Long)](64, 0.75f, true)
+    private var total = 0L
+    val hits = new AtomicLong(0)
+    val misses = new AtomicLong(0)
+
+    def get(path: String, schema: StructType, col: String)
+        : Vector[GraftParquet.ChunkProbe] = synchronized {
+      val key = (path, col)
+      val cached = lru.get(key)
+      if (cached != null) { hits.incrementAndGet(); cached._1 }
+      else {
+        misses.incrementAndGet()
+        val probes = GraftParquet.bloomFilters(path, schema, Seq(col))
+          .getOrElse(col, Vector.empty)
+        val bytes = probes.map(_.sizeBytes).sum + 64L
+        lru.put(key, (probes, bytes))
+        total += bytes
+        val it = lru.entrySet().iterator()
+        while (total > cap && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != key) { total -= e.getValue._2; it.remove() }
+        }
+        probes
+      }
+    }
+
+    def residentBytes: Long = synchronized(total)
+    def clear(): Unit = synchronized { lru.clear(); total = 0L }
   }
 
   case class Segment(payload: SegmentPayload, zones: Map[String, (Any, Any)],
@@ -97,6 +150,30 @@ object GraftStore {
     }
     def iterator: Iterator[Row] = payload.iterator
     def count: Long = payload.count
+
+    /** Estimated driver-RAM footprint of this segment's MANIFEST entry —
+      * the size model for "does the driver hold 100 TB of metadata?":
+      * zone-map entries (key + two boxed bounds), payload path strings
+      * (disk) or nothing (memory payload rows are data, not manifest),
+      * and RESIDENT bloom bytes (eager blooms pin their bitsets; lazy
+      * mode contributes 0 here because [[BloomCache]] owns and caps
+      * those bytes globally). Strings dominate, so they are costed at
+      * 2 bytes/char + object header; everything else at a flat boxed
+      * size. */
+    def manifestBytes: Long = {
+      def valBytes(v: Any): Long = v match {
+        case s: String => 40L + 2L * s.length
+        case _ => 16L
+      }
+      val zoneB = zones.iterator.map { case (c, (lo, hi)) =>
+        48L + 2L * c.length + valBytes(lo) + valBytes(hi) }.sum
+      val pathB = payload match {
+        case ParquetRows(paths, _, _, _) => paths.iterator.map(p => 48L + 2L * p.length).sum
+        case _ => 0L
+      }
+      val bloomB = blooms.valuesIterator.map(48L + _.residentBytes).sum
+      64L + zoneB + pathB + bloomB
+    }
     def firstRow: Option[Row] = payload match {
       case MemRows(d) => d.headOption
       case p =>
@@ -374,11 +451,18 @@ object GraftStore {
     }.toMap
 
   /** Read back a written segment file's bloom filters per the
-    * collection's spec (empty spec → empty map, zero footer IO). */
+    * collection's spec (empty spec → empty map, zero footer IO).
+    * `bloom.mode = lazy` pins NOTHING in the manifest: probes load from
+    * footers on first use through the byte-capped [[BloomCache]] —
+    * the 100 TB posture, where NDV-sized filters per row group would
+    * otherwise be resident driver RAM per live segment. */
   private def segBlooms(name: String, path: String,
                         schema: StructType): Map[String, SegmentBloom] = {
     val spec = bloomSpec(name)
     if (spec.isEmpty) Map.empty
+    else if (props(name).get("bloom.mode").contains("lazy"))
+      spec.keys.toSeq.filter(schema.fieldNames.contains).map(c =>
+        c -> new SegmentBloom(() => BloomCache.get(path, schema, c), 0L)).toMap
     else GraftParquet.bloomFilters(path, schema, spec.keys.toSeq)
       .map { case (c, bfs) => c -> new SegmentBloom(bfs) }
   }
@@ -484,16 +568,39 @@ object GraftStore {
     bumpOrderEpoch(name) // clustering regroups rows arbitrarily
   }
 
+  /** Hard ceiling on the dev-only driver-collect ingest paths ([[load]]
+    * / [[loadClustered]]): materializing more rows than this on the
+    * driver is a deployment mistake — [[loadDisk]] /
+    * [[loadClusteredDisk]] ingest through executors with the driver
+    * touching only footers. Overridable via `graft.store.load.max.rows`. */
+  private def loadMaxRows: Long =
+    sys.props.get("graft.store.load.max.rows").map(_.toLong).getOrElse(5000000L)
+
+  private def guardLoad(name: String, df: DataFrame): Unit = {
+    val n = df.count()
+    require(n <= loadMaxRows,
+      s"GraftStore.load('$name'): $n rows exceeds the driver-collect ceiling " +
+        s"($loadMaxRows). This path materializes every row on the driver and " +
+        "exists for tests/dev only — use loadDisk/loadClusteredDisk (executors " +
+        "write the payload; the driver reads only parquet footers).")
+  }
+
   /** Convenience: materialize a DataFrame into the store (the test/dev
     * ingest path; a real deployment writes through the connector's
-    * [[org.apache.spark.sql.connector.write.BatchWrite]] instead). */
+    * [[org.apache.spark.sql.connector.write.BatchWrite]] or ingests via
+    * [[loadDisk]]). Guarded: refuses row counts that signal someone
+    * shipping the collect path by accident. */
   def load(name: String, df: DataFrame, shardKey: Option[String] = None,
-           numSegments: Int = 8): Unit =
+           numSegments: Int = 8): Unit = {
+    guardLoad(name, df)
     register(name, df.schema, df.collect().toIndexedSeq, shardKey, numSegments)
+  }
 
-  /** [[registerClustered]] from a DataFrame. */
-  def loadClustered(name: String, df: DataFrame, clusterKey: String): Unit =
+  /** [[registerClustered]] from a DataFrame. Guarded like [[load]]. */
+  def loadClustered(name: String, df: DataFrame, clusterKey: String): Unit = {
+    guardLoad(name, df)
     registerClustered(name, df.schema, df.collect().toIndexedSeq, clusterKey)
+  }
 
   /** Disk-backed DISTRIBUTED ingest — the path that scales past driver
     * RAM: executors range-partition and write the parquet payload

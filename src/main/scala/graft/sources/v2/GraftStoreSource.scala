@@ -581,6 +581,19 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType,
   private val neededCols: Set[String] =
     required.fieldNames.toSet ++ filters.flatMap(_.references)
 
+  /** The pruned shape of a disk payload under [[neededCols]]: (read
+    * schema, constants re-indexed into it). */
+  private def prunedShape(pr: GraftStore.ParquetRows): (StructType, Map[Int, Any]) = {
+    val keepIdx = pr.schema.fields.zipWithIndex.collect {
+      case (f, i) if neededCols(f.name) || pr.constants.contains(i) => i
+    }
+    val pruned = StructType(keepIdx.map(pr.schema.fields(_)))
+    val consts = pr.constants.collect { case (i, v) if keepIdx.contains(i) =>
+      keepIdx.indexOf(i) -> v
+    }
+    (pruned, consts)
+  }
+
   /** Open a partition's payload for reading. Disk payloads open a
     * PROJECTED reader shaped by [[neededCols]]; in-memory payloads hand
     * out their full rows (they are already materialized — there is
@@ -589,13 +602,7 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType,
   private def openPayload(p: GraftStore.SegmentPayload): (Iterator[Row], StructType) =
     p match {
       case pr: GraftStore.ParquetRows if !pr.schema.fieldNames.forall(neededCols) =>
-        val keepIdx = pr.schema.fields.zipWithIndex.collect {
-          case (f, i) if neededCols(f.name) || pr.constants.contains(i) => i
-        }
-        val pruned = StructType(keepIdx.map(pr.schema.fields(_)))
-        val consts = pr.constants.collect { case (i, v) if keepIdx.contains(i) =>
-          keepIdx.indexOf(i) -> v
-        }
+        val (pruned, consts) = prunedShape(pr)
         (GraftParquet.openIterator(pr.paths, pruned, consts), pruned)
       case other => (other.iterator, fullSchema)
     }
@@ -682,7 +689,121 @@ class GraftReaderFactory(fullSchema: StructType, required: StructType,
   override def supportColumnarReads(partition: InputPartition): Boolean =
     required.fields.forall(f => vectorizable(f.dataType))
 
-  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] =
+    partition match {
+      // whole disk segments decode pages STRAIGHT into column vectors —
+      // no Group, no external Row, no re-boxing (GraftColumnar); slices
+      // and memory payloads keep the row-repack path
+      case GraftInputPartition(pr: GraftStore.ParquetRows, segId, base) =>
+        directColumnarReader(pr, segId, base)
+      case GraftKeyedInputPartition(pr: GraftStore.ParquetRows, _, segId, base) =>
+        directColumnarReader(pr, segId, base)
+      case other => repackColumnarReader(other)
+    }
+
+  /** Direct parquet→vector reader for one disk segment. Pushed filters
+    * evaluate vectorized over the decoded batch (GraftColumnar
+    * .compilePred — eval-parity pinned by spec); `_segment`/`_pos`
+    * synthesize as constant/position vectors, positions minted BEFORE
+    * filtering like the row path; batches that lose rows compact
+    * survivors into fresh vectors. */
+  private def directColumnarReader(pr: GraftStore.ParquetRows, segId: Int,
+                                   base: Long): PartitionReader[ColumnarBatch] = {
+    import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+    val (readSchema, consts) = prunedShape(pr)
+    val batches = new GraftColumnar.BatchIter(pr.paths, readSchema, consts, 4096)
+    val srcIdx: Array[Int] = required.fields.map { f =>
+      if (readSchema.fieldNames.contains(f.name)) readSchema.fieldIndex(f.name)
+      else if (f.name == "_segment" || f.name == "_pos") -1
+      else throw new IllegalStateException(
+        s"graft-store columnar reader: unknown required column ${f.name}")
+    }
+
+    new PartitionReader[ColumnarBatch] {
+      private var batch: ColumnarBatch = _
+      private var consumed = 0L // payload rows consumed (pre-filter) — the _pos base
+      private var remaining = earlyStopK.map(_.toLong).getOrElse(Long.MaxValue)
+
+      override def next(): Boolean = {
+        closeBatch()
+        while (remaining > 0 && batches.hasNext) {
+          val dec = batches.next()
+          val n = dec.numRows
+          val rowBase = consumed
+          consumed += n
+          // survivor selection under pushed filters
+          val sel: Array[Int] =
+            if (filters.isEmpty) null
+            else {
+              val preds = filters.map(GraftColumnar.compilePred(_, readSchema, dec.vectors))
+              val keep = Array.newBuilder[Int]
+              var i = 0
+              while (i < n) {
+                var ok = true
+                var p = 0
+                while (ok && p < preds.length) { ok = preds(p)(i); p += 1 }
+                if (ok) keep += i
+                i += 1
+              }
+              keep.result()
+            }
+          val outRows0 = if (sel == null) n else sel.length
+          if (outRows0 > 0) {
+            val outRows = math.min(outRows0.toLong, remaining).toInt
+            remaining -= outRows
+            val outVecs: Array[org.apache.spark.sql.vectorized.ColumnVector] =
+              required.fields.zipWithIndex.map { case (f, c) =>
+                val src = srcIdx(c)
+                if (src >= 0 && sel == null && outRows == n) dec.vectors(src)
+                else {
+                  val v = new OnHeapColumnVector(outRows, f.dataType)
+                  var o = 0
+                  while (o < outRows) {
+                    val i = if (sel == null) o else sel(o)
+                    if (src >= 0) copyValue(dec.vectors(src), i, v, o, f.dataType)
+                    else if (f.name == "_segment") v.putInt(o, segId)
+                    else v.putLong(o, if (base >= 0) base + rowBase + i else -1L)
+                    o += 1
+                  }
+                  v
+                }
+              }
+            // close decoded vectors the output does not take ownership of
+            val taken = outVecs.toSet
+            dec.vectors.foreach(v => if (!taken.contains(v)) v.close())
+            batch = new ColumnarBatch(outVecs, outRows)
+            return true
+          }
+          dec.vectors.foreach(_.close())
+        }
+        batch = null
+        false
+      }
+
+      private def copyValue(src: OnHeapColumnVector, i: Int,
+                            dst: OnHeapColumnVector, o: Int,
+                            dt: DataType): Unit =
+        if (src.isNullAt(i)) dst.putNull(o)
+        else dt match {
+          case LongType | TimestampType => dst.putLong(o, src.getLong(i))
+          case IntegerType | DateType => dst.putInt(o, src.getInt(i))
+          case DoubleType => dst.putDouble(o, src.getDouble(i))
+          case FloatType => dst.putFloat(o, src.getFloat(i))
+          case BooleanType => dst.putBoolean(o, src.getBoolean(i))
+          case StringType | BinaryType =>
+            val b = src.getBinary(i)
+            dst.putByteArray(o, b, 0, b.length)
+          case other => throw new IllegalStateException(s"non-vectorizable: $other")
+        }
+
+      override def get(): ColumnarBatch = batch
+      private def closeBatch(): Unit =
+        if (batch != null) { batch.close(); batch = null }
+      override def close(): Unit = { closeBatch(); batches.close() }
+    }
+  }
+
+  private def repackColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
     val batchSize = 1024
     val (it, raw, rowSchema) = filteredRows(partition)

@@ -117,6 +117,64 @@ class BloomSkipSpec extends AnyFunSuite {
     s.sql("DROP TABLE graft_cat.lake.blm")
   }
 
+  test("bloom.mode=lazy: nothing resident in the manifest, probes load through the capped LRU") {
+    val dir = Files.createTempDirectory("graft_bloom_lazy").toString
+    GraftStore.drop("bl_lazy")
+    GraftStore.setProps("bl_lazy", Map("bloom.mode" -> "lazy"))
+    GraftStore.loadDisk("bl_lazy", hashed(8192), "id", 8, dir,
+      bloomCols = Map("k" -> 1500L))
+    // the manifest pins zero bloom bytes: size model says so per segment
+    val segs = GraftStore.get("bl_lazy").segments.filter(_.count > 0)
+    assert(segs.forall(_.blooms.contains("k")))
+    assert(segs.forall(_.blooms("k").residentBytes == 0L),
+      "lazy blooms must not pin bitsets in the manifest")
+    GraftStore.BloomCache.clear()
+    val probe = hashed(8192).where("id = 4321").head().getString(1)
+    GraftStore.resetCounters()
+    val got = read("bl_lazy").where(s"k = '$probe'").collect()
+    assert(got.length == 1 && got(0).getLong(0) == 4321L)
+    assert(GraftStore.segmentsSkipped.get() >= 5,
+      s"lazy blooms must skip like eager ones; skipped=${GraftStore.segmentsSkipped.get()}")
+    assert(GraftStore.BloomCache.misses.get() > 0)
+    // second probe: footers are NOT re-read (cache hits), answers agree
+    val (m0, h0) = (GraftStore.BloomCache.misses.get(), GraftStore.BloomCache.hits.get())
+    assert(read("bl_lazy").where(s"k = '$probe'").count() == 1L)
+    assert(GraftStore.BloomCache.misses.get() == m0 &&
+      GraftStore.BloomCache.hits.get() > h0)
+    // a starvation-level cap still answers correctly (reload per miss),
+    // and resident bytes stay bounded by the cap's order
+    sys.props("graft.store.bloom.cache.bytes") = "1024"
+    try {
+      GraftStore.BloomCache.clear()
+      assert(read("bl_lazy").where(s"k = '$probe'").count() == 1L)
+      assert(read("bl_lazy").where("k = 'not-a-hash'").count() == 0L)
+      assert(GraftStore.BloomCache.residentBytes <= 16 * 1024,
+        s"capped cache must evict; resident=${GraftStore.BloomCache.residentBytes}")
+    } finally sys.props.remove("graft.store.bloom.cache.bytes")
+  }
+
+  test("CALL system.detail reports the manifest size model per segment") {
+    val s = spark
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.sql("CREATE NAMESPACE IF NOT EXISTS graft_cat.lake")
+    s.sql("DROP TABLE IF EXISTS graft_cat.lake.mfb")
+    s.sql("""CREATE TABLE graft_cat.lake.mfb (id BIGINT, k STRING)
+            |PARTITIONED BY (id)
+            |TBLPROPERTIES ('payload' = 'disk', 'bloom.columns' = 'k:1500')""".stripMargin)
+    s.sql("INSERT INTO graft_cat.lake.mfb SELECT id, md5(cast(id AS string)) FROM range(8192)")
+    val rows = s.sql("CALL graft_cat.system.detail(tbl => 'lake.mfb')").collect()
+    val mb = rows.map(r => r.getAs[Long]("manifest_bytes"))
+    assert(mb.forall(_ > 0L))
+    // eager blooms dominate the entry: the per-segment manifest must
+    // account kilobytes (bitsets), not just the path+zone skeleton —
+    // and stay FAR below the data bytes it describes
+    val dataB = rows.map(r => r.getAs[Long]("bytes"))
+    assert(mb.sum > 8 * 1024, s"bloom bitsets must be accounted: ${mb.toSeq}")
+    assert(mb.sum < dataB.sum / 4,
+      s"manifest (${mb.sum}) must be far smaller than data (${dataB.sum})")
+    s.sql("DROP TABLE graft_cat.lake.mfb")
+  }
+
   test("SQL surface: TBLPROPERTIES bloom.columns on a disk table skips on point lookups") {
     val s = spark
     s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")

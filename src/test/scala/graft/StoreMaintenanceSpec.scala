@@ -172,8 +172,9 @@ class StoreMaintenanceSpec extends AnyFunSuite {
     rows.foreach { r =>
       assert(r.getString(2) == "parquet" && r.getInt(3) >= 1 && r.getLong(4) > 0L,
         s"disk segment must report real files and bytes: $r")
-      assert(r.getString(5).contains("a:["), s"zone span for the shard key: $r")
-      assert(r.getString(6) == "k", s"bloom column listed: $r")
+      assert(r.getLong(5) > 0L, s"manifest bytes must be priced: $r")
+      assert(r.getString(6).contains("a:["), s"zone span for the shard key: $r")
+      assert(r.getString(7) == "k", s"bloom column listed: $r")
     }
     GraftStore.drop("det_t")
   }
