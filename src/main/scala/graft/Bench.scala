@@ -109,7 +109,11 @@ object Bench {
     val mins = results.map { case (k, _, ts) =>
       "\"" + k + "\":" + fmt(if (ts.contains(-1.0)) -1.0 else ts.min)
     }.mkString("{", ",", "}")
-    val head = s""""metric":"median_total","value":${fmt(total)},"unit":"sec","min_total":${fmt(minTotal)},"dispersed_queries":$dispersed,"load_suspect":$loadSuspect,"warmup":1,"timed_reps":$reps,"n_queries":${results.size},"errors":$errs"""
+    // n_ok rides next to n_queries so a run with errors can never be
+    // misread as a full-coverage total (the -1 sentinels contribute no
+    // time, so "value" covers ONLY the n_ok queries).
+    val nOk = results.size - errors.size
+    val head = s""""metric":"median_total","value":${fmt(total)},"unit":"sec","min_total":${fmt(minTotal)},"dispersed_queries":$dispersed,"load_suspect":$loadSuspect,"warmup":1,"timed_reps":$reps,"n_queries":${results.size},"n_ok":$nOk,"errors":$errs"""
     val compact = s"""{$head,"detail":"$outFile","sf":"$sfDir"}"""
     val full = s"""{$head,"queries":$qs,"mins":$mins,"reps":$repJson,"sf":"$sfDir"}"""
     // NonFatal only: swallowing OutOfMemoryError/InterruptedException here

@@ -26,10 +26,15 @@ object Tables {
     if (name == "events") events(spark, sfDir)
     else connector(sfDir).read(spark, name)
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's TimestampType
-    * (micros) refuses to read directly; read it as a long via the legacy
-    * flag and truncate to micros. DuckDB keeps ns natively, so oracle
-    * queries never emit a raw `ts` — only date_trunc'd buckets. */
+  /** `events.ts` has shipped with different physical parquet types across
+    * testdata generations: TIMESTAMP(NANOS) (Spark refuses → read as long
+    * via the legacy flag, truncate to micros), plain timestamp[us] with no
+    * timezone (loads as TIMESTAMP_NTZ), or timestamp[us] with UTC
+    * (TimestampType). The legacy flag is harmless for non-nanos files, so
+    * always set it, then adapt on the loaded Catalyst type. The session
+    * timezone is UTC, so NTZ→TZ cast preserves the instant exactly.
+    * DuckDB-side oracles use date_trunc/epoch_us buckets, which agree on
+    * micros data. */
   private def eventsRaw(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     connector(sfDir).read(spark, "events")
@@ -42,9 +47,25 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "region")
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.sql.functions.expr
-    eventsRaw(spark, sfDir).withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    adaptEventsTs(eventsRaw(spark, sfDir))
+
+  /** Normalize whatever physical encoding this testdata generation uses
+    * for `ts` to TimestampType (micros, UTC instant). Works on batch and
+    * streaming DataFrames alike (dispatches on the Catalyst type only) —
+    * streaming callers must declare the file's on-disk schema, then pass
+    * the stream through here. */
+  def adaptEventsTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other — extend Tables.adaptEventsTs for this testdata generation")
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")

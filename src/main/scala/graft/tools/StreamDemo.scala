@@ -3,8 +3,6 @@ package graft.tools
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 import graft.streaming.EventStream
 
@@ -25,12 +23,11 @@ object StreamDemo {
     val src = Files.createTempDirectory("sd_src").toString
     Files.copy(Paths.get(s"$sfDir/events.parquet"), Paths.get(src, "p0.parquet"),
       StandardCopyOption.REPLACE_EXISTING)
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    def stream = spark.readStream.schema(schema).parquet(src)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // declare the file's actual on-disk schema, then normalize ts exactly
+    // like the batch loader (the encoding varies by testdata generation)
+    val onDisk = spark.read.parquet(src).schema
+    def stream = graft.Tables.adaptEventsTs(
+      spark.readStream.schema(onDisk).parquet(src))
 
     val q = EventStream.hourlyRollup(stream)
       .writeStream.outputMode("complete").format("memory").queryName("rollup").start()

@@ -12,16 +12,14 @@ import graft.streaming.EventStream
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
-  /** File-source streaming view of the events table (ts arrives as nanos
-    * long per the parquet physical type; converted like Tables.events). */
+  /** File-source streaming view of the events table. The stream declares
+    * the file's actual on-disk schema (taken from a batch read — the
+    * driver has shipped nanos-long and micros encodings across testdata
+    * generations), then normalizes `ts` exactly like the batch loader. */
   private def streamingEvents(dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val onDisk = spark.read.parquet(dir).schema
+    Tables.adaptEventsTs(spark.readStream.schema(onDisk).parquet(dir))
   }
 
   private def stageEvents(): String = {
