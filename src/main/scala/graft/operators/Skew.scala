@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -43,4 +43,29 @@ object Skew {
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
     bigS.join(smallS, Seq(key, "__salt"), "inner").drop("__salt")
   }
+
+  /** Oracle gate for the salted join: a textbook skew shape — a fact
+    * table joined to per-key aggregate stats, where the key (event_type)
+    * has a handful of hot values that would each land on one reducer in
+    * a plain shuffle join. The salted plan spreads every hot key across
+    * 8 sub-keys; the DuckDB twin is the UNSALTED join, so the per-row
+    * hash match proves salting is semantically invisible (no lost or
+    * duplicated rows — the failure modes of a wrong re-salt). */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q104_salted_join" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir).select("event_id", "event_type")
+      val totals = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("type_total"))
+      saltedJoin(ev, totals, "event_type", salt = 8)
+        .select("event_id", "event_type", "type_total")
+        .orderBy("event_id")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q104_salted_join" ->
+      """SELECT e.event_id, e.event_type, t.type_total
+        |FROM events e
+        |JOIN (SELECT event_type, CAST(count(*) AS BIGINT) AS type_total
+        |      FROM events GROUP BY event_type) t USING (event_type)
+        |ORDER BY e.event_id""".stripMargin)
 }
