@@ -73,6 +73,30 @@ object Relational {
     * associative, safe to sum in any shuffle order. */
   def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** Shared W1 core for q01/q02: one row kept per (l_orderkey,
+    * l_partkey), chosen by the TOTAL packed order documented at q01.
+    * Returns the kept row with every payload column decoded from the
+    * single min'd long (ln/suppkey/qty/cents/flag bit fields). */
+  private def packedKeepFirst(lineitem: org.apache.spark.sql.DataFrame) = {
+    val packed = lineitem.select(col("l_orderkey"), col("l_partkey"),
+      (col("l_linenumber") * lit(1L << 59) +
+        col("l_suppkey") * lit(1L << 39) +
+        cents(col("l_quantity")) * lit(1L << 26) +
+        cents(col("l_extendedprice")) * lit(1L << 2) +
+        when(col("l_returnflag") === "A", 0L)
+          .when(col("l_returnflag") === "N", 1L)
+          .otherwise(2L)).as("ord"))
+    packed.groupBy("l_orderkey", "l_partkey")
+      .agg(min(col("ord")).as("ord"))
+      .select(col("l_orderkey"), col("l_partkey"),
+        expr("ord div 576460752303423488").as("l_linenumber"),
+        expr("(ord div 549755813888) % 1048576").as("l_suppkey"),
+        (expr("(ord div 67108864) % 8192").cast("double") / 100.0).as("l_quantity"),
+        expr("(ord div 67108864) % 8192").as("qty_e2"),
+        expr("(ord div 4) % 16777216").as("price_cents"),
+        expr("CASE ord % 4 WHEN 0 THEN 65 WHEN 1 THEN 78 ELSE 82 END").as("flag_a"))
+  }
+
   // ---------------------------------------------------------------- queries
   // Driver correctness surface: name -> (spark, sfDir) => DataFrame, with a
   // DuckDB twin in `oracle`. Aliases and ORDER BY are identical on both
@@ -80,56 +104,43 @@ object Relational {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Flagship: W1 dedup + A1 group-count + H1 having in one plan. The
-    // dedup runs as a HASH-aggregable form of W1: the (l_linenumber,
-    // l_suppkey) order packs into ONE long (ln is 1..7, suppkey fits 32
-    // bits — the packed value preserves lexicographic order and is
-    // unique per key), the kept row's columns come from `min_by`
-    // against it, and the single-char returnflag rides as its ascii
-    // code so every aggregation buffer is a mutable primitive. That
-    // keeps BOTH aggregates in HashAggregate with map-side partial
-    // combine — min(struct(...)) would carry a struct buffer and fall
-    // back to SortAggregate (sort per partition, twice), and the
-    // window form would shuffle + sort every row.
+    // dedup runs as a HASH-aggregable form of W1: the keep-first order
+    // packs the ENTIRE payload into ONE long whose numeric order is the
+    // lexicographic order (l_linenumber, l_suppkey, l_quantity,
+    // price_cents, returnflag) — a TOTAL order, so the kept row is
+    // deterministic even when two physical rows share the full
+    // (linenumber, suppkey) sub-key (the regenerated sf0.001 testdata
+    // contains exactly such a payload-ambiguous duplicate; min_by
+    // against a non-total key was nondeterministic there). Bit layout,
+    // high to low: ln 3 bits (≤7) | suppkey 20 (≤1,048,575 — TPC-H
+    // SF≈100k) | qty_e2 13 (quantity·100 ≤ 8191) | cents 24
+    // (≤$167,772) | flag 2 ({A,N,R} mapped 0/1/2, alphabetical). 62
+    // bits total; if the driver's data ever exceeds a bound the packed
+    // order diverges from the oracle's ORDER BY and the hash gate
+    // catches it. One min() buffer per group (primitive long), so the
+    // whole dedup is a single HashAggregate with map-side combine —
+    // min(struct(...)) would fall back to SortAggregate, the window
+    // form would shuffle + sort every row, and the previous
+    // three-min_by form carried 3 buffers where one suffices.
     "q01_dedup_group" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey"),
-          (col("l_linenumber") * lit(4294967296L) + col("l_suppkey")).as("ord"),
-          ascii(col("l_returnflag")).as("flag_a"),
-          col("l_quantity"), cents(col("l_extendedprice")).as("price_cents"))
-      val first = li.groupBy("l_orderkey", "l_partkey")
-        .agg(min_by(col("flag_a"), col("ord")).as("flag_a"),
-          min_by(col("l_quantity"), col("ord")).as("l_quantity"),
-          min_by(col("price_cents"), col("ord")).as("price_cents"))
+      val first = packedKeepFirst(Tables.lineitem(s, dir))
       first.groupBy(chr(col("flag_a")).as("l_returnflag"))
         .agg(count(lit(1)).as("n_rows"),
-             // round-then-cast: Spark ANSI CAST(double AS long) truncates,
-             // DuckDB's rounds — explicit round() makes both agree even if
-             // quantities ever turn fractional
-             round(sum(col("l_quantity"))).cast("long").as("sum_qty"),
+             // qty_e2 sums exactly in integers; one double division +
+             // round at the END matches DuckDB's round(SUM(l_quantity))
+             round(sum(col("qty_e2")) / 100.0).cast("long").as("sum_qty"),
              sum(col("price_cents")).cast("long").as("revenue_cents"))
         .filter(col("n_rows") > 10)
         .orderBy(col("l_returnflag"))
     }),
 
-    // W1 alone: deduped row subset, deterministic keep-first.
-    // W1 alone, same hash-aggregable encoding as q01: the kept row's
-    // (l_linenumber, l_suppkey) decode from the packed min order key,
-    // the rest arrives via min_by — all buffers primitive, so the dedup
-    // is ONE HashAggregate with map-side combine instead of a
-    // window-sort (or a struct-min SortAggregate).
+    // W1 alone: deduped row subset, deterministic keep-first — same
+    // total-order packed encoding as q01 (see above), every output
+    // column decoded from the single min'd long.
     "q02_keep_first" -> ((s, dir) => {
-      val li = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey"),
-          (col("l_linenumber") * lit(4294967296L) + col("l_suppkey")).as("ord"),
-          ascii(col("l_returnflag")).as("flag_a"), col("l_quantity"))
-      li.groupBy("l_orderkey", "l_partkey")
-        .agg(min(col("ord")).as("ord"),
-          min_by(col("l_quantity"), col("ord")).as("l_quantity"),
-          min_by(col("flag_a"), col("ord")).as("flag_a"))
-        .select(col("l_orderkey"), col("l_partkey"),
-          (col("ord") % lit(4294967296L)).as("l_suppkey"),
-          expr("ord div 4294967296").as("l_linenumber"),
-          col("l_quantity"), chr(col("flag_a")).as("l_returnflag"))
+      packedKeepFirst(Tables.lineitem(s, dir))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          col("l_linenumber"), col("l_quantity"), chr(col("flag_a")).as("l_returnflag"))
         .orderBy("l_orderkey", "l_partkey")
     }),
 
@@ -253,6 +264,28 @@ object Relational {
         .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
         .filter(col("k") > 50)
         .select("event_id", "event_type", "k")
+        .orderBy("event_id")
+    }),
+
+    // X4 at scale: semi-structured access via Spark 4's VARIANT type.
+    // q13's get_json_object re-parses the string per path — fine for one
+    // field, quadratic in paths for wide extraction. VARIANT parses ONCE
+    // into a binary-encoded value and each variant_get is a cheap typed
+    // probe — the 100 TB posture for telemetry blobs read by many
+    // downstream fields. The document is planted (props is single-field
+    // in the testdata, like q54/q55 plant PII/markup): nested object +
+    // two sibling fields, three typed extractions from one parse.
+    "q105_json_variant" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .selectExpr("event_id",
+          "concat('{\"meta\":', props, ',\"type\":\"', event_type, " +
+            "'\",\"cents\":', cast(round(value * 100) as bigint), '}') AS doc")
+        .selectExpr("event_id", "parse_json(doc) AS v")
+        .selectExpr("event_id",
+          "variant_get(v, '$.meta.k', 'bigint') AS k",
+          "variant_get(v, '$.type', 'string') AS etype",
+          "variant_get(v, '$.cents', 'bigint') AS cents")
+        .filter("k > 50")
         .orderBy("event_id")
     }),
 
@@ -1012,11 +1045,13 @@ object Relational {
       """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |  CAST(round(SUM(l_quantity)) AS BIGINT) AS sum_qty,
         |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
-        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber, l_suppkey) AS rn FROM lineitem)
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey
+        |  ORDER BY l_linenumber, l_suppkey, l_quantity, ROUND(l_extendedprice*100), l_returnflag) AS rn FROM lineitem)
         |WHERE rn = 1 GROUP BY l_returnflag HAVING COUNT(*) > 10 ORDER BY l_returnflag""".stripMargin,
     "q02_keep_first" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_returnflag
-        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber, l_suppkey) AS rn FROM lineitem)
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey
+        |  ORDER BY l_linenumber, l_suppkey, l_quantity, ROUND(l_extendedprice*100), l_returnflag) AS rn FROM lineitem)
         |WHERE rn = 1 ORDER BY l_orderkey, l_partkey""".stripMargin,
     "q03_clean_na" ->
       """SELECT doc_id,
@@ -1064,6 +1099,19 @@ object Relational {
     "q13_json" ->
       """SELECT event_id, event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+        |ORDER BY event_id""".stripMargin,
+    "q105_json_variant" ->
+      """WITH j AS (
+        |  SELECT event_id,
+        |    '{"meta":' || props || ',"type":"' || event_type || '","cents":' ||
+        |    CAST(ROUND(value * 100) AS BIGINT) || '}' AS doc
+        |  FROM events)
+        |SELECT event_id,
+        |  CAST(json_extract_string(doc, '$.meta.k') AS BIGINT) AS k,
+        |  json_extract_string(doc, '$.type') AS etype,
+        |  CAST(json_extract_string(doc, '$.cents') AS BIGINT) AS cents
+        |FROM j
+        |WHERE CAST(json_extract_string(doc, '$.meta.k') AS BIGINT) > 50
         |ORDER BY event_id""".stripMargin,
     "q15_union" ->
       """SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_rows FROM (
