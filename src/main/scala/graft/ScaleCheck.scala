@@ -50,10 +50,14 @@ object ScaleCheck {
       .config("spark.hadoop.parquet.block.size", (8 * 1024 * 1024).toString)
       .config("spark.hadoop.parquet.page.size", (256 * 1024).toString)
       // the compact/zorder write sorts spill heavily at this heap; the
-      // merge phase opens EVERY spill file with a read buffer (default
-      // 1 MB × spills × 8 concurrent writers was the OOM) — 64 KB keeps
-      // the merge's residency proportional to files, not megabytes each
-      .config("spark.unsafe.sorter.spill.reader.buffer.size", (64 * 1024).toString)
+      // merge phase opens EVERY spill file with a read buffer, and with
+      // read-ahead each reader holds TWO — at (spills × writers) files
+      // that residency was the OOM. Spark 4.1 enforces a 1 MiB floor on
+      // the reader buffer (the 64 KB this check formerly set is now an
+      // INVALID_CONF_VALUE job failure), so pin the floor and disable
+      // read-ahead to halve per-reader residency instead.
+      .config("spark.unsafe.sorter.spill.reader.buffer.size", (1024 * 1024).toString)
+      .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
