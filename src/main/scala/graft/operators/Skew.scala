@@ -1,8 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
 
 /** Skew mitigation for joins whose key distribution is heavy-tailed
   * (at 100 TB one hot key can pin a single reducer for hours while the
@@ -11,34 +10,38 @@ import org.apache.spark.sql.types.LongType
   * AQE's skew-join handling (`spark.sql.adaptive.skewJoin.enabled`, on by
   * default) is the first line of defense; salting is the explicit
   * operator form for when the small side can be replicated: the big side
-  * gets a content-derived salt in [0, s), the small side is exploded to
-  * every salt value, and the join key becomes (key, salt) — splitting a
-  * hot key across s reducers at the cost of s× the small side. */
+  * gets a per-row salt in [0, s), the small side is exploded to every
+  * salt value, and the join key becomes (key, salt) — splitting a hot
+  * key across s reducers at the cost of s× the small side. */
 object Skew {
+
+  /** Per-row salt for the big side, computed IN-PLAN (no RDD hop): the
+    * per-partition row ordinal mod `salt`. `monotonically_increasing_id`
+    * is (partitionId << 33) | ordinal-within-partition, so mod `salt` it
+    * round-robins every partition's rows — a hot key's rows, EXACT
+    * duplicates included, spread evenly across all `salt` sub-keys
+    * (content-derived hashes would send identical rows to one reducer,
+    * mitigating nothing).
+    *
+    * Determinism: the ordinal is deterministic iff the input's partition
+    * contents and iteration order are — true for file scans and
+    * checkpointed frames, the documented precondition. This is the SAME
+    * class as `rdd.zipWithIndex` (its per-partition ordinals need the
+    * identical assumption; only its cross-partition offsets are pinned
+    * by the extra count job, and those are irrelevant mod salt once each
+    * partition is round-robined). What the in-plan form buys at scale:
+    * no extra count job over the 100 TB side, and no RDD→DataFrame
+    * round-trip severing whole-stage codegen and columnar reads —
+    * SinksSpec asserts the salted plan stays RDD-free and codegen'd. */
+  private[graft] def withSalt(big: DataFrame, salt: Int): DataFrame =
+    big.withColumn("__salt", pmod(monotonically_increasing_id(), lit(salt.toLong)))
 
   /** Salted inner equi-join. `big ⋈ small` on `key`, with the big side's
     * rows spread across `salt` sub-keys. Result is row-identical to the
-    * plain join (salting only changes the partitioning).
-    *
-    * The per-row salt component is a stable ordinal from `zipWithIndex`,
-    * not `monotonically_increasing_id`: content alone would send EXACT
-    * duplicate rows of a hot key — the most common skew shape — to one
-    * reducer, mitigating nothing, while `monotonically_increasing_id` is
-    * nondeterministic under fetch-failure-driven partial map-stage
-    * recomputation (rows could be re-salted to a different reducer,
-    * losing/duplicating join rows). `zipWithIndex` is deterministic as
-    * long as the input's partition contents are (true for file scans and
-    * checkpointed frames — the documented precondition); the ordinal is
-    * assigned once, before the join's shuffle, so retries re-derive the
-    * same salt for the same row. Round-robin `ordinal % salt` spreads a
-    * hot key's rows perfectly evenly, duplicates included. */
+    * plain join (salting only changes the partitioning). */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
     require(salt > 0)
-    val spark = big.sparkSession
-    val indexed = big.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ (i % salt))
-    }
-    val bigS = spark.createDataFrame(indexed, big.schema.add("__salt", LongType, nullable = false))
+    val bigS = withSalt(big, salt)
     val smallS = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
     bigS.join(smallS, Seq(key, "__salt"), "inner").drop("__salt")

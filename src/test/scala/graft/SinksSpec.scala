@@ -97,4 +97,34 @@ class SinksSpec extends AnyFunSuite {
     assert(salted.select(cols: _*).except(plain).count() == 0)
     assert(plain.except(salted.select(cols: _*)).count() == 0)
   }
+
+  test("salted join stays in-plan: no RDD scan barrier, probe side codegen'd") {
+    import org.apache.spark.sql.execution.{RDDScanExec, WholeStageCodegenExec}
+    val o = Tables.orders(spark, sf).select("o_orderkey", "o_custkey", "o_totalprice")
+    val c = Tables.customer(spark, sf).select(col("c_custkey").as("o_custkey"), col("c_name"))
+    val salted = Skew.saltedJoin(o, c, "o_custkey", salt = 7)
+    val rddScans = SparkTestSession.collectExec(salted) { case r: RDDScanExec => r }
+    assert(rddScans.isEmpty,
+      s"in-plan salt must not introduce an RDD scan barrier, found: $rddScans")
+    // the probe (big) side's scan→salt-project must sit inside a
+    // WholeStageCodegen span — the whole point of dropping zipWithIndex
+    val codegenWithSalt = SparkTestSession.collectExec(salted) {
+      case w: WholeStageCodegenExec if w.toString.contains("monotonically_increasing_id") => w
+    }
+    assert(codegenWithSalt.nonEmpty,
+      "the salt projection must run inside whole-stage codegen")
+  }
+
+  test("exact-duplicate hot-key rows land on DIFFERENT sub-keys") {
+    import spark.implicits._
+    // the worst skew shape: one hot key whose rows are byte-identical —
+    // any content-derived salt maps them all to one reducer
+    val dupes = Seq.fill(64)(("hot", 1L)).toDF("k", "v").coalesce(1)
+    val salts = Skew.withSalt(dupes, salt = 8).select("__salt")
+      .as[Long].collect()
+    assert(salts.distinct.length == 8,
+      s"64 identical rows over salt=8 must hit all 8 sub-keys, got ${salts.distinct.toSeq}")
+    // round-robin ⇒ perfectly even: 8 rows per sub-key
+    assert(salts.groupBy(identity).values.map(_.length).toSet == Set(8))
+  }
 }
