@@ -60,7 +60,15 @@ object Tables {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // NTZ→TZ cast interprets the wall-clock in the SESSION timezone;
+        // the instant is preserved only under UTC. Every in-repo builder
+        // pins UTC — fail loudly if a foreign caller didn't, instead of
+        // silently shifting every event by its zone offset.
+        val tz = raw.sparkSession.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"adaptEventsTs: TIMESTAMP_NTZ events require spark.sql.session.timeZone=UTC (got $tz)")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType    => raw
       case other =>
         throw new IllegalStateException(

@@ -77,15 +77,46 @@ object Relational {
     * l_partkey), chosen by the TOTAL packed order documented at q01.
     * Returns the kept row with every payload column decoded from the
     * single min'd long (ln/suppkey/qty/cents/flag bit fields). */
+  /** The q01/q02 keep-first order as ONE packed long. Bit layout (low to
+    * high): flag ordinal (2 bits, closed domain {A,N,R}), price cents
+    * (24 bits, ≤16,777,215 i.e. price ≤ 167,772.15), qty×100 (13 bits,
+    * ≤8,191 i.e. quantity ≤ 81.91 with ≤2 decimals), suppkey (20 bits,
+    * ≤1,048,575), linenumber (3 bits, 1–7). Rows OUTSIDE these bounds
+    * fail the job loudly via raise_error rather than silently packing a
+    * wrong order — PackedKeepFirstProps drives every field to and past
+    * its bound. The oracle twin tie-breaks on the SAME quantized keys
+    * (ROUND(l_quantity*100), ROUND(l_extendedprice*100)), so both
+    * engines compare identical integers, not raw doubles. */
+  private[graft] def packedOrdExpr: Column = {
+    val qtyE2 = cents(col("l_quantity"))
+    val priceE2 = cents(col("l_extendedprice"))
+    // no .otherwise → null marks an out-of-domain flag for the guard
+    val flagOrd = when(col("l_returnflag") === "A", 0L)
+      .when(col("l_returnflag") === "N", 1L)
+      .when(col("l_returnflag") === "R", 2L)
+    val inBounds = col("l_linenumber").between(1, 7) &&
+      col("l_suppkey").between(0, 1048575) &&
+      qtyE2.between(0, 8191) &&
+      priceE2.between(0, 16777215) &&
+      flagOrd.isNotNull
+    val packed = col("l_linenumber") * lit(1L << 59) +
+      col("l_suppkey") * lit(1L << 39) +
+      qtyE2 * lit(1L << 26) +
+      priceE2 * lit(1L << 2) +
+      flagOrd
+    when(inBounds, packed).otherwise(raise_error(concat(
+      lit("packedKeepFirst: row outside documented bit-field bounds "),
+      lit("(ln 1-7, suppkey<=1048575, qty<=81.91, price<=167772.15, flag in A/N/R): "),
+      lit("ln="), col("l_linenumber").cast("string"),
+      lit(" suppkey="), col("l_suppkey").cast("string"),
+      lit(" qty="), col("l_quantity").cast("string"),
+      lit(" price="), col("l_extendedprice").cast("string"),
+      lit(" flag="), col("l_returnflag"))))
+  }
+
   private def packedKeepFirst(lineitem: org.apache.spark.sql.DataFrame) = {
     val packed = lineitem.select(col("l_orderkey"), col("l_partkey"),
-      (col("l_linenumber") * lit(1L << 59) +
-        col("l_suppkey") * lit(1L << 39) +
-        cents(col("l_quantity")) * lit(1L << 26) +
-        cents(col("l_extendedprice")) * lit(1L << 2) +
-        when(col("l_returnflag") === "A", 0L)
-          .when(col("l_returnflag") === "N", 1L)
-          .otherwise(2L)).as("ord"))
+      packedOrdExpr.as("ord"))
     packed.groupBy("l_orderkey", "l_partkey")
       .agg(min(col("ord")).as("ord"))
       .select(col("l_orderkey"), col("l_partkey"),
@@ -280,7 +311,12 @@ object Relational {
         .selectExpr("event_id",
           "concat('{\"meta\":', props, ',\"type\":\"', event_type, " +
             "'\",\"cents\":', cast(round(value * 100) as bigint), '}') AS doc")
-        .selectExpr("event_id", "parse_json(doc) AS v")
+        // try_parse_json: malformed documents yield a NULL variant (every
+        // variant_get then NULL, dropped by the filter) — symmetric with
+        // the DuckDB twin's json_extract_string, which NULLs rather than
+        // throws. Plain parse_json would fail the whole query on one bad
+        // blob — the wrong posture for 100 TB of telemetry.
+        .selectExpr("event_id", "try_parse_json(doc) AS v")
         .selectExpr("event_id",
           "variant_get(v, '$.meta.k', 'bigint') AS k",
           "variant_get(v, '$.type', 'string') AS etype",
@@ -1046,12 +1082,12 @@ object Relational {
         |  CAST(round(SUM(l_quantity)) AS BIGINT) AS sum_qty,
         |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey
-        |  ORDER BY l_linenumber, l_suppkey, l_quantity, ROUND(l_extendedprice*100), l_returnflag) AS rn FROM lineitem)
+        |  ORDER BY l_linenumber, l_suppkey, ROUND(l_quantity*100), ROUND(l_extendedprice*100), l_returnflag) AS rn FROM lineitem)
         |WHERE rn = 1 GROUP BY l_returnflag HAVING COUNT(*) > 10 ORDER BY l_returnflag""".stripMargin,
     "q02_keep_first" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_returnflag
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey
-        |  ORDER BY l_linenumber, l_suppkey, l_quantity, ROUND(l_extendedprice*100), l_returnflag) AS rn FROM lineitem)
+        |  ORDER BY l_linenumber, l_suppkey, ROUND(l_quantity*100), ROUND(l_extendedprice*100), l_returnflag) AS rn FROM lineitem)
         |WHERE rn = 1 ORDER BY l_orderkey, l_partkey""".stripMargin,
     "q03_clean_na" ->
       """SELECT doc_id,
