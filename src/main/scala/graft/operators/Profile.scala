@@ -20,53 +20,105 @@ import graft.Tables
   * hash-compares values. The 1×stats row then unpivots via stack() into
   * one row per column — driver-scale, after aggregation.
   *
-  * All extrema are reported ×100 as BIGINT (`*_e2`) so double columns
-  * hash identically across engines (same trick as Relational.cents).
+  * Numeric extrema are reported ×100 as BIGINT (`*_e2`) so double
+  * columns hash identically across engines (same trick as
+  * Relational.cents); string extrema are reported verbatim (`*_s`) —
+  * both engines compare strings by binary codepoint order, so MIN/MAX
+  * agree without quantization. When both kinds are profiled the output
+  * carries all four extremum columns, NULL on the kind that doesn't
+  * apply; an all-numeric profile keeps the original 6-column shape.
   */
 object Profile {
 
-  private case class Col(name: String, expr: String)
-
   /** lineitem's numeric surface: key, fk, and the two money/qty doubles. */
-  private val cols = Seq(
-    Col("l_orderkey", "l_orderkey"),
-    Col("l_suppkey", "l_suppkey"),
-    Col("l_quantity", "l_quantity"),
-    Col("l_extendedprice", "l_extendedprice"))
+  private val lineitemCols = Seq("l_orderkey", "l_suppkey", "l_quantity", "l_extendedprice")
 
-  def profile(li: DataFrame): DataFrame = {
-    val aggs = cols.flatMap { c =>
+  /** Default (q106) profile: lineitem's numeric columns. */
+  def profile(df: DataFrame): DataFrame = profile(df, lineitemCols, Nil)
+
+  /** Profile `numCols` (count/ndv/min_e2/max_e2) and `strCols`
+    * (count/ndv/min_s/max_s) in one aggregate pass over `df`. */
+  def profile(df: DataFrame, numCols: Seq[String], strCols: Seq[String]): DataFrame = {
+    require(numCols.nonEmpty || strCols.nonEmpty, "profile: no columns given")
+    val numAggs = numCols.flatMap { c =>
       Seq(
-        count(col(c.expr)).as(s"n_${c.name}"),
-        countDistinct(col(c.expr)).as(s"ndv_${c.name}"),
-        round(min(col(c.expr)) * 100).cast("long").as(s"min_${c.name}"),
-        round(max(col(c.expr)) * 100).cast("long").as(s"max_${c.name}"))
+        count(col(c)).as(s"n_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        round(min(col(c)) * 100).cast("long").as(s"min_$c"),
+        round(max(col(c)) * 100).cast("long").as(s"max_$c"))
     }
-    val total = count(lit(1)).as("n_rows")
-    val one = li.agg(total, aggs: _*)
-    val stackArgs = cols.map { c =>
-      s"'${c.name}', n_rows - n_${c.name}, ndv_${c.name}, min_${c.name}, max_${c.name}"
-    }.mkString(", ")
+    val strAggs = strCols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"n_$c"),
+        countDistinct(col(c)).as(s"ndv_$c"),
+        min(col(c)).cast("string").as(s"min_$c"),
+        max(col(c)).cast("string").as(s"max_$c"))
+    }
+    val aggs = numAggs ++ strAggs
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    // stack branches must be type-aligned positionally: numeric rows
+    // carry NULL strings, string rows NULL e2 longs
+    val numBranch = (c: String) =>
+      s"'$c', n_rows - n_$c, ndv_$c, min_$c, max_$c" +
+        (if (strCols.nonEmpty) ", CAST(NULL AS STRING), CAST(NULL AS STRING)" else "")
+    val strBranch = (c: String) =>
+      s"'$c', n_rows - n_$c, ndv_$c" +
+        (if (numCols.nonEmpty) ", CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)" else "") +
+        s", min_$c, max_$c"
+    val stackArgs = (numCols.map(numBranch) ++ strCols.map(strBranch)).mkString(", ")
+    val outCols =
+      (if (numCols.nonEmpty) Seq("min_e2", "max_e2") else Nil) ++
+      (if (strCols.nonEmpty) Seq("min_s", "max_s") else Nil)
+    val n = numCols.size + strCols.size
     one.selectExpr("n_rows",
-        s"stack(${cols.size}, $stackArgs) AS (col_name, n_null, ndv, min_e2, max_e2)")
-      .selectExpr("col_name", "cast(n_rows as bigint) AS n_rows",
-        "cast(n_null as bigint) AS n_null", "cast(ndv as bigint) AS ndv",
-        "min_e2", "max_e2")
+        s"stack($n, $stackArgs) AS (col_name, n_null, ndv, ${outCols.mkString(", ")})")
+      .selectExpr(Seq("col_name", "cast(n_rows as bigint) AS n_rows",
+        "cast(n_null as bigint) AS n_null", "cast(ndv as bigint) AS ndv") ++ outCols: _*)
       .orderBy("col_name")
   }
 
+  /** documents' mixed surface for q107: the numeric id/length columns
+    * plus the string columns whose min/max exercise the non-numeric
+    * branch (binary-collation string extrema, no ×100 quantization). */
+  private val docNumCols = Seq("doc_id", "n_chars")
+  private val docStrCols = Seq("lang", "source", "text")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q106_profile" -> ((s, dir) => profile(Tables.lineitem(s, dir))))
+    "q106_profile" -> ((s, dir) => profile(Tables.lineitem(s, dir))),
+    "q107_profile_docs" -> ((s, dir) =>
+      profile(Tables.documents(s, dir), docNumCols, docStrCols)))
 
   def oracle: Map[String, String] = {
-    val branches = cols.map { c =>
-      s"""SELECT '${c.name}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
-         |  CAST(COUNT(*) - COUNT(${c.expr}) AS BIGINT) AS n_null,
-         |  CAST(COUNT(DISTINCT ${c.expr}) AS BIGINT) AS ndv,
-         |  CAST(ROUND(MIN(${c.expr}) * 100) AS BIGINT) AS min_e2,
-         |  CAST(ROUND(MAX(${c.expr}) * 100) AS BIGINT) AS max_e2
+    val liBranches = lineitemCols.map { c =>
+      s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv,
+         |  CAST(ROUND(MIN($c) * 100) AS BIGINT) AS min_e2,
+         |  CAST(ROUND(MAX($c) * 100) AS BIGINT) AS max_e2
          |FROM lineitem""".stripMargin
     }
-    Map("q106_profile" -> (branches.mkString("\n", "\nUNION ALL\n", "\n") + "ORDER BY col_name"))
+    val docNumBranches = docNumCols.map { c =>
+      s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv,
+         |  CAST(ROUND(MIN($c) * 100) AS BIGINT) AS min_e2,
+         |  CAST(ROUND(MAX($c) * 100) AS BIGINT) AS max_e2,
+         |  CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s
+         |FROM documents""".stripMargin
+    }
+    val docStrBranches = docStrCols.map { c =>
+      s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv,
+         |  CAST(NULL AS BIGINT) AS min_e2, CAST(NULL AS BIGINT) AS max_e2,
+         |  MIN($c) AS min_s, MAX($c) AS max_s
+         |FROM documents""".stripMargin
+    }
+    Map(
+      "q106_profile" ->
+        (liBranches.mkString("\n", "\nUNION ALL\n", "\n") + "ORDER BY col_name"),
+      "q107_profile_docs" ->
+        ((docNumBranches ++ docStrBranches).mkString("\n", "\nUNION ALL\n", "\n") +
+          "ORDER BY col_name"))
   }
 }

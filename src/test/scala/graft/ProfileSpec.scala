@@ -29,6 +29,31 @@ class ProfileSpec extends AnyFunSuite {
     assert(rows("l_extendedprice") == ((10L, 0L, 1L, 1999L, 1999L)))
   }
 
+  test("mixed numeric+string profile: string extrema verbatim, NULLs on the foreign kind") {
+    val df = spark.range(10).selectExpr(
+      "id AS doc_id",
+      "IF(id IN (1, 4), CAST(NULL AS STRING), concat('lang', id % 3)) AS lang")
+    val rows = Profile.profile(df, Seq("doc_id"), Seq("lang")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val docId = rows("doc_id")
+    assert((docId.getLong(1), docId.getLong(2), docId.getLong(3)) == ((10L, 0L, 10L)))
+    assert((docId.getLong(4), docId.getLong(5)) == ((0L, 900L))) // e2 extrema
+    assert(docId.isNullAt(6) && docId.isNullAt(7)) // no string extrema
+    val lang = rows("lang")
+    // 8 non-null langs over 3 distinct values; min/max by binary order
+    assert((lang.getLong(1), lang.getLong(2), lang.getLong(3)) == ((10L, 2L, 3L)))
+    assert(lang.isNullAt(4) && lang.isNullAt(5)) // no e2 extrema
+    assert((lang.getString(6), lang.getString(7)) == (("lang0", "lang2")))
+  }
+
+  test("string-only profile keeps a string-only schema") {
+    val df = spark.range(5).selectExpr("concat('s', id) AS source")
+    val p = Profile.profile(df, Nil, Seq("source"))
+    assert(p.columns.toSeq == Seq("col_name", "n_rows", "n_null", "ndv", "min_s", "max_s"))
+    val r = p.collect().head
+    assert((r.getString(4), r.getString(5)) == (("s0", "s4")))
+  }
+
   test("profile is one aggregate pass: a single shuffle for stats") {
     val df = spark.range(1000).selectExpr(
       "id AS l_orderkey", "id % 7 AS l_suppkey",
@@ -37,5 +62,14 @@ class ProfileSpec extends AnyFunSuite {
     // Expand-based multi-distinct still funnels through ONE stats
     // shuffle (plus the final 4-row sort) — no per-column table passes
     assert(SparkTestSession.shuffles(Profile.profile(df)) <= 2)
+  }
+
+  test("mixed profile (q107 shape) is still one aggregate pass") {
+    val df = spark.range(1000).selectExpr(
+      "id AS doc_id", "id % 97 AS n_chars",
+      "concat('l', id % 5) AS lang", "concat('src', id % 11) AS source",
+      "concat('text ', id) AS text")
+    assert(SparkTestSession.shuffles(
+      Profile.profile(df, Seq("doc_id", "n_chars"), Seq("lang", "source", "text"))) <= 2)
   }
 }
