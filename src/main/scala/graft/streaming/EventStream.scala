@@ -37,6 +37,31 @@ object EventStream {
       .select(col("w.start").as("hour"), col("event_type"),
         col("n_events"), col("value_cents"))
 
+  /** T2 × X4: the q105 VARIANT path running ON THE STREAM — at 100 TB
+    * telemetry blobs arrive as a stream, not a table, so the
+    * parse-once/probe-many posture has to survive the watermarked
+    * aggregation path. Each document is parsed ONCE into a variant
+    * (`try_parse_json`: a malformed blob becomes a NULL variant whose
+    * probes all yield NULL, never a query-killing parse error mid-
+    * stream), the rollup keys and measures are typed `variant_get`
+    * probes, and the aggregation is the same watermark-bounded hourly
+    * window as [[hourlyRollup]]. StreamingSpec asserts batch/stream
+    * agreement against a twin computed from the raw columns. */
+  def variantHourlyRollup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .selectExpr("ts",
+        "concat('{\"type\":\"', event_type, '\",\"cents\":', " +
+          "cast(round(value * 100) as bigint), '}') AS doc")
+      .selectExpr("ts", "try_parse_json(doc) AS v")
+      .selectExpr("ts",
+        "variant_get(v, '$.type', 'string') AS event_type",
+        "variant_get(v, '$.cents', 'bigint') AS cents")
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"))
+      .select(col("w.start").as("hour"), col("event_type"),
+        col("n_events"), col("value_cents"))
+
   /** Session fragment emitted by the sessionizers. `sess` is the
     * session's START time in unix micros — a stable identifier that
     * survives state eviction (an ordinal counter would restart at 0

@@ -62,6 +62,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
   }
 
+  test("T2 x X4: VARIANT extraction through the watermarked rollup matches batch") {
+    val dir = stageEvents()
+    val q = EventStream.variantHourlyRollup(streamingEvents(dir))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("variant_rollup_test")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("variant_rollup_test")
+      .select("hour", "event_type", "n_events", "value_cents")
+    // batch twin from the RAW columns — if the parse→variant_get hop
+    // dropped, retyped, or shifted anything, the rollups diverge
+    val batch = Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+           sum(round(col("value") * 100).cast("long")).as("value_cents"))
+    assert(streamed.count() > 0)
+    assert(streamed.except(batch).count() == 0)
+    assert(batch.except(streamed).count() == 0)
+  }
+
+  test("T2 x X4: a malformed blob NULLs out instead of killing the stream") {
+    import spark.implicits._
+    // event_type containing a quote makes the assembled doc invalid JSON
+    // for that row only; try_parse_json must NULL it, not throw
+    val rows = Seq(
+      (java.sql.Timestamp.valueOf("2026-01-01 10:15:00"), "click", 10.0),
+      (java.sql.Timestamp.valueOf("2026-01-01 10:20:00"), "bad\"quote", 99.0))
+    val df = rows.toDF("ts", "event_type", "value")
+    val out = EventStream.variantHourlyRollup(df)
+      .collect().map(r => Option(r.getString(1)) -> Option(r.get(3))).toMap
+    // the good row rolls up normally; the malformed row survives as a
+    // NULL-keyed group with a NULL sum (its probes all NULLed)
+    assert(out(Some("click")) == Some(1000L))
+    assert(out.contains(None) && out(None).isEmpty)
+  }
+
   test("T2: streaming hourly rollup matches the batch q17 aggregation") {
     val dir = stageEvents()
     val q = EventStream.hourlyRollup(streamingEvents(dir))
