@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Anomaly, Chunking, Curation, Dedup, HeavyHitters, Packing, ProductQuant, Profile, Relational, Similarity, Skew, Temporal, TextAnalysis}
+import graft.operators.{Anomaly, Chunking, Curation, Dedup, Graph, HeavyHitters, Merge, Packing, ProductQuant, Profile, Relational, Similarity, Skew, Temporal, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,13 +23,13 @@ object SparkEntry {
     Relational.queries ++ Chunking.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Temporal.queries ++
       Packing.queries ++ Curation.queries ++ Anomaly.queries ++ ProductQuant.queries ++ graft.sources.Layout.queries ++ HeavyHitters.queries ++
-      Skew.queries ++ Profile.queries ++
+      Skew.queries ++ Profile.queries ++ Merge.queries ++ Graph.queries ++
       graft.functions.Multimodal.queries ++ graft.sources.v2.StoreQueries.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracle ++ Chunking.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ TextAnalysis.oracle ++ Temporal.oracle ++
       Packing.oracle ++ Curation.oracle ++ Anomaly.oracle ++ ProductQuant.oracle ++ graft.sources.Layout.oracle ++ HeavyHitters.oracle ++
-      Skew.oracle ++ Profile.oracle ++
+      Skew.oracle ++ Profile.oracle ++ Merge.oracle ++ Graph.oracle ++
       graft.functions.Multimodal.oracle ++ graft.sources.v2.StoreQueries.oracle
 }

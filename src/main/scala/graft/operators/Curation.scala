@@ -268,6 +268,19 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Per-group quantile gate (q114): keep docs at/above their lang's
+    * exact median n_chars. Medians are one grouped aggregate (#langs
+    * rows) broadcast back — the corpus itself is never window-sorted.
+    * `med2x` = round(2·median) keeps the x.5 interpolated medians of
+    * even groups integer-exact cross-engine. */
+  def quantileFilter(d: DataFrame): DataFrame = {
+    val med = d.groupBy("lang")
+      .agg(expr("cast(round(2 * percentile(n_chars, 0.5)) as bigint) AS med2x"))
+    d.join(broadcast(med), Seq("lang"))
+      .where(col("n_chars") * 2 >= col("med2x"))
+      .select("doc_id", "lang", "n_chars", "med2x")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_bigram_lm" -> ((s, dir) => bigramLmScore(Tables.documents(s, dir))),
 
@@ -317,6 +330,22 @@ object Curation {
 
     "q66_vocab_topk" -> ((s, dir) =>
       vocabTopK(Tables.documents(s, dir))),
+
+    // Per-group quantile gate: keep documents at or above their
+    // LANGUAGE's median length — the relative quality cut ("top half
+    // per language") that absolute thresholds can't express, because a
+    // fixed cut over mixed languages just deletes the verbose ones.
+    // Plan: exact per-lang median in ONE grouped aggregate (a
+    // #langs-row result, broadcast back onto the scan — the fact table
+    // is never windowed, so no lang-wide sort/shuffle of the corpus;
+    // a percent_rank window would shuffle and sort EVERY row). The
+    // median is doubled and rounded to an integer (`med2x`) so the
+    // x.5 interpolated medians of even-sized groups compare exactly
+    // cross-engine (2*n_chars >= med2x is integer vs integer). At
+    // 100 TB swap percentile for approx_percentile and the plan is
+    // unchanged — kept exact here for the hash gate.
+    "q114_quantile_filter" -> ((s, dir) =>
+      quantileFilter(Tables.documents(s, dir)).orderBy("doc_id")),
 
     "q67_tfidf_top" -> ((s, dir) =>
       tfidfTop(Tables.documents(s, dir)).orderBy("doc_id", "rk"))
@@ -453,6 +482,15 @@ object Curation {
         |  SELECT doc_id, text, unnest(range(1, length(text) + 1, 300)) AS start
         |  FROM documents WHERE length(text) >= 1)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q114_quantile_filter" ->
+      """WITH med AS (
+        |  SELECT lang, CAST(ROUND(2 * median(n_chars)) AS BIGINT) AS med2x
+        |  FROM documents GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars, med.med2x
+        |FROM documents d JOIN med ON d.lang = med.lang
+        |WHERE d.n_chars * 2 >= med.med2x
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q66_vocab_topk" ->
       """SELECT tok, count(*) AS cnt FROM (

@@ -77,6 +77,45 @@ object Profile {
       .orderBy("col_name")
   }
 
+  /** Equi-width histogram over a money column, integer-exact: the value
+    * domain is cents (×100 BIGINT, the repo convention), bounds come
+    * from a first aggregate pass (1-row result, broadcast into the
+    * second pass — never collected to the driver as data), and the
+    * bucket index is pure integer arithmetic
+    * `least((cents-lo)*nb div (hi-lo+1), nb-1)` so both engines place
+    * every boundary value identically (no float width, no rounding
+    * mode to disagree on).
+    *
+    * Scale posture: two sequential scans (bounds, then buckets). The
+    * bounds pass is a pure partial aggregate (32 partial rows → 1);
+    * the bucket pass partial-aggregates per bucket map-side, so the
+    * only shuffle moves ≤ nb×partitions tiny rows. A single-pass
+    * variant exists (agg over pre-known bounds) when bounds are
+    * available from table stats — at 100 TB you'd read lo/hi from the
+    * catalog/footers instead of scanning. nb is a constant; the width
+    * `(hi-lo+1) div nb` rides out in each row for plottability. */
+  def histogram(df: DataFrame, valueCol: String, nb: Int): DataFrame = {
+    require(nb > 0, "histogram: nb must be positive")
+    val cents = df.select(round(col(valueCol) * 100).cast("long").as("cents"))
+    val bounds = cents.agg(min("cents").as("lo"), max("cents").as("hi"))
+    cents.join(broadcast(bounds))
+      // SQL `div` = integral division (both engines floor nonnegative
+      // operands identically; cents-lo >= 0 by construction)
+      .withColumn("bucket",
+        expr(s"least((cents - lo) * $nb div (hi - lo + 1), ${nb - 1}L)"))
+      .groupBy("bucket")
+      // lo/hi are row-constant: max() re-derives them per bucket instead
+      // of a third table scan for the bound arithmetic
+      .agg(count(lit(1)).as("n"),
+        sum("cents").cast("long").as("sum_cents"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"),
+        max("lo").as("lo"), max("hi").as("hi"))
+      .select(col("bucket"),
+        expr(s"lo + bucket * ((hi - lo + 1) div $nb)").as("approx_lo_cents"),
+        col("n"), col("sum_cents"), col("min_cents"), col("max_cents"))
+      .orderBy("bucket")
+  }
+
   /** documents' mixed surface for q107: the numeric id/length columns
     * plus the string columns whose min/max exercise the non-numeric
     * branch (binary-collation string extrema, no ×100 quantization). */
@@ -86,7 +125,9 @@ object Profile {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_profile" -> ((s, dir) => profile(Tables.lineitem(s, dir))),
     "q107_profile_docs" -> ((s, dir) =>
-      profile(Tables.documents(s, dir), docNumCols, docStrCols)))
+      profile(Tables.documents(s, dir), docNumCols, docStrCols)),
+    "q109_histogram" -> ((s, dir) =>
+      histogram(Tables.lineitem(s, dir), "l_extendedprice", 16)))
 
   def oracle: Map[String, String] = {
     val liBranches = lineitemCols.map { c =>
@@ -119,6 +160,18 @@ object Profile {
         (liBranches.mkString("\n", "\nUNION ALL\n", "\n") + "ORDER BY col_name"),
       "q107_profile_docs" ->
         ((docNumBranches ++ docStrBranches).mkString("\n", "\nUNION ALL\n", "\n") +
-          "ORDER BY col_name"))
+          "ORDER BY col_name"),
+      "q109_histogram" ->
+        """WITH cents AS (
+          |  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem),
+          |bounds AS (SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM cents)
+          |SELECT LEAST((cents - lo) * 16 // (hi - lo + 1), 15) AS bucket,
+          |  lo + LEAST((cents - lo) * 16 // (hi - lo + 1), 15) * ((hi - lo + 1) // 16) AS approx_lo_cents,
+          |  CAST(COUNT(*) AS BIGINT) AS n,
+          |  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+          |  MIN(cents) AS min_cents, MAX(cents) AS max_cents
+          |FROM cents, bounds
+          |GROUP BY bucket, approx_lo_cents
+          |ORDER BY bucket""".stripMargin)
   }
 }

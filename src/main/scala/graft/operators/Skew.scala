@@ -54,7 +54,30 @@ object Skew {
     * 8 sub-keys; the DuckDB twin is the UNSALTED join, so the per-row
     * hash match proves salting is semantically invisible (no lost or
     * duplicated rows — the failure modes of a wrong re-salt). */
+  /** Exact distinct-count per HOT key, explicitly staged: stage 1
+    * shuffles on the (key, member) PAIR — so a hot key's members spread
+    * over every reducer instead of pinning one — and dedups; stage 2
+    * counts the now-unique pairs per key (tiny). This is the manual form
+    * of what Catalyst's distinct-aggregate rewrite does via Expand; it
+    * is spelled out as an operator because at 100 TB it composes with
+    * pre-aggregation tricks the rewrite can't do (e.g. sketch the pairs,
+    * or reuse a pre-bucketed layout on the pair key to elide stage 1's
+    * shuffle entirely). Correctness is oracle-checked against the plain
+    * COUNT(DISTINCT) — staging must be semantically invisible. */
+  def stagedDistinct(df: DataFrame, key: String, member: String): DataFrame = {
+    val pairs = df.select(col(key), col(member)).distinct() // pair-keyed shuffle
+    pairs.groupBy(key).agg(count(lit(1)).cast("long").as(s"n_$member"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_skew_distinct" -> ((s, dir) => {
+      val ev = graft.Tables.events(s, dir)
+      stagedDistinct(ev, "event_type", "user_id")
+        .withColumnRenamed("n_user_id", "n_users")
+        .join(ev.groupBy("event_type").agg(count(lit(1)).as("n_events")), Seq("event_type"))
+        .select("event_type", "n_users", "n_events")
+        .orderBy("event_type")
+    }),
     "q104_salted_join" -> ((s, dir) => {
       val ev = graft.Tables.events(s, dir).select("event_id", "event_type")
       val totals = ev.groupBy("event_type")
@@ -65,6 +88,11 @@ object Skew {
     }))
 
   def oracle: Map[String, String] = Map(
+    "q112_skew_distinct" ->
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q104_salted_join" ->
       """SELECT e.event_id, e.event_type, t.type_total
         |FROM events e

@@ -148,8 +148,51 @@ object Temporal {
       rangeCountBucketed(purchases, views, "t", "vt", 600000000L)
         .selectExpr("purchase_id", "n_in_window AS n_views")
         .orderBy("purchase_id")
-    })
+    }),
+
+    // Time-series gap fill + forward fill: a dense hourly spine per
+    // event_type (missing hours appear with n_events=0) and the hourly
+    // value sum carried forward across gaps (`last(..., ignoreNulls)`
+    // over an ordered window; NULL before a series' first observation).
+    // The downsample-then-densify shape every metrics/feature pipeline
+    // needs before feeding models that assume regular sampling.
+    //
+    // Scale posture: the raw scan collapses to per-(type, hour) partial
+    // aggregates FIRST (one shuffle, map-side combined), so spine size
+    // is types × hours — calendar-bounded, UNRELATED to raw event
+    // volume; the spine explode(sequence) generates in-executor (no
+    // driver loop) and the fill window runs per type over already-tiny
+    // partitions. Hours are integer epoch-hour buckets (unix_micros div
+    // 3600e6) so both engines bucket identically with no tz arithmetic.
+    "q113_gap_fill" -> ((s, dir) =>
+      gapFillHourly(Tables.events(s, dir)).orderBy("event_type", "h"))
   )
+
+  /** Dense hourly spine per event_type with zero-filled counts and a
+    * forward-filled value sum — see the q113 registration note above
+    * for the scale rationale. Input needs (event_type, ts, value). */
+  def gapFillHourly(ev: DataFrame): DataFrame = {
+    // ONE scan of the raw events: the calendar bounds and the type list
+    // both derive from the (types × hours)-sized hourly aggregate, which
+    // is cached — at 100 TB that frame is catalog-scale while the raw
+    // table is not, so re-reading events three times (hourly/bounds/
+    // types) would triple the dominant cost for nothing.
+    val hourly = ev
+      .selectExpr("event_type", "unix_micros(ts) div 3600000000 AS h",
+        "cast(round(value * 10000) as long) AS v")
+      .groupBy("event_type", "h")
+      .agg(count(lit(1)).as("n_events"), sum("v").cast("long").as("value_e4"))
+      .cache()
+    val bounds = hourly.agg(min("h").as("h_lo"), max("h").as("h_hi"))
+    val spine = hourly.select("event_type").distinct()
+      .join(broadcast(bounds))
+      .selectExpr("event_type", "explode(sequence(h_lo, h_hi)) AS h")
+    val w = Window.partitionBy("event_type").orderBy("h")
+    spine.join(hourly, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        last(col("value_e4"), ignoreNulls = true).over(w).as("filled_value_e4"))
+  }
 
   def oracle: Map[String, String] = Map(
     "q48_asof_join" ->
@@ -176,6 +219,28 @@ object Temporal {
         |  SELECT epoch_us(ts) AS vt FROM events WHERE event_type = 'view')
         |SELECT p.purchase_id, count(v.vt) AS n_views
         |FROM p LEFT JOIN v ON v.vt BETWEEN p.t - 600000000 AND p.t
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q113_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS n_events,
+        |    CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS BIGINT) AS value_e4
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT MIN(epoch_us(ts)) // 3600000000 AS h_lo,
+        |         MAX(epoch_us(ts)) // 3600000000 AS h_hi
+        |  FROM events),
+        |spine AS (
+        |  SELECT t.event_type, g.h
+        |  FROM (SELECT DISTINCT event_type FROM events) t
+        |  CROSS JOIN (SELECT unnest(range(h_lo, h_hi + 1)) AS h FROM bounds) g)
+        |SELECT s.event_type AS event_type, s.h AS h,
+        |  COALESCE(hourly.n_events, 0) AS n_events,
+        |  last_value(hourly.value_e4 IGNORE NULLS)
+        |    OVER (PARTITION BY s.event_type ORDER BY s.h) AS filled_value_e4
+        |FROM spine s LEFT JOIN hourly
+        |  ON s.event_type = hourly.event_type AND s.h = hourly.h
+        |ORDER BY s.event_type, s.h""".stripMargin
   )
 }

@@ -215,8 +215,37 @@ object TextAnalysis {
       .selectExpr("doc_id", "n_words", "n_bpeish",
         "n_bpeish * 1000 div n_words AS fertility_e3")
       .orderBy("doc_id")
-    })
+    }),
+
+    // Inverted index — token → document-frequency + a CAPPED, sorted
+    // posting list (the retrieval-side structure; BM25/keyword search
+    // and the "which docs contain this contamination string" audits both
+    // start here). Plan: explode(tokens) → ONE hash aggregate keyed by
+    // token building df + collect_set(doc_id) map-side-combined, then a
+    // top-k on (df, token) via the same WindowGroupLimit-friendly shape
+    // as q66. The posting LIST is capped (first 10 doc_ids in doc_id
+    // order) because an uncapped posting list for a stopword is a
+    // single-key gigarow at corpus scale — production indexes shard
+    // exactly this way (postings segmented per term). The cap keeps the
+    // per-group state bounded; df stays exact regardless of the cap.
+    "q110_inverted_index" -> ((s, dir) =>
+      invertedIndex(Tables.documents(s, dir), cap = 10, topN = 50))
   )
+
+  /** Inverted index core (q110): token → exact df + first-`cap`
+    * posting list, `topN` most frequent tokens. See the registration
+    * note above for the per-term cap rationale. */
+  def invertedIndex(docs: DataFrame, cap: Int, topN: Int): DataFrame =
+    docs
+      .selectExpr("doc_id", s"explode($toksE) AS tok")
+      .where("tok != ''")
+      .groupBy("tok")
+      .agg(countDistinct("doc_id").as("df"),
+        expr(s"slice(sort_array(collect_set(doc_id)), 1, $cap)").as("p"))
+      .selectExpr("tok", "cast(df as bigint) AS df",
+        s"array_join(transform(p, x -> cast(x as string)), ',') AS postings$cap")
+      .orderBy(desc("df"), col("tok"))
+      .limit(topN)
 
   def oracle: Map[String, String] = {
     val langs = LangProfiles.map(_._1)
@@ -325,7 +354,23 @@ object TextAnalysis {
           |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
           |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpeish
           |  FROM documents)
-          |ORDER BY doc_id""".stripMargin
+          |ORDER BY doc_id""".stripMargin,
+
+      "q110_inverted_index" ->
+        """WITH tok_doc AS (
+          |  SELECT DISTINCT doc_id, tok FROM (
+          |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          |    FROM documents)
+          |  WHERE tok != ''),
+          |ranked AS (
+          |  SELECT tok, doc_id,
+          |    ROW_NUMBER() OVER (PARTITION BY tok ORDER BY doc_id) AS rn
+          |  FROM tok_doc)
+          |SELECT tok, CAST(COUNT(*) AS BIGINT) AS df,
+          |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+          |    FILTER (WHERE rn <= 10) AS postings10
+          |FROM ranked GROUP BY tok
+          |ORDER BY df DESC, tok LIMIT 50""".stripMargin
     )
   }
 }

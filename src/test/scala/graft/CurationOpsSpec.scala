@@ -101,6 +101,25 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(untouched.where("clean_fp != orig_fp").count() == 0)
   }
 
+  test("quantileFilter keeps exactly the at-or-above-median docs per group, even and odd sizes") {
+    val d = Seq(
+      (1L, "x", 1L), (2L, "x", 2L), (3L, "x", 3L), (4L, "x", 4L), // median 2.5
+      (5L, "y", 10L), (6L, "y", 20L), (7L, "y", 30L))             // median 20
+      .toDF("doc_id", "lang", "n_chars")
+    val kept = Curation.quantileFilter(d).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    // x: med2x=5 keeps n_chars 3,4; y: med2x=40 keeps 20,30
+    assert(kept.toSeq == Seq((3L, 5L), (4L, 5L), (6L, 40L), (7L, 40L)))
+  }
+
+  test("invertedIndex: exact df, capped sorted postings, (df desc, tok) order") {
+    val d = Seq((1L, "a b"), (2L, "b c b"), (3L, "b")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.invertedIndex(d, cap = 2, topN = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // b in 3 docs (postings capped to first 2), then a before c by token order
+    assert(out.toSeq == Seq(("b", 3L, "1,2"), ("a", 1L, "1")))
+  }
+
   test("simhashPairs equals the brute-force Hamming join (banding is exact, not probabilistic)") {
     val sigs = Dedup.simhash(docs)
     val brute = sigs.toDF("doc_a", "sim_a")

@@ -72,4 +72,27 @@ class ProfileSpec extends AnyFunSuite {
     assert(SparkTestSession.shuffles(
       Profile.profile(df, Seq("doc_id", "n_chars"), Seq("lang", "source", "text"))) <= 2)
   }
+
+  test("histogram: buckets partition the count, bounds nest, integer bucketing matches the formula") {
+    // values 1.00 .. 16.00 → cents 100..1600; nb=4, width span 1501
+    val df = spark.range(1, 17).selectExpr("CAST(id AS DOUBLE) AS v")
+    val rows = Profile.histogram(df, "v", 4).collect()
+    assert(rows.map(_.getLong(2)).sum == 16L)   // total n conserved
+    val expected = (1L to 16L).map(_ * 100).groupBy(c => math.min((c - 100) * 4 / 1501, 3))
+    rows.foreach { r =>
+      val (bucket, n, minC, maxC) = (r.getLong(0), r.getLong(2), r.getLong(4), r.getLong(5))
+      assert(n == expected(bucket).size, s"bucket $bucket count")
+      assert(minC == expected(bucket).min && maxC == expected(bucket).max)
+      assert(r.getLong(3) == expected(bucket).sum) // sum_cents
+    }
+    // buckets sorted, min/max nested inside [approx_lo, next approx_lo)
+    assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("histogram: constant column lands in one bucket without dividing by zero") {
+    val df = spark.range(10).selectExpr("CAST(42.5 AS DOUBLE) AS v")
+    val rows = Profile.histogram(df, "v", 16).collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 0L && rows.head.getLong(2) == 10L)
+    assert(rows.head.getLong(4) == 4250L && rows.head.getLong(5) == 4250L)
+  }
 }

@@ -112,4 +112,26 @@ class TemporalSpec extends AnyFunSuite {
     new graft.plans.GraftExtensions().apply(ext)
     assert(PlanBridge.plannerStrategies(ext, spark).contains(graft.plans.AsOfJoinStrategy))
   }
+
+  test("gapFillHourly densifies the hour spine, zero-fills counts, forward-fills values") {
+    val hourUs = 3600L * 1000000L
+    val ev = Seq(
+      ("a", 0L * hourUs, 1.0),
+      ("a", 3L * hourUs, 2.5),  // hours 1-2 are gaps for 'a'
+      ("b", 1L * hourUs, 4.0))  // hour 0 precedes b's first observation
+      .toDF("event_type", "us", "value")
+      .selectExpr("event_type", "timestamp_micros(us) AS ts", "value")
+    val out = Temporal.gapFillHourly(ev).orderBy("event_type", "h").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3).asInstanceOf[Any]))
+    assert(out.toSeq == Seq(
+      ("a", 0L, 1L, 10000L), // observed
+      ("a", 1L, 0L, 10000L), // gap: count 0, value carried forward
+      ("a", 2L, 0L, 10000L),
+      ("a", 3L, 1L, 25000L),
+      ("b", 0L, 0L, null),   // before first observation: NULL, not 0
+      ("b", 1L, 1L, 40000L),
+      ("b", 2L, 0L, 40000L),
+      ("b", 3L, 0L, 40000L)))
+  }
 }
