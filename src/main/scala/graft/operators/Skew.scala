@@ -12,7 +12,17 @@ import org.apache.spark.sql.functions._
   * operator form for when the small side can be replicated: the big side
   * gets a per-row salt in [0, s), the small side is exploded to every
   * salt value, and the join key becomes (key, salt) — splitting a hot
-  * key across s reducers at the cost of s× the small side. */
+  * key across s reducers at the cost of s× the small side.
+  *
+  * When AQE is NOT enough (measured, tools/SkewStress + PLANS.md
+  * round-12): `OptimizeSkewedJoin` pattern-matches a sort-merge join
+  * whose Sorts wrap BARE shuffle reads. A fact ⋈ per-key-aggregate join
+  * — the most natural skewed shape, q104's — interposes the aggregate's
+  * final HashAggregate between the Sort and the shuffle on the small
+  * side, so the rule silently never applies, at ANY threshold; under a
+  * planted 50%-hot key the hot reducer reads 32× the median partition.
+  * Salting bounds it regardless of plan shape (measured max reducer
+  * 1.15M vs 4.03M rows, max/median task time 1.5× vs 6.5–30×). */
 object Skew {
 
   /** Per-row salt for the big side, computed IN-PLAN (no RDD hop): the
