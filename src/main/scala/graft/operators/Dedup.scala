@@ -68,23 +68,80 @@ object Dedup {
       .selectExpr(Seq("doc_id", "sh") ++ sigCols: _*)
   }
 
-  /** LSH candidate pairs: band the signature, explode, equi-join on
-    * (band, value). Returns (doc_a, doc_b) with doc_a < doc_b. */
-  def candidatePairs(sigs: DataFrame): DataFrame = {
+  /** Signature frame → exploded band table `(doc_id, band, bv)` — the
+    * persistable half of an LSH index (see [[incrementalNearDups]]). */
+  private[graft] def bandedOf(sigs: DataFrame): DataFrame = {
     val bandCols = (0 until Bands).map { b =>
       val parts = (0 until RowsPerBand).map(r => s"m${b * RowsPerBand + r}")
       s"concat_ws('_', ${parts.mkString(", ")}) AS b$b"
     }
-    val banded = sigs.selectExpr(Seq("doc_id") ++ bandCols: _*)
+    sigs.selectExpr(Seq("doc_id") ++ bandCols: _*)
       .selectExpr("doc_id",
         s"stack(${Bands}, ${(0 until Bands).map(b => s"$b, b$b").mkString(", ")})")
       .toDF("doc_id", "band", "bv")
+  }
+
+  /** LSH candidate pairs: band the signature, explode, equi-join on
+    * (band, value). Returns (doc_a, doc_b) with doc_a < doc_b. */
+  def candidatePairs(sigs: DataFrame): DataFrame = {
+    val banded = bandedOf(sigs)
     val a = banded.toDF("doc_a", "band", "bv")
     val b = banded.toDF("doc_b", "band", "bv")
     a.join(b, Seq("band", "bv"))
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
+  }
+
+  /** INCREMENTAL near-dup detection: pairs between a NEW document batch
+    * and a persisted LSH index (plus new×new), never index×index.
+    *
+    * This is the operation a 100 TB corpus actually runs: a daily batch
+    * arrives, and re-signing the whole corpus (or re-generating the
+    * old×old pairs found months ago) would make dedup cost scale with
+    * corpus size instead of batch size. Here:
+    *
+    *  - `indexBands` (doc_id, band, bv) and `indexSh` (doc_id, sh) are
+    *    the persisted index — READ, never recomputed; the old corpus's
+    *    TEXT is never rescanned (q115 proves it by materializing the
+    *    index to parquet and planning the incremental step against the
+    *    files alone).
+    *  - signatures are computed for the new batch only (MinHash is
+    *    per-document, so a doc's signature is independent of the rest
+    *    of the corpus — incrementality is exact, not approximate).
+    *  - the candidate join probes new bands against (index ∪ new) on
+    *    (band, bv): new×old pairs appear once (old ids occur only on
+    *    the index side), new×new pairs once via the id-order filter,
+    *    old×old pairs cannot appear at all.
+    *  - at scale the index side is bucketed/sorted by (band, bv) at
+    *    write time, so this probe is the pay-the-shuffle-once layout
+    *    (sources/Bucketing) — per-batch cost ∝ batch + matched buckets.
+    *
+    * Output: (doc_a < doc_b, j1000 exact-Jaccard confirmed ≥ threshold,
+    * is_cross = true iff the pair spans index and batch). Restricted to
+    * pairs touching the new batch, this equals exactly what full-corpus
+    * [[minhashNearDups]] would emit — the oracle checks that equality. */
+  def incrementalNearDups(indexBands: DataFrame, indexSh: DataFrame,
+                          newDocs: DataFrame, thresholdPerMille: Int = 500): DataFrame = {
+    // cached: feeds the band probe and the confirmation shingle lookup
+    // (caller-managed like minhashNearDups; Bench clears between reps)
+    val newSigs = signatures(newDocs).cache()
+    val newBands = bandedOf(newSigs)
+    val probe = indexBands.withColumn("is_new", lit(false))
+      .unionByName(newBands.withColumn("is_new", lit(true)))
+    val cand = newBands.toDF("na", "band", "bv")
+      .join(probe.toDF("nb", "band", "bv", "nb_is_new"), Seq("band", "bv"))
+      .where(!col("nb_is_new") || col("na") < col("nb"))
+      .selectExpr("least(na, nb) AS doc_a", "greatest(na, nb) AS doc_b",
+        "NOT nb_is_new AS is_cross")
+      .distinct() // union over the band tables
+    val shAll = indexSh.unionByName(newSigs.select("doc_id", "sh"))
+    cand
+      .join(shAll.toDF("doc_a", "sh_a"), "doc_a")
+      .join(shAll.toDF("doc_b", "sh_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        jaccardN(col("sh_a"), col("sh_b")).as("j1000"), col("is_cross"))
+      .where(s"j1000 >= $thresholdPerMille")
   }
 
   /** Exact Jaccard (per mille) between two shingle-array columns —
@@ -408,8 +465,64 @@ object Dedup {
     // materialized (localCheckpoint'd) labels. SPARK_GRAFT_BENCH_COLD=1
     // re-pays it per rep via the Memos registry.
     "q53_dedup_clusters" -> ((s, dir) =>
-      textClusters(s, dir).orderBy("doc_id"))
+      textClusters(s, dir).orderBy("doc_id")),
+
+    // Incremental near-dup pairs: the 10% batch (doc_id % 10 = 7)
+    // deduped against the persisted LSH index of the other 90% — the
+    // index is parquet on disk (built once per session, Memos-cold
+    // rebuildable); the incremental plan scans INDEX FILES + the new
+    // batch, never the old corpus text. Oracle: the full-corpus LSH
+    // pairs restricted to pairs touching the batch — incremental must
+    // equal batch-restricted full recompute exactly.
+    "q115_incremental_dedup" -> ((s, dir) => {
+      val p = lshIndexDir(s, dir)
+      incrementalNearDups(
+        s.read.parquet(s"$p/bands"), s.read.parquet(s"$p/sh"),
+        Tables.documents(s, dir).where("doc_id % 10 = 7"))
+        .orderBy("doc_a", "doc_b")
+    }),
+
+    // The operational form of q115: per new doc, the KEEP/DROP verdict.
+    // A new doc is dropped iff it near-matches the existing corpus (the
+    // index always wins a cross pair) or a smaller-id doc of its own
+    // batch (deterministic within-batch keep-first) — the decision an
+    // ingest pipeline applies before appending the batch.
+    "q116_incremental_keep" -> ((s, dir) => {
+      val p = lshIndexDir(s, dir)
+      val newDocs = Tables.documents(s, dir).where("doc_id % 10 = 7")
+      val pairs = incrementalNearDups(
+        s.read.parquet(s"$p/bands"), s.read.parquet(s"$p/sh"), newDocs)
+      val drops = pairs.selectExpr(
+        "CASE WHEN is_cross THEN (CASE WHEN doc_a % 10 = 7 THEN doc_a ELSE doc_b END) " +
+          "ELSE doc_b END AS doc_id")
+        .distinct().withColumn("dup", lit(true))
+      newDocs.select("doc_id").join(drops, Seq("doc_id"), "left")
+        .selectExpr("doc_id", "coalesce(NOT dup, true) AS keep")
+        .orderBy("doc_id")
+    })
   )
+
+  /** Per-(session, sfDir) memo of the persisted LSH index location for
+    * the q115/q116 incremental-dedup gates: bands + shingle sets of the
+    * NON-batch 90% slice, written to parquet once and then only READ —
+    * the incremental step's plan contains no scan of the old corpus
+    * text (the point of incrementality). Cold mode clears the memo and
+    * re-pays the build per rep like every other model memo. */
+  private val lshIndexMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), String]
+  Memos.register(() => lshIndexMemo.synchronized(lshIndexMemo.clear()))
+  private def lshIndexDir(s: SparkSession, dir: String): String =
+    lshIndexMemo.synchronized {
+      lshIndexMemo.getOrElseUpdate((s, dir), {
+        val path = "/tmp/graft_lsh_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val sigs = signatures(
+          Tables.documents(s, dir).where("doc_id % 10 != 7")).cache()
+        bandedOf(sigs).write.mode("overwrite").parquet(s"$path/bands")
+        sigs.select("doc_id", "sh").write.mode("overwrite").parquet(s"$path/sh")
+        sigs.unpersist()
+        path
+      })
+    }
 
   /** Per-(session, sfDir) memo of the documents near-dup cluster labels
     * (LSH pairs → label propagation). [[labelPropagateStats]] returns a
@@ -530,6 +643,34 @@ object Dedup {
            |    CASE WHEN list_sum(list_transform(th, hv -> CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
            |         THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
            |FROM h ORDER BY doc_id""".stripMargin,
+
+      // batch-restricted full-corpus recompute — the equality the
+      // incremental plan must reproduce without rescanning the 90%
+      "q115_incremental_dedup" ->
+        s"""WITH $duckLshCtes,
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    CAST(round(1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) AS j1000,
+           |    ((a.doc_id % 10 = 7) != (b.doc_id % 10 = 7)) AS is_cross
+           |  FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ($bandMatch)
+           |  WHERE 1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 499.5
+           |    AND ((a.doc_id % 10 = 7) OR (b.doc_id % 10 = 7)))
+           |SELECT doc_a, doc_b, j1000, is_cross FROM pairs ORDER BY doc_a, doc_b""".stripMargin,
+      "q116_incremental_keep" ->
+        s"""WITH $duckLshCtes,
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ($bandMatch)
+           |  WHERE 1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 499.5
+           |    AND ((a.doc_id % 10 = 7) OR (b.doc_id % 10 = 7))),
+           |drops AS (
+           |  SELECT DISTINCT CASE WHEN (doc_a % 10 = 7) AND (doc_b % 10 = 7) THEN doc_b
+           |                       WHEN doc_a % 10 = 7 THEN doc_a ELSE doc_b END AS doc_id
+           |  FROM pairs)
+           |SELECT d.doc_id, (dr.doc_id IS NULL) AS keep
+           |FROM documents d LEFT JOIN drops dr ON dr.doc_id = d.doc_id
+           |WHERE d.doc_id % 10 = 7
+           |ORDER BY d.doc_id""".stripMargin,
 
       "q69_simhash_pairs" ->
         s"""WITH t AS (

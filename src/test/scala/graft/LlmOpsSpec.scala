@@ -92,6 +92,41 @@ class LlmOpsSpec extends AnyFunSuite {
     assert((lsh -- brutePairs).isEmpty)
   }
 
+  test("incremental dedup equals batch-restricted full recompute; old×old pairs never emitted") {
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    def doc(id: Long, tail: String) = (id, s"$filler $tail")
+    // old slice: 1~2 are near-dups of each other (the pair incremental
+    // must NOT re-find), 3 seeds a cross pair, 4 is unrelated
+    val oldDocs = Seq(
+      doc(1L, "alpha beta"), doc(2L, "alpha gamma"), doc(3L, "kappa mu"),
+      (4L, (1 to 60).map(i => s"x$i").mkString(" "))).toDF("doc_id", "text")
+    // new batch: 17 ~ old 3 (cross), 27 ~ 37 (within-batch), 47 unrelated
+    val newDocs = Seq(
+      doc(17L, "kappa nu"), doc(27L, "sigma tau"), doc(37L, "sigma phi"),
+      (47L, (1 to 60).map(i => s"y$i").mkString(" "))).toDF("doc_id", "text")
+    // persist the old slice's index, then plan ONLY against the files
+    val idx = java.nio.file.Files.createTempDirectory("graft_lsh_inc").toString
+    val sigs = Dedup.signatures(oldDocs)
+    Dedup.bandedOf(sigs).write.parquet(s"$idx/bands")
+    sigs.select("doc_id", "sh").write.parquet(s"$idx/sh")
+    val inc = Dedup.incrementalNearDups(
+      spark.read.parquet(s"$idx/bands"), spark.read.parquet(s"$idx/sh"), newDocs)
+      .as[(Long, Long, Long, Boolean)].collect().toSet
+    // ground truth: full-corpus pairs restricted to those touching the batch
+    val newIds = Set(17L, 27L, 37L, 47L)
+    val full = Dedup.minhashNearDups(oldDocs.unionAll(newDocs))
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = full.collect { case (a, b, j) if newIds(a) || newIds(b) =>
+      (a, b, j, newIds(a) != newIds(b)) }
+    assert(full.exists { case (a, b, _) => !newIds(a) && !newIds(b) },
+      "corpus must contain an old×old pair for the exclusion to be meaningful")
+    assert(inc == expected, s"incremental=$inc expected=$expected")
+    assert(inc.exists(p => p._4), "planted cross pair (3,17) missing")
+    assert(inc.exists(p => !p._4), "planted within-batch pair (27,37) missing")
+    assert(!inc.exists { case (a, b, _, _) => !newIds(a) && !newIds(b) },
+      "incremental emitted an old×old pair")
+  }
+
   test("simhash separates near-dups from random pairs by hamming distance") {
     val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     val nearPairs = brutePairs.filter(_._3 >= 900).toSeq.map(p => (p._1, p._2))
