@@ -150,6 +150,32 @@ object Temporal {
         .orderBy("purchase_id")
     }),
 
+    // Trailing time-window aggregates (RANGE frame): per user, the
+    // count and exact value sum of that user's events in the trailing
+    // hour INCLUDING the current event — the rate-limit / trailing-
+    // feature shape (events-per-user-per-hour, rolling spend). q16's
+    // running totals are a ROWS frame; this is the RANGE-frame class,
+    // where the window is defined by the ORDER-BY VALUE distance, so
+    // ties (equal timestamps) are peers and enter each other's frames
+    // in BOTH engines — the semantics are deterministic without a
+    // tiebreak column.
+    //
+    // Scale posture: ONE shuffle on user_id, then Spark's WindowExec
+    // evaluates the moving frame with a sliding lower bound over each
+    // sorted partition (linear, never per-row rescans the frame). This
+    // is the declarative answer to the same question q70 solves for the
+    // NO-equi-key case with bucketized self-joins; with a key, a self
+    // range-join would shuffle twice and build pairs ∝ matches — the
+    // window form never materializes pairs at all.
+    "q117_rolling_window" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .selectExpr("event_id", "user_id", "unix_micros(ts) AS t",
+          "cast(round(value * 10000) as long) AS v_e4")
+      trailingAggregates(ev, "user_id", "t", "v_e4", 3600000000L)
+        .selectExpr("event_id", "user_id", "n_win AS n_1h", "sum_win AS sum_e4_1h")
+        .orderBy("user_id", "event_id")
+    }),
+
     // Time-series gap fill + forward fill: a dense hourly spine per
     // event_type (missing hours appear with n_events=0) and the hourly
     // value sum carried forward across gaps (`last(..., ignoreNulls)`
@@ -167,6 +193,20 @@ object Temporal {
     "q113_gap_fill" -> ((s, dir) =>
       gapFillHourly(Tables.events(s, dir)).orderBy("event_type", "h"))
   )
+
+  /** Trailing-window aggregates over a RANGE frame: for each row, the
+    * count and sum of `valueCol` across the same key's rows whose
+    * `timeMicros` lies in `[t − widthMicros, t]` (inclusive both ends;
+    * equal-time peers are in each other's frames — RANGE semantics).
+    * Adds `n_win` / `sum_win`. See the q117 registration note for the
+    * scale rationale. */
+  def trailingAggregates(df: DataFrame, key: String, timeMicros: String,
+      valueCol: String, widthMicros: Long): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(timeMicros))
+      .rangeBetween(-widthMicros, 0)
+    df.withColumn("n_win", count(lit(1)).over(w).cast("long"))
+      .withColumn("sum_win", sum(col(valueCol)).over(w).cast("long"))
+  }
 
   /** Dense hourly spine per event_type with zero-filled counts and a
     * forward-filled value sum — see the q113 registration note above
@@ -220,6 +260,16 @@ object Temporal {
         |SELECT p.purchase_id, count(v.vt) AS n_views
         |FROM p LEFT JOIN v ON v.vt BETWEEN p.t - 600000000 AND p.t
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q117_rolling_window" ->
+      """SELECT event_id, user_id,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(SUM(v_e4) OVER w AS BIGINT) AS sum_e4_1h
+        |FROM (SELECT event_id, user_id, epoch_us(ts) AS t,
+        |        CAST(ROUND(value * 10000) AS BIGINT) AS v_e4 FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY t
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""".stripMargin,
 
     "q113_gap_fill" ->
       """WITH hourly AS (

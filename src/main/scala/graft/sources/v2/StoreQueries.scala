@@ -121,6 +121,25 @@ object StoreQueries {
         .orderBy("lang", "source")
     }),
 
+    // Change data feed from time travel: ingest documents (generation
+    // 1), run three SQL DML batches against the catalog (UPDATE /
+    // DELETE / INSERT — each a new MVCC generation), then diff
+    // `VERSION AS OF` 1 against the current generation with
+    // [[graft.operators.Diff.snapshotDiff]]. The DuckDB twin derives
+    // the identical change set symbolically from the mutation
+    // predicates over the raw parquet — a hash match proves the whole
+    // stack end-to-end: DML correctness, generation isolation (v1 is
+    // untouched by three later commits), and the diff operator.
+    "q119_snapshot_diff" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+      val name = ensureCdf(s, dir)
+      def snap(v: String) = s.sql(
+        s"SELECT doc_id, lang, n_chars FROM graft_cat.`$name` $v")
+      graft.operators.Diff.snapshotDiff(
+          snap("VERSION AS OF 1"), snap(""), "doc_id")
+        .orderBy("doc_id", "change_type")
+    }),
+
     "q101_view_sql" -> ((s, dir) => {
       s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
       val name = ensureLoaded(s, dir)
@@ -134,6 +153,33 @@ object StoreQueries {
       s.sql("SELECT lang, n_docs, chars FROM graft_cat.vws.lang_rollup ORDER BY lang")
     })
   )
+
+  /** CDF fixture: documents ingested (generation 1), then exactly one
+    * UPDATE + DELETE + INSERT round applied through the SQL catalog.
+    * The mutation predicates are pure residue classes of doc_id so the
+    * DuckDB twin can replay them symbolically. Idempotent per
+    * (sfDir) like the other store fixtures — Bench reps and Verify
+    * share the mutated collection, and `VERSION AS OF 1` pins the
+    * pre-image regardless of how many times the query re-runs. */
+  private def ensureCdf(spark: SparkSession, sfDir: String): String = {
+    val name = "documents_cdf_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    loaded.synchronized {
+      if (!loaded.contains(name)) {
+        GraftStore.load(name, Tables.documents(spark, sfDir),
+          shardKey = Some("doc_id"), numSegments = 8)
+        spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+        spark.sql(s"UPDATE graft_cat.`$name` SET n_chars = n_chars + 1000 " +
+          "WHERE doc_id % 37 = 3")
+        spark.sql(s"DELETE FROM graft_cat.`$name` WHERE doc_id % 31 = 5")
+        Tables.documents(spark, sfDir).createOrReplaceTempView("__cdf_src")
+        spark.sql(s"INSERT INTO graft_cat.`$name` " +
+          "SELECT doc_id + 10000000, text, lang, source, n_chars + 7 " +
+          "FROM __cdf_src WHERE doc_id % 101 = 11")
+        loaded += name
+      }
+    }
+    name
+  }
 
   private def ensureClustered(spark: SparkSession, sfDir: String): (String, String) = {
     val suffix = sfDir.replaceAll("[^A-Za-z0-9]", "_")
@@ -176,6 +222,20 @@ object StoreQueries {
         |  CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents WHERE doc_id >= 100 AND n_chars >= 200
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q119_snapshot_diff" ->
+      """SELECT doc_id, 'delete' AS change_type, lang, n_chars
+        |FROM documents WHERE doc_id % 31 = 5
+        |UNION ALL
+        |SELECT doc_id + 10000000, 'insert', lang, n_chars + 7
+        |FROM documents WHERE doc_id % 101 = 11
+        |UNION ALL
+        |SELECT doc_id, 'update_pre', lang, n_chars
+        |FROM documents WHERE doc_id % 37 = 3 AND doc_id % 31 <> 5
+        |UNION ALL
+        |SELECT doc_id, 'update_post', lang, n_chars + 1000
+        |FROM documents WHERE doc_id % 37 = 3 AND doc_id % 31 <> 5
+        |ORDER BY doc_id, change_type""".stripMargin,
+
     "q101_view_sql" ->
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars

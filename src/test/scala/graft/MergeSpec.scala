@@ -44,6 +44,40 @@ class MergeSpec extends AnyFunSuite {
     assert(msgs.contains("duplicate source key"), s"unexpected failure: $msgs")
   }
 
+  test("scdMerge: changed key closes the old version and opens a new one; unchanged and absent keys keep; new keys insert") {
+    val target = Seq(
+      (1L, "a", 10L, 0L),   // will change → close + version
+      (2L, "b", 20L, 5L),   // re-submitted with the SAME value → keep, no new version
+      (3L, "c", 30L, 0L))   // untouched → keep
+      .toDF("k", "name", "bal", "valid_from")
+    val source = Seq(
+      (1L, 11L, 100L),      // changed at t=100
+      (2L, 20L, 100L),      // no-op change
+      (4L, 44L, 200L))      // brand new key
+      .toDF("k", "bal", "t")
+    val out = Merge.scdMerge(target, source, "k", "bal", "t")
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5), r.getString(6)))
+    assert(out.toSeq == Seq(
+      (1L, Some("a"), 10L, 0L, 100L, false, "close"),   // old version, now bounded
+      (1L, Some("a"), 11L, 100L, -1L, true, "version"), // new open version
+      (2L, Some("b"), 20L, 5L, -1L, true, "keep"),      // equal value ⇒ NO new version
+      (3L, Some("c"), 30L, 0L, -1L, true, "keep"),
+      (4L, None, 44L, 200L, -1L, true, "insert")))      // target-only name NULL
+  }
+
+  test("scdMerge: duplicate source keys raise (same cardinality rule as mergeUpsert)") {
+    val target = Seq((1L, 10L, 0L)).toDF("k", "bal", "valid_from")
+    val source = Seq((1L, 5L, 9L), (1L, 6L, 9L)).toDF("k", "bal", "t")
+    val e = intercept[Throwable] {
+      Merge.scdMerge(target, source, "k", "bal", "t").collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("duplicate source key"), s"unexpected failure: $msgs")
+  }
+
   test("a key-unique source with every key matched yields zero inserts and exact row count") {
     val target = spark.range(100).selectExpr("id AS k", "id * 2 AS bal")
     val source = spark.range(50).selectExpr("id AS k", "id * 3 AS bal")

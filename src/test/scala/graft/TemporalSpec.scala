@@ -134,4 +134,23 @@ class TemporalSpec extends AnyFunSuite {
       ("b", 2L, 0L, 40000L),
       ("b", 3L, 0L, 40000L)))
   }
+
+  test("trailingAggregates: RANGE frame is inclusive at the width bound and includes equal-time peers") {
+    val df = Seq(
+      // key 1: t=0, t=3600 (exactly width back from 3600 → 0 IS in frame),
+      // t=7201 (0 and 3600 both out of [3601, 7201]... 3600 < 3601 ⇒ out)
+      (1L, 0L, 10L), (1L, 3600L, 20L), (1L, 7201L, 40L),
+      // key 2: equal-time peers — RANGE frames include ALL peers both ways
+      (2L, 100L, 1L), (2L, 100L, 2L))
+      .toDF("k", "t", "v")
+    val out = Temporal.trailingAggregates(df, "k", "t", "v", 3600L)
+      .orderBy("k", "t", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 0L, 1L, 10L),
+      (1L, 3600L, 2L, 30L),   // frame [0, 3600] — inclusive lower bound
+      (1L, 7201L, 1L, 40L),   // frame [3601, 7201] — both earlier rows out
+      (2L, 100L, 2L, 3L),     // each peer sees BOTH rows at t=100
+      (2L, 100L, 2L, 3L)))
+  }
 }
