@@ -176,8 +176,66 @@ object ProductQuant {
         .select(col("query_id"), col("rank").cast("long").as("rank"),
           col("vec_id"), col("adc"))
         .orderBy("query_id", "rank")
+    }),
+
+    // Scalar int8 quantization — the OTHER compression lever next to PQ
+    // (q75): per-dimension symmetric scaling to one signed byte per
+    // component (4× smaller than float32, 64× less than array<double>),
+    // with similarity scored as the exact INTEGER dot product of codes.
+    // This is the faiss SQ8 / "int8 embedding" deployment shape: simpler
+    // than PQ, no training loop, SIMD-friendly, and usually the first
+    // thing production serving tries before paying for codebooks.
+    // Scales derive from one tiny per-dim aggregate (64 rows — a model,
+    // not data); encoding is a shuffle-free narrow map; search is the
+    // corpus-scan × broadcast-query-batch pattern of cosineTopK. Every
+    // step is deterministic cross-engine: max(abs) over the same float32
+    // values, IEEE double division, and truncation-toward-zero (Spark
+    // cast ≡ DuckDB TRUNC), so codes and dot products hash-match exactly.
+    "q121_int8_quant" -> ((s, dir) => {
+      int8TopK(Tables.embeddings(s, dir)).orderBy("query_id", "rank")
     })
   )
+
+  /** Per-dimension symmetric int8 scale: s_d = max |x_d| over the corpus
+    * (64 doubles — bounded model state, like the IVF centroids). */
+  private[graft] def int8Scales(emb: DataFrame): Array[Double] =
+    emb.select(posexplode(col("embedding"))).toDF("d", "x")
+      .groupBy("d").agg(max(abs(col("x").cast("double"))).as("s"))
+      .orderBy("d").collect().map(_.getDouble(1))
+
+  /** Encode each vector as 64 signed-byte codes: trunc(x/s·127) ∈
+    * [−127, 127] (0 on an all-zero dimension). Kept as array<bigint> in
+    * the plan — the BYTE width is the storage claim, the arithmetic is
+    * identical. */
+  private[graft] def int8Encode(emb: DataFrame, scales: Array[Double]): DataFrame = {
+    val sArr = array(scales.map(lit): _*)
+    emb.withColumn("__s", sArr)
+      .withColumn("codes", expr(
+        "zip_with(embedding, __s, (x, s) -> " +
+          "CASE WHEN s = 0D THEN 0L " +
+          "ELSE cast(cast(x as double) / s * 127D as bigint) END)"))
+      .drop("__s")
+  }
+
+  /** Brute-force top-k by exact int8 dot product for the bounded query
+    * set (the q24/q75 verification harness shape; the 100 TB serving
+    * path composes these codes with the IVF probe exactly as q86 does
+    * with PQ codes). */
+  def int8TopK(emb: DataFrame, queryMaxId: Long = 8, k: Int = 5): DataFrame = {
+    val coded = int8Encode(emb.select("vec_id", "embedding"), int8Scales(emb))
+      .select("vec_id", "codes")
+    val queries = coded.where(col("vec_id") < queryMaxId)
+      .toDF("query_id", "qc")
+    val scored = coded.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        expr("aggregate(zip_with(qc, codes, (a, b) -> a * b), 0L, (acc, v) -> acc + v)")
+          .as("dp"))
+    val w = Window.partitionBy("query_id").orderBy(col("dp").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).where(s"rank <= $k")
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("dp"))
+  }
 
   /** PQ CTE chain — subspaces, per-subspace Lloyd, corpus codes — over
     * a quantized source relation `vecsRel` (vec_id, q). CTE names take
@@ -272,5 +330,28 @@ object ProductQuant {
 
   def oracle: Map[String, String] = Map(
     "q75_ann_pq" -> duckPqSql(),
-    "q86_ann_ivfpq" -> duckIvfPqSql())
+    "q86_ann_ivfpq" -> duckIvfPqSql(),
+    // Relational twin of the int8 path: unnest to (vec_id, dim, x),
+    // per-dim scales, TRUNC-quantized codes, integer dot via a dim join.
+    "q121_int8_quant" ->
+      """WITH e AS (
+        |  SELECT vec_id, UNNEST(embedding)::DOUBLE AS x,
+        |    generate_subscripts(embedding, 1) AS d
+        |  FROM embeddings),
+        |scales AS (SELECT d, MAX(ABS(x)) AS s FROM e GROUP BY d),
+        |codes AS (
+        |  SELECT vec_id, d,
+        |    CASE WHEN s = 0 THEN 0
+        |         ELSE CAST(TRUNC(x / s * 127) AS BIGINT) END AS c
+        |  FROM e JOIN scales USING (d)),
+        |dots AS (
+        |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+        |    CAST(SUM(q.c * b.c) AS BIGINT) AS dp
+        |  FROM codes q JOIN codes b ON q.d = b.d AND b.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 8
+        |  GROUP BY 1, 2)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, dp FROM (
+        |  SELECT query_id, vec_id, dp,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dp DESC, vec_id) AS rank
+        |  FROM dots) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
 }

@@ -116,6 +116,45 @@ object Profile {
       .orderBy("bucket")
   }
 
+  /** Mergeable-sketch rollup cube: one tiny row per (event_type, day)
+    * carrying a DataSketches HLL sketch of that slice's distinct users
+    * (`hll_sketch_agg`), then ANY coarser slice — per type, global —
+    * answered by MERGING sketches (`hll_union_agg`) instead of
+    * rescanning raw data. This is the pre-aggregation pattern that
+    * makes distinct-count dashboards feasible at 100 TB: the cube is
+    * (types × days) rows of ~2^lgK bytes each, its build is the only
+    * pass over raw events, and every subsequent slice query touches
+    * only the cube (COUNT/SUM rollups compose trivially; DISTINCT
+    * does not — the mergeable sketch is what restores composability).
+    *
+    * Gate shape (the q47 convention for approximate answers): exact
+    * per-slice distinct counts hash-compare against DuckDB, and the
+    * merged-sketch estimate is asserted within ±5 % of exact as a
+    * boolean the oracle pins to literal TRUE — at lgK=14 the sketch
+    * rsd is ~0.8 %, so the bound holds with wide margin at every SF.
+    * The exact side (one Expand multi-distinct over raw) exists ONLY
+    * as the verification harness; the 100 TB deployment keeps just the
+    * sketch path. */
+  def sketchRollup(ev: DataFrame): DataFrame = {
+    val base = ev.selectExpr("event_type", "user_id",
+      "unix_micros(ts) div 86400000000 AS d")
+    val cube = base.groupBy("event_type", "d")
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    val merged = cube.rollup(col("event_type"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("est"))
+    val exact = base.rollup(col("event_type"))
+      .agg(countDistinct("user_id").as("exact_users"),
+        countDistinct("d").as("n_days"))
+      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        col("exact_users"), col("n_days"))
+    exact.join(merged, "event_type")
+      .selectExpr("event_type", "exact_users", "n_days",
+        "abs(est - exact_users) <= 0.05 * exact_users AS merged_within")
+      .orderBy("event_type")
+  }
+
   /** documents' mixed surface for q107: the numeric id/length columns
     * plus the string columns whose min/max exercise the non-numeric
     * branch (binary-collation string extrema, no ×100 quantization). */
@@ -127,7 +166,9 @@ object Profile {
     "q107_profile_docs" -> ((s, dir) =>
       profile(Tables.documents(s, dir), docNumCols, docStrCols)),
     "q109_histogram" -> ((s, dir) =>
-      histogram(Tables.lineitem(s, dir), "l_extendedprice", 16)))
+      histogram(Tables.lineitem(s, dir), "l_extendedprice", 16)),
+    "q120_sketch_rollup" -> ((s, dir) =>
+      sketchRollup(Tables.events(s, dir))))
 
   def oracle: Map[String, String] = {
     val liBranches = lineitemCols.map { c =>
@@ -172,6 +213,13 @@ object Profile {
           |  MIN(cents) AS min_cents, MAX(cents) AS max_cents
           |FROM cents, bounds
           |GROUP BY bucket, approx_lo_cents
-          |ORDER BY bucket""".stripMargin)
+          |ORDER BY bucket""".stripMargin,
+      "q120_sketch_rollup" ->
+        """SELECT COALESCE(event_type, 'ALL') AS event_type,
+          |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+          |  CAST(COUNT(DISTINCT epoch_us(ts) // 86400000000) AS BIGINT) AS n_days,
+          |  TRUE AS merged_within
+          |FROM events GROUP BY ROLLUP(event_type)
+          |ORDER BY event_type""".stripMargin)
   }
 }

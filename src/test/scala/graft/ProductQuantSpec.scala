@@ -78,4 +78,39 @@ class ProductQuantSpec extends AnyFunSuite {
         ColumnBridge.expression(col("q")), cents)).as("codes"))
     assert(bad.head().isNullAt(0))
   }
+
+  test("int8 codes are in [-127,127], extreme components hit ±127, zero dims encode 0") {
+    import spark.implicits._
+    // dim 0: values in [-2, 4]; dim 1: all zero; dim 2: [-8, 8]
+    val vecs = Seq(
+      (0L, Array(4.0f, 0.0f, -8.0f)),
+      (1L, Array(-2.0f, 0.0f, 8.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val scales = ProductQuant.int8Scales(vecs)
+    assert(scales.toSeq == Seq(4.0, 0.0, 8.0))
+    val codes = ProductQuant.int8Encode(vecs, scales)
+      .orderBy("vec_id").collect().map(_.getSeq[Long](2))
+    assert(codes(0) == Seq(127L, 0L, -127L))   // max-abs components → ±127
+    assert(codes(1) == Seq(-63L, 0L, 127L))    // trunc(-2/4*127) = trunc(-63.5) = -63
+    assert(codes(2) == Seq(31L, 0L, 0L))       // trunc(1/4*127) = 31
+    assert(codes.flatten.forall(c => c >= -127L && c <= 127L))
+  }
+
+  test("int8 dot-product top-1 recovers the float-cosine nearest neighbor on separated clusters") {
+    import spark.implicits._
+    // two well-separated directions; query 0 belongs to cluster A
+    val rnd = new scala.util.Random(7)
+    def vec(base: Array[Float], jitter: Float) =
+      base.map(x => x + (rnd.nextFloat() - 0.5f) * jitter)
+    val a = Array.fill(8)(1.0f) ++ Array.fill(8)(0.0f)
+    val b = Array.fill(8)(0.0f) ++ Array.fill(8)(1.0f)
+    val rows = ((0L until 4L).map(i => (i, vec(a, 0.1f))) ++
+      (4L until 8L).map(i => (i, vec(b, 0.1f)))).toSeq
+    val clusters = rows.toDF("vec_id", "embedding")
+    val top1 = ProductQuant.int8TopK(clusters, queryMaxId = 1, k = 1).collect()
+    assert(top1.length == 1)
+    assert(top1.head.getLong(2) < 4L, // nearest neighbor is in cluster A
+      s"int8 top-1 crossed clusters: ${top1.head}")
+  }
 }

@@ -95,4 +95,30 @@ class ProfileSpec extends AnyFunSuite {
     assert(rows.length == 1 && rows.head.getLong(0) == 0L && rows.head.getLong(2) == 10L)
     assert(rows.head.getLong(4) == 4250L && rows.head.getLong(5) == 4250L)
   }
+
+  test("sketchRollup: merged estimates stay in bounds on overlapping slices and under repartitioning") {
+    // 3 types × 5 days, user sets overlap across days (user_id = id % 400
+    // cycles), so per-type distinct != sum of per-day distincts — the
+    // case where naive COUNT(DISTINCT) rollups are WRONG and sketch
+    // merging is the fix.
+    def ev(parts: Int) = spark.range(3000).selectExpr(
+        "concat('t', id % 3) AS event_type",
+        "id % 400 AS user_id",
+        // spread across 5 distinct days (86400e6 micros apart)
+        "timestamp_micros(1700000000000000 + (id % 5) * 86400000000) AS ts",
+        "CAST(0.0 AS DOUBLE) AS value", "id AS event_id", "'' AS props")
+      .repartition(parts)
+    for (parts <- Seq(1, 7)) {
+      val rows = Profile.sketchRollup(ev(parts)).collect()
+      assert(rows.length == 4) // t0..t2 + ALL
+      rows.foreach { r =>
+        assert(r.getBoolean(3), s"estimate out of bounds for ${r.getString(0)} at parts=$parts")
+      }
+      val all = rows.find(_.getString(0) == "ALL").get
+      assert(all.getLong(1) == 400L && all.getLong(2) == 5L)
+      // per-type exact: users with id%3==k — 400 users cycle through all
+      // residues, every type sees well over 100 distinct users
+      rows.filterNot(_.getString(0) == "ALL").foreach(r => assert(r.getLong(1) > 100L))
+    }
+  }
 }
