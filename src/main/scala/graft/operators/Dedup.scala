@@ -499,6 +499,25 @@ object Dedup {
       newDocs.select("doc_id").join(drops, Seq("doc_id"), "left")
         .selectExpr("doc_id", "coalesce(NOT dup, true) AS keep")
         .orderBy("doc_id")
+    }),
+
+    // Cluster-aware leakage-free split: assign train/validation/test by
+    // the NEAR-DUP CLUSTER representative, not the document id. A
+    // doc-level hash split sprinkles near-copies of the same document
+    // across train AND test — eval content leaks into training. Keying
+    // the q12 portable split hash on the q53 cluster label instead
+    // (docs in no pair are their own singleton cluster) puts every
+    // near-dup group in exactly one split by construction. Cost beyond
+    // the memoized clustering: the label frame is pair-participant-sized
+    // (≪ corpus), so the enrichment join broadcasts; the split itself is
+    // a pure hash — no RNG, no extra shuffle, any cluster size.
+    "q123_cluster_split" -> ((s, dir) => {
+      val labels = textClusters(s, dir).select("doc_id", "cluster")
+      Tables.documents(s, dir).select("doc_id")
+        .join(broadcast(labels), Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+        .withColumn("split", Relational.splitLabel(col("cluster")))
+        .orderBy("doc_id")
     })
   )
 
@@ -605,6 +624,28 @@ object Dedup {
            |  SELECT e.doc_a AS doc_id, w.label FROM edges e JOIN walk w ON w.doc_id = e.doc_b)
            |SELECT doc_id, MIN(label) AS cluster, (doc_id = MIN(label)) AS keep
            |FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // q53's labels left-joined onto ALL documents (singletons = own
+      // cluster), split by the q12 Knuth hash on the cluster rep
+      "q123_cluster_split" ->
+        s"""WITH RECURSIVE $duckLshCtes,
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ($bandMatch)
+           |  WHERE 1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 499.5),
+           |edges AS (
+           |  SELECT doc_a, doc_b FROM pairs
+           |  UNION SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
+           |walk AS (
+           |  SELECT doc_a AS doc_id, doc_a AS label FROM edges
+           |  UNION
+           |  SELECT e.doc_a AS doc_id, w.label FROM edges e JOIN walk w ON w.doc_id = e.doc_b),
+           |labels AS (SELECT doc_id, MIN(label) AS cluster FROM walk GROUP BY doc_id)
+           |SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster,
+           |  CASE WHEN ((COALESCE(l.cluster, d.doc_id) % 1000000007) * 2654435761 + 40503) % 10000 < 6400 THEN 'train'
+           |       WHEN ((COALESCE(l.cluster, d.doc_id) % 1000000007) * 2654435761 + 40503) % 10000 < 8000 THEN 'validation'
+           |       ELSE 'test' END AS split
+           |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+           |ORDER BY d.doc_id""".stripMargin,
       "q38_canonical_dedup" ->
         """SELECT doc_id, cfp FROM (
           |  SELECT doc_id,

@@ -140,6 +140,28 @@ object StoreQueries {
         .orderBy("doc_id", "change_type")
     }),
 
+    // Incremental view maintenance composed end-to-end on real storage:
+    // the per-lang COUNT/SUM view is aggregated ONCE from `VERSION AS
+    // OF 1`, the q119 change feed is derived from time travel, and
+    // Diff.maintainGroupedAgg applies the feed's additive deltas to the
+    // old view state — the current table is NEVER re-aggregated. The
+    // DuckDB twin aggregates the post-mutation state directly, so the
+    // hash match proves maintained ≡ recomputed.
+    "q122_incremental_agg" -> ((s, dir) => {
+      s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+      val name = ensureCdf(s, dir)
+      def snap(v: String) = s.sql(
+        s"SELECT doc_id, lang, n_chars FROM graft_cat.`$name` $v")
+      val base = snap("VERSION AS OF 1").groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").cast("long").as("v"))
+      val changes = graft.operators.Diff
+        .snapshotDiff(snap("VERSION AS OF 1"), snap(""), "doc_id")
+        .select("change_type", "lang", "n_chars")
+      graft.operators.Diff.maintainGroupedAgg(base, changes, "lang", "n_chars")
+        .selectExpr("lang", "n AS n_docs", "v AS chars")
+        .orderBy("lang")
+    }),
+
     "q101_view_sql" -> ((s, dir) => {
       s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
       val name = ensureLoaded(s, dir)
@@ -235,6 +257,18 @@ object StoreQueries {
         |SELECT doc_id, 'update_post', lang, n_chars + 1000
         |FROM documents WHERE doc_id % 37 = 3 AND doc_id % 31 <> 5
         |ORDER BY doc_id, change_type""".stripMargin,
+
+    "q122_incremental_agg" ->
+      """WITH post AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 37 = 3 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 31 <> 5
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, lang, n_chars + 7
+        |  FROM documents WHERE doc_id % 101 = 11)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM post GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q101_view_sql" ->
       """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,

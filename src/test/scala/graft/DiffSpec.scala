@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Diff
@@ -39,6 +40,38 @@ class DiffSpec extends AnyFunSuite {
       (1L, "update_post", Some("now")), (1L, "update_pre", None),
       (2L, "update_post", None), (2L, "update_pre", Some("x"))))
     // key 3: NULL <=> NULL is TRUE — unchanged, no row
+  }
+
+  test("maintainGroupedAgg handles group moves, group birth, and group death") {
+    // old state: g1 = {(1,10),(2,20)}, g2 = {(3,30)}
+    val base = Seq(("g1", 2L, 30L), ("g2", 1L, 30L)).toDF("g", "n", "v")
+    val changes = Seq(
+      // row 3 MOVES g2 → g3: debit g2, credit g3 (birth)
+      ("update_pre", "g2", 30L), ("update_post", "g3", 31L),
+      // row 1 deleted; row 2 value-updated in place
+      ("delete", "g1", 10L),
+      ("update_pre", "g1", 20L), ("update_post", "g1", 25L),
+      // new row in g1
+      ("insert", "g1", 5L))
+      .toDF("change_type", "g", "v")
+    val out = Diff.maintainGroupedAgg(base, changes, "g", "v")
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(
+      ("g1", 2L, 30L),   // -row1(10) -20+25 +5 on n: 2-1-1+1+1=2; v: 30-10-20+25+5=30
+      ("g3", 1L, 31L)))  // g2 died (count 0 → dropped), g3 born
+  }
+
+  test("maintainGroupedAgg over a snapshotDiff feed equals direct re-aggregation") {
+    val pre = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "b", 40L))
+      .toDF("k", "g", "x")
+    val post = Seq((2L, "a", 21L), (3L, "c", 30L), (4L, "b", 40L), (5L, "b", 50L))
+      .toDF("k", "g", "x")
+    val base = pre.groupBy("g").agg(count(lit(1)).as("n"), sum("x").cast("long").as("v"))
+    val feed = Diff.snapshotDiff(pre, post, "k").select("change_type", "g", "x")
+    val maintained = Diff.maintainGroupedAgg(base, feed, "g", "x")
+    val direct = post.groupBy("g").agg(count(lit(1)).as("n"), sum("x").cast("long").as("v"))
+    assert(maintained.exceptAll(direct).count() == 0 &&
+           direct.exceptAll(maintained).count() == 0)
   }
 
   test("snapshotDiff refuses mismatched schemas loudly") {

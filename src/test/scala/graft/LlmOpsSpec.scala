@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{Dedup, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Relational, Similarity, TextAnalysis}
 
 /** Semantic properties of the LLM-data operators that the DuckDB oracle
   * can't express: LSH recall against brute force, SimHash distance
@@ -125,6 +125,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(inc.exists(p => !p._4), "planted within-batch pair (27,37) missing")
     assert(!inc.exists { case (a, b, _, _) => !newIds(a) && !newIds(b) },
       "incremental emitted an old×old pair")
+  }
+
+  test("cluster-keyed split never separates a near-dup pair; the doc-keyed split does on this corpus") {
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    // ids 1 and 3 are near-dups chosen so the DOC-level hash split would
+    // place them in different splits — the leakage q123 exists to prevent
+    val corpus = Seq(
+      (1L, s"$filler alpha beta"), (3L, s"$filler alpha gamma"),
+      (10L, (1 to 60).map(i => s"x$i").mkString(" "))).toDF("doc_id", "text")
+    val docSplits = corpus.select(col("doc_id"),
+      Relational.splitLabel(col("doc_id")).as("split"))
+      .as[(Long, String)].collect().toMap
+    assert(docSplits(1L) != docSplits(3L),
+      "precondition: the planted pair must straddle doc-level splits")
+    val labels = Dedup.nearDupClusters(corpus).select("doc_id", "cluster")
+    val split = corpus.select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      .withColumn("split", Relational.splitLabel(col("cluster")))
+    val crossPairs = Dedup.minhashNearDups(corpus)
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")), "doc_a")
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")), "doc_b")
+      .where("sa <> sb").count()
+    assert(crossPairs == 0, "cluster-keyed split leaked a near-dup pair across splits")
+    // singletons keep the doc-level assignment (cluster = own id)
+    val s10 = split.where("doc_id = 10").select("split").as[String].head()
+    assert(s10 == docSplits(10L))
   }
 
   test("simhash separates near-dups from random pairs by hamming distance") {
