@@ -55,12 +55,52 @@ object Packing {
         s"least(cum, (seq_id + 1) * ${budget}L) - greatest(strt, seq_id * ${budget}L) AS seg_tokens")
   }
 
+  /** Default shard count for [[shardManifest]]. */
+  val DefaultManifestShards = 16
+
+  /** Export-shard manifest: assign every document to one of `shards`
+    * output shards by a PORTABLE hash (the q12 Knuth constants, so the
+    * assignment is reproducible across engines and cluster sizes —
+    * sequential ids decorrelate instead of clumping as `id % S` would),
+    * and emit one self-describing manifest row per shard: doc count,
+    * total whitespace tokens, an order-independent content checksum
+    * (`bit_xor` of each doc's 48-bit text hash — XOR neither overflows
+    * under ANSI arithmetic at any corpus size nor depends on shuffle
+    * order; the price is that a duplicated PAIR of identical docs
+    * cancels, which exact dedup upstream (q20) already rules out), and
+    * the id range. This is the handoff artifact a training loader
+    * checks shard integrity against without rescanning the data.
+    *
+    * Plan: one scan, expression-only map, ONE hash aggregate keyed by
+    * shard with map-side partial aggregation — the shuffle carries S
+    * partial rows per input partition, never documents. At 100 TB the
+    * data itself ships via `repartition(S, shard)` + partitioned write;
+    * the manifest is this same aggregate reusing that exchange. */
+  def shardManifest(documents: DataFrame,
+                    shards: Int = DefaultManifestShards): DataFrame = {
+    require(shards > 0)
+    documents.selectExpr(
+      "doc_id",
+      // (doc_id mod P) * A + B stays < 2^63 for any long id (ANSI-safe)
+      s"pmod((doc_id % 1000000007) * 2654435761 + 40503, $shards) AS shard",
+      s"cast(size($sparkToks) as bigint) AS n_toks",
+      s"${sparkHash48("text")} AS h")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        expr("bit_xor(h)").cast("long").as("checksum"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+  }
+
   // ---------------------------------------------------------------- query
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q56_seq_packing" -> ((s, dir) =>
       packSequences(Tables.documents(s, dir))
-        .orderBy("shard", "seq_id", "doc_id"))
+        .orderBy("shard", "seq_id", "doc_id")),
+
+    "q124_shard_manifest" -> ((s, dir) =>
+      shardManifest(Tables.documents(s, dir)).orderBy("shard"))
   )
 
   def oracle: Map[String, String] = Map(
@@ -80,6 +120,19 @@ object Packing {
          |  FROM s)
          |SELECT shard, seq_id, doc_id,
          |  CAST(least(cum, (seq_id + 1) * $DefaultBudget) - greatest(strt, seq_id * $DefaultBudget) AS BIGINT) AS seg_tokens
-         |FROM e ORDER BY shard, seq_id, doc_id""".stripMargin
+         |FROM e ORDER BY shard, seq_id, doc_id""".stripMargin,
+
+    "q124_shard_manifest" ->
+      s"""SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(bit_xor(h) AS BIGINT) AS checksum,
+         |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+         |FROM (
+         |  SELECT doc_id,
+         |    ((doc_id % 1000000007) * 2654435761 + 40503) % $DefaultManifestShards AS shard,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_toks,
+         |    ${duckHash48("text")} AS h
+         |  FROM documents)
+         |GROUP BY shard ORDER BY shard""".stripMargin
   )
 }

@@ -310,6 +310,24 @@ class LlmOpsSpec extends AnyFunSuite {
     } finally plan.unpersist()
   }
 
+  test("shard manifest conserves docs and tokens and is shuffle-order-invariant") {
+    import graft.operators.Packing
+    val m = Packing.shardManifest(docs, shards = 8).cache()
+    val (nDocs, nToks) = m.agg(sum("n_docs"), sum("n_tokens"))
+      .as[(Long, Long)].head()
+    assert(nDocs == docs.count(), "every doc lands in exactly one shard")
+    val totalToks = docs.selectExpr(
+      "cast(size(split(trim(text), '\\\\s+')) as bigint) AS t")
+      .agg(sum("t")).as[Long].head()
+    assert(nToks == totalToks, "token totals conserved across shards")
+    assert(m.where("shard < 0 OR shard >= 8").isEmpty)
+    // the XOR checksum (and everything else) must not depend on
+    // partitioning or shuffle order — re-layout the input and compare
+    val m2 = Packing.shardManifest(docs.repartition(7), shards = 8)
+    assert(m.exceptAll(m2).isEmpty && m2.exceptAll(m).isEmpty)
+    m.unpersist()
+  }
+
   test("stratified sampling is deterministic and respects per-stratum rates") {
     import graft.operators.Curation
     val s1 = Curation.stratifiedSample(docs).collect().map(_.getLong(0)).sorted.toSeq
