@@ -501,6 +501,39 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // Fuzzy (MinHash) decontamination: flag training docs that are
+    // NEAR-COPIES of a held-out eval doc. q62's n-gram test flags on ANY
+    // shared 6-gram — high recall, but a single common phrase flags a
+    // doc; this variant asserts DOCUMENT-level near-duplication (exact
+    // Jaccard ≥ 0.5 on word shingles, the q22 kernel), the verdict used
+    // when the policy is "remove real eval near-copies", not "remove
+    // everything touching a shared phrase". Mechanically it is
+    // [[incrementalNearDups]] with the BENCHMARK as the index and the
+    // training corpus as the batch — the eval set is tiny, so the index
+    // side of the band probe is benchmark-sized and the corpus is
+    // signed once, never self-joined. Planted contamination: eval docs
+    // re-inserted with the first token replaced (ids +5e6), invisible
+    // to EXACT hash dedup but ~930‰ Jaccard here.
+    "q125_fuzzy_decontam" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val evalSet = docs.where("doc_id % 97 = 3")
+      val train = docs.where("doc_id % 97 <> 3").unionAll(
+        evalSet.selectExpr("doc_id + 5000000 AS doc_id",
+          "regexp_replace(text, '^\\\\S+', 'zzz') AS text"))
+      val sigs = signatures(evalSet).cache()
+      incrementalNearDups(bandedOf(sigs), sigs.select("doc_id", "sh"), train)
+        .where("is_cross")
+        // the training side of a cross pair is the id that is NOT an
+        // original eval doc (+5e6 copies can be ≡3 mod 97, hence the
+        // id-range guard)
+        .selectExpr(
+          "CASE WHEN doc_a % 97 = 3 AND doc_a < 5000000 THEN doc_b ELSE doc_a END AS doc_id",
+          "j1000")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_matches"), max("j1000").as("best_j"))
+        .orderBy("doc_id")
+    }),
+
     // Cluster-aware leakage-free split: assign train/validation/test by
     // the NEAR-DUP CLUSTER representative, not the document id. A
     // doc-level hash split sprinkles near-copies of the same document
@@ -624,6 +657,38 @@ object Dedup {
            |  SELECT e.doc_a AS doc_id, w.label FROM edges e JOIN walk w ON w.doc_id = e.doc_b)
            |SELECT doc_id, MIN(label) AS cluster, (doc_id = MIN(label)) AS keep
            |FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // the q22 LSH pipeline over the PLANTED corpus (training docs +
+      // first-token-perturbed eval copies + the eval set), restricted to
+      // cross (train × eval) pairs, grouped per training doc
+      "q125_fuzzy_decontam" ->
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 3
+           |  UNION ALL
+           |  SELECT doc_id + 5000000 AS doc_id, regexp_replace(text, '^\\S+', 'zzz') AS text
+           |  FROM documents WHERE doc_id % 97 = 3
+           |  UNION ALL
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 3),
+           |t AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM corpus),
+           |sh AS (
+           |  SELECT doc_id, $duckShingles AS sh FROM t WHERE len(toks) >= 2),
+           |hs AS (
+           |  SELECT doc_id, sh, list_transform(sh, s -> ${duckHash48("s")} % ${P}) AS hs FROM sh WHERE len(sh) > 0),
+           |sigs AS (
+           |  SELECT doc_id, sh,
+           |  $sigExprs
+           |  FROM hs),
+           |banded AS (
+           |  SELECT doc_id, sh, $bandExprs FROM sigs),
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    CAST(round(1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) AS j1000
+           |  FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ($bandMatch)
+           |  WHERE 1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 499.5
+           |    AND ((a.doc_id % 97 = 3 AND a.doc_id < 5000000) <> (b.doc_id % 97 = 3 AND b.doc_id < 5000000)))
+           |SELECT CASE WHEN doc_a % 97 = 3 AND doc_a < 5000000 THEN doc_b ELSE doc_a END AS doc_id,
+           |  CAST(COUNT(*) AS BIGINT) AS n_matches, MAX(j1000) AS best_j
+           |FROM pairs GROUP BY 1 ORDER BY doc_id""".stripMargin,
       // q53's labels left-joined onto ALL documents (singletons = own
       // cluster), split by the q12 Knuth hash on the cluster rep
       "q123_cluster_split" ->

@@ -154,6 +154,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(s10 == docSplits(10L))
   }
 
+  test("fuzzy decontamination catches perturbed eval copies that exact-hash dedup misses") {
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val evalDoc = (100L, s"$filler secret eval answer")
+    // the leak: first token rewritten — different exact hash, nearly all
+    // shingles intact (J ≈ 0.93; well inside the 4×4 banding's s-curve —
+    // a heavier ~0.55-Jaccard paraphrase sits below its reliable recall,
+    // which is the documented threshold trade of q22's banding shape)
+    val leakedText = ("zzz" +: evalDoc._2.split("\\s+").drop(1)).mkString(" ")
+    val corpus = Seq((1L, s"${(1 to 60).map(i => s"x$i").mkString(" ")} unrelated"),
+      (2L, leakedText)).toDF("doc_id", "text")
+    val evalDf = Seq(evalDoc).toDF("doc_id", "text")
+    assert(corpus.selectExpr("md5(text) AS h").intersect(
+      evalDf.selectExpr("md5(text) AS h")).isEmpty,
+      "precondition: the leak is invisible to exact-hash dedup")
+    val sigs = Dedup.signatures(evalDf)
+    val flagged = Dedup.incrementalNearDups(
+      Dedup.bandedOf(sigs), sigs.select("doc_id", "sh"), corpus)
+      .where("is_cross").selectExpr("CASE WHEN doc_a = 100 THEN doc_b ELSE doc_a END AS d", "j1000")
+      .as[(Long, Long)].collect().toMap
+    assert(flagged.contains(2L) && flagged(2L) >= 500, s"leak not flagged: $flagged")
+    assert(!flagged.contains(1L), "unrelated doc falsely flagged")
+  }
+
   test("simhash separates near-dups from random pairs by hamming distance") {
     val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     val nearPairs = brutePairs.filter(_._3 >= 900).toSeq.map(p => (p._1, p._2))
