@@ -169,24 +169,56 @@ object Merge {
      * CURRENT balance, pinning the "equal value ⇒ no new version" rule
      * the organic data would never hit (event balances virtually never
      * equal snapshot balances). */
-    "q118_scd2_merge" -> ((s, dir) => {
-      val latest = Tables.events(s, dir)
-        .groupBy((col("user_id") * 13 + 7).as("c_custkey"))
-        .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
-        .select(col("c_custkey"),
-          round(col("m.value") * 10000).cast("long").as("bal_e4"),
-          expr("unix_micros(m.ts)").as("t_us"))
-      val snap = Tables.customer(s, dir)
-        .select(col("c_custkey"), col("c_name"),
-          (round(col("c_acctbal") * 100).cast("long") * 100).as("bal_e4"),
-          lit(0L).as("valid_from"))
-      val noop = snap
-        .filter(col("c_custkey") % 97 === 0 && col("c_custkey") % 13 =!= 7)
-        .select(col("c_custkey"), col("bal_e4"),
-          lit(1700000000000000L).as("t_us"))
-      scdMerge(snap, latest.unionByName(noop), "c_custkey", "bal_e4", "t_us")
-        .orderBy("c_custkey", "valid_from", "scd_action")
+    "q118_scd2_merge" -> ((s, dir) =>
+      scd2Dim(s, dir).orderBy("c_custkey", "valid_from", "scd_action")),
+
+    // Point-in-time (temporal) join: enrich every event with the
+    // dimension version that was CURRENT at the event's own time — the
+    // feature-store correctness rule ("what was this attribute when the
+    // example was sampled?") and the consumer the q118 SCD-2 dimension
+    // exists for. Composed, not new machinery: the versions are an
+    // as-of join's right side keyed on valid_from — SCD-2 intervals are
+    // contiguous per key (every close has an open successor; a delete
+    // would need a tombstone version), so "last version with
+    // valid_from <= t" ≡ "the version whose [valid_from, valid_to)
+    // contains t". One key shuffle + linear pass, never pairs (q48's
+    // plan). The DuckDB twin is the INDEPENDENT interval-containment
+    // formulation (t >= valid_from AND t < coalesce(valid_to, inf)), so
+    // the hash match cross-proves the two formulations. Events of an
+    // insert-only key predate its first version → null payload, the
+    // left-join branch, exercised organically at every SF.
+    "q126_pit_join" -> ((s, dir) => {
+      val dim = scd2Dim(s, dir).select(col("c_custkey"),
+        col("valid_from").as("t_us"),
+        col("bal_e4").as("bal_at_event"), col("scd_action").as("ver_action"))
+      val facts = Tables.events(s, dir).select(
+        (col("user_id") * 13 + 7).as("c_custkey"),
+        expr("unix_micros(ts)").as("t_us"), col("event_id"))
+      Temporal.asofJoin(facts, dim, "c_custkey", "t_us")
+        .select("event_id", "c_custkey", "bal_at_event", "ver_action")
+        .orderBy("event_id")
     }))
+
+  /** The q118 SCD-2 dimension (unsorted) — the change feed (latest event
+    * per mapped key) + planted no-op slice merged historically onto the
+    * customer snapshot. Shared by q118 and the q126 point-in-time join. */
+  private def scd2Dim(s: SparkSession, dir: String): DataFrame = {
+    val latest = Tables.events(s, dir)
+      .groupBy((col("user_id") * 13 + 7).as("c_custkey"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("m"))
+      .select(col("c_custkey"),
+        round(col("m.value") * 10000).cast("long").as("bal_e4"),
+        expr("unix_micros(m.ts)").as("t_us"))
+    val snap = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"),
+        (round(col("c_acctbal") * 100).cast("long") * 100).as("bal_e4"),
+        lit(0L).as("valid_from"))
+    val noop = snap
+      .filter(col("c_custkey") % 97 === 0 && col("c_custkey") % 13 =!= 7)
+      .select(col("c_custkey"), col("bal_e4"),
+        lit(1700000000000000L).as("t_us"))
+    scdMerge(snap, latest.unionByName(noop), "c_custkey", "bal_e4", "t_us")
+  }
 
   def oracle: Map[String, String] = Map(
     "q108_merge_upsert" ->
@@ -212,43 +244,69 @@ object Merge {
         |ORDER BY c_custkey""".stripMargin,
 
     "q118_scd2_merge" ->
-      """WITH latest AS (
-        |  SELECT user_id * 13 + 7 AS c_custkey,
-        |    CAST(ROUND(value * 10000) AS BIGINT) AS bal_e4,
-        |    epoch_us(ts) AS t_us
-        |  FROM (
-        |    SELECT user_id, value, ts,
-        |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        |    FROM events)
-        |  WHERE rn = 1),
-        |snap AS (
-        |  SELECT c_custkey, c_name,
-        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) * 100 AS bal_e4
-        |  FROM customer),
-        |noop AS (
-        |  SELECT c_custkey, bal_e4, CAST(1700000000000000 AS BIGINT) AS t_us
-        |  FROM snap WHERE c_custkey % 97 = 0 AND c_custkey % 13 <> 7),
-        |src AS (SELECT * FROM latest UNION ALL SELECT * FROM noop),
-        |j AS (
-        |  SELECT t.c_custkey AS tk, t.c_name AS c_name, t.bal_e4 AS old_bal,
-        |         s.c_custkey AS sk, s.bal_e4 AS new_bal, s.t_us AS t_us
-        |  FROM snap t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey)
-        |SELECT * FROM (
-        |  SELECT tk AS c_custkey, c_name, old_bal AS bal_e4,
-        |    CAST(0 AS BIGINT) AS valid_from, t_us AS valid_to,
-        |    FALSE AS is_current, 'close' AS scd_action
-        |  FROM j WHERE tk IS NOT NULL AND sk IS NOT NULL AND old_bal <> new_bal
-        |  UNION ALL
-        |  SELECT tk, c_name, new_bal, t_us, CAST(NULL AS BIGINT),
-        |    TRUE, 'version'
-        |  FROM j WHERE tk IS NOT NULL AND sk IS NOT NULL AND old_bal <> new_bal
-        |  UNION ALL
-        |  SELECT tk, c_name, old_bal, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
-        |    TRUE, 'keep'
-        |  FROM j WHERE tk IS NOT NULL AND (sk IS NULL OR old_bal = new_bal)
-        |  UNION ALL
-        |  SELECT sk, CAST(NULL AS VARCHAR), new_bal, t_us, CAST(NULL AS BIGINT),
-        |    TRUE, 'insert'
-        |  FROM j WHERE tk IS NULL)
-        |ORDER BY c_custkey, valid_from, scd_action""".stripMargin)
+      s"""WITH $scd2Ctes
+        |SELECT * FROM ($scd2Union)
+        |ORDER BY c_custkey, valid_from, scd_action""".stripMargin,
+
+    // the same SCD-2 dimension as a CTE, consumed by the
+    // interval-containment join — the independent twin of the Spark
+    // side's as-of forward-fill formulation
+    "q126_pit_join" ->
+      s"""WITH $scd2Ctes,
+        |dim AS ($scd2Union),
+        |facts AS (
+        |  SELECT event_id, user_id * 13 + 7 AS c_custkey, epoch_us(ts) AS t_us
+        |  FROM events)
+        |SELECT f.event_id, f.c_custkey,
+        |  d.bal_e4 AS bal_at_event, d.scd_action AS ver_action
+        |FROM facts f LEFT JOIN dim d
+        |  ON f.c_custkey = d.c_custkey AND f.t_us >= d.valid_from
+        |  AND (d.valid_to IS NULL OR f.t_us < d.valid_to)
+        |ORDER BY event_id""".stripMargin)
+
+  /** DuckDB CTE chain building the q118 change-feed full-outer join
+    * (`j`), shared by the q118 gate and the q126 point-in-time join. */
+  private val scd2Ctes: String =
+    """latest AS (
+      |  SELECT user_id * 13 + 7 AS c_custkey,
+      |    CAST(ROUND(value * 10000) AS BIGINT) AS bal_e4,
+      |    epoch_us(ts) AS t_us
+      |  FROM (
+      |    SELECT user_id, value, ts,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events)
+      |  WHERE rn = 1),
+      |snap AS (
+      |  SELECT c_custkey, c_name,
+      |    CAST(ROUND(c_acctbal * 100) AS BIGINT) * 100 AS bal_e4
+      |  FROM customer),
+      |noop AS (
+      |  SELECT c_custkey, bal_e4, CAST(1700000000000000 AS BIGINT) AS t_us
+      |  FROM snap WHERE c_custkey % 97 = 0 AND c_custkey % 13 <> 7),
+      |src AS (SELECT * FROM latest UNION ALL SELECT * FROM noop),
+      |j AS (
+      |  SELECT t.c_custkey AS tk, t.c_name AS c_name, t.bal_e4 AS old_bal,
+      |         s.c_custkey AS sk, s.bal_e4 AS new_bal, s.t_us AS t_us
+      |  FROM snap t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey)""".stripMargin
+
+  /** The four SCD-2 action branches over `j` (close/version/keep/insert). */
+  private val scd2Union: String =
+    """
+      |  SELECT tk AS c_custkey, c_name, old_bal AS bal_e4,
+      |    CAST(0 AS BIGINT) AS valid_from, t_us AS valid_to,
+      |    FALSE AS is_current, 'close' AS scd_action
+      |  FROM j WHERE tk IS NOT NULL AND sk IS NOT NULL AND old_bal <> new_bal
+      |  UNION ALL
+      |  SELECT tk, c_name, new_bal, t_us, CAST(NULL AS BIGINT),
+      |    TRUE, 'version'
+      |  FROM j WHERE tk IS NOT NULL AND sk IS NOT NULL AND old_bal <> new_bal
+      |  UNION ALL
+      |  SELECT tk, c_name, old_bal, CAST(0 AS BIGINT), CAST(NULL AS BIGINT),
+      |    TRUE, 'keep'
+      |  FROM j WHERE tk IS NOT NULL AND (sk IS NULL OR old_bal = new_bal)
+      |  UNION ALL
+      |  SELECT sk, CAST(NULL AS VARCHAR), new_bal, t_us, CAST(NULL AS BIGINT),
+      |    TRUE, 'insert'
+      |  FROM j WHERE tk IS NULL
+      |""".stripMargin
 }

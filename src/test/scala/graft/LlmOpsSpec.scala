@@ -349,6 +349,9 @@ class LlmOpsSpec extends AnyFunSuite {
     val m2 = Packing.shardManifest(docs.repartition(7), shards = 8)
     assert(m.exceptAll(m2).isEmpty && m2.exceptAll(m).isEmpty)
     m.unpersist()
+    // plan pin: one data shuffle (partial → final aggregate); anything
+    // more means the manifest stopped being a single-pass aggregate
+    assert(SparkTestSession.shuffles(Packing.shardManifest(docs, 8)) <= 1)
   }
 
   test("stratified sampling is deterministic and respects per-stratum rates") {

@@ -44,6 +44,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming view maintenance: per-batch deltas converge to direct re-aggregation") {
+    // the operational loop around Diff.maintainGroupedAgg (q122): a
+    // change feed arrives in micro-batches and each batch's additive
+    // deltas are applied onto the PERSISTED view state — the base table
+    // is never touched. Deltas are associative, so however the feed is
+    // micro-batched the final state must equal one-shot re-aggregation.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Diff
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, String, Long)]
+    val viewPath = Files.createTempDirectory("ivm_view").toString
+    Seq(("g1", 2L, 30L), ("g2", 1L, 30L)).toDF("g", "n", "v")
+      .write.mode("overwrite").parquet(viewPath)
+    val q = mem.toDF.toDF("change_type", "g", "v")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val next = Diff.maintainGroupedAgg(
+          spark.read.parquet(viewPath), batch, "g", "v")
+        // materialize BEFORE overwriting the state being read
+        val tmp = viewPath + "_next"
+        next.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(viewPath)
+        ()
+      }.start()
+    mem.addData(("insert", "g1", 5L), ("delete", "g1", 10L))
+    q.processAllAvailable()
+    // a group MOVE split across a later batch: debit g2, credit g3
+    mem.addData(("update_pre", "g2", 30L), ("update_post", "g3", 31L))
+    q.processAllAvailable(); q.stop()
+    val got = spark.read.parquet(viewPath).orderBy("g")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("g1", 2L, 25L), ("g3", 1L, 31L)),
+      s"streamed view state diverged: $got")
+  }
+
   test("stream-stream interval join equals the batch range join") {
     val dir = stageEvents()
     val q = EventStream.purchaseViewJoin(streamingEvents(dir))
