@@ -122,10 +122,19 @@ object Dedup {
     * pairs touching the new batch, this equals exactly what full-corpus
     * [[minhashNearDups]] would emit — the oracle checks that equality. */
   def incrementalNearDups(indexBands: DataFrame, indexSh: DataFrame,
-                          newDocs: DataFrame, thresholdPerMille: Int = 500): DataFrame = {
+                          newDocs: DataFrame, thresholdPerMille: Int = 500): DataFrame =
     // cached: feeds the band probe and the confirmation shingle lookup
     // (caller-managed like minhashNearDups; Bench clears between reps)
-    val newSigs = signatures(newDocs).cache()
+    incrementalNearDupsFrom(indexBands, indexSh,
+      signatures(newDocs).cache(), thresholdPerMille)
+
+  /** [[incrementalNearDups]] over an already-materialized batch
+    * signature frame — callers that also APPEND the batch's signatures
+    * to the index (the streaming ingest loop) sign the batch once and
+    * feed both uses. */
+  def incrementalNearDupsFrom(indexBands: DataFrame, indexSh: DataFrame,
+                              newSigs: DataFrame,
+                              thresholdPerMille: Int = 500): DataFrame = {
     val newBands = bandedOf(newSigs)
     val probe = indexBands.withColumn("is_new", lit(false))
       .unionByName(newBands.withColumn("is_new", lit(true)))

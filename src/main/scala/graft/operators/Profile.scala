@@ -161,8 +161,45 @@ object Profile {
   private val docNumCols = Seq("doc_id", "n_chars")
   private val docStrCols = Seq("lang", "source", "text")
 
+  /** Referential-integrity audit: for each FK edge (child.childKey →
+    * parent.parentKey), the child row count and the number of ORPHANS
+    * (child rows whose key has no parent). The load-validation pass a
+    * warehouse runs after every ingest — a partial dimension load shows
+    * up here as a nonzero orphan count before any downstream join
+    * silently drops rows.
+    *
+    * Plan per edge: distinct parent keys LEFT-joined under the child
+    * (Spark broadcasts dimension-sized parents; a big-big edge like
+    * lineitem→orders degrades to one shuffle join), then ONE aggregate
+    * producing both counts — never two passes over the child. Edges are
+    * independent single-row aggregates unioned at driver scale. */
+  def fkAudit(edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+    edges.map { case (name, child, ck, parent, pk) =>
+      child.select(col(ck).as("k"))
+        .join(parent.select(col(pk).as("k")).distinct()
+          .withColumn("__hit", lit(1)), Seq("k"), "left")
+        .agg(count(lit(1)).as("n_child"),
+          sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+        .select(lit(name).as("edge"), col("n_child"), col("n_orphans"))
+    }.reduce(_ unionAll _)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_profile" -> ((s, dir) => profile(Tables.lineitem(s, dir))),
+
+    // Three intact edges prove the zero case; the fourth audits orders
+    // against a DAMAGED customer dimension (a planted partial load:
+    // every 31st-residue-5 customer missing) so a nonzero orphan count
+    // is visible at every scale factor.
+    "q127_fk_audit" -> ((s, dir) => fkAudit(Seq(
+      ("customer->nation", Tables.customer(s, dir), "c_nationkey",
+        Tables.nation(s, dir), "n_nationkey"),
+      ("lineitem->orders", Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey"),
+      ("orders->customer_damaged", Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir).where("c_custkey % 31 <> 5"), "c_custkey"),
+      ("supplier->nation", Tables.supplier(s, dir), "s_nationkey",
+        Tables.nation(s, dir), "n_nationkey")))
+      .orderBy("edge")),
     "q107_profile_docs" -> ((s, dir) =>
       profile(Tables.documents(s, dir), docNumCols, docStrCols)),
     "q109_histogram" -> ((s, dir) =>
@@ -196,9 +233,26 @@ object Profile {
          |  MIN($c) AS min_s, MAX($c) AS max_s
          |FROM documents""".stripMargin
     }
+    def fkEdgeSql(name: String, child: String, ck: String,
+                  parentSel: String, pk: String) =
+      s"""SELECT '$name' AS edge, CAST(COUNT(*) AS BIGINT) AS n_child,
+         |  CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+         |FROM $child c LEFT JOIN (SELECT DISTINCT $pk AS k FROM $parentSel) p
+         |  ON c.$ck = p.k""".stripMargin
     Map(
       "q106_profile" ->
         (liBranches.mkString("\n", "\nUNION ALL\n", "\n") + "ORDER BY col_name"),
+      "q127_fk_audit" ->
+        (Seq(
+          fkEdgeSql("customer->nation", "customer", "c_nationkey",
+            "nation", "n_nationkey"),
+          fkEdgeSql("lineitem->orders", "lineitem", "l_orderkey",
+            "orders", "o_orderkey"),
+          fkEdgeSql("orders->customer_damaged", "orders", "o_custkey",
+            "(SELECT * FROM customer WHERE c_custkey % 31 <> 5)", "c_custkey"),
+          fkEdgeSql("supplier->nation", "supplier", "s_nationkey",
+            "nation", "n_nationkey"))
+          .mkString("\n", "\nUNION ALL\n", "\n") + "ORDER BY edge"),
       "q107_profile_docs" ->
         ((docNumBranches ++ docStrBranches).mkString("\n", "\nUNION ALL\n", "\n") +
           "ORDER BY col_name"),

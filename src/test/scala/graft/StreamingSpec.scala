@@ -44,6 +44,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).count() == 0 && batch.exceptAll(streamed).count() == 0)
   }
 
+  test("streaming corpus ingest rejects near-dups online across micro-batches and restarts") {
+    import graft.streaming.CorpusIngest
+    import spark.implicits._
+    val filler = (1 to 60).map(i => s"w$i").mkString(" ")
+    val yfill = (1 to 60).map(i => s"y$i").mkString(" ")
+    val stage = Files.createTempDirectory("ingest_src").toString
+    val index = Files.createTempDirectory("ingest_idx").toString + "/idx"
+    val corpus = Files.createTempDirectory("ingest_out").toString + "/corpus"
+    val ckpt = Files.createTempDirectory("ingest_ckpt").toString
+    def addFile(name: String, rows: Seq[(Long, String)]): Unit = {
+      val tmp = Files.createTempDirectory("ingest_tmp").toString
+      rows.toDF("doc_id", "text").coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(stage, name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING").parquet(stage)
+      val q = CorpusIngest.start(stream, index, corpus, ckpt).start()
+      q.processAllAvailable(); q.stop()
+    }
+    // batch 1: 2 ~ 1 (within-batch dup → 2 drops), 4 unrelated
+    addFile("b1.parquet", Seq(
+      (1L, s"$filler alpha beta"), (2L, s"$filler alpha gamma"),
+      (4L, (1 to 60).map(i => s"x$i").mkString(" "))))
+    run()
+    // batch 2 in a FRESH run off the same checkpoint: 17 ~ kept doc 1
+    // (cross-batch dup → drops against the index), 37 ~ 27 (within)
+    addFile("b2.parquet", Seq(
+      (17L, s"$filler alpha nu"), (27L, s"$yfill sigma tau"),
+      (37L, s"$yfill sigma phi")))
+    run()
+    val kept = spark.read.parquet(corpus).select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 27L), s"kept=$kept")
+    // the index tracks exactly the kept docs — batch 3 would dedup
+    // against all of them without ever rescanning the corpus text
+    val indexed = spark.read.parquet(s"$index/sh").select("doc_id")
+      .as[Long].collect().toSet
+    assert(indexed == Set(1L, 4L, 27L), s"indexed=$indexed")
+  }
+
   test("streaming view maintenance: per-batch deltas converge to direct re-aggregation") {
     // the operational loop around Diff.maintainGroupedAgg (q122): a
     // change feed arrives in micro-batches and each batch's additive
