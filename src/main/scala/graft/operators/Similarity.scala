@@ -359,6 +359,47 @@ object Similarity {
         .orderBy("label", "dim")
     }),
 
+    // Label-noise audit: nearest-centroid classification disagreement —
+    // a vector whose nearest class centroid is NOT its own label is a
+    // mislabel candidate (the confident-learning-style screen a
+    // training set runs before fitting). Centroid means derive from
+    // q49's exact integer-e3 sums (shuffle-order-proof), then become
+    // doubles through the IDENTICAL expression both engines evaluate;
+    // scoring is the per-row sequential cosine fold the q24 gate
+    // already proves bit-identical cross-engine, rounded to 6 dp BEFORE
+    // ranking so the argmax tie-break (label asc) is exact. Plan:
+    // centroids are #labels rows → broadcast; scoring is a narrow ×10
+    // map; the top-1 is a rank-1 window (WindowGroupLimit pushes the
+    // limit map-side, the q39 shape). Corpus is scanned twice (sums +
+    // scoring) — at 100 TB the centroid pass is the model build and
+    // memoizes like q36/q49.
+    "q128_label_noise" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb
+        .selectExpr("label AS c_label", s"$quantE AS q")
+        .select(col("c_label"), posexplode(col("q"))).toDF("c_label", "dim", "x_e3")
+        .groupBy("c_label", "dim")
+        .agg(sum("x_e3").as("s_e3"), count(lit(1)).as("n"))
+        .groupBy("c_label")
+        .agg(max("n").as("n"),
+          array_sort(collect_list(struct(col("dim"), col("s_e3")))).as("ds"))
+        // 1e3 (not 1000.0): a decimal-point literal parses as DECIMAL in
+        // BOTH engines and would drag the whole mean into decimal math
+        .selectExpr("c_label", "transform(ds, p -> p.s_e3 / (1e3 * n)) AS c")
+      val vecs = emb.selectExpr("vec_id", "label",
+        "cast(embedding as array<double>) AS v")
+      val scored = vecs.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("label"), col("c_label"),
+          round(cosineN(col("v"), col("c")), 6).as("sim"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("c_label"))
+      scored.withColumn("rn", row_number().over(w)).where("rn = 1")
+        .selectExpr("vec_id", "label", "c_label AS pred_label",
+          "label = c_label AS agree",
+          "cast(round(sim * 1000000) as bigint) AS sim_e6")
+        .orderBy("vec_id")
+    }),
+
     // Embedding near-dup clusters with planted merges: exact copies
     // (+1e6 ids) and 1.02-scaled copies (+2e6 ids — same dot signs, so
     // they collide with their originals in every band), clustered by
@@ -525,6 +566,31 @@ object Similarity {
           |  CAST(COUNT(*) AS BIGINT) AS n
           |FROM (SELECT label, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i FROM embeddings)
           |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+      "q128_label_noise" ->
+        """WITH ex AS (
+          |  SELECT label AS c_label, unnest(embedding) AS x,
+          |    generate_subscripts(embedding, 1) AS i
+          |  FROM embeddings),
+          |sums AS (
+          |  SELECT c_label, i, SUM(CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS s_e3,
+          |    COUNT(*) AS n
+          |  FROM ex GROUP BY c_label, i),
+          |cents AS (
+          |  SELECT c_label, list(s_e3 / (1e3 * n) ORDER BY i) AS c
+          |  FROM sums GROUP BY c_label),
+          |vecs AS (
+          |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v
+          |  FROM embeddings),
+          |scored AS (
+          |  SELECT vec_id, label, c_label,
+          |    round(list_sum(list_transform(list_zip(v, c), s -> s[1] * s[2])) /
+          |      (sqrt(list_sum(list_transform(v, x -> x*x))) * sqrt(list_sum(list_transform(c, x -> x*x)))), 6) AS sim
+          |  FROM vecs CROSS JOIN cents)
+          |SELECT vec_id, label, pred_label, agree, sim_e6 FROM (
+          |  SELECT vec_id, label, c_label AS pred_label, label = c_label AS agree,
+          |    CAST(round(sim * 1000000) AS BIGINT) AS sim_e6,
+          |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, c_label) AS rn
+          |  FROM scored) WHERE rn = 1 ORDER BY vec_id""".stripMargin,
       "q24_cosine_topk" ->
         s"""WITH vecs AS (
            |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
