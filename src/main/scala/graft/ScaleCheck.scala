@@ -234,6 +234,50 @@ object ScaleCheck {
       skipped
     }
 
+    // operator-family checks at the same scale: the round-12 additions
+    // must hold the no-driver-materialization discipline too. IVM: a
+    // grouped view refreshed from a synthesized change feed (updates
+    // that MOVE groups, deletes, inserts) must exactly equal direct
+    // re-aggregation of the post-change table — cost ∝ feed + groups,
+    // the base is never re-aggregated
+    {
+      import graft.operators.Diff
+      val view = big.groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum("n_chars").cast("long").as("v"))
+      val upd = big.where(col("doc_id") % 11 === 3)
+      val dels = big.where(col("doc_id") % 13 === 4 && col("doc_id") % 11 =!= 3)
+      val ins = big.where(col("doc_id") % 17 === 5)
+      val feed = upd.selectExpr("'update_pre' AS change_type", "lang", "n_chars")
+        .unionAll(upd.selectExpr("'update_post' AS change_type",
+          "concat(lang, '_v2') AS lang", "n_chars + 10 AS n_chars"))
+        .unionAll(dels.selectExpr("'delete' AS change_type", "lang", "n_chars"))
+        .unionAll(ins.selectExpr("'insert' AS change_type", "lang", "n_chars"))
+      val post = big.where(col("doc_id") % 11 =!= 3 && col("doc_id") % 13 =!= 4)
+        .select(col("lang"), col("n_chars"))
+        .unionAll(upd.selectExpr("concat(lang, '_v2') AS lang",
+          "n_chars + 10 AS n_chars"))
+        .unionAll(ins.select(col("lang"), col("n_chars")))
+      check("ivm_maintain")(
+        Diff.maintainGroupedAgg(view, feed, "lang", "n_chars"),
+        post.groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum("n_chars").cast("long").as("v")))
+    }
+
+    // export-shard manifest: one map-side-combined aggregate over the
+    // full replicated corpus — doc and token totals must conserve and
+    // every one of the 64 shards must be populated
+    {
+      import graft.operators.Packing
+      check("shard_manifest")(
+        Packing.shardManifest(big.select(col("doc_id"), col("text")), 64)
+          .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+            count(lit(1)).as("n_shards")),
+        big.selectExpr(
+          "cast(size(split(trim(text), '\\\\s+')) as bigint) AS t")
+          .agg(count(lit(1)).as("n_docs"), sum("t").as("n_tokens"),
+            lit(64L).as("n_shards")))
+    }
+
     val rows = GraftStore.get("scale_docs").rowCount
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val allOk = results.values.forall(identity)
