@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Portable._
+
+/** The end-to-end LLM-data curation pipeline: the individually-gated
+  * rules COMPOSED into one callable, the way a production corpus is
+  * actually built — dedup → quality gate → decontamination → source
+  * cap → sequence packing — ending in the per-shard summary a training
+  * launch reads.
+  *
+  * Every stage reuses the EXACT rule its standalone gate proves
+  * (q20 keep-first dedup, q37 Gopher pass, q62 6-gram decontamination,
+  * q63 per-source cap, q56 packing), so the composed oracle is the
+  * same CTE fragments chained — if composition broke a stage's
+  * semantics, the q129 hash gate diverges from the per-stage gates.
+  *
+  * Scale shape of the whole chain: one corpus scan feeds dedup's
+  * fingerprint shuffle; quality is a narrow filter on the survivors;
+  * decontamination broadcasts the benchmark-sized shingle set
+  * (semi-join, corpus never shuffles); the cap is one shuffle on
+  * source with a map-side WindowGroupLimit; packing windows within
+  * shards. No stage materializes the corpus on the driver and every
+  * shuffle key is stated — the pipeline inherits each operator's
+  * audited posture.
+  */
+object CurationPipeline {
+
+  /** Stages 1–4: the surviving document set (doc_id, text, source,
+    * n_chars), i.e. what a training run would read. */
+  def survivors(docs: DataFrame): DataFrame = {
+    // 1. exact dedup (q20): keep-first per content fingerprint
+    val deduped = Relational.keepFirst(
+      docs.select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+        .withColumn("fp", md5(col("text"))),
+      Seq("fp"), Seq(col("doc_id"))).drop("fp")
+    // 2. quality gate (q37's `passes` rule, identical expressions)
+    val quality = deduped
+      .where(s"size($sparkToks) >= 2")
+      .withColumn("__toks", expr(sparkToks))
+      .where("size(__toks) >= 5 AND size(__toks) <= 100000" +
+        " AND round(100.0 * aggregate(__toks, 0L, (acc, t) -> acc + length(t)) / size(__toks)) BETWEEN 200 AND 1200" +
+        " AND round(10000.0 * (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', ''))) / length(text)) < 3000")
+      .drop("__toks")
+    // 3. decontamination (q62): drop train docs sharing any 6-gram with
+    // the eval slice; the eval slice itself leaves the training corpus
+    val clean = quality.join(
+      Curation.decontaminate(quality.select("doc_id", "text"))
+        .where("NOT contaminated").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    // 4. per-source cap (q63): at most 15 docs per source, best-first
+    clean.join(Curation.sourceCap(clean).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+  }
+
+  /** The full pipeline: survivors packed into fixed-budget sequences
+    * (q56), summarized per shard — docs, tokens, training sequences. */
+  def curate(docs: DataFrame): DataFrame =
+    Packing.packSequences(survivors(docs))
+      .groupBy("shard")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        sum("seg_tokens").as("n_tokens"),
+        countDistinct("seq_id").as("n_seqs"))
+      .orderBy("shard")
+
+  // ---------------------------------------------------------------- query
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_curation_pipeline" -> ((s, dir) =>
+      curate(Tables.documents(s, dir))))
+
+  def oracle: Map[String, String] = Map(
+    // the q20/q37/q62/q63/q56 oracle fragments chained over the same
+    // surviving set
+    "q129_curation_pipeline" ->
+      s"""WITH d1 AS (
+         |  SELECT doc_id, text, source, n_chars FROM (
+         |    SELECT doc_id, text, source, n_chars,
+         |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM documents) WHERE rn = 1),
+         |t AS (
+         |  SELECT doc_id, text, source, n_chars,
+         |    regexp_split_to_array(trim(text), '\\s+') AS toks,
+         |    length(text) AS len,
+         |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_symbols
+         |  FROM d1 WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 2),
+         |q AS (
+         |  SELECT doc_id, text, source, n_chars, toks FROM t
+         |  WHERE len(toks) >= 5 AND len(toks) <= 100000
+         |    AND round(100.0 * list_sum(list_transform(toks, tk -> length(tk))) / len(toks)) BETWEEN 200 AND 1200
+         |    AND round(10000.0 * n_symbols / len) < 3000),
+         |sh6 AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, greatest(1, len(toks) - 4)),
+         |      i -> array_to_string(toks[i:i+5], ' ')) AS sh
+         |  FROM q),
+         |eval_sh AS (
+         |  SELECT DISTINCT unnest(sh) AS shingle FROM sh6 WHERE doc_id % 97 = 3),
+         |contaminated AS (
+         |  SELECT DISTINCT t2.doc_id
+         |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh6 WHERE doc_id % 97 != 3) t2
+         |  JOIN eval_sh e ON t2.shingle = e.shingle),
+         |clean AS (
+         |  SELECT * FROM q WHERE doc_id % 97 != 3
+         |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+         |kept AS (
+         |  SELECT doc_id, toks FROM (
+         |    SELECT doc_id, toks,
+         |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+         |    FROM clean) WHERE rk <= 15),
+         |c AS (
+         |  SELECT doc_id, doc_id % 8 AS shard, CAST(len(toks) AS BIGINT) AS n_toks
+         |  FROM kept),
+         |w AS (
+         |  SELECT doc_id, shard, n_toks,
+         |    CAST(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+         |  FROM c),
+         |s2 AS (SELECT *, cum - n_toks AS strt FROM w WHERE n_toks > 0),
+         |e2 AS (
+         |  SELECT shard, doc_id, strt, cum,
+         |    unnest(range(strt // 2048, (cum - 1) // 2048 + 1)) AS seq_id
+         |  FROM s2),
+         |segs AS (
+         |  SELECT shard, seq_id, doc_id,
+         |    CAST(least(cum, (seq_id + 1) * 2048) - greatest(strt, seq_id * 2048) AS BIGINT) AS seg_tokens
+         |  FROM e2)
+         |SELECT shard, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(SUM(seg_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs
+         |FROM segs GROUP BY shard ORDER BY shard""".stripMargin)
+}

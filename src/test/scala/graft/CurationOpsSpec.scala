@@ -1,5 +1,7 @@
 package graft
 
+import graft.operators.CurationPipeline
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -129,5 +131,30 @@ class CurationOpsSpec extends AnyFunSuite {
     val banded = Dedup.simhashPairs(docs, maxHam = 3)
     assert(banded.exceptAll(brute).count() == 0 && brute.exceptAll(banded).count() == 0)
     assert(banded.count() > 0)
+  }
+
+  test("curation pipeline: stages only remove, survivors respect every stage's gate") {
+    val surv = CurationPipeline.survivors(docs).cache()
+    val n = surv.count()
+    assert(n > 0 && n < docs.count(), "pipeline must keep some and drop some")
+    // survivors carry no duplicate content (stage 1)
+    assert(surv.select("text").distinct().count() == n)
+    // every survivor passes the quality gate's cheapest invariant (stage 2)
+    assert(surv.where(
+      "size(split(trim(text), '\\\\s+')) < 5").isEmpty)
+    // no survivor is an eval doc (stage 3 removes the slice itself)
+    assert(surv.where("doc_id % 97 = 3").isEmpty)
+    // per-source cap holds (stage 4)
+    assert(surv.groupBy("source").count().where("count > 15").isEmpty)
+    // the summary conserves the survivors' docs and tokens
+    val summary = CurationPipeline.curate(docs)
+    val (sd, st) = summary.agg(sum("n_docs"), sum("n_tokens"))
+      .as[(Long, Long)].head()
+    assert(sd == n)
+    val tot = surv.selectExpr(
+      "cast(size(split(trim(text), '\\\\s+')) as bigint) AS t")
+      .agg(sum("t")).as[Long].head()
+    assert(st == tot)
+    surv.unpersist()
   }
 }
