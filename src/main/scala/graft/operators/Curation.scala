@@ -268,6 +268,24 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** CCNet-style perplexity filter: keep the top half of the corpus by
+    * bigram-LM score — [[bigramLmScore]]'s integer-exact signal cut at
+    * the corpus-wide exact median via [[quantileFilter]]'s med2x trick
+    * (round(2·median) keeps the x.5 interpolated median of an even
+    * corpus integer-comparable cross-engine). The published pipelines
+    * (CCNet, Gopher, Llama) all run exactly this shape: train an LM on
+    * the corpus (or a clean reference), score every doc, drop the
+    * improbable tail. One extra 1-row broadcast over the q98 plan; at
+    * 100 TB swap percentile → approx_percentile, plan unchanged. */
+  def perplexityFilter(docs: DataFrame): DataFrame = {
+    val scores = bigramLmScore(docs)
+    val med = scores.agg(
+      expr("cast(round(2 * percentile(lm_score_e6, 0.5)) as bigint) AS med2x"))
+    scores.crossJoin(broadcast(med))
+      .where(col("lm_score_e6") * 2 >= col("med2x"))
+      .select("doc_id", "lm_score_e6", "n_bigrams", "med2x")
+  }
+
   /** Per-group quantile gate (q114): keep docs at/above their lang's
     * exact median n_chars. Medians are one grouped aggregate (#langs
     * rows) broadcast back — the corpus itself is never window-sorted.
@@ -283,6 +301,9 @@ object Curation {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q98_bigram_lm" -> ((s, dir) => bigramLmScore(Tables.documents(s, dir))),
+
+    "q130_ppl_filter" -> ((s, dir) =>
+      perplexityFilter(Tables.documents(s, dir)).orderBy("doc_id")),
 
     // Planted boilerplate: a fixed 8-word banner (2 whole blocks)
     // prepended to every 7th document, so the cross-doc counts, the
@@ -351,29 +372,48 @@ object Curation {
       tfidfTop(Tables.documents(s, dir)).orderBy("doc_id", "rk"))
   )
 
+  /** DuckDB CTE chain of the q98 bigram model (through `probs`), shared
+    * by the q98 gate and the q130 perplexity filter. */
+  private val bigramLmCtes: String =
+    """toks AS (
+      |  SELECT doc_id, s.w AS w, s.pos AS pos FROM (
+      |    SELECT doc_id, unnest(list_transform(
+      |      regexp_split_to_array(trim(text), '\s+'),
+      |      (x, i) -> struct_pack(w := x, pos := i))) AS s
+      |    FROM documents)),
+      |bg AS (
+      |  SELECT doc_id, w1, w2 FROM (
+      |    SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1, w AS w2
+      |    FROM toks)
+      |  WHERE w1 IS NOT NULL),
+      |pair_cnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
+      |pref_cnt AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
+      |probs AS (
+      |  SELECT pair_cnt.w1, pair_cnt.w2, c12 * 1000000 // c1 AS p_e6
+      |  FROM pair_cnt JOIN pref_cnt ON pair_cnt.w1 = pref_cnt.w1)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q98_bigram_lm" ->
-      """WITH toks AS (
-        |  SELECT doc_id, s.w AS w, s.pos AS pos FROM (
-        |    SELECT doc_id, unnest(list_transform(
-        |      regexp_split_to_array(trim(text), '\s+'),
-        |      (x, i) -> struct_pack(w := x, pos := i))) AS s
-        |    FROM documents)),
-        |bg AS (
-        |  SELECT doc_id, w1, w2 FROM (
-        |    SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w1, w AS w2
-        |    FROM toks)
-        |  WHERE w1 IS NOT NULL),
-        |pair_cnt AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY w1, w2),
-        |pref_cnt AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY w1),
-        |probs AS (
-        |  SELECT pair_cnt.w1, pair_cnt.w2, c12 * 1000000 // c1 AS p_e6
-        |  FROM pair_cnt JOIN pref_cnt ON pair_cnt.w1 = pref_cnt.w1)
+      s"""WITH $bigramLmCtes
         |SELECT doc_id,
         |  CAST(SUM(p_e6) // COUNT(*) AS BIGINT) AS lm_score_e6,
         |  CAST(COUNT(*) AS BIGINT) AS n_bigrams
         |FROM bg JOIN probs ON bg.w1 = probs.w1 AND bg.w2 = probs.w2
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q130_ppl_filter" ->
+      s"""WITH $bigramLmCtes,
+        |scores AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(p_e6) // COUNT(*) AS BIGINT) AS lm_score_e6,
+        |    CAST(COUNT(*) AS BIGINT) AS n_bigrams
+        |  FROM bg JOIN probs ON bg.w1 = probs.w1 AND bg.w2 = probs.w2
+        |  GROUP BY doc_id),
+        |med AS (
+        |  SELECT CAST(round(2 * quantile_cont(lm_score_e6, 0.5)) AS BIGINT) AS med2x
+        |  FROM scores)
+        |SELECT doc_id, lm_score_e6, n_bigrams, med2x FROM scores, med
+        |WHERE lm_score_e6 * 2 >= med2x ORDER BY doc_id""".stripMargin,
 
     "q76_cross_doc_dedup" ->
       """WITH corpus AS (

@@ -37,7 +37,13 @@ object CurationPipeline {
       docs.select(col("doc_id"), col("text"), col("source"), col("n_chars"))
         .withColumn("fp", md5(col("text"))),
       Seq("fp"), Seq(col("doc_id"))).drop("fp")
-    // 2. quality gate (q37's `passes` rule, identical expressions)
+    // 2. quality gate (q37's `passes` rule, identical expressions).
+    // CACHED: the frame feeds three consumers (the decontamination
+    // flags, the surviving-join left side, and through `clean` the
+    // cap) — uncached, Catalyst re-evaluates the dedup shuffle and the
+    // quality HOFs once per consumer (measured 4.0 s vs ~1.6 s for the
+    // stages run once). The cache is per-stage survivor-sized, released
+    // by the session's normal eviction (Bench clears between reps).
     val quality = deduped
       .where(s"size($sparkToks) >= 2")
       .withColumn("__toks", expr(sparkToks))
@@ -45,8 +51,12 @@ object CurationPipeline {
         " AND round(100.0 * aggregate(__toks, 0L, (acc, t) -> acc + length(t)) / size(__toks)) BETWEEN 200 AND 1200" +
         " AND round(10000.0 * (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', ''))) / length(text)) < 3000")
       .drop("__toks")
+      .cache()
     // 3. decontamination (q62): drop train docs sharing any 6-gram with
     // the eval slice; the eval slice itself leaves the training corpus
+    // NOT cached: both consumers (cap ranking and the final semi-join)
+    // re-derive it from the cached `quality` with one broadcast
+    // semi-join each — cheaper than a second text-heavy memory write
     val clean = quality.join(
       Curation.decontaminate(quality.select("doc_id", "text"))
         .where("NOT contaminated").select("doc_id"),
