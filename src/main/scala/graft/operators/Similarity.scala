@@ -443,6 +443,29 @@ object Similarity {
       val e = Tables.embeddings(s, dir)
       val (cents, asg) = ivfIndexFor(s, dir)
       ivfSearch(e, cents, asg).orderBy("query_id", "rank")
+    }),
+
+    // ANN QUALITY as a first-class query: recall@5 of the IVF search
+    // against exact brute force, per query — the measurement that
+    // decides whether an approximate index is deployable (every ANN
+    // rollout gates on recall; here the metric itself is oracle-gated,
+    // not just the two rank lists). Both lists are individually proven
+    // deterministic (q24/q36), so their per-query overlap is an exact
+    // integer both engines must agree on. Plan: the two top-5 frames
+    // are query-set-sized — the join is trivially broadcast; all the
+    // real work is the already-audited q24/q36 plans (the IVF model is
+    // the session-memoized index, built once).
+    "q131_ann_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val brute = cosineTopK(e).select("query_id", "vec_id")
+      val (cents, asg) = ivfIndexFor(s, dir)
+      val ivf = ivfSearch(e, cents, asg)
+        .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
+      brute.join(ivf, Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"),
+          count(lit(1)).as("k"))
+        .orderBy("query_id")
     })
   )
 
@@ -560,6 +583,36 @@ object Similarity {
       .mkString(" + ")
     Map(
       "q36_ann_ivf" -> duckIvfSql(),
+      // the q36 IVF chain and the q24 brute chain, overlapped per query
+      "q131_ann_recall" ->
+        s"""WITH ${duckIvfCandsCtes()},
+           |scored AS (
+           |  SELECT cd.query_id, cd.vec_id,
+           |    round(list_sum(list_transform(list_zip(qv.v, bv.v), s -> s[1] * s[2])) /
+           |      (sqrt(list_sum(list_transform(qv.v, x -> x * x))) * sqrt(list_sum(list_transform(bv.v, x -> x * x)))), 6) AS sim
+           |  FROM cands cd
+           |  JOIN vecs qv ON qv.vec_id = cd.query_id
+           |  JOIN vecs bv ON bv.vec_id = cd.vec_id),
+           |ivf_top AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+           |    FROM scored) WHERE rank <= 5),
+           |bscored AS (
+           |  SELECT q.vec_id AS query_id, b.vec_id,
+           |    round(list_sum(list_transform(list_zip(q.v, b.v), s -> s[1] * s[2])) /
+           |      (sqrt(list_sum(list_transform(q.v, x -> x * x))) * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS sim
+           |  FROM vecs q JOIN vecs b ON q.vec_id < 10 AND b.vec_id <> q.vec_id),
+           |brute_top AS (
+           |  SELECT query_id, vec_id FROM (
+           |    SELECT query_id, vec_id,
+           |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+           |    FROM bscored) WHERE rank <= 5)
+           |SELECT b.query_id AS query_id, CAST(COUNT(i.vec_id) AS BIGINT) AS n_hit,
+           |  CAST(COUNT(*) AS BIGINT) AS k
+           |FROM brute_top b LEFT JOIN ivf_top i
+           |  ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+           |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
       "q49_label_centroids" ->
         """SELECT label, CAST(i - 1 AS INT) AS dim,
           |  CAST(SUM(CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS BIGINT) AS sum_e3,
