@@ -92,6 +92,20 @@ object Packing {
         min("doc_id").as("min_id"), max("doc_id").as("max_id"))
   }
 
+  /** Merge shard manifests: counts and token totals ADD, checksums XOR,
+    * id ranges combine — every [[shardManifest]] column is a
+    * commutative monoid, so the manifest of (corpus ∪ batch) equals
+    * merge(manifest(corpus), manifest(batch)). That algebra is the
+    * 100 TB maintenance story: an append updates the manifest from the
+    * BATCH's manifest alone (the q122 IVM argument, applied to the
+    * export artifact), never by rescanning the corpus. Cost: the
+    * inputs are shard-count-sized — this is driver-trivial by design. */
+  def mergeManifests(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("shard")
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+        expr("bit_xor(checksum)").cast("long").as("checksum"),
+        min("min_id").as("min_id"), max("max_id").as("max_id"))
+
   // ---------------------------------------------------------------- query
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -100,7 +114,21 @@ object Packing {
         .orderBy("shard", "seq_id", "doc_id")),
 
     "q124_shard_manifest" -> ((s, dir) =>
-      shardManifest(Tables.documents(s, dir)).orderBy("shard"))
+      shardManifest(Tables.documents(s, dir)).orderBy("shard")),
+
+    // Incremental manifest maintenance: the corpus is split into an
+    // existing part and an appended batch, each manifested
+    // INDEPENDENTLY, then merged — the oracle is the q124 whole-corpus
+    // manifest, so the hash match proves merge(manifest(a),
+    // manifest(b)) ≡ manifest(a ∪ b) exactly (counts, tokens, XOR
+    // checksum, and id ranges all survive the split).
+    "q132_manifest_merge" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      mergeManifests(
+        shardManifest(docs.where("doc_id % 5 <> 2")),
+        shardManifest(docs.where("doc_id % 5 = 2")))
+        .orderBy("shard")
+    })
   )
 
   def oracle: Map[String, String] = Map(
@@ -123,6 +151,20 @@ object Packing {
          |FROM e ORDER BY shard, seq_id, doc_id""".stripMargin,
 
     "q124_shard_manifest" ->
+      s"""SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(bit_xor(h) AS BIGINT) AS checksum,
+         |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+         |FROM (
+         |  SELECT doc_id,
+         |    ((doc_id % 1000000007) * 2654435761 + 40503) % $DefaultManifestShards AS shard,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_toks,
+         |    ${duckHash48("text")} AS h
+         |  FROM documents)
+         |GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // the merged manifest must equal the whole-corpus one — same SQL
+    "q132_manifest_merge" ->
       s"""SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
          |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
          |  CAST(bit_xor(h) AS BIGINT) AS checksum,

@@ -193,6 +193,27 @@ object ProductQuant {
     // cast ≡ DuckDB TRUNC), so codes and dot products hash-match exactly.
     "q121_int8_quant" -> ((s, dir) => {
       int8TopK(Tables.embeddings(s, dir)).orderBy("query_id", "rank")
+    }),
+
+    // Quantization ablation as a gated metric (the q131 pattern, for
+    // compression instead of indexing): per-query recall@5 of the int8
+    // ranking against exact float-cosine top-5 — what 4× compression
+    // costs in ranking quality, measured BEFORE a serving rollout
+    // swaps int8 in. Note the metrics differ by design: int8 scores a
+    // per-dim-whitened integer dot, cosine normalizes per vector — the
+    // overlap quantifies exactly that distortion. Both rank lists are
+    // individually deterministic (q121/q24 gates), so the hit count is
+    // an exact integer; the top-5 frames are query-set-sized.
+    "q133_int8_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val i8 = int8TopK(e).select("query_id", "vec_id")
+        .withColumn("hit", lit(1L))
+      Similarity.cosineTopK(e, queryMaxId = 8).select("query_id", "vec_id")
+        .join(i8, Seq("query_id", "vec_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"),
+          count(lit(1)).as("k"))
+        .orderBy("query_id")
     })
   )
 
@@ -328,28 +349,64 @@ object ProductQuant {
        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, vec_id) AS rank
        |  FROM adc) WHERE rank <= $topk ORDER BY query_id, rank""".stripMargin
 
+  /** DuckDB CTE chain of the int8 path through `dots` (query_id,
+    * vec_id, integer dp) — shared by the q121 gate and the q133
+    * quantization-recall measurement. */
+  private val int8DotsCtes: String =
+    """e AS (
+      |  SELECT vec_id, UNNEST(embedding)::DOUBLE AS x,
+      |    generate_subscripts(embedding, 1) AS d
+      |  FROM embeddings),
+      |scales AS (SELECT d, MAX(ABS(x)) AS s FROM e GROUP BY d),
+      |codes AS (
+      |  SELECT vec_id, d,
+      |    CASE WHEN s = 0 THEN 0
+      |         ELSE CAST(TRUNC(x / s * 127) AS BIGINT) END AS c
+      |  FROM e JOIN scales USING (d)),
+      |dots AS (
+      |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
+      |    CAST(SUM(q.c * b.c) AS BIGINT) AS dp
+      |  FROM codes q JOIN codes b ON q.d = b.d AND b.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 8
+      |  GROUP BY 1, 2)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q75_ann_pq" -> duckPqSql(),
     "q86_ann_ivfpq" -> duckIvfPqSql(),
+
+    // the int8 ranking overlapped with exact float-cosine top-5: the
+    // quantization ablation a serving rollout measures before swapping
+    // int8 in (how much ranking does 4x compression cost?)
+    "q133_int8_recall" ->
+      s"""WITH $int8DotsCtes,
+        |i8top AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dp DESC, vec_id) AS rank
+        |    FROM dots) WHERE rank <= 5),
+        |vecs AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |bscored AS (
+        |  SELECT q.vec_id AS query_id, b.vec_id,
+        |    round(list_sum(list_transform(list_zip(q.v, b.v), s -> s[1] * s[2])) /
+        |      (sqrt(list_sum(list_transform(q.v, x -> x * x))) * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS sim
+        |  FROM vecs q JOIN vecs b ON q.vec_id < 8 AND b.vec_id <> q.vec_id),
+        |btop AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        |    FROM bscored) WHERE rank <= 5)
+        |SELECT b.query_id AS query_id, CAST(COUNT(i.vec_id) AS BIGINT) AS n_hit,
+        |  CAST(COUNT(*) AS BIGINT) AS k
+        |FROM btop b LEFT JOIN i8top i
+        |  ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+        |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin,
+
     // Relational twin of the int8 path: unnest to (vec_id, dim, x),
     // per-dim scales, TRUNC-quantized codes, integer dot via a dim join.
     "q121_int8_quant" ->
-      """WITH e AS (
-        |  SELECT vec_id, UNNEST(embedding)::DOUBLE AS x,
-        |    generate_subscripts(embedding, 1) AS d
-        |  FROM embeddings),
-        |scales AS (SELECT d, MAX(ABS(x)) AS s FROM e GROUP BY d),
-        |codes AS (
-        |  SELECT vec_id, d,
-        |    CASE WHEN s = 0 THEN 0
-        |         ELSE CAST(TRUNC(x / s * 127) AS BIGINT) END AS c
-        |  FROM e JOIN scales USING (d)),
-        |dots AS (
-        |  SELECT q.vec_id AS query_id, b.vec_id AS vec_id,
-        |    CAST(SUM(q.c * b.c) AS BIGINT) AS dp
-        |  FROM codes q JOIN codes b ON q.d = b.d AND b.vec_id <> q.vec_id
-        |  WHERE q.vec_id < 8
-        |  GROUP BY 1, 2)
+      s"""WITH $int8DotsCtes
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, dp FROM (
         |  SELECT query_id, vec_id, dp,
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dp DESC, vec_id) AS rank
