@@ -84,11 +84,26 @@ object Diff {
     *
     * Cost: one aggregate over the CHANGE FEED (feed-sized, not
     * table-sized) + one join against the group-cardinality-sized view
-    * state. Nothing rereads the base table. */
+    * state. Nothing rereads the base table.
+    *
+    * Preconditions, enforced/documented: a change_type outside the four
+    * [[snapshotDiff]] kinds (including NULL) fails the job IN-PLAN via
+    * raise_error — a single-row-"update" CDC convention or a typo would
+    * otherwise silently debit groups. `value` should be non-null per
+    * row: a NULL value contributes 0 to the delta, which matches
+    * NULL-ignoring SUM re-aggregation in every case EXCEPT a group
+    * whose values are ALL null (recompute says v=NULL, maintained says
+    * v=0) — distinguishing that case needs a non-null-count column in
+    * the view state, the standard wider IVM state this minimal
+    * COUNT/SUM form deliberately omits. */
   def maintainGroupedAgg(base: DataFrame, changes: DataFrame,
       group: String, value: String): DataFrame = {
     val sign = when(col("change_type").isin("insert", "update_post"), 1L)
-      .otherwise(-1L)
+      .when(col("change_type").isin("delete", "update_pre"), -1L)
+      .otherwise(raise_error(concat(
+        lit("maintainGroupedAgg: unknown change_type (expected insert/"),
+        lit("update_pre/update_post/delete): "),
+        coalesce(col("change_type"), lit("NULL")))))
     val delta = changes.groupBy(group)
       .agg(sum(sign).as("__dn"), sum(sign * col(value)).as("__dv"))
     base.join(delta, Seq(group), "full_outer")

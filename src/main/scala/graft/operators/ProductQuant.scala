@@ -206,14 +206,8 @@ object ProductQuant {
     // an exact integer; the top-5 frames are query-set-sized.
     "q133_int8_recall" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val i8 = int8TopK(e).select("query_id", "vec_id")
-        .withColumn("hit", lit(1L))
-      Similarity.cosineTopK(e, queryMaxId = 8).select("query_id", "vec_id")
-        .join(i8, Seq("query_id", "vec_id"), "left")
-        .groupBy("query_id")
-        .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"),
-          count(lit(1)).as("k"))
-        .orderBy("query_id")
+      Similarity.recallAtK(
+        Similarity.cosineTopK(e, queryMaxId = 8), int8TopK(e))
     })
   )
 

@@ -173,7 +173,8 @@ object Profile {
     * lineitem→orders degrades to one shuffle join), then ONE aggregate
     * producing both counts — never two passes over the child. Edges are
     * independent single-row aggregates unioned at driver scale. */
-  def fkAudit(edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+  def fkAudit(edges: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame = {
+    require(edges.nonEmpty, "fkAudit: at least one FK edge is required")
     edges.map { case (name, child, ck, parent, pk) =>
       child.select(col(ck).as("k"))
         .join(parent.select(col(pk).as("k")).distinct()
@@ -182,6 +183,7 @@ object Profile {
           sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
         .select(lit(name).as("edge"), col("n_child"), col("n_orphans"))
     }.reduce(_ unionAll _)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_profile" -> ((s, dir) => profile(Tables.lineitem(s, dir))),

@@ -457,17 +457,25 @@ object Similarity {
     // the session-memoized index, built once).
     "q131_ann_recall" -> ((s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val brute = cosineTopK(e).select("query_id", "vec_id")
       val (cents, asg) = ivfIndexFor(s, dir)
-      val ivf = ivfSearch(e, cents, asg)
-        .select(col("query_id"), col("vec_id"), lit(1L).as("hit"))
-      brute.join(ivf, Seq("query_id", "vec_id"), "left")
-        .groupBy("query_id")
-        .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"),
-          count(lit(1)).as("k"))
-        .orderBy("query_id")
+      recallAtK(cosineTopK(e), ivfSearch(e, cents, asg))
     })
   )
+
+  /** Per-query recall of an approximate rank list against the exact
+    * one: count of exact-top-k rows also present in the approximate
+    * top-k. Both inputs carry (query_id, vec_id [, ...]); output
+    * (query_id, n_hit, k), ordered. Shared by the IVF gate (q131) and
+    * the int8 quantization ablation (q133) — the frames are
+    * query-set-sized, so the overlap join broadcasts. */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select("query_id", "vec_id")
+      .join(approx.select("query_id", "vec_id").withColumn("hit", lit(1L)),
+        Seq("query_id", "vec_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("hit"), lit(0L))).cast("long").as("n_hit"),
+        count(lit(1)).as("k"))
+      .orderBy("query_id")
 
   /** IVF CTE chain through `cands` (query_id, vec_id candidates) —
     * shared by the q36 twin and the composed IVF-PQ twin (q86). */

@@ -22,8 +22,18 @@ import graft.operators.Dedup
   *    the index bucketed by (band, bv) at write time the probe is the
   *    pay-the-shuffle-once layout — see sources/Bucketing);
   *  - state lives in parquet (bands + shingle store), not in streaming
-  *    state: the watermark-state-size problem never arises and a
-  *    restart resumes from the checkpoint with the index intact.
+  *    state: the watermark-state-size problem never arises.
+  *
+  * Restart semantics: every write is keyed by `batch=<batchId>` and
+  * OVERWRITES its own directory, so Structured Streaming's
+  * at-least-once foreachBatch replay is idempotent — a crash anywhere
+  * inside a batch re-runs it against the same pre-batch index view
+  * (earlier batches' directories only) and rewrites the same three
+  * directories. An absent index is handled IN MEMORY (empty frames
+  * derived from the batch's own schema), so there is no multi-write
+  * bootstrap to crash halfway through. The readers below select the
+  * data columns explicitly, dropping the `batch` partition column the
+  * layout introduces.
   *
   * Drop rule (the q116 verdict): a new document is dropped iff it
   * near-matches the existing index (the index always wins a cross
@@ -31,11 +41,11 @@ import graft.operators.Dedup
   */
 object CorpusIngest {
 
-  /** Per-new-doc KEEP verdict from an [[Dedup.incrementalNearDups]]
-    * pair set: the batch ids that lose a pair. Cross pairs drop the
-    * batch side (identified by semi-join against the batch ids — index
-    * ids never occur in the batch); within-batch pairs drop the larger
-    * id (deterministic keep-first). */
+  /** Per-new-doc DROP set from an [[Dedup.incrementalNearDups]] pair
+    * set: the batch ids that lose a pair. Cross pairs drop the batch
+    * side (identified by semi-join against the batch ids — index ids
+    * never occur in the batch); within-batch pairs drop the larger id
+    * (deterministic keep-first). */
   def dropIds(batchIds: DataFrame, pairs: DataFrame): DataFrame = {
     val crossDrops = pairs.where("is_cross")
       .select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id"))
@@ -45,42 +55,53 @@ object CorpusIngest {
   }
 
   /** Start the ingest loop over a streaming `documents`-shaped frame
-    * (doc_id, text, ...). Kept rows append to `corpusPath`; their
-    * (band, bv) rows and shingle sets append to `indexPath`/bands and
-    * `indexPath`/sh. `AvailableNow` drains what exists and stops —
-    * callers wanting a long-lived service swap the trigger. */
+    * (doc_id, text, ...). Kept rows land under
+    * `corpusPath/batch=<id>/`; their (band, bv) rows and shingle sets
+    * under `indexPath`/bands and `indexPath`/sh with the same batch
+    * keying. `AvailableNow` drains what exists and stops — callers
+    * wanting a long-lived service swap the trigger. */
   def start(docs: DataFrame, indexPath: String, corpusPath: String,
             checkpointPath: String): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val fs = new Path(indexPath)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
         // sign the batch ONCE; localCheckpoint releases the file-stream
         // lineage so the frame is freely reusable across the writes
         val sigs = Dedup.signatures(batch).localCheckpoint()
-        // bootstrap: an absent index becomes an EMPTY one (same schema,
-        // taken from the batch's own frames) — every batch then runs
-        // the identical incremental plan, no first-batch special case
-        if (!fs.exists(new Path(s"$indexPath/bands"))) {
-          Dedup.bandedOf(sigs).limit(0).write.parquet(s"$indexPath/bands")
-          sigs.select("doc_id", "sh").limit(0).write.parquet(s"$indexPath/sh")
-        }
-        val pairs = Dedup.incrementalNearDupsFrom(
-          spark.read.parquet(s"$indexPath/bands"),
-          spark.read.parquet(s"$indexPath/sh"), sigs)
+        val bands = Dedup.bandedOf(sigs)
+        val sh = sigs.select("doc_id", "sh")
+        // an absent index = empty in-memory frames of the same shape;
+        // no on-disk bootstrap writes that a crash could leave half-done.
+        // The `batch <> batchId` partition filter is the other half of
+        // replay safety: a replayed batch must probe the PRE-batch index
+        // view — its own (possibly partial) directories from the failed
+        // attempt would otherwise self-pair every document as a cross
+        // dup and drop the whole batch.
+        val (idxBands, idxSh) =
+          if (fs.exists(new Path(s"$indexPath/bands")))
+            (spark.read.parquet(s"$indexPath/bands")
+               .where(col("batch") =!= batchId)
+               .select("doc_id", "band", "bv"),
+             spark.read.parquet(s"$indexPath/sh")
+               .where(col("batch") =!= batchId)
+               .select("doc_id", "sh"))
+          else (bands.limit(0), sh.limit(0))
+        val pairs = Dedup.incrementalNearDupsFrom(idxBands, idxSh, sigs)
         val drops = dropIds(batch.select("doc_id"), pairs).localCheckpoint()
-        val keptIds = batch.select("doc_id")
-          .join(drops, Seq("doc_id"), "left_anti")
-        batch.join(drops, Seq("doc_id"), "left_anti")
-          .write.mode("append").parquet(corpusPath)
-        Dedup.bandedOf(sigs).join(keptIds, Seq("doc_id"), "left_semi")
-          .write.mode("append").parquet(s"$indexPath/bands")
-        sigs.select("doc_id", "sh").join(keptIds, Seq("doc_id"), "left_semi")
-          .write.mode("append").parquet(s"$indexPath/sh")
+        val kept = batch.join(drops, Seq("doc_id"), "left_anti")
+        val keptIds = kept.select("doc_id")
+        // batch-keyed OVERWRITE: an at-least-once replay of this batch
+        // rewrites exactly these directories — idempotent by layout
+        kept.write.mode("overwrite").parquet(s"$corpusPath/batch=$batchId")
+        bands.join(keptIds, Seq("doc_id"), "left_semi")
+          .write.mode("overwrite").parquet(s"$indexPath/bands/batch=$batchId")
+        sh.join(keptIds, Seq("doc_id"), "left_semi")
+          .write.mode("overwrite").parquet(s"$indexPath/sh/batch=$batchId")
         ()
       }
 }

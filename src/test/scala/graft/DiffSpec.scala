@@ -74,6 +74,18 @@ class DiffSpec extends AnyFunSuite {
            direct.exceptAll(maintained).count() == 0)
   }
 
+  test("maintainGroupedAgg fails loudly on an unknown or NULL change_type") {
+    val base = Seq(("g1", 1L, 10L)).toDF("g", "n", "v")
+    // the common single-row CDC "update" convention must be rejected,
+    // not silently treated as a delete
+    val bad = Seq(("update", "g1", 11L)).toDF("change_type", "g", "v")
+    val e = intercept[Exception] {
+      Diff.maintainGroupedAgg(base, bad, "g", "v").collect()
+    }
+    assert(e.getMessage.contains("unknown change_type") ||
+      e.getCause != null && e.getCause.getMessage.contains("unknown change_type"))
+  }
+
   test("snapshotDiff refuses mismatched schemas loudly") {
     val pre = Seq((1L, "a")).toDF("k", "v")
     val post = Seq((1L, "a")).toDF("k", "w")
