@@ -185,8 +185,28 @@ object Profile {
     }.reduce(_ unionAll _)
   }
 
+  /** k-anonymity audit over a quasi-identifier tuple: groups with fewer
+    * than `k` members are re-identification risks a release either
+    * suppresses or generalizes. The governance pass next to PII
+    * redaction (q54): redaction scrubs direct identifiers, this audit
+    * catches the INDIRECT ones (rare attribute combinations). One
+    * grouped aggregate — partial-agg combined map-side, output is
+    * quasi-identifier-domain-sized, never row-sized. */
+  def kAnonymity(df: DataFrame, quasi: Seq[String], k: Long = 10L): DataFrame = {
+    require(quasi.nonEmpty, "kAnonymity: at least one quasi-identifier column")
+    df.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("suppress", col("n") < k)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_profile" -> ((s, dir) => profile(Tables.lineitem(s, dir))),
+
+    // documents' (lang, source) cells: the sf-dependent sparse cells
+    // make suppress=true rows appear organically at every SF
+    "q134_k_anonymity" -> ((s, dir) =>
+      kAnonymity(Tables.documents(s, dir), Seq("lang", "source"))
+        .orderBy("lang", "source")),
 
     // Three intact edges prove the zero case; the fourth audits orders
     // against a DAMAGED customer dimension (a planted partial load:
@@ -244,6 +264,11 @@ object Profile {
     Map(
       "q106_profile" ->
         (liBranches.mkString("\n", "\nUNION ALL\n", "\n") + "ORDER BY col_name"),
+      "q134_k_anonymity" ->
+        """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
+          |  COUNT(*) < 10 AS suppress
+          |FROM documents GROUP BY lang, source
+          |ORDER BY lang, source""".stripMargin,
       "q127_fk_audit" ->
         (Seq(
           fkEdgeSql("customer->nation", "customer", "c_nationkey",
