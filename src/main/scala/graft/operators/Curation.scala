@@ -286,6 +286,42 @@ object Curation {
       .select("doc_id", "lm_score_e6", "n_bigrams", "med2x")
   }
 
+  /** Per-source token over-representation (domain-shift / boilerplate
+    * detector): for each (source, token), the ratio of the token's
+    * within-source share to its corpus-wide share — tokens a source
+    * uses far more than the corpus does are its domain markers (or its
+    * boilerplate), the signal mixture tuning and contamination triage
+    * read. Integer-exact: ratio_e3 = (c_st·N·1000) div (n_s·c_t), all
+    * longs (safe to ~1e15 source-token counts; beyond that the ratio
+    * needs decimal — documented, not silent). Top `topPerSource` per
+    * source by (ratio desc, token).
+    *
+    * Plan: two map-side-combined aggregates over the exploded token
+    * stream (per-(source,token) and per-source), the vocab-sized token
+    * totals derived from the FIRST aggregate (the raw stream is never
+    * re-scanned), source totals and the 1-row grand total broadcast —
+    * never a token-level self-join. */
+  def domainShift(docs: DataFrame, minCount: Long = 5L,
+                  topPerSource: Int = 3): DataFrame = {
+    val toks = docs.selectExpr("source", s"explode($sparkToks) AS tok")
+      .where("tok != ''")
+    val bySrc = toks.groupBy("source", "tok").agg(count(lit(1)).as("c_st"))
+    val srcTot = bySrc.groupBy("source").agg(sum("c_st").cast("long").as("n_s"))
+    val tokTot = bySrc.groupBy("tok").agg(sum("c_st").cast("long").as("c_t"))
+    val nTot = srcTot.agg(sum("n_s").cast("long").as("n_tot"))
+    val scored = bySrc.where(s"c_st >= $minCount")
+      .join(broadcast(srcTot), "source")
+      .join(tokTot, "tok")
+      .crossJoin(broadcast(nTot))
+      .selectExpr("source", "tok", "c_st",
+        "(c_st * n_tot * 1000) div (n_s * c_t) AS ratio_e3")
+    val w = Window.partitionBy("source")
+      .orderBy(col("ratio_e3").desc, col("tok"))
+    scored.withColumn("rk", row_number().over(w))
+      .where(s"rk <= $topPerSource")
+      .selectExpr("source", "tok", "c_st", "ratio_e3", "cast(rk as bigint) AS rk")
+  }
+
   /** Per-group quantile gate (q114): keep docs at/above their lang's
     * exact median n_chars. Medians are one grouped aggregate (#langs
     * rows) broadcast back — the corpus itself is never window-sorted.
@@ -304,6 +340,9 @@ object Curation {
 
     "q130_ppl_filter" -> ((s, dir) =>
       perplexityFilter(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    "q135_domain_shift" -> ((s, dir) =>
+      domainShift(Tables.documents(s, dir)).orderBy("source", "rk")),
 
     // Planted boilerplate: a fixed 8-word banner (2 whole blocks)
     // prepended to every 7th document, so the cross-doc counts, the
@@ -537,6 +576,27 @@ object Curation {
         |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents)
         |WHERE tok != ''
         |GROUP BY tok ORDER BY cnt DESC, tok LIMIT 50""".stripMargin,
+
+    "q135_domain_shift" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents),
+        |t2 AS (SELECT source, tok FROM toks WHERE tok != ''),
+        |by_src AS (
+        |  SELECT source, tok, CAST(count(*) AS BIGINT) AS c_st
+        |  FROM t2 GROUP BY 1, 2),
+        |src_tot AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM by_src GROUP BY 1),
+        |tok_tot AS (SELECT tok, CAST(SUM(c_st) AS BIGINT) AS c_t FROM by_src GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n_tot FROM src_tot),
+        |scored AS (
+        |  SELECT b.source, b.tok, b.c_st,
+        |    (b.c_st * t.n_tot * 1000) // (s.n_s * k.c_t) AS ratio_e3
+        |  FROM by_src b JOIN src_tot s USING (source) JOIN tok_tot k USING (tok), tot t
+        |  WHERE b.c_st >= 5)
+        |SELECT source, tok, c_st, ratio_e3, CAST(rk AS BIGINT) AS rk FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY ratio_e3 DESC, tok) AS rk
+        |  FROM scored)
+        |WHERE rk <= 3 ORDER BY source, rk""".stripMargin,
 
     "q67_tfidf_top" ->
       """WITH toks AS (
