@@ -24,6 +24,9 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
+      // skew-rescue cost model — see graft.plans.SkewRescueSupport
+      .config("spark.sql.adaptive.customCostEvaluatorClass",
+        "graft.plans.GraftCostEvaluator")
       // storage-partitioned joins for clustered graft-store scans (q92)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")

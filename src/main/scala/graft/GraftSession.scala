@@ -25,6 +25,9 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
+      // skew-rescue cost model — see graft.plans.SkewRescueSupport
+      .config("spark.sql.adaptive.customCostEvaluatorClass",
+        "graft.plans.GraftCostEvaluator")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

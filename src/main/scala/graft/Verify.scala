@@ -12,6 +12,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // skew-rescue cost model — see graft.plans.SkewRescueSupport
+      .config("spark.sql.adaptive.customCostEvaluatorClass",
+        "graft.plans.GraftCostEvaluator")
       // storage-partitioned joins for clustered graft-store scans (q92)
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")

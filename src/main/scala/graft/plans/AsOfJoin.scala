@@ -67,6 +67,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // scans, because Catalyst's built-in rules don't know the node
     ext.injectOptimizerRule(_ => AsOfFilterPushdown)
     ext.injectOptimizerRule(_ => AsOfColumnPruning)
+    // AQE skew-join rescue for fact ⋈ per-key-aggregate joins — the
+    // shape SkewStress measured OptimizeSkewedJoin can never split
+    // (see SkewAggJoinRescue). Re-applied on every AQE re-plan; a
+    // strict no-op unless a materialized input stage is skewed by
+    // AQE's own thresholds.
+    ext.injectQueryStagePrepRule(_ => SkewAggJoinRescue)
     // SQL views over the graft catalog: DDL interception + definition
     // splicing. Injected into the HINTS batch (which precedes the
     // Resolution batch) so graft-view commands are rewritten before

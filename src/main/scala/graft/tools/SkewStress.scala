@@ -104,6 +104,12 @@ object SkewStress {
       .config("spark.ui.enabled", "false")
       // the whole point is the non-broadcastable shuffle join
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // rescue machinery available but OFF by default — each config
+      // toggles spark.graft.skewJoin.rescueAggSide explicitly so the
+      // legacy findings (plain/AQE-* never split) stay reproducible
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.adaptive.customCostEvaluatorClass",
+        "graft.plans.GraftCostEvaluator")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -129,10 +135,12 @@ object SkewStress {
 
     // Sum over joined rows: the probe/output work stays in the join
     // stage, the final agg is a 1-row reduction.
-    def run(label: String, aqe: Boolean, skewThreshold: String = "256m")
+    def run(label: String, aqe: Boolean, skewThreshold: String = "256m",
+            rescue: Boolean = false)
            (mk: () => DataFrame): String = {
       spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
       spark.conf.set("spark.sql.adaptive.skewJoin.enabled", aqe.toString)
+      spark.conf.set("spark.graft.skewJoin.rescueAggSide", rescue.toString)
       // at default thresholds (256 MB) an ~8M-row hot partition is NOT
       // skewed by AQE's definition — the tuned config shows the split
       spark.conf.set(
@@ -183,8 +191,16 @@ object SkewStress {
     val r5 = run("salted/noAQE", aqe = false) { () =>
       val f = freshFact(); Skew.saltedJoin(f, totalsOf(f), "event_type", salt = 8)
     }
+    // Round-13 rescue: the SAME un-materialized fact ⋈ aggregate join
+    // that r3 proved AQE cannot split, with SkewAggJoinRescue +
+    // GraftCostEvaluator on — aqe_skew_marked must flip true with NO
+    // manual rewrite (the automatic form of r4's hand-materialization).
+    val r6 = run("plain-rescue/AQE-tuned16m", aqe = true,
+      skewThreshold = "16m", rescue = true) { () =>
+      val f = freshFact(); f.join(totalsOf(f), Seq("event_type"))
+    }
 
-    println(s"""{"n_rows":$nRows,"hot_fraction":0.5,"results":[$r1,$r2,$r3,$r4,$r5]}""")
+    println(s"""{"n_rows":$nRows,"hot_fraction":0.5,"results":[$r1,$r2,$r3,$r4,$r5,$r6]}""")
     spark.stop()
   }
 }

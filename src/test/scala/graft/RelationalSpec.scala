@@ -13,6 +13,8 @@ object SparkTestSession {
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    .config("spark.sql.adaptive.customCostEvaluatorClass",
+      "graft.plans.GraftCostEvaluator")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
