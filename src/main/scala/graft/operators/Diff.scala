@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Snapshot diff — derive a CHANGE DATA FEED from two table versions
@@ -112,4 +112,119 @@ object Diff {
         (coalesce(col("v"), lit(0L)) + coalesce(col("__dv"), lit(0L))).cast("long").as("v"))
       .where(col("n") > 0)
   }
+
+  /** Incremental view maintenance for a grouped COUNT/MIN/MAX view —
+    * the non-self-maintainable side of the IVM boundary that
+    * [[maintainGroupedAgg]] documents: a deleted extremum cannot be
+    * repaired from the view state alone, the base table must be
+    * consulted. This operator implements the standard split:
+    *
+    *   - **maintained path** (the common case): when the delta cannot
+    *     have removed a group's extremum — insert-only for that group,
+    *     or every removed value differs from the current MIN and MAX —
+    *     the new state is computed purely from (old state, feed):
+    *     `n += Σsign`, `mn = least(mn, inserted_min)`,
+    *     `mx = greatest(mx, inserted_max)`. `postTable` is NEVER
+    *     touched (DiffSpec proves it by passing an empty frame).
+    *   - **recompute path** (the planted-deletion case): a group where
+    *     some removed value EQUALS the current extremum is dirty —
+    *     the surviving extremum is unknowable from the state. Dirty
+    *     groups are re-aggregated from `postTable` via a LEFT SEMI
+    *     join on the dirty-group set, which is feed-bounded (≤ one
+    *     group per feed row), so the recompute output — and the join's
+    *     build side — stay feed-sized even when the base table is
+    *     100 TB. The detection is exact, not conservative-per-feed:
+    *     `min(removed) = mn` iff SOME removed value equals the current
+    *     min (every removed value is ≥ mn by construction, it came
+    *     from the pre-image), and symmetrically for max.
+    *
+    * View state: (`group`, n = COUNT(*), mn = MIN(`value`),
+    * mx = MAX(`value`)). Same feed contract and in-plan change_type
+    * raise_error as [[maintainGroupedAgg]]; groups whose count reaches
+    * zero are dropped; NULL `value`s are ignored by MIN/MAX on both
+    * paths (SQL aggregate semantics) and counted by n. */
+  def maintainMinMax(base: DataFrame, changes: DataFrame, postTable: DataFrame,
+      group: String, value: String): DataFrame = {
+    val isIns = col("change_type").isin("insert", "update_post")
+    val isDel = col("change_type").isin("delete", "update_pre")
+    val sign = when(isIns, 1L).when(isDel, -1L)
+      .otherwise(raise_error(concat(
+        lit("maintainMinMax: unknown change_type (expected insert/"),
+        lit("update_pre/update_post/delete): "),
+        coalesce(col("change_type"), lit("NULL")))))
+    val delta = changes.groupBy(group).agg(
+      sum(sign).as("__dn"),
+      min(when(isIns, col(value))).as("__imn"),
+      max(when(isIns, col(value))).as("__imx"),
+      min(when(isDel, col(value))).as("__rmn"),
+      max(when(isDel, col(value))).as("__rmx"))
+    val joined = base.join(delta, Seq(group), "full_outer")
+    val nNew = coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))
+    // null-safe equality: __rmn is NULL when the group saw no removals,
+    // and NULL <=> mn is false — insert-only groups are never dirty
+    val dirty = ((col("__rmn") <=> col("mn")) || (col("__rmx") <=> col("mx"))) &&
+      nNew > 0
+    val maintained = joined
+      .where(!dirty && nNew > 0)
+      .select(col(group), nNew.as("n"),
+        least(col("mn"), col("__imn")).as("mn"),
+        greatest(col("mx"), col("__imx")).as("mx"))
+    // feed-bounded: at most one row per group the feed touched
+    val dirtyGroups = joined.where(dirty).select(col(group))
+    val recomputed = postTable.join(dirtyGroups, Seq(group), "left_semi")
+      .groupBy(group)
+      .agg(count(lit(1)).as("n"),
+        min(col(value)).as("mn"), max(col(value)).as("mx"))
+    maintained.unionByName(recomputed)
+  }
+
+  /** q136 fixture: a post-image of `documents` derived in-plan with a
+    * PLANTED per-group extremum deletion — for every lang ≤ 'en' (de,
+    * en at all SFs) the rows holding that lang's maximum n_chars are
+    * deleted, forcing [[maintainMinMax]]'s recompute path, while es/
+    * fr/zh mostly ride the maintained path; a residue-class UPDATE
+    * (+13 where doc_id % 23 = 7) exercises update_pre/update_post, and
+    * an INSERT batch under a brand-new lang ('zz') exercises group
+    * birth. The DuckDB twin replays the identical derivation
+    * symbolically and aggregates the post-image directly, so the hash
+    * match proves maintained ≡ recomputed across every path. */
+  private def docsPost(pre: DataFrame): DataFrame = {
+    val mx = pre.groupBy("lang").agg(max("n_chars").as("__m"))
+    pre.join(mx, "lang")
+      .where(!(col("n_chars") === col("__m") && col("lang") <= "en"))
+      .selectExpr("doc_id", "lang",
+        "CASE WHEN doc_id % 23 = 7 THEN n_chars + 13 ELSE n_chars END AS n_chars")
+      .unionByName(pre.where("doc_id % 97 = 13")
+        .selectExpr("doc_id + 20000000 AS doc_id", "'zz' AS lang",
+          "n_chars + 3 AS n_chars"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_ivm_minmax" -> ((s, dir) => {
+      val pre = graft.Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
+      val post = docsPost(pre)
+      val base = pre.groupBy("lang").agg(count(lit(1)).as("n"),
+        min("n_chars").as("mn"), max("n_chars").as("mx"))
+      val feed = snapshotDiff(pre, post, "doc_id")
+        .select("change_type", "lang", "n_chars")
+      maintainMinMax(base, feed, post, "lang", "n_chars")
+        .selectExpr("lang", "CAST(n AS BIGINT) AS n",
+          "CAST(mn AS BIGINT) AS mn", "CAST(mx AS BIGINT) AS mx")
+        .orderBy("lang")
+    }))
+
+  def oracle: Map[String, String] = Map(
+    "q136_ivm_minmax" ->
+      """WITH pre AS (SELECT doc_id, lang, n_chars FROM documents),
+        |mx AS (SELECT lang, MAX(n_chars) AS m FROM pre GROUP BY lang),
+        |post AS (
+        |  SELECT p.doc_id, p.lang,
+        |    CASE WHEN p.doc_id % 23 = 7 THEN p.n_chars + 13 ELSE p.n_chars END AS n_chars
+        |  FROM pre p JOIN mx ON p.lang = mx.lang
+        |  WHERE NOT (p.n_chars = mx.m AND p.lang <= 'en')
+        |  UNION ALL
+        |  SELECT doc_id + 20000000, 'zz', n_chars + 3 FROM pre WHERE doc_id % 97 = 13)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(MIN(n_chars) AS BIGINT) AS mn, CAST(MAX(n_chars) AS BIGINT) AS mx
+        |FROM post GROUP BY lang ORDER BY lang""".stripMargin)
 }

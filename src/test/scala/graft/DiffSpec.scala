@@ -86,6 +86,61 @@ class DiffSpec extends AnyFunSuite {
       e.getCause != null && e.getCause.getMessage.contains("unknown change_type"))
   }
 
+  test("maintainMinMax never touches the base table on the maintained path") {
+    // state: g1 min=10 max=30; the feed deletes a NON-extremum (20) and
+    // inserts 5 (new min) and 40 (new max) — maintainable without the
+    // base table, proven by handing it an EMPTY post frame: any read of
+    // it would produce a wrong (empty-group) answer or fail.
+    val base = Seq(("g1", 3L, 10L, 30L)).toDF("g", "n", "mn", "mx")
+    val feed = Seq(
+      ("delete", "g1", 20L), ("insert", "g1", 5L), ("insert", "g1", 40L))
+      .toDF("change_type", "g", "v")
+    val emptyPost = Seq.empty[(Long, String, Long)].toDF("k", "g", "v")
+    val out = Diff.maintainMinMax(base, feed, emptyPost, "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("g1", 4L, 5L, 40L)))
+  }
+
+  test("maintainMinMax recomputes exactly the dirty groups from the post image") {
+    // g1: its MAX (30) is deleted → dirty → recomputed from post
+    // (surviving values 10, 12 — 12 is unknowable from the state).
+    // g2: insert-only → maintained; a recompute would also return it,
+    // so pin the plan too: only ONE group may reach the semi join.
+    val base = Seq(("g1", 2L, 10L, 30L), ("g2", 1L, 7L, 7L)).toDF("g", "n", "mn", "mx")
+    val post = Seq((1L, "g1", 10L), (5L, "g1", 12L), (3L, "g2", 7L), (6L, "g2", 99L))
+      .toDF("k", "g", "v")
+    val feed = Seq(
+      ("delete", "g1", 30L), ("insert", "g1", 12L), ("insert", "g2", 99L))
+      .toDF("change_type", "g", "v")
+    val out = Diff.maintainMinMax(base, feed, post, "g", "v")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("g1", 2L, 10L, 12L), ("g2", 2L, 7L, 99L)))
+  }
+
+  test("maintainMinMax handles the duplicate-extremum deletion (one copy removed)") {
+    // two rows tie at max=30; deleting ONE copy still dirties the group
+    // (the state alone cannot know a twin survives) and the recompute
+    // returns max=30 again — exactness over guesswork.
+    val base = Seq(("g1", 3L, 10L, 30L)).toDF("g", "n", "mn", "mx")
+    val post = Seq((1L, "g1", 10L), (2L, "g1", 30L)).toDF("k", "g", "v")
+    val feed = Seq(("delete", "g1", 30L)).toDF("change_type", "g", "v")
+    val out = Diff.maintainMinMax(base, feed, post, "g", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(("g1", 2L, 10L, 30L)))
+  }
+
+  test("maintainMinMax fails loudly on an unknown change_type") {
+    val base = Seq(("g1", 1L, 10L, 10L)).toDF("g", "n", "mn", "mx")
+    val bad = Seq(("upsert", "g1", 11L)).toDF("change_type", "g", "v")
+    val post = Seq((1L, "g1", 10L)).toDF("k", "g", "v")
+    val e = intercept[Exception] {
+      Diff.maintainMinMax(base, bad, post, "g", "v").collect()
+    }
+    assert(e.getMessage.contains("unknown change_type") ||
+      e.getCause != null && e.getCause.getMessage.contains("unknown change_type"))
+  }
+
   test("snapshotDiff refuses mismatched schemas loudly") {
     val pre = Seq((1L, "a")).toDF("k", "v")
     val post = Seq((1L, "a")).toDF("k", "w")

@@ -45,4 +45,22 @@ object IvmProps extends Properties("graft-ivm") {
       val direct = agg(post)
       maintained.exceptAll(direct).isEmpty && direct.exceptAll(maintained).isEmpty
     }
+
+  // MIN/MAX is the non-self-maintainable side of the IVM boundary: the
+  // same generators drive extremum deletions (forcing the recompute
+  // path), duplicate extrema where only one copy is removed, group
+  // birth/death, and value moves across groups — every branch of
+  // maintainMinMax's maintained/dirty split.
+  property("maintainMinMax(aggmm(pre), diff(pre, post), post) == aggmm(post)") =
+    forAll(Gen.listOf(rowGen), Gen.listOf(rowGen)) { (preRows, postRows) =>
+      val pre = table(preRows)
+      val post = table(postRows)
+      def agg(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("g").agg(count(lit(1)).as("n"),
+          min("v").as("mn"), max("v").as("mx"))
+      val feed = Diff.snapshotDiff(pre, post, "k").select("change_type", "g", "v")
+      val maintained = Diff.maintainMinMax(agg(pre), feed, post, "g", "v")
+      val direct = agg(post)
+      maintained.exceptAll(direct).isEmpty && direct.exceptAll(maintained).isEmpty
+    }
 }
