@@ -36,10 +36,17 @@ object Profile {
   /** Default (q106) profile: lineitem's numeric columns. */
   def profile(df: DataFrame): DataFrame = profile(df, lineitemCols, Nil)
 
-  /** Profile `numCols` (count/ndv/min_e2/max_e2) and `strCols`
-    * (count/ndv/min_s/max_s) in one aggregate pass over `df`. */
-  def profile(df: DataFrame, numCols: Seq[String], strCols: Seq[String]): DataFrame = {
-    require(numCols.nonEmpty || strCols.nonEmpty, "profile: no columns given")
+  /** Profile `numCols` (count/ndv/min_e2/max_e2), `strCols`
+    * (count/ndv/min_s/max_s), and `tsCols` (count/ndv/min_us/max_us —
+    * timestamp extrema as unix micros, the engine-portable BIGINT
+    * domain) in one aggregate pass over `df`. The temporal branch is
+    * what catches testdata drift on time columns (a regenerated
+    * events.parquet with a shifted epoch shows up here as a moved
+    * min_us before any downstream window query mis-buckets). */
+  def profile(df: DataFrame, numCols: Seq[String], strCols: Seq[String],
+      tsCols: Seq[String] = Nil): DataFrame = {
+    require(numCols.nonEmpty || strCols.nonEmpty || tsCols.nonEmpty,
+      "profile: no columns given")
     val numAggs = numCols.flatMap { c =>
       Seq(
         count(col(c)).as(s"n_$c"),
@@ -54,22 +61,43 @@ object Profile {
         min(col(c)).cast("string").as(s"min_$c"),
         max(col(c)).cast("string").as(s"max_$c"))
     }
-    val aggs = numAggs ++ strAggs
+    // the whole temporal branch runs in the unix-micros BIGINT domain
+    // (count/ndv are value-preserving under the conversion)
+    val tsAggs = tsCols.flatMap { c =>
+      val us = expr(s"unix_micros($c)")
+      Seq(
+        count(us).as(s"n_$c"),
+        countDistinct(us).as(s"ndv_$c"),
+        min(us).as(s"min_$c"),
+        max(us).as(s"max_$c"))
+    }
+    val aggs = numAggs ++ strAggs ++ tsAggs
     val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    // stack branches must be type-aligned positionally: numeric rows
-    // carry NULL strings, string rows NULL e2 longs
+    // stack branches must be type-aligned positionally: each branch
+    // carries NULLs for the other kinds' extremum columns
+    val nullNum = ", CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)"
+    val nullStr = ", CAST(NULL AS STRING), CAST(NULL AS STRING)"
     val numBranch = (c: String) =>
       s"'$c', n_rows - n_$c, ndv_$c, min_$c, max_$c" +
-        (if (strCols.nonEmpty) ", CAST(NULL AS STRING), CAST(NULL AS STRING)" else "")
+        (if (strCols.nonEmpty) nullStr else "") +
+        (if (tsCols.nonEmpty) nullNum else "")
     val strBranch = (c: String) =>
       s"'$c', n_rows - n_$c, ndv_$c" +
-        (if (numCols.nonEmpty) ", CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)" else "") +
+        (if (numCols.nonEmpty) nullNum else "") +
+        s", min_$c, max_$c" +
+        (if (tsCols.nonEmpty) nullNum else "")
+    val tsBranch = (c: String) =>
+      s"'$c', n_rows - n_$c, ndv_$c" +
+        (if (numCols.nonEmpty) nullNum else "") +
+        (if (strCols.nonEmpty) nullStr else "") +
         s", min_$c, max_$c"
-    val stackArgs = (numCols.map(numBranch) ++ strCols.map(strBranch)).mkString(", ")
+    val stackArgs = (numCols.map(numBranch) ++ strCols.map(strBranch) ++
+      tsCols.map(tsBranch)).mkString(", ")
     val outCols =
       (if (numCols.nonEmpty) Seq("min_e2", "max_e2") else Nil) ++
-      (if (strCols.nonEmpty) Seq("min_s", "max_s") else Nil)
-    val n = numCols.size + strCols.size
+      (if (strCols.nonEmpty) Seq("min_s", "max_s") else Nil) ++
+      (if (tsCols.nonEmpty) Seq("min_us", "max_us") else Nil)
+    val n = numCols.size + strCols.size + tsCols.size
     one.selectExpr("n_rows",
         s"stack($n, $stackArgs) AS (col_name, n_null, ndv, ${outCols.mkString(", ")})")
       .selectExpr(Seq("col_name", "cast(n_rows as bigint) AS n_rows",
@@ -224,6 +252,16 @@ object Profile {
       .orderBy("edge")),
     "q107_profile_docs" -> ((s, dir) =>
       profile(Tables.documents(s, dir), docNumCols, docStrCols)),
+
+    // events' full surface: all three column classes (numeric, string,
+    // temporal) in ONE aggregate pass — ts was the one column class the
+    // profiler couldn't see, and the one where a driver testdata
+    // regeneration drifts first (the round-10 NANOS→us change).
+    "q137_profile_events" -> ((s, dir) =>
+      profile(Tables.events(s, dir),
+        numCols = Seq("event_id", "user_id", "value"),
+        strCols = Seq("event_type"),
+        tsCols = Seq("ts"))),
     "q109_histogram" -> ((s, dir) =>
       histogram(Tables.lineitem(s, dir), "l_extendedprice", 16)),
     "q120_sketch_rollup" -> ((s, dir) =>
@@ -261,9 +299,41 @@ object Profile {
          |  CAST(SUM(CASE WHEN p.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
          |FROM $child c LEFT JOIN (SELECT DISTINCT $pk AS k FROM $parentSel) p
          |  ON c.$ck = p.k""".stripMargin
+    val evNumBranches = Seq("event_id", "user_id", "value").map { c =>
+      s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv,
+         |  CAST(ROUND(MIN($c) * 100) AS BIGINT) AS min_e2,
+         |  CAST(ROUND(MAX($c) * 100) AS BIGINT) AS max_e2,
+         |  CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s,
+         |  CAST(NULL AS BIGINT) AS min_us, CAST(NULL AS BIGINT) AS max_us
+         |FROM events""".stripMargin
+    }
+    val evStrBranches = Seq("event_type").map { c =>
+      s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+         |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS ndv,
+         |  CAST(NULL AS BIGINT) AS min_e2, CAST(NULL AS BIGINT) AS max_e2,
+         |  MIN($c) AS min_s, MAX($c) AS max_s,
+         |  CAST(NULL AS BIGINT) AS min_us, CAST(NULL AS BIGINT) AS max_us
+         |FROM events""".stripMargin
+    }
+    val evTsBranches = Seq("ts").map { c =>
+      s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+         |  CAST(COUNT(DISTINCT epoch_us($c)) AS BIGINT) AS ndv,
+         |  CAST(NULL AS BIGINT) AS min_e2, CAST(NULL AS BIGINT) AS max_e2,
+         |  CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s,
+         |  CAST(MIN(epoch_us($c)) AS BIGINT) AS min_us,
+         |  CAST(MAX(epoch_us($c)) AS BIGINT) AS max_us
+         |FROM events""".stripMargin
+    }
     Map(
       "q106_profile" ->
         (liBranches.mkString("\n", "\nUNION ALL\n", "\n") + "ORDER BY col_name"),
+      "q137_profile_events" ->
+        ((evNumBranches ++ evStrBranches ++ evTsBranches)
+          .mkString("\n", "\nUNION ALL\n", "\n") + "ORDER BY col_name"),
       "q134_k_anonymity" ->
         """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n,
           |  COUNT(*) < 10 AS suppress

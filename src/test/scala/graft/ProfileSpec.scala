@@ -54,6 +54,27 @@ class ProfileSpec extends AnyFunSuite {
     assert((r.getString(4), r.getString(5)) == (("s0", "s4")))
   }
 
+  test("temporal profile: unix-micros extrema, nulls counted, full three-kind row shape") {
+    // 10 rows, ts null on 2; epoch anchored at 2024-01-01 with 1-hour
+    // steps so min/max micros are exact constants
+    val df = spark.range(10).selectExpr(
+      "id AS event_id",
+      "IF(id IN (2, 7), CAST(NULL AS TIMESTAMP), " +
+        "timestamp_micros(1704067200000000 + id * 3600000000)) AS ts",
+      "concat('t', id % 2) AS event_type")
+    val rows = Profile.profile(df,
+        numCols = Seq("event_id"), strCols = Seq("event_type"), tsCols = Seq("ts"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ts = rows("ts")
+    assert((ts.getLong(1), ts.getLong(2), ts.getLong(3)) == ((10L, 2L, 8L)))
+    // min/max land in the min_us/max_us slots (7,8); e2 + string slots NULL
+    assert(ts.isNullAt(4) && ts.isNullAt(5) && ts.isNullAt(6) && ts.isNullAt(7))
+    assert(ts.getLong(8) == 1704067200000000L)          // id=0
+    assert(ts.getLong(9) == 1704067200000000L + 9L * 3600000000L)
+    // the numeric and string branches carry NULL micros
+    assert(rows("event_id").isNullAt(8) && rows("event_type").isNullAt(8))
+  }
+
   test("profile is one aggregate pass: a single shuffle for stats") {
     val df = spark.range(1000).selectExpr(
       "id AS l_orderkey", "id % 7 AS l_suppkey",
