@@ -35,25 +35,56 @@ object Graph {
 
   /** `iters` rounds of damped PageRank (d=0.85) over distinct directed
     * `(src, dst)` edges; returns (node, rank_e12). Self-loops must be
-    * pre-filtered by the caller. */
-  def pageRank(edges0: DataFrame, iters: Int): DataFrame = {
+    * pre-filtered by the caller.
+    *
+    * `checkpointEvery`: every k-th iteration the rank frame is
+    * `localCheckpoint`ed, truncating the logical plan — without it the
+    * loop-of-joins lineage grows linearly and Catalyst re-optimizes an
+    * ever-larger tree every round (the exponential-plan lesson Dedup's
+    * label-prop loop learned in round 3). The default (5) never fires
+    * at q111's 3 gated iterations, so the oracle plan is untouched;
+    * GraphSpec runs 12 rounds and asserts the truncation both bounds
+    * the plan and leaves the integer ranks bit-identical.
+    *
+    * `redistributeDangling`: PageRank's standard correction — a node
+    * with no out-edges drops its mass on the floor; redistribution
+    * hands each round's dangling mass back to every node (`dang div n`
+    * per node, integral, so cross-engine determinism is preserved).
+    * Costs ONE scalar aggregate per round (anti-join of the rank frame
+    * against the out-degree frame, summed to a 1-row broadcast). Off by
+    * default: q111's graph and oracle use the drop-the-mass
+    * simplification; GraphSpec pins conservation with it on. */
+  def pageRank(edges0: DataFrame, iters: Int, checkpointEvery: Int = 5,
+      redistributeDangling: Boolean = false): DataFrame = {
+    require(checkpointEvery > 0, "pageRank: checkpointEvery must be positive")
     val edges = edges0.select(col("src").cast("long"), col("dst").cast("long"))
       .distinct().cache()
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node"))).distinct().cache()
     val nn = nodes.agg(count(lit(1)).cast("long").as("n"))
     val deg = edges.groupBy("src").agg(count(lit(1)).cast("long").as("outdeg"))
+      .cache()
     var ranks = nodes.join(broadcast(nn)).selectExpr("node", s"${R}L div n AS r")
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = edges
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .join(deg, "src")
         .selectExpr("dst", "r div outdeg AS c")
         .groupBy("dst").agg(sum("c").cast("long").as("m"))
-      ranks = nodes.join(broadcast(nn))
+      val base = nodes.join(broadcast(nn))
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
-        .selectExpr("node",
-          s"(15 * ${R}L) div (100 * n) + (85 * coalesce(m, 0L)) div 100 AS r")
+      ranks =
+        if (!redistributeDangling) {
+          base.selectExpr("node",
+            s"(15 * ${R}L) div (100 * n) + (85 * coalesce(m, 0L)) div 100 AS r")
+        } else {
+          val dang = ranks.join(deg, ranks("node") === deg("src"), "left_anti")
+            .agg(coalesce(sum("r"), lit(0L)).cast("long").as("dang"))
+          base.join(broadcast(dang)).selectExpr("node",
+            s"(15 * ${R}L) div (100 * n) + " +
+              "(85 * (coalesce(m, 0L) + dang div n)) div 100 AS r")
+        }
+      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks.selectExpr("node", "r AS rank_e12")
   }

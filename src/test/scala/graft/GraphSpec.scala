@@ -44,6 +44,43 @@ class GraphSpec extends AnyFunSuite {
     assert(total >= R - 1000L, s"mass lost beyond flooring bound: $total")
   }
 
+  test("checkpointing bounds the 12-round plan and leaves ranks bit-identical") {
+    val edges = spark.range(400).selectExpr("id % 19 AS src", "(id * 11) % 23 AS dst")
+      .where("src != dst")
+    val checked = Graph.pageRank(edges, iters = 12, checkpointEvery = 3)
+    val free = Graph.pageRank(edges, iters = 12, checkpointEvery = 1000)
+    val planLines = (df: org.apache.spark.sql.DataFrame) =>
+      df.queryExecution.optimizedPlan.treeString.linesIterator.size
+    val (pc, pf) = (planLines(checked), planLines(free))
+    // last checkpoint fires at round 9 → the residual plan is ~3 rounds
+    // deep regardless of total iterations; unchecked grows with all 12
+    assert(pc * 2 < pf, s"checkpointed plan $pc lines vs free-running $pf")
+    val a = checked.orderBy("node").collect().toSeq
+    val b = free.orderBy("node").collect().toSeq
+    assert(a == b, "localCheckpoint changed the integer ranks")
+  }
+
+  test("dangling-mass redistribution conserves total rank within flooring loss") {
+    // node 3 is dangling (no out-edges): without redistribution its
+    // damped mass leaks every round; with it, totals stay pinned to R
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 1L), (2L, 1L)).toDF("src", "dst")
+    def total(redistribute: Boolean) =
+      Graph.pageRank(edges, iters = 6, redistributeDangling = redistribute)
+        .collect().map(_.getLong(1)).sum
+    val kept = total(redistribute = true)
+    val leaked = total(redistribute = false)
+    assert(kept <= R && kept >= R - 1000L,
+      s"redistributed mass $kept escaped the flooring bound around $R")
+    assert(leaked < kept - R / 100L,
+      s"leak $leaked not visibly below conserved $kept — dangling plant broken?")
+    // determinism holds on the redistribution path too
+    val a = Graph.pageRank(edges, iters = 6, redistributeDangling = true)
+      .orderBy("node").collect().toSeq
+    val b = Graph.pageRank(edges.repartition(7), iters = 6, redistributeDangling = true)
+      .orderBy("node").collect().toSeq
+    assert(a == b)
+  }
+
   test("ranks are invariant to input partitioning (integer arithmetic has no sum-order sensitivity)") {
     val edges = spark.range(300).selectExpr("id % 17 AS src", "(id * 7) % 13 AS dst")
       .where("src != dst")
