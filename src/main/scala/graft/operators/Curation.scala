@@ -292,8 +292,12 @@ object Curation {
     * uses far more than the corpus does are its domain markers (or its
     * boilerplate), the signal mixture tuning and contamination triage
     * read. Integer-exact: ratio_e3 = (c_st·N·1000) div (n_s·c_t), all
-    * longs (safe to ~1e15 source-token counts; beyond that the ratio
-    * needs decimal — documented, not silent). Top `topPerSource` per
+    * longs. Overflow bound: the numerator c_st·N·1000 must stay under
+    * Long.Max ≈ 9.2e18, i.e. c_st·N ≲ 9e15 — e.g. a token with 1e6
+    * occurrences in one source is safe up to a ~9e9-token corpus;
+    * beyond that rewrite the ratio in decimal (or divide before
+    * multiplying at the cost of e3 granularity). ANSI mode fails
+    * loudly, not silently, past the bound. Top `topPerSource` per
     * source by (ratio desc, token).
     *
     * Plan: two map-side-combined aggregates over the exploded token

@@ -30,7 +30,16 @@ import graft.functions.Portable._
 object CurationPipeline {
 
   /** Stages 1–4: the surviving document set (doc_id, text, source,
-    * n_chars), i.e. what a training run would read. */
+    * n_chars), i.e. what a training run would read.
+    *
+    * Cache contract (caller-managed, same as Dedup.minhashNearDups):
+    * the quality stage is `.cache()`d because three downstream
+    * consumers read it; nothing here unpersists it — the frame is
+    * reachable from the RETURNED plan, so eager cleanup would re-pay
+    * the dedup shuffle and quality HOFs per consumer. Callers that
+    * invoke survivors()/curate() repeatedly in one long-lived session
+    * should `spark.catalog.clearCache()` between runs (Bench does,
+    * between reps) or accept LRU eviction. */
   def survivors(docs: DataFrame): DataFrame = {
     // 1. exact dedup (q20): keep-first per content fingerprint
     val deduped = Relational.keepFirst(

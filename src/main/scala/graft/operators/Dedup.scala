@@ -521,22 +521,27 @@ object Dedup {
     // training corpus as the batch — the eval set is tiny, so the index
     // side of the band probe is benchmark-sized and the corpus is
     // signed once, never self-joined. Planted contamination: eval docs
-    // re-inserted with the first token replaced (ids +5e6), invisible
-    // to EXACT hash dedup but ~930‰ Jaccard here.
+    // re-inserted with the first token replaced, invisible to EXACT
+    // hash dedup but ~930‰ Jaccard here. The copy-id offset is derived
+    // from max(doc_id)+1 (a 1-row aggregate, model-state-class
+    // collect), not a fixed constant — a corpus whose ids reach a
+    // hard-coded 5e6 would silently misclassify originals as copies
+    // and collide planted ids with real ones.
     "q125_fuzzy_decontam" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val off = docs.agg(max("doc_id")).first.getLong(0) + 1
       val evalSet = docs.where("doc_id % 97 = 3")
       val train = docs.where("doc_id % 97 <> 3").unionAll(
-        evalSet.selectExpr("doc_id + 5000000 AS doc_id",
+        evalSet.selectExpr(s"doc_id + ${off}L AS doc_id",
           "regexp_replace(text, '^\\\\S+', 'zzz') AS text"))
       val sigs = signatures(evalSet).cache()
       incrementalNearDups(bandedOf(sigs), sigs.select("doc_id", "sh"), train)
         .where("is_cross")
         // the training side of a cross pair is the id that is NOT an
-        // original eval doc (+5e6 copies can be ≡3 mod 97, hence the
-        // id-range guard)
+        // original eval doc (+off copies can be ≡3 mod 97, hence the
+        // id-range guard; off > every original id by construction)
         .selectExpr(
-          "CASE WHEN doc_a % 97 = 3 AND doc_a < 5000000 THEN doc_b ELSE doc_a END AS doc_id",
+          s"CASE WHEN doc_a % 97 = 3 AND doc_a < ${off}L THEN doc_b ELSE doc_a END AS doc_id",
           "j1000")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_matches"), max("j1000").as("best_j"))
@@ -670,10 +675,12 @@ object Dedup {
       // first-token-perturbed eval copies + the eval set), restricted to
       // cross (train × eval) pairs, grouped per training doc
       "q125_fuzzy_decontam" ->
-        s"""WITH corpus AS (
+        s"""WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+           |corpus AS (
            |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 3
            |  UNION ALL
-           |  SELECT doc_id + 5000000 AS doc_id, regexp_replace(text, '^\\S+', 'zzz') AS text
+           |  SELECT doc_id + (SELECT o FROM off) AS doc_id,
+           |    regexp_replace(text, '^\\S+', 'zzz') AS text
            |  FROM documents WHERE doc_id % 97 = 3
            |  UNION ALL
            |  SELECT doc_id, text FROM documents WHERE doc_id % 97 = 3),
@@ -694,8 +701,8 @@ object Dedup {
            |    CAST(round(1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) AS j1000
            |  FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ($bandMatch)
            |  WHERE 1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 499.5
-           |    AND ((a.doc_id % 97 = 3 AND a.doc_id < 5000000) <> (b.doc_id % 97 = 3 AND b.doc_id < 5000000)))
-           |SELECT CASE WHEN doc_a % 97 = 3 AND doc_a < 5000000 THEN doc_b ELSE doc_a END AS doc_id,
+           |    AND ((a.doc_id % 97 = 3 AND a.doc_id < (SELECT o FROM off)) <> (b.doc_id % 97 = 3 AND b.doc_id < (SELECT o FROM off))))
+           |SELECT CASE WHEN doc_a % 97 = 3 AND doc_a < (SELECT o FROM off) THEN doc_b ELSE doc_a END AS doc_id,
            |  CAST(COUNT(*) AS BIGINT) AS n_matches, MAX(j1000) AS best_j
            |FROM pairs GROUP BY 1 ORDER BY doc_id""".stripMargin,
       // q53's labels left-joined onto ALL documents (singletons = own

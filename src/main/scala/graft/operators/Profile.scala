@@ -168,18 +168,27 @@ object Profile {
       "unix_micros(ts) div 86400000000 AS d")
     val cube = base.groupBy("event_type", "d")
       .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
+    // exact × merged are matched on (grouping_id, null-safe event_type),
+    // NOT on a coalesced string sentinel: a REAL 'ALL' event type (or a
+    // NULL one) must stay a distinct row from the rollup grand total —
+    // a sentinel key would fan the join out and corrupt both rows. The
+    // 'ALL' label below is display-only, after the join is decided.
     val merged = cube.rollup(col("event_type"))
-      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
-      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
-        col("est"))
+      .agg(grouping_id().as("gid"),
+        expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"))
+      .alias("m")
     val exact = base.rollup(col("event_type"))
-      .agg(countDistinct("user_id").as("exact_users"),
+      .agg(grouping_id().as("gid"),
+        countDistinct("user_id").as("exact_users"),
         countDistinct("d").as("n_days"))
-      .select(coalesce(col("event_type"), lit("ALL")).as("event_type"),
-        col("exact_users"), col("n_days"))
-    exact.join(merged, "event_type")
-      .selectExpr("event_type", "exact_users", "n_days",
-        "abs(est - exact_users) <= 0.05 * exact_users AS merged_within")
+      .alias("x")
+    exact.join(merged,
+        col("x.gid") === col("m.gid") &&
+          (col("x.event_type") <=> col("m.event_type")))
+      .select(coalesce(col("x.event_type"), lit("ALL")).as("event_type"),
+        col("exact_users"), col("n_days"),
+        (abs(col("est") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("merged_within"))
       .orderBy("event_type")
   }
 

@@ -142,4 +142,26 @@ class ProfileSpec extends AnyFunSuite {
       rows.filterNot(_.getString(0) == "ALL").foreach(r => assert(r.getLong(1) > 100L))
     }
   }
+
+  test("sketchRollup: a REAL 'ALL' event type stays distinct from the rollup total") {
+    // the sentinel-collision trap: grouping keys must be
+    // (grouping_id, event_type), not a coalesced label — a literal
+    // 'ALL' type would otherwise fan out the exact×merged join and
+    // corrupt both its row and the grand total
+    val ev = spark.range(600).selectExpr(
+      "IF(id % 3 = 0, 'ALL', concat('t', id % 3)) AS event_type",
+      "id % 50 AS user_id",
+      "timestamp_micros(1700000000000000 + (id % 2) * 86400000000) AS ts",
+      "CAST(0.0 AS DOUBLE) AS value", "id AS event_id", "'' AS props")
+    val rows = Profile.sketchRollup(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(3)))
+    // types: ALL(real), t1, t2 + the grand total (also labeled ALL)
+    assert(rows.length == 4, s"join fanned out or dropped rows: ${rows.toSeq}")
+    val allRows = rows.filter(_._1 == "ALL").map(_._2).sorted.toSeq
+    // gcd(3,50)=1 → both the real-ALL slice (ids ≡ 0 mod 3) and the
+    // grand total cycle through all 50 user residues: two rows, 50 each
+    assert(allRows == Seq(50L, 50L),
+      s"expected a real-ALL row AND a total row, both 50 users: ${rows.toSeq}")
+    assert(rows.forall(_._3), s"sketch bound broken: ${rows.toSeq}")
+  }
 }
