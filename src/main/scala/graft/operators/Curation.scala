@@ -73,15 +73,45 @@ object Curation {
     * Scale shape: the eval shingle set is benchmark-sized (small) —
     * Spark broadcasts it into a LEFT SEMI hash join against the exploded
     * training shingles; the corpus itself never shuffles. */
+  /** (doc_id, sh: array<string>) word `gram`-grams per doc — guarded:
+    * sequence(1, 0) is DESCENDING in Spark, so short docs must
+    * short-circuit to an empty shingle list instead. Shared by the
+    * batch decontamination and the streaming fold's static probes. */
+  private def gramSets(docs: DataFrame, gram: Int): DataFrame = docs
+    .selectExpr("doc_id", s"$sparkToks AS toks")
+    .selectExpr("doc_id",
+      s"CASE WHEN size(toks) >= $gram THEN " +
+      s"transform(sequence(1, size(toks) - ${gram - 1}), i -> concat_ws(' ', slice(toks, i, $gram))) " +
+      "ELSE array() END AS sh")
+
+  /** Distinct word `gram`-grams of `docs` (doc_id, text) — the static
+    * benchmark shingle artifact a streaming decontamination probes
+    * ([[graft.streaming.CurationStream]]); in production this is built
+    * once from the held-out benchmark and broadcast to every batch. */
+  def evalShingleSet(docs: DataFrame, gram: Int = 6): DataFrame =
+    gramSets(docs, gram)
+      .select(explode_outer(col("sh")).as("shingle"))
+      .where("shingle IS NOT NULL").distinct()
+
+  /** Per-doc contamination flags of `docs` (doc_id, text) against a
+    * prebuilt (broadcast-sized) `evalShingles` set — the side-input
+    * form of [[decontaminate]] for callers whose eval set is fixed
+    * upfront rather than carved from the same frame. */
+  def decontaminateAgainst(docs: DataFrame, evalShingles: DataFrame,
+      gram: Int = 6): DataFrame = {
+    val sh = gramSets(docs, gram)
+    val contaminated = sh
+      .select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
+      .where("shingle IS NOT NULL")
+      .join(broadcast(evalShingles), Seq("shingle"), "left_semi")
+      .select("doc_id").distinct()
+    sh.select("doc_id")
+      .join(contaminated.withColumn("contaminated", lit(true)), Seq("doc_id"), "left")
+      .selectExpr("doc_id", "coalesce(contaminated, false) AS contaminated")
+  }
+
   def decontaminate(docs: DataFrame, gram: Int = 6, evalMod: Long = 97): DataFrame = {
-    val sh = docs
-      .selectExpr("doc_id", s"$sparkToks AS toks")
-      // guarded: sequence(1, 0) is DESCENDING in Spark, so short docs
-      // must short-circuit to an empty shingle list instead
-      .selectExpr("doc_id",
-        s"CASE WHEN size(toks) >= $gram THEN " +
-        s"transform(sequence(1, size(toks) - ${gram - 1}), i -> concat_ws(' ', slice(toks, i, $gram))) " +
-        "ELSE array() END AS sh")
+    val sh = gramSets(docs, gram)
     // explode_outer + post-filter, NOT explode: explode's implicit
     // `size(sh) > 0` filter gets pushed below the projection with the
     // whole shingle transform substituted in — the interpreted HOF would

@@ -40,6 +40,19 @@ object CurationPipeline {
     * invoke survivors()/curate() repeatedly in one long-lived session
     * should `spark.catalog.clearCache()` between runs (Bench does,
     * between reps) or accept LRU eviction. */
+  /** Stage-2 rule (q37's `passes` expressions) as a reusable per-doc
+    * filter — shared VERBATIM by the batch pipeline and the streaming
+    * fold ([[graft.streaming.CurationStream]]) so the two gates cannot
+    * drift. Text-only: duplicates share text, hence quality status, so
+    * the gate commutes with dedup. */
+  private[graft] def qualityGate(df: DataFrame): DataFrame = df
+    .where(s"size($sparkToks) >= 2")
+    .withColumn("__toks", expr(sparkToks))
+    .where("size(__toks) >= 5 AND size(__toks) <= 100000" +
+      " AND round(100.0 * aggregate(__toks, 0L, (acc, t) -> acc + length(t)) / size(__toks)) BETWEEN 200 AND 1200" +
+      " AND round(10000.0 * (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', ''))) / length(text)) < 3000")
+    .drop("__toks")
+
   def survivors(docs: DataFrame): DataFrame = {
     // 1. exact dedup (q20): keep-first per content fingerprint
     val deduped = Relational.keepFirst(
@@ -53,14 +66,7 @@ object CurationPipeline {
     // quality HOFs once per consumer (measured 4.0 s vs ~1.6 s for the
     // stages run once). The cache is per-stage survivor-sized, released
     // by the session's normal eviction (Bench clears between reps).
-    val quality = deduped
-      .where(s"size($sparkToks) >= 2")
-      .withColumn("__toks", expr(sparkToks))
-      .where("size(__toks) >= 5 AND size(__toks) <= 100000" +
-        " AND round(100.0 * aggregate(__toks, 0L, (acc, t) -> acc + length(t)) / size(__toks)) BETWEEN 200 AND 1200" +
-        " AND round(10000.0 * (length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', ''))) / length(text)) < 3000")
-      .drop("__toks")
-      .cache()
+    val quality = qualityGate(deduped).cache()
     // 3. decontamination (q62): drop train docs sharing any 6-gram with
     // the eval slice; the eval slice itself leaves the training corpus
     // NOT cached: both consumers (cap ranking and the final semi-join)

@@ -1,0 +1,155 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.operators.{Curation, CurationPipeline, Packing}
+
+/** The q129 curation pipeline run CONTINUOUSLY: documents arrive in
+  * micro-batches and the maintained state — the curated corpus pool and
+  * its shard manifest — always equals what the BATCH pipeline would
+  * produce on everything seen so far. Not approximately: the spec
+  * asserts row-identity against `CurationPipeline.survivors` /
+  * `Packing.shardManifest` on the same input, across arbitrary batch
+  * splits and a mid-stream restart.
+  *
+  * Why exact equality is even possible: every cross-batch stage is a
+  * FOLD whose merge is order- and split-insensitive —
+  *
+  *  - exact dedup = min(doc_id) per content fingerprint: a semilattice;
+  *    the state is an append-only parquet fingerprint index
+  *    (`state/fp/batch=<id>`), each batch contributing its per-fp min.
+  *    The pool filter `doc_id == global_min(fp)` also retro-purges a
+  *    pooled doc the moment a smaller-id duplicate arrives — exactly
+  *    the keeper batch keep-first would have chosen.
+  *  - quality gate + decontamination: per-doc predicates on text alone
+  *    (the eval shingle set is a STATIC side input, as a benchmark is),
+  *    so they commute with dedup — duplicates share text, hence flags.
+  *  - per-source cap = top-15 per source by (n_chars desc, doc_id):
+  *    top-k-per-group under a total order is a semilattice —
+  *    top15(A ∪ B) = top15(top15(A) ∪ B) — so folding batches through
+  *    the cap-bounded POOL (`state/pool/epoch=<id>`, ≤ cap×sources
+  *    rows, rewritten per batch) reproduces the global cap. Eviction is
+  *    safe-forever: later batches only add competitors, and a
+  *    fingerprint displacement swaps in an equal-text (hence
+  *    equal-rank-or-better) twin, so a doc evicted once can never
+  *    re-qualify.
+  *
+  * The shard manifest (`state/manifest/epoch=<id>`) is maintained by
+  * the q132 merge algebra on the common path — manifest ⊕
+  * shardManifest(newly admitted) whenever the batch evicted nothing —
+  * and recomputed from the cap-bounded pool when eviction or
+  * displacement dirtied it: the q136 maintained/dirty split, applied
+  * to the export artifact (min_id/max_id are extrema — not
+  * deletion-maintainable).
+  *
+  * Restart semantics (the CorpusIngest contract): every write is
+  * batch/epoch-keyed and OVERWRITES its own directory, prior state is
+  * read strictly from earlier epochs, so foreachBatch's at-least-once
+  * replay is idempotent by layout. `AvailableNow` drains and stops;
+  * long-lived deployments swap the trigger.
+  *
+  * Scale posture per batch: quality/decontam are narrow maps + one
+  * broadcast semi-join over the BATCH; the fp probe is one join of the
+  * batch+pool against the parquet fingerprint index (the q115
+  * batch×index shape — the corpus text already admitted is never
+  * rescanned); the cap re-ranks pool ∪ admissions (cap-bounded ∪
+  * batch-sized); manifest work is shard-count-sized.
+  */
+object CurationStream {
+
+  private val EvalMod = 97L
+
+  /** Epoch directories under `root` (`epoch=N`), ascending. */
+  private def epochs(spark: org.apache.spark.sql.SparkSession, root: String): Seq[Long] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("epoch=")).map(_.stripPrefix("epoch=").toLong).sorted
+  }
+
+  private val poolCols = Seq("doc_id", "text", "source", "n_chars", "fp")
+
+  /** One micro-batch of the fold — exposed for the spec's direct replay
+    * test (calling it twice with the same batchId must be a no-op). */
+  private[graft] def step(batch: DataFrame, batchId: Long,
+      evalShingles: DataFrame, statePath: String): Unit = {
+    val spark = batch.sparkSession
+    // quality gate (shared q37 expressions) over the batch; fp attached
+    // once; localCheckpoint severs the file-stream lineage so the frame
+    // feeds the index write, the pool fold, and the manifest freely
+    val quality = CurationPipeline.qualityGate(
+        batch.select("doc_id", "text", "source", "n_chars"))
+      .withColumn("fp", md5(col("text")))
+      .localCheckpoint()
+    // fingerprint index contribution: INCLUDING eval docs — in the
+    // batch pipeline eval docs participate in dedup (a min-id eval twin
+    // knocks out its train duplicates) even though they never train
+    val batchFp = quality.groupBy("fp").agg(min("doc_id").as("min_id"))
+    // own dir FIRST (overwrite): a replay heals its previous partial
+    // write before anything reads the index root
+    batchFp.write.mode("overwrite").parquet(s"$statePath/fp/batch=$batchId")
+    val fpMin = spark.read.parquet(s"$statePath/fp")
+      .groupBy("fp").agg(min("min_id").as("min_id"))
+    // train side: drop eval docs, then the static-benchmark decontam
+    val train = quality.where(s"doc_id % $EvalMod != 3")
+    val clean = train.join(
+      Curation.decontaminateAgainst(train.select("doc_id", "text"), evalShingles)
+        .where("NOT contaminated").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    // pool fold: prior pool ∪ admitted batch, fp-min filter, cap
+    val prev = epochs(spark, s"$statePath/pool").filter(_ < batchId).lastOption
+    val oldPool = prev match {
+      case Some(e) => spark.read.parquet(s"$statePath/pool/epoch=$e")
+        .select(poolCols.map(col): _*)
+      case None => clean.select(poolCols.map(col): _*).limit(0)
+    }
+    val surv = oldPool.unionByName(clean.select(poolCols.map(col): _*))
+      .join(fpMin, Seq("fp"))
+      .where(col("doc_id") === col("min_id")).drop("min_id")
+    val pool = surv.join(
+        Curation.sourceCap(surv).select("doc_id"), Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    // manifest: q132 ⊕ when append-only, q136-style recompute when the
+    // cap evicted or a duplicate displaced a pooled doc
+    val evictedNothing = oldPool.select("doc_id")
+      .join(pool, Seq("doc_id"), "left_anti").isEmpty
+    val manifest = prev match {
+      case Some(e) if evictedNothing =>
+        val admitted = pool.join(oldPool.select("doc_id"), Seq("doc_id"), "left_anti")
+        Packing.mergeManifests(
+          spark.read.parquet(s"$statePath/manifest/epoch=$e"),
+          Packing.shardManifest(admitted))
+      case _ => Packing.shardManifest(pool)
+    }
+    // epoch-keyed overwrites: replay-idempotent by layout
+    pool.write.mode("overwrite").parquet(s"$statePath/pool/epoch=$batchId")
+    manifest.write.mode("overwrite").parquet(s"$statePath/manifest/epoch=$batchId")
+  }
+
+  /** Start the curation loop over a streaming `documents`-shaped frame.
+    * `evalShingles` is the static benchmark shingle set
+    * ([[Curation.evalShingleSet]]); state lands under `statePath`
+    * (fp index, pool epochs, manifest epochs). */
+  def start(docs: DataFrame, evalShingles: DataFrame, statePath: String,
+            checkpointPath: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        step(batch, batchId, evalShingles, statePath)
+      }
+
+  /** The curated corpus as of the latest epoch (what a training run
+    * reads), and its manifest. */
+  def latestPool(spark: org.apache.spark.sql.SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(
+      s"$statePath/pool/epoch=${epochs(spark, s"$statePath/pool").last}")
+  def latestManifest(spark: org.apache.spark.sql.SparkSession, statePath: String): DataFrame =
+    spark.read.parquet(
+      s"$statePath/manifest/epoch=${epochs(spark, s"$statePath/manifest").last}")
+}
