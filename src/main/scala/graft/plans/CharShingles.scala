@@ -75,8 +75,7 @@ case class CharShingles(child: Expression, n: Int) extends UnaryExpression {
 object CharShingles {
   /** SQL registration: `graft_char_shingles(text, n)` (n a foldable int). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_char_shingles",
+    Registry.once(spark, "graft_char_shingles")(
       { exprs =>
         require(exprs.length == 2, "graft_char_shingles(text, n)")
         val n = exprs(1) match {
@@ -85,6 +84,5 @@ object CharShingles {
             s"shingle width must be a literal int, got $other")
         }
         CharShingles(exprs.head, n)
-      },
-      "scala_udf")
+      })
 }

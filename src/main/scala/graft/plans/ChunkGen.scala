@@ -63,10 +63,8 @@ object ChunkGen {
   /** Register `graft_chunks(text, size, stride)` (size/stride integer
     * literals — they are part of the generator's shape). Idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_chunks",
+    Registry.once(spark, "graft_chunks")(
       exprs => ChunkGen(exprs(0),
         exprs(1).eval(null).asInstanceOf[Number].intValue(),
-        exprs(2).eval(null).asInstanceOf[Number].intValue()),
-      "scala_udf")
+        exprs(2).eval(null).asInstanceOf[Number].intValue()))
 }

@@ -72,6 +72,5 @@ object CosineSim {
   /** Register `graft_cosine_sim` on the session's function registry so it
     * is usable from selectExpr/SQL. Idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_cosine_sim", exprs => CosineSim(exprs(0), exprs(1)), "scala_udf")
+    Registry.once(spark, "graft_cosine_sim")(exprs => CosineSim(exprs(0), exprs(1)))
 }

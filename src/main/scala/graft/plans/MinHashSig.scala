@@ -108,6 +108,5 @@ object MinHashSig {
   /** Register `graft_minhash_sig` on the session's function registry so
     * it is usable from selectExpr/SQL. Idempotent. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash_sig", exprs => MinHashSig(exprs.head), "scala_udf")
+    Registry.once(spark, "graft_minhash_sig")(exprs => MinHashSig(exprs.head))
 }

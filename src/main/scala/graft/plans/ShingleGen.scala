@@ -61,9 +61,7 @@ object ShingleGen {
     * LATERAL VIEW work from SQL. The second argument must be an integer
     * literal (it is part of the generator's shape). Idempotent. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_shingles",
+    Registry.once(spark, "graft_shingles")(
       exprs => ShingleGen(exprs(0),
-        exprs(1).eval(null).asInstanceOf[Number].intValue()),
-      "scala_udf")
+        exprs(1).eval(null).asInstanceOf[Number].intValue()))
 }

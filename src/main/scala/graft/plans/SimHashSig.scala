@@ -84,6 +84,5 @@ object SimHashSig {
 
   /** Register `graft_simhash_sig(toks)` for selectExpr/SQL. Idempotent. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash_sig", exprs => SimHashSig(exprs.head), "scala_udf")
+    Registry.once(spark, "graft_simhash_sig")(exprs => SimHashSig(exprs.head))
 }
