@@ -261,6 +261,19 @@ object ScaleCheck {
         Diff.maintainGroupedAgg(view, feed, "lang", "n_chars"),
         post.groupBy("lang")
           .agg(count(lit(1)).as("n"), sum("n_chars").cast("long").as("v")))
+
+      // MIN/MAX IVM (q136) on the same feed: every n_chars value
+      // repeats across replicas, so the residue-class deletions always
+      // remove a copy of some group's current extremum — the
+      // dirty-group detection fires and the recompute path runs its
+      // post-image semi-join at full scale (feed-bounded build side,
+      // never a base re-aggregation for clean groups)
+      val viewMm = big.groupBy("lang").agg(count(lit(1)).as("n"),
+        min("n_chars").as("mn"), max("n_chars").as("mx"))
+      check("ivm_minmax")(
+        Diff.maintainMinMax(viewMm, feed, post, "lang", "n_chars"),
+        post.groupBy("lang").agg(count(lit(1)).as("n"),
+          min("n_chars").as("mn"), max("n_chars").as("mx")))
     }
 
     // export-shard manifest: one map-side-combined aggregate over the

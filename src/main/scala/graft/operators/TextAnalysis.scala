@@ -229,8 +229,65 @@ object TextAnalysis {
     // exactly this way (postings segmented per term). The cap keeps the
     // per-group state bounded; df stays exact regardless of the cap.
     "q110_inverted_index" -> ((s, dir) =>
-      invertedIndex(Tables.documents(s, dir), cap = 10, topN = 50))
+      invertedIndex(Tables.documents(s, dir), cap = 10, topN = 50)),
+
+    // BM25 ranked retrieval — the scoring layer over q110's index
+    // structure, and the keyword-search / contamination-triage verdict a
+    // corpus platform actually serves. Fixed query terms spanning the
+    // df spectrum of the synthetic vocabulary.
+    "q138_bm25" -> ((s, dir) =>
+      bm25TopK(Tables.documents(s, dir), Seq("spark", "merge", "vector")))
   )
+
+  /** BM25 top-`topK` documents for a literal term set (q138):
+    * score(D) = Σ_t round6(idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)))
+    * with the Lucene idf ln(1 + (N−df+0.5)/(df+0.5)). Each TERM's score
+    * is rounded to e6 BEFORE the integer sum (the house cosine trick),
+    * so the total never depends on double summation order and both
+    * engines rank identical BIGINTs.
+    *
+    * Scale shape — ONE corpus scan end-to-end: explode(tokens) feeds a
+    * single map-side-combined hash aggregate keyed by doc_id producing
+    * (dl, tf_term…) as conditional sums (no per-term corpus passes, no
+    * token self-join, no second tokenize for avgdl); N/avgdl and the
+    * per-term dfs are two 1-row broadcasts over that per-doc frame;
+    * scoring is a narrow map over docs containing ≥1 term; the final
+    * top-k is TakeOrdered (distributed heap-k, never a global sort).
+    * At 100 TB the per-doc frame is the only shuffle and the term list
+    * rides in the aggregate expressions. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k1: Double = 1.2,
+      b: Double = 0.75, topK: Int = 20): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[A-Za-z0-9]+")),
+      "bm25TopK: literal alphanumeric terms only")
+    val perDoc = docs
+      .selectExpr("doc_id", s"explode_outer($toksE) AS tok")
+      .groupBy("doc_id")
+      .agg(count("tok").as("dl"),
+        terms.map(t => sum(when(col("tok") === t, 1L).otherwise(0L))
+          .as(s"tf_$t")): _*)
+    val stats = perDoc.agg(
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"),
+      count(lit(1)).cast("double").as("n"))
+    val dfs = perDoc.agg(
+      sum(when(col(s"tf_${terms.head}") > 0, 1.0).otherwise(0.0)).as(s"df_${terms.head}"),
+      terms.tail.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1.0).otherwise(0.0)).as(s"df_$t")): _*)
+    val termScore = (t: String) =>
+      s"""CASE WHEN tf_$t > 0 THEN cast(round(1e6 * ln(1 + (n - df_$t + 0.5) / (df_$t + 0.5)) * tf_$t * ${k1 + 1} / (tf_$t + $k1 * (${1 - b} + $b * dl / avgdl))) as bigint) ELSE 0L END"""
+    val scored = perDoc
+      .crossJoin(broadcast(stats)).crossJoin(broadcast(dfs))
+      .where(terms.map(t => col(s"tf_$t") > 0).reduce(_ || _))
+      .withColumn("score_e6", expr(terms.map(termScore).mkString(" + ")))
+      .select("doc_id", "score_e6")
+      .orderBy(col("score_e6").desc, col("doc_id"))
+      .limit(topK) // TakeOrdered: distributed heap top-k
+    // rank assigned AFTER the limit — the window sees topK rows, so the
+    // single-partition window is constant-sized by construction
+    scored.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_e6").desc, col("doc_id"))).cast("long"))
+      .select("rank", "doc_id", "score_e6")
+  }
 
   /** Inverted index core (q110): token → exact df + first-`cap`
     * posting list, `topN` most frequent tokens. See the registration
@@ -370,7 +427,40 @@ object TextAnalysis {
           |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
           |    FILTER (WHERE rn <= 10) AS postings10
           |FROM ranked GROUP BY tok
-          |ORDER BY df DESC, tok LIMIT 50""".stripMargin
+          |ORDER BY df DESC, tok LIMIT 50""".stripMargin,
+
+      // per-term scores rounded to e6 BEFORE the integer sum, so the
+      // total is shuffle/summation-order independent on both engines;
+      // arithmetic spelled in the identical order as the Spark side
+      "q138_bm25" -> {
+        val terms = Seq("spark", "merge", "vector")
+        val tfCols = terms.map(t =>
+          s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n  ")
+        val dfCols = terms.map(t =>
+          s"SUM(CASE WHEN tf_$t > 0 THEN 1.0 ELSE 0.0 END) AS df_$t").mkString(",\n  ")
+        val score = terms.map(t =>
+          s"(CASE WHEN tf_$t > 0 THEN CAST(round(1e6 * ln(1 + (n - df_$t + 0.5) / (df_$t + 0.5)) * tf_$t * 2.2 / (tf_$t + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT) ELSE 0 END)").mkString("\n    + ")
+        val any = terms.map(t => s"tf_$t > 0").mkString(" OR ")
+        s"""WITH t AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+           |pd AS (
+           |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+           |  $tfCols
+           |  FROM t),
+           |st AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+           |  CAST(COUNT(*) AS DOUBLE) AS n FROM pd),
+           |dfs AS (SELECT
+           |  $dfCols
+           |  FROM pd),
+           |sc AS (
+           |  SELECT doc_id,
+           |    $score AS score_e6
+           |  FROM pd CROSS JOIN st CROSS JOIN dfs
+           |  WHERE $any)
+           |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank,
+           |  doc_id, score_e6
+           |FROM sc ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin
+      }
     )
   }
 }

@@ -312,6 +312,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(recall >= 0.2, s"recall@5 with nprobe=4 was $recall")
   }
 
+  test("bm25: tf and idf move scores the right way; top-k is a distributed TakeOrdered") {
+    // planted corpus: 'rare' appears in 2 docs, 'common' in all 6.
+    // Doc 1 has rare twice, doc 2 once (same length) — tf monotonicity.
+    // Doc 3 (common only) must score below any rare-matching doc — idf.
+    val docs = Seq(
+      (1L, "rare rare common aa bb cc dd ee"),
+      (2L, "rare xx common aa bb cc dd ee"),
+      (3L, "common yy zz aa bb cc dd ee"),
+      (4L, "common y2 z2 aa bb cc dd ee"),
+      (5L, "common y3 z3 aa bb cc dd ee"),
+      (6L, "common y4 z4 aa bb cc dd ee")).toDF("doc_id", "text")
+    val out = TextAnalysis.bm25TopK(docs, Seq("rare", "common"), topK = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.map(_._2).take(2).toSeq == Seq(1L, 2L),
+      s"tf/idf ordering broken: ${out.toSeq}")
+    val byDoc = out.map(t => t._2 -> t._3).toMap
+    assert(byDoc(1L) > byDoc(2L), "higher tf must outrank at equal dl")
+    assert(byDoc(2L) > byDoc(3L), "a rare-term match must outrank common-only")
+    assert(out.map(_._1).toSeq == (1L to 6L), "ranks must be dense from 1")
+    // plan shape: distributed heap top-k, not a global sort
+    val plan = TextAnalysis.bm25TopK(docs, Seq("rare"), topK = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected TakeOrdered in:\n$plan")
+  }
+
   test("sequence packing: no sequence exceeds the budget, all but the last per shard are exactly full, tokens conserved") {
     import graft.operators.Packing
     val plan = Packing.packSequences(docs).cache()
