@@ -160,9 +160,15 @@ object Diff {
       max(when(isDel, col(value))).as("__rmx"))
     val joined = base.join(delta, Seq(group), "full_outer")
     val nNew = coalesce(col("n"), lit(0L)) + coalesce(col("__dn"), lit(0L))
-    // null-safe equality: __rmn is NULL when the group saw no removals,
-    // and NULL <=> mn is false — insert-only groups are never dirty
-    val dirty = ((col("__rmn") <=> col("mn")) || (col("__rmx") <=> col("mx"))) &&
+    // dirty ⟺ some NON-NULL removed value equals a current extremum.
+    // The isNotNull guard matters twice: __rmn is NULL both when the
+    // group saw no removals AND when every removed value was NULL
+    // (MIN/MAX ignore NULLs, so neither can dislodge an extremum) —
+    // and for an all-NULL-value group mn is NULL too, where a bare
+    // NULL <=> NULL would false-flag an insert-only group as dirty
+    // and read the base table for nothing
+    val dirty = ((col("__rmn").isNotNull && (col("__rmn") <=> col("mn"))) ||
+      (col("__rmx").isNotNull && (col("__rmx") <=> col("mx")))) &&
       nNew > 0
     val maintained = joined
       .where(!dirty && nNew > 0)

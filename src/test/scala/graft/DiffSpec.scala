@@ -130,6 +130,29 @@ class DiffSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("g1", 2L, 10L, 30L)))
   }
 
+  test("maintainMinMax: NULL values never dirty a group (NULL extrema, NULL removals)") {
+    // group g1 holds only NULL values (mn = mx = NULL); an insert-only
+    // feed must ride the MAINTAINED path — a bare NULL <=> NULL dirty
+    // test would recompute g1 from the (here deliberately EMPTY) post
+    // frame and drop the group. A delete of a NULL value likewise
+    // cannot dislodge an extremum.
+    val base = Seq(("g1", 2L, Option.empty[Long], Option.empty[Long]),
+      ("g2", 2L, Some(4L), Some(9L))).toDF("g", "n", "mn", "mx")
+    val feed = Seq(
+      ("insert", "g1", Option.empty[Long]),
+      ("delete", "g2", Option.empty[Long])) // NULL removal: not dirty
+      .toDF("change_type", "g", "v")
+    val emptyPost = Seq.empty[(Long, String, Option[Long])].toDF("k", "g", "v")
+    val out = Diff.maintainMinMax(base, feed, emptyPost, "g", "v")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(out.toSeq == Seq(
+      ("g1", 3L, None, None),
+      ("g2", 1L, Some(4L), Some(9L))))
+  }
+
   test("maintainMinMax fails loudly on an unknown change_type") {
     val base = Seq(("g1", 1L, 10L, 10L)).toDF("g", "n", "mn", "mx")
     val bad = Seq(("upsert", "g1", 11L)).toDF("change_type", "g", "v")
