@@ -565,8 +565,46 @@ object Dedup {
         .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
         .withColumn("split", Relational.splitLabel(col("cluster")))
         .orderBy("doc_id")
-    })
+    }),
+
+    // Passage-level exact dedup (the sub-document granularity the
+    // doc-level q20 can't reach): each document is cut into
+    // non-overlapping 8-token passages; a passage repeated ANYWHERE in
+    // the corpus survives only at its first occurrence (min packed
+    // (doc_id, pidx) — the q01 packed-long keep-first applied at passage
+    // grain), and every document is REBUILT from its surviving passages
+    // in order. ~5% of this corpus's passages are natural exact repeats,
+    // so the merge path is exercised without planting. Scale shape: one
+    // tokenize + explode, then exactly two hash-aggregate shuffles —
+    // keep-first keyed on passage text, rebuild keyed on doc_id. No
+    // joins, no windows over the corpus; at 100 TB this is the same
+    // two-shuffle profile as q20 with ~n_passages rows in flight.
+    // pidx < 2^16 bounds docs at 524k tokens (the packed-long budget).
+    "q139_passage_dedup" -> ((s, dir) =>
+      passageDedup(Tables.documents(s, dir)))
   )
+
+  /** q139 core: non-overlapping `w`-token passages, corpus-wide
+    * keep-first per passage text, documents rebuilt from survivors.
+    * Output: (doc_id, n_kept, text_kept) for every doc keeping ≥1
+    * passage. Packed key = doc_id·2^16 + pidx (total order, single
+    * bigint MIN — no row_number window over the passage stream). */
+  def passageDedup(docs: DataFrame, w: Int = 8): DataFrame =
+    docs
+      .selectExpr("doc_id", s"${graft.functions.Portable.sparkToks} AS toks")
+      .where("size(toks) > 0")
+      .selectExpr("doc_id",
+        s"explode(sequence(0, cast(ceil(size(toks) / $w.0) as int) - 1)) AS pidx",
+        "toks")
+      .selectExpr("doc_id * 65536 + pidx AS packed",
+        s"array_join(slice(toks, pidx * $w + 1, $w), ' ') AS ptext")
+      .groupBy("ptext").agg(min("packed").as("packed"))
+      .selectExpr("packed div 65536 AS doc_id", "packed % 65536 AS pidx", "ptext")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(pidx, ptext))), x -> x.ptext), ' ')")
+          .as("text_kept"))
+      .orderBy("doc_id")
 
   /** Per-(session, sfDir) memo of the persisted LSH index location for
     * the q115/q116 incremental-dedup gates: bands + shingle sets of the
@@ -727,6 +765,23 @@ object Dedup {
            |       ELSE 'test' END AS split
            |FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
            |ORDER BY d.doc_id""".stripMargin,
+      // passage-grain keep-first + rebuild; list slices are 1-based
+      // inclusive in DuckDB, mirroring Spark's slice(arr, start, len)
+      "q139_passage_dedup" ->
+        """WITH t AS (
+          |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+          |e AS (
+          |  SELECT doc_id, unnest(range(CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS pidx, toks
+          |  FROM t WHERE len(toks) > 0),
+          |p AS (
+          |  SELECT doc_id * 65536 + pidx AS packed,
+          |    array_to_string(toks[pidx*8+1 : pidx*8+8], ' ') AS ptext
+          |  FROM e),
+          |k AS (SELECT ptext, MIN(packed) AS packed FROM p GROUP BY ptext),
+          |r AS (SELECT packed // 65536 AS doc_id, packed % 65536 AS pidx, ptext FROM k)
+          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+          |  array_to_string(list(ptext ORDER BY pidx), ' ') AS text_kept
+          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
       "q38_canonical_dedup" ->
         """SELECT doc_id, cfp FROM (
           |  SELECT doc_id,

@@ -106,9 +106,48 @@ object Packing {
         expr("bit_xor(checksum)").cast("long").as("checksum"),
         min("min_id").as("min_id"), max("max_id").as("max_id"))
 
+  /** Number of shuffle shards for [[epochShuffle]]. */
+  val DefaultEpochShards = 8
+
+  /** Deterministic per-epoch training order: every epoch re-shuffles the
+    * corpus by a PORTABLE hash of (doc_id, epoch) — the standard
+    * seeded-reshuffle a training loader needs (same data, different
+    * order each epoch, reproducible across engines and cluster sizes
+    * with no RNG state). Each doc lands in shard = hash % S and takes
+    * position = rank of its hash WITHIN that shard.
+    *
+    * Scale shape: ordering is assigned per (epoch, shard), never
+    * globally — the row_number window partitions by (epoch, shard), so
+    * the largest sort is corpus/S and grows shards with the corpus
+    * (a global contiguous position would need a single-partition window
+    * or a zipWithIndex second pass; loaders consume shard files, so
+    * within-shard order IS the artifact). One explode (cheap, ×epochs)
+    * + one window shuffle. */
+  def epochShuffle(documents: DataFrame, epochs: Int = 2,
+                   shards: Int = DefaultEpochShards): DataFrame = {
+    require(epochs > 0 && shards > 0)
+    val keyed = documents
+      .selectExpr("doc_id",
+        s"explode(sequence(0, ${epochs - 1})) AS epoch")
+      .selectExpr("cast(epoch as bigint) AS epoch", "doc_id",
+        s"${sparkHash48("concat(cast(doc_id as string), ':', cast(epoch as string))")} AS okey")
+      .withColumn("shard", pmod(col("okey"), lit(shards.toLong)))
+    keyed.withColumn("pos",
+        row_number().over(Window.partitionBy("epoch", "shard")
+          .orderBy("okey", "doc_id")).cast("long"))
+      .select("epoch", "shard", "pos", "doc_id", "okey")
+  }
+
   // ---------------------------------------------------------------- query
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-epoch deterministic reshuffle: the oracle recomputes the same
+    // portable-hash order, so the hash match pins both the assignment
+    // AND the within-shard sequence for every epoch.
+    "q140_epoch_shuffle" -> ((s, dir) =>
+      epochShuffle(Tables.documents(s, dir))
+        .orderBy("epoch", "shard", "pos")),
+
     "q56_seq_packing" -> ((s, dir) =>
       packSequences(Tables.documents(s, dir))
         .orderBy("shard", "seq_id", "doc_id")),
@@ -132,6 +171,17 @@ object Packing {
   )
 
   def oracle: Map[String, String] = Map(
+    "q140_epoch_shuffle" ->
+      s"""WITH k AS (
+         |  SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,
+         |    ${duckHash48("concat(CAST(doc_id AS VARCHAR), ':', CAST(epoch AS VARCHAR))")} AS okey
+         |  FROM documents, (SELECT unnest(range(2)) AS epoch)),
+         |s AS (SELECT epoch, doc_id, okey, okey % $DefaultEpochShards AS shard FROM k)
+         |SELECT epoch, shard,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch, shard ORDER BY okey, doc_id) AS BIGINT) AS pos,
+         |  doc_id, okey
+         |FROM s ORDER BY epoch, shard, pos""".stripMargin,
+
     "q56_seq_packing" ->
       s"""WITH t AS (
          |  SELECT doc_id, doc_id % $DefaultShards AS shard,

@@ -236,8 +236,34 @@ object TextAnalysis {
     // corpus platform actually serves. Fixed query terms spanning the
     // df spectrum of the synthetic vocabulary.
     "q138_bm25" -> ((s, dir) =>
-      bm25TopK(Tables.documents(s, dir), Seq("spark", "merge", "vector")))
+      bm25TopK(Tables.documents(s, dir), Seq("spark", "merge", "vector"))),
+
+    // Hashed linear quality classifier (the fastText-style filter shape
+    // used to gate pretraining corpora): each token's weight is a
+    // deterministic function of its portable 48-bit feature hash
+    // (w ∈ [-1000, 1000] e3 fixed point — in a real deployment the
+    // lookup is a trained weight table broadcast to executors; the
+    // hash-derived stand-in keeps the 100 TB plan identical and the
+    // oracle exact), the document score is the token-weight SUM folded
+    // by `aggregate` entirely inside codegen — zero shuffles, zero
+    // joins, one corpus scan. `keep` = mean weight > 0 (score > 0
+    // suffices since n > 0).
+    "q141_quality_classifier" -> ((s, dir) =>
+      hashedClassifier(Tables.documents(s, dir)))
   )
+
+  /** q141 core: score_e3 = Σ_t ((hash48('qw1_' ⧺ t) mod 2001) − 1000),
+    * an expression-only fold over the token array. */
+  def hashedClassifier(docs: DataFrame): DataFrame = {
+    val w = s"(${graft.functions.Portable.sparkHash48("concat('qw1_', t)")} % 2001 - 1000)"
+    docs.selectExpr("doc_id", s"$toksE AS toks")
+      .where("size(toks) > 0")
+      .selectExpr("doc_id",
+        "cast(size(toks) as bigint) AS n_tokens",
+        s"aggregate(toks, 0L, (acc, t) -> acc + $w) AS score_e3")
+      .selectExpr("doc_id", "n_tokens", "score_e3", "score_e3 > 0 AS keep")
+      .orderBy("doc_id")
+  }
 
   /** BM25 top-`topK` documents for a literal term set (q138):
     * score(D) = Σ_t round6(idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)))
@@ -435,6 +461,14 @@ object TextAnalysis {
       // per-term scores rounded to e6 BEFORE the integer sum, so the
       // total is shuffle/summation-order independent on both engines;
       // arithmetic spelled in the identical order as the Spark side
+      "q141_quality_classifier" ->
+        s"""WITH t AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
+           |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+           |  CAST(list_sum(list_transform(toks, t -> ${graft.functions.Portable.duckHash48("concat('qw1_', t)")} % 2001 - 1000)) AS BIGINT) AS score_e3,
+           |  CAST(list_sum(list_transform(toks, t -> ${graft.functions.Portable.duckHash48("concat('qw1_', t)")} % 2001 - 1000)) AS BIGINT) > 0 AS keep
+           |FROM t WHERE len(toks) > 0 ORDER BY doc_id""".stripMargin,
+
       "q138_bm25" -> {
         val terms = Seq("spark", "merge", "vector")
         val tfCols = terms.map(t =>

@@ -481,4 +481,51 @@ class LlmOpsSpec extends AnyFunSuite {
     // subword estimate is never below the whitespace count
     assert(bpe.where("n_tokens_bpeish < n_ws").count() == 0)
   }
+
+  test("passage dedup keeps a repeated passage only at its first occurrence and rebuilds docs in order") {
+    // doc 1 and doc 5 share an identical 8-token passage at different
+    // positions; doc 9 is doc 1 verbatim (every passage lost)
+    val shared = (1 to 8).map(i => s"dup$i").mkString(" ")
+    val d1 = shared + " " + (1 to 8).map(i => s"one$i").mkString(" ")
+    val d5 = (1 to 8).map(i => s"five$i").mkString(" ") + " " + shared + " tail1 tail2"
+    val corpus = Seq((1L, d1), (5L, d5), (9L, d1)).toDF("doc_id", "text")
+    val out = Dedup.passageDedup(corpus).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) == ((2L, d1))) // first occurrence: intact, order preserved
+    assert(out(5L) == ((2L, (1 to 8).map(i => s"five$i").mkString(" ") + " tail1 tail2")))
+    assert(!out.contains(9L)) // exact copy: all passages deduped away
+    // token conservation: kept tokens = distinct passages' tokens
+    val total = out.values.map(_._2.split(" ").length).sum
+    assert(total == 8 + 8 + 8 + 2, s"kept $total tokens")
+  }
+
+  test("epoch shuffle is a per-epoch permutation with epoch-dependent order") {
+    import graft.operators.Packing
+    val n = docs.count()
+    val shuf = Packing.epochShuffle(docs, epochs = 2).cache()
+    // every epoch contains the corpus exactly once
+    assert(shuf.groupBy("epoch").count().collect().forall(_.getLong(1) == n))
+    assert(shuf.groupBy("epoch", "doc_id").count().where("count > 1").count() == 0)
+    // positions are contiguous 1..k within each (epoch, shard)
+    val bad = shuf.groupBy("epoch", "shard")
+      .agg(min("pos").as("mn"), max("pos").as("mx"), count(lit(1)).as("c"))
+      .where("mn != 1 OR mx != c").count()
+    assert(bad == 0)
+    // the two epochs order the corpus differently (hash keyed on epoch)
+    val e0 = shuf.where("epoch = 0").orderBy("shard", "pos").select("doc_id").collect().map(_.getLong(0)).toSeq
+    val e1 = shuf.where("epoch = 1").orderBy("shard", "pos").select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(e0 != e1, "epochs must reshuffle")
+    shuf.unpersist()
+  }
+
+  test("hashed classifier score is the sum of its per-token weights") {
+    val out = TextAnalysis.hashedClassifier(Seq((7L, "alpha beta alpha")).toDF("doc_id", "text"))
+      .collect().head
+    val w = (t: String) => spark.sql(
+      s"SELECT ${graft.functions.Portable.sparkHash48(s"'qw1_$t'")} % 2001 - 1000")
+      .collect().head.getLong(0)
+    assert(out.getLong(1) == 3L)
+    assert(out.getLong(2) == 2 * w("alpha") + w("beta"))
+    assert(out.getBoolean(3) == (out.getLong(2) > 0))
+  }
 }
