@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Portable
+
+/** BPE vocabulary induction (q143) — the tokenizer-TRAINING operator: learn
+  * the first `k` byte-pair merges from the corpus, Sennrich-style
+  * (subword-nmt `learn_bpe`): count adjacent symbol pairs over the
+  * word-TYPE vocabulary weighted by type frequency, merge the most
+  * frequent pair greedily left-to-right in every word, repeat.
+  *
+  * Scale shape — the textbook reason BPE training is feasible at 100 TB:
+  * the ONLY corpus-sized operation is the initial `explode → groupBy(w)`
+  * type count (one shuffle, map-side combined). Every iteration runs on
+  * the TYPE table (distinct words × word length rows — millions, not
+  * trillions), windowed per word, so the largest per-iteration partition
+  * is one word's symbols. The argmax is a 1-row collect per step
+  * (bounded model state, the centroid convention); `localCheckpoint`
+  * per iteration truncates the otherwise-nesting window lineage (the
+  * Dedup label-prop / PageRank lesson).
+  *
+  * Determinism: ties on pair count break by (sym_a, sym_b) ascending —
+  * both engines compare ASCII strings identically, so the learned merge
+  * list is cross-engine exact. Overlapping occurrences (only possible
+  * when sym_a = sym_b) merge greedily left-to-right: runs of consecutive
+  * match positions keep alternate members (pos − run_min even), exactly
+  * the semantics of a sequential scan.
+  */
+object Bpe {
+
+  /** Learned merge list: (step, sym_a, sym_b, pair_cnt), step 1..k. */
+  def bpeMerges(docs: DataFrame, k: Int = DefaultMerges): DataFrame = {
+    require(k >= 1)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val vocab = docs.selectExpr(s"explode(${Portable.sparkToks}) AS w")
+      .where("w <> ''").groupBy("w").agg(count(lit(1)).as("cnt"))
+    var syms = vocab
+      .selectExpr("w", "cnt", "posexplode(split(w, '')) AS (pos, sym)")
+      .selectExpr("w", "cnt", "cast(pos as bigint) AS pos", "sym")
+      .localCheckpoint()
+    val byPos = Window.partitionBy("w").orderBy("pos")
+    val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    for (step <- 1 to k) {
+      val withNext = syms.withColumn("nsym", lead("sym", 1).over(byPos))
+      // 1-row argmax: pair count over types weighted by cnt
+      val best = withNext.where("nsym IS NOT NULL")
+        .groupBy("sym", "nsym").agg(sum("cnt").as("c"))
+        .orderBy(col("c").desc, col("sym"), col("nsym")).limit(1).collect()(0)
+      val (a, b) = (best.getString(0), best.getString(1))
+      merges += ((step.toLong, a, b, best.getLong(2)))
+      val m = withNext.withColumn("is_match",
+        col("sym") === lit(a) && col("nsym") === lit(b))
+      // greedy-left overlap resolution: consecutive match positions form
+      // a run (pos − row_number constant); alternate members merge
+      val mm = m.where("is_match")
+        .withColumn("grp", col("pos") - row_number().over(byPos))
+        .withColumn("keep",
+          (col("pos") - min("pos").over(Window.partitionBy("w", "grp"))) % 2 === 0)
+        .where("keep")
+        .select(col("w").as("w2"), col("pos").as("pos2"), lit(true).as("merge_here"))
+      val j = m.join(mm, col("w") === col("w2") && col("pos") === col("pos2"), "left")
+        .withColumn("do_merge", coalesce(col("merge_here"), lit(false)))
+        .withColumn("pm", coalesce(lag("do_merge", 1).over(byPos), lit(false)))
+        .where(!col("pm")) // the absorbed right symbol disappears
+        .selectExpr("w", "cnt", "pos",
+          "CASE WHEN do_merge THEN concat(sym, nsym) ELSE sym END AS sym")
+      syms = j.withColumn("pos", row_number().over(byPos).cast("long") - 1)
+        .select("w", "cnt", "pos", "sym")
+        .localCheckpoint()
+    }
+    merges.toSeq.toDF("step", "sym_a", "sym_b", "pair_cnt")
+  }
+
+  val DefaultMerges = 6
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q143_bpe_merges" -> ((s, dir) => bpeMerges(Tables.documents(s, dir))))
+
+  /** DuckDB twin: the same k iterations unrolled as chained CTEs. The
+    * MATERIALIZED hints are semantics-neutral but load-bearing for the
+    * oracle's own runtime — inlined, each of the ~8 CTEs per step
+    * re-expands its whole upstream chain and the plan grows
+    * exponentially in k (observed: >120 s inlined vs 0.6 s
+    * materialized at k=6). */
+  def oracle: Map[String, String] = Map("q143_bpe_merges" -> duckSql(DefaultMerges))
+
+  private def duckSql(k: Int): String = {
+    val head = Seq(
+      """v AS MATERIALIZED (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w)""".stripMargin,
+      """v0 AS (SELECT w, cnt, string_split(w, '') AS chars FROM v),
+        |v1 AS (SELECT w, cnt, chars, unnest(range(CAST(len(chars) AS BIGINT))) AS pos FROM v0),
+        |it0 AS MATERIALIZED (SELECT w, cnt, pos, chars[pos + 1] AS sym FROM v1)""".stripMargin)
+    val steps = (1 to k).map { i =>
+      val p = s"it${i}_"
+      s"""${p}n AS MATERIALIZED (
+         |  SELECT w, cnt, pos, sym, lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nsym FROM it${i - 1}),
+         |${p}pc AS (
+         |  SELECT sym AS a, nsym AS b, CAST(SUM(cnt) AS BIGINT) AS c FROM ${p}n WHERE nsym IS NOT NULL GROUP BY 1, 2),
+         |${p}best AS MATERIALIZED (SELECT a, b, c FROM ${p}pc ORDER BY c DESC, a, b LIMIT 1),
+         |${p}m AS MATERIALIZED (
+         |  SELECT n.*, (n.sym = (SELECT a FROM ${p}best) AND n.nsym = (SELECT b FROM ${p}best)) AS is_match FROM ${p}n n),
+         |${p}mm AS (
+         |  SELECT w, pos FROM (
+         |    SELECT w, pos, pos - ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) AS grp
+         |    FROM ${p}m WHERE is_match) q
+         |  QUALIFY (pos - MIN(pos) OVER (PARTITION BY w, grp)) % 2 = 0),
+         |${p}j AS (
+         |  SELECT m.w, m.cnt, m.pos, m.sym, m.nsym, (mm.pos IS NOT NULL) AS do_merge
+         |  FROM ${p}m m LEFT JOIN ${p}mm mm ON m.w = mm.w AND m.pos = mm.pos),
+         |it$i AS MATERIALIZED (
+         |  SELECT w, cnt, ROW_NUMBER() OVER (PARTITION BY w ORDER BY pos) - 1 AS pos,
+         |    CASE WHEN do_merge THEN sym || nsym ELSE sym END AS sym
+         |  FROM (SELECT *, COALESCE(LAG(do_merge) OVER (PARTITION BY w ORDER BY pos), false) AS pm FROM ${p}j)
+         |  WHERE NOT pm)""".stripMargin
+    }
+    val best = (1 to k).map(i =>
+      s"SELECT $i AS step, a AS sym_a, b AS sym_b, c AS pair_cnt FROM it${i}_best")
+    "WITH " + (head ++ steps).mkString(",\n") +
+      "\nSELECT CAST(step AS BIGINT) AS step, sym_a, sym_b, pair_cnt FROM (" +
+      best.mkString(" UNION ALL ") + ") ORDER BY step"
+  }
+}

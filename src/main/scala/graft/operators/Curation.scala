@@ -178,6 +178,32 @@ object Curation {
       .selectExpr("doc_id", "source", "n_chars", "cast(rk as bigint) AS rk")
   }
 
+  /** Token-budget mixture sampling (q142): each source contributes its
+    * BEST documents (by the q141 classifier score, ties by doc_id) up to
+    * a per-source token budget — the greedy prefix-under-budget selection
+    * a mixture builder runs after scoring, composing quality ranking with
+    * token accounting. A doc is kept iff its whole token count still fits
+    * (cumulative ≤ budget), so the artifact is reproducible: no partial
+    * docs, no RNG.
+    *
+    * Scale shape: ONE window shuffle partitioned by source — ordering is
+    * per source, never global, so the largest sort is one source's docs.
+    * For a pathological single mega-source the two-phase form (score
+    * histogram → threshold, then one filter pass) replaces the sort; the
+    * per-source window is the exact-semantics default. */
+  def budgetSample(docs: DataFrame, budget: Long = 800L): DataFrame = {
+    val w = Window.partitionBy("source")
+      .orderBy(col("score_e3").desc, col("doc_id"))
+    docs.selectExpr("doc_id", "source", s"$sparkToks AS toks")
+      .where("size(toks) > 0")
+      .selectExpr("doc_id", "source",
+        "cast(size(toks) as bigint) AS n_tokens",
+        s"${TextAnalysis.classifierScoreE3} AS score_e3")
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .where(s"cum_tokens <= $budget")
+      .orderBy("source", "cum_tokens")
+  }
+
   // ---------------------------------------------------------------- queries
 
   /** RAG-style overlapping text chunking: windows of `size` chars every
@@ -419,6 +445,11 @@ object Curation {
     "q63_source_cap" -> ((s, dir) =>
       sourceCap(Tables.documents(s, dir)).orderBy("source", "rk")),
 
+    // Greedy best-first per-source selection under a token budget,
+    // composing the q141 classifier scores with exact token accounting.
+    "q142_budget_mixture" -> ((s, dir) =>
+      budgetSample(Tables.documents(s, dir))),
+
     "q65_text_chunks" -> ((s, dir) =>
       textChunks(Tables.documents(s, dir)).orderBy("doc_id", "chunk_idx")),
 
@@ -584,6 +615,20 @@ object Curation {
         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 15 ORDER BY source, rk""".stripMargin,
+
+    "q142_budget_mixture" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+         |sc AS (
+         |  SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |    ${TextAnalysis.duckClassifierScoreE3} AS score_e3
+         |  FROM t WHERE len(toks) > 0),
+         |c AS (
+         |  SELECT doc_id, source, n_tokens, score_e3,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY score_e3 DESC, doc_id) AS BIGINT) AS cum_tokens
+         |  FROM sc)
+         |SELECT doc_id, source, n_tokens, score_e3, cum_tokens
+         |FROM c WHERE cum_tokens <= 800 ORDER BY source, cum_tokens""".stripMargin,
 
     "q65_text_chunks" ->
       """SELECT doc_id,

@@ -252,15 +252,26 @@ object TextAnalysis {
       hashedClassifier(Tables.documents(s, dir)))
   )
 
+  /** q141/q142 shared: the classifier's e3 weight-sum fold over a bound
+    * `toks` array column (Spark dialect; DuckDB twin below). */
+  val classifierScoreE3: String = {
+    val w = s"(${graft.functions.Portable.sparkHash48("concat('qw1_', t)")} % 2001 - 1000)"
+    s"aggregate(toks, 0L, (acc, t) -> acc + $w)"
+  }
+
+  /** DuckDB twin of [[classifierScoreE3]] (list_sum yields HUGEINT,
+    * hence the BIGINT cast). */
+  val duckClassifierScoreE3: String =
+    s"CAST(list_sum(list_transform(toks, t -> ${graft.functions.Portable.duckHash48("concat('qw1_', t)")} % 2001 - 1000)) AS BIGINT)"
+
   /** q141 core: score_e3 = Σ_t ((hash48('qw1_' ⧺ t) mod 2001) − 1000),
     * an expression-only fold over the token array. */
   def hashedClassifier(docs: DataFrame): DataFrame = {
-    val w = s"(${graft.functions.Portable.sparkHash48("concat('qw1_', t)")} % 2001 - 1000)"
     docs.selectExpr("doc_id", s"$toksE AS toks")
       .where("size(toks) > 0")
       .selectExpr("doc_id",
         "cast(size(toks) as bigint) AS n_tokens",
-        s"aggregate(toks, 0L, (acc, t) -> acc + $w) AS score_e3")
+        s"$classifierScoreE3 AS score_e3")
       .selectExpr("doc_id", "n_tokens", "score_e3", "score_e3 > 0 AS keep")
       .orderBy("doc_id")
   }
@@ -465,8 +476,8 @@ object TextAnalysis {
         s"""WITH t AS (
            |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
            |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-           |  CAST(list_sum(list_transform(toks, t -> ${graft.functions.Portable.duckHash48("concat('qw1_', t)")} % 2001 - 1000)) AS BIGINT) AS score_e3,
-           |  CAST(list_sum(list_transform(toks, t -> ${graft.functions.Portable.duckHash48("concat('qw1_', t)")} % 2001 - 1000)) AS BIGINT) > 0 AS keep
+           |  $duckClassifierScoreE3 AS score_e3,
+           |  $duckClassifierScoreE3 > 0 AS keep
            |FROM t WHERE len(toks) > 0 ORDER BY doc_id""".stripMargin,
 
       "q138_bm25" -> {

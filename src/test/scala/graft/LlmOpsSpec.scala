@@ -518,6 +518,55 @@ class LlmOpsSpec extends AnyFunSuite {
     shuf.unpersist()
   }
 
+  test("BPE merges greedily left-to-right and learns cascaded subwords") {
+    import graft.operators.Bpe
+    // 'aaaa'×10: pair (a,a) counts 3 per word (overlaps counted, the
+    // subword-nmt convention) = 30; 'bc'×20 counts 20. First merge must
+    // be (a,a) and the greedy-left pass leaves [aa, aa] — so step 2's
+    // top pair is (aa, aa) with count 10 if 'aaaa' still dominates...
+    // make it not: bc outnumbers at 20 ⇒ step 2 = (b, c).
+    val corpus = Seq(
+      (1L, Array.fill(10)("aaaa").mkString(" ")),
+      (2L, Array.fill(20)("bc").mkString(" "))
+    ).toDF("doc_id", "text")
+    val m = Bpe.bpeMerges(corpus, k = 3).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m(0) == ((1L, "a", "a", 30L)))   // 3 overlapping pairs/type × 10
+    assert(m(1) == ((2L, "b", "c", 20L)))
+    // after merging, 'aaaa' = [aa, aa]: one (aa, aa) pair × 10
+    assert(m(2) == ((3L, "aa", "aa", 10L)))
+  }
+
+  test("budget mixture keeps the exact best-first prefix within 800 tokens per source") {
+    import graft.operators.Curation
+    val kept = Curation.budgetSample(docs).collect()
+    val bySource = kept.groupBy(_.getString(1))
+    // budget respected, cum_tokens is the running sum in score order
+    bySource.foreach { case (src, rows) =>
+      val sorted = rows.sortBy(r => (-r.getLong(3), r.getLong(0)))
+      var cum = 0L
+      sorted.foreach { r =>
+        cum += r.getLong(2)
+        assert(r.getLong(4) == cum, s"cum mismatch in $src")
+      }
+      assert(cum <= 800L, s"budget exceeded in $src")
+    }
+    // prefix property: every scored doc NOT kept either overflows the
+    // budget at its position or scores below the kept set's minimum
+    val scored = TextAnalysis.hashedClassifier(docs)
+      .join(docs.select("doc_id", "source"), "doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(4), r.getLong(1), r.getLong(2)))
+    scored.groupBy(_._2).foreach { case (src, rows) =>
+      val keptIds = bySource.get(src).map(_.map(_.getLong(0)).toSet).getOrElse(Set.empty)
+      val order = rows.sortBy(t => (-t._4, t._1))
+      var cum = 0L
+      order.foreach { case (id, _, n, _) =>
+        cum += n
+        assert(keptIds.contains(id) == (cum <= 800L), s"doc $id in $src")
+      }
+    }
+  }
+
   test("hashed classifier score is the sum of its per-token weights") {
     val out = TextAnalysis.hashedClassifier(Seq((7L, "alpha beta alpha")).toDF("doc_id", "text"))
       .collect().head
