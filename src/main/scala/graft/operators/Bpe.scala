@@ -32,11 +32,14 @@ import graft.functions.Portable
   */
 object Bpe {
 
-  /** Learned merge list: (step, sym_a, sym_b, pair_cnt), step 1..k. */
-  def bpeMerges(docs: DataFrame, k: Int = DefaultMerges): DataFrame = {
+  /** The shared training loop: word-type symbol table after `k` merges,
+    * plus the learned merge list. The final symbol table IS the trained
+    * tokenizer's segmentation of every word type — [[bpeMerges]] emits
+    * the merge rules, [[bpeTokenCounts]] applies the segmentation back
+    * to the corpus. */
+  private def trainSyms(docs: DataFrame, k: Int):
+      (DataFrame, Seq[(Long, String, String, Long)]) = {
     require(k >= 1)
-    val spark = docs.sparkSession
-    import spark.implicits._
     val vocab = docs.selectExpr(s"explode(${Portable.sparkToks}) AS w")
       .where("w <> ''").groupBy("w").agg(count(lit(1)).as("cnt"))
     var syms = vocab
@@ -73,7 +76,31 @@ object Bpe {
         .select("w", "cnt", "pos", "sym")
         .localCheckpoint()
     }
-    merges.toSeq.toDF("step", "sym_a", "sym_b", "pair_cnt")
+    (syms, merges.toSeq)
+  }
+
+  /** Learned merge list: (step, sym_a, sym_b, pair_cnt), step 1..k. */
+  def bpeMerges(docs: DataFrame, k: Int = DefaultMerges): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    trainSyms(docs, k)._2.toDF("step", "sym_a", "sym_b", "pair_cnt")
+  }
+
+  /** q144: apply the trained segmentation back to the corpus — per-doc
+    * whitespace-word count and BPE token count under the k learned
+    * merges. The trained artifact is `seg` (symbols per word TYPE), a
+    * vocabulary-sized frame, so the application is one corpus scan with
+    * a BROADCAST join on the word — exactly how a tokenizer ships: the
+    * merge table rides to executors, the corpus never reshuffles. */
+  def bpeTokenCounts(docs: DataFrame, k: Int = DefaultMerges): DataFrame = {
+    val seg = trainSyms(docs, k)._1
+      .groupBy("w").agg(count(lit(1)).as("n_sym"))
+    docs.selectExpr("doc_id", s"explode(${Portable.sparkToks}) AS w")
+      .where("w <> ''")
+      .join(broadcast(seg), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_bpe_tokens"))
+      .orderBy("doc_id")
   }
 
   val DefaultMerges = 6
@@ -81,7 +108,8 @@ object Bpe {
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q143_bpe_merges" -> ((s, dir) => bpeMerges(Tables.documents(s, dir))))
+    "q143_bpe_merges" -> ((s, dir) => bpeMerges(Tables.documents(s, dir))),
+    "q144_bpe_tokenize" -> ((s, dir) => bpeTokenCounts(Tables.documents(s, dir))))
 
   /** DuckDB twin: the same k iterations unrolled as chained CTEs. The
     * MATERIALIZED hints are semantics-neutral but load-bearing for the
@@ -89,9 +117,28 @@ object Bpe {
     * re-expands its whole upstream chain and the plan grows
     * exponentially in k (observed: >120 s inlined vs 0.6 s
     * materialized at k=6). */
-  def oracle: Map[String, String] = Map("q143_bpe_merges" -> duckSql(DefaultMerges))
+  def oracle: Map[String, String] = Map(
+    "q143_bpe_merges" -> duckSql(DefaultMerges, mergeListTail(DefaultMerges)),
+    "q144_bpe_tokenize" -> duckSql(DefaultMerges, tokenizeTail(DefaultMerges)))
 
-  private def duckSql(k: Int): String = {
+  private def mergeListTail(k: Int): String = {
+    val best = (1 to k).map(i =>
+      s"SELECT $i AS step, a AS sym_a, b AS sym_b, c AS pair_cnt FROM it${i}_best")
+    "SELECT CAST(step AS BIGINT) AS step, sym_a, sym_b, pair_cnt FROM (" +
+      best.mkString(" UNION ALL ") + ") ORDER BY step"
+  }
+
+  private def tokenizeTail(k: Int): String =
+    s""",
+       |seg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sym FROM it$k GROUP BY w),
+       |tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens
+       |FROM tok JOIN seg USING (w) WHERE w <> ''
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private def duckSql(k: Int, tail: String): String = {
     val head = Seq(
       """v AS MATERIALIZED (
         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
@@ -123,10 +170,6 @@ object Bpe {
          |  FROM (SELECT *, COALESCE(LAG(do_merge) OVER (PARTITION BY w ORDER BY pos), false) AS pm FROM ${p}j)
          |  WHERE NOT pm)""".stripMargin
     }
-    val best = (1 to k).map(i =>
-      s"SELECT $i AS step, a AS sym_a, b AS sym_b, c AS pair_cnt FROM it${i}_best")
-    "WITH " + (head ++ steps).mkString(",\n") +
-      "\nSELECT CAST(step AS BIGINT) AS step, sym_a, sym_b, pair_cnt FROM (" +
-      best.mkString(" UNION ALL ") + ") ORDER BY step"
+    "WITH " + (head ++ steps).mkString(",\n") + "\n" + tail
   }
 }

@@ -537,6 +537,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(m(2) == ((3L, "aa", "aa", 10L)))
   }
 
+  test("BPE tokenize applies the learned segmentation per word type") {
+    import graft.operators.Bpe
+    // after (a,a), (b,c), (aa,aa): 'aaaa' → [aaaa], 'bc' → [bc]
+    val corpus = Seq(
+      (1L, Array.fill(10)("aaaa").mkString(" ")),
+      (2L, Array.fill(20)("bc").mkString(" "))
+    ).toDF("doc_id", "text")
+    val out = Bpe.bpeTokenCounts(corpus, k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((10L, 10L)))
+    assert(out(2L) == ((20L, 20L)))
+    // on the real corpus: words ≤ bpe tokens ≤ chars, always
+    val sane = Bpe.bpeTokenCounts(docs, k = 2)
+      .join(docs.selectExpr("doc_id", s"size(${TextAnalysis.toksE}) AS nw",
+        "length(replace(text, ' ', '')) AS nc"), "doc_id")
+      .where("n_bpe_tokens < n_words OR n_bpe_tokens > nc").count()
+    assert(sane == 0)
+  }
+
   test("budget mixture keeps the exact best-first prefix within 800 tokens per source") {
     import graft.operators.Curation
     val kept = Curation.budgetSample(docs).collect()
