@@ -291,6 +291,24 @@ object ScaleCheck {
             lit(64L).as("n_shards")))
     }
 
+    // passage-level dedup (q139) at full replication: every replica
+    // repeats the SAME text, so each replica-k passage is an exact copy
+    // of replica-0's and corpus-wide keep-first must collapse the whole
+    // corpus to EXACTLY the dedup of the original slice (replica-0 ids
+    // are globally smallest, so the winners coincide row for row). The
+    // keep-first shuffle stays bounded at any replication because
+    // map-side partial MIN collapses replica copies before the exchange
+    // — distinct passages ≈ the base corpus's, not ×replicate.
+    // localCheckpoint: rowsMatch evaluates each side three times; the
+    // outputs are base-corpus-sized, the inputs are not.
+    {
+      import graft.operators.Dedup
+      check("passage_dedup")(
+        Dedup.passageDedup(big.select("doc_id", "text")).localCheckpoint(),
+        Dedup.passageDedup(big.where(col("doc_id") < span)
+          .select("doc_id", "text")).localCheckpoint())
+    }
+
     val rows = GraftStore.get("scale_docs").rowCount
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val allOk = results.values.forall(identity)

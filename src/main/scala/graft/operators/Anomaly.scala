@@ -56,9 +56,52 @@ object Anomaly {
       "event_id", "event_type",
       "cast(round(value * 100) as decimal(38,0)) AS x")
 
+  /** Population Stability Index (q145) — the standard distribution-drift
+    * score between the OLDER and NEWER half of the event stream (split
+    * at the midpoint of the time range, integer micros): bucket `value`
+    * into `nb` equal-width integer-cents bins (the q109 binning), count
+    * per (bucket, half), and PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) with
+    * add-one smoothing so empty buckets stay defined. Per-bucket
+    * contributions round to e9 BEFORE the sum (the BM25 convention), so
+    * the total is summation-order independent and cross-engine exact.
+    *
+    * Scale shape: one stats pass (column-pruned min/max of cents+ts,
+    * 1-row broadcast), then ONE conditional aggregate by bucket — the
+    * windows that assemble totals and the final score run over `nb`
+    * rows, never the stream. Same two-pass profile at 100 TB. */
+  def psiDrift(events: DataFrame, nb: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nb > 1)
+    val c = events.selectExpr(
+      "cast(round(value * 100) as bigint) AS cents",
+      "unix_micros(ts) AS us")
+    val bounds = c.agg(min("cents").as("lo"), max("cents").as("hi"),
+      expr("(min(us) + max(us)) div 2").as("mid"))
+    val perBucket = c.join(broadcast(bounds))
+      .withColumn("bucket",
+        expr(s"least((cents - lo) * $nb div (hi - lo + 1), ${nb - 1}L)"))
+      .groupBy("bucket")
+      .agg(sum(when(col("us") < col("mid"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("us") >= col("mid"), 1L).otherwise(0L)).as("n_b"))
+    val all = Window.partitionBy(lit(1)) // nb rows by construction
+    perBucket
+      .withColumn("tot_a", sum("n_a").over(all))
+      .withColumn("tot_b", sum("n_b").over(all))
+      .withColumn("psi_e9", expr(s"""cast(round(1e9 *
+        ((n_a + 1) / cast(tot_a + $nb as double) - (n_b + 1) / cast(tot_b + $nb as double)) *
+        ln(((n_a + 1) / cast(tot_a + $nb as double)) / ((n_b + 1) / cast(tot_b + $nb as double)))) as bigint)"""))
+      .withColumn("psi_total_e9", sum("psi_e9").over(all).cast("long"))
+      .select("bucket", "n_a", "n_b", "psi_e9", "psi_total_e9")
+      .orderBy("bucket")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q68_value_anomaly" -> ((s, dir) =>
-      valueAnomalies(Tables.events(s, dir)).orderBy("event_id"))
+      valueAnomalies(Tables.events(s, dir)).orderBy("event_id")),
+
+    // Distribution drift between stream halves, oracle-exact through
+    // ln() via e9 per-bucket rounding.
+    "q145_psi_drift" -> ((s, dir) => psiDrift(Tables.events(s, dir)))
   )
 
   def oracle: Map[String, String] = Map(
@@ -71,6 +114,30 @@ object Anomaly {
         |SELECT event_id, c.event_type, CAST(x AS BIGINT) AS value_cents
         |FROM c JOIN s USING (event_type)
         |WHERE (n * x - sm) * (n * x - sm) * (n - 1) > 9 * n * (n * q - sm * sm)
-        |ORDER BY event_id""".stripMargin
+        |ORDER BY event_id""".stripMargin,
+
+    "q145_psi_drift" ->
+      """WITH c AS (
+        |  SELECT CAST(round(value * 100) AS BIGINT) AS cents, epoch_us(ts) AS us FROM events),
+        |b AS (
+        |  SELECT MIN(cents) AS lo, MAX(cents) AS hi, (MIN(us) + MAX(us)) // 2 AS mid FROM c),
+        |g AS (
+        |  SELECT least((cents - lo) * 10 // (hi - lo + 1), 9) AS bucket,
+        |    CASE WHEN us < mid THEN 1 ELSE 0 END AS ia
+        |  FROM c, b),
+        |a AS (
+        |  SELECT bucket, CAST(SUM(ia) AS BIGINT) AS n_a, CAST(SUM(1 - ia) AS BIGINT) AS n_b
+        |  FROM g GROUP BY bucket),
+        |t AS (
+        |  SELECT *, CAST(SUM(n_a) OVER () AS BIGINT) AS tot_a,
+        |    CAST(SUM(n_b) OVER () AS BIGINT) AS tot_b FROM a),
+        |p AS (
+        |  SELECT bucket, n_a, n_b,
+        |    CAST(round(1e9 *
+        |      ((n_a + 1) / CAST(tot_a + 10 AS DOUBLE) - (n_b + 1) / CAST(tot_b + 10 AS DOUBLE)) *
+        |      ln(((n_a + 1) / CAST(tot_a + 10 AS DOUBLE)) / ((n_b + 1) / CAST(tot_b + 10 AS DOUBLE)))) AS BIGINT) AS psi_e9
+        |  FROM t)
+        |SELECT bucket, n_a, n_b, psi_e9, CAST(SUM(psi_e9) OVER () AS BIGINT) AS psi_total_e9
+        |FROM p ORDER BY bucket""".stripMargin
   )
 }

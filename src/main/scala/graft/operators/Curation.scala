@@ -204,6 +204,39 @@ object Curation {
       .orderBy("source", "cum_tokens")
   }
 
+  /** Split novelty audit (q146): for every NON-train document of the q12
+    * split, the share of its distinct word-2gram shingles that never
+    * occur in ANY train document — the pre-eval memorization check that
+    * quantifies how much of the held-out set the model has effectively
+    * already seen (novelty 0 = the eval doc is pure train content; the
+    * doc-level complement of the q62/q93/q125 decontamination family,
+    * measured from the EVAL side).
+    *
+    * Scale shape: one corpus scan builds labeled shingles; the train
+    * shingle set is corpus-scale so membership is a SHUFFLE join keyed
+    * on the shingle (honest at 100 TB — both sides hash-partition once;
+    * a Bloom pre-filter (q93) cuts the probe volume when the novel
+    * fraction is high), then one per-doc aggregate. */
+  def splitNovelty(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"), col("text"))
+      .withColumn("split", Relational.splitLabel(col("doc_id")))
+      .where(s"size($sparkToks) >= 2")
+      .selectExpr("doc_id", "split", s"$sparkToks AS toks")
+      .selectExpr("doc_id", "split",
+        "explode(array_distinct(transform(sequence(0, size(toks) - 2), " +
+        "i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2))))) AS sh")
+    val trainSh = sh.where("split = 'train'").select("sh").distinct()
+      .withColumn("seen", lit(true))
+    sh.where("split <> 'train'")
+      .join(trainSh, Seq("sh"), "left")
+      .groupBy("doc_id", "split")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_e4",
+        expr("cast(round(1e4 * n_novel / n_shingles) as bigint)"))
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- queries
 
   /** RAG-style overlapping text chunking: windows of `size` chars every
@@ -450,6 +483,10 @@ object Curation {
     "q142_budget_mixture" -> ((s, dir) =>
       budgetSample(Tables.documents(s, dir))),
 
+    // Eval-side memorization audit over the q12 split.
+    "q146_split_novelty" -> ((s, dir) =>
+      splitNovelty(Tables.documents(s, dir))),
+
     "q65_text_chunks" -> ((s, dir) =>
       textChunks(Tables.documents(s, dir)).orderBy("doc_id", "chunk_idx")),
 
@@ -615,6 +652,29 @@ object Curation {
         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 15 ORDER BY source, rk""".stripMargin,
+
+    "q146_split_novelty" ->
+      """WITH l AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN ((doc_id % 1000000007) * 2654435761 + 40503) % 10000 < 6400 THEN 'train'
+        |         WHEN ((doc_id % 1000000007) * 2654435761 + 40503) % 10000 < 8000 THEN 'validation'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, split, regexp_split_to_array(trim(text), '\s+') AS toks FROM l),
+        |sh AS (
+        |  SELECT doc_id, split,
+        |    unnest(list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))) AS sh
+        |  FROM t WHERE len(toks) >= 2),
+        |tr AS (SELECT DISTINCT sh FROM sh WHERE split = 'train'),
+        |e AS (
+        |  SELECT s.doc_id, s.split, (tr.sh IS NOT NULL) AS seen
+        |  FROM sh s LEFT JOIN tr ON s.sh = tr.sh
+        |  WHERE s.split <> 'train')
+        |SELECT doc_id, split, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+        |  CAST(SUM(CASE WHEN seen THEN 0 ELSE 1 END) AS BIGINT) AS n_novel,
+        |  CAST(round(1e4 * SUM(CASE WHEN seen THEN 0 ELSE 1 END) / COUNT(*)) AS BIGINT) AS novelty_e4
+        |FROM e GROUP BY doc_id, split ORDER BY doc_id""".stripMargin,
 
     "q142_budget_mixture" ->
       s"""WITH t AS (

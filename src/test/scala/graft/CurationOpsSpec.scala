@@ -79,6 +79,46 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(exact.count() > 0, "testdata has heavy-tailed values; expected anomalies")
   }
 
+  test("PSI is near zero for identical halves and large under a planted shift") {
+    import java.sql.Timestamp
+    // identical value distribution in both time halves -> only the
+    // add-one smoothing contributes, PSI ~ 0
+    val flat = (0 until 1000).map { i =>
+      (i.toLong, new Timestamp(1700000000000L + i * 1000L), (i % 10) * 10.0)
+    }.toDF("event_id", "ts", "value")
+    val psiFlat = Anomaly.psiDrift(flat).select("psi_total_e9").head().getLong(0)
+    assert(math.abs(psiFlat) < 1000000L, s"flat PSI was $psiFlat") // < 0.001
+    // second half shifted to the top bucket -> PSI far above the 0.25
+    // "significant drift" rule of thumb
+    val shifted = (0 until 1000).map { i =>
+      val v = if (i < 500) (i % 10) * 10.0 else 90.0
+      (i.toLong, new Timestamp(1700000000000L + i * 1000L), v)
+    }.toDF("event_id", "ts", "value")
+    val psiShift = Anomaly.psiDrift(shifted).select("psi_total_e9").head().getLong(0)
+    assert(psiShift > 250000000L, s"shifted PSI was $psiShift")
+  }
+
+  test("split novelty is 0 for an eval doc copied from train and 10000 for alien content") {
+    // choose ids landing in the right splits via the q12 hash
+    val lbl = (id: Long) => spark.range(1).selectExpr(
+      s"CASE WHEN (($id % 1000000007) * 2654435761 + 40503) % 10000 < 6400 THEN 'train' " +
+      s"WHEN (($id % 1000000007) * 2654435761 + 40503) % 10000 < 8000 THEN 'validation' ELSE 'test' END")
+      .head().getString(0)
+    val trainId = (0L until 100L).find(lbl(_) == "train").get
+    val evalIds = (0L until 100L).filter(lbl(_) != "train")
+    val (copyId, alienId) = (evalIds.head, evalIds(1))
+    val corpus = Seq(
+      (trainId, "alpha beta gamma delta epsilon"),
+      (copyId, "alpha beta gamma delta epsilon"), // pure train content
+      (alienId, "zeta eta theta iota kappa")      // nothing shared
+    ).toDF("doc_id", "text")
+    val out = Curation.splitNovelty(corpus).collect()
+      .map(r => r.getLong(0) -> r.getLong(4)).toMap
+    assert(out(copyId) == 0L)
+    assert(out(alienId) == 10000L)
+    assert(!out.contains(trainId))
+  }
+
   test("crossDocDedup strikes planted boilerplate and reassembles byte-exactly") {
     val corpus = docs.selectExpr("doc_id",
       "CASE WHEN doc_id % 7 = 0 THEN concat('please subscribe to our newsletter today now dear reader ', text) ELSE text END AS text")
