@@ -238,6 +238,15 @@ object TextAnalysis {
     "q138_bm25" -> ((s, dir) =>
       bm25TopK(Tables.documents(s, dir), Seq("spark", "merge", "vector"))),
 
+    // Ranking-quality gate for BM25 (q131's recall-gate pattern applied
+    // to lexical retrieval): NDCG@10 of the q138 ranking against a
+    // tf-graded relevance oracle, per-position DCG contributions
+    // e6-rounded BEFORE the sums so both engines compare identical
+    // integers; floor_ok pins a regression floor the oracle must
+    // reproduce as literal TRUE.
+    "q147_bm25_ndcg" -> ((s, dir) =>
+      bm25NdcgGate(Tables.documents(s, dir), Seq("spark", "merge", "vector"))),
+
     // Hashed linear quality classifier (the fastText-style filter shape
     // used to gate pretraining corpora): each token's weight is a
     // deterministic function of its portable 48-bit feature hash
@@ -327,6 +336,46 @@ object TextAnalysis {
         org.apache.spark.sql.expressions.Window
           .orderBy(col("score_e6").desc, col("doc_id"))).cast("long"))
       .select("rank", "doc_id", "score_e6")
+  }
+
+  /** q147 core: NDCG@`k` of [[bm25TopK]] vs a graded relevance oracle
+    * rel(d) = min(9, Σ_t tf_t(d)) — raw query-term mass, which BM25's
+    * tf saturation (k1) and length normalization deliberately discount,
+    * so the two orders genuinely disagree (distinct-term or low-cap
+    * grades saturate at NDCG 1.0000 on this corpus — a vacuous gate;
+    * cap 9 measured 0.95/0.89/0.92 across SFs). DCG = Σ_pos (2^rel − 1)
+    * / log2(pos + 1), each position e6-rounded before the sum; IDCG
+    * from the corpus-ideal top-k (TakeOrdered — distributed heap-k,
+    * like the ranking itself). ndcg_e4 divides two exact sub-2^53
+    * integers, so the quotient is bit-identical across engines. One
+    * extra corpus scan for relevance (expression-only); the DCG/IDCG
+    * arithmetic runs on ≤ 2k rows.
+    *
+    * floorE4 = 8500: fails the oracle run if ranking quality drops
+    * below NDCG 0.85 at any SF. */
+  def bm25NdcgGate(docs: DataFrame, terms: Seq[String], k: Int = 10,
+      floorE4: Long = 8500L): DataFrame = {
+    val ranked = bm25TopK(docs, terms, topK = k).select("rank", "doc_id")
+    val rel = docs.selectExpr("doc_id", s"$toksE AS toks")
+      .selectExpr("doc_id",
+        terms.map(t => s"size(filter(toks, x -> x = '$t'))")
+          .mkString("least(cast((", " + ", ") as bigint), 9L) AS rel"))
+    val contrib = (rankCol: String) =>
+      s"cast(round(1e6 * (pow(2, rel) - 1) / log2($rankCol + 1)) as bigint)"
+    val dcg = rel.join(broadcast(ranked), "doc_id")
+      .selectExpr(s"${contrib("rank")} AS c")
+      .agg(sum("c").cast("long").as("dcg_e6"))
+    val ideal = rel.orderBy(col("rel").desc, col("doc_id")).limit(k)
+    val idcg = ideal
+      .withColumn("irank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("rel").desc, col("doc_id"))).cast("long"))
+      .selectExpr(s"${contrib("irank")} AS c")
+      .agg(sum("c").cast("long").as("idcg_e6"))
+    dcg.crossJoin(idcg)
+      .selectExpr("dcg_e6", "idcg_e6",
+        "cast(round(1e4 * dcg_e6 / idcg_e6) as bigint) AS ndcg_e4")
+      .selectExpr("dcg_e6", "idcg_e6", "ndcg_e4", s"ndcg_e4 >= $floorE4 AS floor_ok")
   }
 
   /** Inverted index core (q110): token → exact df + first-`cap`
@@ -479,6 +528,52 @@ object TextAnalysis {
            |  $duckClassifierScoreE3 AS score_e3,
            |  $duckClassifierScoreE3 > 0 AS keep
            |FROM t WHERE len(toks) > 0 ORDER BY doc_id""".stripMargin,
+
+      "q147_bm25_ndcg" -> {
+        val terms = Seq("spark", "merge", "vector")
+        val tfCols = terms.map(t =>
+          s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n  ")
+        val dfCols = terms.map(t =>
+          s"SUM(CASE WHEN tf_$t > 0 THEN 1.0 ELSE 0.0 END) AS df_$t").mkString(",\n  ")
+        val score = terms.map(t =>
+          s"(CASE WHEN tf_$t > 0 THEN CAST(round(1e6 * ln(1 + (n - df_$t + 0.5) / (df_$t + 0.5)) * tf_$t * 2.2 / (tf_$t + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT) ELSE 0 END)").mkString("\n    + ")
+        val any = terms.map(t => s"tf_$t > 0").mkString(" OR ")
+        val relSum = terms.map(t => s"tf_$t").mkString(" + ")
+        s"""WITH t AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+           |pd AS (
+           |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+           |  $tfCols
+           |  FROM t),
+           |st AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+           |  CAST(COUNT(*) AS DOUBLE) AS n FROM pd),
+           |dfs AS (SELECT
+           |  $dfCols
+           |  FROM pd),
+           |sc AS (
+           |  SELECT doc_id,
+           |    $score AS score_e6
+           |  FROM pd CROSS JOIN st CROSS JOIN dfs
+           |  WHERE $any),
+           |ranked AS (
+           |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank, doc_id
+           |  FROM sc ORDER BY score_e6 DESC, doc_id LIMIT 10),
+           |rel AS (
+           |  SELECT doc_id, least(CAST(($relSum) AS BIGINT), 9) AS rel FROM pd),
+           |dcg AS (
+           |  SELECT CAST(SUM(CAST(round(1e6 * (pow(2, rel) - 1) / log2(rank + 1)) AS BIGINT)) AS BIGINT) AS dcg_e6
+           |  FROM ranked JOIN rel USING (doc_id)),
+           |ideal AS (
+           |  SELECT rel, CAST(ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS BIGINT) AS irank
+           |  FROM rel ORDER BY rel DESC, doc_id LIMIT 10),
+           |idcg AS (
+           |  SELECT CAST(SUM(CAST(round(1e6 * (pow(2, rel) - 1) / log2(irank + 1)) AS BIGINT)) AS BIGINT) AS idcg_e6
+           |  FROM ideal)
+           |SELECT dcg_e6, idcg_e6,
+           |  CAST(round(1e4 * dcg_e6 / idcg_e6) AS BIGINT) AS ndcg_e4,
+           |  CAST(round(1e4 * dcg_e6 / idcg_e6) AS BIGINT) >= 8500 AS floor_ok
+           |FROM dcg CROSS JOIN idcg""".stripMargin
+      },
 
       "q138_bm25" -> {
         val terms = Seq("spark", "merge", "vector")

@@ -37,6 +37,60 @@ object EventStream {
       .select(col("w.start").as("hour"), col("event_type"),
         col("n_events"), col("value_cents"))
 
+  /** Frozen reference histogram for [[psiMonitor]] — the training-time
+    * value distribution as ONE row: integer-cents bounds plus per-bucket
+    * counts and the total. Built batch-side (one stats pass + one
+    * conditional aggregate) and handed to the monitor as static state. */
+  def psiReference(events: DataFrame, nb: Int = 10): DataFrame = {
+    val c = events.selectExpr("cast(round(value * 100) as bigint) AS cents")
+    val bounds = c.agg(min("cents").as("lo"), max("cents").as("hi"))
+    val aggs = (0 until nb).map(b =>
+      sum(when(col("bucket") === b, 1L).otherwise(0L)).as(s"ref_n$b")) :+
+      count(lit(1)).as("ref_tot")
+    c.crossJoin(broadcast(bounds))
+      .selectExpr("lo", "hi",
+        s"greatest(0L, least((cents - lo) * $nb div (hi - lo + 1), ${nb - 1}L)) AS bucket")
+      .groupBy("lo", "hi")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Streaming drift monitor — the q145 PSI running ON THE STREAM: per
+    * event-time hourly window, the Population Stability Index of that
+    * window's value histogram against the frozen [[psiReference]]
+    * (training-time distribution vs live traffic, the alerting shape a
+    * serving pipeline runs). The reference rides in as a broadcast
+    * stream-static join (stateless); the histogram is ONE watermark-
+    * bounded windowed aggregate whose `nb` bucket counts are conditional
+    * sums — no second stateful aggregation, so the plan stays inside
+    * Structured Streaming's supported-operator envelope; the PSI score
+    * is a stateless projection after the aggregate, per-bucket terms
+    * e9-rounded before the sum (the q145 convention, add-one smoothed).
+    * Stream values outside the frozen bounds clamp to the edge buckets
+    * (greatest/least) — drift BEYOND the reference range lands in the
+    * tails instead of vanishing. State: one row per open hour window. */
+  def psiMonitor(stream: DataFrame, reference: DataFrame, nb: Int = 10,
+      watermark: String = "1 hour"): DataFrame = {
+    val aggs = (0 until nb).map(b =>
+      sum(when(col("bucket") === b, 1L).otherwise(0L)).as(s"n$b")) :+
+      count(lit(1)).as("tot")
+    val bucketed = stream.withWatermark("ts", watermark)
+      .withColumn("k", lit(1))
+      .join(broadcast(reference.select("lo", "hi").withColumn("k", lit(1))), "k")
+      .selectExpr("ts",
+        s"greatest(0L, least((cast(round(value * 100) as bigint) - lo) * $nb div (hi - lo + 1), ${nb - 1}L)) AS bucket")
+    val agged = bucketed
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+    val p = (b: Int) => s"((n$b + 1) / cast(tot + $nb as double))"
+    val q = (b: Int) => s"((ref_n$b + 1) / cast(ref_tot + $nb as double))"
+    val psi = (0 until nb).map(b =>
+      s"cast(round(1e9 * (${p(b)} - ${q(b)}) * ln(${p(b)} / ${q(b)})) as bigint)")
+      .mkString(" + ")
+    agged.withColumn("k", lit(1))
+      .join(broadcast(reference.drop("lo", "hi").withColumn("k", lit(1))), "k")
+      .selectExpr("w.start AS hour", "tot AS n_events", s"$psi AS psi_e9")
+  }
+
   /** T2 × X4: the q105 VARIANT path running ON THE STREAM — at 100 TB
     * telemetry blobs arrive as a stream, not a table, so the
     * parse-once/probe-many posture has to survive the watermarked

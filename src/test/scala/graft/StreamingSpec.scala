@@ -29,6 +29,51 @@ class StreamingSpec extends AnyFunSuite {
     d
   }
 
+  test("streaming PSI monitor matches an independently-formulated batch twin per hour") {
+    val dir = stageEvents()
+    val batchEvents = Tables.events(spark, "/root/testdata/sf0.001")
+    val ref = EventStream.psiReference(batchEvents) // frozen reference
+    val q = EventStream.psiMonitor(streamingEvents(dir), ref)
+      .writeStream.outputMode("complete").format("memory").queryName("psi_stream")
+      .start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("psi_stream")
+    // batch twin from RAW columns: per-hour bucket histogram + the PSI
+    // formula spelled out in SQL, no shared operator code
+    val r = ref.collect().head
+    val (lo, hi) = (r.getLong(0), r.getLong(1))
+    val refN = (0 until 10).map(b => r.getLong(2 + b))
+    val refTot = r.getLong(12)
+    val hourBuckets = batchEvents.selectExpr(
+      "date_trunc('hour', ts) AS hour",
+      s"greatest(0L, least((cast(round(value * 100) as bigint) - ${lo}L) * 10 div (${hi}L - ${lo}L + 1), 9L)) AS bucket")
+      .groupBy("hour", "bucket").count()
+      .collect().groupBy(_.getAs[java.sql.Timestamp](0))
+    val expect = hourBuckets.map { case (hour, rows) =>
+      val n = Array.fill(10)(0L)
+      rows.foreach(r2 => n(r2.getLong(1).toInt) = r2.getLong(2))
+      val tot = n.sum
+      val psi = (0 until 10).map { b =>
+        val p = (n(b) + 1).toDouble / (tot + 10)
+        val qq = (refN(b) + 1).toDouble / (refTot + 10)
+        math.round(1e9 * (p - qq) * math.log(p / qq))
+      }.sum
+      hour -> (tot, psi)
+    }
+    val got = streamed.collect()
+      .map(r2 => r2.getAs[java.sql.Timestamp](0) -> (r2.getLong(1), r2.getLong(2))).toMap
+    assert(got.nonEmpty && got == expect)
+    // the full-stream distribution IS the reference here, so every
+    // hour's drift must be small; a shifted synthetic hour must spike
+    import spark.implicits._
+    val shifted = (0 until 200).map { i =>
+      (java.sql.Timestamp.valueOf("2030-01-01 05:00:01"), hi / 100.0)
+    }.toDF("ts", "value")
+    val spike = EventStream.psiMonitor(shifted, ref) // batch execution: same plan sans watermark state
+      .collect().head.getLong(2)
+    assert(spike > 250000000L, s"planted shift PSI was $spike")
+  }
+
   test("streaming anomaly scoring equals the batch flags (stream-static join, same operator)") {
     import graft.operators.Anomaly
     val dir = stageEvents()
