@@ -237,6 +237,38 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Per-source token entropy (q148) — the corpus-diversity metric a
+    * mixture designer reads next to the q135 domain-shift score: Shannon
+    * entropy of each source's token distribution, plus its normalized
+    * form H/ln(V) ∈ [0,1] (1 = uniform over the source's vocabulary, low
+    * = a few tokens dominate — the boilerplate/templated-content smell).
+    * Per-type terms −p·ln(p) round to e9 BEFORE the per-source sum (the
+    * house transcendental convention), so the score is summation-order
+    * independent and cross-engine exact.
+    *
+    * Scale shape: one explode → ONE map-side-combined aggregate keyed
+    * (source, token); the window that attaches per-source totals runs
+    * over TYPE rows (vocabulary-sized per source, not corpus-sized);
+    * output is #sources rows. */
+  def sourceEntropy(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("source")
+    docs.selectExpr("source", s"explode($sparkToks) AS tok")
+      .where("tok <> ''")
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      .withColumn("tot", sum("c").over(w))
+      .selectExpr("source", "tot",
+        "cast(round(1e9 * -(c / cast(tot as double)) * ln(c / cast(tot as double))) as bigint) AS h_term_e9")
+      .groupBy("source")
+      .agg(max("tot").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum("h_term_e9").cast("long").as("entropy_e9"))
+      .selectExpr("source", "n_tokens", "n_types", "entropy_e9",
+        // V=1 ⇒ H/ln(V) is 0/0; a constant source is maximally
+        // undiverse, so it reports 0 (and never divides)
+        "CASE WHEN n_types > 1 THEN cast(round(1e4 * (entropy_e9 / 1e9) / ln(n_types)) as bigint) ELSE 0L END AS norm_e4")
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------- queries
 
   /** RAG-style overlapping text chunking: windows of `size` chars every
@@ -487,6 +519,10 @@ object Curation {
     "q146_split_novelty" -> ((s, dir) =>
       splitNovelty(Tables.documents(s, dir))),
 
+    // Per-source diversity: Shannon entropy + normalized form.
+    "q148_source_entropy" -> ((s, dir) =>
+      sourceEntropy(Tables.documents(s, dir))),
+
     "q65_text_chunks" -> ((s, dir) =>
       textChunks(Tables.documents(s, dir)).orderBy("doc_id", "chunk_idx")),
 
@@ -652,6 +688,23 @@ object Curation {
         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
         |  FROM documents)
         |WHERE rk <= 15 ORDER BY source, rk""".stripMargin,
+
+    "q148_source_entropy" ->
+      """WITH c AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents),
+        |g AS (
+        |  SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c FROM c WHERE tok <> '' GROUP BY source, tok),
+        |t AS (
+        |  SELECT source, CAST(SUM(c) OVER (PARTITION BY source) AS BIGINT) AS tot,
+        |    CAST(round(1e9 * -(c / CAST(SUM(c) OVER (PARTITION BY source) AS DOUBLE)) * ln(c / CAST(SUM(c) OVER (PARTITION BY source) AS DOUBLE))) AS BIGINT) AS h_term_e9
+        |  FROM g),
+        |e AS (
+        |  SELECT source, MAX(tot) AS n_tokens, CAST(COUNT(*) AS BIGINT) AS n_types,
+        |    CAST(SUM(h_term_e9) AS BIGINT) AS entropy_e9
+        |  FROM t GROUP BY source)
+        |SELECT source, n_tokens, n_types, entropy_e9,
+        |  CASE WHEN n_types > 1 THEN CAST(round(1e4 * (entropy_e9 / 1e9) / ln(n_types)) AS BIGINT) ELSE 0 END AS norm_e4
+        |FROM e ORDER BY source""".stripMargin,
 
     "q146_split_novelty" ->
       """WITH l AS (

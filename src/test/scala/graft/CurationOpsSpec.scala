@@ -119,6 +119,20 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(!out.contains(trainId))
   }
 
+  test("source entropy: uniform vocabulary scores 1.0 normalized, constant token scores 0") {
+    val corpus = Seq(
+      (1L, "a b c d a b c d", "uniform"),   // 4 types × 2 — uniform
+      (2L, "x x x x x x", "constant"),      // 1 type
+      (3L, "y y y y y z", "skewed")
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.sourceEntropy(corpus).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out("uniform")._4 == 10000L) // H = ln(4) exactly
+    assert(out("constant")._3 == 0L && out("constant")._4 == 0L) // single type
+    val sk = out("skewed")
+    assert(sk._2 == 2L && sk._3 > 0L && sk._4 < 10000L) // below uniform
+  }
+
   test("crossDocDedup strikes planted boilerplate and reassembles byte-exactly") {
     val corpus = docs.selectExpr("doc_id",
       "CASE WHEN doc_id % 7 = 0 THEN concat('please subscribe to our newsletter today now dear reader ', text) ELSE text END AS text")
