@@ -263,6 +263,26 @@ object GraftStore {
   def currentVersion(name: String): Long =
     store.synchronized(generation.getOrElse(name, 0L))
 
+  /** Segments added between generation `fromV` and the live collection,
+    * when the intervening history is a PURE APPEND: every `fromV`
+    * segment must still be present, in order, as a prefix of the live
+    * vector (payload REFERENCE equality — the version ring's
+    * bloom-stripped copies share payloads, so this survives the strip).
+    * Any rewrite (compaction, Z-order, row-level DML, re-shard, full
+    * re-register) breaks the prefix and returns None — callers fall
+    * back to a full snapshot diff. Returns None (not a throw) when
+    * `fromV` has been evicted from the retention ring. */
+  def appendedSince(name: String, fromV: Long): Option[Vector[Segment]] =
+    store.synchronized {
+      val oldSegs =
+        try getVersion(name, fromV).segments
+        catch { case _: NoSuchElementException => return None }
+      val cur = store.get(name).map(_.segments).getOrElse(return None)
+      val isPrefix = cur.size >= oldSegs.size &&
+        oldSegs.indices.forall(i => oldSegs(i).payload eq cur(i).payload)
+      if (isPrefix) Some(cur.drop(oldSegs.size)) else None
+    }
+
   /** The collection as of version `v` — throws if unknown or evicted
     * from the retained window. */
   def getVersion(name: String, v: Long): Collection = store.synchronized {

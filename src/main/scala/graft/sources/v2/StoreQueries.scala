@@ -147,6 +147,16 @@ object StoreQueries {
     // old view state — the current table is NEVER re-aggregated. The
     // DuckDB twin aggregates the post-mutation state directly, so the
     // hash match proves maintained ≡ recomputed.
+    // Materialized view end-to-end: full aggregate at creation, pure
+    // tail append, APPEND-path incremental refresh (enforced), read
+    // back through the connector. Oracle = grouped agg over the whole
+    // table.
+    "q149_matview_refresh" -> ((s, dir) => {
+      val mv = ensureMatView(s, dir)
+      GraftMatViews.read(s, mv)
+        .selectExpr("lang", "n AS n_docs", "v AS chars").orderBy("lang")
+    }),
+
     "q122_incremental_agg" -> ((s, dir) => {
       s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
       val name = ensureCdf(s, dir)
@@ -175,6 +185,41 @@ object StoreQueries {
       s.sql("SELECT lang, n_docs, chars FROM graft_cat.vws.lang_rollup ORDER BY lang")
     })
   )
+
+  /** Materialized-view fixture (q149): the leading 80% of documents
+    * (by doc_id) ingested DISK-backed as the MV's base, the MV created
+    * (full aggregate, version pinned), then the remaining 20% appended
+    * as a pure tail and the MV refreshed. The refresh is REQUIRED to
+    * take the append fast path — only the new tail segments are read;
+    * a fallback to diff/recompute fails the query loudly rather than
+    * passing on a technicality. The oracle aggregates the WHOLE
+    * documents table: a hash match proves create ∘ append ∘ refresh ≡
+    * full re-aggregation. (`GraftStore.append(rows)` is the dev
+    * connector's driver-side API — the distributed form is the SQL
+    * INSERT exercised in GraftCatalogSpec; the refresh path under test
+    * is identical for both.) */
+  private def ensureMatView(spark: SparkSession, sfDir: String): String = {
+    val suffix = sfDir.replaceAll("[^A-Za-z0-9]", "_")
+    val mv = "mv_lang_" + suffix
+    loaded.synchronized {
+      if (!loaded.contains(mv)) {
+        val base = "docs_mvbase_" + suffix
+        val docs = Tables.documents(spark, sfDir).select("doc_id", "lang", "n_chars")
+        val maxId = docs.agg(max("doc_id")).head().getLong(0)
+        val cut = maxId - maxId / 5
+        val dir = java.nio.file.Files.createTempDirectory("graft_mv_q").toString
+        GraftStore.loadDisk(base, docs.where(s"doc_id < $cut"), "doc_id", 8, dir)
+        GraftMatViews.create(spark, mv, base, "doc_id", "lang", "n_chars")
+        GraftStore.append(base, docs.schema,
+          docs.where(s"doc_id >= $cut").collect().toSeq)
+        val r = GraftMatViews.refresh(spark, mv)
+        require(r.mode == "append",
+          s"q149 expected the append fast path, got ${r.mode}")
+        loaded += mv
+      }
+    }
+    mv
+  }
 
   /** CDF fixture: documents ingested (generation 1), then exactly one
     * UPDATE + DELETE + INSERT round applied through the SQL catalog.
@@ -244,6 +289,12 @@ object StoreQueries {
         |  CAST(SUM(n_chars) AS BIGINT) AS chars
         |FROM documents WHERE doc_id >= 100 AND n_chars >= 200
         |GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    // create ∘ append ∘ incremental-refresh ≡ full re-aggregation
+    "q149_matview_refresh" ->
+      """SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     "q119_snapshot_diff" ->
       """SELECT doc_id, 'delete' AS change_type, lang, n_chars
         |FROM documents WHERE doc_id % 31 = 5
