@@ -271,80 +271,120 @@ object Curation {
 
   /** DSIR-style importance selection (q150) — Data Selection via
     * Importance Resampling (Xie et al. 2023): score every raw document
-    * by how target-like its hashed bag-of-bigrams is,
-    * log w(x) = Σ_bigrams [ln p̂_target(b(g)) − ln p̂_raw(b(g))], with
-    * bigrams feature-hashed into `buckets` bins and add-one smoothing
-    * on both models, then keep the top `keepPct`% by per-bigram score
+    * by how target-like its hashed bag-of-trigrams is,
+    * log w(x) = Σ_ngrams [ln p̂_target(b(g)) − ln p̂_raw(b(g))], with
+    * trigrams feature-hashed into `buckets` bins and add-one smoothing
+    * on both models, then keep the top `keepPct`% by per-ngram score
     * (a raw-drawn doc averages −KL(raw‖target) < 0, so a sign test
     * selects nothing — the published method resamples by RANK, and so
-    * does this). Bigrams, not unigrams: on the mixed-language testdata
-    * corpus, unigram buckets barely separate (Δ≈0.004 per token) while
-    * the bigram top quartile is 88% English against a 44% base rate.
+    * does this). Feature class chosen by MEASUREMENT on the testdata
+    * corpus (all langs share one ~30-token vocabulary; only sequence
+    * statistics differ): at sf0.1 unigram AUC-vs-en = 0.55, bigram
+    * 0.69 (only ~900 bigram types exist — the model saturates, more
+    * buckets don't help), trigram at 32k buckets = 0.98. The small-SF
+    * bigram numbers looked fine (0.93) only through self-count
+    * leakage — each doc's own mass in a 500-doc model; scale exposed
+    * it, hence trigrams.
     * Target here = the English slice of the corpus (select
     * "more-English-like" docs from the mixed crawl); in a real
     * deployment it is a separate high-quality set — the plan is
     * identical, only the target scan's filter changes.
     *
     * Scale shape, two corpus scans total:
-    *  1. LEARN: bigrams built IN-ARRAY (transform over the token array
-    *     — never a posexplode+lag window, so no per-doc shuffle),
-    *     exploded into one map-side-combined aggregate keyed by bucket
-    *     — target and raw counts as two conditional sums in the SAME
-    *     pass. The model is ≤`buckets` rows; totals are a 1-row agg
-    *     over it. Each bucket's log-ratio is e6-rounded AT THE MODEL
-    *     (the house convention through a transcendental; ln operand
-    *     order mirrors the oracle exactly), so every later addition is
-    *     exact int64.
-    *  2. SCORE: the model collects to a `buckets`-entry map literal
-    *     (bounded model state — the centroid convention) and the score
-    *     is an `aggregate` fold over the bigram array entirely inside
-    *     codegen: zero joins, zero shuffles, one narrow scan. The
-    *     `coalesce(…, 0)` arm is unreachable by construction (every
-    *     scored bigram was counted into the raw model this same run)
-    *     but keeps a hand-fed unseen bigram from nulling a document.
+    *  1. LEARN: trigrams built IN-ARRAY (transform over the token
+    *     array — never a posexplode+lag window, so no per-doc
+    *     shuffle), exploded into one map-side-combined aggregate keyed
+    *     by bucket — target and raw counts as two conditional sums in
+    *     the SAME pass. The model is ≤`buckets` rows; totals are a
+    *     1-row agg over it. Each bucket's log-ratio is e6-rounded AT
+    *     THE MODEL (the house convention through a transcendental; ln
+    *     operand order mirrors the oracle exactly), so every later
+    *     addition is exact int64.
+    *  2. SCORE: the `buckets`-row model rides a BROADCAST hash join
+    *     onto the exploded feature scan (NOT a map literal — Catalyst
+    *     literal-map lookup is a linear scan, O(buckets) per ngram),
+    *     then one map-side-combined per-doc aggregate: the only
+    *     corpus shuffle, carrying ~1 row per doc.
     *
-    * Per-bigram score spb_e4 = floor(logw_e6 / (n_bigrams·1e2)) is
+    * Per-ngram score spb_e4 = floor(logw_e6 / (n_ngrams·1e2)) is
     * integer-exact cross-engine (the numerator stays < 2^53, IEEE
     * division is exactly rounded, floor of identical doubles). The cut
     * is the q114 med2x trick at the (100−keepPct)th percentile of
     * spb_e4 — a 1-row aggregate over the doc-level score frame (never a
     * corpus window sort), broadcast back; at 100 TB swap percentile for
     * approx_percentile and the plan is unchanged. */
-  def dsirWeights(docs: DataFrame, buckets: Int = 2048,
+  def dsirWeights(docs: DataFrame, buckets: Int = 32768,
                   keepPct: Int = 25): DataFrame = {
-    val bigramsE =
-      "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), '_', element_at(toks, i + 1)))"
-    val stats = docs
-      .selectExpr("lang", s"$sparkToks AS toks")
-      .where("size(toks) >= 2")
-      .selectExpr("lang", s"explode($bigramsE) AS g")
-      .selectExpr("lang", s"${sparkHash48("concat('dsir_', g)")} % $buckets AS bkt")
-      .groupBy("bkt").agg(
-        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"),
-        count(lit(1)).as("c_r"))
+    val scored = dsirScored(docs, buckets)
+    val thr = scored.agg(expr(
+      s"cast(round(2 * percentile(spb_e4, ${(100 - keepPct) / 100.0})) as bigint) AS thr2x"))
+    scored.crossJoin(broadcast(thr))
+      .selectExpr("doc_id", "n_ngrams", "logw_e6", "spb_e4",
+        "2 * spb_e4 >= thr2x AS keep")
+      .orderBy("doc_id")
+  }
+
+  /** q150/q151 shared: learn the DSIR bucket model, score every doc.
+    * Returns (doc_id, lang, n_ngrams, logw_e6, spb_e4) — lang rides
+    * along for free so the AUC gate never re-joins the corpus. */
+  private def dsirScored(docs: DataFrame, buckets: Int): DataFrame = {
+    val ngramsE =
+      "transform(sequence(1, size(toks) - 2), i -> concat(element_at(toks, i), '_', element_at(toks, i + 1), '_', element_at(toks, i + 2)))"
+    val feats = docs
+      .selectExpr("doc_id", "lang", s"$sparkToks AS toks")
+      .where("size(toks) >= 3")
+      .selectExpr("doc_id", "lang", s"explode($ngramsE) AS g")
+      .selectExpr("doc_id", "lang",
+        s"${sparkHash48("concat('dsir_', g)")} % $buckets AS bkt")
+    val stats = feats.groupBy("bkt").agg(
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_t"),
+      count(lit(1)).as("c_r"))
     val tot = stats.agg(sum("c_t").cast("long").as("n_t"),
       sum("c_r").cast("long").as("n_r"))
     val lr = stats.crossJoin(broadcast(tot))
       .selectExpr("bkt",
         s"cast(round(1e6 * (ln(c_t + 1) - ln(n_t + $buckets) - ln(c_r + 1) + ln(n_r + $buckets))) as bigint) AS lr_e6")
-    val model: Map[Long, Long] =
-      lr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val scored = docs
-      .selectExpr("doc_id", s"$sparkToks AS toks")
-      .where("size(toks) >= 2")
-      .selectExpr("doc_id", s"$bigramsE AS bgs")
-      .withColumn("lrm", typedLit(model))
-      .selectExpr("doc_id",
-        "cast(size(bgs) as bigint) AS n_bigrams",
-        s"aggregate(bgs, 0L, (acc, g) -> acc + coalesce(element_at(lrm, ${sparkHash48("concat('dsir_', g)")} % $buckets), 0L)) AS logw_e6")
-      .selectExpr("doc_id", "n_bigrams", "logw_e6",
-        "cast(floor(logw_e6 / (n_bigrams * 1e2)) as bigint) AS spb_e4")
-    val thr = scored.agg(expr(
-      s"cast(round(2 * percentile(spb_e4, ${(100 - keepPct) / 100.0})) as bigint) AS thr2x"))
-    scored.crossJoin(broadcast(thr))
-      .selectExpr("doc_id", "n_bigrams", "logw_e6", "spb_e4",
-        "2 * spb_e4 >= thr2x AS keep")
-      .orderBy("doc_id")
+    feats.join(broadcast(lr), "bkt")
+      .groupBy("doc_id").agg(
+        first("lang").as("lang"),
+        count(lit(1)).as("n_ngrams"),
+        sum("lr_e6").cast("long").as("logw_e6"))
+      .selectExpr("doc_id", "lang", "n_ngrams", "logw_e6",
+        "cast(floor(logw_e6 / (n_ngrams * 1e2)) as bigint) AS spb_e4")
+  }
+
+  /** Exact ROC-AUC of the DSIR scorer against the English label (q151)
+    * — the Mann-Whitney rank-sum with full tie handling, computed from
+    * SCORE-BUCKETED counts so the corpus is never globally sorted:
+    * group docs by spb_e4 (one map-side-combined aggregate → a
+    * #distinct-scores frame, a few thousand rows however big the
+    * corpus), cumulative negatives-below via a window over THAT frame,
+    * then 2U = Σ_s n_pos(s)·(2·cumneg_below(s) + n_neg(s)) and
+    * auc_e6 = (1e6·2U) div (2·Np·Nn) — all exact int64 at the gated
+    * scale (Np·Nn overflows past ~3e9 docs; swap the final three
+    * columns to DECIMAL(38,0) there, the plan is unchanged).
+    *
+    * This turns "the quality scorer separates the target" from a hope
+    * into a REGRESSION-CHECKED number (the q131/q147 gate pattern):
+    * floor_ok pins AUC ≥ `floorE6`. Measured 0.999/0.999/0.980 at
+    * sf0.001/0.01/0.1 — the floor is set at 0.95 with headroom. */
+  def dsirAuc(docs: DataFrame, buckets: Int = 32768,
+              floorE6: Long = 950000L): DataFrame = {
+    val byScore = dsirScored(docs, buckets)
+      .groupBy("spb_e4").agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("np"),
+        sum(when(col("lang") === "en", 0L).otherwise(1L)).as("nn"))
+    val w = Window.partitionBy(lit(0)).orderBy("spb_e4")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byScore
+      .withColumn("cumneg", coalesce(sum("nn").over(w), lit(0L)))
+      .agg(sum("np").cast("long").as("n_pos"),
+        sum("nn").cast("long").as("n_neg"),
+        sum(expr("np * (2 * cumneg + nn)")).cast("long").as("u2"))
+      .selectExpr("n_pos", "n_neg",
+        "(1000000 * u2) div (2 * n_pos * n_neg) AS auc_e6")
+      .selectExpr("n_pos", "n_neg", "auc_e6",
+        s"auc_e6 >= $floorE6 AS floor_ok")
   }
 
   // ---------------------------------------------------------------- queries
@@ -601,9 +641,13 @@ object Curation {
     "q148_source_entropy" -> ((s, dir) =>
       sourceEntropy(Tables.documents(s, dir))),
 
-    // DSIR importance weights: hashed-unigram target/raw log-ratio.
+    // DSIR importance weights: hashed-bigram target/raw log-ratio.
     "q150_dsir_weight" -> ((s, dir) =>
       dsirWeights(Tables.documents(s, dir))),
+
+    // Exact tie-aware ROC-AUC gate over the DSIR scorer.
+    "q151_dsir_auc" -> ((s, dir) =>
+      dsirAuc(Tables.documents(s, dir))),
 
     "q65_text_chunks" -> ((s, dir) =>
       textChunks(Tables.documents(s, dir)).orderBy("doc_id", "chunk_idx")),
@@ -650,6 +694,37 @@ object Curation {
       |probs AS (
       |  SELECT pair_cnt.w1, pair_cnt.w2, c12 * 1000000 // c1 AS p_e6
       |  FROM pair_cnt JOIN pref_cnt ON pair_cnt.w1 = pref_cnt.w1)""".stripMargin
+
+  /** DuckDB CTE chain of the DSIR model + per-doc scores (through
+    * `sc`), shared by the q150 selection gate and the q151 AUC gate. */
+  private val dsirCtes: String =
+    s"""bg AS (
+       |  SELECT doc_id, lang,
+       |    ${duckHash48("concat('dsir_', toks[i] || '_' || toks[i+1] || '_' || toks[i+2])")} % 32768 AS bkt
+       |  FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks) - 1)) AS i
+       |        FROM (SELECT doc_id, lang,
+       |                regexp_split_to_array(trim(text), '\\s+') AS toks
+       |              FROM documents)
+       |        WHERE len(toks) >= 3)),
+       |stats AS (
+       |  SELECT bkt,
+       |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+       |    CAST(COUNT(*) AS BIGINT) AS c_r
+       |  FROM bg GROUP BY bkt),
+       |tot AS (
+       |  SELECT CAST(SUM(c_t) AS BIGINT) AS n_t, CAST(SUM(c_r) AS BIGINT) AS n_r
+       |  FROM stats),
+       |lr AS (
+       |  SELECT bkt,
+       |    CAST(round(1e6 * (ln(c_t + 1) - ln(n_t + 32768) - ln(c_r + 1) + ln(n_r + 32768))) AS BIGINT) AS lr_e6
+       |  FROM stats, tot),
+       |sc AS (
+       |  SELECT bg.doc_id, any_value(bg.lang) AS lang,
+       |    CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+       |    CAST(SUM(lr_e6) AS BIGINT) AS logw_e6,
+       |    CAST(floor(CAST(SUM(lr_e6) AS BIGINT) / (COUNT(*) * 1e2)) AS BIGINT) AS spb_e4
+       |  FROM bg JOIN lr ON bg.bkt = lr.bkt
+       |  GROUP BY bg.doc_id)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "q98_bigram_lm" ->
@@ -792,37 +867,32 @@ object Curation {
     // operand order mirrors the Spark side exactly), exact integer
     // per-doc sums, top-quartile keep via the med2x percentile trick.
     "q150_dsir_weight" ->
-      s"""WITH bg AS (
-         |  SELECT doc_id, lang,
-         |    ${duckHash48("concat('dsir_', toks[i] || '_' || toks[i+1])")} % 2048 AS bkt
-         |  FROM (SELECT doc_id, lang, toks, unnest(range(1, len(toks))) AS i
-         |        FROM (SELECT doc_id, lang,
-         |                regexp_split_to_array(trim(text), '\\s+') AS toks
-         |              FROM documents)
-         |        WHERE len(toks) >= 2)),
-         |stats AS (
-         |  SELECT bkt,
-         |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
-         |    CAST(COUNT(*) AS BIGINT) AS c_r
-         |  FROM bg GROUP BY bkt),
-         |tot AS (
-         |  SELECT CAST(SUM(c_t) AS BIGINT) AS n_t, CAST(SUM(c_r) AS BIGINT) AS n_r
-         |  FROM stats),
-         |lr AS (
-         |  SELECT bkt,
-         |    CAST(round(1e6 * (ln(c_t + 1) - ln(n_t + 2048) - ln(c_r + 1) + ln(n_r + 2048))) AS BIGINT) AS lr_e6
-         |  FROM stats, tot),
-         |sc AS (
-         |  SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-         |    CAST(SUM(lr_e6) AS BIGINT) AS logw_e6,
-         |    CAST(floor(CAST(SUM(lr_e6) AS BIGINT) / (COUNT(*) * 1e2)) AS BIGINT) AS spb_e4
-         |  FROM bg JOIN lr ON bg.bkt = lr.bkt
-         |  GROUP BY bg.doc_id),
+      s"""WITH $dsirCtes,
          |thr AS (
          |  SELECT CAST(round(2 * quantile_cont(spb_e4, 0.75)) AS BIGINT) AS thr2x FROM sc)
-         |SELECT doc_id, n_bigrams, logw_e6, spb_e4,
+         |SELECT doc_id, n_ngrams, logw_e6, spb_e4,
          |  2 * spb_e4 >= thr2x AS keep
          |FROM sc, thr ORDER BY doc_id""".stripMargin,
+
+    // Tie-aware Mann-Whitney AUC from score-bucketed counts: 2U kept
+    // integral (half-ranks never materialize), floor-div matches
+    // Spark's `div` on the all-positive operands.
+    "q151_dsir_auc" ->
+      s"""WITH $dsirCtes,
+         |byscore AS (
+         |  SELECT spb_e4,
+         |    CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS np,
+         |    CAST(SUM(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS nn
+         |  FROM sc GROUP BY spb_e4),
+         |cum AS (
+         |  SELECT np, nn,
+         |    COALESCE(SUM(nn) OVER (ORDER BY spb_e4
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+         |  FROM byscore)
+         |SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
+         |  CAST((1000000 * SUM(np * (2 * cumneg + nn))) // (2 * SUM(np) * SUM(nn)) AS BIGINT) AS auc_e6,
+         |  CAST((1000000 * SUM(np * (2 * cumneg + nn))) // (2 * SUM(np) * SUM(nn)) AS BIGINT) >= 950000 AS floor_ok
+         |FROM cum""".stripMargin,
 
     "q146_split_novelty" ->
       """WITH l AS (

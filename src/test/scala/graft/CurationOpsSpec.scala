@@ -226,9 +226,27 @@ class CurationOpsSpec extends AnyFunSuite {
     val keptEn = withLang.where("keep AND lang = 'en'").count().toDouble / kept
     assert(keptEn > baseEn + 0.2,
       f"kept-set en share $keptEn%.2f vs base $baseEn%.2f — no enrichment")
-    // per-bigram score is the exact floor of the ratio, for every doc
+    // per-ngram score is the exact floor of the ratio, for every doc
     assert(out.where(
-      "spb_e4 != cast(floor(logw_e6 / (n_bigrams * 1e2)) as bigint)").isEmpty)
+      "spb_e4 != cast(floor(logw_e6 / (n_ngrams * 1e2)) as bigint)").isEmpty)
     out.unpersist()
+  }
+
+  test("DSIR AUC gate: tie-aware Mann-Whitney equals the definition and clears its floor") {
+    val row = Curation.dsirAuc(docs).head()
+    val (np, nn, auc) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(row.getBoolean(3), s"AUC floor failed: $auc")
+    // cross-check against the O(n²) pairwise definition on the small SF:
+    // AUC = (#concordant + #ties/2) / (Np·Nn)
+    val sc = Curation.dsirWeights(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .selectExpr("lang = 'en' AS pos", "spb_e4")
+    val pairs = sc.where("pos").crossJoin(
+        sc.where("NOT pos").selectExpr("spb_e4 AS s_neg"))
+    val (conc, ties) = (
+      pairs.where("spb_e4 > s_neg").count(),
+      pairs.where("spb_e4 = s_neg").count())
+    val expected = (1000000L * (2 * conc + ties)) / (2 * np * nn)
+    assert(auc == expected, s"bucketed AUC $auc != pairwise $expected")
   }
 }
