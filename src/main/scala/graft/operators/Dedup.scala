@@ -581,7 +581,11 @@ object Dedup {
     // two-shuffle profile as q20 with ~n_passages rows in flight.
     // pidx < 2^16 bounds docs at 524k tokens (the packed-long budget).
     "q139_passage_dedup" -> ((s, dir) =>
-      passageDedup(Tables.documents(s, dir)))
+      passageDedup(Tables.documents(s, dir))),
+
+    // ExactSubstr span removal: any-alignment duplicated regions cut.
+    "q152_substring_dedup" -> ((s, dir) =>
+      exactSubstringDedup(Tables.documents(s, dir)))
   )
 
   /** q139 core: non-overlapping `w`-token passages, corpus-wide
@@ -605,6 +609,66 @@ object Dedup {
         expr("array_join(transform(array_sort(collect_list(struct(pidx, ptext))), x -> x.ptext), ' ')")
           .as("text_kept"))
       .orderBy("doc_id")
+
+  /** q152 core — exact-substring span removal (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * ExactSubstr, here at token granularity with `k`-token windows):
+    * every OVERLAPPING window is fingerprinted corpus-wide; an
+    * occurrence whose text occurs anywhere else is a duplicate SPAN
+    * unless it is the globally-first occurrence (packed
+    * doc_id·2²⁰+pos order — the q01/q139 total-order trick, pos <
+    * 2²⁰ tokens per doc); per doc the duplicate spans are
+    * interval-MERGED (running-max-end group boundaries + one cumsum,
+    * both windows over the spans frame — duplicate-occurrence-sized,
+    * far smaller than the corpus); documents are rebuilt with the
+    * merged spans cut out. Unlike q139's fixed passage grid this
+    * catches duplicated regions at ANY alignment, the actual
+    * ExactSubstr semantics.
+    *
+    * Scale: one corpus window scan → ONE shuffle keyed by the window
+    * hash (count+min as window functions over h — no second corpus
+    * join); span-merge windows touch only duplicates; the rebuild is
+    * one join of per-doc span LISTS (few per doc) back onto the token
+    * scan, the cut a codegen'd filter lambda over the token array.
+    * Output is md5-fingerprinted like q76 so the result stays
+    * text-free and bounded. */
+  def exactSubstringDedup(docs: DataFrame, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = docs.selectExpr("doc_id",
+      s"${graft.functions.Portable.sparkToks} AS toks")
+    val wins = t.where(s"size(toks) >= $k")
+      .selectExpr("doc_id", "toks",
+        s"explode(sequence(1, size(toks) - ${k - 1})) AS i")
+      .selectExpr("doc_id", "i",
+        s"md5(array_join(slice(toks, i, $k), ' ')) AS h")
+    val byH = Window.partitionBy("h")
+    val spans = wins
+      .withColumn("packed", expr("doc_id * 1048576 + i"))
+      .withColumn("cnt", count(lit(1)).over(byH))
+      .withColumn("minp", min("packed").over(byH))
+      .where("cnt > 1 AND packed > minp")
+      .selectExpr("doc_id", "i AS s", s"i + $k AS e")
+    val byDoc = Window.partitionBy("doc_id").orderBy("s")
+    val merged = spans
+      .withColumn("maxe",
+        max("e").over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("newg",
+        expr("CASE WHEN maxe IS NULL OR s > maxe THEN 1 ELSE 0 END"))
+      .withColumn("grp",
+        sum("newg").over(byDoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "grp")
+      .agg(min("s").as("s"), max("e").as("e"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("spans"))
+    t.join(merged, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "cast(size(toks) as bigint) AS n_tokens",
+        "filter(toks, (tk, ix) -> spans IS NULL OR NOT exists(spans, sp -> ix + 1 >= sp.s AND ix + 1 < sp.e)) AS kept")
+      .selectExpr("doc_id", "n_tokens",
+        "cast(n_tokens - size(kept) as bigint) AS n_removed",
+        "md5(array_join(kept, ' ')) AS clean_fp")
+      .orderBy("doc_id")
+  }
 
   /** Per-(session, sfDir) memo of the persisted LSH index location for
     * the q115/q116 incremental-dedup gates: bands + shingle sets of the
@@ -782,6 +846,51 @@ object Dedup {
           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
           |  array_to_string(list(ptext ORDER BY pidx), ' ') AS text_kept
           |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // ExactSubstr: overlapping 8-token windows, keep-first by packed
+      // order, per-doc interval merge, rebuild minus merged spans.
+      "q152_substring_dedup" ->
+        """WITH t AS (
+          |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+          |w AS (
+          |  SELECT doc_id, i, md5(array_to_string(toks[i:i+7], ' ')) AS h
+          |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
+          |        FROM t WHERE len(toks) >= 8)),
+          |sp AS (
+          |  SELECT doc_id, i AS s, i + 8 AS e FROM (
+          |    SELECT doc_id, i,
+          |      COUNT(*) OVER (PARTITION BY h) AS cnt,
+          |      MIN(doc_id * 1048576 + i) OVER (PARTITION BY h) AS minp,
+          |      doc_id * 1048576 + i AS packed
+          |    FROM w)
+          |  WHERE cnt > 1 AND packed > minp),
+          |m AS (
+          |  SELECT doc_id, s, e,
+          |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) THEN 1 ELSE 0 END AS newg
+          |  FROM sp),
+          |g AS (
+          |  SELECT doc_id, s, e,
+          |    SUM(newg) OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS grp
+          |  FROM m),
+          |mg AS (SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM g GROUP BY doc_id, grp),
+          |pos AS (
+          |  SELECT doc_id, i, toks[CAST(i AS INT)] AS tok
+          |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t)),
+          |rm AS (
+          |  SELECT DISTINCT p.doc_id, p.i FROM pos p
+          |  JOIN mg ON p.doc_id = mg.doc_id AND p.i >= mg.s AND p.i < mg.e),
+          |kept AS (
+          |  SELECT p.doc_id, p.i, p.tok FROM pos p
+          |  LEFT JOIN rm ON p.doc_id = rm.doc_id AND p.i = rm.i
+          |  WHERE rm.i IS NULL),
+          |a AS (
+          |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+          |    string_agg(tok, ' ' ORDER BY i) AS txt
+          |  FROM kept GROUP BY doc_id)
+          |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+          |  CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+          |  md5(COALESCE(a.txt, '')) AS clean_fp
+          |FROM t LEFT JOIN a ON t.doc_id = a.doc_id ORDER BY t.doc_id""".stripMargin,
       "q38_canonical_dedup" ->
         """SELECT doc_id, cfp FROM (
           |  SELECT doc_id,

@@ -499,6 +499,35 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(total == 8 + 8 + 8 + 2, s"kept $total tokens")
   }
 
+  test("exact-substring dedup cuts misaligned repeats, keeps the first occurrence, merges overlaps") {
+    import java.security.MessageDigest
+    def md5(s: String) = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 2 embeds doc 1's 10-token run at offset 3 — MISALIGNED with
+    // any fixed 8-token grid (q139 cannot see it); the three
+    // overlapping duplicate windows [1,9),[2,10),[3,11) in doc 2's run
+    // must merge into ONE span; doc 1 (first occurrence) stays intact
+    val run = (1 to 10).map(i => s"r$i").mkString(" ")
+    val d1 = run + " " + (1 to 6).map(i => s"a$i").mkString(" ")
+    val d2 = "x1 x2 x3 " + run + " y1 y2"
+    val out = Dedup.exactSubstringDedup(
+        Seq((1L, d1), (2L, d2)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((16L, 0L, md5(d1))), "first occurrence intact")
+    // doc 2: exactly the 10 run tokens cut, prefix+suffix survive
+    assert(out(2L) == ((15L, 10L, md5("x1 x2 x3 y1 y2"))))
+    // a doc that is one long self-repeat: 'z…z' 24 tokens = 3 copies of
+    // an 8-token unit; every window after the first is a duplicate of
+    // an earlier one ⇒ one merged span [9,25) — the first unit survives
+    val unit = (1 to 8).map(i => s"z$i").mkString(" ")
+    val d3 = Seq(unit, unit, unit).mkString(" ")
+    val solo = Dedup.exactSubstringDedup(
+        Seq((7L, d3)).toDF("doc_id", "text")).head()
+    assert(solo.getLong(1) == 24L && solo.getLong(2) == 16L &&
+      solo.getString(3) == md5(unit))
+  }
+
   test("epoch shuffle is a per-epoch permutation with epoch-dependent order") {
     import graft.operators.Packing
     val n = docs.count()
