@@ -113,6 +113,50 @@ class GraftMatViewsSpec extends AnyFunSuite {
     assertStateMatches("mv_sum_d", "mv_base_d", SumCount)
   }
 
+  test("a live stream keeps the MV fresh via the append fast path across a restart") {
+    import java.nio.file.{Paths, StandardCopyOption}
+    import org.apache.spark.sql.DataFrame
+    val stage = Files.createTempDirectory("mv_src").toString
+    val ckpt = Files.createTempDirectory("mv_ckpt").toString
+    // disk-backed: the streaming base shape — appends land as tail
+    // segments by reference (an in-memory SHARDED collection re-shards
+    // on append, which rewrites history and honestly forces the diff
+    // path; a stream would never sit on one)
+    val baseDir = Files.createTempDirectory("mv_disk_s").toString
+    GraftStore.loadDisk("mv_base_s", freshDocs(120), "doc_id", 3, baseDir)
+    GraftMatViews.create(spark, "mv_sum_s", "mv_base_s", "doc_id", "lang", "n_chars")
+    val modes = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    def addFile(name: String, from: Int, n: Int): Unit = {
+      val tmp = Files.createTempDirectory("mv_tmp").toString
+      freshDocs(n, idFrom = from).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(stage, name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    def run(): Unit = {
+      val q = spark.readStream.schema("doc_id LONG, lang STRING, n_chars LONG")
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          GraftStore.append("mv_base_s", batch.schema, batch.collect().toSeq)
+          val r = GraftMatViews.refresh(spark, "mv_sum_s")
+          modes += ((r.mode, r.feedRows)); ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+    }
+    addFile("a.parquet", 1000, 30); addFile("b.parquet", 2000, 25)
+    run()                       // two micro-batches, then the crash point
+    addFile("c.parquet", 3000, 40)
+    run()                       // fresh query off the SAME checkpoint —
+                                // committed batches are NOT replayed
+    assert(modes.map(_._1).forall(_ == "append"),
+      s"every streamed refresh must take the append path: $modes")
+    assert(modes.map(_._2).sum == 95L,
+      s"append feeds must cover exactly the streamed rows: $modes")
+    assertStateMatches("mv_sum_s", "mv_base_s", SumCount)
+  }
+
   test("the MV is SQL-visible through the catalog like any collection") {
     spark.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
     GraftStore.load("mv_base_e", freshDocs(60), shardKey = Some("doc_id"), numSegments = 2)
