@@ -44,6 +44,45 @@ object Similarity {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
+  /** Hard-negative triplet mining for contrastive training (q153) —
+    * FaceNet-style batch-hard selection: for each anchor, the HARDEST
+    * positive (lowest cosine among same-label vectors) and the top-`k`
+    * hardest negatives (highest cosine among different-label vectors),
+    * each flagged `semi_hard` = sim_neg < pos_sim (the negative sits
+    * beyond the hardest positive — the band FaceNet trains on; a FALSE
+    * flag marks a violating "hardest-hard" negative worth upweighting).
+    * Anchors whose label has no second member are dropped (no positive
+    * exists ⇒ no triplet) — the inner join encodes that.
+    *
+    * Scale: anchors are a bounded broadcast onto ONE embedding scan
+    * (identical candidate frame to q24); the hardest positive is a
+    * #anchors-row MIN aggregate broadcast back; negatives take a
+    * per-anchor rank-k window (WindowGroupLimit caps map-side, the q39
+    * shape). Cosines are the native fold rounded to 6 dp BEFORE
+    * ranking and comparison, so ranks, the min, and the semi_hard flag
+    * are all integer-exact cross-engine. */
+  def hardNegatives(embeddings: DataFrame, queryMaxId: Long = 10,
+                    k: Int = 5): DataFrame = {
+    val vecs = embeddings.selectExpr("vec_id", "label",
+      "cast(embedding as array<double>) AS v")
+    val anchors = vecs.where(s"vec_id < $queryMaxId").toDF("query_id", "alabel", "q")
+    val scored = vecs.crossJoin(broadcast(anchors))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("alabel"), col("vec_id"), col("label"),
+        round(cosineN(col("q"), col("v")), 6).as("sim"))
+    val posMin = scored.where("label = alabel")
+      .groupBy("query_id").agg(min("sim").as("pos_sim"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    scored.where("label != alabel")
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .join(broadcast(posMin), "query_id")
+      .selectExpr("query_id", "cast(rank as bigint) AS rank",
+        "vec_id AS neg_id", "sim", "pos_sim", "sim < pos_sim AS semi_hard")
+      .orderBy("query_id", "rank")
+  }
+
   /** Brute-force cosine top-k neighbors for each query vector. */
   def cosineTopK(embeddings: DataFrame, queryMaxId: Long = 10, k: Int = 5): DataFrame = {
     val vecs = embeddings.selectExpr("vec_id", "cast(embedding as array<double>) AS v")
@@ -338,6 +377,10 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_cosine_topk" -> ((s, dir) =>
       cosineTopK(Tables.embeddings(s, dir)).orderBy("query_id", "rank")),
+
+    // FaceNet-style batch-hard triplet mining over the label column.
+    "q153_hard_negatives" -> ((s, dir) =>
+      hardNegatives(Tables.embeddings(s, dir))),
 
     "q25_ann_lsh_buckets" -> ((s, dir) =>
       lshBuckets(Tables.embeddings(s, dir)).orderBy("vec_id")),
@@ -685,6 +728,28 @@ object Similarity {
            |  SELECT query_id, vec_id, sim,
            |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
            |  FROM scored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+      // Batch-hard triplets: hardest positive = per-anchor MIN same-label
+      // cosine; negatives ranked desc among different-label candidates.
+      "q153_hard_negatives" ->
+        s"""WITH vecs AS (
+           |  SELECT vec_id, label, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |scored AS (
+           |  SELECT q.vec_id AS query_id, q.label AS alabel,
+           |    b.vec_id AS vec_id, b.label AS label,
+           |    round(list_sum(list_transform(list_zip(q.v, b.v), s -> s[1] * s[2])) /
+           |      (sqrt(list_sum(list_transform(q.v, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x)))), 6) AS sim
+           |  FROM vecs q JOIN vecs b ON q.vec_id < 10 AND b.vec_id <> q.vec_id),
+           |pos AS (
+           |  SELECT query_id, MIN(sim) AS pos_sim FROM scored
+           |  WHERE label = alabel GROUP BY query_id),
+           |neg AS (
+           |  SELECT query_id, vec_id, sim,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+           |  FROM scored WHERE label <> alabel)
+           |SELECT n.query_id, CAST(rank AS BIGINT) AS rank, vec_id AS neg_id,
+           |  sim, pos_sim, sim < pos_sim AS semi_hard
+           |FROM neg n JOIN pos p ON n.query_id = p.query_id
+           |WHERE rank <= 5 ORDER BY n.query_id, rank""".stripMargin,
       "q25_ann_lsh_buckets" ->
         s"""SELECT vec_id, CAST($duckBucket AS BIGINT) AS bucket FROM (
            |  SELECT vec_id, list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q

@@ -203,6 +203,27 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hard-negative mining: negatives are cross-label, ranked, and semi_hard agrees with pos_sim") {
+    val emb = Tables.embeddings(spark, sf)
+    val out = Similarity.hardNegatives(emb).cache()
+    val labels = emb.selectExpr("vec_id", "label AS l")
+    // every mined negative really has a different label than its anchor
+    val crossed = out
+      .join(labels.toDF("query_id", "al"), "query_id")
+      .join(labels.toDF("neg_id", "nl"), "neg_id")
+    assert(crossed.where("al = nl").isEmpty, "a same-label 'negative' leaked")
+    // the flag is exactly the comparison it claims to be
+    assert(out.where("semi_hard != (sim < pos_sim)").isEmpty)
+    // ranks are contiguous 1..k per anchor, sims descending
+    val byQ = out.orderBy("query_id", "rank").collect().groupBy(_.getLong(0))
+    byQ.values.foreach { rs =>
+      assert(rs.map(_.getLong(1)).toSeq == (1L to rs.length))
+      val sims = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+    }
+    out.unpersist()
+  }
+
   test("every vector lands in exactly one of the 256 LSH buckets") {
     val b = Similarity.lshBuckets(Tables.embeddings(spark, sf))
     assert(b.count() == Tables.embeddings(spark, sf).count())
