@@ -103,13 +103,39 @@ object Bpe {
       .orderBy("doc_id")
   }
 
+  /** q154: tokenizer FERTILITY per language — the standard tokenizer-
+    * evaluation metric (avg BPE tokens per word; chars per BPE token as
+    * the compression view). A tokenizer trained on a mixed corpus
+    * over-fragments the languages it under-saw; this is the number that
+    * shows it, per lang, before a training run bakes it in. Same plan
+    * family as q144: the vocabulary-sized `seg` artifact broadcasts
+    * onto one corpus scan, then ONE #langs-row aggregate — ratios as
+    * integer fixed-point divisions of the exact sums (all-positive, so
+    * Spark `div` ≡ DuckDB `//`). */
+  def bpeFertility(docs: DataFrame, k: Int = DefaultMerges): DataFrame = {
+    val seg = trainSyms(docs, k)._1
+      .groupBy("w").agg(count(lit(1)).as("n_sym"))
+    docs.selectExpr("doc_id", "lang", s"explode(${Portable.sparkToks}) AS w")
+      .where("w <> ''")
+      .join(broadcast(seg), Seq("w"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_sym").cast("long").as("n_bpe_tokens"),
+        sum(length(col("w"))).cast("long").as("n_chars"))
+      .selectExpr("lang", "n_words", "n_bpe_tokens", "n_chars",
+        "(10000 * n_bpe_tokens) div n_words AS fertility_e4",
+        "(10000 * n_chars) div n_bpe_tokens AS chars_per_tok_e4")
+      .orderBy("lang")
+  }
+
   val DefaultMerges = 6
 
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q143_bpe_merges" -> ((s, dir) => bpeMerges(Tables.documents(s, dir))),
-    "q144_bpe_tokenize" -> ((s, dir) => bpeTokenCounts(Tables.documents(s, dir))))
+    "q144_bpe_tokenize" -> ((s, dir) => bpeTokenCounts(Tables.documents(s, dir))),
+    "q154_bpe_fertility" -> ((s, dir) => bpeFertility(Tables.documents(s, dir))))
 
   /** DuckDB twin: the same k iterations unrolled as chained CTEs. The
     * MATERIALIZED hints are semantics-neutral but load-bearing for the
@@ -119,7 +145,8 @@ object Bpe {
     * materialized at k=6). */
   def oracle: Map[String, String] = Map(
     "q143_bpe_merges" -> duckSql(DefaultMerges, mergeListTail(DefaultMerges)),
-    "q144_bpe_tokenize" -> duckSql(DefaultMerges, tokenizeTail(DefaultMerges)))
+    "q144_bpe_tokenize" -> duckSql(DefaultMerges, tokenizeTail(DefaultMerges)),
+    "q154_bpe_fertility" -> duckSql(DefaultMerges, fertilityTail(DefaultMerges)))
 
   private def mergeListTail(k: Int): String = {
     val best = (1 to k).map(i =>
@@ -127,6 +154,19 @@ object Bpe {
     "SELECT CAST(step AS BIGINT) AS step, sym_a, sym_b, pair_cnt FROM (" +
       best.mkString(" UNION ALL ") + ") ORDER BY step"
   }
+
+  private def fertilityTail(k: Int): String =
+    s""",
+       |seg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sym FROM it$k GROUP BY w),
+       |tok AS (
+       |  SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_sym) AS BIGINT) AS n_bpe_tokens,
+       |  CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+       |  (10000 * CAST(SUM(n_sym) AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS fertility_e4,
+       |  (10000 * CAST(SUM(length(w)) AS BIGINT)) // CAST(SUM(n_sym) AS BIGINT) AS chars_per_tok_e4
+       |FROM tok JOIN seg USING (w) WHERE w <> ''
+       |GROUP BY lang ORDER BY lang""".stripMargin
 
   private def tokenizeTail(k: Int): String =
     s""",
