@@ -585,7 +585,11 @@ object Dedup {
 
     // ExactSubstr span removal: any-alignment duplicated regions cut.
     "q152_substring_dedup" -> ((s, dir) =>
-      exactSubstringDedup(Tables.documents(s, dir)))
+      exactSubstringDedup(Tables.documents(s, dir))),
+
+    // Sketch-vs-exact calibration curve over the candidate pairs.
+    "q155_minhash_calibration" -> ((s, dir) =>
+      minhashCalibration(Tables.documents(s, dir)))
   )
 
   /** q139 core: non-overlapping `w`-token passages, corpus-wide
@@ -609,6 +613,40 @@ object Dedup {
         expr("array_join(transform(array_sort(collect_list(struct(pidx, ptext))), x -> x.ptext), ' ')")
           .as("text_kept"))
       .orderBy("doc_id")
+
+  /** q155 — MinHash estimator CALIBRATION: on the banded candidate
+    * pairs, compare the sketch's Jaccard estimate (matching signature
+    * coordinates / K) against the exact shingle Jaccard, bucketed into
+    * exact-Jaccard deciles — the measurement that tells you whether
+    * K=16 permutations are enough BEFORE a threshold decision trusts
+    * them (expected |err| ≈ √(j(1−j)/K) ≈ 0.12 at j=0.5; the sketch is
+    * only asked to be sharp near the 0.5 gate, and the per-decile MAE
+    * is exactly that sharpness, made a regression-checked number — the
+    * q131/q147/q151 gate pattern pointed at the dedup sketch itself).
+    *
+    * Plan: the candidate frame is banded (never all-pairs); signatures
+    * attach by the two pair joins every confirm path already pays; the
+    * calibration aggregate is ≤11 rows. All-integer outputs: est1000 =
+    * (1000·matches) div 16, means/MAE as floor divisions of exact sums
+    * (all-positive ⇒ Spark `div` ≡ DuckDB `//`). */
+  def minhashCalibration(docs: DataFrame): DataFrame = {
+    val sigs = signatures(docs).cache()
+    val matchSum = (0 until MinhashK).map(j => s"if(a_m$j = b_m$j, 1, 0)").mkString(" + ")
+    val aCols = "doc_a" +: "sh_a" +: (0 until MinhashK).map("a_m" + _)
+    val bCols = "doc_b" +: "sh_b" +: (0 until MinhashK).map("b_m" + _)
+    candidatePairs(sigs)
+      .join(sigs.toDF(aCols: _*), "doc_a")
+      .join(sigs.toDF(bCols: _*), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr(s"(1000 * ($matchSum)) div 16").as("est1000"),
+        jaccardN(col("sh_a"), col("sh_b")).as("j1000"))
+      .groupBy(expr("j1000 div 100").as("decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(est1000) div count(1)").as("mean_est_e3"),
+        expr("sum(j1000) div count(1)").as("mean_exact_e3"),
+        expr("sum(abs(est1000 - j1000)) div count(1)").as("mae_e3"))
+      .orderBy("decile")
+  }
 
   /** q152 core — exact-substring span removal (Lee et al. 2022,
     * "Deduplicating Training Data Makes Language Models Better" —
@@ -747,6 +785,25 @@ object Dedup {
           |FROM g a JOIN g b ON a.doc_id < b.doc_id AND 10 * greatest(a.len, b.len) <= 13 * least(a.len, b.len)
           |WHERE 1000.0 * len(list_intersect(a.g, b.g)) / len(list_distinct(list_concat(a.g, b.g))) >= 499.5
           |ORDER BY doc_a, doc_b""".stripMargin,
+      // Sketch calibration: candidate pairs once (the OR-join emits each
+      // pair exactly once, matching candidatePairs' DISTINCT), signature
+      // coordinates re-attached from sigs, per-decile integer stats.
+      "q155_minhash_calibration" ->
+        s"""WITH $duckLshCtes,
+           |cand AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ($bandMatch)),
+           |sc AS (
+           |  SELECT c.doc_a, c.doc_b,
+           |    (1000 * (${(0 until MinhashK).map(j => s"CASE WHEN x.m$j = y.m$j THEN 1 ELSE 0 END").mkString(" + ")})) // 16 AS est1000,
+           |    CAST(round(1000.0 * len(list_intersect(x.sh, y.sh)) / len(list_distinct(list_concat(x.sh, y.sh)))) AS BIGINT) AS j1000
+           |  FROM cand c JOIN sigs x ON c.doc_a = x.doc_id
+           |              JOIN sigs y ON c.doc_b = y.doc_id)
+           |SELECT j1000 // 100 AS decile, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |  CAST(SUM(est1000) // COUNT(*) AS BIGINT) AS mean_est_e3,
+           |  CAST(SUM(j1000) // COUNT(*) AS BIGINT) AS mean_exact_e3,
+           |  CAST(SUM(abs(est1000 - j1000)) // COUNT(*) AS BIGINT) AS mae_e3
+           |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
       "q22_minhash_lsh" ->
         s"""WITH $duckLshCtes
            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

@@ -520,6 +520,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(total == 8 + 8 + 8 + 2, s"kept $total tokens")
   }
 
+  test("minhash calibration: identical docs land in decile 10 with zero error; sketch sharp at the gate") {
+    val words = (1 to 40).map(i => s"w$i").mkString(" ")
+    val corpus = Seq((1L, words), (2L, words),
+      (3L, (1 to 40).map(i => s"v$i").mkString(" "))).toDF("doc_id", "text")
+    val rows = Dedup.minhashCalibration(corpus).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // the identical pair: est = exact = 1000, MAE 0
+    assert(rows(10L) == ((1L, 1000L, 1000L, 0L)), s"got $rows")
+    // on real data the curve must be sharp where the 0.5 gate reads it
+    val real = Dedup.minhashCalibration(docs).where("decile >= 9")
+      .agg(max("mae_e3")).head().getLong(0)
+    assert(real <= 100, s"sketch MAE at the gate deciles too high: $real")
+  }
+
   test("exact-substring dedup cuts misaligned repeats, keeps the first occurrence, merges overlaps") {
     import java.security.MessageDigest
     def md5(s: String) = MessageDigest.getInstance("MD5")
