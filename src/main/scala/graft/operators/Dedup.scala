@@ -592,11 +592,36 @@ object Dedup {
       minhashCalibration(Tables.documents(s, dir)))
   )
 
+  /** `doc_id`·2^bits + `idx` as ONE bigint total order, with the domain
+    * ENFORCED in-plan (the q108 merge-guard convention,
+    * `Merge.scala`): `idx` must fit its 2^bits budget and `doc_id` the
+    * remaining bits, else the job fails LOUDLY via raise_error instead
+    * of silently folding the overflow into the NEXT doc_id's key space
+    * — which would corrupt keep-first winners with no error. The guard
+    * is a codegen'd conditional on values the projection already
+    * computed; in-bounds rows produce bit-identical keys to the
+    * unguarded expression, so the oracle hashes are unchanged.
+    * PackedKeepFirstProps drives idx to and past the bound. */
+  private[graft] def guardedPacked(op: String, docId: org.apache.spark.sql.Column,
+                                   idx: org.apache.spark.sql.Column, bits: Int): org.apache.spark.sql.Column = {
+    val cap = 1L << bits
+    val docCap = Long.MaxValue / cap // docId < docCap ∧ idx < cap ⇒ packed < 2^63
+    val inBounds = idx >= 0 && idx < cap && docId >= 0 && docId < docCap
+    when(inBounds, docId * cap + idx).otherwise(raise_error(concat(
+      lit(s"$op: packed-key domain violated (need 0 <= idx < 2^$bits and "),
+      lit(s"0 <= doc_id < $docCap; split or truncate oversized documents "),
+      lit("upstream): doc_id="), docId.cast("string"),
+      lit(" idx="), idx.cast("string"))))
+  }
+
   /** q139 core: non-overlapping `w`-token passages, corpus-wide
     * keep-first per passage text, documents rebuilt from survivors.
     * Output: (doc_id, n_kept, text_kept) for every doc keeping ≥1
     * passage. Packed key = doc_id·2^16 + pidx (total order, single
-    * bigint MIN — no row_number window over the passage stream). */
+    * bigint MIN — no row_number window over the passage stream); the
+    * pidx < 2^16 budget (524k-token doc cap at w=8) is enforced by
+    * [[guardedPacked]] — a book-length doc fails loudly, never
+    * silently adopts a neighbor's key space. */
   def passageDedup(docs: DataFrame, w: Int = 8): DataFrame =
     docs
       .selectExpr("doc_id", s"${graft.functions.Portable.sparkToks} AS toks")
@@ -604,8 +629,9 @@ object Dedup {
       .selectExpr("doc_id",
         s"explode(sequence(0, cast(ceil(size(toks) / $w.0) as int) - 1)) AS pidx",
         "toks")
-      .selectExpr("doc_id * 65536 + pidx AS packed",
-        s"array_join(slice(toks, pidx * $w + 1, $w), ' ') AS ptext")
+      .select(
+        guardedPacked("passageDedup", col("doc_id"), col("pidx"), 16).as("packed"),
+        expr(s"array_join(slice(toks, pidx * $w + 1, $w), ' ')").as("ptext"))
       .groupBy("ptext").agg(min("packed").as("packed"))
       .selectExpr("packed div 65536 AS doc_id", "packed % 65536 AS pidx", "ptext")
       .groupBy("doc_id")
@@ -638,7 +664,7 @@ object Dedup {
       .join(sigs.toDF(aCols: _*), "doc_a")
       .join(sigs.toDF(bCols: _*), "doc_b")
       .select(col("doc_a"), col("doc_b"),
-        expr(s"(1000 * ($matchSum)) div 16").as("est1000"),
+        expr(s"(1000 * ($matchSum)) div $MinhashK").as("est1000"),
         jaccardN(col("sh_a"), col("sh_b")).as("j1000"))
       .groupBy(expr("j1000 div 100").as("decile"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -654,8 +680,8 @@ object Dedup {
     * every OVERLAPPING window is fingerprinted corpus-wide; an
     * occurrence whose text occurs anywhere else is a duplicate SPAN
     * unless it is the globally-first occurrence (packed
-    * doc_id·2²⁰+pos order — the q01/q139 total-order trick, pos <
-    * 2²⁰ tokens per doc); per doc the duplicate spans are
+    * doc_id·2²⁰+pos order — the q01/q139 total-order trick; the pos <
+    * 2²⁰ per-doc budget is enforced in-plan by [[guardedPacked]]); per doc the duplicate spans are
     * interval-MERGED (running-max-end group boundaries + one cumsum,
     * both windows over the spans frame — duplicate-occurrence-sized,
     * far smaller than the corpus); documents are rebuilt with the
@@ -681,7 +707,8 @@ object Dedup {
         s"md5(array_join(slice(toks, i, $k), ' ')) AS h")
     val byH = Window.partitionBy("h")
     val spans = wins
-      .withColumn("packed", expr("doc_id * 1048576 + i"))
+      .withColumn("packed",
+        guardedPacked("exactSubstringDedup", col("doc_id"), col("i"), 20))
       .withColumn("cnt", count(lit(1)).over(byH))
       .withColumn("minp", min("packed").over(byH))
       .where("cnt > 1 AND packed > minp")
@@ -795,7 +822,7 @@ object Dedup {
            |  FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ($bandMatch)),
            |sc AS (
            |  SELECT c.doc_a, c.doc_b,
-           |    (1000 * (${(0 until MinhashK).map(j => s"CASE WHEN x.m$j = y.m$j THEN 1 ELSE 0 END").mkString(" + ")})) // 16 AS est1000,
+           |    (1000 * (${(0 until MinhashK).map(j => s"CASE WHEN x.m$j = y.m$j THEN 1 ELSE 0 END").mkString(" + ")})) // $MinhashK AS est1000,
            |    CAST(round(1000.0 * len(list_intersect(x.sh, y.sh)) / len(list_distinct(list_concat(x.sh, y.sh)))) AS BIGINT) AS j1000
            |  FROM cand c JOIN sigs x ON c.doc_a = x.doc_id
            |              JOIN sigs y ON c.doc_b = y.doc_id)

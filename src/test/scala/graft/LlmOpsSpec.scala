@@ -563,6 +563,37 @@ class LlmOpsSpec extends AnyFunSuite {
       solo.getString(3) == md5(unit))
   }
 
+  /** The packed-key domain guards (q139/q152): a document past the
+    * per-doc index budget must kill the job with the operator's
+    * raise_error message — never silently fold its passages/windows
+    * into the next doc_id's key space and corrupt keep-first winners. */
+  test("passage dedup fails loudly on a document past the 524k-token packed budget") {
+    // 65537 passages at w=8 ⇒ pidx reaches 65536, one past the 2^16 cap
+    val oversized = Seq.tabulate(65537 * 8)(i => s"t$i").mkString(" ")
+    val corpus = Seq((1L, oversized), (2L, "ok tokens here")).toDF("doc_id", "text")
+    val e = intercept[Throwable] { Dedup.passageDedup(corpus).collect() }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(m => m.contains("passageDedup") && m.contains("packed-key")),
+      s"expected the passageDedup packed-key raise, got: ${msgs.take(3)}")
+    // one token under the cap still runs clean
+    val atCap = Seq.tabulate(65536 * 8)(i => s"t$i").mkString(" ")
+    assert(Dedup.passageDedup(Seq((1L, atCap)).toDF("doc_id", "text"))
+      .head().getLong(1) == 65536L)
+  }
+
+  test("exact-substring dedup fails loudly on a document past the 2^20 window budget") {
+    // windows start at i = 1..(n-7); n = 2^20 + 8 drives i to 2^20 + 1
+    val oversized = Seq.tabulate(1048576 + 8)(i => s"t$i").mkString(" ")
+    val e = intercept[Throwable] {
+      Dedup.exactSubstringDedup(Seq((1L, oversized)).toDF("doc_id", "text")).collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).toSeq
+    assert(msgs.exists(m => m.contains("exactSubstringDedup") && m.contains("packed-key")),
+      s"expected the exactSubstringDedup packed-key raise, got: ${msgs.take(3)}")
+  }
+
   test("epoch shuffle is a per-epoch permutation with epoch-dependent order") {
     import graft.operators.Packing
     val n = docs.count()

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions.col
 import org.scalacheck.{Gen, Properties, Test}
 import org.scalacheck.Prop.forAll
 
-import graft.operators.Relational
+import graft.operators.{Dedup, Relational}
 
 /** Property suite for the q01/q02 keep-first packed order
   * (Relational.packedOrdExpr): the single 62-bit long must order rows
@@ -81,6 +81,46 @@ object PackedKeepFirstProps extends Properties("packedKeepFirst") {
         val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
           .map(t => Option(t.getMessage).getOrElse("")).toSeq
         msgs.exists(_.contains("packedKeepFirst"))
+      }
+    }
+  }
+
+  /** The q139/q152 packed-key guard (Dedup.guardedPacked): in-bounds
+    * (doc_id, idx) pairs order lexicographically and round-trip through
+    * div/mod; idx AT or past 2^bits (or a doc_id past the remaining
+    * budget) raises in-plan instead of silently corrupting the order. */
+  property("guardedPacked: in-bounds pairs order lexicographically and round-trip") =
+    forAll(Gen.listOfN(60, for {
+      doc <- Gen.chooseNum(0L, (Long.MaxValue / 65536L) - 1)
+      idx <- Gen.frequency(3 -> Gen.chooseNum(0L, 65535L), 1 -> Gen.oneOf(0L, 65535L))
+    } yield (doc, idx))) { pairs =>
+      import spark.implicits._
+      val got = pairs.toDF("doc_id", "idx")
+        .select(Dedup.guardedPacked("prop", col("doc_id"), col("idx"), 16).as("p"))
+        .selectExpr("p", "p div 65536 AS doc_id", "p % 65536 AS idx")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val roundTrips = got.toSeq.map(t => (t._2, t._3)) == pairs
+      val ordered = got.sortBy(_._1).map(t => (t._2, t._3)).toSeq == pairs.sorted
+      roundTrips && ordered
+    }
+
+  property("guardedPacked: idx or doc_id past its budget raises in-plan") = {
+    import spark.implicits._
+    val beyond = Seq(
+      (1L, 65536L),                     // idx at the 2^16 cap
+      (1L, -1L),                        // negative idx
+      (Long.MaxValue / 65536L, 0L),     // doc_id past the remaining budget
+      (-1L, 0L))                        // negative doc_id
+    beyond.forall { case (doc, idx) =>
+      val thrown =
+        try {
+          Seq((doc, idx)).toDF("doc_id", "idx")
+            .select(Dedup.guardedPacked("prop", col("doc_id"), col("idx"), 16))
+            .collect(); None
+        } catch { case e: Throwable => Some(e) }
+      thrown.exists { e =>
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(t => Option(t.getMessage).getOrElse("")).exists(_.contains("packed-key"))
       }
     }
   }
