@@ -36,10 +36,40 @@ object Bpe {
     * plus the learned merge list. The final symbol table IS the trained
     * tokenizer's segmentation of every word type — [[bpeMerges]] emits
     * the merge rules, [[bpeTokenCounts]] applies the segmentation back
-    * to the corpus. */
-  private def trainSyms(docs: DataFrame, k: Int):
+    * to the corpus. Sequential subword-nmt semantics = the batched loop
+    * at batch 1 (one argmax per merge). */
+  private[graft] def trainSyms(docs: DataFrame, k: Int):
+      (DataFrame, Seq[(Long, String, String, Long)]) =
+    trainSymsBatched(docs, k, 1)
+
+  /** Batched-merge training: per iteration, take the top `maxBatch`
+    * NON-CONFLICTING pairs (rank order by count desc / (a, b); a pair
+    * is skipped if it shares a symbol with an earlier-chosen pair in
+    * the same batch) and apply them in ONE pass over the type table.
+    *
+    * Why conflict-freedom makes the single pass exact: with disjoint
+    * symbol sets, a position matches at most one chosen pair, and two
+    * CONSECUTIVE matched positions can only come from the same
+    * self-overlapping pair (a, a) — a cross-pair adjacency would force
+    * the second pair's left symbol to equal the first pair's right.
+    * So the greedy-left run alternation resolves every chosen pair
+    * simultaneously, exactly as `maxBatch` sequential passes would.
+    *
+    * What the batch approximates: sequential BPE would recount pairs
+    * after each merge, and a batch can miss a NEW pair (one touching a
+    * just-created symbol) that would have outranked a later batch
+    * member. Disjoint pairs' counts themselves are merge-invariant, so
+    * at batch 1 this is EXACTLY subword-nmt (LlmOpsSpec pins the
+    * equivalence). The payoff is driver round trips: k merges cost
+    * ~k/maxBatch Spark jobs instead of k — the difference between 32k
+    * sequential jobs and a few hundred at a real vocabulary size.
+    *
+    * Exhaustion: when no adjacent pair remains (every word type is a
+    * single symbol), training stops cleanly with the merges learned so
+    * far rather than failing on an empty argmax. */
+  private[graft] def trainSymsBatched(docs: DataFrame, k: Int, maxBatch: Int):
       (DataFrame, Seq[(Long, String, String, Long)]) = {
-    require(k >= 1)
+    require(k >= 1 && maxBatch >= 1)
     val vocab = docs.selectExpr(s"explode(${Portable.sparkToks}) AS w")
       .where("w <> ''").groupBy("w").agg(count(lit(1)).as("cnt"))
     var syms = vocab
@@ -48,43 +78,90 @@ object Bpe {
       .localCheckpoint()
     val byPos = Window.partitionBy("w").orderBy("pos")
     val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
-    for (step <- 1 to k) {
+    var exhausted = false
+    while (merges.size < k && !exhausted) {
       val withNext = syms.withColumn("nsym", lead("sym", 1).over(byPos))
-      // 1-row argmax: pair count over types weighted by cnt
-      val best = withNext.where("nsym IS NOT NULL")
+      val budget = math.min(maxBatch, k - merges.size)
+      // rank-ordered candidate prefix — oversized so a batch usually
+      // survives conflict pruning; a bounded model frame either way
+      val top = withNext.where("nsym IS NOT NULL")
         .groupBy("sym", "nsym").agg(sum("cnt").as("c"))
-        .orderBy(col("c").desc, col("sym"), col("nsym")).limit(1).collect()(0)
-      val (a, b) = (best.getString(0), best.getString(1))
-      merges += ((step.toLong, a, b, best.getLong(2)))
-      val m = withNext.withColumn("is_match",
-        col("sym") === lit(a) && col("nsym") === lit(b))
-      // greedy-left overlap resolution: consecutive match positions form
-      // a run (pos − row_number constant); alternate members merge
-      val mm = m.where("is_match")
-        .withColumn("grp", col("pos") - row_number().over(byPos))
-        .withColumn("keep",
-          (col("pos") - min("pos").over(Window.partitionBy("w", "grp"))) % 2 === 0)
-        .where("keep")
-        .select(col("w").as("w2"), col("pos").as("pos2"), lit(true).as("merge_here"))
-      val j = m.join(mm, col("w") === col("w2") && col("pos") === col("pos2"), "left")
-        .withColumn("do_merge", coalesce(col("merge_here"), lit(false)))
-        .withColumn("pm", coalesce(lag("do_merge", 1).over(byPos), lit(false)))
-        .where(!col("pm")) // the absorbed right symbol disappears
-        .selectExpr("w", "cnt", "pos",
-          "CASE WHEN do_merge THEN concat(sym, nsym) ELSE sym END AS sym")
-      syms = j.withColumn("pos", row_number().over(byPos).cast("long") - 1)
-        .select("w", "cnt", "pos", "sym")
-        .localCheckpoint()
+        .orderBy(col("c").desc, col("sym"), col("nsym"))
+        .limit(math.max(budget * 4, 8)).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val chosen = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        val used = scala.collection.mutable.Set.empty[String]
+        var i = 0
+        while (i < top.length && chosen.size < budget) {
+          val (a, b) = (top(i).getString(0), top(i).getString(1))
+          if (!used(a) && !used(b)) {
+            chosen += ((a, b, top(i).getLong(2))); used += a; used += b
+          }
+          i += 1
+        }
+        chosen.foreach { case (a, b, c) => merges += ((merges.size + 1L, a, b, c)) }
+        val isMatch = chosen.map { case (a, b, _) =>
+          col("sym") === lit(a) && col("nsym") === lit(b) }.reduce(_ || _)
+        val m = withNext.withColumn("is_match", isMatch)
+        // greedy-left overlap resolution: consecutive match positions form
+        // a run (pos − row_number constant); alternate members merge
+        val mm = m.where("is_match")
+          .withColumn("grp", col("pos") - row_number().over(byPos))
+          .withColumn("keep",
+            (col("pos") - min("pos").over(Window.partitionBy("w", "grp"))) % 2 === 0)
+          .where("keep")
+          .select(col("w").as("w2"), col("pos").as("pos2"), lit(true).as("merge_here"))
+        val j = m.join(mm, col("w") === col("w2") && col("pos") === col("pos2"), "left")
+          .withColumn("do_merge", coalesce(col("merge_here"), lit(false)))
+          .withColumn("pm", coalesce(lag("do_merge", 1).over(byPos), lit(false)))
+          .where(!col("pm")) // the absorbed right symbol disappears
+          .selectExpr("w", "cnt", "pos",
+            "CASE WHEN do_merge THEN concat(sym, nsym) ELSE sym END AS sym")
+        syms = j.withColumn("pos", row_number().over(byPos).cast("long") - 1)
+          .select("w", "cnt", "pos", "sym")
+          .localCheckpoint()
+      }
     }
-    (syms, merges.toSeq)
+    (syms, merges.toList)
+  }
+
+  /** Per-(session, sfDir, k) memo of the trained model: q143, q144 and
+    * q154 train the IDENTICAL k-merge tokenizer over the identical
+    * corpus, and retraining it per query was the #1/#3/#4 bench cost
+    * (the Similarity.ivfIndexFor precedent). The memoized symbol table
+    * is localCheckpoint'd by the training loop, the merge list is a
+    * k-row driver value; cold mode (Memos.clearAll) re-pays training. */
+  private val trainMemo = scala.collection.mutable.Map
+    .empty[(SparkSession, String, Int), (DataFrame, Seq[(Long, String, String, Long)])]
+  Memos.register(() => trainMemo.synchronized(trainMemo.clear()))
+  private def trainSymsFor(s: SparkSession, dir: String, k: Int):
+      (DataFrame, Seq[(Long, String, String, Long)]) =
+    trainMemo.synchronized {
+      trainMemo.getOrElseUpdate((s, dir, k), trainSyms(Tables.documents(s, dir), k))
+    }
+
+  /** Memoized per-doc BPE token counts for downstream consumers —
+    * q157 packs sequences by these instead of whitespace counts, so
+    * its budget is denominated in the tokens a trainer sees. */
+  private[operators] def tokenCountsMemo(s: SparkSession, dir: String): DataFrame =
+    tokenCountsFrom(Tables.documents(s, dir), trainSymsFor(s, dir, DefaultMerges)._1)
+
+  /** The k-merge training CTE chain with a caller-supplied tail — lets
+    * sibling operators (q157 packing) build oracles on top of the
+    * trained segmentation without duplicating the chain. */
+  private[operators] def duckSqlWith(tail: String): String =
+    duckSql(DefaultMerges, tail)
+
+  private def mergesDf(spark: SparkSession,
+                       merges: Seq[(Long, String, String, Long)]): DataFrame = {
+    import spark.implicits._
+    merges.toDF("step", "sym_a", "sym_b", "pair_cnt")
   }
 
   /** Learned merge list: (step, sym_a, sym_b, pair_cnt), step 1..k. */
-  def bpeMerges(docs: DataFrame, k: Int = DefaultMerges): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    trainSyms(docs, k)._2.toDF("step", "sym_a", "sym_b", "pair_cnt")
-  }
+  def bpeMerges(docs: DataFrame, k: Int = DefaultMerges): DataFrame =
+    mergesDf(docs.sparkSession, trainSyms(docs, k)._2)
 
   /** q144: apply the trained segmentation back to the corpus — per-doc
     * whitespace-word count and BPE token count under the k learned
@@ -92,9 +169,11 @@ object Bpe {
     * vocabulary-sized frame, so the application is one corpus scan with
     * a BROADCAST join on the word — exactly how a tokenizer ships: the
     * merge table rides to executors, the corpus never reshuffles. */
-  def bpeTokenCounts(docs: DataFrame, k: Int = DefaultMerges): DataFrame = {
-    val seg = trainSyms(docs, k)._1
-      .groupBy("w").agg(count(lit(1)).as("n_sym"))
+  def bpeTokenCounts(docs: DataFrame, k: Int = DefaultMerges): DataFrame =
+    tokenCountsFrom(docs, trainSyms(docs, k)._1)
+
+  private def tokenCountsFrom(docs: DataFrame, syms: DataFrame): DataFrame = {
+    val seg = syms.groupBy("w").agg(count(lit(1)).as("n_sym"))
     docs.selectExpr("doc_id", s"explode(${Portable.sparkToks}) AS w")
       .where("w <> ''")
       .join(broadcast(seg), Seq("w"))
@@ -112,9 +191,11 @@ object Bpe {
     * onto one corpus scan, then ONE #langs-row aggregate — ratios as
     * integer fixed-point divisions of the exact sums (all-positive, so
     * Spark `div` ≡ DuckDB `//`). */
-  def bpeFertility(docs: DataFrame, k: Int = DefaultMerges): DataFrame = {
-    val seg = trainSyms(docs, k)._1
-      .groupBy("w").agg(count(lit(1)).as("n_sym"))
+  def bpeFertility(docs: DataFrame, k: Int = DefaultMerges): DataFrame =
+    fertilityFrom(docs, trainSyms(docs, k)._1)
+
+  private def fertilityFrom(docs: DataFrame, syms: DataFrame): DataFrame = {
+    val seg = syms.groupBy("w").agg(count(lit(1)).as("n_sym"))
     docs.selectExpr("doc_id", "lang", s"explode(${Portable.sparkToks}) AS w")
       .where("w <> ''")
       .join(broadcast(seg), Seq("w"))
@@ -132,10 +213,14 @@ object Bpe {
 
   // ---------------------------------------------------------------- queries
 
+  // all three queries share ONE memoized training run per (session, sf)
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q143_bpe_merges" -> ((s, dir) => bpeMerges(Tables.documents(s, dir))),
-    "q144_bpe_tokenize" -> ((s, dir) => bpeTokenCounts(Tables.documents(s, dir))),
-    "q154_bpe_fertility" -> ((s, dir) => bpeFertility(Tables.documents(s, dir))))
+    "q143_bpe_merges" -> ((s, dir) =>
+      mergesDf(s, trainSymsFor(s, dir, DefaultMerges)._2)),
+    "q144_bpe_tokenize" -> ((s, dir) =>
+      tokenCountsFrom(Tables.documents(s, dir), trainSymsFor(s, dir, DefaultMerges)._1)),
+    "q154_bpe_fertility" -> ((s, dir) =>
+      fertilityFrom(Tables.documents(s, dir), trainSymsFor(s, dir, DefaultMerges)._1)))
 
   /** DuckDB twin: the same k iterations unrolled as chained CTEs. The
     * MATERIALIZED hints are semantics-neutral but load-bearing for the
