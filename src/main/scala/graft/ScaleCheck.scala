@@ -309,6 +309,36 @@ object ScaleCheck {
           .select("doc_id", "text")).localCheckpoint())
     }
 
+    // MV lifecycle at scale with a HIGH-cardinality group key: the view
+    // groups the full corpus by a 262k-cardinality key, so its state is
+    // past the 100k driver-collect ceiling — create AND refresh must
+    // route the state through the distributed loadDisk path (executors
+    // write range-sharded parquet, the driver reads footers). A
+    // driver-collected state at this cardinality plus the base rows
+    // would not fit this 512 MB heap; the final state must still equal
+    // direct re-aggregation after an appended tail refresh.
+    {
+      import graft.sources.v2.GraftMatViews
+      val mvDf = big.selectExpr("doc_id", "doc_id % 262144 AS grp", "n_chars")
+      val tailFrom = span * (replicate - 1) + span / 2
+      GraftStore.loadDisk("mv_scale_base", mvDf.where(col("doc_id") < tailFrom),
+        "doc_id", 32, dir)
+      val t = System.nanoTime()
+      GraftMatViews.create(spark, "mv_scale", "mv_scale_base",
+        "doc_id", "grp", "n_chars")
+      GraftStore.append("mv_scale_base", mvDf.schema,
+        mvDf.where(col("doc_id") >= tailFrom).collect().toSeq)
+      val r = GraftMatViews.refresh(spark, "mv_scale")
+      System.err.println(s"[scale] section mv_refresh mode=${r.mode} feed=${r.feedRows}")
+      times("mv_refresh") = (System.nanoTime() - t) / 1e9
+      val distributed = GraftStore.get("mv_scale").segments
+        .forall(_.payload.isInstanceOf[GraftStore.ParquetRows])
+      results("mv_refresh") = r.mode == "append" && distributed &&
+        rowsMatch(GraftMatViews.read(spark, "mv_scale"),
+          mvDf.groupBy("grp").agg(count(lit(1)).as("n"),
+            sum("n_chars").cast("long").as("v")))
+    }
+
     val rows = GraftStore.get("scale_docs").rowCount
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val allOk = results.values.forall(identity)

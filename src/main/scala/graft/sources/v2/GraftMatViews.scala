@@ -38,11 +38,25 @@ import graft.operators.Diff
   * The maintenance step is the gated IVM algebra unchanged:
   * [[Diff.maintainGroupedAgg]] for COUNT/SUM state,
   * [[Diff.maintainMinMax]] (dirty-group recompute, feed-bounded) for
-  * MIN/MAX state. View state is group-cardinality-sized by
-  * construction; it re-registers through the in-memory store path
-  * (bounded collect — the centroid convention). A high-cardinality
-  * group key would swap [[writeState]] for the distributed
-  * `GraftStore.loadDisk` ingest; nothing else changes.
+  * MIN/MAX state.
+  *
+  * Two scale rules, both load-bearing at 100 TB:
+  *
+  *  - **Version pinning is atomic.** The refresh captures (feed
+  *    segments, covered live version) in ONE store critical section
+  *    ([[GraftStore.appendedSinceWithVersion]]) and reads every frame
+  *    it folds at that PINNED version — an append racing the refresh
+  *    is simply not covered and arrives next refresh, never folded in
+  *    under an older pin (which would replay and double-count it).
+  *  - **State never transits the driver past a bounded cardinality.**
+  *    Views grouped by a bounded key (#langs, #sources) register
+  *    through the in-memory dev path; past [[collectMaxRows]] the
+  *    state is ingested DISTRIBUTED via [[GraftStore.loadDisk]]
+  *    (executors write range-sharded parquet keyed by the group
+  *    column, the driver reads only footers) — a view grouped by
+  *    user_id or url refreshes with a bounded driver footprint
+  *    (ScaleCheck `mv_refresh` pins this at 10M rows in a 512 MB
+  *    heap).
   */
 object GraftMatViews {
 
@@ -81,15 +95,48 @@ object GraftMatViews {
         .agg(count(lit(1)).as("n"), min(col(value)).as("mn"), max(col(value)).as("mx"))
     }
 
-  private def writeState(name: String, st: DataFrame): Unit =
-    GraftStore.register(name, st.schema, st.collect().toSeq)
+  /** Driver-collect ceiling for MV state rows. Below it the state
+    * registers through the in-memory dev path (a #langs-sized frame);
+    * above it [[writeState]] routes through the distributed
+    * [[GraftStore.loadDisk]] ingest. Overridable (tests drive the
+    * distributed path with a tiny ceiling) via
+    * `graft.matviews.collect.max.rows`. */
+  private def collectMaxRows: Long =
+    sys.props.get("graft.matviews.collect.max.rows").map(_.toLong).getOrElse(100000L)
+
+  /** One spill root per JVM for distributed state generations; segments
+    * from superseded generations are reclaimable via
+    * `GraftStore.vacuum` like any disk collection's. */
+  private lazy val spillDir: String =
+    java.nio.file.Files.createTempDirectory("graft_mv_state").toString
+
+  /** Persist the new state. `localCheckpoint` FIRST (eager): the state
+    * plan reads the view's own previous generation through the
+    * connector, so it must fully materialize (on executors — group-
+    * cardinality rows, never the base) before the manifest swap below
+    * replaces what it is reading. Then either a bounded driver
+    * register, or — past [[collectMaxRows]] — the distributed
+    * range-sharded parquet ingest keyed by the group column, where the
+    * driver touches only footers. */
+  private def writeState(name: String, st: DataFrame, group: String): Unit = {
+    val stc = st.localCheckpoint()
+    val n = stc.count()
+    if (n <= collectMaxRows)
+      GraftStore.register(name, stc.schema, stc.collect().toSeq)
+    else
+      GraftStore.loadDisk(name, stc, group,
+        numSegments = math.min(64L, n / 65536L + 1L).toInt, dir = spillDir)
+  }
 
   /** Full aggregate + version pin. The MV collection is immediately
-    * SQL-visible through [[GraftCatalog]] under its collection name. */
+    * SQL-visible through [[GraftCatalog]] under its collection name.
+    * The aggregate reads the base AT the pinned version (not "live"),
+    * so an append racing the create lands after the pin and is picked
+    * up by the first refresh instead of being silently covered. */
   def create(spark: SparkSession, name: String, baseTable: String, key: String,
              group: String, value: String, kind: MvKind = SumCount): Unit = {
     val v = GraftStore.currentVersion(baseTable)
-    writeState(name, stateOf(baseDf(spark, baseTable, None), group, value, kind))
+    writeState(name, stateOf(baseDf(spark, baseTable, Some(v)), group, value, kind), group)
     registry.synchronized {
       registry(name) = MvDef(name, baseTable, key, group, value, kind, v)
     }
@@ -117,12 +164,17 @@ object GraftMatViews {
     * change-feed size (0 for noop/recompute) as refresh evidence. */
   def refresh(spark: SparkSession, name: String): RefreshResult = {
     val mv = registry.synchronized(registry(name))
-    val cur = GraftStore.currentVersion(mv.baseTable)
+    // atomic capture: the feed and the version it covers come from ONE
+    // store critical section, and every frame folded below is read AT
+    // `cur` — an append racing this refresh is outside both and gets
+    // picked up next refresh instead of replayed under an older pin
+    val (appended, cur) =
+      GraftStore.appendedSinceWithVersion(mv.baseTable, mv.baseVersion)
     if (cur == mv.baseVersion) return RefreshResult("noop", 0L)
-    val schema = baseDf(spark, mv.baseTable, None).schema
-    val (feedOpt, mode) = GraftStore.appendedSince(mv.baseTable, mv.baseVersion) match {
+    val pinnedBase = baseDf(spark, mv.baseTable, Some(cur))
+    val (feedOpt, mode) = appended match {
       case Some(segs) =>
-        (Some(segmentsDf(spark, schema, segs)
+        (Some(segmentsDf(spark, pinnedBase.schema, segs)
           .select(lit("insert").as("change_type"), col(mv.group), col(mv.value))), "append")
       case None =>
         val canDiff =
@@ -131,11 +183,11 @@ object GraftMatViews {
         if (canDiff)
           (Some(Diff.snapshotDiff(
               baseDf(spark, mv.baseTable, Some(mv.baseVersion)),
-              baseDf(spark, mv.baseTable, None), mv.key)
+              pinnedBase, mv.key)
             .select(col("change_type"), col(mv.group), col(mv.value))), "diff")
         else (None, "recompute")
     }
-    val (newState, feedRows) = feedOpt match {
+    val (newState, feedRows, cachedOpt) = feedOpt match {
       case Some(feed) =>
         val cached = feed.cache()
         val n = cached.count()
@@ -143,18 +195,16 @@ object GraftMatViews {
           case SumCount => Diff.maintainGroupedAgg(
             read(spark, name), cached, mv.group, mv.value)
           case MinMax => Diff.maintainMinMax(
-            read(spark, name), cached, baseDf(spark, mv.baseTable, None),
-            mv.group, mv.value)
+            read(spark, name), cached, pinnedBase, mv.group, mv.value)
         }
-        // state is group-sized; materialize before the cache goes away
-        val rows = st.collect().toSeq
-        cached.unpersist()
-        import scala.jdk.CollectionConverters._
-        (spark.createDataFrame(rows.asJava, st.schema), n)
+        (st, n, Some(cached))
       case None =>
-        (stateOf(baseDf(spark, mv.baseTable, None), mv.group, mv.value, mv.kind), 0L)
+        (stateOf(pinnedBase, mv.group, mv.value, mv.kind), 0L, None)
     }
-    writeState(name, newState)
+    // writeState localCheckpoints the state (executor-resident) before
+    // swapping the manifest it reads from — then the feed cache can go
+    writeState(name, newState, mv.group)
+    cachedOpt.foreach(_.unpersist())
     registry.synchronized { registry(name) = mv.copy(baseVersion = cur) }
     RefreshResult(mode, feedRows)
   }

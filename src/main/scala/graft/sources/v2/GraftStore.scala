@@ -283,6 +283,16 @@ object GraftStore {
       if (isPrefix) Some(cur.drop(oldSegs.size)) else None
     }
 
+  /** [[appendedSince]] PLUS the live version those segments bring the
+    * reader up to, read in the SAME critical section. This is the
+    * atomic capture an incremental consumer (MV refresh) must pin:
+    * with two separate calls, an append landing between `currentVersion`
+    * and `appendedSince` gets folded into the consumer's state while
+    * the earlier version stays pinned — and the next refresh would
+    * replay those segments and double-count them. */
+  def appendedSinceWithVersion(name: String, fromV: Long): (Option[Vector[Segment]], Long) =
+    store.synchronized { (appendedSince(name, fromV), currentVersion(name)) }
+
   /** The collection as of version `v` — throws if unknown or evicted
     * from the retained window. */
   def getVersion(name: String, v: Long): Collection = store.synchronized {

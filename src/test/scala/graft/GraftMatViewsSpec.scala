@@ -98,6 +98,58 @@ class GraftMatViewsSpec extends AnyFunSuite {
     assertStateMatches("mv_mm_c", "mv_base_c", MinMax)
   }
 
+  test("a high-cardinality group key keeps MV state off the driver (distributed write)") {
+    val propKey = "graft.matviews.collect.max.rows"
+    val prev = sys.props.get(propKey)
+    sys.props(propKey) = "50" // force the loadDisk path at toy scale
+    try {
+      val dir = Files.createTempDirectory("mv_disk_hc").toString
+      // group = doc_id: 300 groups, 6x past the ceiling — at real scale
+      // this is the user_id/url-grouped view a driver collect would OOM on
+      GraftStore.loadDisk("mv_base_hc", freshDocs(300), "doc_id", 4, dir)
+      GraftMatViews.create(spark, "mv_sum_hc", "mv_base_hc",
+        "doc_id", "doc_id", "n_chars")
+      def diskBacked() = GraftStore.get("mv_sum_hc").segments
+        .forall(_.payload.isInstanceOf[GraftStore.ParquetRows])
+      assert(diskBacked(), "create must write state through loadDisk, not a driver collect")
+
+      GraftStore.append("mv_base_hc", read("mv_base_hc").schema,
+        freshDocs(60, idFrom = 1000).collect().toSeq)
+      val r = GraftMatViews.refresh(spark, "mv_sum_hc")
+      assert(r.mode == "append" && r.feedRows == 60L, s"got $r")
+      assert(diskBacked(), "refresh must keep state disk-backed")
+      val got = GraftMatViews.read(spark, "mv_sum_hc")
+      val want = read("mv_base_hc").groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), sum("n_chars").cast("long").as("v"))
+      assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+        "distributed state diverged from recompute")
+    } finally prev match {
+      case Some(v) => sys.props(propKey) = v
+      case None => sys.props.remove(propKey)
+    }
+  }
+
+  test("refresh pins the version its feed covers, atomically with the feed") {
+    val dirE = Files.createTempDirectory("mv_disk_e").toString
+    GraftStore.loadDisk("mv_base_e", freshDocs(100), "doc_id", 2, dirE)
+    GraftMatViews.create(spark, "mv_sum_e", "mv_base_e", "doc_id", "lang", "n_chars")
+    val v0 = GraftStore.currentVersion("mv_base_e")
+    GraftStore.append("mv_base_e", read("mv_base_e").schema,
+      freshDocs(10, idFrom = 3000).collect().toSeq)
+    // the atomic capture: segments and the version they bring us to,
+    // from one critical section — the pair the refresh pins
+    val (segs, v1) = GraftStore.appendedSinceWithVersion("mv_base_e", v0)
+    assert(v1 == v0 + 1 && segs.exists(_.map(_.count).sum == 10L))
+    val r = GraftMatViews.refresh(spark, "mv_sum_e")
+    assert(r.mode == "append")
+    // after refresh the registry pin equals the covered version: a
+    // second refresh is a NOOP (nothing replayed, nothing double-counted)
+    assert(GraftMatViews.definition("mv_sum_e").exists(_.baseVersion == v1))
+    assert(GraftMatViews.refresh(spark, "mv_sum_e") ==
+      GraftMatViews.RefreshResult("noop", 0L))
+    assertStateMatches("mv_sum_e", "mv_base_e", SumCount)
+  }
+
   test("a base version evicted from retention forces a full recompute") {
     GraftStore.load("mv_base_d", freshDocs(50), shardKey = Some("doc_id"), numSegments = 2)
     GraftMatViews.create(spark, "mv_sum_d", "mv_base_d", "doc_id", "lang", "n_chars")
