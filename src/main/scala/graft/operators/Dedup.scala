@@ -589,7 +589,11 @@ object Dedup {
 
     // Sketch-vs-exact calibration curve over the candidate pairs.
     "q155_minhash_calibration" -> ((s, dir) =>
-      minhashCalibration(Tables.documents(s, dir)))
+      minhashCalibration(Tables.documents(s, dir))),
+
+    // K ∈ {16,32,64} estimator ablation, gate-region MAE floor-gated.
+    "q158_minhash_k_ablation" -> ((s, dir) =>
+      minhashKAblation(Tables.documents(s, dir)))
   )
 
   /** `doc_id`·2^bits + `idx` as ONE bigint total order, with the domain
@@ -672,6 +676,62 @@ object Dedup {
         expr("sum(j1000) div count(1)").as("mean_exact_e3"),
         expr("sum(abs(est1000 - j1000)) div count(1)").as("mae_e3"))
       .orderBy("decile")
+  }
+
+  /** q158 — MinHash signature-width ABLATION, closing the loop q155's
+    * calibration curve opened: the same candidate pairs scored by the
+    * K ∈ {16, 32, 64} estimators simultaneously, per-decile, with the
+    * region the 0.5 dedup gate actually trusts (j ≥ 0.5) FLOOR-GATED at
+    * MAE ≤ 100‰ for every K (the q131/q147/q151 pattern). Binomial
+    * theory says E|err| ≈ √(2/π)·√(j(1−j)/K) — ≤ 63‰ at j = 0.9, K=16 —
+    * and the gate regression-checks that the implementation delivers
+    * it; the sweep rows show what doubling K buys before anyone pays
+    * 4× the signature bytes corpus-wide.
+    *
+    * Plan shape: ONE 64-coordinate signature pass (the production K=16
+    * signature is its prefix, so banding and the candidate set are
+    * bit-identical to q22/q155), the two candidate-sized signature
+    * joins every confirm path pays, a 3-way stack to long form, and a
+    * ≤(3 × 11)-row aggregate. Nothing here is corpus-squared. */
+  def minhashKAblation(docs: DataFrame): DataFrame = {
+    val kMax = 64
+    val hsE = s"transform(sh, s -> pmod(${sparkHash48("s")}, ${P}L))"
+    val sigCols = (0 until kMax).map { j =>
+      val a = (j * 2654435761L + 1L) % P
+      val b = (j * 40503L + 7L) % P
+      s"array_min(transform(hs, x -> pmod(${a}L * x + ${b}L, ${P}L))) AS m$j"
+    }
+    val sigs = shingled(docs)
+      .selectExpr("doc_id", "sh", s"$hsE AS hs")
+      .selectExpr(Seq("doc_id", "sh") ++ sigCols: _*)
+      .cache()
+    def estE(k: Int) = {
+      val s = (0 until k).map(j => s"if(a_m$j = b_m$j, 1, 0)").mkString(" + ")
+      s"(1000 * ($s)) div $k"
+    }
+    val aCols = "doc_a" +: "sh_a" +: (0 until kMax).map("a_m" + _)
+    val bCols = "doc_b" +: "sh_b" +: (0 until kMax).map("b_m" + _)
+    val longForm = candidatePairs(sigs) // bands read m0..m15, the K=16 prefix
+      .join(sigs.toDF(aCols: _*), "doc_a")
+      .join(sigs.toDF(bCols: _*), "doc_b")
+      .select(
+        expr(estE(16)).as("est16"), expr(estE(32)).as("est32"),
+        expr(estE(64)).as("est64"),
+        jaccardN(col("sh_a"), col("sh_b")).as("j1000"))
+      .selectExpr("j1000",
+        "stack(3, 16L, est16, 32L, est32, 64L, est64) AS (k_sig, est)")
+      .cache()
+    val curveFull = longForm
+      .groupBy(col("k_sig"), expr("j1000 div 100").as("decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(est) div count(1)").as("mean_est_e3"),
+        expr("sum(j1000) div count(1)").as("mean_exact_e3"),
+        expr("sum(abs(est - j1000)) div count(1)").as("mae_e3"))
+    val floor = longForm.where("j1000 >= 500")
+      .groupBy("k_sig")
+      .agg(expr("sum(abs(est - j1000)) div count(1)").as("gmae"))
+      .agg(coalesce(expr("max(gmae) <= 100"), lit(true)).as("floor_ok"))
+    curveFull.crossJoin(broadcast(floor)).orderBy("k_sig", "decile")
   }
 
   /** q152 core — exact-substring span removal (Lee et al. 2022,
@@ -831,6 +891,56 @@ object Dedup {
            |  CAST(SUM(j1000) // COUNT(*) AS BIGINT) AS mean_exact_e3,
            |  CAST(SUM(abs(est1000 - j1000)) // COUNT(*) AS BIGINT) AS mae_e3
            |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+      // K-width ablation: 64-coordinate signatures (m0..m15 = the
+      // production prefix, so `banded`/cand are bit-identical to q155),
+      // three prefix estimators stacked long, per-decile stats, and the
+      // j>=0.5 gate-region MAE pinned <= 100 for every K
+      "q158_minhash_k_ablation" -> {
+        val sig64 = (0 until 64).map { j =>
+          val a = (j * 2654435761L + 1L) % P
+          val b = (j * 40503L + 7L) % P
+          s"list_min(list_transform(hs, x -> ($a * x + $b) % ${P})) AS m$j"
+        }.mkString(",\n  ")
+        def est(k: Int) = "(1000 * (" + (0 until k)
+          .map(j => s"CASE WHEN x.m$j = y.m$j THEN 1 ELSE 0 END")
+          .mkString(" + ") + s")) // $k"
+        s"""WITH t AS (
+           |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+           |sh AS (
+           |  SELECT doc_id, $duckShingles AS sh FROM t WHERE len(toks) >= 2),
+           |hs AS (
+           |  SELECT doc_id, sh, list_transform(sh, s -> ${duckHash48("s")} % ${P}) AS hs FROM sh WHERE len(sh) > 0),
+           |sigs AS (
+           |  SELECT doc_id, sh,
+           |  $sig64
+           |  FROM hs),
+           |banded AS (
+           |  SELECT doc_id, sh, $bandExprs FROM sigs),
+           |cand AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ($bandMatch)),
+           |sc AS (
+           |  SELECT ${est(16)} AS est16, ${est(32)} AS est32, ${est(64)} AS est64,
+           |    CAST(round(1000.0 * len(list_intersect(x.sh, y.sh)) / len(list_distinct(list_concat(x.sh, y.sh)))) AS BIGINT) AS j1000
+           |  FROM cand c JOIN sigs x ON c.doc_a = x.doc_id
+           |              JOIN sigs y ON c.doc_b = y.doc_id),
+           |lf AS (
+           |  SELECT CAST(16 AS BIGINT) AS k_sig, est16 AS est, j1000 FROM sc
+           |  UNION ALL SELECT CAST(32 AS BIGINT), est32, j1000 FROM sc
+           |  UNION ALL SELECT CAST(64 AS BIGINT), est64, j1000 FROM sc),
+           |curve AS (
+           |  SELECT k_sig, j1000 // 100 AS decile, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |    CAST(SUM(est) // COUNT(*) AS BIGINT) AS mean_est_e3,
+           |    CAST(SUM(j1000) // COUNT(*) AS BIGINT) AS mean_exact_e3,
+           |    CAST(SUM(abs(est - j1000)) // COUNT(*) AS BIGINT) AS mae_e3
+           |  FROM lf GROUP BY 1, 2),
+           |gate AS (
+           |  SELECT coalesce(MAX(gmae) <= 100, TRUE) AS floor_ok FROM (
+           |    SELECT k_sig, CAST(SUM(abs(est - j1000)) // COUNT(*) AS BIGINT) AS gmae
+           |    FROM lf WHERE j1000 >= 500 GROUP BY k_sig))
+           |SELECT curve.*, gate.floor_ok FROM curve, gate
+           |ORDER BY k_sig, decile""".stripMargin
+      },
       "q22_minhash_lsh" ->
         s"""WITH $duckLshCtes
            |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,

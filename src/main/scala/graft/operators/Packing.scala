@@ -37,14 +37,27 @@ object Packing {
   val DefaultShards = 8
 
   /** (doc_id, shard, seq_id, seg_tokens): the packing plan — which slice
-    * of which document lands in which training sequence. */
+    * of which document lands in which training sequence. Counts
+    * whitespace tokens; [[packSequencesBy]] packs by any provided
+    * per-doc token count (q157 packs by the TRAINED tokenizer's). */
   def packSequences(documents: DataFrame, budget: Int = DefaultBudget,
-                    shards: Int = DefaultShards): DataFrame = {
+                    shards: Int = DefaultShards): DataFrame =
+    packSequencesBy(documents.selectExpr(
+      "doc_id", s"cast(size($sparkToks) as bigint) AS n_toks"), budget, shards)
+
+  /** The packing core over an externally-supplied (doc_id, n_toks)
+    * frame. The budget a trainer actually consumes is measured in ITS
+    * tokenizer's tokens, not whitespace words — q157 feeds the q144
+    * BPE segmentation's counts here so a 2048 budget is 2048 real
+    * tokens. Same plan as [[packSequences]]: one per-shard window
+    * cumsum + a ≤2-row explode per doc, never a global sort. */
+  def packSequencesBy(tokenCounts: DataFrame, budget: Int = DefaultBudget,
+                      shards: Int = DefaultShards): DataFrame = {
     require(budget > 0 && shards > 0)
-    val toks = documents.selectExpr(
+    val toks = tokenCounts.selectExpr(
       "doc_id",
       s"doc_id % $shards AS shard",
-      s"cast(size($sparkToks) as bigint) AS n_toks")
+      "cast(n_toks as bigint) AS n_toks")
     val w = Window.partitionBy("shard").orderBy("doc_id")
     toks
       .withColumn("cum", sum("n_toks").over(w))
@@ -152,6 +165,14 @@ object Packing {
       packSequences(Tables.documents(s, dir))
         .orderBy("shard", "seq_id", "doc_id")),
 
+    // Tokenizer-aware packing: the q56 plan, but budgeted in the q144
+    // trained-BPE segmentation's tokens (shared memoized training run)
+    // — the count a training loader's 2048 window actually holds.
+    "q157_bpe_packing" -> ((s, dir) =>
+      packSequencesBy(Bpe.tokenCountsMemo(s, dir)
+          .selectExpr("doc_id", "n_bpe_tokens AS n_toks"))
+        .orderBy("shard", "seq_id", "doc_id")),
+
     "q124_shard_manifest" -> ((s, dir) =>
       shardManifest(Tables.documents(s, dir)).orderBy("shard")),
 
@@ -199,6 +220,29 @@ object Packing {
          |SELECT shard, seq_id, doc_id,
          |  CAST(least(cum, (seq_id + 1) * $DefaultBudget) - greatest(strt, seq_id * $DefaultBudget) AS BIGINT) AS seg_tokens
          |FROM e ORDER BY shard, seq_id, doc_id""".stripMargin,
+
+    // the q144 token-count CTE chain feeding the q56 packing SQL
+    "q157_bpe_packing" -> Bpe.duckSqlWith(
+      s""",
+         |seg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sym FROM it${Bpe.DefaultMerges} GROUP BY w),
+         |tok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents),
+         |tc AS (
+         |  SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_toks
+         |  FROM tok JOIN seg USING (w) WHERE w <> '' GROUP BY doc_id),
+         |t AS (SELECT doc_id, doc_id % $DefaultShards AS shard, n_toks FROM tc),
+         |c AS (
+         |  SELECT doc_id, shard, n_toks,
+         |    CAST(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+         |  FROM t),
+         |s AS (SELECT *, cum - n_toks AS strt FROM c WHERE n_toks > 0),
+         |e AS (
+         |  SELECT shard, doc_id, strt, cum,
+         |    unnest(range(strt // $DefaultBudget, (cum - 1) // $DefaultBudget + 1)) AS seq_id
+         |  FROM s)
+         |SELECT shard, seq_id, doc_id,
+         |  CAST(least(cum, (seq_id + 1) * $DefaultBudget) - greatest(strt, seq_id * $DefaultBudget) AS BIGINT) AS seg_tokens
+         |FROM e ORDER BY shard, seq_id, doc_id""".stripMargin),
 
     "q124_shard_manifest" ->
       s"""SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,

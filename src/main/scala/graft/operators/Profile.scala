@@ -105,6 +105,46 @@ object Profile {
       .orderBy("col_name")
   }
 
+  /** q156 — the profiler the 100 TB deployment actually defaults to:
+    * same one-pass shape as [[profile]], but NDV comes from an HLL
+    * sketch (lgK 14, the q120 sketch), with the exact multi-distinct
+    * kept ONLY as the verification harness for the ±5 % gate (the
+    * q47/q120 within-bounds convention — the oracle pins the exact
+    * columns by hash and `ndv_within` to literal TRUE, so a sketch
+    * drifting past the bound is a hash mismatch, not a shrug).
+    *
+    * Doubles are profiled in the cents domain (round(x·100) BIGINT):
+    * hll_sketch_agg takes no doubles, and cents is the repo's
+    * engine-portable numeric domain anyway; on integral key columns
+    * ×100 is injective, so ndv/min_e2/max_e2 coincide with [[profile]].
+    * At scale the exact branch is dropped and the Expand multiplier
+    * (rows × columns+1) disappears with it — the sketch pass is plain
+    * partial aggregates, one scan, one 1-row shuffle. */
+  def profileApprox(df: DataFrame, numCols: Seq[String]): DataFrame = {
+    require(numCols.nonEmpty, "profileApprox: no columns given")
+    val aggs = numCols.flatMap { c =>
+      val q = expr(s"cast(round($c * 100) as bigint)")
+      Seq(
+        count(q).as(s"n_$c"),
+        countDistinct(q).as(s"ndv_$c"),
+        expr(s"cast(hll_sketch_estimate(hll_sketch_agg(" +
+          s"cast(round($c * 100) as bigint), 14)) as bigint)").as(s"est_$c"),
+        min(q).as(s"min_$c"),
+        max(q).as(s"max_$c"))
+    }
+    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val branches = numCols.map(c =>
+      s"'$c', n_rows - n_$c, ndv_$c, min_$c, max_$c, " +
+        s"abs(est_$c - ndv_$c) * 100 <= ndv_$c * 5")
+    one.selectExpr("n_rows",
+        s"stack(${numCols.size}, ${branches.mkString(", ")}) AS " +
+          "(col_name, n_null, ndv, min_e2, max_e2, ndv_within)")
+      .selectExpr("col_name", "cast(n_rows as bigint) AS n_rows",
+        "cast(n_null as bigint) AS n_null", "cast(ndv as bigint) AS ndv",
+        "min_e2", "max_e2", "ndv_within")
+      .orderBy("col_name")
+  }
+
   /** Equi-width histogram over a money column, integer-exact: the value
     * domain is cents (×100 BIGINT, the repo convention), bounds come
     * from a first aggregate pass (1-row result, broadcast into the
@@ -239,6 +279,10 @@ object Profile {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q106_profile" -> ((s, dir) => profile(Tables.lineitem(s, dir))),
 
+    // Sketch-NDV profiler, exact side hashed + estimate gated ±5%.
+    "q156_profile_approx" -> ((s, dir) =>
+      profileApprox(Tables.lineitem(s, dir), lineitemCols)),
+
     // documents' (lang, source) cells: the sf-dependent sparse cells
     // make suppress=true rows appear organically at every SF
     "q134_k_anonymity" -> ((s, dir) =>
@@ -337,9 +381,23 @@ object Profile {
          |  CAST(MAX(epoch_us($c)) AS BIGINT) AS max_us
          |FROM events""".stripMargin
     }
+    val liApproxBranches = lineitemCols.map { c =>
+      s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_null,
+         |  CAST(COUNT(DISTINCT CAST(ROUND($c * 100) AS BIGINT)) AS BIGINT) AS ndv,
+         |  CAST(MIN(CAST(ROUND($c * 100) AS BIGINT)) AS BIGINT) AS min_e2,
+         |  CAST(MAX(CAST(ROUND($c * 100) AS BIGINT)) AS BIGINT) AS max_e2,
+         |  TRUE AS ndv_within
+         |FROM lineitem""".stripMargin
+    }
     Map(
       "q106_profile" ->
         (liBranches.mkString("\n", "\nUNION ALL\n", "\n") + "ORDER BY col_name"),
+
+      // the exact columns are hash-pinned; ndv_within must be literal
+      // TRUE on the Spark side too (the q47 within-bounds contract)
+      "q156_profile_approx" ->
+        (liApproxBranches.mkString("\n", "\nUNION ALL\n", "\n") + "ORDER BY col_name"),
       "q137_profile_events" ->
         ((evNumBranches ++ evStrBranches ++ evTsBranches)
           .mkString("\n", "\nUNION ALL\n", "\n") + "ORDER BY col_name"),

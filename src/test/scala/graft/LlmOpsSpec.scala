@@ -379,6 +379,24 @@ class LlmOpsSpec extends AnyFunSuite {
     } finally plan.unpersist()
   }
 
+  test("BPE-budget packing conserves the trained tokenizer's token count exactly") {
+    import graft.operators.{Bpe, Packing}
+    val counts = Bpe.bpeTokenCounts(docs, k = 3)
+      .selectExpr("doc_id", "n_bpe_tokens AS n_toks").cache()
+    val plan = Packing.packSequencesBy(counts).cache()
+    try {
+      val perSeq = plan.groupBy("shard", "seq_id").agg(sum("seg_tokens").as("n"))
+      assert(perSeq.where(s"n > ${Packing.DefaultBudget}").count() == 0)
+      val lastSeq = plan.groupBy("shard").agg(max("seq_id").as("last_seq"))
+      assert(perSeq.join(lastSeq, "shard")
+        .where(s"seq_id < last_seq AND n != ${Packing.DefaultBudget}").count() == 0)
+      // conservation in the BPE domain: packed tokens = tokenizer's count
+      val packed = plan.agg(sum("seg_tokens")).head().getLong(0)
+      val source = counts.agg(sum("n_toks")).head().getLong(0)
+      assert(packed == source, s"packed $packed != tokenized $source")
+    } finally { plan.unpersist(); counts.unpersist() }
+  }
+
   test("shard manifest conserves docs and tokens and is shuffle-order-invariant") {
     import graft.operators.Packing
     val m = Packing.shardManifest(docs, shards = 8).cache()
@@ -630,6 +648,44 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(m(1) == ((2L, "b", "c", 20L)))
     // after merging, 'aaaa' = [aa, aa]: one (aa, aa) pair × 10
     assert(m(2) == ((3L, "aa", "aa", 10L)))
+  }
+
+  test("batched BPE equals sequential on a planted vocab of disjoint well-separated pairs") {
+    import graft.operators.Bpe
+    // three pairwise-disjoint pairs with strictly separated counts:
+    // sequential learns (a,b), (c,d), (e,f) in 3 argmax rounds; one
+    // batch of 3 must pick and apply exactly the same merges, because
+    // disjoint pairs' counts are invariant under each other's merges
+    // and no cross-pair adjacency can outrank them here
+    val corpus = Seq(
+      (1L, Array.fill(30)("ab").mkString(" ")),
+      (2L, Array.fill(20)("cd").mkString(" ")),
+      (3L, Array.fill(10)("ef").mkString(" "))).toDF("doc_id", "text")
+    val (symsSeq, mSeq) = Bpe.trainSyms(corpus, 3)
+    val (symsBat, mBat) = Bpe.trainSymsBatched(corpus, 3, 3)
+    assert(mBat == mSeq, s"batched $mBat vs sequential $mSeq")
+    assert(symsBat.orderBy("w", "pos").collect().toSeq ==
+      symsSeq.orderBy("w", "pos").collect().toSeq)
+    // conflict pruning: (a,b) count 30 and (b,c) count 20 share 'b' —
+    // one batch must take (a,b), DEFER (b,c), and take disjoint (d,e)
+    val conflict = Seq(
+      (1L, Array.fill(30)("ab").mkString(" ")),
+      (2L, Array.fill(20)("bc").mkString(" ")),
+      (3L, Array.fill(10)("de").mkString(" "))).toDF("doc_id", "text")
+    val (_, mc) = Bpe.trainSymsBatched(conflict, 2, 2)
+    assert(mc.map(m => (m._2, m._3)) == Seq(("a", "b"), ("d", "e")), s"got $mc")
+  }
+
+  test("BPE training stops cleanly when the pair vocabulary runs out") {
+    import graft.operators.Bpe
+    // 'ab'×5: one merge exhausts every adjacent pair; asking for 5
+    // must return the 1 learnable merge, not throw on an empty argmax
+    val tiny = Seq((1L, Array.fill(5)("ab").mkString(" "))).toDF("doc_id", "text")
+    val m = Bpe.bpeMerges(tiny, k = 5).collect()
+    assert(m.length == 1 && m(0).getString(1) == "a" && m(0).getString(2) == "b")
+    // single-character words: zero learnable merges, zero rows
+    val chars = Seq((1L, "a b c a b")).toDF("doc_id", "text")
+    assert(Bpe.bpeMerges(chars, k = 3).count() == 0)
   }
 
   test("BPE tokenize applies the learned segmentation per word type") {
