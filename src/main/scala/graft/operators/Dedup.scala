@@ -626,7 +626,11 @@ object Dedup {
     * pidx < 2^16 budget (524k-token doc cap at w=8) is enforced by
     * [[guardedPacked]] — a book-length doc fails loudly, never
     * silently adopts a neighbor's key space. */
-  def passageDedup(docs: DataFrame, w: Int = 8): DataFrame =
+  /** The passage table q139 folds: one row per non-overlapping `w`-token
+    * passage, keyed by the guarded packed total order. Shared with the
+    * STREAMING fold (CurationStream), whose per-batch contribution is
+    * exactly this frame over the batch. */
+  private[graft] def passageTable(docs: DataFrame, w: Int = 8): DataFrame =
     docs
       .selectExpr("doc_id", s"${graft.functions.Portable.sparkToks} AS toks")
       .where("size(toks) > 0")
@@ -636,13 +640,21 @@ object Dedup {
       .select(
         guardedPacked("passageDedup", col("doc_id"), col("pidx"), 16).as("packed"),
         expr(s"array_join(slice(toks, pidx * $w + 1, $w), ' ')").as("ptext"))
-      .groupBy("ptext").agg(min("packed").as("packed"))
+
+  /** Winners → rebuilt documents: the shared tail of batch q139 and the
+    * streamed view (input: one row per KEPT passage occurrence). */
+  private[graft] def rebuildFromPassages(kept: DataFrame): DataFrame =
+    kept
       .selectExpr("packed div 65536 AS doc_id", "packed % 65536 AS pidx", "ptext")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         expr("array_join(transform(array_sort(collect_list(struct(pidx, ptext))), x -> x.ptext), ' ')")
           .as("text_kept"))
       .orderBy("doc_id")
+
+  def passageDedup(docs: DataFrame, w: Int = 8): DataFrame =
+    rebuildFromPassages(
+      passageTable(docs, w).groupBy("ptext").agg(min("packed").as("packed")))
 
   /** q155 — MinHash estimator CALIBRATION: on the banded candidate
     * pairs, compare the sketch's Jaccard estimate (matching signature

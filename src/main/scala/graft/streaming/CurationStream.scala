@@ -144,6 +144,59 @@ object CurationStream {
         step(batch, batchId, evalShingles, statePath)
       }
 
+  /** q139 passage dedup as a streaming fold — SUB-document dedup under
+    * the same state discipline as the fp pool: keep-first per passage
+    * is min(packed) per passage text, a semilattice, so the maintained
+    * index is an append-only per-batch min table
+    * (`state/pidx/batch=<id>`) whose global per-passage min IS the
+    * batch winner set. The retro-purge shape is the fp pool's: a later
+    * batch carrying a smaller-packed copy of a passage silently
+    * displaces the earlier occurrence at read time — no state rewrite,
+    * the global min just moves.
+    *
+    * Per-batch cost: one explode + two batch-sized writes (the raw
+    * passage table for the rebuild, the per-batch min for the index) —
+    * the corpus already ingested is never rescanned. The REBUILD
+    * ([[passageDedupView]]) reads the passage store once at
+    * consumption time, which is exactly the batch q139 plan over
+    * everything seen — paid when a training run reads, not per batch.
+    * Replay-idempotent by the batch-keyed-overwrite layout, like the
+    * fp index. */
+  private[graft] def passageStep(batch: DataFrame, batchId: Long,
+      statePath: String): Unit = {
+    val psg = graft.operators.Dedup.passageTable(
+      batch.select("doc_id", "text")).localCheckpoint()
+    psg.write.mode("overwrite").parquet(s"$statePath/psg/batch=$batchId")
+    psg.groupBy("ptext").agg(min("packed").as("packed"))
+      .write.mode("overwrite").parquet(s"$statePath/pidx/batch=$batchId")
+  }
+
+  /** Start the passage-dedup fold over a streaming `documents`-shaped
+    * frame (doc_id, text at minimum). */
+  def startPassageDedup(docs: DataFrame, statePath: String,
+                        checkpointPath: String): DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        passageStep(batch, batchId, statePath)
+      }
+
+  /** The passage-deduped corpus over everything streamed so far —
+    * row-identical to batch `Dedup.passageDedup` on the same docs
+    * (CurationStreamSpec pins it across a restart): global winners =
+    * per-passage min over the per-batch mins; the left-semi keeps
+    * exactly the globally-first occurrence rows. */
+  def passageDedupView(spark: org.apache.spark.sql.SparkSession,
+                       statePath: String): DataFrame = {
+    val winners = spark.read.parquet(s"$statePath/pidx")
+      .groupBy("ptext").agg(min("packed").as("packed"))
+    graft.operators.Dedup.rebuildFromPassages(
+      spark.read.parquet(s"$statePath/psg")
+        .join(winners, Seq("ptext", "packed"), "left_semi"))
+  }
+
   /** The curated corpus as of the latest epoch (what a training run
     * reads), and its manifest. */
   def latestPool(spark: org.apache.spark.sql.SparkSession, statePath: String): DataFrame =

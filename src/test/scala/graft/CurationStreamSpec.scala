@@ -124,4 +124,68 @@ class CurationStreamSpec extends AnyFunSuite {
       manifestRows(CurationStream.latestManifest(spark, state)))
     assert(after == before, "replaying the last batch changed the state")
   }
+
+  test("streamed passage dedup equals batch q139 across batches, a restart, and replay") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    val stage = Files.createTempDirectory("psg_src").toString
+    val state = Files.createTempDirectory("psg_state").toString + "/state"
+    val ckpt = Files.createTempDirectory("psg_ckpt").toString
+
+    // sub-document hazards across batch boundaries: doc 50 (batch 1)
+    // and doc 5 (batch 3) share an 8-token passage — the SMALLER-id doc
+    // arrives LATER, so the view must retro-purge 50's copy; doc 90
+    // repeats 50's passage too (larger id, dropped); doc 7 is unique
+    val shared = (1 to 8).map(i => s"sh$i").mkString(" ")
+    val p1 = Seq(
+      (50L, shared + " " + words(50), "s1", 100L),
+      (7L, words(7, n = 12), "s1", 100L))
+    val p2 = Seq(
+      (90L, words(90) + " " + shared, "s1", 100L),
+      (8L, words(8, n = 20), "s1", 100L))
+    val p3 = Seq(
+      (5L, words(5) + " " + shared, "s1", 100L),
+      (9L, words(9, n = 5), "s1", 100L))
+    val allP = p1 ++ p2 ++ p3
+
+    def addFile(name: String, rows: Seq[(Long, String, String, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("psg_tmp").toString
+      df(rows).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(stage, name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING, source STRING, n_chars LONG")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+      val q = CurationStream.startPassageDedup(stream, state, ckpt).start()
+      q.processAllAvailable(); q.stop()
+    }
+
+    addFile("p1.parquet", p1); addFile("p2.parquet", p2)
+    run() // crash point
+    addFile("p3.parquet", p3)
+    run() // fresh query, same checkpoint
+
+    def viewRows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq.sorted
+    val want = viewRows(Dedup.passageDedup(df(allP).select("doc_id", "text")))
+    val got = viewRows(CurationStream.passageDedupView(spark, state))
+    assert(got == want, "streamed passage dedup diverged from batch q139")
+
+    // the cross-batch retro-purge happened: doc 5 owns the shared
+    // passage, doc 50 keeps only its tail, doc 90 lost it too
+    val byDoc = got.map(t => t._1 -> t._3).toMap
+    assert(byDoc(5L).contains("sh1"), "late smaller-id doc must win the passage")
+    assert(!byDoc(50L).contains("sh1") && !byDoc(90L).contains("sh1"),
+      "earlier larger-id copies must be retro-purged")
+
+    // at-least-once replay of the last batch is a no-op
+    CurationStream.passageStep(df(p3), 2L, state)
+    assert(viewRows(CurationStream.passageDedupView(spark, state)) == want,
+      "replaying the last batch changed the view")
+  }
 }
