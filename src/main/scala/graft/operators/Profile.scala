@@ -122,17 +122,25 @@ object Profile {
     * partial aggregates, one scan, one 1-row shuffle. */
   def profileApprox(df: DataFrame, numCols: Seq[String]): DataFrame = {
     require(numCols.nonEmpty, "profileApprox: no columns given")
-    val aggs = numCols.flatMap { c =>
+    val exactAggs = numCols.flatMap { c =>
       val q = expr(s"cast(round($c * 100) as bigint)")
       Seq(
         count(q).as(s"n_$c"),
         countDistinct(q).as(s"ndv_$c"),
-        expr(s"cast(hll_sketch_estimate(hll_sketch_agg(" +
-          s"cast(round($c * 100) as bigint), 14)) as bigint)").as(s"est_$c"),
         min(q).as(s"min_$c"),
         max(q).as(s"max_$c"))
     }
-    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
+    // the sketches run in their OWN pass: folded into the exact agg
+    // they would ride the multi-distinct Expand and be updated once per
+    // expanded row (columns+1 ×, measured 13 s vs 2 s at sf0.1) — as a
+    // plain partial aggregate the sketch scan is the cheap one, and it
+    // is the ONLY pass the 100 TB deployment keeps
+    val skAggs = numCols.map { c =>
+      expr(s"cast(hll_sketch_estimate(hll_sketch_agg(" +
+        s"cast(round($c * 100) as bigint), 14)) as bigint)").as(s"est_$c")
+    }
+    val one = df.agg(count(lit(1)).as("n_rows"), exactAggs: _*)
+      .crossJoin(df.agg(skAggs.head, skAggs.tail: _*))
     val branches = numCols.map(c =>
       s"'$c', n_rows - n_$c, ndv_$c, min_$c, max_$c, " +
         s"abs(est_$c - ndv_$c) * 100 <= ndv_$c * 5")
