@@ -65,6 +65,38 @@ object Curation {
         "quota + if(rk <= leftover, 1, 0) AS alloc")
   }
 
+  /** q160 — TEMPERATURE-flattened source mixture (the UniMax/mT5
+    * α-sampling a multilingual/multi-source pretraining mix actually
+    * uses): sampling weight w_s ∝ n_s^α with α = 0.3, which upweights
+    * tail sources relative to [[mixtureAllocation]]'s proportional
+    * split (α = 1) without letting any head source dominate. The
+    * transcendental pow goes through the q145/q130 convention: each
+    * source's n_s^α is e9-rounded to an INTEGER before any
+    * cross-source arithmetic, so normalization, weights and quotas are
+    * integer-exact and shuffle-order-proof in both engines; the budget
+    * conserves exactly via the same largest-remainder trick. Windows
+    * run over the #sources-row mix table, never the corpus. */
+  def temperatureMixture(docs: DataFrame, budget: Long = 10000L): DataFrame = {
+    val perSource = docs
+      .selectExpr("source", s"cast(size($sparkToks) as bigint) AS n")
+      .groupBy("source").agg(sum("n").as("n_tokens"))
+    val all = Window.partitionBy(lit(0))
+    val byRem = Window.partitionBy(lit(0))
+      .orderBy(col("rem").desc, col("source"))
+    perSource
+      .withColumn("p_e9",
+        expr("cast(round(1e9 * pow(cast(n_tokens as double), 0.3)) as bigint)"))
+      .withColumn("tot", sum("p_e9").over(all))
+      .withColumn("w_e6", expr("(1000000 * p_e9) div tot"))
+      .withColumn("quota", expr(s"($budget * p_e9) div tot"))
+      .withColumn("rem", expr(s"($budget * p_e9) % tot"))
+      .withColumn("leftover", lit(budget) - sum("quota").over(all))
+      .withColumn("rk", row_number().over(byRem))
+      .selectExpr("source", "n_tokens", "p_e9", "w_e6",
+        "quota + if(rk <= leftover, 1, 0) AS alloc_tokens")
+      .orderBy("source")
+  }
+
   /** Benchmark decontamination: flag training documents sharing any
     * `gram`-token shingle with a held-out eval set (here: every
     * `evalMod`-th doc stands in for the benchmark). The standard
@@ -602,6 +634,10 @@ object Curation {
     "q58_mixture_alloc" -> ((s, dir) =>
       mixtureAllocation(Tables.documents(s, dir)).orderBy("source")),
 
+    // Temperature-flattened mixture over the REAL source column.
+    "q160_temperature_mix" -> ((s, dir) =>
+      temperatureMixture(Tables.documents(s, dir))),
+
     // Planted leakage: copies of eval docs re-inserted as training rows
     // (+3e6 ids — (id+3000000) % 97 ≠ 3 for id ≡ 3, so every copy lands
     // in the train split) make the contamination detection itself
@@ -780,6 +816,34 @@ object Curation {
          |   OR (stratum = 'mid' AND h100 < 50)
          |   OR (stratum = 'short' AND h100 < 25)
          |ORDER BY doc_id""".stripMargin,
+
+    // pow through the e9-integer convention (q145): p_e9 per source is
+    // rounded BEFORE normalization, so weights/quotas are integer-exact
+    "q160_temperature_mix" ->
+      """WITH per_source AS (
+        |  SELECT source,
+        |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |p AS (
+        |  SELECT source, n_tokens,
+        |    CAST(round(1e9 * pow(CAST(n_tokens AS DOUBLE), 0.3)) AS BIGINT) AS p_e9
+        |  FROM per_source),
+        |q AS (
+        |  SELECT *, CAST(SUM(p_e9) OVER () AS BIGINT) AS tot FROM p),
+        |a AS (
+        |  SELECT source, n_tokens, p_e9,
+        |    (1000000 * p_e9) // tot AS w_e6,
+        |    (10000 * p_e9) // tot AS quota,
+        |    (10000 * p_e9) % tot AS rem
+        |  FROM q),
+        |r AS (
+        |  SELECT *,
+        |    CAST(10000 - SUM(quota) OVER () AS BIGINT) AS leftover,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM a)
+        |SELECT source, n_tokens, p_e9, w_e6,
+        |  CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+        |FROM r ORDER BY source""".stripMargin,
 
     "q58_mixture_alloc" ->
       """WITH per_source AS (

@@ -356,6 +356,36 @@ object Similarity {
       })
     }
 
+  /** q159 — SemDeDup (Abbas et al., 2023): semantic near-duplicate
+    * pruning over embeddings. Cluster with the SHARED IVF k-means (the
+    * q36/q86 memoized index — SemDeDup's own recipe), then inside each
+    * cluster drop every vector that has a SMALLER-id neighbor at
+    * cosine ≥ τ: the q20 keep-first semantics lifted from exact text
+    * equality to semantic proximity. Output (vec_id, cid, keep) for
+    * the whole corpus.
+    *
+    * Scale: the pair join is CLUSTER-LOCAL (join key = cid), so
+    * candidate volume is Σ|cluster|² — the paper's exact trick for
+    * never going corpus²; k grows with n at real scale (and an
+    * oversized cluster can be sub-split by the PQ codes, q86) so
+    * |cluster| stays bounded. Similarity is the native CosineSim
+    * kernel e6-integer-rounded BEFORE the threshold compare, so both
+    * engines make identical keep decisions at the boundary. */
+  def semanticDedup(embeddings: DataFrame, assignments: DataFrame,
+                    tauE6: Long = 900000L): DataFrame = {
+    val v = embeddings
+      .selectExpr("vec_id", "cast(embedding as array<double>) AS v")
+      .join(assignments, "vec_id")
+    val dups = v.toDF("vec_a", "va", "cid")
+      .join(v.toDF("vec_b", "vb", "cid"), Seq("cid"))
+      .where(col("vec_a") < col("vec_b"))
+      .where(round(cosineN(col("va"), col("vb")) * 1e6).cast("long") >= tauE6)
+      .select(col("vec_b").as("vec_id")).distinct()
+    assignments.join(dups.withColumn("dup", lit(true)), Seq("vec_id"), "left")
+      .selectExpr("vec_id", "cid", "dup IS NULL AS keep")
+      .orderBy("vec_id")
+  }
+
   /** Per-(session, sfDir) memo of the default-parameter IVF index over
     * the embeddings table — q36 (IVF search) and q86 (IVF-PQ) train the
     * IDENTICAL index; the memo runs the Lloyd loop once and hands both
@@ -522,7 +552,18 @@ object Similarity {
       val floor = rec.agg(
         (sum("n_hit") * 20L >= sum("k") * 17L).as("floor_ok"))
       rec.crossJoin(broadcast(floor)).orderBy("query_id")
-    })
+    }),
+
+    // SemDeDup over the shared IVF clusters: cluster-local keep-first.
+    // τ = 0.30 here, NOT the paper-typical ~0.9: the synthetic
+    // embeddings' pairwise-cosine ceiling is ~0.46 (measured), so a
+    // 0.9 gate could never fire and the keep branch would be
+    // untestable — at 0.30 both outcomes are oracle-visible. The
+    // mechanism (clustering, pair pruning, boundary rounding) is
+    // τ-independent.
+    "q159_semantic_dedup" -> ((s, dir) =>
+      semanticDedup(Tables.embeddings(s, dir), ivfIndexFor(s, dir)._2,
+        tauE6 = 300000L))
   )
 
   /** Per-query recall of an approximate rank list against the exact
@@ -654,6 +695,21 @@ object Similarity {
       .mkString(" + ")
     Map(
       "q36_ann_ivf" -> duckIvfSql(),
+
+      // SemDeDup: the q36 assignment chain, then cluster-local pairs —
+      // a vec is kept iff no smaller-id cluster-mate sits at >= tau
+      "q159_semantic_dedup" ->
+        s"""WITH ${duckIvfCandsCtes()},
+           |dv AS (SELECT vec_id, v FROM vecs),
+           |dups AS (
+           |  SELECT DISTINCT b.vec_id
+           |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+           |  JOIN dv a ON a.vec_id = x.vec_id
+           |  JOIN dv b ON b.vec_id = y.vec_id
+           |  WHERE CAST(round(($duckCos) * 1000000) AS BIGINT) >= 300000)
+           |SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS keep
+           |FROM asg a LEFT JOIN dups d USING (vec_id)
+           |ORDER BY a.vec_id""".stripMargin,
       // the q36 IVF chain and the q24 brute chain, overlapped per query
       "q131_ann_recall" ->
         s"""WITH ${duckIvfCandsCtes()},

@@ -379,6 +379,19 @@ class LlmOpsSpec extends AnyFunSuite {
     } finally plan.unpersist()
   }
 
+  test("semantic dedup drops the larger-id twin cluster-locally, keeps cross-cluster copies") {
+    val e = Array.fill(64)(0.5f)
+    val o = Array.tabulate(64)(i => if (i % 2 == 0) 0.5f else -0.5f) // orthogonal to e
+    // vecs 1,2 identical (cluster 0); 3 orthogonal (cluster 0);
+    // 4 = another copy of e but in cluster 1 → cluster-locality keeps it
+    val emb = Seq((1L, e.toSeq), (2L, e.toSeq), (3L, o.toSeq), (4L, e.toSeq))
+      .toDF("vec_id", "embedding")
+    val asg = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L)).toDF("vec_id", "cid")
+    val out = Similarity.semanticDedup(emb, asg, tauE6 = 950000L)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true), s"got $out")
+  }
+
   test("BPE-budget packing conserves the trained tokenizer's token count exactly") {
     import graft.operators.{Bpe, Packing}
     val counts = Bpe.bpeTokenCounts(docs, k = 3)
