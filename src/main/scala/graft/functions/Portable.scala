@@ -38,9 +38,15 @@ object Portable {
   val Bands = 4
   val RowsPerBand: Int = MinhashK / Bands
 
-  /** Per-permutation affine coefficients, fixed literals. */
-  val minhashA: Seq[Long] = (0 until MinhashK).map(j => (j * 2654435761L + 1L) % P)
-  val minhashB: Seq[Long] = (0 until MinhashK).map(j => (j * 40503L + 7L) % P)
+  /** Per-permutation affine coefficients — one formula for ANY width
+    * (the q158 K-ablation uses j up to 63; the production signature is
+    * the j < 16 prefix). */
+  def minhashAj(j: Int): Long = (j * 2654435761L + 1L) % P
+  def minhashBj(j: Int): Long = (j * 40503L + 7L) % P
+
+  /** The production-width coefficients, fixed literals. */
+  val minhashA: Seq[Long] = (0 until MinhashK).map(minhashAj)
+  val minhashB: Seq[Long] = (0 until MinhashK).map(minhashBj)
 
   /** Random-hyperplane LSH: 8 planes × 64 dims with ±1 components derived
     * from md5 parity at build time — embedded as literals, so both engines

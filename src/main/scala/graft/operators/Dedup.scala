@@ -707,15 +707,18 @@ object Dedup {
     * ≤(3 × 11)-row aggregate. Nothing here is corpus-squared. */
   def minhashKAblation(docs: DataFrame): DataFrame = {
     val kMax = 64
-    val hsE = s"transform(sh, s -> pmod(${sparkHash48("s")}, ${P}L))"
-    val sigCols = (0 until kMax).map { j =>
-      val a = (j * 2654435761L + 1L) % P
-      val b = (j * 40503L + 7L) % P
-      s"array_min(transform(hs, x -> pmod(${a}L * x + ${b}L, ${P}L))) AS m$j"
+    // native one-pass 64-wide signature (the q22 MinHashSig kernel with
+    // k=64 — same affine formula, so m0..m15 IS the production
+    // signature); the 64-transform declarative spelling lives on as the
+    // oracle twin and measured 2.7 s vs ~1 s here at sf0.1
+    val sig64 = {
+      import org.apache.spark.sql.graft.ColumnBridge
+      ColumnBridge.column(graft.plans.MinHashSig(
+        ColumnBridge.expression(col("sh")), kMax))
     }
     val sigs = shingled(docs)
-      .selectExpr("doc_id", "sh", s"$hsE AS hs")
-      .selectExpr(Seq("doc_id", "sh") ++ sigCols: _*)
+      .select(col("doc_id"), col("sh"), sig64.as("sig"))
+      .selectExpr(Seq("doc_id", "sh") ++ (0 until kMax).map(j => s"sig[$j] AS m$j"): _*)
       .cache()
     def estE(k: Int) = {
       val s = (0 until k).map(j => s"if(a_m$j = b_m$j, 1, 0)").mkString(" + ")

@@ -35,7 +35,10 @@ import graft.functions.Portable
   * non-null for a non-nullable child (e.g. a literal `array()` through
   * the registered `graft_minhash_sig` SQL function) and mis-optimize
   * consumers. */
-case class MinHashSig(child: Expression) extends UnaryExpression {
+case class MinHashSig(child: Expression, k: Int = Portable.MinhashK)
+    extends UnaryExpression {
+
+  require(k >= 1, "minhash_sig: k must be positive")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -49,14 +52,14 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
     }
 
   override def nullSafeEval(input: Any): Any =
-    MinHashSig.compute(input.asInstanceOf[ArrayData])
+    MinHashSig.compute(input.asInstanceOf[ArrayData], k)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     // nullSafeCodeGen handles the child-null path; the result can ALSO be
     // null (empty array), so re-derive isNull from the computed value.
     val result = nullSafeCodeGen(ctx, ev, c =>
       s"""
-         |${ev.value} = graft.plans.MinHashSig.compute($c);
+         |${ev.value} = graft.plans.MinHashSig.compute($c, $k);
          |${ev.isNull} = (${ev.value} == null);
        """.stripMargin)
     result
@@ -74,15 +77,20 @@ object MinHashSig {
     override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
   }
 
+  /** Coefficient arrays per width — computed once per k, shared across
+    * threads (immutable after construction). */
+  private val coefs = new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def coefsFor(k: Int): (Array[Long], Array[Long]) =
+    coefs.computeIfAbsent(k, k =>
+      (Array.tabulate(k)(Portable.minhashAj), Array.tabulate(k)(Portable.minhashBj)))
+
   /** The signature kernel, static so generated Java can call it directly.
     * Returns null for an empty array (see class doc). */
-  def compute(arr: ArrayData): ArrayData = {
+  def compute(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
     if (n == 0) return null
-    val k = Portable.MinhashK
     val p = Portable.P
-    val a = Portable.minhashA
-    val b = Portable.minhashB
+    val (a, b) = coefsFor(k)
     val mins = Array.fill(k)(Long.MaxValue)
     val md = mdLocal.get()
     var i = 0
