@@ -66,7 +66,16 @@ object Bpe {
     *
     * Exhaustion: when no adjacent pair remains (every word type is a
     * single symbol), training stops cleanly with the merges learned so
-    * far rather than failing on an empty argmax. */
+    * far rather than failing on an empty argmax.
+    *
+    * Deep-iteration safety: the per-round checkpoint is
+    * [[org.apache.spark.sql.graft.PlanBridge.localCheckpointFreshStats]],
+    * NOT plain localCheckpoint — Spark's checkpoint carries the origin
+    * plan's size statistics into the new leaf, and across self-joining
+    * rounds those estimates MULTIPLY until stats estimation itself
+    * overflows BigInteger (~45 rounds in; the k=6 production run never
+    * gets there, a real-vocabulary run dies during planning). The
+    * fresh-stats leaf keeps estimates bounded at any merge count. */
   private[graft] def trainSymsBatched(docs: DataFrame, k: Int, maxBatch: Int):
       (DataFrame, Seq[(Long, String, String, Long)]) = {
     require(k >= 1 && maxBatch >= 1)
@@ -75,7 +84,7 @@ object Bpe {
     var syms = vocab
       .selectExpr("w", "cnt", "posexplode(split(w, '')) AS (pos, sym)")
       .selectExpr("w", "cnt", "cast(pos as bigint) AS pos", "sym")
-      .localCheckpoint()
+    syms = org.apache.spark.sql.graft.PlanBridge.localCheckpointFreshStats(syms)
     val byPos = Window.partitionBy("w").orderBy("pos")
     val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
     var exhausted = false
@@ -118,9 +127,9 @@ object Bpe {
           .where(!col("pm")) // the absorbed right symbol disappears
           .selectExpr("w", "cnt", "pos",
             "CASE WHEN do_merge THEN concat(sym, nsym) ELSE sym END AS sym")
-        syms = j.withColumn("pos", row_number().over(byPos).cast("long") - 1)
-          .select("w", "cnt", "pos", "sym")
-          .localCheckpoint()
+        syms = org.apache.spark.sql.graft.PlanBridge.localCheckpointFreshStats(
+          j.withColumn("pos", row_number().over(byPos).cast("long") - 1)
+            .select("w", "cnt", "pos", "sym"))
       }
     }
     (syms, merges.toList)

@@ -69,4 +69,30 @@ object PlanBridge {
     * session. */
   def plannerStrategies(ext: SparkSessionExtensions, spark: SparkSession): Seq[SparkStrategy] =
     ext.buildPlannerStrategies(spark)
+
+  /** Iteration-safe localCheckpoint: materializes like
+    * `Dataset.localCheckpoint` but REBUILDS the leaf without the origin
+    * statistics Spark's checkpoint normally carries over
+    * (`LogicalRDD.fromDataset` copies the optimized plan's stats).
+    *
+    * Why that carry-over is fatal for deep iterative training: each
+    * round's plan joins the previous checkpoint with itself (window →
+    * join → window), so SizeInBytesOnlyStatsPlanVisitor MULTIPLIES the
+    * carried sizeInBytes — the estimate compounds in magnitude every
+    * round, exceeds BigInteger's supported ceiling (2^2^31 bits) after
+    * a few dozen rounds, and the driver dies with "BigInteger would
+    * overflow supported range" during PLANNING (observed: BPE training
+    * at k=64 on sf0.01; the k=6 production path never gets deep
+    * enough). Dropping the origin stats resets each round's leaf to
+    * defaultSizeInBytes — estimates stay bounded at any depth; the
+    * only cost is no auto-broadcast of the checkpointed side
+    * (irrelevant for the window-dominated iterative plans that need
+    * this). */
+  def localCheckpointFreshStats(df: DataFrame): DataFrame = {
+    val ds = df.localCheckpoint().asInstanceOf[classic.Dataset[Row]]
+    val qe = ds.queryExecution
+    val leaf = org.apache.spark.sql.execution.LogicalRDD(
+      qe.analyzed.output, qe.toRdd)(ds.sparkSession)
+    classic.Dataset.ofRows(ds.sparkSession, leaf)
+  }
 }
