@@ -386,6 +386,35 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** q161 — INCREMENTAL ANN index maintenance, the IVF analog of the
+    * q115 incremental LSH dedup: at real scale an append does NOT
+    * re-run Lloyd over the corpus. The index (centroids + base
+    * assignments) is trained once on the base 90 % slice and PERSISTED
+    * to parquet; the incremental step's plan touches ONLY
+    *  - the centroid model (k×64 longs, collected and inlined as
+    *    literals — the centroid convention), and
+    *  - the NEW batch's embeddings (one narrow map, zero shuffles);
+    * the base slice's embeddings are never rescanned — its assignments
+    * union in by parquet path. Exactness is structural: IVF assignment
+    * is per-vector independent given centroids, so base-then-increment
+    * ≡ assigning the whole corpus against the same centroids, which is
+    * exactly what the DuckDB twin replays (Lloyd trained on the base
+    * slice, assignment over everything). */
+  private val ivfIncMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), String]
+  Memos.register(() => ivfIncMemo.synchronized(ivfIncMemo.clear()))
+  private def ivfIncIndexDir(s: SparkSession, dir: String): String =
+    ivfIncMemo.synchronized {
+      ivfIncMemo.getOrElseUpdate((s, dir), {
+        val path = "/tmp/graft_ivf_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val (cents, asg) = ivfIndex(
+          Tables.embeddings(s, dir).where("vec_id % 10 != 7"))
+        cents.write.mode("overwrite").parquet(s"$path/cents")
+        asg.write.mode("overwrite").parquet(s"$path/asg")
+        path
+      })
+    }
+
   /** Per-(session, sfDir) memo of the default-parameter IVF index over
     * the embeddings table — q36 (IVF search) and q86 (IVF-PQ) train the
     * IDENTICAL index; the memo runs the Lloyd loop once and hands both
@@ -554,6 +583,19 @@ object Similarity {
       rec.crossJoin(broadcast(floor)).orderBy("query_id")
     }),
 
+    // Incremental index maintenance: new batch assigned against the
+    // PERSISTED index — base embeddings never rescanned.
+    "q161_ann_incremental" -> ((s, dir) => {
+      val p = ivfIncIndexDir(s, dir)
+      val cents = s.read.parquet(s"$p/cents").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toSeq
+      val newAsg = assignTo(
+        Tables.embeddings(s, dir).where("vec_id % 10 = 7")
+          .selectExpr("vec_id", s"$quantE AS q"), cents)
+        .select("vec_id", "cid")
+      s.read.parquet(s"$p/asg").unionByName(newAsg).orderBy("vec_id")
+    }),
+
     // SemDeDup over the shared IVF clusters: cluster-local keep-first.
     // τ = 0.30 here, NOT the paper-typical ~0.9: the synthetic
     // embeddings' pairwise-cosine ceiling is ~0.46 (measured), so a
@@ -584,7 +626,8 @@ object Similarity {
   /** IVF CTE chain through `cands` (query_id, vec_id candidates) —
     * shared by the q36 twin and the composed IVF-PQ twin (q86). */
   private[operators] def duckIvfCandsCtes(k: Int = 16, iters: Int = 2,
-      trainMod: Long = IvfTrainMod, queryMaxId: Long = 10, nprobe: Int = 12): String = {
+      trainMod: Long = IvfTrainMod, queryMaxId: Long = 10, nprobe: Int = 12,
+      trainWhere: String = ""): String = {
     val intSim =
       """round(list_sum(list_transform(list_zip(t.q, c.c), s -> s[1] * s[2])) /
         |        (sqrt(list_sum(list_transform(t.q, x -> x * x))) * sqrt(list_sum(list_transform(c.c, x -> x * x)))), 6)""".stripMargin
@@ -611,7 +654,7 @@ object Similarity {
        |    list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q,
        |    list_transform(embedding, x -> x::DOUBLE) AS v
        |  FROM embeddings),
-       |train AS (SELECT vec_id, q FROM vecs WHERE vec_id % $trainMod = 0),
+       |train AS (SELECT vec_id, q FROM vecs WHERE vec_id % $trainMod = 0$trainWhere),
        |cents0 AS (
        |  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cid, q AS c
        |  FROM (SELECT vec_id, q, ${duckHash48("CAST(vec_id AS VARCHAR)")} AS h FROM train)
@@ -695,6 +738,14 @@ object Similarity {
       .mkString(" + ")
     Map(
       "q36_ann_ivf" -> duckIvfSql(),
+
+      // Incremental IVF: Lloyd trained on the base 90% slice only;
+      // assignment replayed over the WHOLE corpus — per-vector
+      // independence makes that identical to base-persisted ∪
+      // incrementally-assigned-batch
+      "q161_ann_incremental" ->
+        s"""WITH ${duckIvfCandsCtes(trainWhere = " AND vec_id % 10 <> 7")}
+           |SELECT vec_id, cid FROM asg ORDER BY vec_id""".stripMargin,
 
       // SemDeDup: the q36 assignment chain, then cluster-local pairs —
       // a vec is kept iff no smaller-id cluster-mate sits at >= tau

@@ -392,6 +392,17 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true), s"got $out")
   }
 
+  test("incremental ANN assignment plans against the persisted index, never the base embeddings") {
+    val df = SparkEntry.queries("q161_ann_incremental")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val embScans = "embeddings\\.parquet".r.findAllIn(plan).size
+    assert(embScans == 1, s"expected exactly 1 embeddings scan (the new batch), got $embScans in:\n$plan")
+    assert(plan.contains("graft_ivf_index"), "base assignments must come from the persisted index")
+    // and the result is the full corpus, each vector exactly once
+    val n = Tables.embeddings(spark, sf).count()
+    assert(df.count() == n && df.select("vec_id").distinct().count() == n)
+  }
+
   test("BPE-budget packing conserves the trained tokenizer's token count exactly") {
     import graft.operators.{Bpe, Packing}
     val counts = Bpe.bpeTokenCounts(docs, k = 3)
