@@ -339,6 +339,26 @@ object ScaleCheck {
             sum("n_chars").cast("long").as("v")))
     }
 
+    // tokenizer training at scale: replicas repeat the SAME text, so
+    // the word-TYPE table is replication-invariant — the learned merge
+    // list over the full replicated corpus must equal the base slice's
+    // merge-for-merge with pair counts scaled EXACTLY ×replicate
+    // (ties break identically under uniform scaling). Green here
+    // proves the only corpus-sized stage is the map-side-combined type
+    // count; every Lloyd-style iteration runs on the type table.
+    {
+      import graft.operators.Bpe
+      val t = System.nanoTime()
+      val mBig = Bpe.bpeMerges(big.select("doc_id", "text"), k = 3)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      System.err.println("[scale] section bpe_train")
+      times("bpe_train") = (System.nanoTime() - t) / 1e9
+      val mBase = Bpe.bpeMerges(base.select("doc_id", "text"), k = 3)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      results("bpe_train") = mBig.toSeq ==
+        mBase.toSeq.map(m => (m._1, m._2, m._3, m._4 * replicate))
+    }
+
     val rows = GraftStore.get("scale_docs").rowCount
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val allOk = results.values.forall(identity)

@@ -593,7 +593,11 @@ object Dedup {
 
     // K ∈ {16,32,64} estimator ablation, gate-region MAE floor-gated.
     "q158_minhash_k_ablation" -> ((s, dir) =>
-      minhashKAblation(Tables.documents(s, dir)))
+      minhashKAblation(Tables.documents(s, dir))),
+
+    // Per-source dedup impact report (doc-level + passage-level).
+    "q162_dedup_impact" -> ((s, dir) =>
+      dedupImpact(Tables.documents(s, dir)))
   )
 
   /** `doc_id`·2^bits + `idx` as ONE bigint total order, with the domain
@@ -688,6 +692,44 @@ object Dedup {
         expr("sum(j1000) div count(1)").as("mean_exact_e3"),
         expr("sum(abs(est1000 - j1000)) div count(1)").as("mae_e3"))
       .orderBy("decile")
+  }
+
+  /** q162 — the DEDUP IMPACT REPORT a pipeline owner reads before
+    * committing to a dedup rollout: per source, document-level
+    * exact-duplicate losses (q20 keep-first semantics) and
+    * sub-document passage-level losses (q139 semantics, counted in
+    * passages), as exact counts plus e4 fractions. The number that
+    * answers "which source is boilerplate-heavy" and "how many tokens
+    * does passage dedup actually buy" without anyone re-running the
+    * dedups ad hoc.
+    *
+    * Plan: one corpus scan for the doc-level stats (fp + token count),
+    * the q139 keep-first pass for passage winners, then ONE
+    * #sources-row aggregate. Fractions are integer floor divisions of
+    * exact sums (the repo convention). */
+  def dedupImpact(docs: DataFrame): DataFrame = {
+    val toksE = graft.functions.Portable.sparkToks
+    val winners = docs.selectExpr("doc_id", "md5(text) AS fp")
+      .groupBy("fp").agg(min("doc_id").as("keep_id"))
+    val pk = passageDedup(docs.select("doc_id", "text"))
+      .select("doc_id", "n_kept")
+    docs.selectExpr("doc_id", "source", "md5(text) AS fp",
+        s"cast(size($toksE) as bigint) AS n_toks")
+      .join(winners, Seq("fp"))
+      .join(pk, Seq("doc_id"), "left")
+      .selectExpr("source",
+        "CASE WHEN doc_id <> keep_id THEN 1L ELSE 0L END AS is_dup",
+        "CASE WHEN n_toks > 0 THEN cast(ceil(n_toks / 8.0) as bigint) ELSE 0L END AS np",
+        "coalesce(n_kept, 0L) AS nk")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("is_dup").cast("long").as("n_dup_docs"),
+        sum("np").cast("long").as("n_passages"),
+        sum("nk").cast("long").as("n_passages_kept"))
+      .selectExpr("source", "n_docs", "n_dup_docs", "n_passages", "n_passages_kept",
+        "(10000 * n_dup_docs) div n_docs AS dup_doc_frac_e4",
+        "(10000 * (n_passages - n_passages_kept)) div greatest(n_passages, 1) AS passage_removed_frac_e4")
+      .orderBy("source")
   }
 
   /** q158 — MinHash signature-width ABLATION, closing the loop q155's
@@ -1040,6 +1082,38 @@ object Dedup {
            |ORDER BY d.doc_id""".stripMargin,
       // passage-grain keep-first + rebuild; list slices are 1-based
       // inclusive in DuckDB, mirroring Spark's slice(arr, start, len)
+      // per-source impact rollup over the q20 + q139 semantics
+      "q162_dedup_impact" ->
+        """WITH t AS (
+          |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks,
+          |    md5(text) AS fp
+          |  FROM documents),
+          |w AS (SELECT fp, MIN(doc_id) AS keep_id FROM t GROUP BY fp),
+          |e AS (
+          |  SELECT doc_id, unnest(range(CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS pidx, toks
+          |  FROM t WHERE len(toks) > 0),
+          |p AS (
+          |  SELECT doc_id * 65536 + pidx AS packed,
+          |    array_to_string(toks[pidx*8+1 : pidx*8+8], ' ') AS ptext
+          |  FROM e),
+          |k AS (SELECT ptext, MIN(packed) AS packed FROM p GROUP BY ptext),
+          |pk AS (
+          |  SELECT packed // 65536 AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept
+          |  FROM k GROUP BY 1),
+          |d AS (
+          |  SELECT t.source,
+          |    CASE WHEN t.doc_id <> w.keep_id THEN 1 ELSE 0 END AS is_dup,
+          |    CASE WHEN len(t.toks) > 0 THEN CAST(ceil(len(t.toks) / 8.0) AS BIGINT) ELSE 0 END AS np,
+          |    coalesce(pk.n_kept, 0) AS nk
+          |  FROM t JOIN w USING (fp) LEFT JOIN pk ON pk.doc_id = t.doc_id)
+          |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+          |  CAST(SUM(np) AS BIGINT) AS n_passages,
+          |  CAST(SUM(nk) AS BIGINT) AS n_passages_kept,
+          |  (10000 * CAST(SUM(is_dup) AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS dup_doc_frac_e4,
+          |  (10000 * (CAST(SUM(np) AS BIGINT) - CAST(SUM(nk) AS BIGINT))) // greatest(CAST(SUM(np) AS BIGINT), 1) AS passage_removed_frac_e4
+          |FROM d GROUP BY source ORDER BY source""".stripMargin,
+
       "q139_passage_dedup" ->
         """WITH t AS (
           |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),

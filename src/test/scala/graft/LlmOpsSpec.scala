@@ -421,6 +421,19 @@ class LlmOpsSpec extends AnyFunSuite {
     } finally { plan.unpersist(); counts.unpersist() }
   }
 
+  test("temperature mixture conserves the budget exactly and flattens the spread") {
+    import graft.operators.Curation
+    val m = Curation.temperatureMixture(docs, budget = 10000L).collect()
+    assert(m.map(_.getLong(4)).sum == 10000L, "largest-remainder must conserve the budget")
+    // α = 0.3 flattens: the allocation ratio between the extreme
+    // sources must be strictly smaller than their token-count ratio
+    val byTok = m.sortBy(_.getLong(1))
+    val (lo, hi) = (byTok.head, byTok.last)
+    assert(hi.getLong(4).toDouble / lo.getLong(4) <
+      hi.getLong(1).toDouble / lo.getLong(1),
+      "temperature sampling must flatten relative to proportional")
+  }
+
   test("shard manifest conserves docs and tokens and is shuffle-order-invariant") {
     import graft.operators.Packing
     val m = Packing.shardManifest(docs, shards = 8).cache()
