@@ -204,6 +204,20 @@ object Similarity {
   private def assignTo(vecsQ: DataFrame, cents: Seq[(Long, Array[Long])]): DataFrame =
     vecsQ.withColumn("cid", array_max(centScores(cents)).getField("cid"))
 
+  /** Assign raw (vec_id, embedding) rows against an inlined centroid
+    * model — the narrow-map kernel of q161's incremental indexing and
+    * the streaming ANN ingest (AnnIngest): one projection, zero
+    * shuffles, centroids ride as literals. */
+  private[graft] def assignAgainst(emb: DataFrame,
+                                   cents: Seq[(Long, Array[Long])]): DataFrame =
+    assignTo(emb.selectExpr("vec_id", s"$quantE AS q"), cents)
+      .select("vec_id", "cid")
+
+  /** Centroid model from its persisted parquet form (cid, c) — the
+    * bounded collect every index consumer shares. */
+  private[graft] def centroidModel(cents: DataFrame): Seq[(Long, Array[Long])] =
+    cents.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toSeq
+
   /** IVF coarse index over integer-quantized (e3) vectors. Returns
     * (centroids(cid, c: array<bigint>), assignments(vec_id, cid)).
     *
@@ -587,12 +601,9 @@ object Similarity {
     // PERSISTED index — base embeddings never rescanned.
     "q161_ann_incremental" -> ((s, dir) => {
       val p = ivfIncIndexDir(s, dir)
-      val cents = s.read.parquet(s"$p/cents").collect()
-        .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toSeq
-      val newAsg = assignTo(
-        Tables.embeddings(s, dir).where("vec_id % 10 = 7")
-          .selectExpr("vec_id", s"$quantE AS q"), cents)
-        .select("vec_id", "cid")
+      val newAsg = assignAgainst(
+        Tables.embeddings(s, dir).where("vec_id % 10 = 7"),
+        centroidModel(s.read.parquet(s"$p/cents")))
       s.read.parquet(s"$p/asg").unionByName(newAsg).orderBy("vec_id")
     }),
 
