@@ -607,6 +607,25 @@ object Similarity {
       s.read.parquet(s"$p/asg").unionByName(newAsg).orderBy("vec_id")
     }),
 
+    // Index-health BALANCE gate: per-cluster population share of the
+    // shared IVF index, floor-gated. The q131 recall gate says the
+    // index finds neighbors; this one says probe cost stays bounded —
+    // a cluster absorbing the corpus degrades nprobe search toward
+    // brute force. Gate: the largest cluster holds <= 8x its fair
+    // share (1/k of the corpus) — generous for synthetic data, tight
+    // enough that a collapsed clustering (one mega-cluster) is a hash
+    // mismatch, not a shrug. share_e4 is an exact integer division.
+    "q163_ann_balance" -> ((s, dir) => {
+      val asg = ivfIndexFor(s, dir)._2
+      val counts = asg.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+      val tot = counts.agg(sum("n_vecs").as("tot"),
+        (max("n_vecs") * 16L <= sum("n_vecs") * 8L).as("balance_ok"))
+      counts.crossJoin(broadcast(tot))
+        .selectExpr("cid", "n_vecs", "(10000 * n_vecs) div tot AS share_e4",
+          "balance_ok")
+        .orderBy("cid")
+    }),
+
     // SemDeDup over the shared IVF clusters: cluster-local keep-first.
     // τ = 0.30 here, NOT the paper-typical ~0.9: the synthetic
     // embeddings' pairwise-cosine ceiling is ~0.46 (measured), so a
@@ -749,6 +768,19 @@ object Similarity {
       .mkString(" + ")
     Map(
       "q36_ann_ivf" -> duckIvfSql(),
+
+      // balance gate over the q36 assignment chain (k=16 inlined in
+      // the gate exactly as the Spark side inlines it)
+      "q163_ann_balance" ->
+        s"""WITH ${duckIvfCandsCtes()},
+           |counts AS (
+           |  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM asg GROUP BY cid),
+           |tot AS (
+           |  SELECT CAST(SUM(n_vecs) AS BIGINT) AS tot,
+           |    (MAX(n_vecs) * 16 <= CAST(SUM(n_vecs) AS BIGINT) * 8) AS balance_ok
+           |  FROM counts)
+           |SELECT cid, n_vecs, (10000 * n_vecs) // tot AS share_e4, balance_ok
+           |FROM counts, tot ORDER BY cid""".stripMargin,
 
       // Incremental IVF: Lloyd trained on the base 90% slice only;
       // assignment replayed over the WHOLE corpus — per-vector
