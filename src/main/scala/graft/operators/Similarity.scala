@@ -171,6 +171,12 @@ object Similarity {
     * full corpus is the 100 TB anti-pattern the index exists to avoid. */
   val IvfTrainMod: Long = 3
 
+  /** Default IVF centroid count — the single source for the index
+    * builders, the DuckDB twins, and the q163 balance gate's fair-share
+    * arithmetic (interpolated on BOTH engines so a width change cannot
+    * silently mis-scale the gate — the q155 MinhashK lesson). */
+  val IvfK: Int = 16
+
   /** Per-row scores against every centroid as struct(sim, ncid, cid)
     * per centroid — the (sim, -cid, cid) ranking structs.
     *
@@ -236,7 +242,7 @@ object Similarity {
     * (k·64 longs — a model, not data) and re-broadcast as literals, so
     * the lineage is truncated every iteration and the final full-corpus
     * assignment is a single narrow map with no shuffle at all. */
-  def ivfIndex(embeddings: DataFrame, k: Int = 16, iters: Int = 2,
+  def ivfIndex(embeddings: DataFrame, k: Int = IvfK, iters: Int = 2,
                trainMod: Long = IvfTrainMod): (DataFrame, DataFrame) = {
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -612,14 +618,15 @@ object Similarity {
     // index finds neighbors; this one says probe cost stays bounded —
     // a cluster absorbing the corpus degrades nprobe search toward
     // brute force. Gate: the largest cluster holds <= 8x its fair
-    // share (1/k of the corpus) — generous for synthetic data, tight
-    // enough that a collapsed clustering (one mega-cluster) is a hash
-    // mismatch, not a shrug. share_e4 is an exact integer division.
+    // share (1/IvfK of the corpus) — generous for synthetic data,
+    // tight enough that a collapsed clustering (one mega-cluster) is a
+    // hash mismatch, not a shrug. share_e4 is an exact integer
+    // division; IvfK interpolates into BOTH dialects.
     "q163_ann_balance" -> ((s, dir) => {
       val asg = ivfIndexFor(s, dir)._2
       val counts = asg.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
       val tot = counts.agg(sum("n_vecs").as("tot"),
-        (max("n_vecs") * 16L <= sum("n_vecs") * 8L).as("balance_ok"))
+        (max("n_vecs") * IvfK <= sum("n_vecs") * 8L).as("balance_ok"))
       counts.crossJoin(broadcast(tot))
         .selectExpr("cid", "n_vecs", "(10000 * n_vecs) div tot AS share_e4",
           "balance_ok")
@@ -655,7 +662,7 @@ object Similarity {
 
   /** IVF CTE chain through `cands` (query_id, vec_id candidates) —
     * shared by the q36 twin and the composed IVF-PQ twin (q86). */
-  private[operators] def duckIvfCandsCtes(k: Int = 16, iters: Int = 2,
+  private[operators] def duckIvfCandsCtes(k: Int = IvfK, iters: Int = 2,
       trainMod: Long = IvfTrainMod, queryMaxId: Long = 10, nprobe: Int = 12,
       trainWhere: String = ""): String = {
     val intSim =
@@ -705,7 +712,7 @@ object Similarity {
   /** DuckDB twin of q36: the same seeds, `iters` unrolled Lloyd
     * iterations, full assignment, probe selection, and candidate
     * scoring, generated from the same constants as the Spark path. */
-  private def duckIvfSql(k: Int = 16, iters: Int = 2, trainMod: Long = IvfTrainMod,
+  private def duckIvfSql(k: Int = IvfK, iters: Int = 2, trainMod: Long = IvfTrainMod,
                          queryMaxId: Long = 10, nprobe: Int = 12, topk: Int = 5): String = {
     s"""WITH ${duckIvfCandsCtes(k, iters, trainMod, queryMaxId, nprobe)},
        |scored AS (
@@ -777,7 +784,7 @@ object Similarity {
            |  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM asg GROUP BY cid),
            |tot AS (
            |  SELECT CAST(SUM(n_vecs) AS BIGINT) AS tot,
-           |    (MAX(n_vecs) * 16 <= CAST(SUM(n_vecs) AS BIGINT) * 8) AS balance_ok
+           |    (MAX(n_vecs) * $IvfK <= CAST(SUM(n_vecs) AS BIGINT) * 8) AS balance_ok
            |  FROM counts)
            |SELECT cid, n_vecs, (10000 * n_vecs) // tot AS share_e4, balance_ok
            |FROM counts, tot ORDER BY cid""".stripMargin,
