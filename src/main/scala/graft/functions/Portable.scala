@@ -83,4 +83,39 @@ object Portable {
     * SQL and DuckDB (`array(1,-1,...)` is Spark-only; `[1,-1,...]` is
     * DuckDB-only; `array(...)` chosen per dialect by the caller). */
   def planeElems(j: Int): String = planes(j).mkString(", ")
+
+  /** IVF centroid-count floor — the k a tiny corpus still gets. */
+  val IvfKFloor = 16
+
+  /** IVF centroid-count cap: 2^16 centroids × 64 dims × 8 B ≈ 32 MB of
+    * model — the largest literal-inlined centroid matrix worth
+    * broadcasting per task. Past it (n ≳ 4×10^9 vectors) cluster size
+    * grows linearly again and the next lever is a hierarchical coarse
+    * quantizer, not more flat centroids. */
+  val IvfKCap: Int = 1 << 16
+
+  /** IVF centroid count, scaled with corpus size — the [[lshBandBits]]
+    * pattern applied to the ANN family: k = 2^ceil(bitlen(n−1)/2), the
+    * power of two ≥ √n (floor [[IvfKFloor]], cap [[IvfKCap]]). √n
+    * centroids ⇒ ~√n vectors per cluster, so cluster-local pair work
+    * (SemDeDup's Σ|c|²) grows as n^1.5 — never n²/k-fixed — and the
+    * cid-keyed shuffle's key space grows WITH the corpus instead of
+    * pinning parallelism at a constant. Integer-exact in both engines:
+    * Spark computes it driver-side from Long bit length; the DuckDB
+    * twin spells the identical value as
+    * `greatest(16, 1 << least(16, (length(bin(n - 1)) + 1) // 2))`. */
+  def ivfK(n: Long): Int = {
+    val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))
+    math.max(IvfKFloor, 1 << math.min(16, (bitlen + 1) / 2))
+  }
+
+  /** IVF probe budget for a k-centroid index: 3k/4 — the measured knee
+    * of the recall sweep (tools/RecallSweep, PLANS round-13): on this
+    * near-uniform synthetic corpus recall tracks the scanned fraction
+    * almost linearly, so the ≥0.85 recall floor (q131) needs ~3/4 of
+    * the lists probed at ANY k. On clustered real data the same knee
+    * sits far lower — the fraction is a data property, the scaling rule
+    * (probes ∝ k, fraction constant) is the portable part. DuckDB twin:
+    * `(3 * k) // 4`. */
+  def ivfNprobe(k: Int): Int = math.max(1, 3 * k / 4)
 }

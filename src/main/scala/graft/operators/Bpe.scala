@@ -36,16 +36,45 @@ object Bpe {
     * plus the learned merge list. The final symbol table IS the trained
     * tokenizer's segmentation of every word type — [[bpeMerges]] emits
     * the merge rules, [[bpeTokenCounts]] applies the segmentation back
-    * to the corpus. Sequential subword-nmt semantics = the batched loop
-    * at batch 1 (one argmax per merge). */
+    * to the corpus. Runs the FREQUENCY-GAP batched loop (gapExact):
+    * merge-for-merge identical to sequential subword-nmt (LlmOpsSpec
+    * pins the equivalence on a corpus where fixed-M batching diverges)
+    * while folding count-separated merges into shared passes — so the
+    * production path and the scale path are the same code. */
   private[graft] def trainSyms(docs: DataFrame, k: Int):
-      (DataFrame, Seq[(Long, String, String, Long)]) =
-    trainSymsBatched(docs, k, 1)
+      (DataFrame, Seq[(Long, String, String, Long)]) = {
+    val (syms, merges, _) = trainSymsBatched(docs, k, k, gapExact = true)
+    (syms, merges)
+  }
 
-  /** Batched-merge training: per iteration, take the top `maxBatch`
-    * NON-CONFLICTING pairs (rank order by count desc / (a, b); a pair
-    * is skipped if it shares a symbol with an earlier-chosen pair in
-    * the same batch) and apply them in ONE pass over the type table.
+  /** Batched-merge training: per iteration, take up to `maxBatch`
+    * pairs from the rank order (count desc / (a, b)) and apply them in
+    * ONE pass over the type table. Two batch-selection modes:
+    *
+    *  - `gapExact = false` (fixed-M, the opt-in APPROXIMATE mode): a
+    *    conflicting pair (sharing a symbol with an earlier choice) is
+    *    SKIPPED and later candidates still join the batch. Sequential
+    *    BPE would recount pairs after each merge, so a batch can miss
+    *    a NEW pair (one touching a just-created symbol) that would
+    *    have outranked a later batch member — at batch 1 this is
+    *    EXACTLY subword-nmt; past it the learned vocabulary can drift
+    *    (round-14 measurement: 36/64 merges agree at k=64, M=8).
+    *
+    *  - `gapExact = true` (FREQUENCY-GAP batching, the default scale
+    *    path): the batch is the longest CONFLICT-FREE PREFIX of the
+    *    rank order whose last member's count STRICTLY exceeds the
+    *    first excluded candidate's. That batch is provably identical
+    *    to `|batch|` sequential merges: (1) disjoint pairs' counts
+    *    are merge-invariant, and merging cannot create an occurrence
+    *    of a disjoint pair; (2) a NEW pair born from merging p=(a,b)
+    *    — (x, ab) or (ab, y) — occurs only where the OLD pair (x, a)
+    *    / (b, y) did, and that old pair CONFLICTS with p, so it sits
+    *    outside the conflict-free prefix with count ≤ the excluded
+    *    count < every batch member's count: no overtake is possible,
+    *    and the strict gap keeps tie-breaks out of reach too. Batch
+    *    size adapts to the count distribution per round — ties and
+    *    conflicts shrink it (worst case 1 = sequential), well-
+    *    separated counts in real text keep it near the cap.
     *
     * Why conflict-freedom makes the single pass exact: with disjoint
     * symbol sets, a position matches at most one chosen pair, and two
@@ -53,16 +82,13 @@ object Bpe {
     * self-overlapping pair (a, a) — a cross-pair adjacency would force
     * the second pair's left symbol to equal the first pair's right.
     * So the greedy-left run alternation resolves every chosen pair
-    * simultaneously, exactly as `maxBatch` sequential passes would.
+    * simultaneously, exactly as `|batch|` sequential passes would.
     *
-    * What the batch approximates: sequential BPE would recount pairs
-    * after each merge, and a batch can miss a NEW pair (one touching a
-    * just-created symbol) that would have outranked a later batch
-    * member. Disjoint pairs' counts themselves are merge-invariant, so
-    * at batch 1 this is EXACTLY subword-nmt (LlmOpsSpec pins the
-    * equivalence). The payoff is driver round trips: k merges cost
-    * ~k/maxBatch Spark jobs instead of k — the difference between 32k
-    * sequential jobs and a few hundred at a real vocabulary size.
+    * The payoff is driver round trips: k merges cost ~k/batch Spark
+    * jobs instead of k — the difference between 32k sequential jobs
+    * and a few hundred at a real vocabulary size (the third returned
+    * value is the measured round count; tools/BpeScale records the
+    * curve).
     *
     * Exhaustion: when no adjacent pair remains (every word type is a
     * single symbol), training stops cleanly with the merges learned so
@@ -76,8 +102,9 @@ object Bpe {
     * overflows BigInteger (~45 rounds in; the k=6 production run never
     * gets there, a real-vocabulary run dies during planning). The
     * fresh-stats leaf keeps estimates bounded at any merge count. */
-  private[graft] def trainSymsBatched(docs: DataFrame, k: Int, maxBatch: Int):
-      (DataFrame, Seq[(Long, String, String, Long)]) = {
+  private[graft] def trainSymsBatched(docs: DataFrame, k: Int, maxBatch: Int,
+      gapExact: Boolean = false):
+      (DataFrame, Seq[(Long, String, String, Long)], Int) = {
     require(k >= 1 && maxBatch >= 1)
     val vocab = docs.selectExpr(s"explode(${Portable.sparkToks}) AS w")
       .where("w <> ''").groupBy("w").agg(count(lit(1)).as("cnt"))
@@ -88,26 +115,47 @@ object Bpe {
     val byPos = Window.partitionBy("w").orderBy("pos")
     val merges = scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
     var exhausted = false
+    var rounds = 0
     while (merges.size < k && !exhausted) {
+      rounds += 1
       val withNext = syms.withColumn("nsym", lead("sym", 1).over(byPos))
       val budget = math.min(maxBatch, k - merges.size)
       // rank-ordered candidate prefix — oversized so a batch usually
-      // survives conflict pruning; a bounded model frame either way
+      // survives conflict pruning (and, in gap mode, so the first
+      // EXCLUDED candidate is in hand); a bounded model frame either way
+      val prefetch = math.max(budget * 4, 8)
       val top = withNext.where("nsym IS NOT NULL")
         .groupBy("sym", "nsym").agg(sum("cnt").as("c"))
         .orderBy(col("c").desc, col("sym"), col("nsym"))
-        .limit(math.max(budget * 4, 8)).collect()
+        .limit(prefetch).collect()
       if (top.isEmpty) exhausted = true
       else {
         val chosen = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
         val used = scala.collection.mutable.Set.empty[String]
         var i = 0
-        while (i < top.length && chosen.size < budget) {
+        var cut = false
+        while (i < top.length && chosen.size < budget && !cut) {
           val (a, b) = (top(i).getString(0), top(i).getString(1))
           if (!used(a) && !used(b)) {
             chosen += ((a, b, top(i).getLong(2))); used += a; used += b
+            i += 1
+          } else if (gapExact) cut = true // conflict ends the exact prefix
+          else i += 1                     // fixed-M skips and keeps going
+        }
+        if (gapExact) {
+          // strict-gap shrink: the last taken count must EXCEED the
+          // first excluded candidate's (the conflict, the next ranked
+          // pair, or — when the fetched list ran out at the prefetch
+          // cap — a possible unfetched tie of the last fetched count)
+          val excluded: Option[Long] =
+            if (i < top.length) Some(top(i).getLong(2))
+            else if (top.length == prefetch) Some(top.last.getLong(2))
+            else None
+          excluded.foreach { ec =>
+            var m = chosen.length
+            while (m > 1 && chosen(m - 1)._3 <= ec) m -= 1
+            chosen.takeInPlace(m) // size 1 is sequential — always exact
           }
-          i += 1
         }
         chosen.foreach { case (a, b, c) => merges += ((merges.size + 1L, a, b, c)) }
         val isMatch = chosen.map { case (a, b, _) =>
@@ -132,7 +180,7 @@ object Bpe {
             .select("w", "cnt", "pos", "sym"))
       }
     }
-    (syms, merges.toList)
+    (syms, merges.toList, rounds)
   }
 
   /** Per-(session, sfDir, k) memo of the trained model: q143, q144 and

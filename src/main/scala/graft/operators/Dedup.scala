@@ -788,7 +788,14 @@ object Dedup {
       .groupBy("k_sig")
       .agg(expr("sum(abs(est - j1000)) div count(1)").as("gmae"))
       .agg(coalesce(expr("max(gmae) <= 100"), lit(true)).as("floor_ok"))
-    curveFull.crossJoin(broadcast(floor)).orderBy("k_sig", "decile")
+    // own the caches (the nearDupClustersStats discipline): the final
+    // frame is ≤(3 × 11) rows — eagerly materialize it, then release
+    // both cached intermediates instead of leaking them across bench reps
+    val out = curveFull.crossJoin(broadcast(floor))
+      .orderBy("k_sig", "decile").localCheckpoint()
+    longForm.unpersist()
+    sigs.unpersist()
+    out
   }
 
   /** q152 core — exact-substring span removal (Lee et al. 2022,

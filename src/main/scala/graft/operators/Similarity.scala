@@ -171,11 +171,18 @@ object Similarity {
     * full corpus is the 100 TB anti-pattern the index exists to avoid. */
   val IvfTrainMod: Long = 3
 
-  /** Default IVF centroid count — the single source for the index
-    * builders, the DuckDB twins, and the q163 balance gate's fair-share
-    * arithmetic (interpolated on BOTH engines so a width change cannot
-    * silently mis-scale the gate — the q155 MinhashK lesson). */
-  val IvfK: Int = 16
+  /** CORPUS-SCALED IVF centroid count — [[graft.functions.Portable.ivfK]]
+    * (≈√n, floor 16, cap 2^16) over the memoized embeddings row count,
+    * the single source for the index builders, the DuckDB twins (which
+    * re-derive the identical value from count(*) in SQL — the
+    * lshBandBits pattern), and the q163 balance gate's fair-share
+    * arithmetic. A FIXED k was the one standing scale-killer: with
+    * k=16, SemDeDup's cluster-local pairs grew as n²/16 and the
+    * cid-keyed shuffle had 16 distinct keys forever; with k≈√n both
+    * the per-cluster population and the shuffle's parallelism track
+    * the corpus. */
+  def ivfKFor(s: SparkSession, dir: String): Int =
+    ivfK(embeddingsCount(s, dir))
 
   /** Per-row scores against every centroid as struct(sim, ncid, cid)
     * per centroid — the (sim, -cid, cid) ranking structs.
@@ -242,7 +249,7 @@ object Similarity {
     * (k·64 longs — a model, not data) and re-broadcast as literals, so
     * the lineage is truncated every iteration and the final full-corpus
     * assignment is a single narrow map with no shuffle at all. */
-  def ivfIndex(embeddings: DataFrame, k: Int = IvfK, iters: Int = 2,
+  def ivfIndex(embeddings: DataFrame, k: Int = IvfKFloor, iters: Int = 2,
                trainMod: Long = IvfTrainMod): (DataFrame, DataFrame) = {
     val spark = embeddings.sparkSession
     import spark.implicits._
@@ -291,29 +298,34 @@ object Similarity {
   /** Tool-facing alias of [[ivfProbes]] (RecallSweep measures candidate
     * fractions without widening the operator API). */
   def ivfProbesPublic(embeddings: DataFrame, centroids: DataFrame,
-      queryMaxId: Long = 10, nprobe: Int = 12): DataFrame =
+      queryMaxId: Long = 10, nprobe: Int = 0): DataFrame =
     ivfProbes(embeddings, centroids, queryMaxId, nprobe)
 
   /** Per-query top-`nprobe` centroid ids — the probe-selection half of
-    * [[ivfSearch]], shared with the composed IVF-PQ search (q86). */
+    * [[ivfSearch]], shared with the composed IVF-PQ search (q86).
+    * `nprobe = 0` (the default) derives the budget from the index's OWN
+    * width — [[graft.functions.Portable.ivfNprobe]] of the centroid
+    * count — so probe volume scales with the corpus-scaled k instead of
+    * silently shrinking to a fixed 12-of-k fraction as k grows. */
   private[operators] def ivfProbes(embeddings: DataFrame, centroids: DataFrame,
-                                   queryMaxId: Long = 10, nprobe: Int = 12): DataFrame = {
+                                   queryMaxId: Long = 10, nprobe: Int = 0): DataFrame = {
     val cents: Array[(Long, Array[Long])] = centroids.collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
       .sortBy(_._1)
+    val np = if (nprobe > 0) nprobe else ivfNprobe(cents.length)
     // top-nprobe by (sim desc, cid asc): ascending lexicographic sort on
     // (sim, ncid) structs, reversed — same ranking as round 2, over the
     // single-literal centroid matrix instead of k parsed struct literals
     embeddings.where(s"vec_id < $queryMaxId")
       .selectExpr("vec_id AS query_id", s"$quantE AS q")
       .withColumn("cid", explode(
-        transform(slice(reverse(array_sort(centScores(cents))), 1, nprobe),
+        transform(slice(reverse(array_sort(centScores(cents))), 1, np),
           p => p.getField("cid"))))
       .select("query_id", "cid")
   }
 
   def ivfSearch(embeddings: DataFrame, centroids: DataFrame, assignments: DataFrame,
-                queryMaxId: Long = 10, nprobe: Int = 12, k: Int = 5): DataFrame = {
+                queryMaxId: Long = 10, nprobe: Int = 0, k: Int = 5): DataFrame = {
     val probes = ivfProbes(embeddings, centroids, queryMaxId, nprobe)
     val vecs = embeddings.selectExpr("vec_id", "cast(embedding as array<double>) AS v")
     val queries = vecs.where(s"vec_id < $queryMaxId").toDF("query_id", "q")
@@ -427,8 +439,12 @@ object Similarity {
     ivfIncMemo.synchronized {
       ivfIncMemo.getOrElseUpdate((s, dir), {
         val path = "/tmp/graft_ivf_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        // k derives from the FULL corpus the index will serve (both
+        // dialects count `embeddings`), not the 90 % training slice —
+        // the twin's kp CTE and this call must agree on n
         val (cents, asg) = ivfIndex(
-          Tables.embeddings(s, dir).where("vec_id % 10 != 7"))
+          Tables.embeddings(s, dir).where("vec_id % 10 != 7"),
+          k = ivfKFor(s, dir))
         cents.write.mode("overwrite").parquet(s"$path/cents")
         asg.write.mode("overwrite").parquet(s"$path/asg")
         path
@@ -446,7 +462,7 @@ object Similarity {
   def ivfIndexFor(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     ivfMemo.synchronized {
       ivfMemo.getOrElseUpdate((s, dir), {
-        val (cents, asg) = ivfIndex(Tables.embeddings(s, dir))
+        val (cents, asg) = ivfIndex(Tables.embeddings(s, dir), k = ivfKFor(s, dir))
         (cents.localCheckpoint(), asg.localCheckpoint())
       })
     }
@@ -618,15 +634,17 @@ object Similarity {
     // index finds neighbors; this one says probe cost stays bounded —
     // a cluster absorbing the corpus degrades nprobe search toward
     // brute force. Gate: the largest cluster holds <= 8x its fair
-    // share (1/IvfK of the corpus) — generous for synthetic data,
-    // tight enough that a collapsed clustering (one mega-cluster) is a
-    // hash mismatch, not a shrug. share_e4 is an exact integer
-    // division; IvfK interpolates into BOTH dialects.
+    // share (1/k of the corpus, k the CORPUS-DERIVED centroid count)
+    // — generous for synthetic data, tight enough that a collapsed
+    // clustering (one mega-cluster) is a hash mismatch, not a shrug.
+    // share_e4 is an exact integer division; the twin re-derives the
+    // identical k from count(*) in its kp CTE.
     "q163_ann_balance" -> ((s, dir) => {
       val asg = ivfIndexFor(s, dir)._2
+      val k = ivfKFor(s, dir)
       val counts = asg.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
       val tot = counts.agg(sum("n_vecs").as("tot"),
-        (max("n_vecs") * IvfK <= sum("n_vecs") * 8L).as("balance_ok"))
+        (max("n_vecs") * k <= sum("n_vecs") * 8L).as("balance_ok"))
       counts.crossJoin(broadcast(tot))
         .selectExpr("cid", "n_vecs", "(10000 * n_vecs) div tot AS share_e4",
           "balance_ok")
@@ -661,9 +679,15 @@ object Similarity {
       .orderBy("query_id")
 
   /** IVF CTE chain through `cands` (query_id, vec_id candidates) —
-    * shared by the q36 twin and the composed IVF-PQ twin (q86). */
-  private[operators] def duckIvfCandsCtes(k: Int = IvfK, iters: Int = 2,
-      trainMod: Long = IvfTrainMod, queryMaxId: Long = 10, nprobe: Int = 12,
+    * shared by the q36 twin and the composed IVF-PQ twin (q86). The
+    * centroid count k and probe budget np are NOT parameters any more:
+    * the `kp` CTE re-derives them from count(*) over `embeddings` with
+    * the exact integer formula of [[graft.functions.Portable.ivfK]] /
+    * [[graft.functions.Portable.ivfNprobe]] — the lshBandBits pattern —
+    * so the twin follows the Spark side at ANY scale factor without a
+    * per-SF constant. */
+  private[operators] def duckIvfCandsCtes(iters: Int = 2,
+      trainMod: Long = IvfTrainMod, queryMaxId: Long = 10,
       trainWhere: String = ""): String = {
     val intSim =
       """round(list_sum(list_transform(list_zip(t.q, c.c), s -> s[1] * s[2])) /
@@ -686,16 +710,22 @@ object Similarity {
          |  FROM cents${it - 1} c0 LEFT JOIN (
          |    SELECT cid, list(m ORDER BY dim) AS mc FROM m$it GROUP BY cid) mm USING (cid))""".stripMargin
     }.mkString(",\n")
-    s"""vecs AS (
+    s"""kp AS (
+       |  SELECT k, (3 * k) // 4 AS np FROM (
+       |    SELECT greatest(${IvfKFloor}, 1 << least(16,
+       |      (length(bin(CAST(greatest(1, COUNT(*) - 1) AS BIGINT))) + 1) // 2)) AS k
+       |    FROM embeddings)),
+       |vecs AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q,
        |    list_transform(embedding, x -> x::DOUBLE) AS v
        |  FROM embeddings),
        |train AS (SELECT vec_id, q FROM vecs WHERE vec_id % $trainMod = 0$trainWhere),
        |cents0 AS (
-       |  SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cid, q AS c
-       |  FROM (SELECT vec_id, q, ${duckHash48("CAST(vec_id AS VARCHAR)")} AS h FROM train)
-       |  ORDER BY h, vec_id LIMIT $k),
+       |  SELECT rn - 1 AS cid, q AS c FROM (
+       |    SELECT q, ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rn
+       |    FROM (SELECT vec_id, q, ${duckHash48("CAST(vec_id AS VARCHAR)")} AS h FROM train))
+       |  WHERE rn <= (SELECT k FROM kp)),
        |$lloyd,
        |${assignCte("asg", "vecs", s"cents$iters")},
        |probes AS (
@@ -703,7 +733,8 @@ object Similarity {
        |    SELECT t.vec_id AS query_id, c.cid,
        |      ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
        |        $intSim DESC, c.cid) AS rn
-       |    FROM vecs t CROSS JOIN cents$iters c WHERE t.vec_id < $queryMaxId) WHERE rn <= $nprobe),
+       |    FROM vecs t CROSS JOIN cents$iters c WHERE t.vec_id < $queryMaxId)
+       |  WHERE rn <= (SELECT np FROM kp)),
        |cands AS (
        |  SELECT DISTINCT p.query_id, a.vec_id
        |  FROM probes p JOIN asg a USING (cid) WHERE a.vec_id <> p.query_id)""".stripMargin
@@ -712,9 +743,9 @@ object Similarity {
   /** DuckDB twin of q36: the same seeds, `iters` unrolled Lloyd
     * iterations, full assignment, probe selection, and candidate
     * scoring, generated from the same constants as the Spark path. */
-  private def duckIvfSql(k: Int = IvfK, iters: Int = 2, trainMod: Long = IvfTrainMod,
-                         queryMaxId: Long = 10, nprobe: Int = 12, topk: Int = 5): String = {
-    s"""WITH ${duckIvfCandsCtes(k, iters, trainMod, queryMaxId, nprobe)},
+  private def duckIvfSql(iters: Int = 2, trainMod: Long = IvfTrainMod,
+                         queryMaxId: Long = 10, topk: Int = 5): String = {
+    s"""WITH ${duckIvfCandsCtes(iters, trainMod, queryMaxId)},
        |scored AS (
        |  SELECT cd.query_id, cd.vec_id,
        |    round(list_sum(list_transform(list_zip(qv.v, bv.v), s -> s[1] * s[2])) /
@@ -776,15 +807,16 @@ object Similarity {
     Map(
       "q36_ann_ivf" -> duckIvfSql(),
 
-      // balance gate over the q36 assignment chain (k=16 inlined in
-      // the gate exactly as the Spark side inlines it)
+      // balance gate over the q36 assignment chain (the corpus-derived
+      // k re-read from the chain's own kp CTE, exactly as the Spark
+      // side derives it from the memoized count)
       "q163_ann_balance" ->
         s"""WITH ${duckIvfCandsCtes()},
            |counts AS (
            |  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM asg GROUP BY cid),
            |tot AS (
            |  SELECT CAST(SUM(n_vecs) AS BIGINT) AS tot,
-           |    (MAX(n_vecs) * $IvfK <= CAST(SUM(n_vecs) AS BIGINT) * 8) AS balance_ok
+           |    (MAX(n_vecs) * (SELECT k FROM kp) <= CAST(SUM(n_vecs) AS BIGINT) * 8) AS balance_ok
            |  FROM counts)
            |SELECT cid, n_vecs, (10000 * n_vecs) // tot AS share_e4, balance_ok
            |FROM counts, tot ORDER BY cid""".stripMargin,

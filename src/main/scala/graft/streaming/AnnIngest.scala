@@ -66,7 +66,11 @@ object AnnIngest {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[Row],
         org.apache.spark.sql.types.StructType.fromDDL("vec_id BIGINT, cid BIGINT"))
-    else spark.read.parquet(s"$statePath/asg")
+    // project away the partition-discovered `batch` column so both
+    // branches return the documented two-column schema (a consumer
+    // doing unionByName must not see a shape that depends on whether
+    // state exists yet)
+    else spark.read.parquet(s"$statePath/asg").select("vec_id", "cid")
   }
 
   /** Per-cluster vector counts — the balance metric an offline retrain

@@ -36,16 +36,22 @@ object BpeScale {
     docs.count()
 
     var ref: Seq[(String, String)] = Nil
-    for (batch <- Seq(1, 8, 32)) {
+    // (label, batch cap, gapExact): fixed-M approximations, then the
+    // frequency-gap EXACT mode at the same caps — the gap rows must
+    // show overlap == k by construction; their `rounds` column is the
+    // price of exactness (ties/conflicts shrink some batches)
+    val modes = Seq(("seq", 1, false), ("m8", 8, false), ("m32", 32, false),
+      ("gap8", 8, true), ("gap32", 32, true))
+    for ((label, batch, gap) <- modes) {
       val t0 = System.nanoTime()
-      val (_, merges) = Bpe.trainSymsBatched(docs, k, batch)
+      val (_, merges, rounds) = Bpe.trainSymsBatched(docs, k, batch, gapExact = gap)
       val sec = (System.nanoTime() - t0) / 1e9
-      val rounds = math.ceil(k.toDouble / batch).toInt // upper bound; exact when never conflict-starved
       val pairs = merges.map(m => (m._2, m._3))
-      if (batch == 1) ref = pairs
+      if (label == "seq") ref = pairs
+      val exact = pairs == ref // ORDERED merge-for-merge identity, not set overlap
       val common = pairs.toSet.intersect(ref.toSet).size
-      println(f"batch=$batch%3d k=${merges.size}%4d rounds<=$rounds%4d wall=$sec%7.1f s " +
-        f"overlap_vs_seq=$common/${ref.size}")
+      println(f"mode=$label%6s batch=$batch%3d k=${merges.size}%4d rounds=$rounds%4d " +
+        f"wall=$sec%7.1f s overlap_vs_seq=$common/${ref.size} exact=$exact")
     }
     spark.stop()
   }

@@ -698,19 +698,48 @@ class LlmOpsSpec extends AnyFunSuite {
       (1L, Array.fill(30)("ab").mkString(" ")),
       (2L, Array.fill(20)("cd").mkString(" ")),
       (3L, Array.fill(10)("ef").mkString(" "))).toDF("doc_id", "text")
-    val (symsSeq, mSeq) = Bpe.trainSyms(corpus, 3)
-    val (symsBat, mBat) = Bpe.trainSymsBatched(corpus, 3, 3)
+    val (symsSeq, mSeq, _) = Bpe.trainSymsBatched(corpus, 3, 1)
+    val (symsBat, mBat, rounds) = Bpe.trainSymsBatched(corpus, 3, 3)
     assert(mBat == mSeq, s"batched $mBat vs sequential $mSeq")
+    assert(rounds == 1)
     assert(symsBat.orderBy("w", "pos").collect().toSeq ==
       symsSeq.orderBy("w", "pos").collect().toSeq)
     // conflict pruning: (a,b) count 30 and (b,c) count 20 share 'b' —
-    // one batch must take (a,b), DEFER (b,c), and take disjoint (d,e)
+    // one fixed-M batch must take (a,b), DEFER (b,c), and take
+    // disjoint (d,e)
     val conflict = Seq(
       (1L, Array.fill(30)("ab").mkString(" ")),
       (2L, Array.fill(20)("bc").mkString(" ")),
       (3L, Array.fill(10)("de").mkString(" "))).toDF("doc_id", "text")
-    val (_, mc) = Bpe.trainSymsBatched(conflict, 2, 2)
+    val (_, mc, _) = Bpe.trainSymsBatched(conflict, 2, 2)
     assert(mc.map(m => (m._2, m._3)) == Seq(("a", "b"), ("d", "e")), s"got $mc")
+  }
+
+  test("frequency-gap batching equals sequential where fixed-M diverges") {
+    import graft.operators.Bpe
+    // the overtake corpus: merging (a,b) births (x,ab) at count 10,
+    // which sequential merges BEFORE (c,d):9 — fixed-M batching takes
+    // (c,d) and (e,f) in round 1 and learns a different vocabulary;
+    // gap batching cuts at the (x,a) conflict, shrinks to {(a,b)},
+    // and reproduces the sequential list exactly in fewer rounds
+    val corpus = Seq(
+      (1L, Array.fill(10)("xab").mkString(" ")),
+      (2L, Array.fill(9)("cd").mkString(" ")),
+      (3L, Array.fill(8)("ef").mkString(" "))).toDF("doc_id", "text")
+    val (_, mSeq, rSeq) = Bpe.trainSymsBatched(corpus, 3, 1)
+    assert(mSeq.map(m => (m._2, m._3)) == Seq(("a", "b"), ("x", "ab"), ("c", "d")),
+      s"sequential learned $mSeq")
+    val (_, mFix, _) = Bpe.trainSymsBatched(corpus, 3, 3)
+    assert(mFix.map(m => (m._2, m._3)) != mSeq.map(m => (m._2, m._3)),
+      s"fixed-M should diverge here, got $mFix")
+    val (symsGap, mGap, rGap) = Bpe.trainSymsBatched(corpus, 3, 3, gapExact = true)
+    assert(mGap == mSeq, s"gap $mGap vs sequential $mSeq")
+    assert(rGap == 2 && rSeq == 3, s"gap rounds $rGap, sequential $rSeq")
+    // and the production trainSyms IS the gap mode: same table
+    val (symsProd, mProd) = Bpe.trainSyms(corpus, 3)
+    assert(mProd == mSeq)
+    assert(symsProd.orderBy("w", "pos").collect().toSeq ==
+      symsGap.orderBy("w", "pos").collect().toSeq)
   }
 
   test("BPE training stops cleanly when the pair vocabulary runs out") {
