@@ -29,6 +29,19 @@ import graft.sources.v2.GraftStore
   * An in-memory store at this scale would OOM on the driver collect;
   * the disk store must stay green. Prints one JSON line. */
 object ScaleCheck {
+
+  /** The canonical section list, in run order — the single source the
+    * committed SCALECHECK.json artifact is pinned to (DocCountsSpec
+    * asserts the artifact's `checks` keyset matches this, the same
+    * drift-proofing the query totals get): a section added here without
+    * re-running the check, or an artifact committed from an older build,
+    * fails the test suite instead of silently going stale. */
+  val sectionNames: Seq[String] = Seq(
+    "q73_dsv2_scan", "q85_dsv2_agg", "q92_spj_join", "delete_range",
+    "compact", "zorder", "vacuum", "bloom_point", "ivm_maintain",
+    "ivm_minmax", "shard_manifest", "passage_dedup", "mv_refresh",
+    "bpe_train")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val replicate = sys.env.getOrElse("SPARK_GRAFT_REPLICATE", "400").toInt
@@ -359,6 +372,8 @@ object ScaleCheck {
         mBase.toSeq.map(m => (m._1, m._2, m._3, m._4 * replicate))
     }
 
+    require(results.keys.toSeq == sectionNames,
+      s"section drift: ran ${results.keys.toSeq}, declared $sectionNames")
     val rows = GraftStore.get("scale_docs").rowCount
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     val allOk = results.values.forall(identity)

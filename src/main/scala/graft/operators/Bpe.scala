@@ -204,6 +204,15 @@ object Bpe {
   private[operators] def tokenCountsMemo(s: SparkSession, dir: String): DataFrame =
     tokenCountsFrom(Tables.documents(s, dir), trainSymsFor(s, dir, DefaultMerges)._1)
 
+  /** The memoized trained segmentation applied to an ARBITRARY
+    * (doc_id, text) frame — the composed pipeline (q165) counts the
+    * tokens of passage-REWRITTEN survivors, whose words are a subset
+    * of the training corpus's vocabulary, so the broadcast seg join
+    * covers them by construction. */
+  private[operators] def tokenCountsFor(s: SparkSession, dir: String,
+      docs: DataFrame): DataFrame =
+    tokenCountsFrom(docs, trainSymsFor(s, dir, DefaultMerges)._1)
+
   /** The k-merge training CTE chain with a caller-supplied tail — lets
     * sibling operators (q157 packing) build oracles on top of the
     * trained segmentation without duplicating the chain. */

@@ -91,11 +91,67 @@ object CurationPipeline {
         countDistinct("seq_id").as("n_seqs"))
       .orderBy("shard")
 
+  /** q165 — the curation pipeline EXTENDED with the sub-document and
+    * semantic stages plus tokenizer-denominated packing, composed so
+    * stage INTERACTION is under the hash gate (q129 composes the
+    * doc-level stages only):
+    *
+    *   exact dedup (q20) → passage dedup REWRITE (q139: each doc's
+    *   duplicated passages cut, text/n_chars change) → semantic drop
+    *   (q159: a doc whose embedding has a smaller-id cluster-mate at
+    *   cosine ≥ τ leaves) → quality gate (q37, over the REWRITTEN
+    *   text) → decontamination (q62) → source cap (q63, ranked by
+    *   post-rewrite n_chars) → BPE-budget packing (q157: sequences
+    *   budgeted in trained-tokenizer tokens of the REWRITTEN text).
+    *
+    * The interactions this pins: passage rewrite changes token counts
+    * ⇒ different quality/cap decisions AND different packing than
+    * q129's whitespace-packed originals; semantic dedup changes the
+    * doc set feeding every later stage. Each stage is the exact rule
+    * its standalone gate proves, so a hash mismatch here localizes to
+    * composition, not to any rule.
+    *
+    * Scale: adds ONE passage-grid shuffle (q139's) and one id-keyed
+    * anti-join (the semantic drop — benchmark-sized here, an ordinary
+    * shuffled anti-join at 100 TB) to q129's audited profile; the BPE
+    * model is the shared memoized training run. */
+  def curateV2(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val d1 = Relational.keepFirst(
+      docs.select(col("doc_id"), col("text"), col("source"))
+        .withColumn("fp", md5(col("text"))),
+      Seq("fp"), Seq(col("doc_id"))).drop("fp")
+    val rw = Dedup.passageDedup(d1.select("doc_id", "text"))
+      .join(d1.select("doc_id", "source"), "doc_id")
+      .selectExpr("doc_id", "text_kept AS text", "source",
+        "cast(length(text_kept) as bigint) AS n_chars")
+    val semDrop = Similarity.semanticDedup(Tables.embeddings(s, dir),
+        Similarity.ivfIndexFor(s, dir)._2, tauE6 = 300000L)
+      .where("NOT keep").selectExpr("vec_id AS doc_id")
+    val d3 = rw.join(semDrop, Seq("doc_id"), "left_anti")
+    val quality = qualityGate(d3).cache()
+    val clean = quality.join(
+      Curation.decontaminate(quality.select("doc_id", "text"))
+        .where("NOT contaminated").select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val surv = clean.join(Curation.sourceCap(clean).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    Packing.packSequencesBy(
+        Bpe.tokenCountsFor(s, dir, surv.select("doc_id", "text"))
+          .selectExpr("doc_id", "n_bpe_tokens AS n_toks"))
+      .groupBy("shard")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        sum("seg_tokens").cast("long").as("n_tokens"),
+        countDistinct("seq_id").as("n_seqs"))
+      .orderBy("shard")
+  }
+
   // ---------------------------------------------------------------- query
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_curation_pipeline" -> ((s, dir) =>
-      curate(Tables.documents(s, dir))))
+      curate(Tables.documents(s, dir))),
+    "q165_curation_v2" -> ((s, dir) => curateV2(s, dir)))
 
   def oracle: Map[String, String] = Map(
     // the q20/q37/q62/q63/q56 oracle fragments chained over the same
@@ -155,5 +211,100 @@ object CurationPipeline {
          |SELECT shard, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
          |  CAST(SUM(seg_tokens) AS BIGINT) AS n_tokens,
          |  CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs
-         |FROM segs GROUP BY shard ORDER BY shard""".stripMargin)
+         |FROM segs GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // q165: the q139/q159 oracle fragments spliced between q129's dedup
+    // and quality stages, the q157 trained-token packing as the tail —
+    // every fragment verbatim from its standalone gate, over the
+    // rewritten/pruned doc set instead of `documents`.
+    "q165_curation_v2" -> {
+      val duckCos =
+        """list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) /
+          |  (sqrt(list_sum(list_transform(a.v, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x))))""".stripMargin
+      Bpe.duckSqlWith(
+        s""",
+           |${Similarity.duckIvfCandsCtes()},
+           |seg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sym FROM it${Bpe.DefaultMerges} GROUP BY w),
+           |sem_drop AS (
+           |  SELECT DISTINCT y.vec_id AS doc_id
+           |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+           |  JOIN vecs a ON a.vec_id = x.vec_id
+           |  JOIN vecs b ON b.vec_id = y.vec_id
+           |  WHERE CAST(round(($duckCos) * 1000000) AS BIGINT) >= 300000),
+           |d1 AS (
+           |  SELECT doc_id, text, source FROM (
+           |    SELECT doc_id, text, source,
+           |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+           |    FROM documents) WHERE rn = 1),
+           |pt AS (
+           |  SELECT doc_id, unnest(range(CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS pidx, toks
+           |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM d1)
+           |  WHERE len(toks) > 0),
+           |pp AS (
+           |  SELECT doc_id * 65536 + pidx AS packed,
+           |    array_to_string(toks[pidx*8+1 : pidx*8+8], ' ') AS ptext
+           |  FROM pt),
+           |pk AS (SELECT ptext, MIN(packed) AS packed FROM pp GROUP BY ptext),
+           |rw AS (
+           |  SELECT doc_id, array_to_string(list(ptext ORDER BY pidx), ' ') AS text
+           |  FROM (SELECT packed // 65536 AS doc_id, packed % 65536 AS pidx, ptext FROM pk)
+           |  GROUP BY doc_id),
+           |d2 AS (
+           |  SELECT rw.doc_id, rw.text, d1.source,
+           |    CAST(length(rw.text) AS BIGINT) AS n_chars
+           |  FROM rw JOIN d1 ON d1.doc_id = rw.doc_id),
+           |d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM sem_drop)),
+           |tq AS (
+           |  SELECT doc_id, text, source, n_chars,
+           |    regexp_split_to_array(trim(text), '\\s+') AS toks,
+           |    length(text) AS len,
+           |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_symbols
+           |  FROM d3 WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 2),
+           |q AS (
+           |  SELECT doc_id, text, source, n_chars, toks FROM tq
+           |  WHERE len(toks) >= 5 AND len(toks) <= 100000
+           |    AND round(100.0 * list_sum(list_transform(toks, tk -> length(tk))) / len(toks)) BETWEEN 200 AND 1200
+           |    AND round(10000.0 * n_symbols / len) < 3000),
+           |sh6 AS (
+           |  SELECT doc_id,
+           |    list_transform(range(1, greatest(1, len(toks) - 4)),
+           |      i -> array_to_string(toks[i:i+5], ' ')) AS sh
+           |  FROM q),
+           |eval_sh AS (
+           |  SELECT DISTINCT unnest(sh) AS shingle FROM sh6 WHERE doc_id % 97 = 3),
+           |contaminated AS (
+           |  SELECT DISTINCT t2.doc_id
+           |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh6 WHERE doc_id % 97 != 3) t2
+           |  JOIN eval_sh e ON t2.shingle = e.shingle),
+           |clean AS (
+           |  SELECT * FROM q WHERE doc_id % 97 != 3
+           |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+           |kept AS (
+           |  SELECT doc_id, toks FROM (
+           |    SELECT doc_id, toks,
+           |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+           |    FROM clean) WHERE rk <= 15),
+           |ktok AS (SELECT doc_id, unnest(toks) AS w FROM kept),
+           |ktc AS (
+           |  SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_toks
+           |  FROM ktok JOIN seg USING (w) WHERE w <> '' GROUP BY doc_id),
+           |ct AS (SELECT doc_id, doc_id % 8 AS shard, n_toks FROM ktc),
+           |cw AS (
+           |  SELECT doc_id, shard, n_toks,
+           |    CAST(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+           |  FROM ct),
+           |cs AS (SELECT *, cum - n_toks AS strt FROM cw WHERE n_toks > 0),
+           |ce AS (
+           |  SELECT shard, doc_id, strt, cum,
+           |    unnest(range(strt // 2048, (cum - 1) // 2048 + 1)) AS seq_id
+           |  FROM cs),
+           |csegs AS (
+           |  SELECT shard, seq_id, doc_id,
+           |    CAST(least(cum, (seq_id + 1) * 2048) - greatest(strt, seq_id * 2048) AS BIGINT) AS seg_tokens
+           |  FROM ce)
+           |SELECT shard, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           |  CAST(SUM(seg_tokens) AS BIGINT) AS n_tokens,
+           |  CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs
+           |FROM csegs GROUP BY shard ORDER BY shard""".stripMargin)
+    })
 }

@@ -587,6 +587,15 @@ object Dedup {
     "q152_substring_dedup" -> ((s, dir) =>
       exactSubstringDedup(Tables.documents(s, dir))),
 
+    // The same operator at a REALISTIC span length (k=32, the
+    // published ExactSubstr settings run ~50-token spans): longer
+    // windows mean fewer, longer spans and the packed positional
+    // budget (2^20) binds sooner — this gate proves the guard,
+    // packing, interval merge and rebuild all survive the setting a
+    // production dedup would actually ship, not just the small-k one.
+    "q164_substring_dedup_long" -> ((s, dir) =>
+      exactSubstringDedup(Tables.documents(s, dir), k = 32)),
+
     // Sketch-vs-exact calibration curve over the candidate pairs.
     "q155_minhash_calibration" -> ((s, dir) =>
       minhashCalibration(Tables.documents(s, dir))),
@@ -858,6 +867,54 @@ object Dedup {
         "md5(array_join(kept, ' ')) AS clean_fp")
       .orderBy("doc_id")
   }
+
+  /** DuckDB twin of [[exactSubstringDedup]] at span `k` — the window
+    * slice bounds, the span end, and the length floor all interpolate
+    * from the one parameter, so the q152 (k=8) and q164 (k=32) gates
+    * can never desynchronize from the Spark side's `k`. */
+  private def duckExactSubstrSql(k: Int): String =
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       |w AS (
+       |  SELECT doc_id, i, md5(array_to_string(toks[i:i+${k - 1}], ' ')) AS h
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - ${k - 2})) AS i
+       |        FROM t WHERE len(toks) >= $k)),
+       |sp AS (
+       |  SELECT doc_id, i AS s, i + $k AS e FROM (
+       |    SELECT doc_id, i,
+       |      COUNT(*) OVER (PARTITION BY h) AS cnt,
+       |      MIN(doc_id * 1048576 + i) OVER (PARTITION BY h) AS minp,
+       |      doc_id * 1048576 + i AS packed
+       |    FROM w)
+       |  WHERE cnt > 1 AND packed > minp),
+       |m AS (
+       |  SELECT doc_id, s, e,
+       |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) THEN 1 ELSE 0 END AS newg
+       |  FROM sp),
+       |g AS (
+       |  SELECT doc_id, s, e,
+       |    SUM(newg) OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM m),
+       |mg AS (SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM g GROUP BY doc_id, grp),
+       |pos AS (
+       |  SELECT doc_id, i, toks[CAST(i AS INT)] AS tok
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t)),
+       |rm AS (
+       |  SELECT DISTINCT p.doc_id, p.i FROM pos p
+       |  JOIN mg ON p.doc_id = mg.doc_id AND p.i >= mg.s AND p.i < mg.e),
+       |kept AS (
+       |  SELECT p.doc_id, p.i, p.tok FROM pos p
+       |  LEFT JOIN rm ON p.doc_id = rm.doc_id AND p.i = rm.i
+       |  WHERE rm.i IS NULL),
+       |a AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY i) AS txt
+       |  FROM kept GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
+       |  md5(COALESCE(a.txt, '')) AS clean_fp
+       |FROM t LEFT JOIN a ON t.doc_id = a.doc_id ORDER BY t.doc_id""".stripMargin
 
   /** Per-(session, sfDir) memo of the persisted LSH index location for
     * the q115/q116 incremental-dedup gates: bands + shingle sets of the
@@ -1136,51 +1193,12 @@ object Dedup {
           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
           |  array_to_string(list(ptext ORDER BY pidx), ' ') AS text_kept
           |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-      // ExactSubstr: overlapping 8-token windows, keep-first by packed
-      // order, per-doc interval merge, rebuild minus merged spans.
-      "q152_substring_dedup" ->
-        """WITH t AS (
-          |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
-          |w AS (
-          |  SELECT doc_id, i, md5(array_to_string(toks[i:i+7], ' ')) AS h
-          |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i
-          |        FROM t WHERE len(toks) >= 8)),
-          |sp AS (
-          |  SELECT doc_id, i AS s, i + 8 AS e FROM (
-          |    SELECT doc_id, i,
-          |      COUNT(*) OVER (PARTITION BY h) AS cnt,
-          |      MIN(doc_id * 1048576 + i) OVER (PARTITION BY h) AS minp,
-          |      doc_id * 1048576 + i AS packed
-          |    FROM w)
-          |  WHERE cnt > 1 AND packed > minp),
-          |m AS (
-          |  SELECT doc_id, s, e,
-          |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
-          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) THEN 1 ELSE 0 END AS newg
-          |  FROM sp),
-          |g AS (
-          |  SELECT doc_id, s, e,
-          |    SUM(newg) OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS grp
-          |  FROM m),
-          |mg AS (SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM g GROUP BY doc_id, grp),
-          |pos AS (
-          |  SELECT doc_id, i, toks[CAST(i AS INT)] AS tok
-          |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t)),
-          |rm AS (
-          |  SELECT DISTINCT p.doc_id, p.i FROM pos p
-          |  JOIN mg ON p.doc_id = mg.doc_id AND p.i >= mg.s AND p.i < mg.e),
-          |kept AS (
-          |  SELECT p.doc_id, p.i, p.tok FROM pos p
-          |  LEFT JOIN rm ON p.doc_id = rm.doc_id AND p.i = rm.i
-          |  WHERE rm.i IS NULL),
-          |a AS (
-          |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
-          |    string_agg(tok, ' ' ORDER BY i) AS txt
-          |  FROM kept GROUP BY doc_id)
-          |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
-          |  CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
-          |  md5(COALESCE(a.txt, '')) AS clean_fp
-          |FROM t LEFT JOIN a ON t.doc_id = a.doc_id ORDER BY t.doc_id""".stripMargin,
+      // ExactSubstr: overlapping k-token windows, keep-first by packed
+      // order, per-doc interval merge, rebuild minus merged spans —
+      // one generator serves the short-span (q152) and realistic-span
+      // (q164) gates with only k interpolated.
+      "q152_substring_dedup" -> duckExactSubstrSql(8),
+      "q164_substring_dedup_long" -> duckExactSubstrSql(32),
       "q38_canonical_dedup" ->
         """SELECT doc_id, cfp FROM (
           |  SELECT doc_id,

@@ -432,22 +432,57 @@ object Similarity {
     * ≡ assigning the whole corpus against the same centroids, which is
     * exactly what the DuckDB twin replays (Lloyd trained on the base
     * slice, assignment over everything). */
+  /** Per-JVM root for persisted-index generations — a fresh temp dir
+    * per process (the GraftMatViews.spillDir convention), so two JVMs
+    * benchmarking the same sfDir can never clobber each other's index
+    * files mid-read. */
+  private lazy val ivfIndexRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_ivf_index").toString
+
+  /** (Re)build the persisted index for `emb` and INSTALL it as a new
+    * generation of the `<base>_cents` / `<base>_asg` graft-store disk
+    * collections: readers pinned to `name@v<n>` keep the superseded
+    * generation's files until [[graft.sources.v2.GraftStore.vacuum]]
+    * reclaims them (AnnIngestSpec drives regenerate-while-reading and
+    * the reclaim), and the assignment store is range-sharded parquet
+    * written by executors — the index lifecycle is the store's, not an
+    * ad-hoc overwrite of a fixed path. */
+  private[graft] def buildPersistedIvfIndex(emb: DataFrame, base: String,
+      k: Int, corpusN: Long): (String, String) = {
+    import graft.sources.v2.GraftStore
+    val (cents, asg) = ivfIndex(emb, k = k)
+    // the store's disk payload is flat-scalar by contract — the k×64
+    // centroid matrix persists EXPLODED to (cid, dim, v) rows and is
+    // reassembled by [[centroidModelFlat]] at read time
+    GraftStore.loadDisk(s"${base}_cents",
+      cents.select(col("cid"), posexplode(col("c"))).toDF("cid", "dim", "v"),
+      "cid", 1, ivfIndexRoot)
+    GraftStore.loadDisk(s"${base}_asg", asg, "vec_id",
+      math.min(64L, corpusN / 65536L + 1L).toInt, ivfIndexRoot)
+    (s"${base}_cents", s"${base}_asg")
+  }
+
+  /** Centroid model from its FLAT persisted form (cid, dim, v) — the
+    * bounded k×64 collect, reassembled driver-side. */
+  private[graft] def centroidModelFlat(df: DataFrame): Seq[(Long, Array[Long])] =
+    df.select("cid", "dim", "v").collect()
+      .groupBy(_.getLong(0)).map { case (cid, rs) =>
+        cid -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toArray
+      }.toSeq
+
   private val ivfIncMemo =
-    scala.collection.mutable.Map.empty[(SparkSession, String), String]
+    scala.collection.mutable.Map.empty[(SparkSession, String), (String, String)]
   Memos.register(() => ivfIncMemo.synchronized(ivfIncMemo.clear()))
-  private def ivfIncIndexDir(s: SparkSession, dir: String): String =
+  private def ivfIncIndex(s: SparkSession, dir: String): (String, String) =
     ivfIncMemo.synchronized {
       ivfIncMemo.getOrElseUpdate((s, dir), {
-        val path = "/tmp/graft_ivf_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
         // k derives from the FULL corpus the index will serve (both
         // dialects count `embeddings`), not the 90 % training slice —
         // the twin's kp CTE and this call must agree on n
-        val (cents, asg) = ivfIndex(
+        buildPersistedIvfIndex(
           Tables.embeddings(s, dir).where("vec_id % 10 != 7"),
-          k = ivfKFor(s, dir))
-        cents.write.mode("overwrite").parquet(s"$path/cents")
-        asg.write.mode("overwrite").parquet(s"$path/asg")
-        path
+          "ivf_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_"),
+          ivfKFor(s, dir), embeddingsCount(s, dir))
       })
     }
 
@@ -620,13 +655,17 @@ object Similarity {
     }),
 
     // Incremental index maintenance: new batch assigned against the
-    // PERSISTED index — base embeddings never rescanned.
+    // PERSISTED index (a graft-store disk collection pair under the
+    // generation/vacuum lifecycle) — base embeddings never rescanned.
     "q161_ann_incremental" -> ((s, dir) => {
-      val p = ivfIncIndexDir(s, dir)
+      val (centsName, asgName) = ivfIncIndex(s, dir)
+      def read(n: String) =
+        s.read.format("graft-store").option("name", n).load()
       val newAsg = assignAgainst(
         Tables.embeddings(s, dir).where("vec_id % 10 = 7"),
-        centroidModel(s.read.parquet(s"$p/cents")))
-      s.read.parquet(s"$p/asg").unionByName(newAsg).orderBy("vec_id")
+        centroidModelFlat(read(centsName)))
+      read(asgName).select("vec_id", "cid")
+        .unionByName(newAsg).orderBy("vec_id")
     }),
 
     // Index-health BALANCE gate: per-cluster population share of the

@@ -73,4 +73,45 @@ class AnnIngestSpec extends AnyFunSuite {
     val wantCounts = want.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     assert(counts == wantCounts)
   }
+
+  test("persisted index lifecycle: regenerate-while-reading, vacuum reclaims") {
+    import graft.sources.v2.GraftStore
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val n = emb.count()
+    def read(name: String) =
+      spark.read.format("graft-store").option("name", name).load()
+
+    // generation 1: index over the first half of the corpus
+    val (centsName, asgName) = Similarity.buildPersistedIvfIndex(
+      emb.where(s"vec_id < ${n / 2}"), "ivf_lifecycle_t", 16, n)
+    val v1 = GraftStore.currentVersion(asgName)
+    val gen1Rows = read(asgName).count()
+    assert(gen1Rows == n / 2)
+
+    // pin a reader to generation 1, then REGENERATE over the full
+    // corpus: the live collection moves to generation 2 while the
+    // pinned snapshot keeps serving generation 1's files
+    val pinned = s"$asgName@v$v1"
+    assert(read(pinned).count() == gen1Rows)
+    Similarity.buildPersistedIvfIndex(emb, "ivf_lifecycle_t", 16, n)
+    assert(read(asgName).count() == n, "live read must see the new generation")
+    assert(read(pinned).count() == gen1Rows,
+      "pinned reader lost its generation during regeneration")
+    // the new generation is a usable index: every vector assigned once,
+    // cids inside the centroid id space
+    val cents = read(centsName).select("cid", "dim", "v").collect()
+    assert(cents.map(_.getLong(0)).distinct.length == 16)
+    assert(cents.length == 16 * 64) // full flat k×dim matrix
+    val asg = read(asgName).select("vec_id", "cid").collect()
+    assert(asg.map(_.getLong(0)).distinct.length == n)
+    assert(asg.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 16))
+
+    // vacuum: expired generation's files reclaimed, live rows intact,
+    // the expired snapshot now fails loudly instead of half-reading
+    val (expired, files, bytes) = GraftStore.vacuum(asgName, keepLast = 1)
+    assert(expired >= 1 && files > 0 && bytes > 0L,
+      s"vacuum reclaimed nothing: expired=$expired files=$files bytes=$bytes")
+    assert(read(asgName).count() == n)
+    intercept[Exception](read(pinned).count())
+  }
 }

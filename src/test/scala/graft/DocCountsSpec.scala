@@ -20,6 +20,22 @@ class DocCountsSpec extends AnyFunSuite {
     assert(q == o, s"registry/oracle drift: only-query=${q diff o}, only-oracle=${o diff q}")
   }
 
+  test("committed SCALECHECK.json matches the live ScaleCheck section list") {
+    // the artifact-freshness pin the round-14 review asked for: the
+    // committed scale evidence must cover exactly the sections the
+    // CURRENT build runs (keyset and order), so adding a section
+    // without re-running — or committing an older run — fails here
+    val json = read("SCALECHECK.json")
+    val checks = """"checks"\s*:\s*\{([^}]*)\}""".r
+      .findFirstMatchIn(json)
+      .getOrElse(fail("SCALECHECK.json has no checks object"))
+      .group(1)
+    val keys = """"([a-z0-9_]+)"\s*:""".r.findAllMatchIn(checks).map(_.group(1)).toSeq
+    assert(keys == ScaleCheck.sectionNames,
+      s"SCALECHECK.json is stale: artifact=$keys live=${ScaleCheck.sectionNames}")
+    assert(json.contains("\"ok\":true"), "committed SCALECHECK.json records a failed run")
+  }
+
   test("README and COVERAGE query totals match the registry") {
     val n = SparkEntry.queries.size
     assert(read("README.md").contains(s"All $n registered queries"),
