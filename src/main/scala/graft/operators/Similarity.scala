@@ -418,6 +418,26 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** The incremental half of streamed SemDeDup: cluster-local τ-pairs
+    * between a NEW vector set and the full seen-so-far store (both
+    * id-directions in one join — the dropped side is the LARGER id of
+    * any pair, which covers the retro-displacement where a late
+    * small-id arrival kills an already-kept vector), never
+    * store×store. Arithmetic is bit-identical to [[semanticDedup]]:
+    * the native cosine kernel, e6-integer-rounded before the
+    * threshold compare. */
+  private[graft] def semanticDropsAgainst(newVecs: DataFrame, all: DataFrame,
+      tauE6: Long): DataFrame = {
+    val a = newVecs.selectExpr("vec_id AS id_n",
+      "cast(embedding as array<double>) AS vn", "cid")
+    val b = all.selectExpr("vec_id AS id_a",
+      "cast(embedding as array<double>) AS va", "cid")
+    a.join(b, Seq("cid"))
+      .where(col("id_n") =!= col("id_a"))
+      .where(round(cosineN(col("vn"), col("va")) * 1e6).cast("long") >= tauE6)
+      .selectExpr("greatest(id_n, id_a) AS vec_id").distinct()
+  }
+
   /** q161 — INCREMENTAL ANN index maintenance, the IVF analog of the
     * q115 incremental LSH dedup: at real scale an append does NOT
     * re-run Lloyd over the corpus. The index (centroids + base
@@ -483,6 +503,44 @@ object Similarity {
           Tables.embeddings(s, dir).where("vec_id % 10 != 7"),
           "ivf_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_"),
           ivfKFor(s, dir), embeddingsCount(s, dir))
+      })
+    }
+
+  /** Per-(session, sfDir) memo of a DRAINED streaming ingest of the
+    * embeddings table — the q36 centroid model written as model
+    * generation 0, the corpus split into three residue-class files and
+    * folded through [[graft.streaming.AnnIngest]] one micro-batch at a
+    * time. q166 runs the q163 fair-share gate over THIS streamed
+    * assignment store: its oracle is the BATCH index's balance SQL, so
+    * a hash match proves streamed-state ≡ batch-index balance — the
+    * "gate green on the streamed state" half of the retrain loop (the
+    * skew-then-retrain half is AnnIngestSpec's). */
+  private val annStreamMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), String]
+  Memos.register(() => annStreamMemo.synchronized(annStreamMemo.clear()))
+  private def annStreamState(s: SparkSession, dir: String): String =
+    annStreamMemo.synchronized {
+      annStreamMemo.getOrElseUpdate((s, dir), {
+        val root = java.nio.file.Files.createTempDirectory("graft_ann_stream").toString
+        val (state, stage, ckpt) = (s"$root/state", s"$root/stage", s"$root/ckpt")
+        ivfIndexFor(s, dir)._1.write.mode("overwrite")
+          .parquet(s"$state/cents/gen=0")
+        val emb = Tables.embeddings(s, dir).select("vec_id", "embedding")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
+        (0 until 3).foreach { i =>
+          val tmp = s"$root/tmp$i"
+          emb.where(s"vec_id % 3 = $i").coalesce(1)
+            .write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(stage, s"b$i.parquet"))
+        }
+        val stream = s.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        val q = graft.streaming.AnnIngest.start(stream, state, ckpt).start()
+        q.processAllAvailable(); q.stop()
+        state
       })
     }
 
@@ -690,6 +748,25 @@ object Similarity {
         .orderBy("cid")
     }),
 
+    // The q163 balance gate over the STREAMED assignment state: the
+    // corpus folded through AnnIngest in 3 micro-batches against the
+    // shared model, then gated exactly as the batch index — the oracle
+    // IS q163's batch SQL, so the hash match proves the streamed store
+    // equals batch assignment cluster-for-cluster (the gate half of
+    // the streaming retrain loop; the skew→retrain half is spec-driven).
+    "q166_ann_stream_balance" -> ((s, dir) => {
+      val state = annStreamState(s, dir)
+      val k = ivfKFor(s, dir)
+      val counts = graft.streaming.AnnIngest.assignments(s, state)
+        .groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+      val tot = counts.agg(sum("n_vecs").as("tot"),
+        (max("n_vecs") * k <= sum("n_vecs") * 8L).as("balance_ok"))
+      counts.crossJoin(broadcast(tot))
+        .selectExpr("cid", "n_vecs", "(10000 * n_vecs) div tot AS share_e4",
+          "balance_ok")
+        .orderBy("cid")
+    }),
+
     // SemDeDup over the shared IVF clusters: cluster-local keep-first.
     // τ = 0.30 here, NOT the paper-typical ~0.9: the synthetic
     // embeddings' pairwise-cosine ceiling is ~0.46 (measured), so a
@@ -850,6 +927,19 @@ object Similarity {
       // k re-read from the chain's own kp CTE, exactly as the Spark
       // side derives it from the memoized count)
       "q163_ann_balance" ->
+        s"""WITH ${duckIvfCandsCtes()},
+           |counts AS (
+           |  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM asg GROUP BY cid),
+           |tot AS (
+           |  SELECT CAST(SUM(n_vecs) AS BIGINT) AS tot,
+           |    (MAX(n_vecs) * (SELECT k FROM kp) <= CAST(SUM(n_vecs) AS BIGINT) * 8) AS balance_ok
+           |  FROM counts)
+           |SELECT cid, n_vecs, (10000 * n_vecs) // tot AS share_e4, balance_ok
+           |FROM counts, tot ORDER BY cid""".stripMargin,
+
+      // the streamed store must equal the batch index cluster-for-
+      // cluster — the twin is the batch balance SQL verbatim
+      "q166_ann_stream_balance" ->
         s"""WITH ${duckIvfCandsCtes()},
            |counts AS (
            |  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs FROM asg GROUP BY cid),

@@ -28,10 +28,11 @@ class AnnIngestSpec extends AnyFunSuite {
     val ckpt = Files.createTempDirectory("ann_ckpt").toString
 
     // offline training on the FIRST slice only — the stream never
-    // retrains, it assigns against the persisted model
+    // retrains, it assigns against the persisted model (generation 0)
     val (cents, _) = Similarity.ivfIndex(emb.where(s"vec_id < $c1"))
-    cents.write.mode("overwrite").parquet(s"$state/cents")
-    val model = Similarity.centroidModel(spark.read.parquet(s"$state/cents"))
+    cents.write.mode("overwrite").parquet(s"$state/cents/gen=0")
+    val model = Similarity.centroidModel(
+      spark.read.parquet(s"$state/cents/gen=0"))
 
     def addFile(name: String, rows: DataFrame): Unit = {
       val tmp = Files.createTempDirectory("ann_tmp").toString
@@ -72,6 +73,139 @@ class AnnIngestSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val wantCounts = want.groupBy(_._2).view.mapValues(_.size.toLong).toMap
     assert(counts == wantCounts)
+  }
+
+  private def addFileTo(stage: String)(name: String, rows: DataFrame): Unit = {
+    val tmp = Files.createTempDirectory("ann_tmp").toString
+    rows.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    Files.copy(part.toPath, Paths.get(stage, name),
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  test("streamed semantic dedup equals batch, incl. retro-displacement, across restart") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val n = emb.count()
+    // corpus = the real vectors + a PLANTED exact copy of vec 3 at a
+    // LARGER id: its killer (vec 3) arrives in a LATER batch, so the
+    // copy must be kept mid-stream and retro-displaced afterwards
+    val planted = emb.where("vec_id = 3").selectExpr(
+      s"$n AS vec_id", "embedding")
+    val all = emb.unionByName(planted)
+
+    val stage = Files.createTempDirectory("sem_src").toString
+    val state = Files.createTempDirectory("sem_state").toString + "/state"
+    val ckpt = Files.createTempDirectory("sem_ckpt").toString
+    val (cents, _) = Similarity.ivfIndex(emb)
+    cents.write.mode("overwrite").parquet(s"$state/cents/gen=0")
+    val model = Similarity.centroidModel(
+      spark.read.parquet(s"$state/cents/gen=0"))
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      val q = AnnIngest.startSemanticDedup(stream, state, ckpt).start()
+      q.processAllAvailable(); q.stop()
+    }
+    def keepOf(id: Long): Boolean = AnnIngest
+      .semanticDedupView(spark, state)
+      .where(s"vec_id = $id").head().getBoolean(2)
+
+    // phase 1: the upper half + the planted copy — no smaller-id mate
+    // of the copy has arrived, so it must be KEPT
+    addFileTo(stage)("b1.parquet",
+      all.where(s"vec_id >= ${n / 2}"))
+    run() // crash point
+    assert(keepOf(n), "planted copy must be kept before its killer arrives")
+
+    // phase 2 (fresh query, same checkpoint): the lower half arrives,
+    // including vec 3 — smaller id, cosine 1 ⇒ the copy flips to dropped
+    addFileTo(stage)("b2.parquet", all.where(s"vec_id < ${n / 2}"))
+    run()
+    assert(!keepOf(n), "late small-id arrival must retro-displace the copy")
+
+    // the full view is row-identical to batch SemDeDup over the same
+    // vectors against the same pinned model
+    def rows(d: DataFrame) = d.select("vec_id", "cid", "keep").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq.sorted
+    val want = rows(Similarity.semanticDedup(
+      all, Similarity.assignAgainst(all, model), tauE6 = 300000L))
+    val got = rows(AnnIngest.semanticDedupView(spark, state))
+    assert(got == want, "streamed semantic dedup diverged from batch")
+
+    // at-least-once replay of the first batch is a no-op
+    AnnIngest.semStep(all.where(s"vec_id >= ${n / 2}"), 0L, state)
+    assert(rows(AnnIngest.semanticDedupView(spark, state)) == want)
+  }
+
+  test("skewed stream breaches the balance gate; retrain restores it, vacuum reclaims") {
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+    val n = emb.count()
+    val stage = Files.createTempDirectory("rt_src").toString
+    val state = Files.createTempDirectory("rt_state").toString + "/state"
+    val ckpt = Files.createTempDirectory("rt_ckpt").toString
+    val (cents, _) = Similarity.ivfIndex(emb) // gen 0: k=16 on the base
+    cents.write.mode("overwrite").parquet(s"$state/cents/gen=0")
+    val k0 = 16
+
+    // the skewed tail: 2n DISTINCT-id vectors pulled 90 % toward vec 7
+    // — under the gen-0 model they pile into vec 7's cluster (2/3 of
+    // the stream in one cluster, far past the 8× fair share); a model
+    // trained on the post-skew corpus must spread that mass
+    val anchor = emb.where("vec_id = 7").selectExpr("embedding AS av")
+    val mixes = emb.crossJoin(anchor)
+      .selectExpr("vec_id",
+        "zip_with(embedding, av, (x, a) -> cast(0.1 * x + 0.9 * a AS FLOAT)) AS embedding")
+    val skew = mixes.selectExpr("vec_id + 10000 AS vec_id", "embedding")
+      .unionByName(mixes.selectExpr("vec_id + 20000 AS vec_id", "embedding"))
+
+    def run(): Unit = {
+      val stream = spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(stage)
+      val q = AnnIngest.start(stream, state, ckpt).start()
+      q.processAllAvailable(); q.stop()
+    }
+    addFileTo(stage)("b1.parquet", emb)
+    addFileTo(stage)("b2.parquet", skew)
+    run()
+
+    def gate(k: Int): (Boolean, Long, Long) = {
+      val counts = AnnIngest.clusterCounts(spark, state).collect()
+        .map(r => r.getLong(1))
+      (counts.max * k <= counts.sum * 8L, counts.max, counts.sum)
+    }
+    val total = n + 2 * n // base + the two shifted skew copies
+    val (ok0, max0, sum0) = gate(k0)
+    assert(sum0 == total)
+    assert(!ok0, s"skewed stream should breach the gate (max=$max0 of $sum0)")
+
+    // retrain: new generation trained on the vec store, k re-derived
+    // from the ingested count, live index reassigned in one narrow map
+    val gen = AnnIngest.retrain(spark, state)
+    assert(gen == 1L)
+    val k1 = graft.functions.Portable.ivfK(total)
+    val (ok1, max1, sum1) = gate(k1)
+    assert(sum1 == total, "reassignment must cover every ingested vector")
+    assert(ok1, s"retrained model still breaches the gate (max=$max1, k=$k1)")
+
+    // a batch replayed AFTER the retrain (assigned against the new
+    // model) changes nothing: the consolidated reassignment already
+    // covers its vectors with identical cids
+    val before = AnnIngest.assignments(spark, state).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    AnnIngest.step(skew, 1L, state)
+    val after = AnnIngest.assignments(spark, state).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(after == before)
+
+    // vacuum: generation 0 (model + its assignment store) reclaimed,
+    // the live generation stays complete
+    val dropped = AnnIngest.vacuumGenerations(spark, state)
+    assert(dropped == Seq(0L))
+    val f = new java.io.File(s"$state/cents/gen=0")
+    assert(!f.exists, "vacuum must delete the superseded model generation")
+    assert(AnnIngest.assignments(spark, state).count() == total)
   }
 
   test("persisted index lifecycle: regenerate-while-reading, vacuum reclaims") {

@@ -397,7 +397,8 @@ class LlmOpsSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     val embScans = "embeddings\\.parquet".r.findAllIn(plan).size
     assert(embScans == 1, s"expected exactly 1 embeddings scan (the new batch), got $embScans in:\n$plan")
-    assert(plan.contains("graft_ivf_index"), "base assignments must come from the persisted index")
+    assert(plan.contains("graft-store:ivf_idx"),
+      "base assignments must come from the persisted store-backed index")
     // and the result is the full corpus, each vector exactly once
     val n = Tables.embeddings(spark, sf).count()
     assert(df.count() == n && df.select("vec_id").distinct().count() == n)
