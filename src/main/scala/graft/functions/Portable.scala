@@ -109,6 +109,17 @@ object Portable {
     math.max(IvfKFloor, 1 << math.min(16, (bitlen + 1) / 2))
   }
 
+  /** IVF Lloyd training-sample modulus: every `mod`-th vector trains.
+    * Floor 3 (the historical 1/3 sample at test scale); past
+    * n ≈ 768·k the modulus grows so the sample stays ≈ 256·k vectors —
+    * Lloyd needs a representative sample PER CENTROID, not a constant
+    * fraction of the corpus (a 1/3 sample of 10^12 vectors is still
+    * 3×10^11 rows per iteration — the anti-pattern the index exists to
+    * avoid). Integer-exact in both engines; DuckDB spells it
+    * `greatest(3, n // (256 * k))`. At the test SFs the cap is above
+    * n, so the modulus stays 3 and no oracle hash moves. */
+  def ivfTrainMod(n: Long, k: Int): Long = math.max(3L, n / (256L * k))
+
   /** IVF probe budget for a k-centroid index: 3k/4 — the measured knee
     * of the recall sweep (tools/RecallSweep, PLANS round-13): on this
     * near-uniform synthetic corpus recall tracks the scanned fraction

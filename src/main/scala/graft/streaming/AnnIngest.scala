@@ -130,8 +130,10 @@ object AnnIngest {
   def retrain(spark: SparkSession, statePath: String): Long = {
     val all = spark.read.parquet(s"$statePath/vec")
       .select("vec_id", "embedding")
-    val k = graft.functions.Portable.ivfK(all.count())
-    val (cents, _) = Similarity.ivfIndex(all, k = k)
+    val n = all.count()
+    val k = graft.functions.Portable.ivfK(n)
+    val (cents, _) = Similarity.ivfIndex(all, k = k,
+      trainMod = graft.functions.Portable.ivfTrainMod(n, k))
     val gen = liveGen(spark, statePath) + 1
     cents.write.mode("overwrite").parquet(s"$statePath/cents/gen=$gen")
     Similarity.assignAgainst(all, centsOf(spark, statePath, gen))
