@@ -949,10 +949,17 @@ object Dedup {
   private val lshIndexMemo =
     scala.collection.mutable.Map.empty[(SparkSession, String), String]
   Memos.register(() => lshIndexMemo.synchronized(lshIndexMemo.clear()))
+  /** Per-JVM index root (the GraftMatViews.spillDir convention) — two
+    * concurrent JVMs benchmarking the same sfDir get isolated index
+    * files instead of overwriting each other's parquet mid-read (the
+    * round-14 ADVICE race, fixed here for the LSH index the same way
+    * as for the IVF one). */
+  private lazy val lshIndexRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_lsh_index").toString
   private def lshIndexDir(s: SparkSession, dir: String): String =
     lshIndexMemo.synchronized {
       lshIndexMemo.getOrElseUpdate((s, dir), {
-        val path = "/tmp/graft_lsh_index_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path = lshIndexRoot + "/" + dir.replaceAll("[^A-Za-z0-9]", "_")
         val sigs = signatures(
           Tables.documents(s, dir).where("doc_id % 10 != 7")).cache()
         bandedOf(sigs).write.mode("overwrite").parquet(s"$path/bands")

@@ -34,11 +34,11 @@ object RecallSweep {
     val exact = Similarity.cosineTopK(e).select("query_id", "vec_id").cache()
     exact.count()
 
-    for (k <- Seq(8, 16, 32); iters <- Seq(2, 4)) {
+    for (k <- Seq(16, 32, 64); iters <- Seq(2)) {
       val (cents, asg) = Similarity.ivfIndex(e, k = k, iters = iters)
       val c2 = cents.localCheckpoint()
       val a2 = asg.localCheckpoint()
-      for (nprobe <- Seq(2, 4, 6, 8, 12, 16, 24, 32) if nprobe <= k) {
+      for (nprobe <- Seq(4, 8, 12, 16, 24, 32, 48, 64) if nprobe <= k) {
         val t0 = System.nanoTime()
         val approx = Similarity.ivfSearch(e, c2, a2, nprobe = nprobe)
         val rec = Similarity.recallAtK(exact, approx)

@@ -392,6 +392,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> true, 2L -> false, 3L -> true, 4L -> true), s"got $out")
   }
 
+  test("corpus-derived IVF parameters: bounds, monotonicity, sample cap") {
+    import graft.functions.Portable.{ivfK, ivfNprobe, ivfTrainMod}
+    // k ≈ the power of two >= sqrt(n), clamped to [16, 65536]; probe
+    // budget 3k/4; train sample ~256 vectors/centroid past the floor.
+    // Sweep the decision boundaries + huge n (overflow guard).
+    val ns = Seq(1L, 2L, 17L, 256L, 257L, 500L, 2000L, 60000L,
+      1000000L, 1000000000L, 1L << 40, Long.MaxValue / 2)
+    for (n <- ns) {
+      val k = ivfK(n)
+      assert(k >= 16 && k <= 65536, s"k=$k out of clamp at n=$n")
+      if (k < 65536 && n > 257)
+        assert(k.toLong * k >= n - 1, s"k=$k below sqrt at n=$n")
+      if (k > 16 && k < 65536)
+        assert(k.toLong * k / 4 < n, s"k=$k above 2*sqrt at n=$n")
+      assert(ivfNprobe(k) == math.max(1, 3 * k / 4))
+      val tm = ivfTrainMod(n, k)
+      assert(tm >= 3, s"train modulus floor broken at n=$n")
+      // past the floor the sample lands in [256k, 512k) vectors
+      if (tm > 3) {
+        val sample = n / tm
+        assert(sample >= 200L * k && sample <= 520L * k,
+          s"sample $sample not ~256/centroid at n=$n k=$k tm=$tm")
+      }
+    }
+    // monotone in n (a bigger corpus never gets a narrower index)
+    assert(ns.sorted.map(ivfK).sliding(2).forall(p => p.head <= p.last))
+    // the three SFs' actual counts land where the verified oracles ran
+    assert(ivfK(500) == 32 && ivfK(2000) == 64)
+  }
+
   test("incremental ANN assignment plans against the persisted index, never the base embeddings") {
     val df = SparkEntry.queries("q161_ann_incremental")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
