@@ -610,7 +610,63 @@ object Curation {
       .select("doc_id", "lang", "n_chars", "med2x")
   }
 
+  /** q167 — the per-source DATA CARD: the one-query data statement a
+    * training run publishes (Datasheets-for-Datasets / Dolma-style
+    * summary), composing the engine's own gates per source: volume
+    * (docs, whitespace tokens), exact-dup fraction (q20's winners),
+    * passage-level removal fraction (the memoized q139 pass), quality
+    * pass rate (q37's rule, the shared qualityGate), benchmark
+    * contamination rate over the TRAIN split (q62's 6-gram rule), and
+    * the temperature-mixture weight (q160's e9-rounded α=0.3 pow).
+    *
+    * Scale shape: ONE corpus scan carrying the fp/token projections,
+    * three id-keyed flag joins (each flag frame is built by its own
+    * audited operator: passage memo, quality filter, decontam
+    * broadcast semi-join), partial-aggregated to #sources rows, then a
+    * #sources-row broadcast join for the mixture weight. Every ratio
+    * is an exact integer fixed-point division. */
+  def dataCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val winners = docs.selectExpr("doc_id", "md5(text) AS fp")
+      .groupBy("fp").agg(min("doc_id").as("keep_id"))
+    val pk = Dedup.passageDedupMemo(s, dir).select("doc_id", "n_kept")
+    val qg = CurationPipeline.qualityGate(docs.select("doc_id", "text"))
+      .select("doc_id").withColumn("q_ok", lit(1L))
+    val ct = decontaminate(docs.select("doc_id", "text"))
+      .selectExpr("doc_id", "if(contaminated, 1L, 0L) AS contam")
+    val mix = temperatureMixture(docs).select("source", "w_e6")
+    docs.selectExpr("doc_id", "source", "md5(text) AS fp",
+        s"cast(size($sparkToks) as bigint) AS n_toks",
+        "doc_id % 97 != 3 AS is_train")
+      .join(winners, Seq("fp"))
+      .join(pk, Seq("doc_id"), "left")
+      .join(qg, Seq("doc_id"), "left")
+      .join(ct, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").cast("long").as("n_tokens"),
+        sum(expr("if(doc_id <> keep_id, 1L, 0L)")).cast("long").as("n_dup"),
+        sum(expr("CASE WHEN n_toks > 0 THEN cast(ceil(n_toks / 8.0) as bigint) ELSE 0L END"))
+          .cast("long").as("n_passages"),
+        sum(expr("coalesce(n_kept, 0L)")).cast("long").as("n_kept"),
+        sum(expr("coalesce(q_ok, 0L)")).cast("long").as("n_q"),
+        sum(expr("if(is_train, 1L, 0L)")).cast("long").as("n_train"),
+        sum(expr("coalesce(contam, 0L)")).cast("long").as("n_contam"))
+      .join(broadcast(mix), "source")
+      .selectExpr("source", "n_docs", "n_tokens",
+        "(10000 * n_dup) div n_docs AS dup_doc_frac_e4",
+        "(10000 * (n_passages - n_kept)) div greatest(n_passages, 1) AS passage_removed_frac_e4",
+        "(10000 * n_q) div n_docs AS quality_pass_e4",
+        "(10000 * n_contam) div greatest(n_train, 1) AS contam_e4",
+        "w_e6 AS mix_w_e6")
+      .orderBy("source")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The per-source data card — the publishable training-data
+    // statement, composed from the individually-gated rules.
+    "q167_datacard" -> ((s, dir) => dataCard(s, dir)),
+
     "q98_bigram_lm" -> ((s, dir) => bigramLmScore(Tables.documents(s, dir))),
 
     "q130_ppl_filter" -> ((s, dir) =>
@@ -763,6 +819,76 @@ object Curation {
        |  GROUP BY bg.doc_id)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    // q162's dedup fragments + q37's pass rule + q62's contamination
+    // CTEs + q160's weight CTE, rolled up per source
+    "q167_datacard" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, text, md5(text) AS fp,
+        |    regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |win AS (SELECT fp, MIN(doc_id) AS keep_id FROM t GROUP BY fp),
+        |pt AS (
+        |  SELECT doc_id, unnest(range(CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS pidx, toks
+        |  FROM t WHERE len(toks) > 0),
+        |pp AS (
+        |  SELECT doc_id * 65536 + pidx AS packed,
+        |    array_to_string(toks[pidx*8+1 : pidx*8+8], ' ') AS ptext
+        |  FROM pt),
+        |pkw AS (SELECT ptext, MIN(packed) AS packed FROM pp GROUP BY ptext),
+        |pkc AS (
+        |  SELECT packed // 65536 AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept
+        |  FROM pkw GROUP BY 1),
+        |q AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, toks, length(text) AS len,
+        |      length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_symbols
+        |    FROM t WHERE len(toks) >= 2)
+        |  WHERE len(toks) >= 5 AND len(toks) <= 100000
+        |    AND round(100.0 * list_sum(list_transform(toks, tk -> length(tk))) / len(toks)) BETWEEN 200 AND 1200
+        |    AND round(10000.0 * n_symbols / len) < 3000),
+        |sh6 AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, greatest(1, len(toks) - 4)),
+        |      i -> array_to_string(toks[i:i+5], ' ')) AS sh
+        |  FROM t),
+        |eval_sh AS (
+        |  SELECT DISTINCT unnest(sh) AS shingle FROM sh6 WHERE doc_id % 97 = 3),
+        |contam AS (
+        |  SELECT DISTINCT s2.doc_id
+        |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh6 WHERE doc_id % 97 != 3) s2
+        |  JOIN eval_sh e ON s2.shingle = e.shingle),
+        |ps AS (SELECT source, CAST(SUM(n_toks) AS BIGINT) AS n_tokens FROM t GROUP BY 1),
+        |pw AS (
+        |  SELECT source,
+        |    CAST(round(1e9 * pow(CAST(n_tokens AS DOUBLE), 0.3)) AS BIGINT) AS p_e9
+        |  FROM ps),
+        |mw AS (
+        |  SELECT source,
+        |    (1000000 * p_e9) // CAST(SUM(p_e9) OVER () AS BIGINT) AS mix_w_e6
+        |  FROM pw),
+        |agg AS (
+        |  SELECT t.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(t.n_toks) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CASE WHEN t.doc_id <> w.keep_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+        |    CAST(SUM(CASE WHEN t.n_toks > 0 THEN CAST(ceil(t.n_toks / 8.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS n_passages,
+        |    CAST(SUM(COALESCE(pc.n_kept, 0)) AS BIGINT) AS n_kept,
+        |    CAST(SUM(CASE WHEN q.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_q,
+        |    CAST(SUM(CASE WHEN t.doc_id % 97 != 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |    CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam
+        |  FROM t JOIN win w USING (fp)
+        |  LEFT JOIN pkc pc ON pc.doc_id = t.doc_id
+        |  LEFT JOIN q ON q.doc_id = t.doc_id
+        |  LEFT JOIN contam c ON c.doc_id = t.doc_id
+        |  GROUP BY t.source)
+        |SELECT a.source, n_docs, n_tokens,
+        |  (10000 * n_dup) // n_docs AS dup_doc_frac_e4,
+        |  (10000 * (n_passages - n_kept)) // greatest(n_passages, 1) AS passage_removed_frac_e4,
+        |  (10000 * n_q) // n_docs AS quality_pass_e4,
+        |  (10000 * n_contam) // greatest(n_train, 1) AS contam_e4,
+        |  m.mix_w_e6
+        |FROM agg a JOIN mw m USING (source) ORDER BY a.source""".stripMargin,
+
     "q98_bigram_lm" ->
       s"""WITH $bigramLmCtes
         |SELECT doc_id,
