@@ -346,8 +346,10 @@ object Curation {
     * corpus window sort), broadcast back; at 100 TB swap percentile for
     * approx_percentile and the plan is unchanged. */
   def dsirWeights(docs: DataFrame, buckets: Int = 32768,
-                  keepPct: Int = 25): DataFrame = {
-    val scored = dsirScored(docs, buckets)
+                  keepPct: Int = 25): DataFrame =
+    dsirWeightsFrom(dsirScored(docs, buckets), keepPct)
+
+  private def dsirWeightsFrom(scored: DataFrame, keepPct: Int): DataFrame = {
     val thr = scored.agg(expr(
       s"cast(round(2 * percentile(spb_e4, ${(100 - keepPct) / 100.0})) as bigint) AS thr2x"))
     scored.crossJoin(broadcast(thr))
@@ -355,6 +357,20 @@ object Curation {
         "2 * spb_e4 >= thr2x AS keep")
       .orderBy("doc_id")
   }
+
+  /** Session memo for the learn+score pass both DSIR gates consume —
+    * the two corpus scans (model learn, feature score) run ONCE per
+    * (session, dir, buckets); the checkpointed result is one ~5-column
+    * row per doc. `Memos` clearing keeps cold-mode benches honest. */
+  private val dsirMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String, Int), DataFrame]
+  Memos.register(() => dsirMemo.synchronized(dsirMemo.clear()))
+  private def dsirScoredMemo(s: SparkSession, dir: String,
+                             buckets: Int = 32768): DataFrame =
+    dsirMemo.synchronized {
+      dsirMemo.getOrElseUpdate((s, dir, buckets),
+        dsirScored(Tables.documents(s, dir), buckets).localCheckpoint())
+    }
 
   /** q150/q151 shared: learn the DSIR bucket model, score every doc.
     * Returns (doc_id, lang, n_ngrams, logw_e6, spb_e4) — lang rides
@@ -401,8 +417,11 @@ object Curation {
     * floor_ok pins AUC ≥ `floorE6`. Measured 0.999/0.999/0.980 at
     * sf0.001/0.01/0.1 — the floor is set at 0.95 with headroom. */
   def dsirAuc(docs: DataFrame, buckets: Int = 32768,
-              floorE6: Long = 950000L): DataFrame = {
-    val byScore = dsirScored(docs, buckets)
+              floorE6: Long = 950000L): DataFrame =
+    dsirAucFrom(dsirScored(docs, buckets), floorE6)
+
+  private def dsirAucFrom(scored: DataFrame, floorE6: Long): DataFrame = {
+    val byScore = scored
       .groupBy("spb_e4").agg(
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("np"),
         sum(when(col("lang") === "en", 0L).otherwise(1L)).as("nn"))
@@ -733,13 +752,14 @@ object Curation {
     "q148_source_entropy" -> ((s, dir) =>
       sourceEntropy(Tables.documents(s, dir))),
 
-    // DSIR importance weights: hashed-bigram target/raw log-ratio.
+    // DSIR importance weights: hashed-trigram target/raw log-ratio
+    // (the learn+score pass is memoized and shared with q151).
     "q150_dsir_weight" -> ((s, dir) =>
-      dsirWeights(Tables.documents(s, dir))),
+      dsirWeightsFrom(dsirScoredMemo(s, dir), keepPct = 25)),
 
     // Exact tie-aware ROC-AUC gate over the DSIR scorer.
     "q151_dsir_auc" -> ((s, dir) =>
-      dsirAuc(Tables.documents(s, dir))),
+      dsirAucFrom(dsirScoredMemo(s, dir), floorE6 = 950000L)),
 
     "q65_text_chunks" -> ((s, dir) =>
       textChunks(Tables.documents(s, dir)).orderBy("doc_id", "chunk_idx")),

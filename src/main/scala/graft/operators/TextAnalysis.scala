@@ -64,6 +64,62 @@ object TextAnalysis {
     " CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', doc_id, '@example.com now') ELSE '' END," +
     " CASE WHEN doc_id % 5 = 0 THEN concat(' call +1-555-', lpad(cast(doc_id % 10000 as string), 4, '0'), ' today') ELSE '' END)"
 
+  /** Duplicate-mass run fold over a sorted string array: for every
+    * distinct value occurring c ≥ 2 times, accumulate c occurrences
+    * (`dupn`) and c·length chars (`dupc`) — the Gopher dup_line /
+    * dup_para numerators — in one O(L log L) in-array pass (q37's
+    * longest-run trick generalized to ALL runs). No shuffle: the whole
+    * metric is computed inside the row. */
+  private def dupRunFoldE(arr: String): String =
+    s"aggregate(array_sort($arr), " +
+    "named_struct('prev', '', 'run', 0L, 'dupn', 0L, 'dupc', 0L), " +
+    "(a, x) -> named_struct('prev', x, " +
+    "'run', IF(x = a.prev, a.run + 1L, 1L), " +
+    "'dupn', a.dupn + IF(x != a.prev AND a.run >= 2L, a.run, 0L), " +
+    "'dupc', a.dupc + IF(x != a.prev AND a.run >= 2L, a.run * length(a.prev), 0L)), " +
+    "a -> named_struct('dupn', a.dupn + IF(a.run >= 2L, a.run, 0L), " +
+    "'dupc', a.dupc + IF(a.run >= 2L, a.run * length(a.prev), 0L)))"
+
+  /** q168 — Gopher duplicate-LINE / duplicate-PARAGRAPH fractions (Rae
+    * et al. 2021 §A1.1: dup_line_frac, dup_para_frac and their char-mass
+    * twins), the whole-line repetition signals the n-gram gates
+    * (q37/q103) cannot see. The corpus carries no newlines, so structure
+    * is rendered deterministically (12-token lines, 3-line paragraphs)
+    * and duplicates are PLANTED (every 6k+1 doc re-appends its first
+    * paragraph, every 4k+2 its first line — the q54 planted-specimen
+    * convention; real multi-line corpora just swap the render step for
+    * `split(text, chr(10))`). Fully narrow: the dup mass comes from
+    * [[dupRunFoldE]] inside the row, so the operator is shuffle-free and
+    * embarrassingly parallel at any corpus size. */
+  def dupLines(docs: DataFrame): DataFrame = {
+    docs
+      .selectExpr("doc_id", s"$toksE AS toks")
+      .selectExpr("doc_id",
+        "transform(sequence(0, cast((size(toks) + 11) div 12 as int) - 1), i -> array_join(slice(toks, i * 12 + 1, 12), ' ')) AS lines0")
+      .selectExpr("doc_id",
+        "CASE WHEN doc_id % 6 = 1 THEN concat(lines0, slice(lines0, 1, 3)) " +
+        "WHEN doc_id % 4 = 2 THEN concat(lines0, slice(lines0, 1, 1)) ELSE lines0 END AS lines")
+      .selectExpr("doc_id", "lines",
+        "transform(sequence(0, cast((size(lines) + 2) div 3 as int) - 1), i -> array_join(slice(lines, i * 3 + 1, 3), '|')) AS paras")
+      .selectExpr("doc_id",
+        "cast(size(lines) as bigint) AS n_lines",
+        "cast(size(paras) as bigint) AS n_paras",
+        "aggregate(lines, 0L, (a, x) -> a + length(x)) AS n_lchars",
+        "aggregate(paras, 0L, (a, x) -> a + length(x)) AS n_pchars",
+        s"${dupRunFoldE("lines")} AS dl",
+        s"${dupRunFoldE("paras")} AS dp")
+      .selectExpr("doc_id", "n_lines", "n_paras",
+        "(10000 * dl.dupn) div n_lines AS dup_line_e4",
+        "(10000 * dl.dupc) div greatest(n_lchars, 1) AS dup_lchar_e4",
+        "(10000 * dp.dupn) div n_paras AS dup_para_e4",
+        "(10000 * dp.dupc) div greatest(n_pchars, 1) AS dup_pchar_e4")
+      .selectExpr("doc_id", "n_lines", "n_paras", "dup_line_e4",
+        "dup_lchar_e4", "dup_para_e4", "dup_pchar_e4",
+        // Gopher's 30 % thresholds, integer-exact
+        "(dup_line_e4 < 3000 AND dup_para_e4 < 3000) AS passes")
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -158,6 +214,9 @@ object TextAnalysis {
           "(size(g2) - size(array_distinct(g2))) * 5 > size(g2) AS repetitive2")
         .orderBy("doc_id")
     }),
+
+    // Gopher dup-line / dup-paragraph fractions — see [[dupLines]].
+    "q168_dup_lines" -> ((s, dir) => dupLines(Tables.documents(s, dir))),
 
     // Content fingerprints: normalized md5 (portable) — the dedup key for
     // q20 and the lineage id for incremental corpus refreshes.
@@ -474,6 +533,54 @@ object TextAnalysis {
           |   AND round(100.0 * list_sum(list_transform(toks, tk -> length(tk))) / len(toks)) BETWEEN 200 AND 1200
           |   AND round(10000.0 * n_symbols / len) < 3000) AS passes
           |FROM g JOIN rep ON g.doc_id = rep.doc_id ORDER BY g.doc_id""".stripMargin,
+
+      // the dup-mass numerators come from unnest + GROUP BY (doc, value)
+      // — the declarative twin of the Spark side's in-array run fold
+      "q168_dup_lines" ->
+        """WITH t AS (
+          |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
+          |l0 AS (
+          |  SELECT doc_id,
+          |    list_transform(range(0, (len(toks) + 11) // 12),
+          |      i -> array_to_string(toks[i*12+1 : i*12+12], ' ')) AS lines0
+          |  FROM t),
+          |lp AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 6 = 1 THEN list_concat(lines0, lines0[1:3])
+          |         WHEN doc_id % 4 = 2 THEN list_concat(lines0, lines0[1:1])
+          |         ELSE lines0 END AS lines
+          |  FROM l0),
+          |pa AS (
+          |  SELECT doc_id, lines,
+          |    list_transform(range(0, (len(lines) + 2) // 3),
+          |      i -> array_to_string(lines[i*3+1 : i*3+3], '|')) AS paras
+          |  FROM lp),
+          |lc AS (
+          |  SELECT doc_id, u, COUNT(*) AS c, length(u) AS ln
+          |  FROM (SELECT doc_id, unnest(lines) AS u FROM pa) GROUP BY 1, 2),
+          |ld AS (
+          |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+          |    CAST(SUM(c * ln) AS BIGINT) AS n_lchars,
+          |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dupn,
+          |    CAST(SUM(CASE WHEN c >= 2 THEN c * ln ELSE 0 END) AS BIGINT) AS dupc
+          |  FROM lc GROUP BY 1),
+          |pc AS (
+          |  SELECT doc_id, u, COUNT(*) AS c, length(u) AS ln
+          |  FROM (SELECT doc_id, unnest(paras) AS u FROM pa) GROUP BY 1, 2),
+          |pd AS (
+          |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_paras,
+          |    CAST(SUM(c * ln) AS BIGINT) AS n_pchars,
+          |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dupn,
+          |    CAST(SUM(CASE WHEN c >= 2 THEN c * ln ELSE 0 END) AS BIGINT) AS dupc
+          |  FROM pc GROUP BY 1)
+          |SELECT ld.doc_id, n_lines, n_paras,
+          |  (10000 * ld.dupn) // n_lines AS dup_line_e4,
+          |  (10000 * ld.dupc) // greatest(n_lchars, 1) AS dup_lchar_e4,
+          |  (10000 * pd.dupn) // n_paras AS dup_para_e4,
+          |  (10000 * pd.dupc) // greatest(n_pchars, 1) AS dup_pchar_e4,
+          |  (((10000 * ld.dupn) // n_lines) < 3000
+          |   AND ((10000 * pd.dupn) // n_paras) < 3000) AS passes
+          |FROM ld JOIN pd ON ld.doc_id = pd.doc_id ORDER BY ld.doc_id""".stripMargin,
 
       "q103_dup_ngrams" ->
         """WITH t AS (

@@ -589,6 +589,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(bpe.where("n_tokens_bpeish < n_ws").count() == 0)
   }
 
+  test("dup-line gates: planted line/paragraph duplicates hit exact Gopher fractions") {
+    def toks(tag: String, n: Int) = (1 to n).map(i => s"$tag$i").mkString(" ")
+    val corpus = Seq(
+      // doc 0: 24 unique tokens -> 2 unique lines, 1 para — clean
+      (0L, toks("a", 24)),
+      // doc 2 (4k+2 plant): 12 tokens -> 1 line + planted copy: both
+      // line occurrences duplicated (10000), the single 2-line para is
+      // unique (0)
+      (2L, toks("b", 12)),
+      // doc 7 (6k+1 plant): 36 tokens -> 3 lines + first-paragraph
+      // re-append: 6 lines all duplicated, 2 identical paras
+      (7L, toks("c", 36)),
+      // doc 12 (no plant): first 12 tokens repeat as tokens 13-24 ->
+      // lines L,L,M: 2 of 3 line occurrences duplicated
+      (12L, toks("d", 12) + " " + toks("d", 12) + " " + toks("e", 12))
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("s")).withColumn("n_chars", length($"text"))
+    val out = TextAnalysis.dupLines(corpus).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getLong(3) == 0L && out(0L).getLong(5) == 0L && out(0L).getBoolean(7))
+    assert(out(2L).getLong(1) == 2L && out(2L).getLong(3) == 10000L)
+    assert(out(2L).getLong(5) == 0L && !out(2L).getBoolean(7))
+    assert(out(7L).getLong(1) == 6L && out(7L).getLong(3) == 10000L)
+    assert(out(7L).getLong(2) == 2L && out(7L).getLong(5) == 10000L)
+    assert(out(12L).getLong(1) == 3L && out(12L).getLong(3) == 6666L)
+    // char-mass twin: the three lines have identical length (d1..d12 and
+    // e1..e12 render to the same widths), so dup chars = 2/3 of chars
+    assert(out(12L).getLong(4) == 6666L)
+  }
+
   test("passage dedup keeps a repeated passage only at its first occurrence and rebuilds docs in order") {
     // doc 1 and doc 5 share an identical 8-token passage at different
     // positions; doc 9 is doc 1 verbatim (every passage lost)
