@@ -98,6 +98,31 @@ object ImageOps {
 
   val imageDims: UserDefinedFunction = udf((b: Array[Byte]) => imageDimsOf(b).orNull)
 
+  /** Deterministic BLOCK-structured JPEG: an 8×8 grid of seeded solid
+    * colors — the macro structure real photographs have (regions of
+    * coherent luma), unlike [[makeTestJpeg]]'s per-pixel noise whose
+    * aHash cells all hover at the global mean (the adversarial case
+    * for perceptual hashing: resize/re-encode flips many bits). Block
+    * images survive resize + JPEG re-encode with ~0–2 aHash bit flips
+    * while distinct seeds stay ~32 apart — the fixture for q171. */
+  def makeBlockJpeg(w: Int, h: Int, seed: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    val rng = new scala.util.Random(seed)
+    val colors = Array.fill(64)(rng.nextInt(0xFFFFFF))
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, colors(((y * 8) / h) * 8 + (x * 8) / w))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpeg", baos)
+    baos.toByteArray
+  }
+
   /** Deterministic synthetic JPEG for fixtures (zero-egress env — no live
     * MET images; FIXTURES.md A3). */
   def makeTestJpeg(w: Int, h: Int, seed: Int): Array[Byte] = {

@@ -73,6 +73,141 @@ object Multimodal {
   /** Image resize through the real ImageOps transform (224×224 JPEG). */
   val resizeImage: UserDefinedFunction = ImageOps.transformImage
 
+  /** 64-bit average-hash (aHash) over the REAL decoded pixels: the
+    * image is area-averaged onto an 8×8 luma grid (exact integer
+    * accumulation — every source pixel lands in exactly one cell, so
+    * the hash is resolution-invariant by construction), each bit set
+    * iff its cell outshines the mean of the 64 cells. Near-duplicate
+    * images (re-encodes, resizes, mild crops) differ in a few bits;
+    * unrelated images differ in ~32 — the perceptual-dedup key the
+    * multimodal pipelines bucket on. Null for undecodable bytes (F6
+    * drop semantics). Luma in e3 fixed point (×1000 before the cell
+    * divide) so cell/mean comparisons don't lose ties to truncation. */
+  def aHash64(bytes: Array[Byte]): java.lang.Long =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) null
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val sums = new Array[Long](64)
+        val counts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val cy = (y * 8) / h
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            // integer Rec.601 luma ×1000: 299R + 587G + 114B
+            val luma = 299L * ((rgb >> 16) & 0xFF) +
+              587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
+            val c = cy * 8 + (x * 8) / w
+            sums(c) += luma
+            counts(c) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val cells = Array.tabulate(64)(i =>
+          if (counts(i) == 0) 0L else sums(i) * 1000L / counts(i))
+        val mean = cells.sum / 64L
+        var bits = 0L
+        var i = 0
+        while (i < 64) { if (cells(i) > mean) bits |= (1L << i); i += 1 }
+        java.lang.Long.valueOf(bits)
+      }
+    } catch { case _: Exception => null }
+
+  val aHash: UserDefinedFunction = udf(aHash64 _)
+
+  /** Perceptual image near-dup dedup over (img_key, data): aHash every
+    * image, band the 64 bits into 4×16-bit LSH bands, confirm
+    * candidates by exact Hamming distance (`bit_count(a ^ b)`,
+    * codegen'd), then keep-first by img_key — q20's dedup decision
+    * lifted to pixel space. Output: every decodable image with its
+    * confirmed near-dup mate count and keep flag.
+    *
+    * Recall contract (Manku et al. 2007's pigeonhole, WWW '07): with 4
+    * bands any pair within Hamming 3 is GUARANTEED a whole-band match;
+    * beyond that, recall is probabilistic in how the flips spread.
+    * Real image variants (re-encode, resize, mild edits) flip 0–2 aHash
+    * bits because photographs have macro-coherent luma — the fixture
+    * measures 0–1; per-pixel NOISE is the adversarial input whose cells
+    * all sit at the mean (measured: 7 scattered flips, zero shared
+    * bands — kept out of the fixture deliberately and documented here
+    * instead of hidden). Unrelated images land ~32 bits apart, so a
+    * 16-bit band collides at p ≈ 2^-16 and the `maxHamming` confirm
+    * kills the stragglers.
+    *
+    * Scale shape: hashing is a narrow map (bytes never leave their
+    * executor — only the 8-byte hash and key shuffle); the band
+    * equi-join is the q22/q25 banded-LSH candidate shape (linear in n
+    * for bounded bucket sizes); the confirm touches candidate pairs
+    * only. Never images × images. */
+  def imageDedup(images: DataFrame, maxHamming: Int = 10): DataFrame = {
+    val hashed = hashImages(images)
+    dedupDecisions(hashed, confirmedPairs(hashed, hashed, maxHamming))
+  }
+
+  /** (img_key, data) → (img_key, h): the narrow hashing map, F6-dropping
+    * undecodable rows. Shared by batch q171 and the streamed fold. */
+  private[graft] def hashImages(images: DataFrame): DataFrame =
+    images.select(col("img_key"), aHash(col("data")).as("h"))
+      .where(col("h").isNotNull)
+
+  private def withBands(df: DataFrame, k: String, h: String): DataFrame =
+    df.select(col(k), col(h), posexplode(expr(
+        s"array($h & 65535, shiftright($h, 16) & 65535, shiftright($h, 32) & 65535, shiftright($h, 48) & 65535)")))
+      .toDF(k, h, "band", "bucket")
+
+  /** Confirmed near-dup pairs between a NEW side and an ALL side (both
+    * (img_key, h)), normalized to key_a < key_b and deduped — the
+    * incremental kernel: the streamed fold calls it new×(seen ∪ new)
+    * per batch (never seen×seen), batch q171 calls it all×all. */
+  private[graft] def confirmedPairs(newSide: DataFrame, allSide: DataFrame,
+                                    maxHamming: Int = 10): DataFrame =
+    withBands(newSide.toDF("k_n", "h_n"), "k_n", "h_n")
+      .join(withBands(allSide.toDF("k_a", "h_a"), "k_a", "h_a"),
+        Seq("band", "bucket"))
+      .where(col("k_n") =!= col("k_a"))
+      .where(expr(s"bit_count(h_n ^ h_a) <= $maxHamming"))
+      .selectExpr("least(k_n, k_a) AS key_a", "greatest(k_n, k_a) AS key_b")
+      .distinct()
+
+  /** (img_key, n_mates, keep) from hashes + confirmed pairs — keep-first
+    * by key: an image is dropped iff it has a smaller-keyed mate. Shared
+    * tail of batch q171 and the streamed view. */
+  private[graft] def dedupDecisions(hashed: DataFrame,
+                                    pairs: DataFrame): DataFrame = {
+    val mates = pairs.selectExpr("key_a AS img_key", "key_b AS mate")
+      .unionByName(pairs.selectExpr("key_b AS img_key", "key_a AS mate"))
+    val nMates = mates.groupBy("img_key").agg(countDistinct("mate").as("n_mates"))
+    val dropped = pairs.select(col("key_b").as("img_key")).distinct()
+      .withColumn("dup", lit(true))
+    hashed.join(nMates, Seq("img_key"), "left")
+      .join(dropped, Seq("img_key"), "left")
+      .selectExpr("img_key", "coalesce(n_mates, 0L) AS n_mates",
+        "dup IS NULL AS keep")
+      .orderBy("img_key")
+  }
+
+  /** Deterministic image-dedup fixture (no media in testdata): five
+    * unrelated block-structured JPEGs (see [[ImageOps.makeBlockJpeg]] —
+    * macro-coherent luma like real photos; per-pixel noise is the
+    * adversarial case where every aHash cell sits at the mean), two
+    * 224×224 re-encoded resizes (the REAL ImageOps transform — pixels
+    * survive, bytes don't), one exact byte copy, one undecodable blob
+    * (must vanish, F6). Keys sort the originals before their variants,
+    * so keep-first keeps the source. */
+  private[graft] def imageFixtureRows: Seq[(String, Array[Byte])] = {
+    val base = (1 to 5).map(i =>
+      s"img$i" -> ImageOps.makeBlockJpeg(64 + 16 * i, 48 + 12 * i, i))
+    base ++ Seq(
+      "img1_resized" -> ImageOps.transformImageBytes(base(0)._2),
+      "img2_resized" -> ImageOps.transformImageBytes(base(1)._2),
+      "img3_copy" -> base(2)._2,
+      "img9_bad" -> Array[Byte](1, 2, 3))
+  }
+
   /** Assemble a typed media table from raw blobs: attaches kind-specific
     * metadata and hash id; repartitions by media_id so downstream
     * per-media ops are co-located. */
@@ -114,6 +249,15 @@ object Multimodal {
   // hash-checkable against a VALUES-literal DuckDB twin.
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Perceptual image dedup over the deterministic fixture: the
+    // DECISIONS (mate counts + keep flags) are the oracle surface —
+    // robust to codec pixel wobble (near-dup Hamming ≈ 0–6 vs ~32
+    // for unrelated noise images), never the raw hash bits.
+    "q171_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      imageDedup(imageFixtureRows.toDF("img_key", "data"))
+    }),
+
     "q30_media_meta" -> ((s, dir) => {
       import s.implicits._
       // deterministic in-memory media fixture (no media in testdata);
@@ -146,6 +290,22 @@ object Multimodal {
     val videoRows = Seq.fill(8)(
       "('video', CAST(NULL AS INT), CAST(NULL AS INT), CAST(NULL AS INT), CAST(5000 AS BIGINT), CAST(NULL AS INT))")
     Map(
+      // expected dedup decisions: originals kept, the two re-encoded
+      // resizes and the byte copy dropped toward their smaller-keyed
+      // source, the undecodable blob absent entirely
+      "q171_image_dedup" ->
+        """SELECT img_key, CAST(n_mates AS BIGINT) AS n_mates, keep FROM (VALUES
+          |  ('img1', 1, true),
+          |  ('img1_resized', 1, false),
+          |  ('img2', 1, true),
+          |  ('img2_resized', 1, false),
+          |  ('img3', 1, true),
+          |  ('img3_copy', 1, false),
+          |  ('img4', 0, true),
+          |  ('img5', 0, true)
+          |) AS t(img_key, n_mates, keep)
+          |ORDER BY img_key""".stripMargin,
+
       "q30_media_meta" ->
         s"""SELECT kind, width, height, sample_rate, duration_ms, n_channels FROM (VALUES
            |  ${(audioRows ++ imageRows ++ videoRows).mkString(",\n  ")}

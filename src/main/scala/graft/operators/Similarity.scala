@@ -302,21 +302,25 @@ object Similarity {
     ivfProbes(embeddings, centroids, queryMaxId, nprobe)
 
   /** Per-query top-`nprobe` centroid ids — the probe-selection half of
-    * [[ivfSearch]], shared with the composed IVF-PQ search (q86).
+    * [[ivfSearch]], shared with the composed IVF-PQ search (q86) and the
+    * semantic-decontamination probe side (q169, which selects its query
+    * set by predicate via `queryWhere` instead of an id ceiling).
     * `nprobe = 0` (the default) derives the budget from the index's OWN
     * width — [[graft.functions.Portable.ivfNprobe]] of the centroid
     * count — so probe volume scales with the corpus-scaled k instead of
     * silently shrinking to a fixed 12-of-k fraction as k grows. */
   private[operators] def ivfProbes(embeddings: DataFrame, centroids: DataFrame,
-                                   queryMaxId: Long = 10, nprobe: Int = 0): DataFrame = {
+                                   queryMaxId: Long = 10, nprobe: Int = 0,
+                                   queryWhere: String = ""): DataFrame = {
     val cents: Array[(Long, Array[Long])] = centroids.collect()
       .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
       .sortBy(_._1)
     val np = if (nprobe > 0) nprobe else ivfNprobe(cents.length)
+    val pred = if (queryWhere.nonEmpty) queryWhere else s"vec_id < $queryMaxId"
     // top-nprobe by (sim desc, cid asc): ascending lexicographic sort on
     // (sim, ncid) structs, reversed — same ranking as round 2, over the
     // single-literal centroid matrix instead of k parsed struct literals
-    embeddings.where(s"vec_id < $queryMaxId")
+    embeddings.where(pred)
       .selectExpr("vec_id AS query_id", s"$quantE AS q")
       .withColumn("cid", explode(
         transform(slice(reverse(array_sort(centScores(cents))), 1, np),
@@ -451,6 +455,79 @@ object Similarity {
       .where(col("id_n") =!= col("id_a"))
       .where(round(cosineN(col("vn"), col("va")) * 1e6).cast("long") >= tauE6)
       .selectExpr("greatest(id_n, id_a) AS vec_id").distinct()
+  }
+
+  /** q169 — SEMANTIC decontamination: drop training vectors whose
+    * embedding sits within cosine τ of ANY benchmark/eval vector — the
+    * embedding-space analog of the n-gram decontamination family
+    * (q62 exact / q93 Bloom / q125 fuzzy), which paraphrased or
+    * re-tokenized leakage slips past (the screen the phi-family data
+    * pipelines run beside n-gram overlap; Gunasekar et al. 2023 §2.4).
+    * Eval set = `evalPred` over vec_id (a benchmark registry in
+    * production); the rest of the corpus is the training side.
+    *
+    * Plan shape (the q36 probe path pointed at decontamination):
+    * the eval side ranks the inlined k×64 centroid model and probes its
+    * top-nprobe inverted lists (a narrow map over the eval set — NEVER
+    * eval × corpus brute force); candidates come from the cid equi-join
+    * against the persisted assignments, confirm is one exact cosine on
+    * candidate pairs, e6-integer-rounded BEFORE the threshold compare
+    * (the q159 boundary convention). Benchmark sets are tiny and fixed
+    * in production, so the probe frame broadcasts; candidate volume is
+    * (probed-list mass) × |eval|, linear in n at the derived k. Output:
+    * every train vector with its hit count and the keep flag. */
+  def semanticDecontam(embeddings: DataFrame, centroids: DataFrame,
+                       assignments: DataFrame, tauE6: Long = 300000L,
+                       evalPred: String = "vec_id % 13 = 5"): DataFrame = {
+    val probes = ivfProbes(embeddings, centroids, queryWhere = evalPred)
+    val vecs = embeddings.selectExpr("vec_id", "cast(embedding as array<double>) AS v")
+    val train = assignments.where(s"NOT ($evalPred)")
+    val hits = broadcast(probes).join(train, "cid")
+      .select("query_id", "vec_id")
+      .join(vecs, "vec_id")
+      .join(broadcast(vecs.where(evalPred).toDF("query_id", "q")), "query_id")
+      .where(round(cosineN(col("q"), col("v")) * 1e6).cast("long") >= tauE6)
+      .groupBy("vec_id").agg(count(lit(1)).as("n_hits"))
+    train.join(hits, Seq("vec_id"), "left")
+      .selectExpr("vec_id", "cid", "coalesce(n_hits, 0L) AS n_hits",
+        "n_hits IS NULL AS keep")
+      .orderBy("vec_id")
+  }
+
+  /** q170 — SSL-prototypes data pruning (Sorscher et al. 2022, "Beyond
+    * neural scaling laws"): rank every vector by cosine to its OWN
+    * cluster prototype (the shared IVF centroid) and prune the most
+    * PROTOTYPICAL `pruneE2`% per cluster — easy, redundant examples
+    * carry the least marginal signal at scale, and per-cluster
+    * balancing (the paper's class-balanced variant) stops the prune
+    * from emptying small clusters. Complements q159: SemDeDup drops
+    * near-copies of OTHER examples, this drops examples too close to
+    * the cluster CENTER.
+    *
+    * Plan: prototypicality is a narrow map (the inlined centroid model
+    * scores k sims per row — the q36 assignment kernel, keeping the max
+    * struct's sim beside its cid); per-cluster sizes are a k-row
+    * aggregate broadcast back; the rank is one window keyed by cid —
+    * k ≈ √n (capped 2^16) partitions, so parallelism tracks the corpus
+    * and no partition outgrows n/k. Integer-exact: sims e6-rounded
+    * before ranking (ties → smaller vec_id), keep counts by integer
+    * division, so both engines cut identical ranks. */
+  def protoPrune(embeddings: DataFrame, centroids: DataFrame,
+                 pruneE2: Long = 25L): DataFrame = {
+    val cents = centroidModel(centroids)
+    val sims = embeddings.selectExpr("vec_id", s"$quantE AS q")
+      .withColumn("m", array_max(centScores(cents)))
+      .selectExpr("vec_id", "m.cid AS cid",
+        "cast(round(m.sim * 1000000) as bigint) AS sim_e6")
+    val sizes = sims.groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+      .selectExpr("cid", "n_vecs",
+        s"n_vecs - ($pruneE2 * n_vecs) div 100 AS n_keep")
+    val w = Window.partitionBy(col("cid"))
+      .orderBy(col("sim_e6").asc, col("vec_id").asc)
+    sims.join(broadcast(sizes), "cid")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .selectExpr("vec_id", "cid", "sim_e6", "rk", "rk <= n_keep AS kept")
+      .orderBy("vec_id")
   }
 
   /** q161 — INCREMENTAL ANN index maintenance, the IVF analog of the
@@ -794,7 +871,18 @@ object Similarity {
     // mechanism (clustering, pair pruning, boundary rounding) is
     // τ-independent.
     "q159_semantic_dedup" -> ((s, dir) =>
-      semanticKeepFor(s, dir).orderBy("vec_id"))
+      semanticKeepFor(s, dir).orderBy("vec_id")),
+
+    // Embedding-space decontamination: eval probes the shared index,
+    // train vectors within cosine τ of any eval vector are dropped.
+    "q169_semantic_decontam" -> ((s, dir) => {
+      val (cents, asg) = ivfIndexFor(s, dir)
+      semanticDecontam(Tables.embeddings(s, dir), cents, asg)
+    }),
+
+    // SSL-prototypes pruning: the most prototypical 25% per cluster cut.
+    "q170_proto_prune" -> ((s, dir) =>
+      protoPrune(Tables.embeddings(s, dir), ivfIndexFor(s, dir)._1))
   )
 
   /** Per-query recall of an approximate rank list against the exact
@@ -821,7 +909,10 @@ object Similarity {
     * so the twin follows the Spark side at ANY scale factor without a
     * per-SF constant. */
   private[operators] def duckIvfCandsCtes(iters: Int = 2,
-      queryMaxId: Long = 10, trainWhere: String = ""): String = {
+      queryMaxId: Long = 10, trainWhere: String = "",
+      probePred: String = "", candWhere: String = ""): String = {
+    val probeWhere =
+      if (probePred.nonEmpty) probePred else s"t.vec_id < $queryMaxId"
     val intSim =
       """round(list_sum(list_transform(list_zip(t.q, c.c), s -> s[1] * s[2])) /
         |        (sqrt(list_sum(list_transform(t.q, x -> x * x))) * sqrt(list_sum(list_transform(c.c, x -> x * x)))), 6)""".stripMargin
@@ -867,11 +958,12 @@ object Similarity {
        |    SELECT t.vec_id AS query_id, c.cid,
        |      ROW_NUMBER() OVER (PARTITION BY t.vec_id ORDER BY
        |        $intSim DESC, c.cid) AS rn
-       |    FROM vecs t CROSS JOIN cents$iters c WHERE t.vec_id < $queryMaxId)
+       |    FROM vecs t CROSS JOIN cents$iters c WHERE $probeWhere)
        |  WHERE rn <= (SELECT np FROM kp)),
        |cands AS (
        |  SELECT DISTINCT p.query_id, a.vec_id
-       |  FROM probes p JOIN asg a USING (cid) WHERE a.vec_id <> p.query_id)""".stripMargin
+       |  FROM probes p JOIN asg a USING (cid)
+       |  WHERE a.vec_id <> p.query_id$candWhere)""".stripMargin
   }
 
   /** DuckDB twin of q36: the same seeds, `iters` unrolled Lloyd
@@ -990,6 +1082,50 @@ object Similarity {
            |SELECT a.vec_id, a.cid, (d.vec_id IS NULL) AS keep
            |FROM asg a LEFT JOIN dups d USING (vec_id)
            |ORDER BY a.vec_id""".stripMargin,
+
+      // Semantic decontamination: the probe side is the eval predicate
+      // (not an id ceiling), candidates restricted to the train side;
+      // confirm is the q159 e6-rounded cosine threshold
+      "q169_semantic_decontam" ->
+        s"""WITH ${duckIvfCandsCtes(probePred = "t.vec_id % 13 = 5",
+                                    candWhere = " AND a.vec_id % 13 <> 5")},
+           |hit AS (
+           |  SELECT cd.vec_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+           |  FROM cands cd
+           |  JOIN vecs qv ON qv.vec_id = cd.query_id
+           |  JOIN vecs bv ON bv.vec_id = cd.vec_id
+           |  WHERE CAST(round((list_sum(list_transform(list_zip(qv.v, bv.v), s -> s[1] * s[2])) /
+           |    (sqrt(list_sum(list_transform(qv.v, x -> x * x))) * sqrt(list_sum(list_transform(bv.v, x -> x * x))))) * 1000000) AS BIGINT) >= 300000
+           |  GROUP BY cd.vec_id)
+           |SELECT a.vec_id, a.cid,
+           |  coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+           |  (h.vec_id IS NULL) AS keep
+           |FROM asg a LEFT JOIN hit h USING (vec_id)
+           |WHERE a.vec_id % 13 <> 5
+           |ORDER BY a.vec_id""".stripMargin,
+
+      // SSL-prototypes pruning: per-vector cosine to its OWN centroid
+      // (e6-rounded before ranking), per-cluster keep counts by integer
+      // division — the rank cut is exact in both engines
+      "q170_proto_prune" ->
+        s"""WITH ${duckIvfCandsCtes()},
+           |sims AS (
+           |  SELECT a.vec_id, a.cid,
+           |    CAST(round(round(list_sum(list_transform(list_zip(a.q, c.c), s -> s[1] * s[2])) /
+           |      (sqrt(list_sum(list_transform(a.q, x -> x * x))) * sqrt(list_sum(list_transform(c.c, x -> x * x)))), 6) * 1000000) AS BIGINT) AS sim_e6
+           |  FROM asg a JOIN cents2 c USING (cid)),
+           |sizes AS (
+           |  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           |    CAST(COUNT(*) - (25 * COUNT(*)) // 100 AS BIGINT) AS n_keep
+           |  FROM sims GROUP BY cid),
+           |ranked AS (
+           |  SELECT s.vec_id, s.cid, s.sim_e6,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY s.cid
+           |      ORDER BY s.sim_e6 ASC, s.vec_id ASC) AS BIGINT) AS rk,
+           |    z.n_keep
+           |  FROM sims s JOIN sizes z USING (cid))
+           |SELECT vec_id, cid, sim_e6, rk, (rk <= n_keep) AS kept
+           |FROM ranked ORDER BY vec_id""".stripMargin,
       // the q36 IVF chain and the q24 brute chain, overlapped per query
       "q131_ann_recall" ->
         s"""WITH ${duckIvfCandsCtes()},

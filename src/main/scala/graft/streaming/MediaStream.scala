@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.functions.Multimodal
+
+/** Streaming PERCEPTUAL image dedup — the always-on form of q171, under
+  * the CurationStream state discipline: images arrive in micro-batches,
+  * each batch is aHashed where it lands (a narrow map — the BYTES never
+  * leave their executor or enter the state; only the 8-byte hash and
+  * key persist), and confirmed near-dup pairs are maintained
+  * incrementally: per batch the NEW hashes compare against the seen-so-
+  * far hash store (new × (seen ∪ new), never seen × seen — the
+  * q115/q161/semStep incremental shape; own batch is written first so
+  * new×new pairs are covered).
+  *
+  * Keep-first by key is "no smaller-keyed confirmed mate" — maintained
+  * as an append-only pair set (a ∪-semilattice, like the passage-dedup
+  * min table): a later batch carrying a smaller-keyed near-dup of an
+  * already-kept image displaces it at READ time (the retro-displacement
+  * the spec plants), no state rewrite. Replay-idempotent by batch-keyed
+  * overwrite; [[imageDedupView]] is row-identical to batch
+  * [[Multimodal.imageDedup]] over everything streamed (MediaStreamSpec
+  * pins it across a restart).
+  *
+  * State layout:
+  *  - `statePath/imghash/batch=<id>` — (img_key, h) per batch
+  *  - `statePath/imgpair/batch=<id>` — confirmed (key_a < key_b) pairs
+  *    involving that batch's images
+  */
+object MediaStream {
+
+  private[graft] def hashStep(batch: DataFrame, batchId: Long,
+      statePath: String, maxHamming: Int = 10): Unit = {
+    val spark = batch.sparkSession
+    val hashed = Multimodal.hashImages(batch.select("img_key", "data"))
+      .localCheckpoint()
+    // own dir FIRST: the batch's hashes join the store before the
+    // banded compare reads it, so new×new pairs are covered too
+    hashed.write.mode("overwrite").parquet(s"$statePath/imghash/batch=$batchId")
+    val all = spark.read.parquet(s"$statePath/imghash").select("img_key", "h")
+    Multimodal.confirmedPairs(hashed, all, maxHamming)
+      .write.mode("overwrite").parquet(s"$statePath/imgpair/batch=$batchId")
+  }
+
+  /** Start the image-dedup fold over a streaming (img_key, data) frame. */
+  def startImageDedup(images: DataFrame, statePath: String,
+      checkpointPath: String, maxHamming: Int = 10): DataStreamWriter[Row] =
+    images.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointPath)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        hashStep(batch, batchId, statePath, maxHamming)
+      }
+
+  /** (img_key, n_mates, keep) over everything streamed so far —
+    * row-identical to batch [[Multimodal.imageDedup]] on the same
+    * images. Pairs dedup across batches at read time (a pair whose
+    * endpoints arrived in different batches is recorded once, but
+    * replay or same-batch symmetry can double it — distinct() is the
+    * semilattice join). */
+  def imageDedupView(spark: SparkSession, statePath: String): DataFrame =
+    Multimodal.dedupDecisions(
+      spark.read.parquet(s"$statePath/imghash").select("img_key", "h"),
+      spark.read.parquet(s"$statePath/imgpair")
+        .select("key_a", "key_b").distinct())
+}

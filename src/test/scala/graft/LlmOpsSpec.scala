@@ -864,6 +864,46 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("semantic decontam drops a planted exact copy of an eval vector, keeps orthogonal train vecs") {
+    // eval ids are vec_id % 13 = 5 → {5, 18}; train vec 20 is an EXACT
+    // copy of eval vec 18 (cosine 1 ≥ τ), every other pair orthogonal
+    val dim = 64
+    def basis(i: Int): Seq[Float] =
+      Seq.tabulate(dim)(d => if (d == i) 1.0f else 0.0f)
+    val rows = Seq(
+      5L -> basis(9), 18L -> basis(0), // eval
+      1L -> basis(1), 2L -> basis(2), 3L -> basis(3), 4L -> basis(4),
+      6L -> basis(5), 7L -> basis(6), 20L -> basis(0)) // 20 = copy of 18
+    val emb = rows.toDF("vec_id", "embedding")
+    val (cents, asg) = Similarity.ivfIndex(emb, k = 4, trainMod = 1)
+    val out = Similarity.semanticDecontam(emb, cents, asg)
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(out.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 6L, 7L, 20L),
+      "output is exactly the train side")
+    val byId = out.map(r => r._1 -> r).toMap
+    assert(!byId(20L)._4 && byId(20L)._3 >= 1L, "planted leak must be dropped")
+    Seq(1L, 2L, 3L, 4L, 6L, 7L).foreach { id =>
+      assert(byId(id)._4 && byId(id)._3 == 0L, s"orthogonal train vec $id kept")
+    }
+  }
+
+  test("proto prune cuts exactly the most-prototypical 25% per cluster (ties to smaller id)") {
+    val emb = Tables.embeddings(spark, sf)
+    val (cents, _) = Similarity.ivfIndexFor(spark, sf)
+    val rows = Similarity.protoPrune(emb, cents)
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    assert(rows.length == emb.count())
+    rows.groupBy(_._2).foreach { case (cid, cl) =>
+      val n = cl.length.toLong
+      val nKeep = n - (25L * n) / 100L
+      assert(cl.count(_._5) == nKeep, s"cluster $cid keep count")
+      // kept = the n_keep least-prototypical in (sim asc, id asc) order
+      val expectKept = cl.sortBy(r => (r._3, r._1)).take(nKeep.toInt)
+        .map(_._1).toSet
+      assert(cl.filter(_._5).map(_._1).toSet == expectKept, s"cluster $cid cut")
+    }
+  }
+
   test("hashed classifier score is the sum of its per-token weights") {
     val out = TextAnalysis.hashedClassifier(Seq((7L, "alpha beta alpha")).toDF("doc_id", "text"))
       .collect().head

@@ -77,4 +77,41 @@ class MultimodalSpec extends AnyFunSuite {
     val df = graft.functions.Multimodal.queries("q30_media_meta")(spark, "/root/testdata/sf0.001")
     assert(df.count() > 0)
   }
+
+  test("aHash: variants stay within the banding guarantee, unrelated images stay far, bad bytes null") {
+    import graft.functions.Multimodal
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val base = (1 to 5).map(i =>
+      ImageOps.makeBlockJpeg(64 + 16 * i, 48 + 12 * i, i))
+    val hashes = base.map(b => Multimodal.aHash64(b).longValue)
+    // resize+re-encode and exact copies sit INSIDE the 4-band pigeonhole
+    // radius (<= 3), so the banded join cannot miss them
+    base.zip(hashes).foreach { case (b, h) =>
+      val tf = Multimodal.aHash64(ImageOps.transformImageBytes(b)).longValue
+      assert(ham(h, tf) <= 3, s"variant drifted: ${ham(h, tf)} bits")
+      assert(ham(h, Multimodal.aHash64(b).longValue) == 0)
+    }
+    // unrelated images are far outside the confirm radius
+    for (i <- hashes.indices; j <- hashes.indices if i < j)
+      assert(ham(hashes(i), hashes(j)) > 20,
+        s"seeds $i/$j too close: ${ham(hashes(i), hashes(j))}")
+    assert(Multimodal.aHash64(Array[Byte](1, 2, 3)) == null)
+    // hash is resolution-invariant for block content: the SAME seed
+    // rendered at a different size maps to (nearly) the same cells
+    val other = ImageOps.makeBlockJpeg(200, 152, 1)
+    assert(ham(hashes(0), Multimodal.aHash64(other).longValue) <= 3)
+  }
+
+  test("image dedup keeps sources, drops their variants, never driver-collects the bytes") {
+    import spark.implicits._
+    val out = graft.functions.Multimodal
+      .imageDedup(graft.functions.Multimodal.imageFixtureRows.toDF("img_key", "data"))
+      .as[(String, Long, Boolean)].collect()
+      .map { case (k, n, kp) => k -> ((n, kp)) }.toMap
+    assert(!out.contains("img9_bad"), "undecodable blob must be dropped")
+    assert(out("img1") == (1L, true) && out("img1_resized") == (1L, false))
+    assert(out("img2") == (1L, true) && out("img2_resized") == (1L, false))
+    assert(out("img3") == (1L, true) && out("img3_copy") == (1L, false))
+    assert(out("img4") == (0L, true) && out("img5") == (0L, true))
+  }
 }
