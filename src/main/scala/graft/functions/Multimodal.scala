@@ -126,8 +126,10 @@ object Multimodal {
     * lifted to pixel space. Output: every decodable image with its
     * confirmed near-dup mate count and keep flag.
     *
-    * Recall contract (Manku et al. 2007's pigeonhole, WWW '07): with 4
-    * bands any pair within Hamming 3 is GUARANTEED a whole-band match;
+    * Recall contract (Manku et al. 2007's pigeonhole, WWW '07): the
+    * corpus-derived [[bandCombos]] family guarantees a whole-band-key
+    * match for any pair within Hamming 3 in BOTH regimes (4 disjoint
+    * 16-bit bands small, all C(8,5) 40-bit block subsets large);
     * beyond that, recall is probabilistic in how the flips spread.
     * Real image variants (re-encode, resize, mild edits) flip 0–2 aHash
     * bits because photographs have macro-coherent luma — the fixture
@@ -154,24 +156,55 @@ object Multimodal {
     images.select(col("img_key"), aHash(col("data")).as("h"))
       .where(col("h").isNotNull)
 
-  private def withBands(df: DataFrame, k: String, h: String): DataFrame =
-    df.select(col(k), col(h), posexplode(expr(
-        s"array($h & 65535, shiftright($h, 16) & 65535, shiftright($h, 32) & 65535, shiftright($h, 48) & 65535)")))
+  /** CORPUS-DERIVED Hamming-LSH banding plan (Manku et al. 2007 §3,
+    * the lshBandBits/ivfK pattern applied to the perceptual hash): the
+    * 64-bit hash splits into 8 disjoint 8-bit blocks; a "band key" is
+    * the concatenation of a CHOSEN subset of blocks. A pair within
+    * Hamming r dirties at most r blocks, so any family whose every
+    * 3-dirty-block pattern leaves some chosen subset clean GUARANTEES
+    * detection at radius 3 — and the family is picked by corpus size:
+    *  - small corpora (n ≤ 2^18): the 4 disjoint 2-block pairs — 16-bit
+    *    keys, 4 band rows/image; the plain pigeonhole (3 flips dirty at
+    *    most 3 of 4 disjoint bands) and buckets stay O(1)-loaded.
+    *  - large corpora: all C(8,5) = 56 5-block subsets — 40-bit keys,
+    *    56 band rows/image. 5-block keys survive 3 flips (8−3 = 5 clean
+    *    blocks always contain a chosen subset), and the 2^40 key space
+    *    keeps bucket load ≈ n/2^40, so candidates stay OUTPUT-dominated
+    *    to ~10^11 images — at a fixed 16-bit width the band join would
+    *    go quadratic past a few hundred thousand (the q69 text-simhash
+    *    scaladoc's own caveat, resolved here the corpus-derived way).
+    */
+  private[graft] def bandCombos(n: Long): Seq[Seq[Int]] =
+    if (n <= (1L << 18)) Seq(Seq(0, 1), Seq(2, 3), Seq(4, 5), Seq(6, 7))
+    else (0 to 7).combinations(5).map(_.toSeq).toSeq
+
+  private def withBands(df: DataFrame, k: String, h: String,
+                        combos: Seq[Seq[Int]]): DataFrame = {
+    val keys = combos.map(_.zipWithIndex.map { case (b, i) =>
+      s"(shiftleft(shiftright($h, ${8 * b}) & 255, ${8 * i}))"
+    }.mkString(" + "))
+    df.select(col(k), col(h), posexplode(expr(s"array(${keys.mkString(", ")})")))
       .toDF(k, h, "band", "bucket")
+  }
 
   /** Confirmed near-dup pairs between a NEW side and an ALL side (both
     * (img_key, h)), normalized to key_a < key_b and deduped — the
     * incremental kernel: the streamed fold calls it new×(seen ∪ new)
-    * per batch (never seen×seen), batch q171 calls it all×all. */
+    * per batch (never seen×seen), batch q171 calls it all×all. `nHint`
+    * sizes the banding plan (callers that already hold the count pass
+    * it and skip a count job — the lshCandidatesBanded convention). */
   private[graft] def confirmedPairs(newSide: DataFrame, allSide: DataFrame,
-                                    maxHamming: Int = 10): DataFrame =
-    withBands(newSide.toDF("k_n", "h_n"), "k_n", "h_n")
-      .join(withBands(allSide.toDF("k_a", "h_a"), "k_a", "h_a"),
+                                    maxHamming: Int = 10,
+                                    nHint: Option[Long] = None): DataFrame = {
+    val combos = bandCombos(nHint.getOrElse(allSide.count()))
+    withBands(newSide.toDF("k_n", "h_n"), "k_n", "h_n", combos)
+      .join(withBands(allSide.toDF("k_a", "h_a"), "k_a", "h_a", combos),
         Seq("band", "bucket"))
       .where(col("k_n") =!= col("k_a"))
       .where(expr(s"bit_count(h_n ^ h_a) <= $maxHamming"))
       .selectExpr("least(k_n, k_a) AS key_a", "greatest(k_n, k_a) AS key_b")
       .distinct()
+  }
 
   /** (img_key, n_mates, keep) from hashes + confirmed pairs — keep-first
     * by key: an image is dropped iff it has a smaller-keyed mate. Shared

@@ -102,6 +102,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ham(hashes(0), Multimodal.aHash64(other).longValue) <= 3)
   }
 
+  test("band combos guarantee radius 3 in both regimes; wide regime catches cross-band flips") {
+    import graft.functions.Multimodal
+    val small = Multimodal.bandCombos(100L)
+    val wide = Multimodal.bandCombos(1L << 20)
+    assert(small.size == 4 && wide.size == 56)
+    // pigeonhole property, exhaustively: EVERY 3-dirty-block pattern
+    // leaves some chosen subset entirely clean — in both regimes
+    for (combos <- Seq(small, wide); dirty <- (0 to 7).combinations(3))
+      assert(combos.exists(c => c.forall(b => !dirty.contains(b))),
+        s"dirty=$dirty escapes ${combos.size}-combo family")
+    // a Hamming-3 pair with flips in THREE DIFFERENT blocks is caught
+    // by the banded join in both regimes (guarantee, not luck)
+    import spark.implicits._
+    val h = 0x0123456789abcdefL
+    val flipped = h ^ (1L << 1) ^ (1L << 17) ^ (1L << 62) // blocks 0, 2, 7
+    val frame = Seq(("a", h), ("b", flipped), ("c", ~h)).toDF("img_key", "h")
+    for (n <- Seq(100L, 1L << 20)) {
+      val pairs = Multimodal.confirmedPairs(frame, frame, maxHamming = 3,
+        nHint = Some(n)).as[(String, String)].collect().toSet
+      assert(pairs == Set(("a", "b")), s"regime n=$n found $pairs")
+    }
+  }
+
   test("image dedup keeps sources, drops their variants, never driver-collects the bytes") {
     import spark.implicits._
     val out = graft.functions.Multimodal
