@@ -281,6 +281,49 @@ object Multimodal {
   // stays internal — it's engine-native xxhash64) makes q30 fully
   // hash-checkable against a VALUES-literal DuckDB twin.
 
+  /** Per-session memo of a DRAINED [[graft.streaming.MediaStream]]
+    * ingest of the image fixture in 3 micro-batches, variants arriving
+    * BEFORE their smaller-keyed sources (the retro-displacement
+    * ordering — the hardest case for the maintained pair state). q172
+    * reads the resulting view; its oracle IS q171's decision twin, so
+    * the hash match proves streamed state ≡ batch dedup image-for-image
+    * (the q166 convention, applied to the multimodal fold). */
+  private val mediaStreamMemo =
+    scala.collection.mutable.Map.empty[SparkSession, String]
+  graft.operators.Memos.register(
+    () => mediaStreamMemo.synchronized(mediaStreamMemo.clear()))
+  private def mediaStreamState(s: SparkSession): String =
+    mediaStreamMemo.synchronized {
+      mediaStreamMemo.getOrElseUpdate(s, {
+        import s.implicits._
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_media_stream").toString
+        val (state, stage, ckpt) = (s"$root/state", s"$root/stage", s"$root/ckpt")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
+        val byKey = imageFixtureRows.toMap
+        val batches = Seq(
+          Seq("img1_resized", "img3_copy", "img4"),
+          Seq("img1", "img5", "img9_bad"),
+          Seq("img2", "img2_resized", "img3"))
+        batches.zipWithIndex.foreach { case (keys, i) =>
+          val tmp = s"$root/tmp$i"
+          keys.map(k => k -> byKey(k)).toDF("img_key", "data")
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(stage, s"b$i.parquet"))
+        }
+        val schema = Seq(("k", Array[Byte](0))).toDF("img_key", "data").schema
+        val stream = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        val q = graft.streaming.MediaStream
+          .startImageDedup(stream, state, ckpt).start()
+        q.processAllAvailable(); q.stop()
+        state
+      })
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Perceptual image dedup over the deterministic fixture: the
     // DECISIONS (mate counts + keep flags) are the oracle surface —
@@ -290,6 +333,12 @@ object Multimodal {
       import s.implicits._
       imageDedup(imageFixtureRows.toDF("img_key", "data"))
     }),
+
+    // The streamed fold's decision view over the same fixture — the
+    // oracle is q171's twin verbatim, so a hash match proves
+    // streamed-state ≡ batch-dedup decision-for-decision.
+    "q172_image_stream_dedup" -> ((s, dir) =>
+      graft.streaming.MediaStream.imageDedupView(s, mediaStreamState(s))),
 
     "q30_media_meta" -> ((s, dir) => {
       import s.implicits._
@@ -327,6 +376,22 @@ object Multimodal {
       // resizes and the byte copy dropped toward their smaller-keyed
       // source, the undecodable blob absent entirely
       "q171_image_dedup" ->
+        """SELECT img_key, CAST(n_mates AS BIGINT) AS n_mates, keep FROM (VALUES
+          |  ('img1', 1, true),
+          |  ('img1_resized', 1, false),
+          |  ('img2', 1, true),
+          |  ('img2_resized', 1, false),
+          |  ('img3', 1, true),
+          |  ('img3_copy', 1, false),
+          |  ('img4', 0, true),
+          |  ('img5', 0, true)
+          |) AS t(img_key, n_mates, keep)
+          |ORDER BY img_key""".stripMargin,
+
+      // the streamed fold must land on EXACTLY the batch decisions —
+      // the oracle is q171's twin verbatim, so the hash gate itself
+      // proves stream ≡ batch
+      "q172_image_stream_dedup" ->
         """SELECT img_key, CAST(n_mates AS BIGINT) AS n_mates, keep FROM (VALUES
           |  ('img1', 1, true),
           |  ('img1_resized', 1, false),
