@@ -40,7 +40,7 @@ object ScaleCheck {
     "q73_dsv2_scan", "q85_dsv2_agg", "q92_spj_join", "delete_range",
     "compact", "zorder", "vacuum", "bloom_point", "ivm_maintain",
     "ivm_minmax", "shard_manifest", "passage_dedup", "mv_refresh",
-    "bpe_train")
+    "bpe_train", "image_band")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -370,6 +370,48 @@ object ScaleCheck {
         .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
       results("bpe_train") = mBig.toSeq ==
         mBase.toSeq.map(m => (m._1, m._2, m._3, m._4 * replicate))
+    }
+
+    // WIDE-regime perceptual-hash banding (q171's scale path) well past
+    // the 2^18 regime switch: ~1M synthetic 64-bit hashes (xxhash64 of
+    // doc_id — the banding operates on hashes; pixels never reach this
+    // stage) band into all C(8,5) 40-bit block-subset keys — 56 band
+    // rows/hash, ~56M exploded rows per self-join side through this
+    // 512 MB heap. Planted mates flip 3 bits in 3 DIFFERENT blocks
+    // (the cross-block worst case the pigeonhole must survive); at
+    // radius 3 the Manku family GUARANTEES detection, and the 2^40 key
+    // space keeps random band collisions ≈ n²/2^41 ≈ a handful, so the
+    // confirmed set must equal the planted set EXACTLY — both the
+    // guarantee and the output-dominated candidate volume are asserted,
+    // not estimated. (The banding mass is linear — 56×n — so the proof
+    // of structure doesn't need every replicated row: the 10M-row
+    // handling is what the sections above already pin.)
+    {
+      import graft.functions.Multimodal
+      // bits 0 / 9 / 18 → blocks 0, 1, 2
+      val flips = lit((1L << 0) ^ (1L << 9) ^ (1L << 18))
+      val mateShift = lit(1000000000000L)
+      val srcs = big.where(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("img_key"), xxhash64(col("doc_id")).as("h"))
+      val mates = srcs.where(col("img_key") % 100000 === 0)
+        .select((col("img_key") + mateShift).as("img_key"),
+          col("h").bitwiseXOR(flips).as("h"))
+      val all = srcs.unionByName(mates)
+      val n = all.count()
+      // the band join's shuffle volume is 56× the hash count — size the
+      // exchange for the EXPLODED rows, not the input rows (the knob a
+      // real cluster sets per stage; 8 partitions of 56M-row sides is
+      // what ran this 512 MB heap out of execution memory). The result
+      // is planted-set-sized: materialize it once (localCheckpoint) so
+      // rowsMatch's three evaluations don't re-run the join.
+      spark.conf.set("spark.sql.shuffle.partitions", "64")
+      try check("image_band")(
+        Multimodal.confirmedPairs(all, all, maxHamming = 3, nHint = Some(n))
+          .localCheckpoint(),
+        srcs.where(col("img_key") % 100000 === 0)
+          .select(col("img_key").as("key_a"),
+            (col("img_key") + mateShift).as("key_b")))
+      finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
     }
 
     require(results.keys.toSeq == sectionNames,

@@ -476,6 +476,32 @@ object Dedup {
     "q53_dedup_clusters" -> ((s, dir) =>
       textClusters(s, dir).orderBy("doc_id")),
 
+    // SOFT dedup (He et al. 2024 "SoftDeDup"): instead of DROPPING
+    // near-dups, every document keeps a sampling weight inversely
+    // proportional to its commonness (its near-dup cluster size) — the
+    // reweighting a trainer feeds its sampler so duplicated content
+    // contributes ~once in expectation without discarding the unique
+    // spans duplicates still carry. Reuses q53's memoized cluster
+    // labels; the label frame is pair-graph-sized (near-dup docs only),
+    // its size aggregate smaller still, so the only corpus-sized step
+    // is ONE left join from documents onto labels — singletons
+    // (unlabeled) get commonness 1 and full weight by coalesce, never
+    // by materializing corpus-sized cluster rows. Weight is integer
+    // fixed-point: w_e6 = 1e6 div commonness (exact in both engines).
+    "q175_soft_dedup" -> ((s, dir) => {
+      val labels = textClusters(s, dir).select("doc_id", "cluster")
+      val sized = labels.join(
+        labels.groupBy("cluster").agg(count(lit(1)).as("commonness")),
+        Seq("cluster"))
+      Tables.documents(s, dir).select("doc_id")
+        .join(sized, Seq("doc_id"), "left")
+        .selectExpr("doc_id",
+          "cast(coalesce(cluster, doc_id) AS bigint) AS cluster",
+          "coalesce(commonness, 1L) AS commonness",
+          "1000000L div coalesce(commonness, 1L) AS w_e6")
+        .orderBy("doc_id")
+    }),
+
     // Incremental near-dup pairs: the 10% batch (doc_id % 10 = 7)
     // deduped against the persisted LSH index of the other 90% — the
     // index is parquet on disk (built once per session, Memos-cold
@@ -1119,6 +1145,31 @@ object Dedup {
            |  SELECT e.doc_a AS doc_id, w.label FROM edges e JOIN walk w ON w.doc_id = e.doc_b)
            |SELECT doc_id, MIN(label) AS cluster, (doc_id = MIN(label)) AS keep
            |FROM walk GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      // SoftDeDup reweighting: q53's cluster labels, sized, left-joined
+      // back onto the corpus — singletons coalesce to commonness 1
+      "q175_soft_dedup" ->
+        s"""WITH RECURSIVE $duckLshCtes,
+           |pairs AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ($bandMatch)
+           |  WHERE 1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 499.5),
+           |edges AS (
+           |  SELECT doc_a, doc_b FROM pairs
+           |  UNION SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
+           |walk AS (
+           |  SELECT doc_a AS doc_id, doc_a AS label FROM edges
+           |  UNION
+           |  SELECT e.doc_a AS doc_id, w.label FROM edges e JOIN walk w ON w.doc_id = e.doc_b),
+           |lab AS (SELECT doc_id, MIN(label) AS cluster FROM walk GROUP BY doc_id),
+           |siz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS commonness FROM lab GROUP BY cluster)
+           |SELECT d.doc_id,
+           |  CAST(COALESCE(l.cluster, d.doc_id) AS BIGINT) AS cluster,
+           |  CAST(COALESCE(s.commonness, 1) AS BIGINT) AS commonness,
+           |  CAST(1000000 // COALESCE(s.commonness, 1) AS BIGINT) AS w_e6
+           |FROM documents d
+           |LEFT JOIN lab l USING (doc_id)
+           |LEFT JOIN siz s ON l.cluster = s.cluster
+           |ORDER BY d.doc_id""".stripMargin,
       // the q22 LSH pipeline over the PLANTED corpus (training docs +
       // first-token-perturbed eval copies + the eval set), restricted to
       // cross (train × eval) pairs, grouped per training doc

@@ -120,6 +120,66 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Best-run packed fold over a sorted string array: the lexicographic
+    * max of (occurrences, value length) over distinct values, packed as
+    * run·10^6 + length (lengths are < 10^6 by the corpus contract) — the
+    * "most common n-gram" selector. Tie on count prefers the longer
+    * value, which maximizes the char mass the caller reports, so the
+    * reported fraction is tie-invariant. In-row like [[dupRunFoldE]]. */
+  private def topPackFoldE(arr: String): String =
+    s"aggregate(array_sort($arr), " +
+    "named_struct('prev', '', 'run', 0L, 'best', 0L), " +
+    "(a, x) -> named_struct('prev', x, " +
+    "'run', IF(x = a.prev, a.run + 1L, 1L), " +
+    "'best', IF(x != a.prev AND a.run >= 1L, greatest(a.best, a.run * 1000000L + length(a.prev)), a.best)), " +
+    "a -> greatest(a.best, IF(a.run >= 1L, a.run * 1000000L + length(a.prev), 0L)))"
+
+  /** q176 — the Gopher n-GRAM repetition gates (Rae et al. 2021 Table
+    * A1), completing the family next to q168's line/paragraph gates:
+    * for n ∈ {2,3,4} the char fraction of the MOST COMMON word n-gram,
+    * for n ∈ {5..10} the char fraction of DUPLICATED n-grams (count ≥
+    * 2). Char mass is occurrence-weighted (count × gram length,
+    * including separator spaces) over the space-joined text length —
+    * the standard implementation approximation of the paper's
+    * "characters contained within" (exact position coverage would need
+    * interval union per doc; occurrence weighting upper-bounds it and
+    * is what the published reimplementations gate on), capped at 10^4.
+    * Docs shorter than n grams contribute zeros. Duplicate 5..10-grams
+    * are PLANTED (every 7k+3 doc re-appends its first 12 tokens — the
+    * q168 convention) so every column splits the corpus non-trivially.
+    *
+    * Scale shape: entirely IN-ROW — nine gram arrays, nine sorted
+    * folds, zero shuffles (embarrassingly parallel at any corpus size);
+    * the DuckDB twin takes the declarative unnest + GROUP BY route and
+    * must land on identical integers. */
+  def gopherNgrams(docs: DataFrame): DataFrame = {
+    def gramsE(n: Int): String =
+      s"CASE WHEN size(toks) >= $n THEN transform(sequence(1, size(toks) - ${n - 1}), " +
+      s"i -> array_join(slice(toks, i, $n), ' ')) ELSE array() END"
+    val tops = (2 to 4).map { n =>
+      s"${topPackFoldE(gramsE(n))} AS top$n" }
+    val dups = (5 to 10).map { n =>
+      s"${dupRunFoldE(gramsE(n))}.dupc AS dupc$n" }
+    val topCols = (2 to 4).map { n =>
+      s"least(10000L, (10000L * (top$n div 1000000L) * (top$n % 1000000L)) div greatest(n_chars, 1L)) AS top${n}_e4" }
+    val dupCols = (5 to 10).map { n =>
+      s"least(10000L, (10000L * dupc$n) div greatest(n_chars, 1L)) AS dup${n}_e4" }
+    val thresholds = Seq("top2_e4 < 2000", "top3_e4 < 1800", "top4_e4 < 1600",
+      "dup5_e4 < 1500", "dup6_e4 < 1400", "dup7_e4 < 1300",
+      "dup8_e4 < 1200", "dup9_e4 < 1100", "dup10_e4 < 1000")
+    docs
+      .selectExpr("doc_id", s"$toksE AS toks0")
+      .selectExpr("doc_id",
+        "CASE WHEN doc_id % 7 = 3 THEN concat(toks0, slice(toks0, 1, 12)) ELSE toks0 END AS toks")
+      .selectExpr(Seq("doc_id",
+        "cast(length(array_join(toks, ' ')) AS bigint) AS n_chars") ++ tops ++ dups: _*)
+      .selectExpr(Seq("doc_id", "n_chars") ++ topCols ++ dupCols: _*)
+      .selectExpr(Seq("doc_id", "n_chars") ++ (2 to 4).map(n => s"top${n}_e4") ++
+        (5 to 10).map(n => s"dup${n}_e4") :+
+        s"(${thresholds.mkString(" AND ")}) AS passes": _*)
+      .orderBy("doc_id")
+  }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -217,6 +277,8 @@ object TextAnalysis {
 
     // Gopher dup-line / dup-paragraph fractions — see [[dupLines]].
     "q168_dup_lines" -> ((s, dir) => dupLines(Tables.documents(s, dir))),
+
+    "q176_gopher_ngrams" -> ((s, dir) => gopherNgrams(Tables.documents(s, dir))),
 
     // Content fingerprints: normalized md5 (portable) — the dedup key for
     // q20 and the lineage id for incremental corpus refreshes.
@@ -452,6 +514,47 @@ object TextAnalysis {
       .orderBy(desc("df"), col("tok"))
       .limit(topN)
 
+  /** q176's twin, generated per n — unnest + GROUP BY per gram width
+    * (the declarative route; the Spark side folds in-row). */
+  private def gopherNgramsSql: String = {
+    def gramCtes(n: Int): String =
+      s"""g$n AS (
+         |  SELECT doc_id, unnest(CASE WHEN len(toks) >= $n
+         |    THEN list_transform(range(1, len(toks) - ${n - 2}), i -> array_to_string(toks[i : i + ${n - 1}], ' '))
+         |    ELSE []::VARCHAR[] END) AS gram FROM tk),
+         |c$n AS (
+         |  SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c, CAST(length(gram) AS BIGINT) AS ln
+         |  FROM g$n GROUP BY 1, 2)""".stripMargin
+    val tops = (2 to 4).map(n =>
+      s"t$n AS (SELECT doc_id, MAX(c * 1000000 + ln) AS packed FROM c$n GROUP BY 1)")
+    val dups = (5 to 10).map(n =>
+      s"d$n AS (SELECT doc_id, CAST(SUM(CASE WHEN c >= 2 THEN c * ln ELSE 0 END) AS BIGINT) AS dupc FROM c$n GROUP BY 1)")
+    val topCols = (2 to 4).map(n =>
+      s"CAST(LEAST(10000, (10000 * (COALESCE(t$n.packed, 0) // 1000000) * (COALESCE(t$n.packed, 0) % 1000000)) // GREATEST(b.n_chars, 1)) AS BIGINT) AS top${n}_e4")
+    val dupCols = (5 to 10).map(n =>
+      s"CAST(LEAST(10000, (10000 * COALESCE(d$n.dupc, 0)) // GREATEST(b.n_chars, 1)) AS BIGINT) AS dup${n}_e4")
+    val joins = (2 to 4).map(n => s"LEFT JOIN t$n ON b.doc_id = t$n.doc_id") ++
+      (5 to 10).map(n => s"LEFT JOIN d$n ON b.doc_id = d$n.doc_id")
+    val gates = Seq("top2_e4 < 2000", "top3_e4 < 1800", "top4_e4 < 1600",
+      "dup5_e4 < 1500", "dup6_e4 < 1400", "dup7_e4 < 1300",
+      "dup8_e4 < 1200", "dup9_e4 < 1100", "dup10_e4 < 1000")
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks0 FROM documents),
+       |tk AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 3 THEN list_concat(toks0, toks0[1:12]) ELSE toks0 END AS toks
+       |  FROM t),
+       |base AS (
+       |  SELECT doc_id, CAST(length(array_to_string(toks, ' ')) AS BIGINT) AS n_chars FROM tk),
+       |${((2 to 10).map(gramCtes) ++ tops ++ dups).mkString(",\n")}
+       |SELECT b.doc_id, b.n_chars,
+       |  ${(topCols ++ dupCols).mkString(",\n  ")},
+       |  (${gates.mkString(" AND ")}) AS passes
+       |FROM base b
+       |${joins.mkString("\n")}
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   def oracle: Map[String, String] = {
     val langs = LangProfiles.map(_._1)
     val scores = LangProfiles.map { case (lang, ws) =>
@@ -533,6 +636,8 @@ object TextAnalysis {
           |   AND round(100.0 * list_sum(list_transform(toks, tk -> length(tk))) / len(toks)) BETWEEN 200 AND 1200
           |   AND round(10000.0 * n_symbols / len) < 3000) AS passes
           |FROM g JOIN rep ON g.doc_id = rep.doc_id ORDER BY g.doc_id""".stripMargin,
+
+      "q176_gopher_ngrams" -> gopherNgramsSql,
 
       // the dup-mass numerators come from unnest + GROUP BY (doc, value)
       // — the declarative twin of the Spark side's in-array run fold
