@@ -914,4 +914,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.getLong(2) == 2 * w("alpha") + w("beta"))
     assert(out.getBoolean(3) == (out.getLong(2) > 0))
   }
+
+  test("simhash wide-regime banding (C(6,3) block combos) emits exactly the narrow-regime pairs") {
+    // force the wide plan on the small corpus: recall is GUARANTEED in
+    // both regimes, so the pair sets must be identical row-for-row
+    val narrow = Dedup.simhashPairs(docs).as[(Long, Long, Long)].collect().toSet
+    val wide = Dedup.simhashPairs(docs, wideThreshold = 1L)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(narrow.nonEmpty, "corpus should contain simhash near-dup pairs")
+    assert(wide == narrow,
+      s"only-narrow=${narrow -- wide}, only-wide=${wide -- narrow}")
+  }
+
+  test("simhash wide-regime pigeonhole: every 3-dirty-block pattern leaves a clean chosen combo") {
+    val combos = (0 to 5).combinations(3).map(_.toSet).toSeq
+    for (dirty <- (0 to 5).combinations(3).map(_.toSet) ++
+                  (0 to 5).combinations(2).map(_.toSet) ++
+                  (0 to 5).combinations(1).map(_.toSet)) {
+      assert(combos.exists(c => c.intersect(dirty).isEmpty),
+        s"dirty blocks $dirty dodge every chosen combo")
+    }
+  }
 }
