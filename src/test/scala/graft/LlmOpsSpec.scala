@@ -935,4 +935,19 @@ class LlmOpsSpec extends AnyFunSuite {
         s"dirty blocks $dirty dodge every chosen combo")
     }
   }
+
+  test("matryoshka funnel recall ladder is monotone with measured floors (untrained-embedding case)") {
+    val exact = Similarity.cosineTopK(Tables.embeddings(spark, sf))
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recall(prefix: Int): Double = {
+      val got = Similarity.matryoshkaTopK(Tables.embeddings(spark, sf),
+          prefixDims = prefix, shortlist = 50)
+        .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val ladder = Seq(16, 32, 48).map(recall)
+    assert(ladder == ladder.sorted, s"recall not monotone in prefix width: $ladder")
+    assert(ladder(1) >= 0.6, s"prefix-32 recall ${ladder(1)} below floor 0.6")
+    assert(ladder(2) >= 0.9, s"prefix-48 recall ${ladder(2)} below floor 0.9")
+  }
 }
