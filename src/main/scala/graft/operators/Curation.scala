@@ -97,6 +97,63 @@ object Curation {
       .orderBy("source")
   }
 
+  /** q179 — EXCESS-LOSS domain reweighting (the DoReMi idea, Xie et al.
+    * 2023, in its one-shot measurable form): a domain whose own token
+    * distribution the CORPUS-wide model underfits has learnable
+    * headroom and gets upweighted. The excess-loss proxy is exact and
+    * model-free: KL(P_s ‖ P_corpus) over unigram token distributions —
+    * precisely the average extra NLL a corpus-fit unigram model pays on
+    * domain s vs the domain's own fit. Weights are a LINEARIZED
+    * analogue of DoReMi's exponentiated update, w_s ∝ 1 + η·KL_s over a
+    * uniform reference (η = 4), allocated to an exact integer budget by
+    * the largest-remainder method (q58/q160's conservation trick) — the
+    * full Group-DRO proxy-training loop is out of scope and said so,
+    * not approximated silently.
+    *
+    * Determinism: counts are exact; each (source, type) KL term is
+    * e9-rounded BEFORE the per-source sum (the q135 entropy
+    * convention), so sums, weights and quotas are integer-exact and
+    * shuffle-order-proof in both engines.
+    *
+    * Scale shape: ONE corpus scan into the (source, type) count (map-
+    * side combined); the type-marginal join is keyed on the type — the
+    * natural shuffle at any corpus size; everything after runs on
+    * #sources-row frames (windows over the mix table, never the
+    * corpus). */
+  def domainReweight(docs: DataFrame, budget: Long = 10000L,
+                     eta: Long = 4L): DataFrame = {
+    val st = docs.selectExpr("source", s"explode($sparkToks) AS t")
+      .where("t <> ''")
+      .groupBy("source", "t").agg(count(lit(1)).as("c_st"))
+    val bySource = st.groupBy("source").agg(sum("c_st").as("n_s"))
+    val byType = st.groupBy("t").agg(sum("c_st").as("c_t"))
+    // corpus total as a 1-row broadcast (never a lit(0) window over the
+    // type-sized frame — that would single-partition it)
+    val nTot = byType.agg(sum("c_t").as("n_tot"))
+    val kl = st
+      .join(broadcast(bySource), "source")
+      .join(byType, "t")
+      .crossJoin(broadcast(nTot))
+      .selectExpr("source", "n_s",
+        "cast(round(1e9 * (c_st / cast(n_s as double)) * " +
+          "(ln(c_st) - ln(n_s) - ln(c_t) + ln(n_tot))) as bigint) AS term_e9")
+      .groupBy("source")
+      .agg(max("n_s").as("n_tokens"), sum("term_e9").cast("long").as("kl_e9"))
+    val all = Window.partitionBy(lit(0))
+    val byRem = Window.partitionBy(lit(0))
+      .orderBy(col("rem").desc, col("source"))
+    kl
+      .withColumn("w_e9", expr(s"1000000000L + $eta * kl_e9"))
+      .withColumn("tot", sum("w_e9").over(all))
+      .withColumn("quota", expr(s"($budget * w_e9) div tot"))
+      .withColumn("rem", expr(s"($budget * w_e9) % tot"))
+      .withColumn("leftover", lit(budget) - sum("quota").over(all))
+      .withColumn("rk", row_number().over(byRem))
+      .selectExpr("source", "n_tokens", "kl_e9", "w_e9",
+        "quota + if(rk <= leftover, 1, 0) AS alloc")
+      .orderBy("source")
+  }
+
   /** Benchmark decontamination: flag training documents sharing any
     * `gram`-token shingle with a held-out eval set (here: every
     * `evalMod`-th doc stands in for the benchmark). The standard
@@ -713,6 +770,10 @@ object Curation {
     "q160_temperature_mix" -> ((s, dir) =>
       temperatureMixture(Tables.documents(s, dir))),
 
+    // Excess-loss (KL) domain reweighting over the REAL source column.
+    "q179_domain_reweight" -> ((s, dir) =>
+      domainReweight(Tables.documents(s, dir))),
+
     // Planted leakage: copies of eval docs re-inserted as training rows
     // (+3e6 ids — (id+3000000) % 97 ≠ 3 for id ≡ 3, so every copy lands
     // in the train split) make the contamination detection itself
@@ -965,6 +1026,39 @@ object Curation {
 
     // pow through the e9-integer convention (q145): p_e9 per source is
     // rounded BEFORE normalization, so weights/quotas are integer-exact
+    "q179_domain_reweight" ->
+      """WITH st AS (
+        |  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c_st FROM (
+        |    SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents)
+        |  WHERE t <> '' GROUP BY 1, 2),
+        |bs AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+        |bt AS (SELECT t, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_tot FROM bt),
+        |kl AS (
+        |  SELECT st.source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CAST(round(1e9 * (c_st / CAST(n_s AS DOUBLE)) *
+        |      (ln(c_st) - ln(n_s) - ln(c_t) + ln(n_tot))) AS BIGINT)) AS BIGINT) AS kl_e9
+        |  FROM st JOIN bs ON st.source = bs.source JOIN bt ON st.t = bt.t CROSS JOIN nt
+        |  GROUP BY st.source),
+        |w AS (
+        |  SELECT source, n_tokens, kl_e9,
+        |    CAST(1000000000 + 4 * kl_e9 AS BIGINT) AS w_e9
+        |  FROM kl),
+        |q AS (SELECT *, CAST(SUM(w_e9) OVER () AS BIGINT) AS tot FROM w),
+        |a AS (
+        |  SELECT source, n_tokens, kl_e9, w_e9,
+        |    (10000 * w_e9) // tot AS quota,
+        |    (10000 * w_e9) % tot AS rem
+        |  FROM q),
+        |r AS (
+        |  SELECT *,
+        |    CAST(10000 - SUM(quota) OVER () AS BIGINT) AS leftover,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM a)
+        |SELECT source, n_tokens, kl_e9, w_e9,
+        |  CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r ORDER BY source""".stripMargin,
+
     "q160_temperature_mix" ->
       """WITH per_source AS (
         |  SELECT source,

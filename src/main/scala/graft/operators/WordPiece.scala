@@ -16,11 +16,11 @@ import graft.functions.Portable
   * One shared piece inventory (no ##-continuation split — the MaxMatch
   * structure is identical, the split is a display convention); all
   * single characters are always in-vocab, so coverage is total and no
-  * OOV path exists. A full unigram-EM fit is deliberately out of scope:
-  * its forward scores are products the integer fixed-point oracle
-  * contract can't carry (the q98/q130 e6-log convention covers SUMS of
-  * logs, not normalized lattice sums) — the scope note the round-12
-  * verdict convention asks to document rather than hide.
+  * OOV path exists. The TRUE Viterbi decode over the same inventory
+  * ships as q180 ([[Unigram]]); the unigram-EM re-estimation loop stays
+  * out of scope there too: its forward scores are products the integer
+  * fixed-point oracle contract can't carry (the q98/q130 e6-log
+  * convention covers SUMS of logs, not normalized lattice sums).
   *
   * Scale shape — the same two-corpus-scan bound BPE training has:
   *  (1) the word-TYPE count (`explode → groupBy(w)`, one map-side-
@@ -57,13 +57,13 @@ object WordPiece {
   val MultiVocab = 48
 
   /** (w, cnt) word types — the only corpus-sized stage. */
-  private def wordTypes(docs: DataFrame): DataFrame =
+  private[graft] def wordTypes(docs: DataFrame): DataFrame =
     docs.selectExpr(s"explode(${Portable.sparkToks}) AS w")
       .where("w <> ''").groupBy("w").agg(count(lit(1)).as("cnt"))
 
   /** Every (w, pos, l) candidate substring of every type, 1 ≤ l ≤
     * min(MaxPieceLen, len − pos) — type-table-sized × ≤ len × 6. */
-  private def candidates(types: DataFrame): DataFrame =
+  private[operators] def candidates(types: DataFrame): DataFrame =
     types
       .withColumn("pos", explode(expr("sequence(0, length(w) - 1)")))
       .withColumn("l",
@@ -73,7 +73,7 @@ object WordPiece {
 
   /** The seeded vocabulary: ALL single characters (total coverage) plus
     * the top-[[MultiVocab]] multi-char substrings by weighted count. */
-  private def vocabFrom(cands: DataFrame): DataFrame = {
+  private[operators] def vocabFrom(cands: DataFrame): DataFrame = {
     val pc = cands.groupBy("s").agg(sum("cnt").as("c"))
     pc.where(length(col("s")) === 1).unionByName(
       pc.where(length(col("s")) > 1)

@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{Unigram, WordPiece}
+
+/** Semantic pins for the Viterbi unigram tokenizer beyond the oracle
+  * hash: the packed DP must equal a sequential reference DP exactly
+  * (score AND token count under the (max score, min tokens) tie-break),
+  * and Viterbi must DOMINATE greedy MaxMatch in path score — the
+  * optimality property that distinguishes the lattice decode from the
+  * q174 approximation. */
+class UnigramSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+  lazy val docs = Tables.documents(spark, sf).select("doc_id", "text")
+
+  /** Reference vocabulary + scores, straight from the engine's own q173
+    * counts (the spec pins the DP, not the seeding — WordPieceSpec and
+    * the q173 oracle pin that). */
+  private lazy val (vocab, score) = {
+    val rows = WordPiece.wordpieceVocab(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(2))
+    val tot = rows.map(_._2).sum
+    (rows.map(_._1).toSet,
+      rows.map { case (s, c) =>
+        s -> math.round(1e6 * (math.log(c.toDouble) - math.log(tot.toDouble)))
+      }.toMap)
+  }
+
+  /** Sequential Viterbi with the exact tie-break: maximize score, then
+    * minimize token count. */
+  private def refViterbi(w: String): (Long, Long) = {
+    val best = Array.fill[(Long, Long)](w.length + 1)(null)
+    best(0) = (0L, 0L)
+    for (i <- 1 to w.length) {
+      var b: (Long, Long) = null
+      for (l <- 1 to math.min(WordPiece.MaxPieceLen, i)) {
+        val p = w.substring(i - l, i)
+        if (vocab(p) && best(i - l) != null) {
+          val c = (best(i - l)._1 + score(p), best(i - l)._2 + 1)
+          if (b == null || c._1 > b._1 || (c._1 == b._1 && c._2 < b._2)) b = c
+        }
+      }
+      best(i) = b
+    }
+    (best(w.length)._2, best(w.length)._1)
+  }
+
+  private def refGreedy(w: String): (Long, Long) = {
+    var pos = 0; var n = 0L; var s = 0L
+    while (pos < w.length) {
+      var l = math.min(WordPiece.MaxPieceLen, w.length - pos)
+      while (l > 1 && !vocab(w.substring(pos, pos + l))) l -= 1
+      s += score(w.substring(pos, pos + l)); pos += l; n += 1
+    }
+    (n, s)
+  }
+
+  private lazy val words = docs.selectExpr("explode(split(trim(text), '\\\\s+')) AS w")
+    .where("w <> ''").distinct().as[String].collect()
+
+  test("packed DP equals the sequential Viterbi reference per word type (score and tokens)") {
+    val got = Unigram.queries("q180_unigram_viterbi")(spark, sf)
+    // per-doc sums suffice only if per-word values match — check the
+    // per-word seg frame through a 1-word-per-doc corpus instead
+    val oneWord = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toSeq.toDF("doc_id", "text")
+    val seg = Unigram.unigramTokenCounts(oneWord,
+      graft.operators.Unigram.segCounts(WordPiece.wordTypes(docs)))
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (d, _, n, s) => words(d.toInt) -> ((n, s)) }.toMap
+    words.foreach { w =>
+      assert(seg(w) == refViterbi(w), s"word $w: got ${seg(w)}, want ${refViterbi(w)}")
+    }
+    assert(got.count() > 0)
+  }
+
+  test("Viterbi dominates greedy MaxMatch in path score, never loses on the corpus") {
+    var strictlyBetter = 0
+    words.foreach { w =>
+      val (vn, vs) = refViterbi(w)
+      val (gn, gs) = refGreedy(w)
+      assert(vs >= gs, s"word $w: Viterbi score $vs below greedy $gs")
+      if (vs > gs || (vs == gs && vn < gn)) strictlyBetter += 1
+    }
+    // the corpus must actually exercise the difference somewhere —
+    // otherwise this test pins nothing
+    assert(strictlyBetter > 0,
+      "corpus never separates Viterbi from greedy; weaken-proof the fixture")
+  }
+
+  test("token counts respect the structural bounds") {
+    words.foreach { w =>
+      val (n, _) = refViterbi(w)
+      assert(n >= (w.length + WordPiece.MaxPieceLen - 1) / WordPiece.MaxPieceLen && n <= w.length)
+    }
+  }
+}
