@@ -40,7 +40,7 @@ object ScaleCheck {
     "q73_dsv2_scan", "q85_dsv2_agg", "q92_spj_join", "delete_range",
     "compact", "zorder", "vacuum", "bloom_point", "ivm_maintain",
     "ivm_minmax", "shard_manifest", "passage_dedup", "mv_refresh",
-    "bpe_train", "image_band")
+    "bpe_train", "image_band", "wordpiece_train")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -412,6 +412,25 @@ object ScaleCheck {
           .select(col("img_key").as("key_a"),
             (col("img_key") + mateShift).as("key_b")))
       finally spark.conf.set("spark.sql.shuffle.partitions", cpus)
+    }
+
+    // tokenizer training at scale, family 2: greedy-WordPiece per-type
+    // segment counts are replication-INVARIANT by construction — the
+    // vocabulary cut is count-ORDER based and replication scales every
+    // substring count uniformly (order and ties preserved EXACTLY, no
+    // float in the path — unlike unigram scores, whose ln() terms are
+    // only value-stable, not bit-guaranteed, under uniform scaling), and
+    // the greedy steps depend on membership alone. So the 10M-row corpus
+    // must reproduce the base corpus's (w, n_wp) frame row for row;
+    // green here pins that the only corpus-sized stage really is the
+    // word-TYPE count (one map-side-combined shuffle of the replicated
+    // corpus), with training riding the type table.
+    {
+      import graft.operators.WordPiece
+      check("wordpiece_train")(
+        WordPiece.segCounts(WordPiece.wordTypes(big.select("doc_id", "text"))),
+        WordPiece.segCounts(WordPiece.wordTypes(
+          big.where(col("doc_id") < span).select("doc_id", "text"))))
     }
 
     require(results.keys.toSeq == sectionNames,

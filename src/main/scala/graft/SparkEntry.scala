@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Anomaly, Bpe, Chunking, Curation, CurationPipeline, Dedup, Diff, Graph, HeavyHitters, Merge, Packing, ProductQuant, Profile, Relational, Similarity, Skew, Temporal, TextAnalysis, Unigram, WordPiece}
+import graft.operators.{Anomaly, Bpe, Chunking, Curation, CurationPipeline, Dedup, Diff, Graph, HeavyHitters, Merge, Packing, ProductQuant, Profile, Relational, Similarity, Skew, Temporal, TextAnalysis, TokenizerReport, Unigram, WordPiece}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +24,7 @@ object SparkEntry {
       Similarity.queries ++ TextAnalysis.queries ++ Temporal.queries ++
       Packing.queries ++ Curation.queries ++ Anomaly.queries ++ ProductQuant.queries ++ graft.sources.Layout.queries ++ HeavyHitters.queries ++
       Skew.queries ++ Profile.queries ++ Merge.queries ++ Graph.queries ++
-      CurationPipeline.queries ++ Diff.queries ++ Bpe.queries ++ WordPiece.queries ++ Unigram.queries ++
+      CurationPipeline.queries ++ Diff.queries ++ Bpe.queries ++ WordPiece.queries ++ Unigram.queries ++ TokenizerReport.queries ++
       graft.functions.Multimodal.queries ++ graft.sources.v2.StoreQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -32,6 +32,6 @@ object SparkEntry {
       Similarity.oracle ++ TextAnalysis.oracle ++ Temporal.oracle ++
       Packing.oracle ++ Curation.oracle ++ Anomaly.oracle ++ ProductQuant.oracle ++ graft.sources.Layout.oracle ++ HeavyHitters.oracle ++
       Skew.oracle ++ Profile.oracle ++ Merge.oracle ++ Graph.oracle ++
-      CurationPipeline.oracle ++ Diff.oracle ++ Bpe.oracle ++ WordPiece.oracle ++ Unigram.oracle ++
+      CurationPipeline.oracle ++ Diff.oracle ++ Bpe.oracle ++ WordPiece.oracle ++ Unigram.oracle ++ TokenizerReport.oracle ++
       graft.functions.Multimodal.oracle ++ graft.sources.v2.StoreQueries.oracle
 }

@@ -198,6 +198,12 @@ object Bpe {
       trainMemo.getOrElseUpdate((s, dir, k), trainSyms(Tables.documents(s, dir), k))
     }
 
+  /** (w, n_sym) per word TYPE under the memoized DefaultMerges model —
+    * the per-type view q181 joins next to the other families'. */
+  private[operators] def wordSegFor(s: SparkSession, dir: String): DataFrame =
+    trainSymsFor(s, dir, DefaultMerges)._1
+      .groupBy("w").agg(count(lit(1)).as("n_sym"))
+
   /** Memoized per-doc BPE token counts for downstream consumers —
     * q157 packs sequences by these instead of whitespace counts, so
     * its budget is denominated in the tokens a trainer sees. */
@@ -361,6 +367,8 @@ object Bpe {
          |  FROM (SELECT *, COALESCE(LAG(do_merge) OVER (PARTITION BY w ORDER BY pos), false) AS pm FROM ${p}j)
          |  WHERE NOT pm)""".stripMargin
     }
-    "WITH " + (head ++ steps).mkString(",\n") + "\n" + tail
+    // RECURSIVE is allowed (and inert) when no CTE recurses — it lets
+    // callers splice recursive fragments (q181) into this chain
+    "WITH RECURSIVE " + (head ++ steps).mkString(",\n") + "\n" + tail
   }
 }

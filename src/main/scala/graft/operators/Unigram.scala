@@ -86,7 +86,7 @@ object Unigram {
   private val segMemo =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   Memos.register(() => segMemo.synchronized(segMemo.clear()))
-  private def segFor(s: SparkSession, dir: String): DataFrame =
+  private[operators] def segFor(s: SparkSession, dir: String): DataFrame =
     segMemo.synchronized {
       segMemo.getOrElseUpdate((s, dir),
         segCounts(WordPiece.wordTypes(Tables.documents(s, dir))).localCheckpoint())
@@ -110,64 +110,60 @@ object Unigram {
     "q180_unigram_viterbi" -> ((s, dir) =>
       unigramTokenCounts(Tables.documents(s, dir), segFor(s, dir))))
 
+  /** Score + pivot + recursive Viterbi walk + seg, names parameterized
+    * for clash-free splicing (q181); assumes `v`, `cand`, `vocab` from
+    * [[WordPiece.duckVDef]]/[[WordPiece.duckSeedCtes]] are in scope. */
+  private[operators] def duckViterbiCtes(tot: String = "tot",
+      sc: String = "sc", piv: String = "piv", walk: String = "uwalk",
+      seg: String = "useg"): String =
+    s"""$tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM vocab),
+       |$sc AS MATERIALIZED (
+       |  SELECT cand.w, cand.pos + cand.l AS i, cand.l,
+       |    CAST(round(1e6 * (ln(vocab.c) - ln($tot.tot))) AS BIGINT) AS s_e6
+       |  FROM cand JOIN vocab ON substr(cand.w, CAST(cand.pos + 1 AS INT), CAST(cand.l AS INT)) = vocab.s
+       |  CROSS JOIN $tot),
+       |$piv AS MATERIALIZED (
+       |  SELECT w, i,
+       |    MAX(CASE WHEN l = 1 THEN s_e6 END) AS s1, MAX(CASE WHEN l = 2 THEN s_e6 END) AS s2,
+       |    MAX(CASE WHEN l = 3 THEN s_e6 END) AS s3, MAX(CASE WHEN l = 4 THEN s_e6 END) AS s4,
+       |    MAX(CASE WHEN l = 5 THEN s_e6 END) AS s5, MAX(CASE WHEN l = 6 THEN s_e6 END) AS s6
+       |  FROM $sc GROUP BY w, i),
+       |$walk AS (
+       |  SELECT w, CAST(0 AS BIGINT) AS i,
+       |    CAST($Off * 1024 + 1023 AS BIGINT) AS b0,
+       |    CAST(NULL AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b2, CAST(NULL AS BIGINT) AS b3,
+       |    CAST(NULL AS BIGINT) AS b4, CAST(NULL AS BIGINT) AS b5
+       |  FROM v
+       |  UNION ALL
+       |  SELECT $walk.w, $piv.i,
+       |    greatest(
+       |      $walk.b0 + $piv.s1 * 1024 - 1,
+       |      $walk.b1 + $piv.s2 * 1024 - 1,
+       |      $walk.b2 + $piv.s3 * 1024 - 1,
+       |      $walk.b3 + $piv.s4 * 1024 - 1,
+       |      $walk.b4 + $piv.s5 * 1024 - 1,
+       |      $walk.b5 + $piv.s6 * 1024 - 1),
+       |    $walk.b0, $walk.b1, $walk.b2, $walk.b3, $walk.b4
+       |  FROM $walk JOIN $piv ON $piv.w = $walk.w AND $piv.i = $walk.i + 1),
+       |$seg AS (
+       |  SELECT v.w,
+       |    CAST(1023 - ($walk.b0 % 1024) AS BIGINT) AS n_uni,
+       |    CAST(($walk.b0 // 1024) - $Off AS BIGINT) AS score_e6
+       |  FROM v JOIN $walk ON $walk.w = v.w AND $walk.i = length(v.w))""".stripMargin
+
   def oracle: Map[String, String] = Map(
     // the same recurrence as a recursive CTE: the last 6 packed bests
     // ride as columns (b0..b5), so each step is aggregate-free; words
     // leave the walk when position i exceeds their length
     "q180_unigram_viterbi" ->
-      s"""WITH RECURSIVE v AS MATERIALIZED (
-         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
-         |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents)
-         |  WHERE w <> '' GROUP BY w),
-         |p1 AS (SELECT w, cnt, unnest(range(0, length(w))) AS pos FROM v),
-         |cand AS MATERIALIZED (
-         |  SELECT w, cnt, pos, unnest(range(1, least(${WordPiece.MaxPieceLen}, length(w) - pos) + 1)) AS l FROM p1),
-         |pc AS (
-         |  SELECT substr(w, CAST(pos + 1 AS INT), CAST(l AS INT)) AS s, CAST(SUM(cnt) AS BIGINT) AS c
-         |  FROM cand GROUP BY 1),
-         |vocab AS MATERIALIZED (
-         |  SELECT s, c FROM pc WHERE length(s) = 1
-         |  UNION ALL
-         |  SELECT s, c FROM (SELECT s, c FROM pc WHERE length(s) > 1 ORDER BY c DESC, s LIMIT ${WordPiece.MultiVocab})),
-         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM vocab),
-         |sc AS MATERIALIZED (
-         |  SELECT cand.w, cand.pos + cand.l AS i, cand.l,
-         |    CAST(round(1e6 * (ln(vocab.c) - ln(tot.tot))) AS BIGINT) AS s_e6
-         |  FROM cand JOIN vocab ON substr(cand.w, CAST(cand.pos + 1 AS INT), CAST(cand.l AS INT)) = vocab.s
-         |  CROSS JOIN tot),
-         |piv AS MATERIALIZED (
-         |  SELECT w, i,
-         |    MAX(CASE WHEN l = 1 THEN s_e6 END) AS s1, MAX(CASE WHEN l = 2 THEN s_e6 END) AS s2,
-         |    MAX(CASE WHEN l = 3 THEN s_e6 END) AS s3, MAX(CASE WHEN l = 4 THEN s_e6 END) AS s4,
-         |    MAX(CASE WHEN l = 5 THEN s_e6 END) AS s5, MAX(CASE WHEN l = 6 THEN s_e6 END) AS s6
-         |  FROM sc GROUP BY w, i),
-         |walk AS (
-         |  SELECT w, CAST(0 AS BIGINT) AS i,
-         |    CAST($Off * 1024 + 1023 AS BIGINT) AS b0,
-         |    CAST(NULL AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b2, CAST(NULL AS BIGINT) AS b3,
-         |    CAST(NULL AS BIGINT) AS b4, CAST(NULL AS BIGINT) AS b5
-         |  FROM v
-         |  UNION ALL
-         |  SELECT walk.w, piv.i,
-         |    greatest(
-         |      walk.b0 + piv.s1 * 1024 - 1,
-         |      walk.b1 + piv.s2 * 1024 - 1,
-         |      walk.b2 + piv.s3 * 1024 - 1,
-         |      walk.b3 + piv.s4 * 1024 - 1,
-         |      walk.b4 + piv.s5 * 1024 - 1,
-         |      walk.b5 + piv.s6 * 1024 - 1),
-         |    walk.b0, walk.b1, walk.b2, walk.b3, walk.b4
-         |  FROM walk JOIN piv ON piv.w = walk.w AND piv.i = walk.i + 1),
-         |seg AS (
-         |  SELECT v.w,
-         |    CAST(1023 - (walk.b0 % 1024) AS BIGINT) AS n_uni,
-         |    CAST((walk.b0 // 1024) - $Off AS BIGINT) AS score_e6
-         |  FROM v JOIN walk ON walk.w = v.w AND walk.i = length(v.w)),
+      s"""WITH RECURSIVE ${WordPiece.duckVDef},
+         |${WordPiece.duckSeedCtes},
+         |${duckViterbiCtes()},
          |tok AS (
          |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents)
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
          |  CAST(SUM(n_uni) AS BIGINT) AS n_uni_tokens,
          |  CAST(SUM(score_e6) AS BIGINT) AS score_e6
-         |FROM tok JOIN seg USING (w) WHERE w <> ''
+         |FROM tok JOIN useg USING (w) WHERE w <> ''
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -83,7 +83,7 @@ object WordPiece {
   /** (w, n_wp) — greedy longest-match token count per word TYPE.
     * step(w, pos) = longest in-vocab piece at pos (total: chars are
     * always in-vocab); the walk 0 → len is pointer-doubled. */
-  private def segCounts(types: DataFrame): DataFrame = {
+  private[graft] def segCounts(types: DataFrame): DataFrame = {
     val cands = candidates(types).localCheckpoint()
     val vocab = vocabFrom(cands)
     val step = cands
@@ -155,7 +155,7 @@ object WordPiece {
   private val segMemo =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   Memos.register(() => segMemo.synchronized(segMemo.clear()))
-  private def segFor(s: SparkSession, dir: String): DataFrame =
+  private[operators] def segFor(s: SparkSession, dir: String): DataFrame =
     segMemo.synchronized {
       segMemo.getOrElseUpdate((s, dir),
         segCounts(wordTypes(Tables.documents(s, dir))))
@@ -175,12 +175,18 @@ object WordPiece {
     * walk for the apply tail). The walk is the q53 recursive-CTE
     * convention — each recursion step follows the unique greedy edge,
     * so MAX(n) per word IS the token count. */
-  private def duckHead: String =
+  /** The word-type CTE alone — identical text to Bpe's `v`, so a
+    * splicing caller (q181) takes exactly one of the two. */
+  private[operators] def duckVDef: String =
     raw"""v AS MATERIALIZED (
          |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
          |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)
-         |  WHERE w <> '' GROUP BY w),
-         |p1 AS (SELECT w, cnt, unnest(range(0, length(w))) AS pos FROM v),
+         |  WHERE w <> '' GROUP BY w)""".stripMargin
+
+  /** Seed chain AFTER `v` (candidates → counts → vocab) — shared with
+    * [[Unigram]]'s twin and spliceable behind any equivalent `v`. */
+  private[operators] def duckSeedCtes: String =
+    raw"""p1 AS (SELECT w, cnt, unnest(range(0, length(w))) AS pos FROM v),
          |cand AS MATERIALIZED (
          |  SELECT w, cnt, pos, unnest(range(1, least($MaxPieceLen, length(w) - pos) + 1)) AS l FROM p1),
          |pc AS (
@@ -190,6 +196,8 @@ object WordPiece {
          |  SELECT s, c FROM pc WHERE length(s) = 1
          |  UNION ALL
          |  SELECT s, c FROM (SELECT s, c FROM pc WHERE length(s) > 1 ORDER BY c DESC, s LIMIT $MultiVocab))""".stripMargin
+
+  private def duckHead: String = s"$duckVDef,\n$duckSeedCtes"
 
   def oracle: Map[String, String] = Map(
     "q173_wordpiece_vocab" ->
@@ -218,16 +226,21 @@ object WordPiece {
 
   /** [[duckHead]] + step table + recursive walk + per-type seg counts —
     * the shared chain under both apply-side twins. */
-  private def duckSegCtes: String =
-    s"""$duckHead,
-       |step AS MATERIALIZED (
+  private def duckSegCtes: String = s"$duckHead,\n${duckApplyCtes()}"
+
+  /** Step table + recursive greedy walk + seg counts, names
+    * parameterized so q181 can splice them next to the other families'
+    * fragments without CTE-name clashes. */
+  private[operators] def duckApplyCtes(step: String = "step",
+      walk: String = "walk", seg: String = "seg"): String =
+    s"""$step AS MATERIALIZED (
        |  SELECT w, pos, MAX(l) AS step
        |  FROM cand JOIN vocab ON substr(cand.w, CAST(cand.pos + 1 AS INT), CAST(cand.l AS INT)) = vocab.s
        |  GROUP BY w, pos),
-       |walk AS (
+       |$walk AS (
        |  SELECT w, CAST(0 AS BIGINT) AS pos, CAST(0 AS BIGINT) AS n FROM v
        |  UNION ALL
-       |  SELECT walk.w, walk.pos + step.step, walk.n + 1
-       |  FROM walk JOIN step ON walk.w = step.w AND walk.pos = step.pos),
-       |seg AS (SELECT w, CAST(MAX(n) AS BIGINT) AS n_wp FROM walk GROUP BY w)""".stripMargin
+       |  SELECT $walk.w, $walk.pos + $step.step, $walk.n + 1
+       |  FROM $walk JOIN $step ON $step.w = $walk.w AND $step.pos = $walk.pos),
+       |$seg AS (SELECT w, CAST(MAX(n) AS BIGINT) AS n_wp FROM $walk GROUP BY w)""".stripMargin
 }
