@@ -97,6 +97,33 @@ object Curation {
       .orderBy("source")
   }
 
+  /** q182 — the deterministic MIXTURE SCHEDULE: the weighted round-robin
+    * interleave a data loader materializes from the q160 temperature
+    * allocations, so every rank of every worker draws the identical
+    * stream without coordination. Occurrence j of source s (quota q of
+    * budget Q) lands at virtual time ((2j−1)·Q) div (2q) — the Bresenham
+    * midpoint rule: integer-exact, evenly paced (occurrences of a
+    * source are ~Q/q apart, never bunched), ties broken by (source, j).
+    * Positions are then the rank over (time, source, j).
+    *
+    * Scale shape: the schedule is BUDGET-sized (the mix table's
+    * granularity — 10k rows here), never corpus-sized; the one global
+    * window orders that budget-sized frame, which is exactly what a
+    * loader materializes per epoch. */
+  def mixSchedule(docs: DataFrame, budget: Long = 10000L): DataFrame = {
+    val alloc = temperatureMixture(docs, budget)
+      .select(col("source"), col("alloc_tokens").as("q"))
+      .where("q > 0")
+    alloc
+      .selectExpr("source", "q", "explode(sequence(1L, q)) AS j")
+      .selectExpr("source", "j", s"((2 * j - 1) * ${budget}L) div (2 * q) AS t")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(lit(0)).orderBy(col("t"), col("source"), col("j")))
+        .cast("long"))
+      .select("pos", "source", "j", "t")
+      .orderBy("pos")
+  }
+
   /** q179 — EXCESS-LOSS domain reweighting (the DoReMi idea, Xie et al.
     * 2023, in its one-shot measurable form): a domain whose own token
     * distribution the CORPUS-wide model underfits has learnable
@@ -774,6 +801,10 @@ object Curation {
     "q179_domain_reweight" -> ((s, dir) =>
       domainReweight(Tables.documents(s, dir))),
 
+    // The loader-facing WRR interleave of the q160 mixture.
+    "q182_mix_schedule" -> ((s, dir) =>
+      mixSchedule(Tables.documents(s, dir))),
+
     // Planted leakage: copies of eval docs re-inserted as training rows
     // (+3e6 ids — (id+3000000) % 97 ≠ 3 for id ≡ 3, so every copy lands
     // in the train split) make the contamination detection itself
@@ -1026,6 +1057,41 @@ object Curation {
 
     // pow through the e9-integer convention (q145): p_e9 per source is
     // rounded BEFORE normalization, so weights/quotas are integer-exact
+    // q160's allocation chain + the midpoint-rule interleave
+    "q182_mix_schedule" ->
+      """WITH per_source AS (
+        |  SELECT source,
+        |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |p AS (
+        |  SELECT source, n_tokens,
+        |    CAST(round(1e9 * pow(CAST(n_tokens AS DOUBLE), 0.3)) AS BIGINT) AS p_e9
+        |  FROM per_source),
+        |q AS (
+        |  SELECT *, CAST(SUM(p_e9) OVER () AS BIGINT) AS tot FROM p),
+        |a AS (
+        |  SELECT source, p_e9,
+        |    (10000 * p_e9) // tot AS quota,
+        |    (10000 * p_e9) % tot AS rem
+        |  FROM q),
+        |r AS (
+        |  SELECT *,
+        |    CAST(10000 - SUM(quota) OVER () AS BIGINT) AS leftover,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM a),
+        |al AS (
+        |  SELECT source, CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS qt
+        |  FROM r),
+        |occ AS (
+        |  SELECT source, qt, unnest(range(1, qt + 1)) AS j FROM al WHERE qt > 0),
+        |tm AS (
+        |  SELECT source, CAST(j AS BIGINT) AS j,
+        |    ((2 * j - 1) * 10000) // (2 * qt) AS t
+        |  FROM occ)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY t, source, j) AS BIGINT) AS pos,
+        |  source, j, CAST(t AS BIGINT) AS t
+        |FROM tm ORDER BY pos""".stripMargin,
+
     "q179_domain_reweight" ->
       """WITH st AS (
         |  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c_st FROM (

@@ -9,7 +9,8 @@ object ExplainNew {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8)
     val dir = "/root/testdata/sf0.01"
-    for (q <- Seq("q174_wordpiece_tokenize", "q176_gopher_ngrams", "q175_soft_dedup")) {
+    for (q <- Seq("q174_wordpiece_tokenize", "q176_gopher_ngrams", "q175_soft_dedup",
+      "q179_domain_reweight", "q180_unigram_viterbi", "q181_tokenizer_report")) {
       println(s"===== $q")
       val df = SparkEntry.queries(q)(spark, dir)
       df.collect()
