@@ -249,4 +249,27 @@ class CurationOpsSpec extends AnyFunSuite {
     val expected = (1000000L * (2 * conc + ties)) / (2 * np * nn)
     assert(auc == expected, s"bucketed AUC $auc != pairwise $expected")
   }
+
+  test("domain reweighting: a planted high-KL source outranks its uniform share; budget conserves") {
+    import spark.implicits._
+    // 4 sources drawn from the same vocabulary + one source speaking a
+    // DIFFERENT language entirely (maximal KL vs the corpus mix)
+    val common = (1 to 50).map(i => s"tok${i % 7}").mkString(" ")
+    val alien = (1 to 50).map(i => s"zz${i % 7}").mkString(" ")
+    val docs = (0 until 40).map { i =>
+      val src = s"s${i % 5}"
+      (i.toLong, if (i % 5 == 4) alien else common, src)
+    }.toDF("doc_id", "text", "source")
+    val out = Curation.domainReweight(docs).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(4))).toSeq
+    val total = out.map(_._3).sum
+    assert(total == 10000L, s"budget must conserve exactly, got $total")
+    val byKl = out.sortBy(-_._2)
+    assert(byKl.head._1 == "s4", s"the alien source must carry the max KL: $byKl")
+    assert(byKl.head._3 > 2000L,
+      s"the alien source must beat its uniform share (2000): ${byKl.head}")
+    // the four identical sources tie exactly (same distribution)
+    assert(out.filter(_._1 != "s4").map(_._2).distinct.size == 1,
+      "identical sources must carry identical KL")
+  }
 }
