@@ -115,7 +115,24 @@ object CurationPipeline {
     * anti-join (the semantic drop — benchmark-sized here, an ordinary
     * shuffled anti-join at 100 TB) to q129's audited profile; the BPE
     * model is the shared memoized training run. */
-  def curateV2(s: SparkSession, dir: String): DataFrame = {
+  def curateV2(s: SparkSession, dir: String): DataFrame =
+    curateV2plus(s, dir, gopherGates = false)
+
+  /** q183 — v2 EXTENDED with the Gopher repetition gates (q168
+    * dup-line/paragraph + q176 n-gram char fractions) evaluated over
+    * the REWRITTEN text, between quality and the cap. The interaction
+    * this pins: passage dedup changes every repetition statistic — a
+    * doc whose duplicated passages were cut can FLIP its Gopher verdict
+    * relative to gating the raw text — so the gates must run where the
+    * pipeline runs them, not where the standalone queries do. The
+    * gates keep their planted specimens (each stage stays the exact
+    * rule its standalone gate proves; the oracle replays the identical
+    * chains over the survivor set via nested WITH — no fragment fork). */
+  def curateV3(s: SparkSession, dir: String): DataFrame =
+    curateV2plus(s, dir, gopherGates = true)
+
+  private def curateV2plus(s: SparkSession, dir: String,
+                           gopherGates: Boolean): DataFrame = {
     val docs = Tables.documents(s, dir)
     val d1 = Relational.keepFirst(
       docs.select(col("doc_id"), col("text"), col("source"))
@@ -135,10 +152,17 @@ object CurationPipeline {
       .where("NOT keep").selectExpr("vec_id AS doc_id")
     val d3 = rw.join(semDrop, Seq("doc_id"), "left_anti")
     val quality = qualityGate(d3).cache()
-    val clean = quality.join(
+    val clean0 = quality.join(
       Curation.decontaminate(quality.select("doc_id", "text"))
         .where("NOT contaminated").select("doc_id"),
       Seq("doc_id"), "left_semi")
+    val clean =
+      if (!gopherGates) clean0
+      else clean0
+        .join(TextAnalysis.dupLines(quality.select("doc_id", "text"))
+          .where("passes").select("doc_id"), Seq("doc_id"), "left_semi")
+        .join(TextAnalysis.gopherNgrams(quality.select("doc_id", "text"))
+          .where("passes").select("doc_id"), Seq("doc_id"), "left_semi")
     val surv = clean.join(Curation.sourceCap(clean).select("doc_id"),
       Seq("doc_id"), "left_semi")
     Packing.packSequencesBy(
@@ -156,7 +180,8 @@ object CurationPipeline {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_curation_pipeline" -> ((s, dir) =>
       curate(Tables.documents(s, dir))),
-    "q165_curation_v2" -> ((s, dir) => curateV2(s, dir)))
+    "q165_curation_v2" -> ((s, dir) => curateV2(s, dir)),
+    "q183_curation_v3" -> ((s, dir) => curateV3(s, dir)))
 
   def oracle: Map[String, String] = Map(
     // the q20/q37/q62/q63/q56 oracle fragments chained over the same
@@ -222,7 +247,26 @@ object CurationPipeline {
     // and quality stages, the q157 trained-token packing as the tail —
     // every fragment verbatim from its standalone gate, over the
     // rewritten/pruned doc set instead of `documents`.
-    "q165_curation_v2" -> {
+    "q165_curation_v2" -> v2SqlWith("", ""),
+
+    // q183: the IDENTICAL v2 chain with the two Gopher gates spliced in
+    // as nested-WITH CTEs over the rewritten-quality survivor set `q` —
+    // the standalone q168/q176 generators are reused verbatim (src = q),
+    // so a hash mismatch localizes to the composition seam
+    "q183_curation_v3" -> v2SqlWith(
+      s"""gl AS (WITH ${TextAnalysis.dupLinesSql(src = "q")}),
+         |gn AS (WITH ${TextAnalysis.gopherNgramsSql(src = "q")}),
+         |gok AS (
+         |  SELECT gl.doc_id FROM gl JOIN gn ON gl.doc_id = gn.doc_id
+         |  WHERE gl.passes AND gn.passes),
+         |""".stripMargin,
+      """
+        |    AND doc_id IN (SELECT doc_id FROM gok)""".stripMargin))
+
+  /** The q165 oracle chain with two seams: extra CTEs after the quality
+    * stage (`q`), and an extra predicate on `clean` — "" + "" is exactly
+    * the v2 twin, the gate pair is v3. */
+  private def v2SqlWith(gateCtes: String, cleanGate: String): String = {
       val duckCos =
         """list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) /
           |  (sqrt(list_sum(list_transform(a.v, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x))))""".stripMargin
@@ -270,7 +314,7 @@ object CurationPipeline {
            |  WHERE len(toks) >= 5 AND len(toks) <= 100000
            |    AND round(100.0 * list_sum(list_transform(toks, tk -> length(tk))) / len(toks)) BETWEEN 200 AND 1200
            |    AND round(10000.0 * n_symbols / len) < 3000),
-           |sh6 AS (
+           |$gateCtes sh6 AS (
            |  SELECT doc_id,
            |    list_transform(range(1, greatest(1, len(toks) - 4)),
            |      i -> array_to_string(toks[i:i+5], ' ')) AS sh
@@ -283,7 +327,7 @@ object CurationPipeline {
            |  JOIN eval_sh e ON t2.shingle = e.shingle),
            |clean AS (
            |  SELECT * FROM q WHERE doc_id % 97 != 3
-           |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+           |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)$cleanGate),
            |kept AS (
            |  SELECT doc_id, toks FROM (
            |    SELECT doc_id, toks,
@@ -311,5 +355,5 @@ object CurationPipeline {
            |  CAST(SUM(seg_tokens) AS BIGINT) AS n_tokens,
            |  CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs
            |FROM csegs GROUP BY shard ORDER BY shard""".stripMargin)
-    })
+  }
 }

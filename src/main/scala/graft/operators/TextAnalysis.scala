@@ -515,45 +515,98 @@ object TextAnalysis {
       .limit(topN)
 
   /** q176's twin, generated per n — unnest + GROUP BY per gram width
-    * (the declarative route; the Spark side folds in-row). */
-  private def gopherNgramsSql: String = {
+    * (the declarative route; the Spark side folds in-row). Parameterized
+    * by source CTE and name prefix so the composed pipeline (q183) can
+    * splice the IDENTICAL chain over its rewritten survivor set. */
+  private[operators] def gopherNgramsSql(src: String = "documents",
+      p: String = ""): String = {
     def gramCtes(n: Int): String =
-      s"""g$n AS (
+      s"""${p}g$n AS (
          |  SELECT doc_id, unnest(CASE WHEN len(toks) >= $n
          |    THEN list_transform(range(1, len(toks) - ${n - 2}), i -> array_to_string(toks[i : i + ${n - 1}], ' '))
-         |    ELSE []::VARCHAR[] END) AS gram FROM tk),
-         |c$n AS (
+         |    ELSE []::VARCHAR[] END) AS gram FROM ${p}tk),
+         |${p}c$n AS (
          |  SELECT doc_id, gram, CAST(COUNT(*) AS BIGINT) AS c, CAST(length(gram) AS BIGINT) AS ln
-         |  FROM g$n GROUP BY 1, 2)""".stripMargin
+         |  FROM ${p}g$n GROUP BY 1, 2)""".stripMargin
     val tops = (2 to 4).map(n =>
-      s"t$n AS (SELECT doc_id, MAX(c * 1000000 + ln) AS packed FROM c$n GROUP BY 1)")
+      s"${p}t$n AS (SELECT doc_id, MAX(c * 1000000 + ln) AS packed FROM ${p}c$n GROUP BY 1)")
     val dups = (5 to 10).map(n =>
-      s"d$n AS (SELECT doc_id, CAST(SUM(CASE WHEN c >= 2 THEN c * ln ELSE 0 END) AS BIGINT) AS dupc FROM c$n GROUP BY 1)")
+      s"${p}d$n AS (SELECT doc_id, CAST(SUM(CASE WHEN c >= 2 THEN c * ln ELSE 0 END) AS BIGINT) AS dupc FROM ${p}c$n GROUP BY 1)")
     val topCols = (2 to 4).map(n =>
-      s"CAST(LEAST(10000, (10000 * (COALESCE(t$n.packed, 0) // 1000000) * (COALESCE(t$n.packed, 0) % 1000000)) // GREATEST(b.n_chars, 1)) AS BIGINT) AS top${n}_e4")
+      s"CAST(LEAST(10000, (10000 * (COALESCE(${p}t$n.packed, 0) // 1000000) * (COALESCE(${p}t$n.packed, 0) % 1000000)) // GREATEST(b.n_chars, 1)) AS BIGINT) AS top${n}_e4")
     val dupCols = (5 to 10).map(n =>
-      s"CAST(LEAST(10000, (10000 * COALESCE(d$n.dupc, 0)) // GREATEST(b.n_chars, 1)) AS BIGINT) AS dup${n}_e4")
-    val joins = (2 to 4).map(n => s"LEFT JOIN t$n ON b.doc_id = t$n.doc_id") ++
-      (5 to 10).map(n => s"LEFT JOIN d$n ON b.doc_id = d$n.doc_id")
+      s"CAST(LEAST(10000, (10000 * COALESCE(${p}d$n.dupc, 0)) // GREATEST(b.n_chars, 1)) AS BIGINT) AS dup${n}_e4")
+    val joins = (2 to 4).map(n => s"LEFT JOIN ${p}t$n ON b.doc_id = ${p}t$n.doc_id") ++
+      (5 to 10).map(n => s"LEFT JOIN ${p}d$n ON b.doc_id = ${p}d$n.doc_id")
     val gates = Seq("top2_e4 < 2000", "top3_e4 < 1800", "top4_e4 < 1600",
       "dup5_e4 < 1500", "dup6_e4 < 1400", "dup7_e4 < 1300",
       "dup8_e4 < 1200", "dup9_e4 < 1100", "dup10_e4 < 1000")
-    s"""WITH t AS (
-       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks0 FROM documents),
-       |tk AS (
+    s"""${p}t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks0 FROM $src),
+       |${p}tk AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % 7 = 3 THEN list_concat(toks0, toks0[1:12]) ELSE toks0 END AS toks
-       |  FROM t),
-       |base AS (
-       |  SELECT doc_id, CAST(length(array_to_string(toks, ' ')) AS BIGINT) AS n_chars FROM tk),
+       |  FROM ${p}t),
+       |${p}base AS (
+       |  SELECT doc_id, CAST(length(array_to_string(toks, ' ')) AS BIGINT) AS n_chars FROM ${p}tk),
        |${((2 to 10).map(gramCtes) ++ tops ++ dups).mkString(",\n")}
        |SELECT b.doc_id, b.n_chars,
        |  ${(topCols ++ dupCols).mkString(",\n  ")},
        |  (${gates.mkString(" AND ")}) AS passes
-       |FROM base b
+       |FROM ${p}base b
        |${joins.mkString("\n")}
        |ORDER BY b.doc_id""".stripMargin
   }
+
+  /** q168's twin, parameterized by source CTE and name prefix (the
+    * gopherNgramsSql convention) so q183 splices the IDENTICAL chain
+    * over its rewritten survivor set. */
+  private[operators] def dupLinesSql(src: String = "documents",
+      p: String = ""): String =
+    s"""${p}t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM $src),
+       |${p}l0 AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, (len(toks) + 11) // 12),
+       |      i -> array_to_string(toks[i*12+1 : i*12+12], ' ')) AS lines0
+       |  FROM ${p}t),
+       |${p}lp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 6 = 1 THEN list_concat(lines0, lines0[1:3])
+       |         WHEN doc_id % 4 = 2 THEN list_concat(lines0, lines0[1:1])
+       |         ELSE lines0 END AS lines
+       |  FROM ${p}l0),
+       |${p}pa AS (
+       |  SELECT doc_id, lines,
+       |    list_transform(range(0, (len(lines) + 2) // 3),
+       |      i -> array_to_string(lines[i*3+1 : i*3+3], '|')) AS paras
+       |  FROM ${p}lp),
+       |${p}lc AS (
+       |  SELECT doc_id, u, COUNT(*) AS c, length(u) AS ln
+       |  FROM (SELECT doc_id, unnest(lines) AS u FROM ${p}pa) GROUP BY 1, 2),
+       |${p}ld AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+       |    CAST(SUM(c * ln) AS BIGINT) AS n_lchars,
+       |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dupn,
+       |    CAST(SUM(CASE WHEN c >= 2 THEN c * ln ELSE 0 END) AS BIGINT) AS dupc
+       |  FROM ${p}lc GROUP BY 1),
+       |${p}pc AS (
+       |  SELECT doc_id, u, COUNT(*) AS c, length(u) AS ln
+       |  FROM (SELECT doc_id, unnest(paras) AS u FROM ${p}pa) GROUP BY 1, 2),
+       |${p}pd AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_paras,
+       |    CAST(SUM(c * ln) AS BIGINT) AS n_pchars,
+       |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dupn,
+       |    CAST(SUM(CASE WHEN c >= 2 THEN c * ln ELSE 0 END) AS BIGINT) AS dupc
+       |  FROM ${p}pc GROUP BY 1)
+       |SELECT ${p}ld.doc_id, n_lines, n_paras,
+       |  (10000 * ${p}ld.dupn) // n_lines AS dup_line_e4,
+       |  (10000 * ${p}ld.dupc) // greatest(n_lchars, 1) AS dup_lchar_e4,
+       |  (10000 * ${p}pd.dupn) // n_paras AS dup_para_e4,
+       |  (10000 * ${p}pd.dupc) // greatest(n_pchars, 1) AS dup_pchar_e4,
+       |  (((10000 * ${p}ld.dupn) // n_lines) < 3000
+       |   AND ((10000 * ${p}pd.dupn) // n_paras) < 3000) AS passes
+       |FROM ${p}ld JOIN ${p}pd ON ${p}ld.doc_id = ${p}pd.doc_id ORDER BY ${p}ld.doc_id""".stripMargin
 
   def oracle: Map[String, String] = {
     val langs = LangProfiles.map(_._1)
@@ -637,55 +690,11 @@ object TextAnalysis {
           |   AND round(10000.0 * n_symbols / len) < 3000) AS passes
           |FROM g JOIN rep ON g.doc_id = rep.doc_id ORDER BY g.doc_id""".stripMargin,
 
-      "q176_gopher_ngrams" -> gopherNgramsSql,
+      "q176_gopher_ngrams" -> s"WITH ${gopherNgramsSql()}",
 
       // the dup-mass numerators come from unnest + GROUP BY (doc, value)
       // — the declarative twin of the Spark side's in-array run fold
-      "q168_dup_lines" ->
-        """WITH t AS (
-          |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents),
-          |l0 AS (
-          |  SELECT doc_id,
-          |    list_transform(range(0, (len(toks) + 11) // 12),
-          |      i -> array_to_string(toks[i*12+1 : i*12+12], ' ')) AS lines0
-          |  FROM t),
-          |lp AS (
-          |  SELECT doc_id,
-          |    CASE WHEN doc_id % 6 = 1 THEN list_concat(lines0, lines0[1:3])
-          |         WHEN doc_id % 4 = 2 THEN list_concat(lines0, lines0[1:1])
-          |         ELSE lines0 END AS lines
-          |  FROM l0),
-          |pa AS (
-          |  SELECT doc_id, lines,
-          |    list_transform(range(0, (len(lines) + 2) // 3),
-          |      i -> array_to_string(lines[i*3+1 : i*3+3], '|')) AS paras
-          |  FROM lp),
-          |lc AS (
-          |  SELECT doc_id, u, COUNT(*) AS c, length(u) AS ln
-          |  FROM (SELECT doc_id, unnest(lines) AS u FROM pa) GROUP BY 1, 2),
-          |ld AS (
-          |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
-          |    CAST(SUM(c * ln) AS BIGINT) AS n_lchars,
-          |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dupn,
-          |    CAST(SUM(CASE WHEN c >= 2 THEN c * ln ELSE 0 END) AS BIGINT) AS dupc
-          |  FROM lc GROUP BY 1),
-          |pc AS (
-          |  SELECT doc_id, u, COUNT(*) AS c, length(u) AS ln
-          |  FROM (SELECT doc_id, unnest(paras) AS u FROM pa) GROUP BY 1, 2),
-          |pd AS (
-          |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_paras,
-          |    CAST(SUM(c * ln) AS BIGINT) AS n_pchars,
-          |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dupn,
-          |    CAST(SUM(CASE WHEN c >= 2 THEN c * ln ELSE 0 END) AS BIGINT) AS dupc
-          |  FROM pc GROUP BY 1)
-          |SELECT ld.doc_id, n_lines, n_paras,
-          |  (10000 * ld.dupn) // n_lines AS dup_line_e4,
-          |  (10000 * ld.dupc) // greatest(n_lchars, 1) AS dup_lchar_e4,
-          |  (10000 * pd.dupn) // n_paras AS dup_para_e4,
-          |  (10000 * pd.dupc) // greatest(n_pchars, 1) AS dup_pchar_e4,
-          |  (((10000 * ld.dupn) // n_lines) < 3000
-          |   AND ((10000 * pd.dupn) // n_paras) < 3000) AS passes
-          |FROM ld JOIN pd ON ld.doc_id = pd.doc_id ORDER BY ld.doc_id""".stripMargin,
+      "q168_dup_lines" -> s"WITH ${dupLinesSql()}",
 
       "q103_dup_ngrams" ->
         """WITH t AS (
