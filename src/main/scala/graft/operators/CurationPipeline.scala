@@ -151,7 +151,16 @@ object CurationPipeline {
     val semDrop = Similarity.semanticKeepFor(s, dir)
       .where("NOT keep").selectExpr("vec_id AS doc_id")
     val d3 = rw.join(semDrop, Seq("doc_id"), "left_anti")
-    val quality = qualityGate(d3).cache()
+    // v3's two extra gate branches raise this frame's consumer count to
+    // five; an EAGER materialized leaf beats the lazy cache there (the
+    // branches otherwise race the cache fill and re-derive parts of the
+    // dedup/rewrite chain — measured 6.3 s cached vs 4.8 s checkpointed
+    // warm at sf0.1). v2 keeps the cache (3 consumers, measured even).
+    val quality0 = qualityGate(d3)
+    val quality =
+      if (gopherGates)
+        org.apache.spark.sql.graft.PlanBridge.localCheckpointFreshStats(quality0)
+      else quality0.cache()
     val clean0 = quality.join(
       Curation.decontaminate(quality.select("doc_id", "text"))
         .where("NOT contaminated").select("doc_id"),

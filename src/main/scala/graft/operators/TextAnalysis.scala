@@ -64,22 +64,6 @@ object TextAnalysis {
     " CASE WHEN doc_id % 3 = 0 THEN concat(' contact user', doc_id, '@example.com now') ELSE '' END," +
     " CASE WHEN doc_id % 5 = 0 THEN concat(' call +1-555-', lpad(cast(doc_id % 10000 as string), 4, '0'), ' today') ELSE '' END)"
 
-  /** Duplicate-mass run fold over a sorted string array: for every
-    * distinct value occurring c ≥ 2 times, accumulate c occurrences
-    * (`dupn`) and c·length chars (`dupc`) — the Gopher dup_line /
-    * dup_para numerators — in one O(L log L) in-array pass (q37's
-    * longest-run trick generalized to ALL runs). No shuffle: the whole
-    * metric is computed inside the row. */
-  private def dupRunFoldE(arr: String): String =
-    s"aggregate(array_sort($arr), " +
-    "named_struct('prev', '', 'run', 0L, 'dupn', 0L, 'dupc', 0L), " +
-    "(a, x) -> named_struct('prev', x, " +
-    "'run', IF(x = a.prev, a.run + 1L, 1L), " +
-    "'dupn', a.dupn + IF(x != a.prev AND a.run >= 2L, a.run, 0L), " +
-    "'dupc', a.dupc + IF(x != a.prev AND a.run >= 2L, a.run * length(a.prev), 0L)), " +
-    "a -> named_struct('dupn', a.dupn + IF(a.run >= 2L, a.run, 0L), " +
-    "'dupc', a.dupc + IF(a.run >= 2L, a.run * length(a.prev), 0L)))"
-
   /** q168 — Gopher duplicate-LINE / duplicate-PARAGRAPH fractions (Rae
     * et al. 2021 §A1.1: dup_line_frac, dup_para_frac and their char-mass
     * twins), the whole-line repetition signals the n-gram gates
@@ -88,9 +72,11 @@ object TextAnalysis {
     * and duplicates are PLANTED (every 6k+1 doc re-appends its first
     * paragraph, every 4k+2 its first line — the q54 planted-specimen
     * convention; real multi-line corpora just swap the render step for
-    * `split(text, chr(10))`). Fully narrow: the dup mass comes from
-    * [[dupRunFoldE]] inside the row, so the operator is shuffle-free and
-    * embarrassingly parallel at any corpus size. */
+    * `split(text, chr(10))`). Fully narrow: the dup mass comes from the
+    * native [[graft.plans.DupRunStats]] kernel inside the row (one count
+    * map — the interpreted sort-fold it replaces was the q21/q69
+    * CodegenFallback cost, fourth sighting), so the operator is
+    * shuffle-free and embarrassingly parallel at any corpus size. */
   def dupLines(docs: DataFrame): DataFrame = {
     docs
       .selectExpr("doc_id", s"$toksE AS toks")
@@ -101,38 +87,24 @@ object TextAnalysis {
         "WHEN doc_id % 4 = 2 THEN concat(lines0, slice(lines0, 1, 1)) ELSE lines0 END AS lines")
       .selectExpr("doc_id", "lines",
         "transform(sequence(0, cast((size(lines) + 2) div 3 as int) - 1), i -> array_join(slice(lines, i * 3 + 1, 3), '|')) AS paras")
+      .withColumn("dl", org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.plans.DupRunStats(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("lines")))))
+      .withColumn("dp", org.apache.spark.sql.graft.ColumnBridge.column(
+        graft.plans.DupRunStats(
+          org.apache.spark.sql.graft.ColumnBridge.expression(col("paras")))))
       .selectExpr("doc_id",
-        "cast(size(lines) as bigint) AS n_lines",
-        "cast(size(paras) as bigint) AS n_paras",
-        "aggregate(lines, 0L, (a, x) -> a + length(x)) AS n_lchars",
-        "aggregate(paras, 0L, (a, x) -> a + length(x)) AS n_pchars",
-        s"${dupRunFoldE("lines")} AS dl",
-        s"${dupRunFoldE("paras")} AS dp")
-      .selectExpr("doc_id", "n_lines", "n_paras",
-        "(10000 * dl.dupn) div n_lines AS dup_line_e4",
-        "(10000 * dl.dupc) div greatest(n_lchars, 1) AS dup_lchar_e4",
-        "(10000 * dp.dupn) div n_paras AS dup_para_e4",
-        "(10000 * dp.dupc) div greatest(n_pchars, 1) AS dup_pchar_e4")
+        "dl[0] AS n_lines", "dp[0] AS n_paras",
+        "(10000 * dl[2]) div dl[0] AS dup_line_e4",
+        "(10000 * dl[3]) div greatest(dl[1], 1) AS dup_lchar_e4",
+        "(10000 * dp[2]) div dp[0] AS dup_para_e4",
+        "(10000 * dp[3]) div greatest(dp[1], 1) AS dup_pchar_e4")
       .selectExpr("doc_id", "n_lines", "n_paras", "dup_line_e4",
         "dup_lchar_e4", "dup_para_e4", "dup_pchar_e4",
         // Gopher's 30 % thresholds, integer-exact
         "(dup_line_e4 < 3000 AND dup_para_e4 < 3000) AS passes")
       .orderBy("doc_id")
   }
-
-  /** Best-run packed fold over a sorted string array: the lexicographic
-    * max of (occurrences, value length) over distinct values, packed as
-    * run·10^6 + length (lengths are < 10^6 by the corpus contract) — the
-    * "most common n-gram" selector. Tie on count prefers the longer
-    * value, which maximizes the char mass the caller reports, so the
-    * reported fraction is tie-invariant. In-row like [[dupRunFoldE]]. */
-  private def topPackFoldE(arr: String): String =
-    s"aggregate(array_sort($arr), " +
-    "named_struct('prev', '', 'run', 0L, 'best', 0L), " +
-    "(a, x) -> named_struct('prev', x, " +
-    "'run', IF(x = a.prev, a.run + 1L, 1L), " +
-    "'best', IF(x != a.prev AND a.run >= 1L, greatest(a.best, a.run * 1000000L + length(a.prev)), a.best)), " +
-    "a -> greatest(a.best, IF(a.run >= 1L, a.run * 1000000L + length(a.prev), 0L)))"
 
   /** q176 — the Gopher n-GRAM repetition gates (Rae et al. 2021 Table
     * A1), completing the family next to q168's line/paragraph gates:
@@ -148,22 +120,25 @@ object TextAnalysis {
     * are PLANTED (every 7k+3 doc re-appends its first 12 tokens — the
     * q168 convention) so every column splits the corpus non-trivially.
     *
-    * Scale shape: entirely IN-ROW — nine gram arrays, nine sorted
-    * folds, zero shuffles (embarrassingly parallel at any corpus size);
-    * the DuckDB twin takes the declarative unnest + GROUP BY route and
-    * must land on identical integers. */
+    * Scale shape: entirely IN-ROW — one native kernel pass per doc
+    * ([[graft.plans.GopherNgramStats]]: every width's count map built in
+    * one token walk), zero shuffles (embarrassingly parallel at any
+    * corpus size); the DuckDB twin takes the declarative unnest +
+    * GROUP BY route and must land on identical integers. The first cut
+    * spelled the nine statistics as `aggregate(array_sort(...))` HOF
+    * folds — value-identical, but those lambdas are CodegenFallback and
+    * their interpreted per-element eval cost ~2 ms/doc (the q21/q69
+    * lesson, third sighting: 10.2 s for the sf0.1 corpus vs ~0.3 s
+    * native; inside the composed q183 the gate branch inherited the
+    * whole cost). */
   def gopherNgrams(docs: DataFrame): DataFrame = {
-    def gramsE(n: Int): String =
-      s"CASE WHEN size(toks) >= $n THEN transform(sequence(1, size(toks) - ${n - 1}), " +
-      s"i -> array_join(slice(toks, i, $n), ' ')) ELSE array() END"
-    val tops = (2 to 4).map { n =>
-      s"${topPackFoldE(gramsE(n))} AS top$n" }
-    val dups = (5 to 10).map { n =>
-      s"${dupRunFoldE(gramsE(n))}.dupc AS dupc$n" }
+    import org.apache.spark.sql.graft.ColumnBridge
+    val stats = ColumnBridge.column(graft.plans.GopherNgramStats(
+      ColumnBridge.expression(col("toks"))))
     val topCols = (2 to 4).map { n =>
-      s"least(10000L, (10000L * (top$n div 1000000L) * (top$n % 1000000L)) div greatest(n_chars, 1L)) AS top${n}_e4" }
+      s"least(10000L, (10000L * st[${n - 1}]) div greatest(n_chars, 1L)) AS top${n}_e4" }
     val dupCols = (5 to 10).map { n =>
-      s"least(10000L, (10000L * dupc$n) div greatest(n_chars, 1L)) AS dup${n}_e4" }
+      s"least(10000L, (10000L * st[${n - 1}]) div greatest(n_chars, 1L)) AS dup${n}_e4" }
     val thresholds = Seq("top2_e4 < 2000", "top3_e4 < 1800", "top4_e4 < 1600",
       "dup5_e4 < 1500", "dup6_e4 < 1400", "dup7_e4 < 1300",
       "dup8_e4 < 1200", "dup9_e4 < 1100", "dup10_e4 < 1000")
@@ -171,8 +146,8 @@ object TextAnalysis {
       .selectExpr("doc_id", s"$toksE AS toks0")
       .selectExpr("doc_id",
         "CASE WHEN doc_id % 7 = 3 THEN concat(toks0, slice(toks0, 1, 12)) ELSE toks0 END AS toks")
-      .selectExpr(Seq("doc_id",
-        "cast(length(array_join(toks, ' ')) AS bigint) AS n_chars") ++ tops ++ dups: _*)
+      .withColumn("st", stats)
+      .selectExpr(Seq("doc_id", "st", "st[0] AS n_chars"): _*)
       .selectExpr(Seq("doc_id", "n_chars") ++ topCols ++ dupCols: _*)
       .selectExpr(Seq("doc_id", "n_chars") ++ (2 to 4).map(n => s"top${n}_e4") ++
         (5 to 10).map(n => s"dup${n}_e4") :+
