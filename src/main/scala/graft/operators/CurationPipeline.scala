@@ -131,36 +131,46 @@ object CurationPipeline {
   def curateV3(s: SparkSession, dir: String): DataFrame =
     curateV2plus(s, dir, gopherGates = true)
 
+  /** Per-(session, sfDir) memo of the shared v2/v3 quality-survivor
+    * frame (dedup → passage rewrite → semantic drop → quality gate):
+    * q165 and q183 build the IDENTICAL frame, and v3's five consumer
+    * branches otherwise race a lazy cache fill and re-derive parts of
+    * the dedup/rewrite chain (measured 6.3 s cached vs 4.8 s on an
+    * eager leaf warm at sf0.1) — so it is materialized eagerly ONCE and
+    * served to both queries (the Bpe.trainMemo precedent; Memos-cold
+    * re-pays it). */
+  private val qualityMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  Memos.register(() => qualityMemo.synchronized(qualityMemo.clear()))
+  private def qualityFor(s: SparkSession, dir: String): DataFrame =
+    qualityMemo.synchronized {
+      qualityMemo.getOrElseUpdate((s, dir), {
+        val docs = Tables.documents(s, dir)
+        val d1 = Relational.keepFirst(
+          docs.select(col("doc_id"), col("text"), col("source"))
+            .withColumn("fp", md5(col("text"))),
+          Seq("fp"), Seq(col("doc_id"))).drop("fp")
+        // the memoized q139 pass over the RAW corpus is row-identical to
+        // running it on d1: an exact-dup doc's passages are verbatim
+        // copies of its smaller-id keeper's at the same pidx, so it never
+        // wins a packed key and keeps no row — the inner join on d1
+        // restricts to the deduped set (the oracle replays the pass over
+        // d1 and would hash-mismatch if this equivalence broke)
+        val rw = Dedup.passageDedupMemo(s, dir)
+          .join(d1.select("doc_id", "source"), "doc_id")
+          .selectExpr("doc_id", "text_kept AS text", "source",
+            "cast(length(text_kept) as bigint) AS n_chars")
+        val semDrop = Similarity.semanticKeepFor(s, dir)
+          .where("NOT keep").selectExpr("vec_id AS doc_id")
+        val d3 = rw.join(semDrop, Seq("doc_id"), "left_anti")
+        org.apache.spark.sql.graft.PlanBridge.localCheckpointFreshStats(
+          qualityGate(d3))
+      })
+    }
+
   private def curateV2plus(s: SparkSession, dir: String,
                            gopherGates: Boolean): DataFrame = {
-    val docs = Tables.documents(s, dir)
-    val d1 = Relational.keepFirst(
-      docs.select(col("doc_id"), col("text"), col("source"))
-        .withColumn("fp", md5(col("text"))),
-      Seq("fp"), Seq(col("doc_id"))).drop("fp")
-    // the memoized q139 pass over the RAW corpus is row-identical to
-    // running it on d1: an exact-dup doc's passages are verbatim
-    // copies of its smaller-id keeper's at the same pidx, so it never
-    // wins a packed key and keeps no row — the inner join on d1
-    // restricts to the deduped set (the oracle replays the pass over
-    // d1 and would hash-mismatch if this equivalence broke)
-    val rw = Dedup.passageDedupMemo(s, dir)
-      .join(d1.select("doc_id", "source"), "doc_id")
-      .selectExpr("doc_id", "text_kept AS text", "source",
-        "cast(length(text_kept) as bigint) AS n_chars")
-    val semDrop = Similarity.semanticKeepFor(s, dir)
-      .where("NOT keep").selectExpr("vec_id AS doc_id")
-    val d3 = rw.join(semDrop, Seq("doc_id"), "left_anti")
-    // v3's two extra gate branches raise this frame's consumer count to
-    // five; an EAGER materialized leaf beats the lazy cache there (the
-    // branches otherwise race the cache fill and re-derive parts of the
-    // dedup/rewrite chain — measured 6.3 s cached vs 4.8 s checkpointed
-    // warm at sf0.1). v2 keeps the cache (3 consumers, measured even).
-    val quality0 = qualityGate(d3)
-    val quality =
-      if (gopherGates)
-        org.apache.spark.sql.graft.PlanBridge.localCheckpointFreshStats(quality0)
-      else quality0.cache()
+    val quality = qualityFor(s, dir)
     val clean0 = quality.join(
       Curation.decontaminate(quality.select("doc_id", "text"))
         .where("NOT contaminated").select("doc_id"),
