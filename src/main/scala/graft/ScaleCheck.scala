@@ -40,7 +40,8 @@ object ScaleCheck {
     "q73_dsv2_scan", "q85_dsv2_agg", "q92_spj_join", "delete_range",
     "compact", "zorder", "vacuum", "bloom_point", "ivm_maintain",
     "ivm_minmax", "shard_manifest", "passage_dedup", "mv_refresh",
-    "bpe_train", "image_band", "wordpiece_train")
+    "bpe_train", "image_band", "wordpiece_train", "wordpiece_vocab30k",
+    "tokenizer_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -433,6 +434,53 @@ object ScaleCheck {
           big.where(col("doc_id") < span).select("doc_id", "text"))))
     }
 
+    // the same invariance at REALISTIC tokenizer parameters — BERT's
+    // published scale (30k multi-char pieces, 100-char piece cap; the
+    // cap binds at actual word length via the `least`, so candidate
+    // rows stay len²-bounded). The walk's round count is the structural
+    // claim recorded here, not assumed: pointer doubling runs
+    // ⌈log₂ maxlen⌉ rounds INDEPENDENT of vocabulary size — a 625×
+    // vocab costs the step lookup nothing but candidate-count mass.
+    val wp30kRounds: Int = {
+      import graft.operators.WordPiece
+      val (segBig, rounds) = WordPiece.segCountsWithRounds(
+        WordPiece.wordTypes(big.select("doc_id", "text")), 30000, 100)
+      check("wordpiece_vocab30k")(
+        segBig,
+        WordPiece.segCounts(WordPiece.wordTypes(
+          big.where(col("doc_id") < span).select("doc_id", "text")), 30000, 100))
+      rounds
+    }
+
+    // tokenizer APPLY at a word-type table no broadcast can hold: the
+    // corpus's own types are replication-invariant, so a 10M-TYPE seg
+    // frame is synthesized directly (each type w<i> with a closed-form
+    // token count i%7+1) and driven through the REAL apply join
+    // (WordPiece.applySeg — the same code path q174/q177 run). With the
+    // former forced broadcast(seg) hint this section is the abort the
+    // verdict predicted (a 10M-row broadcast build in a 512 MB heap);
+    // unhinted, AQE sees the size and shuffles both sides on `w`. The
+    // oracle is arithmetic, not a second join: every doc holds three
+    // types indexed by affine maps of doc_id, so n_wp_tokens per doc is
+    // computable in closed form.
+    {
+      import graft.operators.WordPiece
+      val types = 10000000L
+      val nDocs = 2000000L
+      val seg = spark.range(types)
+        .selectExpr("concat('w', id) AS w", "id % 7 + 1 AS n_wp")
+      val docs = spark.range(nDocs).selectExpr("id AS doc_id",
+        s"concat('w', id, ' w', (id * 31) % ${types}L, ' w', (id * 17) % ${types}L) AS text")
+      // rowsMatch evaluates each side three times — materialize the
+      // join output once (2M narrow rows; the image_band convention)
+      check("tokenizer_apply")(
+        WordPiece.applySeg(docs, seg).localCheckpoint(),
+        docs.selectExpr("doc_id", "3L AS n_words",
+          s"""(doc_id % 7 + 1) + ((doc_id * 31) % ${types}L % 7 + 1) +
+             |((doc_id * 17) % ${types}L % 7 + 1) AS n_wp_tokens""".stripMargin)
+          .orderBy("doc_id"))
+    }
+
     require(results.keys.toSeq == sectionNames,
       s"section drift: ran ${results.keys.toSeq}, declared $sectionNames")
     val rows = GraftStore.get("scale_docs").rowCount
@@ -443,7 +491,7 @@ object ScaleCheck {
         s""""replicate":$replicate,"heap_mb":$heapMb,""" +
         s""""ingest_sec":${f"$ingestSec%.2f"},""" +
         s""""zorder_skipped_segs":$zorderSkipped,"vacuum_reclaimed_mb":$vacuumMb,""" +
-        s""""bloom_skipped_segs":$bloomSkipped,""" +
+        s""""bloom_skipped_segs":$bloomSkipped,"wp30k_walk_rounds":$wp30kRounds,""" +
         s""""checks":{${results.map { case (k, v) => s""""$k":$v""" }.mkString(",")}},""" +
         s""""times":{${times.map { case (k, v) => s""""$k":${f"$v%.2f"}""" }.mkString(",")}},""" +
         s""""sf":"$sfDir"}"""

@@ -174,8 +174,9 @@ object Multimodal {
     *    go quadratic past a few hundred thousand (the q69 text-simhash
     *    scaladoc's own caveat, resolved here the corpus-derived way).
     */
-  private[graft] def bandCombos(n: Long): Seq[Seq[Int]] =
-    if (n <= (1L << 18)) Seq(Seq(0, 1), Seq(2, 3), Seq(4, 5), Seq(6, 7))
+  private[graft] def bandCombos(n: Long,
+      wideThreshold: Long = 1L << 18): Seq[Seq[Int]] =
+    if (n <= wideThreshold) Seq(Seq(0, 1), Seq(2, 3), Seq(4, 5), Seq(6, 7))
     else (0 to 7).combinations(5).map(_.toSeq).toSeq
 
   private def withBands(df: DataFrame, k: String, h: String,
@@ -195,8 +196,9 @@ object Multimodal {
     * it and skip a count job — the lshCandidatesBanded convention). */
   private[graft] def confirmedPairs(newSide: DataFrame, allSide: DataFrame,
                                     maxHamming: Int = 10,
-                                    nHint: Option[Long] = None): DataFrame = {
-    val combos = bandCombos(nHint.getOrElse(allSide.count()))
+                                    nHint: Option[Long] = None,
+                                    wideThreshold: Long = 1L << 18): DataFrame = {
+    val combos = bandCombos(nHint.getOrElse(allSide.count()), wideThreshold)
     withBands(newSide.toDF("k_n", "h_n"), "k_n", "h_n", combos)
       .join(withBands(allSide.toDF("k_a", "h_a"), "k_a", "h_a", combos),
         Seq("band", "bucket"))

@@ -237,10 +237,16 @@ object Bpe {
 
   /** q144: apply the trained segmentation back to the corpus — per-doc
     * whitespace-word count and BPE token count under the k learned
-    * merges. The trained artifact is `seg` (symbols per word TYPE), a
-    * vocabulary-sized frame, so the application is one corpus scan with
-    * a BROADCAST join on the word — exactly how a tokenizer ships: the
-    * merge table rides to executors, the corpus never reshuffles. */
+    * merges. The applied artifact is `seg` (symbols per word TYPE) — a
+    * frame that scales with DISTINCT corpus words (typos, URLs, numbers
+    * run it to billions on a 100 TB web corpus), NOT with the constant-
+    * size merge table — so the join carries NO broadcast hint: AQE
+    * broadcasts it when it is genuinely under the threshold (every test
+    * SF) and shuffles both sides on `w` when it is not. A forced hint
+    * here is a hard abort at scale (driver OOM / 8 GB broadcast
+    * ceiling); ScaleCheck's `tokenizer_apply` section drives this exact
+    * join through a 10M-type seg frame in a 512 MB heap to keep the
+    * claim falsifiable. */
   def bpeTokenCounts(docs: DataFrame, k: Int = DefaultMerges): DataFrame =
     tokenCountsFrom(docs, trainSyms(docs, k)._1)
 
@@ -248,7 +254,7 @@ object Bpe {
     val seg = syms.groupBy("w").agg(count(lit(1)).as("n_sym"))
     docs.selectExpr("doc_id", s"explode(${Portable.sparkToks}) AS w")
       .where("w <> ''")
-      .join(broadcast(seg), Seq("w"))
+      .join(seg, Seq("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_sym").as("n_bpe_tokens"))
       .orderBy("doc_id")
@@ -259,10 +265,11 @@ object Bpe {
     * the compression view). A tokenizer trained on a mixed corpus
     * over-fragments the languages it under-saw; this is the number that
     * shows it, per lang, before a training run bakes it in. Same plan
-    * family as q144: the vocabulary-sized `seg` artifact broadcasts
-    * onto one corpus scan, then ONE #langs-row aggregate — ratios as
-    * integer fixed-point divisions of the exact sums (all-positive, so
-    * Spark `div` ≡ DuckDB `//`). */
+    * family as q144: the type-sized `seg` artifact joins onto one
+    * corpus scan (unhinted — AQE broadcasts at test SFs, shuffles at
+    * web scale; see [[bpeTokenCounts]]), then ONE #langs-row aggregate
+    * — ratios as integer fixed-point divisions of the exact sums
+    * (all-positive, so Spark `div` ≡ DuckDB `//`). */
   def bpeFertility(docs: DataFrame, k: Int = DefaultMerges): DataFrame =
     fertilityFrom(docs, trainSyms(docs, k)._1)
 
@@ -270,7 +277,7 @@ object Bpe {
     val seg = syms.groupBy("w").agg(count(lit(1)).as("n_sym"))
     docs.selectExpr("doc_id", "lang", s"explode(${Portable.sparkToks}) AS w")
       .where("w <> ''")
-      .join(broadcast(seg), Seq("w"))
+      .join(seg, Seq("w"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_words"),
         sum("n_sym").cast("long").as("n_bpe_tokens"),

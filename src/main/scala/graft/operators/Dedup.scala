@@ -613,11 +613,15 @@ object Dedup {
     // near-dup group in exactly one split by construction. Cost beyond
     // the memoized clustering: the label frame is pair-participant-sized
     // (≪ corpus), so the enrichment join broadcasts; the split itself is
-    // a pure hash — no RNG, no extra shuffle, any cluster size.
+    // a pure hash — no RNG, no extra shuffle, any cluster size. The
+    // label frame is pair-PARTICIPANT-sized: small on this corpus, but
+    // web-scale near-dup rates run 30-50% of docs, so "≪ corpus" is
+    // not a structural guarantee — the enrichment join carries no
+    // broadcast hint and AQE decides per actual size.
     "q123_cluster_split" -> ((s, dir) => {
       val labels = textClusters(s, dir).select("doc_id", "cluster")
       Tables.documents(s, dir).select("doc_id")
-        .join(broadcast(labels), Seq("doc_id"), "left")
+        .join(labels, Seq("doc_id"), "left")
         .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
         .withColumn("split", Relational.splitLabel(col("cluster")))
         .orderBy("doc_id")

@@ -478,7 +478,8 @@ object Relational {
     // per order, how many suppliers, how many returned, and WHICH
     // supplier if exactly one. "Sole returner among ≥2-supplier orders"
     // is then a filter — two fact shuffles total (pair agg, order agg,
-    // both map-side combined), no anti-join, supplier dim broadcast.
+    // both map-side combined), no anti-join; the supplier dim is
+    // SF-scaled, so its join is unhinted (AQE broadcasts at test SFs).
     "q81_tpch_q21" -> ((s, dir) => {
       val pairAgg = Tables.lineitem(s, dir)
         .select("l_orderkey", "l_suppkey", "l_returnflag")
@@ -488,7 +489,7 @@ object Relational {
         .agg(count(lit(1)).as("n_supp"), sum("ret").as("n_ret"),
           max(when(col("ret") === 1, col("l_suppkey"))).as("l_suppkey"))
         .where("n_supp >= 2 AND n_ret = 1")
-      sole.join(broadcast(Tables.supplier(s, dir)),
+      sole.join(Tables.supplier(s, dir),
           sole("l_suppkey") === col("s_suppkey"))
         .groupBy("s_name").agg(count(lit(1)).as("numwait"))
         .orderBy(desc("numwait"), asc("s_name")).limit(10)
@@ -718,19 +719,23 @@ object Relational {
     // and the count-distinct are the only two real shuffles; part and
     // the excluded-supplier sliver broadcast under AQE.
     "q95_tpch_q16" -> ((s, dir) => {
-      // selective part filter BELOW the distinct: the broadcast join
-      // prunes fact rows before the (pk, sk) dedup shuffle, and the
-      // part attributes ride through the distinct (functionally
-      // dependent on pk) so no second part join is needed. The
-      // complaint-supplier anti-join stays above the dedup — it removes
-      // suppliers, not parts, and runs on the already-small frame.
+      // selective part filter BELOW the distinct: the part join prunes
+      // fact rows before the (pk, sk) dedup shuffle, and the part
+      // attributes ride through the distinct (functionally dependent
+      // on pk) so no second part join is needed. `part` is SF-scaled
+      // (the filter cuts it ~6-8x but it still grows with the corpus),
+      // so NO broadcast hint — AQE broadcasts it at every test SF and
+      // falls back to a shuffle join past the threshold, instead of a
+      // forced hint aborting at 100x. The complaint-supplier anti-join
+      // stays above the dedup — it removes suppliers, not parts, and
+      // runs on the already-small frame.
       val p = Tables.part(s, dir)
         .where(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
           col("p_size").isin(1, 4, 9, 14, 19, 23))
         .select("p_partkey", "p_brand", "p_type", "p_size")
       val pairs = Tables.lineitem(s, dir)
         .select("l_partkey", "l_suppkey")
-        .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+        .join(p, col("l_partkey") === p("p_partkey"))
         .select("l_partkey", "l_suppkey", "p_brand", "p_type", "p_size")
         .distinct()
       val complainers = Tables.supplier(s, dir)
@@ -822,15 +827,17 @@ object Relational {
     "q99_tpch_q2" -> ((s, dir) => {
       // part filter BELOW the pair aggregation (the q97/Q20 pattern):
       // the filter drops whole parts, so per-(pk, sk) minima are
-      // unchanged for survivors — the broadcast join prunes the fact
-      // BEFORE the aggregate instead of aggregating all pairs and
-      // discarding most. p_brand rides the groupBy (functionally
-      // dependent on pk), saving a second part join.
+      // unchanged for survivors — the part join prunes the fact BEFORE
+      // the aggregate instead of aggregating all pairs and discarding
+      // most. `part` is SF-scaled, so the broadcast-or-shuffle call is
+      // AQE's (no hint): broadcast at every test SF, shuffle at web
+      // scale. p_brand rides the groupBy (functionally dependent on
+      // pk), saving a second part join.
       val p = Tables.part(s, dir)
         .where(col("p_size").between(10, 20) && col("p_type") === "LARGE")
         .select("p_partkey", "p_brand")
       val pairs = Tables.lineitem(s, dir)
-        .join(broadcast(p), col("l_partkey") === p("p_partkey"))
+        .join(p, col("l_partkey") === p("p_partkey"))
         .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"),
           col("p_partkey"), col("p_brand"))
         .agg(min(expr("cast(round(l_extendedprice * 100) as bigint)"))
@@ -871,8 +878,10 @@ object Relational {
         .join(broadcast(Tables.nation(s, dir).where(col("n_name") === "NATION_9")
           .select("n_nationkey")), col("s_nationkey") === col("n_nationkey"))
         .select("s_suppkey")
+      // natsupp is a 1/25 sliver of the SF-scaled supplier dim — still
+      // growing with the corpus, so the semi-join is unhinted (AQE)
       val pairs = Tables.lineitem(s, dir)
-        .join(broadcast(natsupp), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .join(natsupp, col("l_suppkey") === col("s_suppkey"), "left_semi")
         .groupBy(col("l_partkey").as("pk"), col("l_suppkey").as("sk"))
         .agg(
           min(expr("cast(round(l_extendedprice * 100) as bigint)"))

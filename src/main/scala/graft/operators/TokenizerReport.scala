@@ -16,9 +16,12 @@ import graft.functions.Portable
   * COMPOSITION; the oracle splices the exact CTE fragments of the
   * three standalone twins into one chain (the q165 convention).
   *
-  * Scale shape: three type-table-sized broadcast joins onto ONE corpus
-  * scan, then a #langs-row aggregate — the corpus never reshuffles,
-  * and the three trainings are the already-memoized passes the
+  * Scale shape: three type-table-sized joins onto ONE corpus scan
+  * (unhinted — the type tables grow with distinct corpus words, so the
+  * broadcast-or-shuffle call stays with AQE; when they shuffle, all
+  * three share the `w` hash partitioning, so Spark reuses ONE exchange
+  * of the exploded corpus across the chain), then a #langs-row
+  * aggregate; the three trainings are the already-memoized passes the
   * standalone gates pay. */
 object TokenizerReport {
 
@@ -30,9 +33,9 @@ object TokenizerReport {
       Tables.documents(s, dir)
         .selectExpr("lang", s"explode(${Portable.sparkToks}) AS w")
         .where("w <> ''")
-        .join(broadcast(bpe), Seq("w"))
-        .join(broadcast(wp), Seq("w"))
-        .join(broadcast(uni), Seq("w"))
+        .join(bpe, Seq("w"))
+        .join(wp, Seq("w"))
+        .join(uni, Seq("w"))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_words"),
           sum("n_sym").cast("long").as("bpe_tokens"),

@@ -23,15 +23,18 @@ import graft.functions.Portable
   * integer MAX implements the (max score, then min tokens) tie-break in
   * one comparison — both engines agree on integer max, so segmentation
   * scores AND token counts are cross-engine exact. The 10-bit token
-  * budget caps words at 1023 chars, ENFORCED in-plan (raise_error, the
-  * guardedPacked convention) rather than assumed.
+  * budget caps words at 1023 chars, ENFORCED in-plan ON BOTH ENGINES
+  * (Spark raise_error here, a matching error() arm in the twin's useg
+  * CTE — the contract fails loudly on whichever side hits it first,
+  * never silently corrupts the oracle).
   *
   * Scale shape — the BPE/WordPiece bound: the word-TYPE count is the
   * only corpus-sized training stage; scoring runs per TYPE as an IN-ROW
   * fold over the word's positions (≤ 6 candidate pieces per position
   * looked up in a per-word score map — no joins, no shuffles inside the
-  * DP), and the apply is the type-sized segment frame broadcast onto
-  * one corpus scan. The DuckDB twin walks the same recurrence as a
+  * DP), and the apply is the type-sized segment frame joined (UNhinted
+  * — it scales with distinct words, so AQE broadcasts it only when
+  * genuinely small; see [[Bpe.bpeTokenCounts]]) onto one corpus scan. The DuckDB twin walks the same recurrence as a
   * recursive CTE carrying the last 6 packed bests as columns (the
   * aggregate-free sliding window a recursive term allows), so the two
   * engines take structurally different routes to the same integers —
@@ -97,7 +100,7 @@ object Unigram {
   def unigramTokenCounts(docs: DataFrame, seg: DataFrame): DataFrame =
     docs.selectExpr("doc_id", s"explode(${Portable.sparkToks}) AS w")
       .where("w <> ''")
-      .join(broadcast(seg), Seq("w"))
+      .join(seg, Seq("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"),
         sum("n_uni").cast("long").as("n_uni_tokens"),
@@ -147,7 +150,9 @@ object Unigram {
        |  FROM $walk JOIN $piv ON $piv.w = $walk.w AND $piv.i = $walk.i + 1),
        |$seg AS (
        |  SELECT v.w,
-       |    CAST(1023 - ($walk.b0 % 1024) AS BIGINT) AS n_uni,
+       |    CASE WHEN length(v.w) > 1023
+       |      THEN CAST(error('unigram: word past the 1023-char packed budget: ' || v.w) AS BIGINT)
+       |      ELSE CAST(1023 - ($walk.b0 % 1024) AS BIGINT) END AS n_uni,
        |    CAST(($walk.b0 // 1024) - $Off AS BIGINT) AS score_e6
        |  FROM v JOIN $walk ON $walk.w = v.w AND $walk.i = length(v.w))""".stripMargin
 

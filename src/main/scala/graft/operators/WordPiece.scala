@@ -27,9 +27,11 @@ import graft.functions.Portable
   *      combined shuffle) is the only corpus-sized training stage; every
   *      other frame is type-table-sized (types × word length × ≤6
   *      candidate rows, millions not trillions at 100 TB);
-  *  (2) applying the tokenizer back (q174) broadcasts the vocabulary-
-  *      sized per-word segment counts onto ONE corpus scan — exactly how
-  *      a trained tokenizer ships to executors.
+  *  (2) applying the tokenizer back (q174) joins the per-word-TYPE
+  *      segment counts onto ONE corpus scan — unhinted, because the
+  *      type table scales with distinct corpus words (not with the
+  *      fixed vocabulary): AQE broadcasts it when small and shuffles
+  *      both sides on `w` at web scale.
   * The greedy walk itself is the distributed trick: longest-match makes
   * `pos → pos + step(pos)` a FUNCTIONAL graph per word, so token counts
   * are path lengths, computed by POINTER DOUBLING in ⌈log₂ maxlen⌉
@@ -50,10 +52,15 @@ object WordPiece {
 
   /** Longest candidate piece considered (BERT's WordPiece caps
     * characters-per-input-word similarly; 6 keeps the candidate table at
-    * ≤6 rows per (type, position)). */
+    * ≤6 rows per (type, position)). The ORACLE constant — the training
+    * entry points take it as a parameter so the realistic BERT-scale
+    * setting (100; bounded by actual word length via the `least`) runs
+    * in ScaleCheck's `wordpiece_vocab30k` without touching the q173/
+    * q174 contract. */
   val MaxPieceLen = 6
 
-  /** Multi-character vocabulary budget; single chars ride for free. */
+  /** Multi-character vocabulary budget; single chars ride for free.
+    * Oracle constant — parameterized the same way (BERT ships 30k). */
   val MultiVocab = 48
 
   /** (w, cnt) word types — the only corpus-sized stage. */
@@ -62,30 +69,55 @@ object WordPiece {
       .where("w <> ''").groupBy("w").agg(count(lit(1)).as("cnt"))
 
   /** Every (w, pos, l) candidate substring of every type, 1 ≤ l ≤
-    * min(MaxPieceLen, len − pos) — type-table-sized × ≤ len × 6. */
-  private[operators] def candidates(types: DataFrame): DataFrame =
+    * min(maxPieceLen, len − pos) — type-table-sized × ≤ len ×
+    * maxPieceLen (bounded by actual word length, so a BERT-scale 100
+    * costs len² on short words, not 100×). */
+  private[operators] def candidates(types: DataFrame,
+      maxPieceLen: Int = MaxPieceLen): DataFrame =
     types
       .withColumn("pos", explode(expr("sequence(0, length(w) - 1)")))
       .withColumn("l",
-        explode(expr(s"sequence(1, least($MaxPieceLen, length(w) - pos))")))
+        explode(expr(s"sequence(1, least($maxPieceLen, length(w) - pos))")))
       .selectExpr("w", "cnt", "cast(pos AS bigint) AS pos",
         "cast(l AS bigint) AS l", "substring(w, pos + 1, l) AS s")
 
   /** The seeded vocabulary: ALL single characters (total coverage) plus
-    * the top-[[MultiVocab]] multi-char substrings by weighted count. */
-  private[operators] def vocabFrom(cands: DataFrame): DataFrame = {
+    * the top-`multiVocab` multi-char substrings by weighted count. */
+  private[operators] def vocabFrom(cands: DataFrame,
+      multiVocab: Int = MultiVocab): DataFrame = {
     val pc = cands.groupBy("s").agg(sum("cnt").as("c"))
     pc.where(length(col("s")) === 1).unionByName(
       pc.where(length(col("s")) > 1)
-        .orderBy(col("c").desc, col("s")).limit(MultiVocab))
+        .orderBy(col("c").desc, col("s")).limit(multiVocab))
   }
 
   /** (w, n_wp) — greedy longest-match token count per word TYPE.
     * step(w, pos) = longest in-vocab piece at pos (total: chars are
     * always in-vocab); the walk 0 → len is pointer-doubled. */
-  private[graft] def segCounts(types: DataFrame): DataFrame = {
-    val cands = candidates(types).localCheckpoint()
-    val vocab = vocabFrom(cands)
+  private[graft] def segCounts(types: DataFrame,
+      multiVocab: Int = MultiVocab,
+      maxPieceLen: Int = MaxPieceLen): DataFrame =
+    segCountsWithRounds(types, multiVocab, maxPieceLen)._1
+
+  /** [[segCounts]] plus the pointer-doubling round count it actually
+    * ran — ⌈log₂ maxlen⌉ by construction, INDEPENDENT of vocabulary
+    * size (the scale claim ScaleCheck's `wordpiece_vocab30k` records
+    * rather than assumes). */
+  private[graft] def segCountsWithRounds(types: DataFrame,
+      multiVocab: Int = MultiVocab,
+      maxPieceLen: Int = MaxPieceLen): (DataFrame, Int) = {
+    // empty/all-whitespace corpus: max(length) aggregates to NULL and
+    // the eager pointer-doubling loop below has nothing to walk —
+    // return the empty seg frame instead of an NPE on getInt
+    val maxLenRow = types.agg(max(length(col("w")))).head()
+    if (maxLenRow.isNullAt(0))
+      return (types.sparkSession.range(0)
+        .selectExpr("cast(null AS string) AS w", "cast(null AS bigint) AS n_wp"), 0)
+    val cands = candidates(types, maxPieceLen).localCheckpoint()
+    // the vocabulary is the genuinely CONSTANT-size artifact (capped at
+    // multiVocab + the alphabet) — the one frame a broadcast hint is
+    // structurally safe on, even at the BERT-scale 30k
+    val vocab = vocabFrom(cands, multiVocab)
     val step = cands
       .join(broadcast(vocab.select("s")), Seq("s"))
       .groupBy("w", "pos").agg(max("l").as("step"))
@@ -94,8 +126,9 @@ object WordPiece {
     // the word end was reached and composition leaves the row fixed
     var jump = step.selectExpr("w", "pos", "pos + step AS dst", "1L AS n")
     jump = org.apache.spark.sql.graft.PlanBridge.localCheckpointFreshStats(jump)
-    val maxLen = types.agg(max(length(col("w")))).head().getInt(0).toLong
+    val maxLen = maxLenRow.getInt(0).toLong
     var covered = 1L
+    var rounds = 0
     while (covered < maxLen) {
       val b = jump.selectExpr("w AS w2", "pos AS pos2", "dst AS dst2", "n AS n2")
       jump = jump
@@ -104,8 +137,9 @@ object WordPiece {
           "n + coalesce(n2, 0L) AS n")
       jump = org.apache.spark.sql.graft.PlanBridge.localCheckpointFreshStats(jump)
       covered *= 2
+      rounds += 1
     }
-    jump.where(col("pos") === 0).select(col("w"), col("n").as("n_wp"))
+    (jump.where(col("pos") === 0).select(col("w"), col("n").as("n_wp")), rounds)
   }
 
   /** q173: the learned vocabulary — (piece, piece_len, cnt). */
@@ -117,14 +151,21 @@ object WordPiece {
 
   /** q174: the trained tokenizer applied back to the corpus — per doc,
     * whitespace words and greedy-WordPiece tokens, via ONE corpus scan
-    * with the type-sized segment counts broadcast. */
+    * joined (UNhinted) to the type-sized segment counts. The seg frame
+    * grows with distinct corpus words — billions on a 100 TB web corpus
+    * — so the hint AQE-or-shuffle decision stays with the runtime:
+    * broadcast when small (every test SF), shuffle on `w` when not.
+    * ScaleCheck `tokenizer_apply` pins the shuffle path at a 10M-type
+    * seg frame in 512 MB; the genuinely constant-size artifact here is
+    * the piece VOCABULARY (capped at MultiVocab + the alphabet), which
+    * is the only frame [[segCounts]] broadcasts. */
   def wordpieceTokenCounts(docs: DataFrame): DataFrame =
     applySeg(docs, segCounts(wordTypes(docs)))
 
-  private def applySeg(docs: DataFrame, seg: DataFrame): DataFrame =
+  private[graft] def applySeg(docs: DataFrame, seg: DataFrame): DataFrame =
     docs.selectExpr("doc_id", s"explode(${Portable.sparkToks}) AS w")
       .where("w <> ''")
-      .join(broadcast(seg), Seq("w"))
+      .join(seg, Seq("w"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum("n_wp").cast("long").as("n_wp_tokens"))
       .orderBy("doc_id")
@@ -138,7 +179,7 @@ object WordPiece {
   private def fertilityFrom(docs: DataFrame, seg: DataFrame): DataFrame =
     docs.selectExpr("doc_id", "lang", s"explode(${Portable.sparkToks}) AS w")
       .where("w <> ''")
-      .join(broadcast(seg), Seq("w"))
+      .join(seg, Seq("w"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_words"),
         sum("n_wp").cast("long").as("n_wp_tokens"),

@@ -36,7 +36,12 @@ case class DupRunStats(child: Expression) extends UnaryExpression {
 
 object DupRunStats {
 
-  /** Static kernel so generated Java calls it directly. */
+  /** Static kernel so generated Java calls it directly. Char masses
+    * count Unicode CODE POINTS (String.codePointCount), not UTF-16
+    * code units — `length()` in both Spark and DuckDB is code-point
+    * semantics, and the replaced fold used it, so a String.length here
+    * would diverge cross-engine on any non-BMP text (emoji,
+    * supplementary CJK — routine in web-scale curation corpora). */
   def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val counts = new java.util.HashMap[String, Long](2 * n)
@@ -44,7 +49,7 @@ object DupRunStats {
     var i = 0
     while (i < n) {
       val s = arr.getUTF8String(i).toString
-      chars += s.length
+      chars += s.codePointCount(0, s.length)
       counts.merge(s, 1L, (a, b) => a + b)
       i += 1
     }
@@ -54,8 +59,9 @@ object DupRunStats {
     while (it.hasNext) {
       val e = it.next()
       if (e.getValue >= 2L) {
+        val k = e.getKey
         dupn += e.getValue
-        dupc += e.getValue * e.getKey.length
+        dupc += e.getValue * k.codePointCount(0, k.length)
       }
     }
     new GenericArrayData(Array(n.toLong, chars, dupn, dupc))

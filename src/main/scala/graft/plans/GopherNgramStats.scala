@@ -45,7 +45,11 @@ case class GopherNgramStats(child: Expression) extends UnaryExpression {
 
 object GopherNgramStats {
 
-  /** Static kernel so generated Java calls it directly. */
+  /** Static kernel so generated Java calls it directly. All char
+    * masses count Unicode CODE POINTS (String.codePointCount) — the
+    * semantics of `length()` in both Spark and DuckDB and of the
+    * replaced fold; UTF-16 code units would diverge on non-BMP text
+    * (the DupRunStats note). */
   def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
     val toks = new Array[String](n)
@@ -53,7 +57,7 @@ object GopherNgramStats {
     var tokChars = 0L
     while (i < n) {
       toks(i) = arr.getUTF8String(i).toString
-      tokChars += toks(i).length
+      tokChars += toks(i).codePointCount(0, toks(i).length)
       i += 1
     }
     val out = new Array[Long](10)
@@ -83,7 +87,8 @@ object GopherNgramStats {
           while (it.hasNext) {
             val e = it.next()
             val c = e.getValue
-            val l = e.getKey.length.toLong
+            val k = e.getKey
+            val l = k.codePointCount(0, k.length).toLong
             if (c > bestC || (c == bestC && l > bestL)) { bestC = c; bestL = l }
           }
           out(g - 1) = bestC * bestL
@@ -92,7 +97,10 @@ object GopherNgramStats {
           val it = counts.entrySet().iterator()
           while (it.hasNext) {
             val e = it.next()
-            if (e.getValue >= 2L) dupc += e.getValue * e.getKey.length
+            if (e.getValue >= 2L) {
+              val k = e.getKey
+              dupc += e.getValue * k.codePointCount(0, k.length)
+            }
           }
           out(g - 1) = dupc
         }

@@ -33,27 +33,70 @@ import graft.functions.Multimodal
 object MediaStream {
 
   private[graft] def hashStep(batch: DataFrame, batchId: Long,
-      statePath: String, maxHamming: Int = 10): Unit = {
-    val spark = batch.sparkSession
-    val hashed = Multimodal.hashImages(batch.select("img_key", "data"))
-      .localCheckpoint()
+      statePath: String, maxHamming: Int = 10,
+      wideThreshold: Long = 1L << 18): Unit =
+    hashStepHashed(
+      Multimodal.hashImages(batch.select("img_key", "data")).localCheckpoint(),
+      batchId, statePath, maxHamming, wideThreshold)
+
+  /** The fold body after hashing — split out so the regime-boundary
+    * spec can drive it with planted hash bit patterns (pixels can't
+    * target specific aHash bits).
+    *
+    * Banding-regime consistency: [[Multimodal.bandCombos]] picks the
+    * band family from CORPUS SIZE, and past the guaranteed radius
+    * (Hamming 4..maxHamming) the two families confirm DIFFERENT
+    * probabilistic tails — so a stream that picked per-batch regimes
+    * would freeze early pairs under the narrow family while batch
+    * [[Multimodal.imageDedup]] over the same images uses the wide one,
+    * silently breaking the stream ≡ batch contract once the store
+    * crosses the threshold. Instead the step detects the ONE crossing
+    * (store size before ≤ T < after — monotone growth crosses once)
+    * and RE-CONFIRMS the whole store under the new family into a
+    * reserved `imgpair/batch=consolidated` dir, deleting the
+    * narrow-era per-batch dirs (the AnnIngest retrain/vacuum pattern:
+    * a one-time O(store) re-band, amortized constant). Replays are
+    * self-healing rather than skipped: a replayed pre-crossing batch
+    * re-detects nBefore ≤ T and re-consolidates over the CURRENT
+    * store — complete by construction, because all×all under the wide
+    * family covers every pair any incremental dir recorded, so
+    * deleting those dirs afterward loses nothing. */
+  private[graft] def hashStepHashed(hashed: DataFrame, batchId: Long,
+      statePath: String, maxHamming: Int = 10,
+      wideThreshold: Long = 1L << 18): Unit = {
+    val spark = hashed.sparkSession
     // own dir FIRST: the batch's hashes join the store before the
     // banded compare reads it, so new×new pairs are covered too
     hashed.write.mode("overwrite").parquet(s"$statePath/imghash/batch=$batchId")
     val all = spark.read.parquet(s"$statePath/imghash").select("img_key", "h")
-    Multimodal.confirmedPairs(hashed, all, maxHamming)
-      .write.mode("overwrite").parquet(s"$statePath/imgpair/batch=$batchId")
+    val nAfter = all.count()
+    val nBefore = nAfter - hashed.count()
+    if (nBefore <= wideThreshold && wideThreshold < nAfter) {
+      // the regime boundary: consolidate EVERYTHING under the wide
+      // family, then reclaim the narrow-era pair dirs
+      Multimodal.confirmedPairs(all, all, maxHamming, Some(nAfter), wideThreshold)
+        .write.mode("overwrite")
+        .parquet(s"$statePath/imgpair/batch=consolidated")
+      val root = new org.apache.hadoop.fs.Path(s"$statePath/imgpair")
+      val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.listStatus(root).filter(_.getPath.getName != "batch=consolidated")
+        .foreach(st => f.delete(st.getPath, true))
+    } else {
+      Multimodal.confirmedPairs(hashed, all, maxHamming, Some(nAfter), wideThreshold)
+        .write.mode("overwrite").parquet(s"$statePath/imgpair/batch=$batchId")
+    }
   }
 
   /** Start the image-dedup fold over a streaming (img_key, data) frame. */
   def startImageDedup(images: DataFrame, statePath: String,
-      checkpointPath: String, maxHamming: Int = 10): DataStreamWriter[Row] =
+      checkpointPath: String, maxHamming: Int = 10,
+      wideThreshold: Long = 1L << 18): DataStreamWriter[Row] =
     images.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        hashStep(batch, batchId, statePath, maxHamming)
+        hashStep(batch, batchId, statePath, maxHamming, wideThreshold)
       }
 
   /** (img_key, n_mates, keep) over everything streamed so far —

@@ -619,6 +619,41 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(12L).getLong(4) == 6666L)
   }
 
+  test("native dup/ngram kernels count code points, not UTF-16 units, on non-BMP text") {
+    import org.apache.spark.sql.graft.ColumnBridge
+    // each emoji below is one code point but TWO UTF-16 code units —
+    // a UTF-16 .length kernel would double-count every char mass here
+    val emoji = "😀😁" // 😀😁: 2 code points, 4 units
+    val rows = Seq((1L, Array(emoji, emoji, "ab", s"x$emoji")))
+      .toDF("id", "arr")
+    val dl = rows.withColumn("st", ColumnBridge.column(
+        graft.plans.DupRunStats(ColumnBridge.expression($"arr"))))
+      .selectExpr("st[0] AS n", "st[1] AS chars", "st[2] AS dupn", "st[3] AS dupc")
+      .head()
+    // Spark length() semantics: 2 + 2 + 2 + 3 = 9 chars; the emoji
+    // value occurs twice -> dupn 2, dupc 4
+    assert((dl.getLong(0), dl.getLong(1), dl.getLong(2), dl.getLong(3)) ==
+      ((4L, 9L, 2L, 4L)))
+    // and it matches Spark's own length() fold on the same array
+    val sparkChars = rows.selectExpr(
+      "aggregate(arr, 0L, (a, x) -> a + length(x)) AS c").head().getLong(0)
+    assert(dl.getLong(1) == sparkChars)
+
+    val ng = rows
+      .selectExpr("id", s"concat(arr, arr) AS toks") // 8 tokens, every 2-gram duplicated-ish
+      .withColumn("st", ColumnBridge.column(
+        graft.plans.GopherNgramStats(ColumnBridge.expression($"toks"))))
+      .selectExpr("st[0] AS n_chars", "st[1] AS top2").head()
+    // n_chars = length(array_join(toks, ' ')) in code points
+    val joined = rows.selectExpr(
+      "cast(length(array_join(concat(arr, arr), ' ')) AS bigint) AS l")
+      .head().getLong(0)
+    assert(ng.getLong(0) == joined, s"kernel ${ng.getLong(0)} vs length() $joined")
+    // 2-gram counts tie at 2; the (count, length) tie-break picks the
+    // longest gram, (ab, x-emoji) = 6 code points -> mass 2 x 6
+    assert(ng.getLong(1) == 12L)
+  }
+
   test("passage dedup keeps a repeated passage only at its first occurrence and rebuilds docs in order") {
     // doc 1 and doc 5 share an identical 8-token passage at different
     // positions; doc 9 is doc 1 verbatim (every passage lost)
