@@ -76,10 +76,20 @@ object Curation {
     * integer-exact and shuffle-order-proof in both engines; the budget
     * conserves exactly via the same largest-remainder trick. Windows
     * run over the #sources-row mix table, never the corpus. */
-  def temperatureMixture(docs: DataFrame, budget: Long = 10000L): DataFrame = {
-    val perSource = docs
+  def temperatureMixture(docs: DataFrame, budget: Long = 10000L): DataFrame =
+    temperatureOver(docs
       .selectExpr("source", s"cast(size($sparkToks) as bigint) AS n")
-      .groupBy("source").agg(sum("n").as("n_tokens"))
+      .groupBy("source").agg(sum("n").as("n_tokens")), budget)
+
+  /** The α-sampling tail over an ARBITRARY per-source mass frame
+    * (source, n_tokens) — q160 feeds raw token counts, q186 feeds the
+    * SoftDeDup-weighted effective mass (tokens × w_e6), so the
+    * temperature flattening composes with reweighting without
+    * duplicating the largest-remainder chain. Mass must stay under
+    * 2^53 for the pow double to be exact — e6-weighted token counts
+    * are ~10^12 at sf0.1, comfortably inside. */
+  private[operators] def temperatureOver(perSource: DataFrame,
+      budget: Long = 10000L): DataFrame = {
     val all = Window.partitionBy(lit(0))
     val byRem = Window.partitionBy(lit(0))
       .orderBy(col("rem").desc, col("source"))

@@ -518,18 +518,29 @@ object Dedup {
     // (unlabeled) get commonness 1 and full weight by coalesce, never
     // by materializing corpus-sized cluster rows. Weight is integer
     // fixed-point: w_e6 = 1e6 div commonness (exact in both engines).
-    "q175_soft_dedup" -> ((s, dir) => {
-      val labels = textClusters(s, dir).select("doc_id", "cluster")
-      val sized = labels.join(
-        labels.groupBy("cluster").agg(count(lit(1)).as("commonness")),
-        Seq("cluster"))
-      Tables.documents(s, dir).select("doc_id")
-        .join(sized, Seq("doc_id"), "left")
-        .selectExpr("doc_id",
-          "cast(coalesce(cluster, doc_id) AS bigint) AS cluster",
-          "coalesce(commonness, 1L) AS commonness",
-          "1000000L div coalesce(commonness, 1L) AS w_e6")
-        .orderBy("doc_id")
+    "q175_soft_dedup" -> ((s, dir) => softWeights(s, dir).orderBy("doc_id")),
+
+    // The q175 weights CONSUMED: q160's temperature mixture computed
+    // over SoftDeDup-EFFECTIVE token mass (Σ tokens × w_e6 per source)
+    // instead of raw counts — the sampler-facing composition where
+    // reweighting actually changes a downstream number: a source whose
+    // bulk is near-duplicate content stops inflating its α-sampling
+    // share, because its duplicated tokens count ~once in expectation.
+    // Scale shape: q175's one corpus-sized left join feeds ONE
+    // map-side-combined per-source aggregate, then the #sources-row
+    // largest-remainder chain (q160's tail, shared code). Integer
+    // contract: mass is an exact e6-scaled bigint (~10^12 at sf0.1,
+    // far under the 2^53 pow-exactness bound the q160 convention needs).
+    "q186_soft_temperature_mix" -> ((s, dir) => {
+      val w = softWeights(s, dir).select("doc_id", "w_e6")
+      val mass = Tables.documents(s, dir)
+        .selectExpr("doc_id", "source", s"cast(size($toksE) as bigint) AS n")
+        .join(w, Seq("doc_id"))
+        .groupBy("source").agg(sum(expr("n * w_e6")).as("n_tokens"))
+      Curation.temperatureOver(mass)
+        .selectExpr("source", "n_tokens AS wtok_e6", "p_e9", "w_e6",
+          "alloc_tokens")
+        .orderBy("source")
     }),
 
     // Incremental near-dup pairs: the 10% batch (doc_id % 10 = 7)
@@ -1042,6 +1053,22 @@ object Dedup {
         nearDupClusters(Tables.documents(s, dir)))
     }
 
+  /** The q175 SoftDeDup weight frame — (doc_id, cluster, commonness,
+    * w_e6), singletons at full weight by coalesce; shared by q175's own
+    * gate and the q186 weighted-mixture consumer. */
+  private def softWeights(s: SparkSession, dir: String): DataFrame = {
+    val labels = textClusters(s, dir).select("doc_id", "cluster")
+    val sized = labels.join(
+      labels.groupBy("cluster").agg(count(lit(1)).as("commonness")),
+      Seq("cluster"))
+    Tables.documents(s, dir).select("doc_id")
+      .join(sized, Seq("doc_id"), "left")
+      .selectExpr("doc_id",
+        "cast(coalesce(cluster, doc_id) AS bigint) AS cluster",
+        "coalesce(commonness, 1L) AS commonness",
+        "1000000L div coalesce(commonness, 1L) AS w_e6")
+  }
+
   private def duckShingles = "list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))"
 
   def oracle: Map[String, String] = {
@@ -1068,6 +1095,32 @@ object Dedup {
          |  FROM hs),
          |banded AS (
          |  SELECT doc_id, sh, $bandExprs FROM sigs)""".stripMargin
+    // LSH chain → near-dup clusters → per-doc SoftDeDup weight frame
+    // `dw` (doc_id, cluster, commonness, w_e6) — shared by q175 and its
+    // q186 mixture consumer
+    val duckSoftWeightCtes =
+      s"""$duckLshCtes,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ($bandMatch)
+         |  WHERE 1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 499.5),
+         |edges AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  UNION SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
+         |walk AS (
+         |  SELECT doc_a AS doc_id, doc_a AS label FROM edges
+         |  UNION
+         |  SELECT e.doc_a AS doc_id, w.label FROM edges e JOIN walk w ON w.doc_id = e.doc_b),
+         |lab AS (SELECT doc_id, MIN(label) AS cluster FROM walk GROUP BY doc_id),
+         |siz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS commonness FROM lab GROUP BY cluster),
+         |dw AS (
+         |  SELECT d.doc_id,
+         |    CAST(COALESCE(l.cluster, d.doc_id) AS BIGINT) AS cluster,
+         |    CAST(COALESCE(s.commonness, 1) AS BIGINT) AS commonness,
+         |    CAST(1000000 // COALESCE(s.commonness, 1) AS BIGINT) AS w_e6
+         |  FROM documents d
+         |  LEFT JOIN lab l USING (doc_id)
+         |  LEFT JOIN siz s ON l.cluster = s.cluster)""".stripMargin
     Map(
       "q20_exact_dedup" ->
         """SELECT doc_id, fp FROM (
@@ -1182,28 +1235,37 @@ object Dedup {
       // SoftDeDup reweighting: q53's cluster labels, sized, left-joined
       // back onto the corpus — singletons coalesce to commonness 1
       "q175_soft_dedup" ->
-        s"""WITH RECURSIVE $duckLshCtes,
-           |pairs AS (
-           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           |  FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ($bandMatch)
-           |  WHERE 1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 499.5),
-           |edges AS (
-           |  SELECT doc_a, doc_b FROM pairs
-           |  UNION SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
-           |walk AS (
-           |  SELECT doc_a AS doc_id, doc_a AS label FROM edges
-           |  UNION
-           |  SELECT e.doc_a AS doc_id, w.label FROM edges e JOIN walk w ON w.doc_id = e.doc_b),
-           |lab AS (SELECT doc_id, MIN(label) AS cluster FROM walk GROUP BY doc_id),
-           |siz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS commonness FROM lab GROUP BY cluster)
-           |SELECT d.doc_id,
-           |  CAST(COALESCE(l.cluster, d.doc_id) AS BIGINT) AS cluster,
-           |  CAST(COALESCE(s.commonness, 1) AS BIGINT) AS commonness,
-           |  CAST(1000000 // COALESCE(s.commonness, 1) AS BIGINT) AS w_e6
-           |FROM documents d
-           |LEFT JOIN lab l USING (doc_id)
-           |LEFT JOIN siz s ON l.cluster = s.cluster
-           |ORDER BY d.doc_id""".stripMargin,
+        s"""WITH RECURSIVE $duckSoftWeightCtes
+           |SELECT doc_id, cluster, commonness, w_e6
+           |FROM dw ORDER BY doc_id""".stripMargin,
+      // the q175 weights consumed: per-source EFFECTIVE token mass
+      // (Σ tokens × w_e6) through q160's temperature chain verbatim
+      "q186_soft_temperature_mix" ->
+        s"""WITH RECURSIVE $duckSoftWeightCtes,
+           |per_source AS (
+           |  SELECT d.source,
+           |    CAST(SUM(CAST(len(regexp_split_to_array(trim(d.text), '\\s+')) AS BIGINT) * dw.w_e6) AS BIGINT) AS wtok_e6
+           |  FROM documents d JOIN dw USING (doc_id) GROUP BY 1),
+           |p AS (
+           |  SELECT source, wtok_e6,
+           |    CAST(round(1e9 * pow(CAST(wtok_e6 AS DOUBLE), 0.3)) AS BIGINT) AS p_e9
+           |  FROM per_source),
+           |q AS (
+           |  SELECT *, CAST(SUM(p_e9) OVER () AS BIGINT) AS tot FROM p),
+           |a AS (
+           |  SELECT source, wtok_e6, p_e9,
+           |    (1000000 * p_e9) // tot AS w_e6,
+           |    (10000 * p_e9) // tot AS quota,
+           |    (10000 * p_e9) % tot AS rem
+           |  FROM q),
+           |r AS (
+           |  SELECT *,
+           |    CAST(10000 - SUM(quota) OVER () AS BIGINT) AS leftover,
+           |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+           |  FROM a)
+           |SELECT source, wtok_e6, p_e9, w_e6,
+           |  CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+           |FROM r ORDER BY source""".stripMargin,
       // the q22 LSH pipeline over the PLANTED corpus (training docs +
       // first-token-perturbed eval copies + the eval set), restricted to
       // cross (train × eval) pairs, grouped per training doc
