@@ -42,7 +42,10 @@ import graft.operators.Similarity
   * [[clusterCounts]] is the index-health view the retrain decision
   * reads: when the biggest cluster's share breaches the q163 fair-
   * share gate (the registered q166 runs that gate over THIS streamed
-  * state), [[retrain]] closes the loop. */
+  * state), the ingest [[step]] itself triggers [[retrain]] +
+  * [[vacuumGenerations]] — the loop closes AT RUNTIME, per batch,
+  * with no operator in it (AnnIngestSpec drives the skewed stream
+  * through the automatic path). */
 object AnnIngest {
 
   private def fs(spark: SparkSession, p: String) =
@@ -65,27 +68,56 @@ object AnnIngest {
   /** One micro-batch: land the raw vectors (the retrain source), then
     * assign against the LIVE model generation into that generation's
     * assignment store. Own dirs first, both overwrites — a replay
-    * heals its previous partial write before anything reads the roots. */
+    * heals its previous partial write before anything reads the roots.
+    *
+    * With `autoRetrain` (the default) the step then CLOSES the retrain
+    * loop at runtime: it evaluates the q163 fair-share gate over the
+    * live assignment store (max cluster ≤ 8× of 1/k — a #clusters-row
+    * aggregate over a two-column pruned scan of the asg store) and, on
+    * breach, triggers [[retrain]] + [[vacuumGenerations]] in-line —
+    * the skew→retrain→vacuum cycle the q166 gate monitors, no operator
+    * in the loop. A retrain mid-stream is safe by the generation
+    * layout: the NEXT batch reads the new live generation; a batch
+    * replayed across the boundary is a no-op on [[assignments]]
+    * (identical cids by per-vector independence). A balanced stream
+    * never breaches, so the steady-state cost is the gate aggregate. */
   private[graft] def step(batch: DataFrame, batchId: Long,
-      statePath: String): Unit = {
+      statePath: String, autoRetrain: Boolean = true): Unit = {
     val spark = batch.sparkSession
     val vecs = batch.select("vec_id", "embedding")
     vecs.write.mode("overwrite").parquet(s"$statePath/vec/batch=$batchId")
     val gen = liveGen(spark, statePath)
     Similarity.assignAgainst(vecs, centsOf(spark, statePath, gen))
       .write.mode("overwrite").parquet(s"$statePath/asg/gen=$gen/batch=$batchId")
+    if (autoRetrain && !balanceOk(spark, statePath, gen)) {
+      retrain(spark, statePath)
+      vacuumGenerations(spark, statePath)
+    }
+  }
+
+  /** The q163 fair-share gate over the live assignment store: largest
+    * cluster ≤ 8× its 1/k share, k = the live generation's centroid
+    * count. One k-row aggregate; TRUE on an empty store. */
+  private[graft] def balanceOk(spark: SparkSession, statePath: String,
+      gen: Long): Boolean = {
+    val k = spark.read.parquet(s"$statePath/cents/gen=$gen").count()
+    val row = assignments(spark, statePath)
+      .groupBy("cid").agg(count(lit(1)).as("n"))
+      .agg(max("n").as("mx"), sum("n").as("tot")).head()
+    row.isNullAt(0) || row.getLong(0) * k <= row.getLong(1) * 8L
   }
 
   /** Start the ingest loop over a streaming (vec_id, embedding) frame.
     * `statePath/cents/gen=0` must already hold the trained model. */
   def start(vecs: DataFrame, statePath: String,
-            checkpointPath: String): DataStreamWriter[Row] =
+            checkpointPath: String,
+            autoRetrain: Boolean = true): DataStreamWriter[Row] =
     vecs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        step(batch, batchId, statePath)
+        step(batch, batchId, statePath, autoRetrain)
       }
 
   /** Every live-generation assignment — row-identical to batch

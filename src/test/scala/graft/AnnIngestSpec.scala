@@ -147,7 +147,6 @@ class AnnIngestSpec extends AnyFunSuite {
     val ckpt = Files.createTempDirectory("rt_ckpt").toString
     val (cents, _) = Similarity.ivfIndex(emb) // gen 0: k=16 on the base
     cents.write.mode("overwrite").parquet(s"$state/cents/gen=0")
-    val k0 = 16
 
     // the skewed tail: 2n DISTINCT-id vectors pulled 90 % toward vec 7
     // — under the gen-0 model they pile into vec 7's cluster (2/3 of
@@ -176,35 +175,33 @@ class AnnIngestSpec extends AnyFunSuite {
       (counts.max * k <= counts.sum * 8L, counts.max, counts.sum)
     }
     val total = n + 2 * n // base + the two shifted skew copies
-    val (ok0, max0, sum0) = gate(k0)
-    assert(sum0 == total)
-    assert(!ok0, s"skewed stream should breach the gate (max=$max0 of $sum0)")
 
-    // retrain: new generation trained on the vec store, k re-derived
-    // from the ingested count, live index reassigned in one narrow map
-    val gen = AnnIngest.retrain(spark, state)
-    assert(gen == 1L)
+    // the AUTOMATIC path: the skewed batch's own step detected the
+    // fair-share breach and ran retrain + vacuum in-line — no manual
+    // calls anywhere in this test
+    assert(AnnIngest.liveGen(spark, state) == 1L,
+      "the skewed batch must auto-retrain to generation 1")
     val k1 = graft.functions.Portable.ivfK(total)
     val (ok1, max1, sum1) = gate(k1)
     assert(sum1 == total, "reassignment must cover every ingested vector")
     assert(ok1, s"retrained model still breaches the gate (max=$max1, k=$k1)")
 
+    // and the breached generation was vacuumed by the same step
+    val f = new java.io.File(s"$state/cents/gen=0")
+    assert(!f.exists, "auto-retrain must vacuum the superseded generation")
+
     // a batch replayed AFTER the retrain (assigned against the new
     // model) changes nothing: the consolidated reassignment already
-    // covers its vectors with identical cids
+    // covers its vectors with identical cids — and the now-balanced
+    // gate keeps the replay from triggering a second retrain
     val before = AnnIngest.assignments(spark, state).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     AnnIngest.step(skew, 1L, state)
     val after = AnnIngest.assignments(spark, state).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     assert(after == before)
-
-    // vacuum: generation 0 (model + its assignment store) reclaimed,
-    // the live generation stays complete
-    val dropped = AnnIngest.vacuumGenerations(spark, state)
-    assert(dropped == Seq(0L))
-    val f = new java.io.File(s"$state/cents/gen=0")
-    assert(!f.exists, "vacuum must delete the superseded model generation")
+    assert(AnnIngest.liveGen(spark, state) == 1L,
+      "the balanced replay must not retrain again")
     assert(AnnIngest.assignments(spark, state).count() == total)
   }
 
