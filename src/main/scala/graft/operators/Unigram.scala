@@ -49,40 +49,115 @@ object Unigram {
     * count and path score under the seeded unigram model. */
   private[graft] def segCounts(types: DataFrame): DataFrame = {
     val cands = WordPiece.candidates(types).localCheckpoint()
-    val vocab = WordPiece.vocabFrom(cands)
-    // piece scores: e6-rounded log-prob against the vocabulary's exact
-    // count total (a 1-row broadcast)
-    val tot = vocab.agg(sum("c").as("tot"))
-    val scored = vocab.crossJoin(broadcast(tot))
+    viterbiCounts(cands, seedScores(cands))
+  }
+
+  /** The SEED piece scores — e6-rounded log-prob of each q173 vocab
+    * piece against the vocabulary's exact count total (1-row broadcast). */
+  private def seedScores(cands: DataFrame): DataFrame =
+    scoresOf(WordPiece.vocabFrom(cands))
+
+  /** (s, c) → (s, s_e6): e6-rounded ln(c) − ln(Σc). Shared by the seed
+    * fit and the q184 hard-EM re-fit — the M-step IS this formula over
+    * re-estimated counts. */
+  private def scoresOf(counted: DataFrame): DataFrame = {
+    val tot = counted.agg(sum("c").as("tot"))
+    counted.crossJoin(broadcast(tot))
       .selectExpr("s", "cast(round(1e6 * (ln(c) - ln(tot))) as bigint) AS s_e6")
-    // per word: map (start·8 + len) → piece score, for the in-row DP
-    val scoreMap = cands
+  }
+
+  /** Per word: map (start·8 + len) → piece score, for the in-row DP.
+    * `scored` is the model — vocabulary-sized (bounded), so the hint
+    * is structurally safe. */
+  private def scoreMapOf(cands: DataFrame, scored: DataFrame): DataFrame =
+    cands
       .join(broadcast(scored), Seq("s"))
       .groupBy("w")
       .agg(map_from_entries(collect_list(
         struct((col("pos") * 8 + col("l")).as("k"), col("s_e6").as("v")))).as("m"))
-    val base = s"array(cast(${Off}L * 1024 + 1023 AS bigint))"
-    // best(i) = max over piece lengths l of best(i−l) + s·1024 − 1; the
-    // accumulator is the best-array so far (acc[i+1] = best(i)), grown
-    // one position per step — array_max skips the null (no-piece) arms
-    val dp =
-      s"""aggregate(
-         |  sequence(1, length(w)),
-         |  $base,
-         |  (acc, i) -> concat(acc, array(array_max(
-         |    transform(sequence(1, least(${WordPiece.MaxPieceLen}, i)),
-         |      l -> element_at(acc, i - l + 1) +
-         |           element_at(m, cast((i - l) * 8 + l AS bigint)) * 1024L - 1L)))),
-         |  acc -> element_at(acc, size(acc)))""".stripMargin
-    scoreMap
+
+  private val base = s"array(cast(${Off}L * 1024 + 1023 AS bigint))"
+
+  // best(i) = max over piece lengths l of best(i−l) + s·1024 − 1; the
+  // accumulator is the best-array so far (acc[i+1] = best(i)), grown
+  // one position per step — array_max skips the null (no-piece) arms
+  private def dp(finish: String) =
+    s"""aggregate(
+       |  sequence(1, length(w)),
+       |  $base,
+       |  (acc, i) -> concat(acc, array(array_max(
+       |    transform(sequence(1, least(${WordPiece.MaxPieceLen}, i)),
+       |      l -> element_at(acc, i - l + 1) +
+       |           element_at(m, cast((i - l) * 8 + l AS bigint)) * 1024L - 1L)))),
+       |  $finish)""".stripMargin
+
+  /** (w, n_uni, score_e6) per type under an arbitrary scored piece set
+    * (the seed fit and the EM re-fit share this decode verbatim). */
+  private def viterbiCounts(cands: DataFrame, scored: DataFrame): DataFrame =
+    scoreMapOf(cands, scored)
       .selectExpr("w",
         // the 10-bit token budget binds at 1023 chars — refuse loudly
         s"""IF(length(w) > 1023,
            |   cast(raise_error(concat('unigram: word past the 1023-char packed budget: ', w)) AS bigint),
-           |   $dp) AS packed""".stripMargin)
+           |   ${dp("acc -> element_at(acc, size(acc))")}) AS packed""".stripMargin)
       .selectExpr("w",
         "cast(1023 - (packed % 1024) AS bigint) AS n_uni",
         s"cast((packed div 1024) - ${Off}L AS bigint) AS score_e6")
+
+  /** (w, s) — the pieces on each type's Viterbi path, WITH multiplicity
+    * (one row per path step): the E-step of hard EM. The forward DP
+    * keeps its whole best-array; the path is then re-read BACKWARD by
+    * an in-row fold — at position i the chosen arm is the SMALLEST l
+    * whose extension equality best(i−l) + s·1024 − 1 = best(i) holds
+    * (packed equality ⇒ same score AND token count, so min-l is a
+    * total deterministic tie-break both engines apply identically; the
+    * twin's `choice` CTE is MIN(l) over the same equality). Runs per
+    * word TYPE — the HOF-fold cost rides the type table, never the
+    * corpus (the q176 kernel lesson's boundary). */
+  private def viterbiPieces(cands: DataFrame, scored: DataFrame): DataFrame = {
+    val pickL =
+      s"""element_at(filter(sequence(1L, least(${WordPiece.MaxPieceLen}L, st.i)),
+         |  l -> element_at(best, cast(st.i - l + 1 AS int)) +
+         |       element_at(m, (st.i - l) * 8 + l) * 1024L - 1L =
+         |       element_at(best, cast(st.i + 1 AS int))), 1)""".stripMargin
+    val backtrack =
+      s"""aggregate(
+         |  sequence(1, length(w)),
+         |  named_struct('i', cast(length(w) AS bigint),
+         |               'ps', cast(array() AS array<string>)),
+         |  (st, z) -> IF(st.i = 0, st, named_struct(
+         |    'i', st.i - $pickL,
+         |    'ps', concat(st.ps, array(substring(w,
+         |            cast(st.i - $pickL + 1 AS int), cast($pickL AS int)))))),
+         |  st -> st.ps)""".stripMargin
+    scoreMapOf(cands, scored)
+      .selectExpr("w",
+        s"""IF(length(w) > 1023,
+           |   cast(raise_error(concat('unigram: word past the 1023-char packed budget: ', w)) AS array<bigint>),
+           |   ${dp("acc -> acc")}) AS best""".stripMargin,
+        "m")
+      .selectExpr("w", s"$backtrack AS pieces")
+      .selectExpr("w", "explode(pieces) AS s")
+  }
+
+  /** ONE hard-EM round (Viterbi EM, Kudo 2018's E-step with hard
+    * assignments): re-estimate piece counts from the SEED model's
+    * Viterbi segmentations (integer counts by construction — c'(s) =
+    * Σ_types cnt × uses-on-path, so the M-step stays inside the
+    * fixed-point oracle contract; the soft-EM lattice sums that
+    * contract can't carry remain out of scope and say so), re-fit
+    * scores over the survivors, decode again. Pieces off every path
+    * drop out (the standard EM prune); coverage survives because each
+    * type's OWN path pieces keep count ≥ cnt ≥ 1. Classic hard-EM
+    * monotonicity: the refit corpus Viterbi score is non-decreasing vs
+    * the seed fit (UnigramSpec pins it, strictly-better witness
+    * included). */
+  private[graft] def emRefitCounts(types: DataFrame): DataFrame = {
+    val cands = WordPiece.candidates(types).localCheckpoint()
+    val used = viterbiPieces(cands, seedScores(cands))
+      .join(types.select("w", "cnt"), Seq("w"))
+      .groupBy("s").agg(sum("cnt").as("c"))
+    viterbiCounts(cands, scoresOf(used))
   }
 
   /** Per-(session, sfDir) memo (the Bpe.trainMemo precedent). */
@@ -93,6 +168,17 @@ object Unigram {
     segMemo.synchronized {
       segMemo.getOrElseUpdate((s, dir),
         segCounts(WordPiece.wordTypes(Tables.documents(s, dir))).localCheckpoint())
+    }
+
+  /** Memo of the q184 hard-EM refit seg frame. */
+  private val emMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  Memos.register(() => emMemo.synchronized(emMemo.clear()))
+  private[operators] def emSegFor(s: SparkSession, dir: String): DataFrame =
+    emMemo.synchronized {
+      emMemo.getOrElseUpdate((s, dir),
+        emRefitCounts(WordPiece.wordTypes(Tables.documents(s, dir)))
+          .localCheckpoint())
     }
 
   /** q180: the Viterbi segmentation applied back to the corpus — per
@@ -111,19 +197,24 @@ object Unigram {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q180_unigram_viterbi" -> ((s, dir) =>
-      unigramTokenCounts(Tables.documents(s, dir), segFor(s, dir))))
+      unigramTokenCounts(Tables.documents(s, dir), segFor(s, dir))),
+    // the hard-EM refit model applied back to the corpus — q180's
+    // surface under the re-estimated scores, so the EM round is
+    // oracle-visible end to end (path counts → refit → re-decode)
+    "q184_unigram_hard_em" -> ((s, dir) =>
+      unigramTokenCounts(Tables.documents(s, dir), emSegFor(s, dir))))
 
   /** Score + pivot + recursive Viterbi walk + seg, names parameterized
     * for clash-free splicing (q181); assumes `v`, `cand`, `vocab` from
     * [[WordPiece.duckVDef]]/[[WordPiece.duckSeedCtes]] are in scope. */
   private[operators] def duckViterbiCtes(tot: String = "tot",
       sc: String = "sc", piv: String = "piv", walk: String = "uwalk",
-      seg: String = "useg"): String =
-    s"""$tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM vocab),
+      seg: String = "useg", vocabSrc: String = "vocab"): String =
+    s"""$tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM $vocabSrc),
        |$sc AS MATERIALIZED (
        |  SELECT cand.w, cand.pos + cand.l AS i, cand.l,
-       |    CAST(round(1e6 * (ln(vocab.c) - ln($tot.tot))) AS BIGINT) AS s_e6
-       |  FROM cand JOIN vocab ON substr(cand.w, CAST(cand.pos + 1 AS INT), CAST(cand.l AS INT)) = vocab.s
+       |    CAST(round(1e6 * (ln($vocabSrc.c) - ln($tot.tot))) AS BIGINT) AS s_e6
+       |  FROM cand JOIN $vocabSrc ON substr(cand.w, CAST(cand.pos + 1 AS INT), CAST(cand.l AS INT)) = $vocabSrc.s
        |  CROSS JOIN $tot),
        |$piv AS MATERIALIZED (
        |  SELECT w, i,
@@ -138,7 +229,14 @@ object Unigram {
        |    CAST(NULL AS BIGINT) AS b4, CAST(NULL AS BIGINT) AS b5
        |  FROM v
        |  UNION ALL
-       |  SELECT $walk.w, $piv.i,
+       |  -- LEFT join on the pivoted scores, bounded by word length: a
+       |  -- PRUNED vocabulary (the q184 refit) can leave an interior
+       |  -- position with no piece ending there — the position is
+       |  -- unreachable (all-NULL greatest -> NULL best, exactly the
+       |  -- Spark array_max semantics) yet longer pieces span OVER it,
+       |  -- so the walk must step through rather than die (an inner
+       |  -- join here silently dropped such words from the refit twin)
+       |  SELECT $walk.w, $walk.i + 1,
        |    greatest(
        |      $walk.b0 + $piv.s1 * 1024 - 1,
        |      $walk.b1 + $piv.s2 * 1024 - 1,
@@ -147,7 +245,9 @@ object Unigram {
        |      $walk.b4 + $piv.s5 * 1024 - 1,
        |      $walk.b5 + $piv.s6 * 1024 - 1),
        |    $walk.b0, $walk.b1, $walk.b2, $walk.b3, $walk.b4
-       |  FROM $walk JOIN $piv ON $piv.w = $walk.w AND $piv.i = $walk.i + 1),
+       |  FROM $walk
+       |  JOIN v ON v.w = $walk.w AND $walk.i < length(v.w)
+       |  LEFT JOIN $piv ON $piv.w = $walk.w AND $piv.i = $walk.i + 1),
        |$seg AS (
        |  SELECT v.w,
        |    CASE WHEN length(v.w) > 1023
@@ -155,6 +255,40 @@ object Unigram {
        |      ELSE CAST(1023 - ($walk.b0 % 1024) AS BIGINT) END AS n_uni,
        |    CAST(($walk.b0 // 1024) - $Off AS BIGINT) AS score_e6
        |  FROM v JOIN $walk ON $walk.w = v.w AND $walk.i = length(v.w))""".stripMargin
+
+  /** Hard-EM CTE chain, assumes the seed walk (`sc`, `uwalk`) is in
+    * scope: per-(w, i) best table → deterministic min-l backtrack
+    * `choice` → recursive path walk `bt` emitting each step's piece →
+    * re-estimated counts `used` (Σ type cnt × path multiplicity). The
+    * refit decode is then [[duckViterbiCtes]] verbatim with `used` as
+    * the score source. */
+  private def duckEmCtes: String =
+    s"""bw AS MATERIALIZED (SELECT w, i, b0 AS b FROM uwalk),
+       |choice AS MATERIALIZED (
+       |  SELECT sc.w, sc.i, CAST(MIN(sc.l) AS BIGINT) AS l
+       |  FROM sc
+       |  JOIN bw prev ON prev.w = sc.w AND prev.i = sc.i - sc.l
+       |  JOIN bw cur ON cur.w = sc.w AND cur.i = sc.i
+       |  WHERE prev.b + sc.s_e6 * 1024 - 1 = cur.b
+       |  GROUP BY sc.w, sc.i),
+       |bt AS (
+       |  SELECT w, CAST(length(w) AS BIGINT) AS i, CAST(NULL AS VARCHAR) AS piece FROM v
+       |  UNION ALL
+       |  SELECT bt.w, bt.i - c.l,
+       |    substr(bt.w, CAST(bt.i - c.l + 1 AS INT), CAST(c.l AS INT))
+       |  FROM bt JOIN choice c ON c.w = bt.w AND c.i = bt.i),
+       |used AS MATERIALIZED (
+       |  SELECT bt.piece AS s, CAST(SUM(v.cnt) AS BIGINT) AS c
+       |  FROM bt JOIN v USING (w) WHERE bt.piece IS NOT NULL GROUP BY 1)""".stripMargin
+
+  private def duckPerDocTail(seg: String): String =
+    s"""tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_uni) AS BIGINT) AS n_uni_tokens,
+       |  CAST(SUM(score_e6) AS BIGINT) AS score_e6
+       |FROM tok JOIN $seg USING (w) WHERE w <> ''
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   def oracle: Map[String, String] = Map(
     // the same recurrence as a recursive CTE: the last 6 packed bests
@@ -164,11 +298,14 @@ object Unigram {
       s"""WITH RECURSIVE ${WordPiece.duckVDef},
          |${WordPiece.duckSeedCtes},
          |${duckViterbiCtes()},
-         |tok AS (
-         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents)
-         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-         |  CAST(SUM(n_uni) AS BIGINT) AS n_uni_tokens,
-         |  CAST(SUM(score_e6) AS BIGINT) AS score_e6
-         |FROM tok JOIN useg USING (w) WHERE w <> ''
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+         |${duckPerDocTail("useg")}""".stripMargin,
+    // seed walk → backtracked paths → integer M-step → refit decode
+    "q184_unigram_hard_em" ->
+      s"""WITH RECURSIVE ${WordPiece.duckVDef},
+         |${WordPiece.duckSeedCtes},
+         |${duckViterbiCtes()},
+         |$duckEmCtes,
+         |${duckViterbiCtes(tot = "tot2", sc = "sc2", piv = "piv2",
+            walk = "uwalk2", seg = "useg2", vocabSrc = "used")},
+         |${duckPerDocTail("useg2")}""".stripMargin)
 }

@@ -98,4 +98,26 @@ class UnigramSpec extends AnyFunSuite {
       assert(n >= (w.length + WordPiece.MaxPieceLen - 1) / WordPiece.MaxPieceLen && n <= w.length)
     }
   }
+
+  test("hard-EM refit: corpus Viterbi likelihood is non-decreasing, with a strict witness") {
+    import org.apache.spark.sql.functions._
+    val types = WordPiece.wordTypes(docs)
+    def corpusScore(seg: org.apache.spark.sql.DataFrame): Long =
+      seg.join(types, Seq("w"))
+        .agg(sum(expr("cnt * score_e6"))).head().getLong(0)
+    val seed = Unigram.segCounts(types).localCheckpoint()
+    val refit = Unigram.emRefitCounts(types).localCheckpoint()
+    // every word type must survive the refit decode (EM prunes pieces,
+    // never words: each type's own path pieces keep count >= 1)
+    assert(refit.count() == seed.count(), "refit dropped word types")
+    assert(refit.where("score_e6 IS NULL OR n_uni IS NULL").count() == 0)
+    // classic hard-EM monotonicity: re-fitting scores to the Viterbi
+    // path counts cannot lower the weighted corpus path score
+    val (s0, s1) = (corpusScore(seed), corpusScore(refit))
+    assert(s1 >= s0, s"refit likelihood regressed: seed=$s0 refit=$s1")
+    // and the round must actually MOVE the model on this corpus —
+    // equality would mean the seed was already an EM fixed point and
+    // the test pinned nothing
+    assert(s1 > s0, s"seed unexpectedly at the EM fixed point ($s0)")
+  }
 }
