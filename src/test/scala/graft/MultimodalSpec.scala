@@ -137,4 +137,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out("img3") == (1L, true) && out("img3_copy") == (1L, false))
     assert(out("img4") == (0L, true) && out("img5") == (0L, true))
   }
+
+  test("pHash catches the planted caption pair aHash misses; families agree elsewhere") {
+    import spark.implicits._
+    val rows = Multimodal.pHashFixtureRows
+    val byKey = rows.toMap
+    // the raw asymmetry, measured: the caption overlay scatters the
+    // aHash cells past the confirm radius (the mean moved under them)
+    // while the DCT block stays within it
+    def ham(a: java.lang.Long, b: java.lang.Long) =
+      java.lang.Long.bitCount(a.longValue ^ b.longValue)
+    val aHam = ham(Multimodal.aHash64(byKey("img5")), Multimodal.aHash64(byKey("img5_caption")))
+    val pHam = ham(Multimodal.pHash64(byKey("img5")), Multimodal.pHash64(byKey("img5_caption")))
+    assert(aHam > 10, s"caption pair unexpectedly inside aHash confirm radius ($aHam)")
+    assert(pHam <= 10, s"caption pair outside pHash confirm radius ($pHam)")
+
+    // and through the full pipelines: aHash keeps the caption variant
+    // as a distinct image, pHash pairs and drops it
+    def decisions(d: org.apache.spark.sql.DataFrame) =
+      d.as[(String, Long, Boolean)].collect().map { case (k, n, kp) => k -> ((n, kp)) }.toMap
+    val a = decisions(Multimodal.imageDedup(rows.toDF("img_key", "data")))
+    val p = decisions(Multimodal.imageDedupPHash(rows.toDF("img_key", "data")))
+    assert(a("img5_caption") == (0L, true) && a("img5") == (0L, true),
+      "aHash must miss the caption pair (the blind spot under test)")
+    assert(p("img5_caption") == (1L, false) && p("img5") == (1L, true),
+      "pHash must confirm the caption pair and keep-first the source")
+    // the families agree on every non-planted decision
+    val common = (a.keySet intersect p.keySet) - "img5" - "img5_caption"
+    common.foreach(k => assert(a(k) == p(k), s"families disagree on $k: ${a(k)} vs ${p(k)}"))
+
+    // pHash brightness invariance by construction: a uniform shift
+    // moves only the DC coefficient
+    val shifted = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(byKey("img4")))
+      val out = new java.awt.image.BufferedImage(img.getWidth, img.getHeight,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val rgb = img.getRGB(x, y)
+        def c(v: Int) = math.min(255, v + 25)
+        out.setRGB(x, y, (c((rgb >> 16) & 0xFF) << 16) | (c((rgb >> 8) & 0xFF) << 8) | c(rgb & 0xFF))
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(out, "jpeg", baos); baos.toByteArray
+    }
+    assert(ham(Multimodal.pHash64(byKey("img4")), Multimodal.pHash64(shifted)) <= 3,
+      "pHash must be stable under a uniform brightness shift")
+  }
 }
