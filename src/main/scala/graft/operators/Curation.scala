@@ -140,12 +140,14 @@ object Curation {
     * headroom and gets upweighted. The excess-loss proxy is exact and
     * model-free: KL(P_s ‖ P_corpus) over unigram token distributions —
     * precisely the average extra NLL a corpus-fit unigram model pays on
-    * domain s vs the domain's own fit. Weights are a LINEARIZED
+    * domain s vs the domain's own fit. Weights here are the LINEARIZED
     * analogue of DoReMi's exponentiated update, w_s ∝ 1 + η·KL_s over a
-    * uniform reference (η = 4), allocated to an exact integer budget by
-    * the largest-remainder method (q58/q160's conservation trick) — the
-    * full Group-DRO proxy-training loop is out of scope and said so,
-    * not approximated silently.
+    * uniform reference (η = 4) — [[domainReweightExp]] (q187) runs the
+    * TRUE multiplicative form with the paper's uniform smoothing —
+    * allocated to an exact integer budget by the largest-remainder
+    * method (q58/q160's conservation trick). The full Group-DRO
+    * proxy-TRAINING loop (a reference model re-fit between rounds)
+    * stays out of scope and says so, not approximated silently.
     *
     * Determinism: counts are exact; each (source, type) KL term is
     * e9-rounded BEFORE the per-source sum (the q135 entropy
@@ -157,8 +159,9 @@ object Curation {
     * natural shuffle at any corpus size; everything after runs on
     * #sources-row frames (windows over the mix table, never the
     * corpus). */
-  def domainReweight(docs: DataFrame, budget: Long = 10000L,
-                     eta: Long = 4L): DataFrame = {
+  /** (source, n_tokens, kl_e9) — the shared excess-loss proxy both
+    * reweighting variants (q179 linear, q187 exponentiated) read. */
+  private def klBySource(docs: DataFrame): DataFrame = {
     val st = docs.selectExpr("source", s"explode($sparkToks) AS t")
       .where("t <> ''")
       .groupBy("source", "t").agg(count(lit(1)).as("c_st"))
@@ -167,7 +170,7 @@ object Curation {
     // corpus total as a 1-row broadcast (never a lit(0) window over the
     // type-sized frame — that would single-partition it)
     val nTot = byType.agg(sum("c_t").as("n_tot"))
-    val kl = st
+    st
       .join(broadcast(bySource), "source")
       .join(byType, "t")
       .crossJoin(broadcast(nTot))
@@ -176,10 +179,14 @@ object Curation {
           "(ln(c_st) - ln(n_s) - ln(c_t) + ln(n_tot))) as bigint) AS term_e9")
       .groupBy("source")
       .agg(max("n_s").as("n_tokens"), sum("term_e9").cast("long").as("kl_e9"))
+  }
+
+  def domainReweight(docs: DataFrame, budget: Long = 10000L,
+                     eta: Long = 4L): DataFrame = {
     val all = Window.partitionBy(lit(0))
     val byRem = Window.partitionBy(lit(0))
       .orderBy(col("rem").desc, col("source"))
-    kl
+    klBySource(docs)
       .withColumn("w_e9", expr(s"1000000000L + $eta * kl_e9"))
       .withColumn("tot", sum("w_e9").over(all))
       .withColumn("quota", expr(s"($budget * w_e9) div tot"))
@@ -188,6 +195,45 @@ object Curation {
       .withColumn("rk", row_number().over(byRem))
       .selectExpr("source", "n_tokens", "kl_e9", "w_e9",
         "quota + if(rk <= leftover, 1, 0) AS alloc")
+      .orderBy("source")
+  }
+
+  /** q187 — the TRUE DoReMi update (Xie et al. 2023 Algorithm 1, one
+    * round over the q179 excess-loss proxy): multiplicative weights
+    * w_s ∝ exp(η · excess_s) instead of q179's linearization, then the
+    * paper's uniform smoothing α = (1−c)·ŵ + c·u (c = 1%) so no domain
+    * ever starves. The exp goes through the q160 pow convention —
+    * e6-rounded ONCE per source before any cross-source arithmetic
+    * (IEEE division and a 1-ulp exp are the same cross-engine risk
+    * class pow already carries, green at 3 SFs since q160 landed); the
+    * exponent is CLIPPED at 12 nats (identical `least` on both
+    * engines) — e^12 ≈ 1.6e5× the uniform weight already saturates any
+    * e4 budget allocation, and without the clip an alien domain's
+    * weight overflows the share product (the planted CurationOpsSpec
+    * case found exactly this). Everything downstream (e6 shares,
+    * smoothing, largest-remainder budget) is integer-exact. Windows
+    * run over the #sources mix table only. */
+  def domainReweightExp(docs: DataFrame, budget: Long = 10000L,
+                        eta: Long = 4L, smoothPct: Long = 1L): DataFrame = {
+    val all = Window.partitionBy(lit(0))
+    val byRem = Window.partitionBy(lit(0))
+      .orderBy(col("rem").desc, col("source"))
+    klBySource(docs)
+      .withColumn("w_exp_e6",
+        expr(s"cast(round(1e6 * exp(least($eta * kl_e9 / 1e9, 12.0d))) as bigint)"))
+      .withColumn("totw", sum("w_exp_e6").over(all))
+      .withColumn("nsrc", count(lit(1)).over(all))
+      .withColumn("share_e6", expr("(1000000L * w_exp_e6) div totw"))
+      .withColumn("alpha_e6", expr(
+        s"((100 - $smoothPct) * share_e6) div 100 + " +
+          s"($smoothPct * (1000000L div nsrc)) div 100"))
+      .withColumn("tot", sum("alpha_e6").over(all))
+      .withColumn("quota", expr(s"($budget * alpha_e6) div tot"))
+      .withColumn("rem", expr(s"($budget * alpha_e6) % tot"))
+      .withColumn("leftover", lit(budget) - sum("quota").over(all))
+      .withColumn("rk", row_number().over(byRem))
+      .selectExpr("source", "n_tokens", "kl_e9", "w_exp_e6", "share_e6",
+        "alpha_e6", "quota + if(rk <= leftover, 1, 0) AS alloc")
       .orderBy("source")
   }
 
@@ -811,6 +857,10 @@ object Curation {
     "q179_domain_reweight" -> ((s, dir) =>
       domainReweight(Tables.documents(s, dir))),
 
+    // The TRUE exponentiated DoReMi update over the same proxy.
+    "q187_doremi_exp" -> ((s, dir) =>
+      domainReweightExp(Tables.documents(s, dir))),
+
     // The loader-facing WRR interleave of the q160 mixture.
     "q182_mix_schedule" -> ((s, dir) =>
       mixSchedule(Tables.documents(s, dir))),
@@ -939,6 +989,23 @@ object Curation {
        |    CAST(floor(CAST(SUM(lr_e6) AS BIGINT) / (COUNT(*) * 1e2)) AS BIGINT) AS spb_e4
        |  FROM bg JOIN lr ON bg.bkt = lr.bkt
        |  GROUP BY bg.doc_id)""".stripMargin
+
+  /** The q179/q187 shared excess-loss CTE chain: (source, type) counts
+    * → marginals → per-source e9-rounded KL. */
+  private val duckKlCtes: String =
+    """st AS (
+      |  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c_st FROM (
+      |    SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents)
+      |  WHERE t <> '' GROUP BY 1, 2),
+      |bs AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+      |bt AS (SELECT t, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
+      |nt AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_tot FROM bt),
+      |kl AS (
+      |  SELECT st.source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(CAST(round(1e9 * (c_st / CAST(n_s AS DOUBLE)) *
+      |      (ln(c_st) - ln(n_s) - ln(c_t) + ln(n_tot))) AS BIGINT)) AS BIGINT) AS kl_e9
+      |  FROM st JOIN bs ON st.source = bs.source JOIN bt ON st.t = bt.t CROSS JOIN nt
+      |  GROUP BY st.source)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     // q162's dedup fragments + q37's pass rule + q62's contamination
@@ -1103,19 +1170,7 @@ object Curation {
         |FROM tm ORDER BY pos""".stripMargin,
 
     "q179_domain_reweight" ->
-      """WITH st AS (
-        |  SELECT source, t, CAST(COUNT(*) AS BIGINT) AS c_st FROM (
-        |    SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS t FROM documents)
-        |  WHERE t <> '' GROUP BY 1, 2),
-        |bs AS (SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
-        |bt AS (SELECT t, CAST(SUM(c_st) AS BIGINT) AS c_t FROM st GROUP BY 1),
-        |nt AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_tot FROM bt),
-        |kl AS (
-        |  SELECT st.source, CAST(MAX(n_s) AS BIGINT) AS n_tokens,
-        |    CAST(SUM(CAST(round(1e9 * (c_st / CAST(n_s AS DOUBLE)) *
-        |      (ln(c_st) - ln(n_s) - ln(c_t) + ln(n_tot))) AS BIGINT)) AS BIGINT) AS kl_e9
-        |  FROM st JOIN bs ON st.source = bs.source JOIN bt ON st.t = bt.t CROSS JOIN nt
-        |  GROUP BY st.source),
+      s"""WITH $duckKlCtes,
         |w AS (
         |  SELECT source, n_tokens, kl_e9,
         |    CAST(1000000000 + 4 * kl_e9 AS BIGINT) AS w_e9
@@ -1132,6 +1187,40 @@ object Curation {
         |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
         |  FROM a)
         |SELECT source, n_tokens, kl_e9, w_e9,
+        |  CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r ORDER BY source""".stripMargin,
+
+    // the exponentiated sibling: multiplicative weights (12-nat clip,
+    // e6 scale) + 1% uniform smoothing, largest-remainder budget over
+    // the smoothed alphas
+    "q187_doremi_exp" ->
+      s"""WITH $duckKlCtes,
+        |w AS (
+        |  SELECT source, n_tokens, kl_e9,
+        |    CAST(round(1e6 * exp(least(4 * kl_e9 / 1e9, 12.0))) AS BIGINT) AS w_exp_e6
+        |  FROM kl),
+        |q AS (
+        |  SELECT *, CAST(SUM(w_exp_e6) OVER () AS BIGINT) AS totw,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS nsrc
+        |  FROM w),
+        |sm AS (
+        |  SELECT source, n_tokens, kl_e9, w_exp_e6,
+        |    (1000000 * w_exp_e6) // totw AS share_e6,
+        |    CAST((99 * ((1000000 * w_exp_e6) // totw)) // 100 +
+        |         (1 * (1000000 // nsrc)) // 100 AS BIGINT) AS alpha_e6
+        |  FROM q),
+        |q2 AS (SELECT *, CAST(SUM(alpha_e6) OVER () AS BIGINT) AS tot FROM sm),
+        |a AS (
+        |  SELECT source, n_tokens, kl_e9, w_exp_e6, share_e6, alpha_e6,
+        |    (10000 * alpha_e6) // tot AS quota,
+        |    (10000 * alpha_e6) % tot AS rem
+        |  FROM q2),
+        |r AS (
+        |  SELECT *,
+        |    CAST(10000 - SUM(quota) OVER () AS BIGINT) AS leftover,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM a)
+        |SELECT source, n_tokens, kl_e9, w_exp_e6, share_e6, alpha_e6,
         |  CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
         |FROM r ORDER BY source""".stripMargin,
 

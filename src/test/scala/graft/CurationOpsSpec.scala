@@ -271,5 +271,18 @@ class CurationOpsSpec extends AnyFunSuite {
     // the four identical sources tie exactly (same distribution)
     assert(out.filter(_._1 != "s4").map(_._2).distinct.size == 1,
       "identical sources must carry identical KL")
+
+    // the exponentiated sibling (q187) on the same plant: budget
+    // conserves, the alien source's multiplicative upweight EXCEEDS the
+    // linearized one (exp(x) > 1 + x for x > 0), and the 1% uniform
+    // smoothing keeps every source alive
+    val exp = Curation.domainReweightExp(docs).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(6))).toSeq
+    assert(exp.map(_._3).sum == 10000L, "exp-update budget must conserve")
+    val linAlien = out.find(_._1 == "s4").get._3
+    val expAlien = exp.find(_._1 == "s4").get._3
+    assert(expAlien > linAlien,
+      s"multiplicative weights must upweight the outlier past the linearization ($expAlien vs $linAlien)")
+    assert(exp.forall(_._3 > 0L), "uniform smoothing must keep every source alive")
   }
 }
