@@ -41,7 +41,7 @@ object ScaleCheck {
     "compact", "zorder", "vacuum", "bloom_point", "ivm_maintain",
     "ivm_minmax", "shard_manifest", "passage_dedup", "mv_refresh",
     "bpe_train", "image_band", "wordpiece_train", "wordpiece_vocab30k",
-    "tokenizer_apply")
+    "tokenizer_apply", "tokenizer_kernel")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -485,6 +485,31 @@ object ScaleCheck {
         docs.selectExpr("doc_id", "3L AS n_words",
           s"""(doc_id % 7 + 1) + ((doc_id * 31) % ${types}L % 7 + 1) +
              |((doc_id * 17) % ${types}L % 7 + 1) AS n_wp_tokens""".stripMargin)
+          .orderBy("doc_id"))
+    }
+
+    // the SHIPPED-ARTIFACT apply (q188's path) at the same 10M-doc
+    // order of magnitude: the model rides inside the expression, the
+    // plan is scan → narrow map → sort with NO join — so unlike
+    // `tokenizer_apply` there is no shuffle to size and no broadcast
+    // decision to get wrong; memory is bounded by the per-task word
+    // cache cap, which the all-DISTINCT middle word ('w'||doc_id)
+    // deliberately saturates. Oracle is closed-form: the merge (a,a)
+    // alternates greedy-left, so an 'a'-run of length L counts
+    // (L+1) div 2 tokens, and the unseen middle word counts one token
+    // per code point.
+    {
+      val model = new graft.plans.BpeEncodeModel(Array("a"), Array("a"))
+      val nDocs = 10000000L
+      val docs = spark.range(nDocs).selectExpr("id AS doc_id",
+        """concat(repeat('a', cast(id % 9 + 1 AS int)), ' w', id, ' ',
+          |repeat('a', cast((id * 17) % 9 + 1 AS int))) AS text""".stripMargin)
+      check("tokenizer_kernel")(
+        graft.operators.Bpe.encodeCounts(docs, model, "n_bpe_tokens")
+          .localCheckpoint(),
+        docs.selectExpr("doc_id", "3L AS n_words",
+          """(doc_id % 9 + 2) div 2 + length(concat('w', doc_id))
+            |+ ((doc_id * 17) % 9 + 2) div 2 AS n_bpe_tokens""".stripMargin)
           .orderBy("doc_id"))
     }
 

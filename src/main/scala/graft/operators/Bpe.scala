@@ -206,18 +206,50 @@ object Bpe {
 
   /** Memoized per-doc BPE token counts for downstream consumers —
     * q157 packs sequences by these instead of whitespace counts, so
-    * its budget is denominated in the tokens a trainer sees. */
+    * its budget is denominated in the tokens a trainer sees. Served by
+    * the SHIPPED-ARTIFACT kernel (q188's path): counts are identical
+    * to the seg join by the q188 ≡ q144 gate, and the consumer's plan
+    * loses the seg-frame join entirely — the packing tail becomes
+    * scan → map → pack. */
   private[operators] def tokenCountsMemo(s: SparkSession, dir: String): DataFrame =
-    tokenCountsFrom(Tables.documents(s, dir), trainSymsFor(s, dir, DefaultMerges)._1)
+    encodeCounts(Tables.documents(s, dir), encodeModelFor(s, dir),
+      "n_bpe_tokens")
 
-  /** The memoized trained segmentation applied to an ARBITRARY
-    * (doc_id, text) frame — the composed pipeline (q165) counts the
-    * tokens of passage-REWRITTEN survivors, whose words are a subset
-    * of the training corpus's vocabulary, so the broadcast seg join
-    * covers them by construction. */
+  /** The memoized trained model applied to an ARBITRARY (doc_id, text)
+    * frame — the composed pipeline (q165/q183) counts the tokens of
+    * passage-REWRITTEN survivors. Kernel path: the encoder is total on
+    * any input, and on rewritten text (words ⊆ the training corpus's
+    * vocabulary) it equals the seg join word-for-word. */
   private[operators] def tokenCountsFor(s: SparkSession, dir: String,
       docs: DataFrame): DataFrame =
-    tokenCountsFrom(docs, trainSymsFor(s, dir, DefaultMerges)._1)
+    encodeCounts(docs, encodeModelFor(s, dir), "n_bpe_tokens")
+
+  /** The trained model as the SHIPPED artifact — the k-row merge list
+    * packed into [[graft.plans.BpeEncodeModel]], the form a tokenizer
+    * actually deploys in (merges.txt in every published checkpoint).
+    * Constant-size by construction (k rows, not word types), so it
+    * rides to executors inside the expression; see q188. */
+  private[operators] def encodeModelFor(s: SparkSession, dir: String): graft.plans.BpeEncodeModel = {
+    val merges = trainSymsFor(s, dir, DefaultMerges)._2
+    new graft.plans.BpeEncodeModel(
+      merges.map(_._2).toArray, merges.map(_._3).toArray)
+  }
+
+  /** q188/q189 shared projection: one narrow pass of
+    * [[graft.plans.TokenizeCounts]] over `text` — NO seg-frame join
+    * anywhere in the plan (the scan maps straight into the final
+    * doc_id sort). Docs with zero words drop, matching the inner seg
+    * join's behavior on the q144/q174 twins this path reuses. */
+  private[graft] def encodeCounts(docs: DataFrame,
+      model: graft.plans.TokenizerModel, tokensCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val tc = ColumnBridge.column(graft.plans.TokenizeCounts(
+      ColumnBridge.expression(col("text")), model))
+    docs.select(col("doc_id"), tc.as("tc"))
+      .where(col("tc").getItem(0) > 0)
+      .selectExpr("doc_id", "tc[0] AS n_words", s"tc[1] AS $tokensCol")
+      .orderBy("doc_id")
+  }
 
   /** The k-merge training CTE chain with a caller-supplied tail — lets
     * sibling operators (q157 packing) build oracles on top of the
@@ -299,7 +331,13 @@ object Bpe {
     "q144_bpe_tokenize" -> ((s, dir) =>
       tokenCountsFrom(Tables.documents(s, dir), trainSymsFor(s, dir, DefaultMerges)._1)),
     "q154_bpe_fertility" -> ((s, dir) =>
-      fertilityFrom(Tables.documents(s, dir), trainSymsFor(s, dir, DefaultMerges)._1)))
+      fertilityFrom(Tables.documents(s, dir), trainSymsFor(s, dir, DefaultMerges)._1)),
+    // the shipped-artifact encoder: same output as q144 (the twin is
+    // reused verbatim), but the plan is scan → map → sort — the apply
+    // shape that holds at ANY type-table size because nothing joins
+    "q188_bpe_encode" -> ((s, dir) =>
+      encodeCounts(Tables.documents(s, dir), encodeModelFor(s, dir),
+        "n_bpe_tokens")))
 
   /** DuckDB twin: the same k iterations unrolled as chained CTEs. The
     * MATERIALIZED hints are semantics-neutral but load-bearing for the
@@ -310,7 +348,11 @@ object Bpe {
   def oracle: Map[String, String] = Map(
     "q143_bpe_merges" -> duckSql(DefaultMerges, mergeListTail(DefaultMerges)),
     "q144_bpe_tokenize" -> duckSql(DefaultMerges, tokenizeTail(DefaultMerges)),
-    "q154_bpe_fertility" -> duckSql(DefaultMerges, fertilityTail(DefaultMerges)))
+    "q154_bpe_fertility" -> duckSql(DefaultMerges, fertilityTail(DefaultMerges)),
+    // q188 must equal q144 value-for-value — the whole claim is that the
+    // shipped merge list reproduces the trained segmentation, so the
+    // oracle is the SAME training-chain twin, not a second encoder
+    "q188_bpe_encode" -> duckSql(DefaultMerges, tokenizeTail(DefaultMerges)))
 
   private def mergeListTail(k: Int): String = {
     val best = (1 to k).map(i =>

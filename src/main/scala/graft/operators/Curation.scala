@@ -716,6 +716,33 @@ object Curation {
       .select("doc_id", "lm_score_e6", "n_bigrams", "med2x")
   }
 
+  /** q191 — CCNet's head/middle/tail quality buckets (Wenzek et al.
+    * 2020 §4.3): rather than a hard keep/drop (q130's median cut), the
+    * published pipeline SPLITS each language into perplexity terciles
+    * and ships all three — downstream consumers choose how deep into
+    * the tail to train. Score = the shared integer bigram-LM signal
+    * (q98's chain; HIGH score = probable text, so bucket 1 = head);
+    * the tercile is rank-based `ntile(3)` over (score DESC, doc_id) —
+    * integer-exact by construction (no percentile interpolation to
+    * keep cross-engine), identical floor/ceil group sizing in both
+    * engines.
+    *
+    * Scale: the window partitions by lang over the NARROW
+    * (doc_id, lang, score) frame — #langs ordered partitions, each a
+    * range sort of scalars; past the point where one language's scalar
+    * triple outgrows a partition, swap the exact ntile for per-lang
+    * approx-percentile cutpoints + a narrow map (the q106 exact-NDV ↔
+    * q156 sketch convention: this IS the deliberate oracle surface). */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("lang")
+      .orderBy(col("lm_score_e6").desc, col("doc_id"))
+    bigramLmScore(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .withColumn("bucket", ntile(3).over(w).cast("long"))
+      .select("doc_id", "lang", "lm_score_e6", "bucket")
+      .orderBy("doc_id")
+  }
+
   /** Per-source token over-representation (domain-shift / boilerplate
     * detector): for each (source, token), the ratio of the token's
     * within-source share to its corpus-wide share — tokens a source
@@ -831,6 +858,10 @@ object Curation {
     "q130_ppl_filter" -> ((s, dir) =>
       perplexityFilter(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // CCNet head/middle/tail terciles per language over the q98 signal.
+    "q191_ccnet_buckets" -> ((s, dir) =>
+      ccnetBuckets(Tables.documents(s, dir))),
+
     "q135_domain_shift" -> ((s, dir) =>
       domainShift(Tables.documents(s, dir)).orderBy("source", "rk")),
 
@@ -852,6 +883,26 @@ object Curation {
     // Temperature-flattened mixture over the REAL source column.
     "q160_temperature_mix" -> ((s, dir) =>
       temperatureMixture(Tables.documents(s, dir))),
+
+    // q195 — SELECTION composed with MIXTURE: q160's temperature chain
+    // over the DSIR-SELECTED corpus only (q150's keep flags, shared
+    // memoized learn+score pass), the two published stages in the order
+    // a real pipeline runs them (Xie et al. 2023 select; temperature
+    // α-sample what survives). A source whose mass is mostly off-target
+    // loses allocation — per-source kept mass is what the sampler sees,
+    // not raw volume. Plan: the memoized per-doc score frame semi-joins
+    // ONE corpus scan (id-keyed), one map-side-combined per-source
+    // aggregate, then the #sources-row largest-remainder tail (shared
+    // code with q160/q186 — temperatureOver). Sources with zero kept
+    // docs drop out on BOTH engines (inner-join semantics).
+    "q195_dsir_mixture" -> ((s, dir) => {
+      val kept = dsirWeightsFrom(dsirScoredMemo(s, dir), 25)
+        .where("keep").select("doc_id")
+      temperatureOver(Tables.documents(s, dir)
+        .selectExpr("doc_id", "source", s"cast(size($sparkToks) as bigint) AS n")
+        .join(kept, Seq("doc_id"), "left_semi")
+        .groupBy("source").agg(sum("n").as("n_tokens")))
+    }),
 
     // Excess-loss (KL) domain reweighting over the REAL source column.
     "q179_domain_reweight" -> ((s, dir) =>
@@ -1100,6 +1151,19 @@ object Curation {
         |SELECT doc_id, lm_score_e6, n_bigrams, med2x FROM scores, med
         |WHERE lm_score_e6 * 2 >= med2x ORDER BY doc_id""".stripMargin,
 
+    "q191_ccnet_buckets" ->
+      s"""WITH $bigramLmCtes,
+        |scores AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(p_e6) // COUNT(*) AS BIGINT) AS lm_score_e6
+        |  FROM bg JOIN probs ON bg.w1 = probs.w1 AND bg.w2 = probs.w2
+        |  GROUP BY doc_id)
+        |SELECT s.doc_id, d.lang, s.lm_score_e6,
+        |  CAST(NTILE(3) OVER (PARTITION BY d.lang
+        |    ORDER BY s.lm_score_e6 DESC, s.doc_id) AS BIGINT) AS bucket
+        |FROM scores s JOIN documents d USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
+
     "q76_cross_doc_dedup" ->
       """WITH corpus AS (
         |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
@@ -1342,6 +1406,38 @@ object Curation {
          |SELECT doc_id, n_ngrams, logw_e6, spb_e4,
          |  2 * spb_e4 >= thr2x AS keep
          |FROM sc, thr ORDER BY doc_id""".stripMargin,
+
+    // the q150 keep set feeding the q160 temperature tail verbatim —
+    // selection then mixture, one shared dsir chain
+    "q195_dsir_mixture" ->
+      s"""WITH $dsirCtes,
+         |thr AS (
+         |  SELECT CAST(round(2 * quantile_cont(spb_e4, 0.75)) AS BIGINT) AS thr2x FROM sc),
+         |kept AS (SELECT doc_id FROM sc, thr WHERE 2 * spb_e4 >= thr2x),
+         |per_source AS (
+         |  SELECT source,
+         |    CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS n_tokens
+         |  FROM documents JOIN kept USING (doc_id) GROUP BY 1),
+         |p AS (
+         |  SELECT source, n_tokens,
+         |    CAST(round(1e9 * pow(CAST(n_tokens AS DOUBLE), 0.3)) AS BIGINT) AS p_e9
+         |  FROM per_source),
+         |q AS (
+         |  SELECT *, CAST(SUM(p_e9) OVER () AS BIGINT) AS tot FROM p),
+         |a AS (
+         |  SELECT source, n_tokens, p_e9,
+         |    (1000000 * p_e9) // tot AS w_e6,
+         |    (10000 * p_e9) // tot AS quota,
+         |    (10000 * p_e9) % tot AS rem
+         |  FROM q),
+         |r AS (
+         |  SELECT *,
+         |    CAST(10000 - SUM(quota) OVER () AS BIGINT) AS leftover,
+         |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+         |  FROM a)
+         |SELECT source, n_tokens, p_e9, w_e6,
+         |  CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+         |FROM r ORDER BY source""".stripMargin,
 
     // Tie-aware Mann-Whitney AUC from score-bucketed counts: 2U kept
     // integral (half-ranks never materialize), floor-div matches

@@ -394,9 +394,60 @@ object Dedup {
     ham0.unionByName(ham13)
   }
 
+  /** q192 — the GLOBAL-vs-LOCAL dedup gap, per source. At 100 TB the
+    * operational choice is real: GLOBAL exact dedup shuffles the whole
+    * corpus's fingerprints once, while SHARD-LOCAL dedup (per source /
+    * per crawl snapshot) is embarrassingly parallel and is what the
+    * published pipelines actually ship (FineWeb, Penedo et al. 2024
+    * §3.4, measured per-snapshot vs global dedup head-on; Dolma dedups
+    * per source). This query prices the cheap path's quality cost
+    * exactly: per source, how many duplicate rows global keep-first
+    * (q20's min-id rule) would drop that WITHIN-SOURCE keep-first
+    * cannot see, because their keeper lives in another source.
+    *
+    * n_drop_local ≤ n_drop_global per source by construction (the
+    * global keeper's id ≤ the local keeper's). Plan: the corpus scan
+    * reduces in ONE map-side-combined shuffle to the ≤ |distinct
+    * (fp, source)| frame; the global-keeper frame derives from THAT
+    * (never a second corpus scan), and the rest is a #sources-row
+    * aggregate — no windows, no corpus-width self-join. */
+  def dedupLocality(docs: DataFrame): DataFrame = {
+    val bySrcFp = docs.selectExpr("source", "md5(text) AS fp", "doc_id")
+      .groupBy("fp", "source")
+      .agg(min("doc_id").as("l_keep"), count(lit(1)).as("n"))
+    val gk = bySrcFp.groupBy("fp").agg(min("l_keep").as("g_keep"))
+    bySrcFp.join(gk, "fp")
+      .groupBy("source")
+      .agg(sum("n").cast("long").as("n_docs"),
+        sum(expr("n - CASE WHEN l_keep = g_keep THEN 1 ELSE 0 END"))
+          .cast("long").as("n_drop_global"),
+        sum(expr("n - 1")).cast("long").as("n_drop_local"))
+      .selectExpr("source", "n_docs", "n_drop_global", "n_drop_local",
+        "n_drop_global - n_drop_local AS n_missed_local",
+        "(10000 * (n_drop_global - n_drop_local)) div greatest(n_drop_global, 1) AS missed_frac_e4")
+      .orderBy("source")
+  }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The per-source price of shard-local (vs global) exact dedup.
+    // Planted duplicates (the q62/q76 convention — the raw testdata has
+    // no exact dups, so the gap would be invisibly zero): every 11th
+    // doc re-inserted under the NEXT source mod 20 (cross-source — only
+    // global dedup sees it) and every 13th under its OWN source
+    // (local-catchable), so both branches are oracle-visible at any SF.
+    "q192_dedup_locality" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "source", "text")
+      dedupLocality(d
+        .unionByName(d.where("doc_id % 11 = 4").selectExpr(
+          "doc_id + 5000000 AS doc_id",
+          "concat('src', (cast(substring(source, 4) AS int) + 1) % 20) AS source",
+          "text"))
+        .unionByName(d.where("doc_id % 13 = 6").selectExpr(
+          "doc_id + 6000000 AS doc_id", "source", "text")))
+    }),
+
     // Exact dedup: keep-first per content fingerprint (the reference's
     // keep-docs[0] made deterministic and content-addressed).
     "q20_exact_dedup" -> ((s, dir) => {
@@ -519,6 +570,29 @@ object Dedup {
     // by materializing corpus-sized cluster rows. Weight is integer
     // fixed-point: w_e6 = 1e6 div commonness (exact in both engines).
     "q175_soft_dedup" -> ((s, dir) => softWeights(s, dir).orderBy("doc_id")),
+
+    // q193 — keep-LONGEST near-dup representative: the OTHER published
+    // keep policy beside q53's deterministic smallest-id (C4 keeps the
+    // longest member of a duplicate group — Raffel et al. 2020 §2.2;
+    // Lee et al. 2022 §4 discuss representative choice for NearDup
+    // groups): near-dups usually share a core span and the longest
+    // member carries the superset, so dropping by id can discard
+    // content. Per CLUSTERED doc: its cluster, content length, and the
+    // kept verdict under (n_chars DESC, doc_id ASC) — reusing q53's
+    // memoized labels, so the frame is pair-participant-sized (never
+    // corpus-sized) and the rank window partitions by cluster (bounded
+    // groups). The stored n_chars column is the length signal — no
+    // text rescan.
+    "q193_keep_longest" -> ((s, dir) => {
+      val l = textClusters(s, dir).select("doc_id", "cluster")
+        .join(Tables.documents(s, dir).select("doc_id", "n_chars"), "doc_id")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      l.withColumn("kept", row_number().over(w) === 1)
+        .selectExpr("doc_id", "cast(cluster AS bigint) AS cluster",
+          "n_chars", "kept")
+        .orderBy("doc_id")
+    }),
 
     // The q175 weights CONSUMED: q160's temperature mixture computed
     // over SoftDeDup-EFFECTIVE token mass (Σ tokens × w_e6 per source)
@@ -1122,6 +1196,30 @@ object Dedup {
          |  LEFT JOIN lab l USING (doc_id)
          |  LEFT JOIN siz s ON l.cluster = s.cluster)""".stripMargin
     Map(
+      "q192_dedup_locality" ->
+        """WITH corpus AS (
+          |  SELECT doc_id, source, text FROM documents
+          |  UNION ALL
+          |  SELECT doc_id + 5000000,
+          |    concat('src', (CAST(substr(source, 4) AS INT) + 1) % 20), text
+          |  FROM documents WHERE doc_id % 11 = 4
+          |  UNION ALL
+          |  SELECT doc_id + 6000000, source, text
+          |  FROM documents WHERE doc_id % 13 = 6),
+          |bsf AS (
+          |  SELECT md5(text) AS fp, source,
+          |    MIN(doc_id) AS l_keep, CAST(COUNT(*) AS BIGINT) AS n
+          |  FROM corpus GROUP BY 1, 2),
+          |gk AS (SELECT fp, MIN(l_keep) AS g_keep FROM bsf GROUP BY fp),
+          |agg AS (
+          |  SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+          |    CAST(SUM(n - CASE WHEN l_keep = g_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_global,
+          |    CAST(SUM(n - 1) AS BIGINT) AS n_drop_local
+          |  FROM bsf JOIN gk USING (fp) GROUP BY source)
+          |SELECT source, n_docs, n_drop_global, n_drop_local,
+          |  n_drop_global - n_drop_local AS n_missed_local,
+          |  (10000 * (n_drop_global - n_drop_local)) // greatest(n_drop_global, 1) AS missed_frac_e4
+          |FROM agg ORDER BY source""".stripMargin,
       "q20_exact_dedup" ->
         """SELECT doc_id, fp FROM (
           |  SELECT doc_id, md5(text) AS fp,
@@ -1238,6 +1336,15 @@ object Dedup {
         s"""WITH RECURSIVE $duckSoftWeightCtes
            |SELECT doc_id, cluster, commonness, w_e6
            |FROM dw ORDER BY doc_id""".stripMargin,
+      // keep-longest representative: q53's label chain, ranked by the
+      // stored n_chars (DESC, doc_id ASC) inside each cluster
+      "q193_keep_longest" ->
+        s"""WITH RECURSIVE $duckSoftWeightCtes
+           |SELECT l.doc_id, CAST(l.cluster AS BIGINT) AS cluster, d.n_chars,
+           |  (ROW_NUMBER() OVER (PARTITION BY l.cluster
+           |    ORDER BY d.n_chars DESC, l.doc_id) = 1) AS kept
+           |FROM lab l JOIN documents d USING (doc_id)
+           |ORDER BY l.doc_id""".stripMargin,
       // the q175 weights consumed: per-source EFFECTIVE token mass
       // (Σ tokens × w_e6) through q160's temperature chain verbatim
       "q186_soft_temperature_mix" ->

@@ -941,7 +941,24 @@ object Similarity {
 
     // SSL-prototypes pruning: the most prototypical 25% per cluster cut.
     "q170_proto_prune" -> ((s, dir) =>
-      protoPrune(Tables.embeddings(s, dir), ivfIndexFor(s, dir)._1))
+      protoPrune(Tables.embeddings(s, dir), ivfIndexFor(s, dir)._1)),
+
+    // D4 (Tirumala et al. 2023 "D4: Improving LLM Pretraining via
+    // Document De-Duplication and Diversification"): SemDeDup FIRST
+    // (drop near-copies of other examples), THEN SSL-prototype pruning
+    // over the SURVIVORS — the paper's exact stage order, sharing one
+    // IVF index across both stages as it does. A real composition, not
+    // a union: dropped near-dups vacate per-cluster ranks, so the
+    // prototype cut lands on different vectors than q170's (the
+    // survivor-only `sizes` re-derivation is where that shows). Plan:
+    // the memoized q159 keep flags semi-join the embedding scan
+    // (id-keyed — AQE broadcasts at test SFs, shuffles on vec_id at
+    // scale), then q170's narrow-map + k-partition window chain.
+    "q190_d4_prune" -> ((s, dir) => {
+      val kept = semanticKeepFor(s, dir).where("keep").select("vec_id")
+      protoPrune(Tables.embeddings(s, dir).join(kept, Seq("vec_id"), "left_semi"),
+        ivfIndexFor(s, dir)._1)
+    })
   )
 
   /** Per-query recall of an approximate rank list against the exact
@@ -1173,6 +1190,38 @@ object Similarity {
            |    CAST(round(round(list_sum(list_transform(list_zip(a.q, c.c), s -> s[1] * s[2])) /
            |      (sqrt(list_sum(list_transform(a.q, x -> x * x))) * sqrt(list_sum(list_transform(c.c, x -> x * x)))), 6) * 1000000) AS BIGINT) AS sim_e6
            |  FROM asg a JOIN cents2 c USING (cid)),
+           |sizes AS (
+           |  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           |    CAST(COUNT(*) - (25 * COUNT(*)) // 100 AS BIGINT) AS n_keep
+           |  FROM sims GROUP BY cid),
+           |ranked AS (
+           |  SELECT s.vec_id, s.cid, s.sim_e6,
+           |    CAST(ROW_NUMBER() OVER (PARTITION BY s.cid
+           |      ORDER BY s.sim_e6 ASC, s.vec_id ASC) AS BIGINT) AS rk,
+           |    z.n_keep
+           |  FROM sims s JOIN sizes z USING (cid))
+           |SELECT vec_id, cid, sim_e6, rk, (rk <= n_keep) AS kept
+           |FROM ranked ORDER BY vec_id""".stripMargin,
+
+      // D4: the q159 dup chain decides survivors, then the q170
+      // sims/sizes/ranked chain runs over SURVIVORS ONLY (sizes and
+      // ranks re-derived post-dedup — the composition's whole point)
+      "q190_d4_prune" ->
+        s"""WITH ${duckIvfCandsCtes()},
+           |dv AS (SELECT vec_id, v FROM vecs),
+           |dups AS (
+           |  SELECT DISTINCT b.vec_id
+           |  FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+           |  JOIN dv a ON a.vec_id = x.vec_id
+           |  JOIN dv b ON b.vec_id = y.vec_id
+           |  WHERE CAST(round(($duckCos) * 1000000) AS BIGINT) >= 300000),
+           |sims AS (
+           |  SELECT a.vec_id, a.cid,
+           |    CAST(round(round(list_sum(list_transform(list_zip(a.q, c.c), s -> s[1] * s[2])) /
+           |      (sqrt(list_sum(list_transform(a.q, x -> x * x))) * sqrt(list_sum(list_transform(c.c, x -> x * x)))), 6) * 1000000) AS BIGINT) AS sim_e6
+           |  FROM asg a JOIN cents2 c USING (cid)
+           |  LEFT JOIN dups d ON d.vec_id = a.vec_id
+           |  WHERE d.vec_id IS NULL),
            |sizes AS (
            |  SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
            |    CAST(COUNT(*) - (25 * COUNT(*)) // 100 AS BIGINT) AS n_keep

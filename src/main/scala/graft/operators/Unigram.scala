@@ -193,6 +193,29 @@ object Unigram {
         sum("score_e6").cast("long").as("score_e6"))
       .orderBy("doc_id")
 
+  /** The SEED model as the SHIPPED artifact — (piece, score_e6) pairs,
+    * the vocab+scores file a SentencePiece unigram checkpoint actually
+    * contains (bounded: MultiVocab + alphabet rows). q194 decodes with
+    * it executor-side via [[graft.plans.UnigramEncodeModel]]'s packed
+    * DP — bit-identical to q180's in-plan fold, NO seg join. NOT built
+    * for the q184 refit model: a PRUNED vocabulary can leave interior
+    * code points off-inventory, where the kernel's totality fallback
+    * (UnkScoreE6) and the in-plan null-arm semantics part ways. */
+  private val encModelMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), graft.plans.UnigramEncodeModel]
+  Memos.register(() => encModelMemo.synchronized(encModelMemo.clear()))
+  private[operators] def encodeModelFor(s: SparkSession, dir: String): graft.plans.UnigramEncodeModel =
+    encModelMemo.synchronized {
+      encModelMemo.getOrElseUpdate((s, dir), {
+        val cands = WordPiece.candidates(
+          WordPiece.wordTypes(Tables.documents(s, dir)))
+        val rows = seedScores(cands).collect()
+        new graft.plans.UnigramEncodeModel(
+          rows.map(_.getString(0)), rows.map(_.getLong(1)),
+          WordPiece.MaxPieceLen)
+      })
+    }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -202,7 +225,20 @@ object Unigram {
     // surface under the re-estimated scores, so the EM round is
     // oracle-visible end to end (path counts → refit → re-decode)
     "q184_unigram_hard_em" -> ((s, dir) =>
-      unigramTokenCounts(Tables.documents(s, dir), emSegFor(s, dir))))
+      unigramTokenCounts(Tables.documents(s, dir), emSegFor(s, dir))),
+    // the shipped-artifact Viterbi encoder — scan → packed-DP map →
+    // sort, no seg join; q180's recursive-walk twin gates it verbatim
+    // (the q188/q189 convention, closing the THIRD tokenizer family)
+    "q194_unigram_encode" -> ((s, dir) => {
+      import org.apache.spark.sql.graft.ColumnBridge
+      val tc = ColumnBridge.column(graft.plans.TokenizeCounts(
+        ColumnBridge.expression(col("text")), encodeModelFor(s, dir)))
+      Tables.documents(s, dir).select(col("doc_id"), tc.as("tc"))
+        .where(col("tc").getItem(0) > 0)
+        .selectExpr("doc_id", "tc[0] AS n_words", "tc[1] AS n_uni_tokens",
+          "tc[3] AS score_e6")
+        .orderBy("doc_id")
+    }))
 
   /** Score + pivot + recursive Viterbi walk + seg, names parameterized
     * for clash-free splicing (q181); assumes `v`, `cand`, `vocab` from
@@ -307,5 +343,13 @@ object Unigram {
          |$duckEmCtes,
          |${duckViterbiCtes(tot = "tot2", sc = "sc2", piv = "piv2",
             walk = "uwalk2", seg = "useg2", vocabSrc = "used")},
-         |${duckPerDocTail("useg2")}""".stripMargin)
+         |${duckPerDocTail("useg2")}""".stripMargin,
+    // q194 must equal q180 value-for-value — the shipped (piece, score)
+    // artifact reproduces the in-plan DP, so the twin is the SAME
+    // recursive-walk chain, not a second encoder
+    "q194_unigram_encode" ->
+      s"""WITH RECURSIVE ${WordPiece.duckVDef},
+         |${WordPiece.duckSeedCtes},
+         |${duckViterbiCtes()},
+         |${duckPerDocTail("useg")}""".stripMargin)
 }

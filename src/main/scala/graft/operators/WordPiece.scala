@@ -202,6 +202,25 @@ object WordPiece {
         segCounts(wordTypes(Tables.documents(s, dir))))
     }
 
+  /** The piece inventory as the SHIPPED artifact (vocab.txt): the
+    * multiVocab + alphabet rows collected into a
+    * [[graft.plans.WordPieceEncodeModel]] — the one frame of this
+    * family that is constant-size by construction (the collect is the
+    * bounded-model convention, k-row centroids/BPE merges). Greedy
+    * MaxMatch from the same inventory reproduces the trained per-type
+    * counts exactly (no tie exists), so q189 reuses q174's twin. */
+  private val modelMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), graft.plans.WordPieceEncodeModel]
+  Memos.register(() => modelMemo.synchronized(modelMemo.clear()))
+  private[operators] def encodeModelFor(s: SparkSession, dir: String): graft.plans.WordPieceEncodeModel =
+    modelMemo.synchronized {
+      modelMemo.getOrElseUpdate((s, dir), {
+        val pieces = vocabFrom(candidates(wordTypes(Tables.documents(s, dir))))
+          .select("s").collect().map(_.getString(0))
+        new graft.plans.WordPieceEncodeModel(pieces, MaxPieceLen)
+      })
+    }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -210,7 +229,12 @@ object WordPiece {
     "q174_wordpiece_tokenize" -> ((s, dir) =>
       applySeg(Tables.documents(s, dir), segFor(s, dir))),
     "q177_wordpiece_fertility" -> ((s, dir) =>
-      fertilityFrom(Tables.documents(s, dir), segFor(s, dir))))
+      fertilityFrom(Tables.documents(s, dir), segFor(s, dir))),
+    // the shipped-inventory encoder — scan → map → sort, no seg join;
+    // q174's pointer-doubled/recursive-walk twin gates it verbatim
+    "q189_wordpiece_encode" -> ((s, dir) =>
+      Bpe.encodeCounts(Tables.documents(s, dir), encodeModelFor(s, dir),
+        "n_wp_tokens")))
 
   /** Shared CTE chain: types → candidates → vocab (→ step → recursive
     * walk for the apply tail). The walk is the q53 recursive-CTE
@@ -263,7 +287,15 @@ object WordPiece {
          |  (10000 * CAST(SUM(n_wp) AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS fertility_e4,
          |  (10000 * CAST(SUM(length(w)) AS BIGINT)) // CAST(SUM(n_wp) AS BIGINT) AS chars_per_tok_e4
          |FROM tok JOIN seg USING (w) WHERE w <> ''
-         |GROUP BY lang ORDER BY lang""".stripMargin)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q189_wordpiece_encode" ->
+      s"""WITH RECURSIVE $duckSegCtes,
+         |tok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_wp) AS BIGINT) AS n_wp_tokens
+         |FROM tok JOIN seg USING (w) WHERE w <> ''
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
   /** [[duckHead]] + step table + recursive walk + per-type seg counts —
     * the shared chain under both apply-side twins. */
