@@ -904,6 +904,57 @@ object Curation {
         .groupBy("source").agg(sum("n").as("n_tokens")))
     }),
 
+    // q197 — DATA-CONSTRAINED epoch budgeting (Muennighoff et al. 2023
+    // "Scaling Data-Constrained Language Models"): when the token
+    // budget B exceeds the unique corpus, sources get REPEATED, and
+    // repeated tokens are worth less — the paper's fitted decay values
+    // an allocation of R repeat-epochs over unique mass U at
+    // D' = U + U·R*·(1 − e^(−R/R*)), R* = 15.4 (their eq. 4 fit: ~4
+    // epochs nearly free, value → U·(1+R*) asymptotically). Composed
+    // from the house pieces: unique mass = EXACT-DEDUP winners' tokens
+    // per source (q20's keep-first over md5(text), with q192's planted
+    // copies so dedup visibly bites), B = 4× total unique mass
+    // allocated by the q160 temperature chain (largest remainder,
+    // budget in TOKENS), then the decay valuation per source. The one
+    // transcendental (exp) is e6-rounded ONCE per source before any
+    // cross-source arithmetic — the q187 convention — so everything
+    // downstream is exact int64; epochs/waste are integer fixed-point.
+    // Under-allocated sources (alloc ≤ U) take D' = alloc exactly (no
+    // repetition happens). Plan: one corpus scan → keep-first window →
+    // #sources aggregate; ΣU is a 1-row collect (model-state class);
+    // the valuation runs on #sources rows. Overflow bound: the
+    // token-denominated largest remainder computes budget × p_e9,
+    // safe to ~2e18 (≈ a 10^7-token corpus at this p scale); a larger
+    // run drops p to e6 — same one-line rescale both engines.
+    "q197_data_constrained" -> ((s, dir) => {
+      val d0 = Tables.documents(s, dir).select("doc_id", "source", "text")
+      val corpus = d0
+        .unionByName(d0.where("doc_id % 11 = 4").selectExpr(
+          "doc_id + 5000000 AS doc_id",
+          "concat('src', (cast(substring(source, 4) AS int) + 1) % 20) AS source",
+          "text"))
+        .unionByName(d0.where("doc_id % 13 = 6").selectExpr(
+          "doc_id + 6000000 AS doc_id", "source", "text"))
+        .selectExpr("doc_id", "source",
+          s"cast(size($sparkToks) as bigint) AS n", "md5(text) AS fp")
+      val u = Relational.keepFirst(corpus, Seq("fp"), Seq(col("doc_id")))
+        .groupBy("source").agg(sum("n").as("n_tokens"))
+      val budget = 4L * u.agg(sum("n_tokens")).head().getLong(0)
+      temperatureOver(u, budget)
+        .selectExpr("source", "n_tokens AS u_tokens", "alloc_tokens")
+        .selectExpr("source", "u_tokens", "alloc_tokens",
+          "greatest((10000 * alloc_tokens) div u_tokens - 10000, 0L) AS rep_e4")
+        .withColumn("exp_e6", expr(
+          "cast(round(1e6 * exp(-(cast(rep_e4 AS double)) / 154000.0)) as bigint)"))
+        .selectExpr("source", "u_tokens", "alloc_tokens", "rep_e4",
+          """CASE WHEN alloc_tokens <= u_tokens THEN alloc_tokens
+            |ELSE u_tokens + (u_tokens * 154 * (1000000 - exp_e6)) div 10000000
+            |END AS eff_tokens""".stripMargin)
+        .selectExpr("source", "u_tokens", "alloc_tokens", "rep_e4", "eff_tokens",
+          "10000 - (10000 * eff_tokens) div greatest(alloc_tokens, 1) AS waste_e4")
+        .orderBy("source")
+    }),
+
     // Excess-loss (KL) domain reweighting over the REAL source column.
     "q179_domain_reweight" -> ((s, dir) =>
       domainReweight(Tables.documents(s, dir))),
@@ -1438,6 +1489,66 @@ object Curation {
          |SELECT source, n_tokens, p_e9, w_e6,
          |  CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
          |FROM r ORDER BY source""".stripMargin,
+
+    // dedup winners → token-budget largest remainder → decay valuation;
+    // exp e6-rounded once per source (the q187 convention)
+    "q197_data_constrained" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 5000000,
+        |    concat('src', (CAST(substr(source, 4) AS INT) + 1) % 20), text
+        |  FROM documents WHERE doc_id % 11 = 4
+        |  UNION ALL
+        |  SELECT doc_id + 6000000, source, text
+        |  FROM documents WHERE doc_id % 13 = 6),
+        |tk AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n,
+        |    md5(text) AS fp
+        |  FROM corpus),
+        |win AS (
+        |  SELECT * FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM tk)
+        |  WHERE rn = 1),
+        |us AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens FROM win GROUP BY source),
+        |tot_u AS (SELECT CAST(4 * SUM(n_tokens) AS BIGINT) AS b FROM us),
+        |p AS (
+        |  SELECT source, n_tokens,
+        |    CAST(round(1e9 * pow(CAST(n_tokens AS DOUBLE), 0.3)) AS BIGINT) AS p_e9
+        |  FROM us),
+        |q AS (SELECT *, CAST(SUM(p_e9) OVER () AS BIGINT) AS tot FROM p),
+        |a AS (
+        |  SELECT source, n_tokens, p_e9, b,
+        |    (b * p_e9) // tot AS quota,
+        |    (b * p_e9) % tot AS rem
+        |  FROM q CROSS JOIN tot_u),
+        |r AS (
+        |  SELECT *,
+        |    CAST(b - SUM(quota) OVER () AS BIGINT) AS leftover,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM a),
+        |al AS (
+        |  SELECT source, n_tokens AS u_tokens,
+        |    CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+        |  FROM r),
+        |e AS (
+        |  SELECT source, u_tokens, alloc_tokens,
+        |    CAST(greatest((10000 * alloc_tokens) // u_tokens - 10000, 0) AS BIGINT) AS rep_e4
+        |  FROM al),
+        |x AS (
+        |  SELECT *, CAST(round(1e6 * exp(-(CAST(rep_e4 AS DOUBLE)) / 154000.0)) AS BIGINT) AS exp_e6
+        |  FROM e),
+        |f AS (
+        |  SELECT source, u_tokens, alloc_tokens, rep_e4,
+        |    CASE WHEN alloc_tokens <= u_tokens THEN alloc_tokens
+        |         ELSE u_tokens + (u_tokens * 154 * (1000000 - exp_e6)) // 10000000
+        |    END AS eff_tokens
+        |  FROM x)
+        |SELECT source, u_tokens, alloc_tokens, rep_e4,
+        |  CAST(eff_tokens AS BIGINT) AS eff_tokens,
+        |  CAST(10000 - (10000 * eff_tokens) // greatest(alloc_tokens, 1) AS BIGINT) AS waste_e4
+        |FROM f ORDER BY source""".stripMargin,
 
     // Tie-aware Mann-Whitney AUC from score-bucketed counts: 2U kept
     // integral (half-ranks never materialize), floor-div matches

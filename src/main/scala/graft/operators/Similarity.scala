@@ -958,6 +958,33 @@ object Similarity {
       val kept = semanticKeepFor(s, dir).where("keep").select("vec_id")
       protoPrune(Tables.embeddings(s, dir).join(kept, Seq("vec_id"), "left_semi"),
         ivfIndexFor(s, dir)._1)
+    }),
+
+    // q196 — HYBRID retrieval fusion (reciprocal rank fusion, Cormack
+    // et al. 2009): the q138 BM25 lexical top-20 and a brute cosine
+    // semantic top-20 (query = vec 0's embedding; vec_id ≡ doc_id in
+    // the testdata contract) fused by rrf_e6 = Σ 1e6 div (60 + rank) —
+    // integer floor-div, so the fused order is exact cross-engine and
+    // each leg's twin is its standalone chain verbatim (BM25 spliced
+    // from TextAnalysis.duckBm25Ctes). This is the standard two-tower
+    // serving shape: each leg is already top-k-bounded (TakeOrdered /
+    // WindowGroupLimit), so the fusion join and final rank run on ≤ 40
+    // rows — constant-sized regardless of corpus, the q138 window
+    // convention. Absent-leg ranks report 0 (not null) on both sides.
+    "q196_hybrid_rrf" -> ((s, dir) => {
+      val lex = TextAnalysis.bm25TopK(Tables.documents(s, dir),
+          Seq("spark", "merge", "vector"))
+        .select(col("doc_id"), col("rank").as("r_lex"))
+      val sem = cosineTopK(Tables.embeddings(s, dir), queryMaxId = 1, k = 20)
+        .select(col("vec_id").as("doc_id"), col("rank").as("r_sem"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .selectExpr("doc_id",
+          "coalesce(1000000L div (60 + r_lex), 0L) + coalesce(1000000L div (60 + r_sem), 0L) AS rrf_e6",
+          "coalesce(r_lex, 0L) AS r_lex", "coalesce(r_sem, 0L) AS r_sem")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("rrf_e6").desc, col("doc_id"))).cast("long"))
+        .select("rank", "doc_id", "rrf_e6", "r_lex", "r_sem")
+        .orderBy("rank")
     })
   )
 
@@ -1234,6 +1261,36 @@ object Similarity {
            |  FROM sims s JOIN sizes z USING (cid))
            |SELECT vec_id, cid, sim_e6, rk, (rk <= n_keep) AS kept
            |FROM ranked ORDER BY vec_id""".stripMargin,
+
+      // RRF fusion: the q138 chain (spliced) + a one-query brute cosine
+      // leg, each cut to its top-20, fused by integer floor-div
+      "q196_hybrid_rrf" ->
+        s"""WITH ${graft.operators.TextAnalysis.duckBm25Ctes(Seq("spark", "merge", "vector"))},
+           |lex AS (
+           |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS r_lex, doc_id
+           |  FROM sc ORDER BY score_e6 DESC, doc_id LIMIT 20),
+           |evecs AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+           |qv AS (SELECT v AS q FROM evecs WHERE vec_id = 0),
+           |sems AS (
+           |  SELECT vec_id AS doc_id,
+           |    round(list_sum(list_transform(list_zip(q, v), s -> s[1] * s[2])) /
+           |      (sqrt(list_sum(list_transform(q, x -> x*x))) * sqrt(list_sum(list_transform(v, x -> x*x)))), 6) AS sim
+           |  FROM evecs, qv WHERE vec_id <> 0),
+           |sem AS (
+           |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY sim DESC, doc_id) AS BIGINT) AS r_sem, doc_id
+           |  FROM sems ORDER BY sim DESC, doc_id LIMIT 20),
+           |u AS (
+           |  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id, l.r_lex, s.r_sem
+           |  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id),
+           |f AS (
+           |  SELECT doc_id,
+           |    COALESCE(1000000 // (60 + r_lex), 0) + COALESCE(1000000 // (60 + r_sem), 0) AS rrf_e6,
+           |    CAST(COALESCE(r_lex, 0) AS BIGINT) AS r_lex,
+           |    CAST(COALESCE(r_sem, 0) AS BIGINT) AS r_sem
+           |  FROM u)
+           |SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf_e6 DESC, doc_id) AS BIGINT) AS rank,
+           |  doc_id, CAST(rrf_e6 AS BIGINT) AS rrf_e6, r_lex, r_sem
+           |FROM f ORDER BY rank""".stripMargin,
       // the q36 IVF chain and the q24 brute chain, overlapped per query
       "q131_ann_recall" ->
         s"""WITH ${duckIvfCandsCtes()},

@@ -771,35 +771,41 @@ object TextAnalysis {
            |FROM dcg CROSS JOIN idcg""".stripMargin
       },
 
-      "q138_bm25" -> {
-        val terms = Seq("spark", "merge", "vector")
-        val tfCols = terms.map(t =>
-          s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n  ")
-        val dfCols = terms.map(t =>
-          s"SUM(CASE WHEN tf_$t > 0 THEN 1.0 ELSE 0.0 END) AS df_$t").mkString(",\n  ")
-        val score = terms.map(t =>
-          s"(CASE WHEN tf_$t > 0 THEN CAST(round(1e6 * ln(1 + (n - df_$t + 0.5) / (df_$t + 0.5)) * tf_$t * 2.2 / (tf_$t + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT) ELSE 0 END)").mkString("\n    + ")
-        val any = terms.map(t => s"tf_$t > 0").mkString(" OR ")
-        s"""WITH t AS (
-           |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
-           |pd AS (
-           |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
-           |  $tfCols
-           |  FROM t),
-           |st AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
-           |  CAST(COUNT(*) AS DOUBLE) AS n FROM pd),
-           |dfs AS (SELECT
-           |  $dfCols
-           |  FROM pd),
-           |sc AS (
-           |  SELECT doc_id,
-           |    $score AS score_e6
-           |  FROM pd CROSS JOIN st CROSS JOIN dfs
-           |  WHERE $any)
+      "q138_bm25" ->
+        s"""WITH ${duckBm25Ctes(Seq("spark", "merge", "vector"))}
            |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank,
            |  doc_id, score_e6
            |FROM sc ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin
-      }
     )
+  }
+
+  /** q138's scoring chain (t → pd → st → dfs → sc, sc = (doc_id,
+    * score_e6) over matched docs) as splice-able CTE text — shared by
+    * the q138 twin and the hybrid-fusion twin (q196), so a scoring
+    * mismatch localizes to fusion, never to a forked BM25. */
+  private[operators] def duckBm25Ctes(terms: Seq[String]): String = {
+    val tfCols = terms.map(t =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS BIGINT) AS tf_$t").mkString(",\n  ")
+    val dfCols = terms.map(t =>
+      s"SUM(CASE WHEN tf_$t > 0 THEN 1.0 ELSE 0.0 END) AS df_$t").mkString(",\n  ")
+    val score = terms.map(t =>
+      s"(CASE WHEN tf_$t > 0 THEN CAST(round(1e6 * ln(1 + (n - df_$t + 0.5) / (df_$t + 0.5)) * tf_$t * 2.2 / (tf_$t + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT) ELSE 0 END)").mkString("\n    + ")
+    val any = terms.map(t => s"tf_$t > 0").mkString(" OR ")
+    s"""t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+       |pd AS (
+       |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+       |  $tfCols
+       |  FROM t),
+       |st AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+       |  CAST(COUNT(*) AS DOUBLE) AS n FROM pd),
+       |dfs AS (SELECT
+       |  $dfCols
+       |  FROM pd),
+       |sc AS (
+       |  SELECT doc_id,
+       |    $score AS score_e6
+       |  FROM pd CROSS JOIN st CROSS JOIN dfs
+       |  WHERE $any)""".stripMargin
   }
 }
