@@ -848,10 +848,88 @@ object Curation {
       .orderBy("source")
   }
 
+  /** The planted-duplicate corpus construction shared by q192/q197/
+    * q200 — every 11th doc copied under the NEXT source mod 20
+    * (cross-source, visible only to global dedup) and every 13th under
+    * its own (local-catchable); the raw testdata has no exact dups, so
+    * without the plants every dedup-derived column would be invisibly
+    * zero. */
+  private[operators] def plantedDupCorpus(d: DataFrame): DataFrame = {
+    val d0 = d.select("doc_id", "source", "text")
+    d0.unionByName(d0.where("doc_id % 11 = 4").selectExpr(
+        "doc_id + 5000000 AS doc_id",
+        "concat('src', (cast(substring(source, 4) AS int) + 1) % 20) AS source",
+        "text"))
+      .unionByName(d0.where("doc_id % 13 = 6").selectExpr(
+        "doc_id + 6000000 AS doc_id", "source", "text"))
+  }
+
+  /** Per-source UNIQUE token mass: exact-dedup winners' whitespace
+    * tokens (q20's keep-first rule). One corpus scan + the keep-first
+    * window + a #sources aggregate. */
+  private def uniqueMassBySource(corpus: DataFrame): DataFrame =
+    Relational.keepFirst(
+        corpus.selectExpr("doc_id", "source",
+          s"cast(size($sparkToks) as bigint) AS n", "md5(text) AS fp"),
+        Seq("fp"), Seq(col("doc_id")))
+      .groupBy("source").agg(sum("n").as("n_tokens"))
+
+  /** q197's valuation: temperature-allocate B = 4·ΣU tokens over the
+    * unique mass frame, then the Muennighoff repeat-decay value per
+    * source (exp e6-rounded once — the q187 convention). Shared with
+    * the q200 card. */
+  private def effectiveTokensTail(u: DataFrame): DataFrame = {
+    val budget = 4L * u.agg(sum("n_tokens")).head().getLong(0)
+    temperatureOver(u, budget)
+      .selectExpr("source", "n_tokens AS u_tokens", "alloc_tokens")
+      .selectExpr("source", "u_tokens", "alloc_tokens",
+        "greatest((10000 * alloc_tokens) div u_tokens - 10000, 0L) AS rep_e4")
+      .withColumn("exp_e6", expr(
+        "cast(round(1e6 * exp(-(cast(rep_e4 AS double)) / 154000.0)) as bigint)"))
+      .selectExpr("source", "u_tokens", "alloc_tokens", "rep_e4",
+        """CASE WHEN alloc_tokens <= u_tokens THEN alloc_tokens
+          |ELSE u_tokens + (u_tokens * 154 * (1000000 - exp_e6)) div 10000000
+          |END AS eff_tokens""".stripMargin)
+      .selectExpr("source", "u_tokens", "alloc_tokens", "rep_e4", "eff_tokens",
+        "10000 - (10000 * eff_tokens) div greatest(alloc_tokens, 1) AS waste_e4")
+  }
+
+  /** q200 — the DATA CARD, second edition: q167's per-source statement
+    * extended with the ROUND'S new signals, each the exact frame its
+    * standalone gate pins — the dedup-LOCALITY columns (q192: global
+    * dup fraction and the share of it shard-local dedup cannot see,
+    * over the shared planted corpus), the CCNet HEAD share (q191's
+    * per-lang terciles read per source, over the RAW corpus — plants
+    * would skew the LM), and the DATA-CONSTRAINED value columns (q197:
+    * unique mass, 4×-budget allocation, repeat-decayed effective
+    * tokens). One source row joins #sources-row frames — the card
+    * stays #sources-sized however many signals ride it. */
+  def dataCardV2(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val loc = Dedup.dedupLocality(plantedDupCorpus(docs))
+      .selectExpr("source", "n_docs",
+        "(10000 * n_drop_global) div n_docs AS dup_frac_e4",
+        "missed_frac_e4 AS missed_local_frac_e4")
+    val head = ccnetBuckets(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when(col("bucket") === 1, 1L).otherwise(0L)).as("n_head"))
+      .selectExpr("source", "(10000 * n_head) div n_scored AS head_share_e4")
+    val eff = effectiveTokensTail(uniqueMassBySource(plantedDupCorpus(docs)))
+    loc.join(head, "source").join(eff, "source")
+      .select("source", "n_docs", "dup_frac_e4", "missed_local_frac_e4",
+        "head_share_e4", "u_tokens", "alloc_tokens", "eff_tokens", "waste_e4")
+      .orderBy("source")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // The per-source data card — the publishable training-data
     // statement, composed from the individually-gated rules.
     "q167_datacard" -> ((s, dir) => dataCard(s, dir)),
+
+    // The card's second edition over the round's new signals.
+    "q200_datacard_v2" -> ((s, dir) => dataCardV2(s, dir)),
 
     "q98_bigram_lm" -> ((s, dir) => bigramLmScore(Tables.documents(s, dir))),
 
@@ -926,34 +1004,9 @@ object Curation {
     // token-denominated largest remainder computes budget × p_e9,
     // safe to ~2e18 (≈ a 10^7-token corpus at this p scale); a larger
     // run drops p to e6 — same one-line rescale both engines.
-    "q197_data_constrained" -> ((s, dir) => {
-      val d0 = Tables.documents(s, dir).select("doc_id", "source", "text")
-      val corpus = d0
-        .unionByName(d0.where("doc_id % 11 = 4").selectExpr(
-          "doc_id + 5000000 AS doc_id",
-          "concat('src', (cast(substring(source, 4) AS int) + 1) % 20) AS source",
-          "text"))
-        .unionByName(d0.where("doc_id % 13 = 6").selectExpr(
-          "doc_id + 6000000 AS doc_id", "source", "text"))
-        .selectExpr("doc_id", "source",
-          s"cast(size($sparkToks) as bigint) AS n", "md5(text) AS fp")
-      val u = Relational.keepFirst(corpus, Seq("fp"), Seq(col("doc_id")))
-        .groupBy("source").agg(sum("n").as("n_tokens"))
-      val budget = 4L * u.agg(sum("n_tokens")).head().getLong(0)
-      temperatureOver(u, budget)
-        .selectExpr("source", "n_tokens AS u_tokens", "alloc_tokens")
-        .selectExpr("source", "u_tokens", "alloc_tokens",
-          "greatest((10000 * alloc_tokens) div u_tokens - 10000, 0L) AS rep_e4")
-        .withColumn("exp_e6", expr(
-          "cast(round(1e6 * exp(-(cast(rep_e4 AS double)) / 154000.0)) as bigint)"))
-        .selectExpr("source", "u_tokens", "alloc_tokens", "rep_e4",
-          """CASE WHEN alloc_tokens <= u_tokens THEN alloc_tokens
-            |ELSE u_tokens + (u_tokens * 154 * (1000000 - exp_e6)) div 10000000
-            |END AS eff_tokens""".stripMargin)
-        .selectExpr("source", "u_tokens", "alloc_tokens", "rep_e4", "eff_tokens",
-          "10000 - (10000 * eff_tokens) div greatest(alloc_tokens, 1) AS waste_e4")
-        .orderBy("source")
-    }),
+    "q197_data_constrained" -> ((s, dir) =>
+      effectiveTokensTail(uniqueMassBySource(
+        plantedDupCorpus(Tables.documents(s, dir)))).orderBy("source")),
 
     // Excess-loss (KL) domain reweighting over the REAL source column.
     "q179_domain_reweight" -> ((s, dir) =>
@@ -1043,6 +1096,56 @@ object Curation {
 
   /** DuckDB CTE chain of the q98 bigram model (through `probs`), shared
     * by the q98 gate and the q130 perplexity filter. */
+  /** q197's valuation chain as CTE text (tk → win → us → largest
+    * remainder → decay, ending `f (source, u_tokens, alloc_tokens,
+    * rep_e4, eff_tokens)`); assumes `corpus` in scope (the shared
+    * locality fragment provides it). Shared by the q197 twin and the
+    * q200 card's. */
+  private val duckEffectiveCtes: String =
+    """tk AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n,
+      |    md5(text) AS fp
+      |  FROM corpus),
+      |win AS (
+      |  SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM tk)
+      |  WHERE rn = 1),
+      |us AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens FROM win GROUP BY source),
+      |tot_u AS (SELECT CAST(4 * SUM(n_tokens) AS BIGINT) AS b FROM us),
+      |p AS (
+      |  SELECT source, n_tokens,
+      |    CAST(round(1e9 * pow(CAST(n_tokens AS DOUBLE), 0.3)) AS BIGINT) AS p_e9
+      |  FROM us),
+      |q AS (SELECT *, CAST(SUM(p_e9) OVER () AS BIGINT) AS tot FROM p),
+      |a AS (
+      |  SELECT source, n_tokens, p_e9, b,
+      |    (b * p_e9) // tot AS quota,
+      |    (b * p_e9) % tot AS rem
+      |  FROM q CROSS JOIN tot_u),
+      |r AS (
+      |  SELECT *,
+      |    CAST(b - SUM(quota) OVER () AS BIGINT) AS leftover,
+      |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+      |  FROM a),
+      |al AS (
+      |  SELECT source, n_tokens AS u_tokens,
+      |    CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
+      |  FROM r),
+      |e AS (
+      |  SELECT source, u_tokens, alloc_tokens,
+      |    CAST(greatest((10000 * alloc_tokens) // u_tokens - 10000, 0) AS BIGINT) AS rep_e4
+      |  FROM al),
+      |x AS (
+      |  SELECT *, CAST(round(1e6 * exp(-(CAST(rep_e4 AS DOUBLE)) / 154000.0)) AS BIGINT) AS exp_e6
+      |  FROM e),
+      |f AS (
+      |  SELECT source, u_tokens, alloc_tokens, rep_e4,
+      |    CASE WHEN alloc_tokens <= u_tokens THEN alloc_tokens
+      |         ELSE u_tokens + (u_tokens * 154 * (1000000 - exp_e6)) // 10000000
+      |    END AS eff_tokens
+      |  FROM x)""".stripMargin
+
   private val bigramLmCtes: String =
     """toks AS (
       |  SELECT doc_id, s.w AS w, s.pos AS pos FROM (
@@ -1491,64 +1594,45 @@ object Curation {
          |FROM r ORDER BY source""".stripMargin,
 
     // dedup winners → token-budget largest remainder → decay valuation;
-    // exp e6-rounded once per source (the q187 convention)
+    // exp e6-rounded once per source (the q187 convention); the corpus
+    // CTE comes from the shared q192 locality fragment
     "q197_data_constrained" ->
-      """WITH corpus AS (
-        |  SELECT doc_id, source, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 5000000,
-        |    concat('src', (CAST(substr(source, 4) AS INT) + 1) % 20), text
-        |  FROM documents WHERE doc_id % 11 = 4
-        |  UNION ALL
-        |  SELECT doc_id + 6000000, source, text
-        |  FROM documents WHERE doc_id % 13 = 6),
-        |tk AS (
-        |  SELECT doc_id, source,
-        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n,
-        |    md5(text) AS fp
-        |  FROM corpus),
-        |win AS (
-        |  SELECT * FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM tk)
-        |  WHERE rn = 1),
-        |us AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_tokens FROM win GROUP BY source),
-        |tot_u AS (SELECT CAST(4 * SUM(n_tokens) AS BIGINT) AS b FROM us),
-        |p AS (
-        |  SELECT source, n_tokens,
-        |    CAST(round(1e9 * pow(CAST(n_tokens AS DOUBLE), 0.3)) AS BIGINT) AS p_e9
-        |  FROM us),
-        |q AS (SELECT *, CAST(SUM(p_e9) OVER () AS BIGINT) AS tot FROM p),
-        |a AS (
-        |  SELECT source, n_tokens, p_e9, b,
-        |    (b * p_e9) // tot AS quota,
-        |    (b * p_e9) % tot AS rem
-        |  FROM q CROSS JOIN tot_u),
-        |r AS (
-        |  SELECT *,
-        |    CAST(b - SUM(quota) OVER () AS BIGINT) AS leftover,
-        |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
-        |  FROM a),
-        |al AS (
-        |  SELECT source, n_tokens AS u_tokens,
-        |    CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc_tokens
-        |  FROM r),
-        |e AS (
-        |  SELECT source, u_tokens, alloc_tokens,
-        |    CAST(greatest((10000 * alloc_tokens) // u_tokens - 10000, 0) AS BIGINT) AS rep_e4
-        |  FROM al),
-        |x AS (
-        |  SELECT *, CAST(round(1e6 * exp(-(CAST(rep_e4 AS DOUBLE)) / 154000.0)) AS BIGINT) AS exp_e6
-        |  FROM e),
-        |f AS (
-        |  SELECT source, u_tokens, alloc_tokens, rep_e4,
-        |    CASE WHEN alloc_tokens <= u_tokens THEN alloc_tokens
-        |         ELSE u_tokens + (u_tokens * 154 * (1000000 - exp_e6)) // 10000000
-        |    END AS eff_tokens
-        |  FROM x)
+      s"""WITH ${Dedup.duckLocalityCtes},
+        |$duckEffectiveCtes
         |SELECT source, u_tokens, alloc_tokens, rep_e4,
         |  CAST(eff_tokens AS BIGINT) AS eff_tokens,
         |  CAST(10000 - (10000 * eff_tokens) // greatest(alloc_tokens, 1) AS BIGINT) AS waste_e4
         |FROM f ORDER BY source""".stripMargin,
+
+    // the card: locality + head-share + valuation, every chain the
+    // shared fragment its standalone gate runs
+    "q200_datacard_v2" ->
+      s"""WITH ${Dedup.duckLocalityCtes},
+        |loc AS (
+        |  SELECT source, n_docs,
+        |    (10000 * n_drop_global) // n_docs AS dup_frac_e4,
+        |    (10000 * (n_drop_global - n_drop_local)) // greatest(n_drop_global, 1) AS missed_local_frac_e4
+        |  FROM agg),
+        |$bigramLmCtes,
+        |bscores AS (
+        |  SELECT doc_id, CAST(SUM(p_e6) // COUNT(*) AS BIGINT) AS lm_score_e6
+        |  FROM bg JOIN probs ON bg.w1 = probs.w1 AND bg.w2 = probs.w2
+        |  GROUP BY doc_id),
+        |buck AS (
+        |  SELECT s.doc_id, d.source,
+        |    NTILE(3) OVER (PARTITION BY d.lang ORDER BY s.lm_score_e6 DESC, s.doc_id) AS bucket
+        |  FROM bscores s JOIN documents d USING (doc_id)),
+        |head AS (
+        |  SELECT source,
+        |    (10000 * CAST(SUM(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS head_share_e4
+        |  FROM buck GROUP BY source),
+        |$duckEffectiveCtes
+        |SELECT l.source, l.n_docs, l.dup_frac_e4, l.missed_local_frac_e4,
+        |  h.head_share_e4, f.u_tokens, f.alloc_tokens,
+        |  CAST(f.eff_tokens AS BIGINT) AS eff_tokens,
+        |  CAST(10000 - (10000 * f.eff_tokens) // greatest(f.alloc_tokens, 1) AS BIGINT) AS waste_e4
+        |FROM loc l JOIN head h USING (source) JOIN f USING (source)
+        |ORDER BY l.source""".stripMargin,
 
     // Tie-aware Mann-Whitney AUC from score-bucketed counts: 2U kept
     // integral (half-ranks never materialize), floor-div matches

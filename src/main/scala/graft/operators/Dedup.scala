@@ -1145,6 +1145,31 @@ object Dedup {
 
   private def duckShingles = "list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]))"
 
+  /** The q192 planted-corpus + locality chain as CTE text (corpus →
+    * bsf → gk → agg (source, n_docs, n_drop_global, n_drop_local)) —
+    * shared verbatim by the q192 twin and the q200 card's, so the
+    * construction can never fork. */
+  private[operators] val duckLocalityCtes: String =
+    """corpus AS (
+      |  SELECT doc_id, source, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 5000000,
+      |    concat('src', (CAST(substr(source, 4) AS INT) + 1) % 20), text
+      |  FROM documents WHERE doc_id % 11 = 4
+      |  UNION ALL
+      |  SELECT doc_id + 6000000, source, text
+      |  FROM documents WHERE doc_id % 13 = 6),
+      |bsf AS (
+      |  SELECT md5(text) AS fp, source,
+      |    MIN(doc_id) AS l_keep, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM corpus GROUP BY 1, 2),
+      |gk AS (SELECT fp, MIN(l_keep) AS g_keep FROM bsf GROUP BY fp),
+      |agg AS (
+      |  SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+      |    CAST(SUM(n - CASE WHEN l_keep = g_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_global,
+      |    CAST(SUM(n - 1) AS BIGINT) AS n_drop_local
+      |  FROM bsf JOIN gk USING (fp) GROUP BY source)""".stripMargin
+
   def oracle: Map[String, String] = {
     val sigExprs = (0 until MinhashK).map { j =>
       s"list_min(list_transform(hs, x -> (${minhashA(j)} * x + ${minhashB(j)}) % ${P})) AS m$j"
@@ -1197,25 +1222,7 @@ object Dedup {
          |  LEFT JOIN siz s ON l.cluster = s.cluster)""".stripMargin
     Map(
       "q192_dedup_locality" ->
-        """WITH corpus AS (
-          |  SELECT doc_id, source, text FROM documents
-          |  UNION ALL
-          |  SELECT doc_id + 5000000,
-          |    concat('src', (CAST(substr(source, 4) AS INT) + 1) % 20), text
-          |  FROM documents WHERE doc_id % 11 = 4
-          |  UNION ALL
-          |  SELECT doc_id + 6000000, source, text
-          |  FROM documents WHERE doc_id % 13 = 6),
-          |bsf AS (
-          |  SELECT md5(text) AS fp, source,
-          |    MIN(doc_id) AS l_keep, CAST(COUNT(*) AS BIGINT) AS n
-          |  FROM corpus GROUP BY 1, 2),
-          |gk AS (SELECT fp, MIN(l_keep) AS g_keep FROM bsf GROUP BY fp),
-          |agg AS (
-          |  SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
-          |    CAST(SUM(n - CASE WHEN l_keep = g_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_global,
-          |    CAST(SUM(n - 1) AS BIGINT) AS n_drop_local
-          |  FROM bsf JOIN gk USING (fp) GROUP BY source)
+        s"""WITH ${Dedup.duckLocalityCtes}
           |SELECT source, n_docs, n_drop_global, n_drop_local,
           |  n_drop_global - n_drop_local AS n_missed_local,
           |  (10000 * (n_drop_global - n_drop_local)) // greatest(n_drop_global, 1) AS missed_frac_e4

@@ -195,34 +195,8 @@ object TextAnalysis {
 
     // Gopher-style quality rules (repetition, symbol ratio, word-length
     // bounds) — the heuristics production LLM-data pipelines filter on.
-    "q37_gopher_quality" -> ((s, dir) => {
-      Tables.documents(s, dir)
-        .where(s"size($toksE) >= 2") // cheap pre-projection guard
-        .selectExpr(
-          "doc_id",
-          s"$toksE AS toks",
-          "length(text) AS len",
-          "length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '')) AS n_symbols")
-        .selectExpr(
-          "doc_id", "toks", "len", "n_symbols",
-          "transform(sequence(0, size(toks) - 2), i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2))) AS all2")
-        .selectExpr(
-          "doc_id",
-          "cast(size(toks) as bigint) AS n_tokens",
-          "cast(round(100.0 * aggregate(toks, 0L, (acc, t) -> acc + length(t)) / size(toks)) as bigint) AS mean_word_e2",
-          "cast(round(10000.0 * n_symbols / len) as bigint) AS symbol_e4",
-          // fraction of word-2grams occupied by the single most frequent
-          // one, as the longest run in the sorted gram array — O(n log n)
-          // per row (the naive distinct×scan form is quadratic and would
-          // pin a task for hours on a 100k-token document)
-          "cast(round(10000.0 * aggregate(array_sort(all2), named_struct('prev', '', 'run', 0, 'best', 0), " +
-          "(a, x) -> named_struct('prev', x, 'run', IF(x = a.prev, a.run + 1, 1), " +
-          "'best', greatest(a.best, IF(x = a.prev, a.run + 1, 1))), a -> a.best) / size(all2)) as bigint) AS rep2_e4",
-          "(size(toks) >= 5 AND size(toks) <= 100000 " +
-          " AND round(100.0 * aggregate(toks, 0L, (acc, t) -> acc + length(t)) / size(toks)) BETWEEN 200 AND 1200 " +
-          " AND round(10000.0 * n_symbols / len) < 3000) AS passes")
-        .orderBy("doc_id")
-    }),
+    "q37_gopher_quality" -> ((s, dir) =>
+      gopherQuality(Tables.documents(s, dir)).orderBy("doc_id")),
 
     // Duplicate n-gram mass (the Gopher dup-2/3-gram signals): how much
     // of a document consists of occurrences of REPEATED grams. q37's
@@ -334,6 +308,35 @@ object TextAnalysis {
     "q138_bm25" -> ((s, dir) =>
       bm25TopK(Tables.documents(s, dir), Seq("spark", "merge", "vector"))),
 
+    // q198 — RAG sliding-window CHUNKING: the retrieval-prep operator
+    // every embedding/RAG corpus pipeline runs before vectorizing —
+    // fixed-size token windows (W = 64) at stride S = 48 (16-token
+    // overlap so no retrieval-relevant span straddles a boundary
+    // uncovered), the LangChain/Haystack default shape done
+    // distributed. Deterministic rule, mirrored verbatim in the twin:
+    // window i starts at i·S for every i·S < n (tail windows run
+    // short), n_chunks = ceil(n/S); each chunk carries its md5
+    // fingerprint so chunk-level exact dedup (the q20 rule one level
+    // down) composes downstream. Plan: one corpus scan, the token
+    // array materialized ONCE per doc before the explode (never
+    // re-split per chunk — the interpreted-lambda lesson), explode to
+    // ~n/S rows, no shuffle until the final sort; at 100 TB this is
+    // the same narrow-map + explode shape the passage operators run.
+    "q198_rag_chunks" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .selectExpr("doc_id", s"filter($toksE, t -> t <> '') AS toks")
+        .selectExpr("doc_id", "toks", "size(toks) AS n")
+        .where("n > 0")
+        .selectExpr("doc_id", "toks",
+          "explode(sequence(0, (n + 47) div 48 - 1)) AS chunk_id")
+        .selectExpr("doc_id", "cast(chunk_id AS bigint) AS chunk_id",
+          "cast(chunk_id * 48 AS bigint) AS start_tok",
+          "slice(toks, chunk_id * 48 + 1, 64) AS chunk")
+        .selectExpr("doc_id", "chunk_id", "start_tok",
+          "cast(size(chunk) AS bigint) AS n_toks",
+          "md5(array_join(chunk, ' ')) AS chunk_fp")
+        .orderBy("doc_id", "chunk_id")),
+
     // Ranking-quality gate for BM25 (q131's recall-gate pattern applied
     // to lexical retrieval): NDCG@10 of the q138 ranking against a
     // tf-graded relevance oracle, per-position DCG contributions
@@ -354,8 +357,68 @@ object TextAnalysis {
     // joins, one corpus scan. `keep` = mean weight > 0 (score > 0
     // suffices since n > 0).
     "q141_quality_classifier" -> ((s, dir) =>
-      hashedClassifier(Tables.documents(s, dir)))
+      hashedClassifier(Tables.documents(s, dir))),
+
+    // q199 — quality-classifier CALIBRATION: the q141 hashed-classifier
+    // score cut into deciles, each decile's pass rate under the q37
+    // rule-based gate — the table a curation team reads before trusting
+    // a learned scorer's threshold (the FineWeb-Edu ablation shape:
+    // score bands × an independent quality judgment). Classifier-scored
+    // docs missing from the q37 frame (< 2 tokens) count as non-passing
+    // on both engines (left join, null → false). The decile is a
+    // rank-based global ntile — integer-exact, and the ONE deliberate
+    // scale concession of this gate: at web scale the exact ntile swaps
+    // for approx-percentile cutpoints + a narrow map (the q191/q106↔
+    // q156 convention); the window sorts only the narrow
+    // (doc_id, score) frame.
+    "q199_quality_calibration" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_e3").desc, col("doc_id"))
+      hashedClassifier(Tables.documents(s, dir))
+        .select("doc_id", "score_e3")
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .join(gopherQuality(Tables.documents(s, dir)).select("doc_id", "passes"),
+          Seq("doc_id"), "left")
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(coalesce(col("passes"), lit(false)), 1L).otherwise(0L))
+            .as("n_pass"),
+          sum("score_e3").cast("long").as("sum_score_e3"))
+        .selectExpr("decile", "n_docs", "n_pass",
+          "(10000 * n_pass) div n_docs AS pass_e4", "sum_score_e3")
+        .orderBy("decile")
+    })
   )
+
+  /** q37's per-doc quality frame (doc_id, n_tokens, mean_word_e2,
+    * symbol_e4, rep2_e4, passes) — factored out so the calibration
+    * gate (q199) consumes the IDENTICAL rule frame q37 pins. */
+  def gopherQuality(docs: DataFrame): DataFrame =
+    docs
+      .where(s"size($toksE) >= 2") // cheap pre-projection guard
+      .selectExpr(
+        "doc_id",
+        s"$toksE AS toks",
+        "length(text) AS len",
+        "length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '')) AS n_symbols")
+      .selectExpr(
+        "doc_id", "toks", "len", "n_symbols",
+        "transform(sequence(0, size(toks) - 2), i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2))) AS all2")
+      .selectExpr(
+        "doc_id",
+        "cast(size(toks) as bigint) AS n_tokens",
+        "cast(round(100.0 * aggregate(toks, 0L, (acc, t) -> acc + length(t)) / size(toks)) as bigint) AS mean_word_e2",
+        "cast(round(10000.0 * n_symbols / len) as bigint) AS symbol_e4",
+        // fraction of word-2grams occupied by the single most frequent
+        // one, as the longest run in the sorted gram array — O(n log n)
+        // per row (the naive distinct×scan form is quadratic and would
+        // pin a task for hours on a 100k-token document)
+        "cast(round(10000.0 * aggregate(array_sort(all2), named_struct('prev', '', 'run', 0, 'best', 0), " +
+        "(a, x) -> named_struct('prev', x, 'run', IF(x = a.prev, a.run + 1, 1), " +
+        "'best', greatest(a.best, IF(x = a.prev, a.run + 1, 1))), a -> a.best) / size(all2)) as bigint) AS rep2_e4",
+        "(size(toks) >= 5 AND size(toks) <= 100000 " +
+        " AND round(100.0 * aggregate(toks, 0L, (acc, t) -> acc + length(t)) / size(toks)) BETWEEN 200 AND 1200 " +
+        " AND round(10000.0 * n_symbols / len) < 3000) AS passes")
 
   /** q141/q142 shared: the classifier's e3 weight-sum fold over a bound
     * `toks` array column (Spark dialect; DuckDB twin below). */
@@ -641,29 +704,29 @@ object TextAnalysis {
            |SELECT doc_id, CAST(length(stripped) AS BIGINT) AS len_stripped, md5(stripped) AS strip_fp
            |FROM s ORDER BY doc_id""".stripMargin,
       "q37_gopher_quality" ->
-        """WITH t AS (
-          |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
-          |    length(text) AS len,
-          |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_symbols
-          |  FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 2),
-          |g AS (
-          |  SELECT doc_id, toks, len, n_symbols,
-          |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS all2
-          |  FROM t),
-          |rep AS (
-          |  SELECT doc_id, max(c) AS maxrep, sum(c) AS n2 FROM (
-          |    SELECT doc_id, gram, count(*) AS c FROM (
-          |      SELECT doc_id, unnest(all2) AS gram FROM g) GROUP BY doc_id, gram)
-          |  GROUP BY doc_id)
-          |SELECT g.doc_id,
-          |  CAST(len(toks) AS BIGINT) AS n_tokens,
-          |  CAST(round(100.0 * list_sum(list_transform(toks, tk -> length(tk))) / len(toks)) AS BIGINT) AS mean_word_e2,
-          |  CAST(round(10000.0 * n_symbols / len) AS BIGINT) AS symbol_e4,
-          |  CAST(round(10000.0 * rep.maxrep / rep.n2) AS BIGINT) AS rep2_e4,
-          |  (len(toks) >= 5 AND len(toks) <= 100000
-          |   AND round(100.0 * list_sum(list_transform(toks, tk -> length(tk))) / len(toks)) BETWEEN 200 AND 1200
-          |   AND round(10000.0 * n_symbols / len) < 3000) AS passes
-          |FROM g JOIN rep ON g.doc_id = rep.doc_id ORDER BY g.doc_id""".stripMargin,
+        s"""WITH $duckGopherCtes
+          |SELECT doc_id, n_tokens, mean_word_e2, symbol_e4, rep2_e4, passes
+          |FROM gq ORDER BY doc_id""".stripMargin,
+
+      // q141's score chain (ct CTE, clash-free beside the gopher t) +
+      // global ntile deciles, left-joined onto the SAME gq rule frame
+      "q199_quality_calibration" ->
+        s"""WITH $duckGopherCtes,
+          |ct AS (
+          |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+          |sc2 AS (
+          |  SELECT doc_id, $duckClassifierScoreE3 AS score_e3
+          |  FROM ct WHERE len(toks) > 0),
+          |dec AS (
+          |  SELECT doc_id, score_e3,
+          |    CAST(NTILE(10) OVER (ORDER BY score_e3 DESC, doc_id) AS BIGINT) AS decile
+          |  FROM sc2)
+          |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          |  CAST(SUM(CASE WHEN gq.passes THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+          |  (10000 * CAST(SUM(CASE WHEN gq.passes THEN 1 ELSE 0 END) AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS pass_e4,
+          |  CAST(SUM(score_e3) AS BIGINT) AS sum_score_e3
+          |FROM dec LEFT JOIN gq USING (doc_id)
+          |GROUP BY decile ORDER BY decile""".stripMargin,
 
       "q176_gopher_ngrams" -> s"WITH ${gopherNgramsSql()}",
 
@@ -775,9 +838,56 @@ object TextAnalysis {
         s"""WITH ${duckBm25Ctes(Seq("spark", "merge", "vector"))}
            |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rank,
            |  doc_id, score_e6
-           |FROM sc ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin
+           |FROM sc ORDER BY score_e6 DESC, doc_id LIMIT 20""".stripMargin,
+
+      // the identical window rule: starts at i·48 while < n, 64-wide
+      // slices truncated at the doc end, md5 over the space-joined chunk
+      "q198_rag_chunks" ->
+        raw"""WITH t AS (
+           |  SELECT doc_id,
+           |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS toks
+           |  FROM documents),
+           |n AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+           |c AS (
+           |  SELECT doc_id, toks, n, unnest(range(0, (n + 47) // 48)) AS chunk_id
+           |  FROM n)
+           |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           |  CAST(chunk_id * 48 AS BIGINT) AS start_tok,
+           |  CAST(len(toks[CAST(chunk_id * 48 + 1 AS INT):CAST(least(chunk_id * 48 + 64, n) AS INT)]) AS BIGINT) AS n_toks,
+           |  md5(array_to_string(toks[CAST(chunk_id * 48 + 1 AS INT):CAST(least(chunk_id * 48 + 64, n) AS INT)], ' ')) AS chunk_fp
+           |FROM c ORDER BY doc_id, chunk_id""".stripMargin
     )
   }
+
+  /** q37's rule chain as CTE text ending in
+    * `gq (doc_id, n_tokens, mean_word_e2, symbol_e4, rep2_e4, passes)`
+    * — shared verbatim by the q37 twin and the calibration twin (q199),
+    * so a rule fork is impossible. */
+  private val duckGopherCtes: String =
+    """t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+      |    length(text) AS len,
+      |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_symbols
+      |  FROM documents WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 2),
+      |g AS (
+      |  SELECT doc_id, toks, len, n_symbols,
+      |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS all2
+      |  FROM t),
+      |rep AS (
+      |  SELECT doc_id, max(c) AS maxrep, sum(c) AS n2 FROM (
+      |    SELECT doc_id, gram, count(*) AS c FROM (
+      |      SELECT doc_id, unnest(all2) AS gram FROM g) GROUP BY doc_id, gram)
+      |  GROUP BY doc_id),
+      |gq AS (
+      |  SELECT g.doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(round(100.0 * list_sum(list_transform(toks, tk -> length(tk))) / len(toks)) AS BIGINT) AS mean_word_e2,
+      |    CAST(round(10000.0 * n_symbols / len) AS BIGINT) AS symbol_e4,
+      |    CAST(round(10000.0 * rep.maxrep / rep.n2) AS BIGINT) AS rep2_e4,
+      |    (len(toks) >= 5 AND len(toks) <= 100000
+      |     AND round(100.0 * list_sum(list_transform(toks, tk -> length(tk))) / len(toks)) BETWEEN 200 AND 1200
+      |     AND round(10000.0 * n_symbols / len) < 3000) AS passes
+      |  FROM g JOIN rep ON g.doc_id = rep.doc_id)""".stripMargin
 
   /** q138's scoring chain (t → pd → st → dfs → sc, sc = (doc_id,
     * score_e6) over matched docs) as splice-able CTE text — shared by
