@@ -707,14 +707,30 @@ object Curation {
     * the corpus (or a clean reference), score every doc, drop the
     * improbable tail. One extra 1-row broadcast over the q98 plan; at
     * 100 TB swap percentile → approx_percentile, plan unchanged. */
-  def perplexityFilter(docs: DataFrame): DataFrame = {
-    val scores = bigramLmScore(docs)
+  def perplexityFilter(docs: DataFrame): DataFrame =
+    perplexityFilterFrom(bigramLmScore(docs))
+
+  private def perplexityFilterFrom(scores: DataFrame): DataFrame = {
     val med = scores.agg(
       expr("cast(round(2 * percentile(lm_score_e6, 0.5)) as bigint) AS med2x"))
     scores.crossJoin(broadcast(med))
       .where(col("lm_score_e6") * 2 >= col("med2x"))
       .select("doc_id", "lm_score_e6", "n_bigrams", "med2x")
   }
+
+  /** Session memo of the q98 score frame — FOUR gates consume the
+    * identical bigram-LM signal (q98, q130's median cut, q191's
+    * terciles, q200's head share), and the pair/prefix model join was
+    * being re-trained per query (the dsirScoredMemo precedent; one
+    * ~3-column row per doc checkpointed). */
+  private val bigramMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  Memos.register(() => bigramMemo.synchronized(bigramMemo.clear()))
+  private def bigramScoresFor(s: SparkSession, dir: String): DataFrame =
+    bigramMemo.synchronized {
+      bigramMemo.getOrElseUpdate((s, dir),
+        bigramLmScore(Tables.documents(s, dir)).localCheckpoint())
+    }
 
   /** q191 — CCNet's head/middle/tail quality buckets (Wenzek et al.
     * 2020 §4.3): rather than a hard keep/drop (q130's median cut), the
@@ -733,10 +749,13 @@ object Curation {
     * triple outgrows a partition, swap the exact ntile for per-lang
     * approx-percentile cutpoints + a narrow map (the q106 exact-NDV ↔
     * q156 sketch convention: this IS the deliberate oracle surface). */
-  def ccnetBuckets(docs: DataFrame): DataFrame = {
+  def ccnetBuckets(docs: DataFrame): DataFrame =
+    ccnetBucketsFrom(bigramLmScore(docs), docs)
+
+  private def ccnetBucketsFrom(scores: DataFrame, docs: DataFrame): DataFrame = {
     val w = Window.partitionBy("lang")
       .orderBy(col("lm_score_e6").desc, col("doc_id"))
-    bigramLmScore(docs)
+    scores
       .join(docs.select("doc_id", "lang"), "doc_id")
       .withColumn("bucket", ntile(3).over(w).cast("long"))
       .select("doc_id", "lang", "lm_score_e6", "bucket")
@@ -879,7 +898,15 @@ object Curation {
     * source (exp e6-rounded once — the q187 convention). Shared with
     * the q200 card. */
   private def effectiveTokensTail(u: DataFrame): DataFrame = {
-    val budget = 4L * u.agg(sum("n_tokens")).head().getLong(0)
+    // empty-corpus guard (the WordPiece segCounts NULL-max lesson):
+    // sum over zero rows is NULL — return the empty frame, not an NPE
+    val totRow = u.agg(sum("n_tokens")).head()
+    if (totRow.isNullAt(0))
+      return u.sparkSession.range(0).selectExpr(
+        "cast(null AS string) AS source", "cast(null AS bigint) AS u_tokens",
+        "cast(null AS bigint) AS alloc_tokens", "cast(null AS bigint) AS rep_e4",
+        "cast(null AS bigint) AS eff_tokens", "cast(null AS bigint) AS waste_e4")
+    val budget = 4L * totRow.getLong(0)
     temperatureOver(u, budget)
       .selectExpr("source", "n_tokens AS u_tokens", "alloc_tokens")
       .selectExpr("source", "u_tokens", "alloc_tokens",
@@ -910,7 +937,7 @@ object Curation {
       .selectExpr("source", "n_docs",
         "(10000 * n_drop_global) div n_docs AS dup_frac_e4",
         "missed_frac_e4 AS missed_local_frac_e4")
-    val head = ccnetBuckets(docs)
+    val head = ccnetBucketsFrom(bigramScoresFor(s, dir), docs)
       .join(docs.select("doc_id", "source"), "doc_id")
       .groupBy("source")
       .agg(count(lit(1)).as("n_scored"),
@@ -931,14 +958,14 @@ object Curation {
     // The card's second edition over the round's new signals.
     "q200_datacard_v2" -> ((s, dir) => dataCardV2(s, dir)),
 
-    "q98_bigram_lm" -> ((s, dir) => bigramLmScore(Tables.documents(s, dir))),
+    "q98_bigram_lm" -> ((s, dir) => bigramScoresFor(s, dir)),
 
     "q130_ppl_filter" -> ((s, dir) =>
-      perplexityFilter(Tables.documents(s, dir)).orderBy("doc_id")),
+      perplexityFilterFrom(bigramScoresFor(s, dir)).orderBy("doc_id")),
 
     // CCNet head/middle/tail terciles per language over the q98 signal.
     "q191_ccnet_buckets" -> ((s, dir) =>
-      ccnetBuckets(Tables.documents(s, dir))),
+      ccnetBucketsFrom(bigramScoresFor(s, dir), Tables.documents(s, dir))),
 
     "q135_domain_shift" -> ((s, dir) =>
       domainShift(Tables.documents(s, dir)).orderBy("source", "rk")),

