@@ -689,6 +689,53 @@ object Dedup {
         .orderBy("doc_id")
     }),
 
+    // q203 — the DECONTAMINATION METHOD-AGREEMENT report: the three
+    // text-side screens (exact doc hash = q93's rule, 6-gram overlap =
+    // q62's, doc-level fuzzy Jaccard ≥ 0.5 = q125's) run over ONE
+    // planted corpus and tabulated per (method, plant-band) — the
+    // table that says what each screen actually catches: hash sees
+    // only byte-exact leaks; n-gram adds paraphrase-adjacent overlap
+    // but also fires on clean docs sharing a phrase; fuzzy asserts
+    // document-level near-duplication. Plants: every eval doc
+    // re-inserted byte-exact (+off) and first-token-perturbed (+2·off,
+    // invisible to the hash screen by construction); off = max(id)+1
+    // (the q125 derivation — never a fixed constant). Each leg is its
+    // standalone gate's code path verbatim (decontaminateAgainst /
+    // md5 semi-join / incrementalNearDups against the eval index), so
+    // the report cannot drift from the gates it summarizes.
+    "q203_decontam_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "text")
+      val off = docs.agg(max("doc_id")).first.getLong(0) + 1
+      val evalSet = docs.where("doc_id % 97 = 3")
+      val train = docs.where("doc_id % 97 <> 3")
+        .unionAll(evalSet.selectExpr(s"doc_id + ${off}L AS doc_id", "text"))
+        .unionAll(evalSet.selectExpr(s"doc_id + ${2 * off}L AS doc_id",
+          "regexp_replace(text, '^\\\\S+', 'zzz') AS text"))
+      val byHash = train.selectExpr("doc_id", "md5(text) AS fp")
+        .join(evalSet.selectExpr("md5(text) AS fp"), Seq("fp"), "left_semi")
+        .select("doc_id")
+      val byNgram = Curation.decontaminateAgainst(train,
+          Curation.evalShingleSet(evalSet))
+        .where("contaminated").select("doc_id")
+      val sigs = signatures(evalSet).cache()
+      val byFuzzy = incrementalNearDups(bandedOf(sigs),
+          sigs.select("doc_id", "sh"), train)
+        .where("is_cross")
+        .selectExpr(s"CASE WHEN doc_a % 97 = 3 AND doc_a < ${off}L " +
+          "THEN doc_b ELSE doc_a END AS doc_id")
+        .distinct()
+      val flags = byHash.withColumn("method", lit("1_exact_hash"))
+        .unionByName(byNgram.withColumn("method", lit("2_ngram6")))
+        .unionByName(byFuzzy.withColumn("method", lit("3_fuzzy_lsh")))
+      val bands = train.selectExpr("doc_id",
+        s"CASE WHEN doc_id >= ${2 * off}L THEN 'planted_fuzzy' " +
+          s"WHEN doc_id >= ${off}L THEN 'planted_exact' " +
+          "ELSE 'clean' END AS band")
+      flags.join(bands, Seq("doc_id"))
+        .groupBy("method", "band").agg(count(lit(1)).as("n_flagged"))
+        .orderBy("method", "band")
+    }),
+
     // Cluster-aware leakage-free split: assign train/validation/test by
     // the NEAR-DUP CLUSTER representative, not the document id. A
     // doc-level hash split sprinkles near-copies of the same document
@@ -1414,6 +1461,67 @@ object Dedup {
            |SELECT CASE WHEN doc_a % 97 = 3 AND doc_a < (SELECT o FROM off) THEN doc_b ELSE doc_a END AS doc_id,
            |  CAST(COUNT(*) AS BIGINT) AS n_matches, MAX(j1000) AS best_j
            |FROM pairs GROUP BY 1 ORDER BY doc_id""".stripMargin,
+      // three screens, one planted corpus: hash semi-join, the q62
+      // 6-gram chain, the q125 banded chain — tabulated per plant band
+      "q203_decontam_report" ->
+        s"""WITH off AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+           |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 3),
+           |train AS (
+           |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 3
+           |  UNION ALL
+           |  SELECT doc_id + (SELECT o FROM off), text FROM ev
+           |  UNION ALL
+           |  SELECT doc_id + 2 * (SELECT o FROM off),
+           |    regexp_replace(text, '^\\S+', 'zzz') FROM ev),
+           |byhash AS (
+           |  SELECT DISTINCT t.doc_id FROM train t
+           |  JOIN (SELECT DISTINCT md5(text) AS fp FROM ev) e ON md5(t.text) = e.fp),
+           |tsh AS (
+           |  SELECT doc_id,
+           |    list_transform(range(1, greatest(1, len(toks) - 4)),
+           |      i -> array_to_string(toks[i:i+5], ' ')) AS sh
+           |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM train)),
+           |esh AS (
+           |  SELECT DISTINCT unnest(sh) AS shingle FROM (
+           |    SELECT list_transform(range(1, greatest(1, len(toks) - 4)),
+           |      i -> array_to_string(toks[i:i+5], ' ')) AS sh
+           |    FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks FROM ev))),
+           |byngram AS (
+           |  SELECT DISTINCT t.doc_id
+           |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM tsh) t
+           |  JOIN esh e ON t.shingle = e.shingle),
+           |fcorpus AS (SELECT doc_id, text FROM train UNION ALL SELECT doc_id, text FROM ev),
+           |t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM fcorpus),
+           |sh AS (
+           |  SELECT doc_id, $duckShingles AS sh FROM t WHERE len(toks) >= 2),
+           |hs AS (
+           |  SELECT doc_id, sh, list_transform(sh, s -> ${duckHash48("s")} % ${P}) AS hs FROM sh WHERE len(sh) > 0),
+           |sigs AS (
+           |  SELECT doc_id, sh,
+           |  $sigExprs
+           |  FROM hs),
+           |banded AS (
+           |  SELECT doc_id, sh, $bandExprs FROM sigs),
+           |byfuzzy AS (
+           |  SELECT DISTINCT CASE WHEN a.doc_id % 97 = 3 AND a.doc_id < (SELECT o FROM off)
+           |    THEN b.doc_id ELSE a.doc_id END AS doc_id
+           |  FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ($bandMatch)
+           |  WHERE 1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 499.5
+           |    AND ((a.doc_id % 97 = 3 AND a.doc_id < (SELECT o FROM off)) <>
+           |         (b.doc_id % 97 = 3 AND b.doc_id < (SELECT o FROM off)))),
+           |flags AS (
+           |  SELECT doc_id, '1_exact_hash' AS method FROM byhash
+           |  UNION ALL SELECT doc_id, '2_ngram6' FROM byngram
+           |  UNION ALL SELECT doc_id, '3_fuzzy_lsh' FROM byfuzzy),
+           |bands AS (
+           |  SELECT doc_id,
+           |    CASE WHEN doc_id >= 2 * (SELECT o FROM off) THEN 'planted_fuzzy'
+           |         WHEN doc_id >= (SELECT o FROM off) THEN 'planted_exact'
+           |         ELSE 'clean' END AS band
+           |  FROM train)
+           |SELECT f.method, b.band, CAST(COUNT(*) AS BIGINT) AS n_flagged
+           |FROM flags f JOIN bands b USING (doc_id)
+           |GROUP BY 1, 2 ORDER BY method, band""".stripMargin,
       // q53's labels left-joined onto ALL documents (singletons = own
       // cluster), split by the q12 Knuth hash on the cluster rep
       "q123_cluster_split" ->
