@@ -68,6 +68,33 @@ class WideningSpec extends AnyFunSuite {
       .forall { case (rk, i) => rk == i + 1 })
   }
 
+  test("binary sign encode: strict positivity, zero maps to 0, words reconstruct") {
+    import graft.operators.ProductQuant
+    // dims 0 and 33 positive, dim 1 exactly zero (not a set bit), rest negative
+    val emb = spark.range(1).selectExpr("id AS vec_id",
+      "transform(sequence(0, 63), d -> cast(CASE WHEN d = 0 OR d = 33 THEN 0.5 WHEN d = 1 THEN 0.0 ELSE -0.5 END AS float)) AS embedding")
+    val r = ProductQuant.binaryEncode(emb).head()
+    assert(r.getLong(1) == 1L)      // lo: only bit 0
+    assert(r.getLong(2) == 2L)      // hi: only bit 33-32 = 1
+  }
+
+  test("q201's hamming agrees with the float-side sign disagreement count") {
+    import graft.operators.ProductQuant
+    val e = Tables.embeddings(spark, sf)
+    val enc = ProductQuant.binaryEncode(e).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val signs = e.selectExpr("vec_id",
+      "transform(embedding, x -> cast(x AS double) > 0D) AS s").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Boolean](1)).toMap
+    val ids = enc.keySet.take(10).toSeq
+    for (a <- ids; b <- ids if a < b) {
+      val want = signs(a).zip(signs(b)).count { case (x, y) => x != y }
+      val got = java.lang.Long.bitCount(enc(a)._1 ^ enc(b)._1) +
+        java.lang.Long.bitCount(enc(a)._2 ^ enc(b)._2)
+      assert(got == want, s"pair ($a,$b)")
+    }
+  }
+
   test("q197 decay: repetition is never worth face value, uniques always are") {
     val r = SparkEntry.queries("q197_data_constrained")(spark, sf)
       .select("u_tokens", "alloc_tokens", "rep_e4", "eff_tokens", "waste_e4")
