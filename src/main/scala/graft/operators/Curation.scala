@@ -90,16 +90,29 @@ object Curation {
     * are ~10^12 at sf0.1, comfortably inside. */
   private[operators] def temperatureOver(perSource: DataFrame,
       budget: Long = 10000L): DataFrame = {
+    require(budget > 0, s"temperatureOver: budget must be positive, got $budget")
     val all = Window.partitionBy(lit(0))
     val byRem = Window.partitionBy(lit(0))
       .orderBy(col("rem").desc, col("source"))
+    // budget × p_e9 must stay inside int64 (the documented ~2e18 bound
+    // binds one order of magnitude above the sf0.1 token scale) — the
+    // guard enforces the rescale contract IN-PLAN (the guardedPacked
+    // convention): an out-of-bounds run fails loudly on both the quota
+    // and remainder arms instead of wrapping into corrupt allocations.
+    // In-bounds rows evaluate to the identical product, so hashes are
+    // unchanged.
+    val pMax = Long.MaxValue / budget
+    val guarded = s"""IF(p_e9 <= ${pMax}L, $budget * p_e9,
+      |cast(raise_error(concat('temperatureOver: budget*p_e9 overflows bigint ',
+      |'(budget=$budget, p_e9=', cast(p_e9 as string),
+      |'); rescale p to e6 on both engines')) as bigint))""".stripMargin
     perSource
       .withColumn("p_e9",
         expr("cast(round(1e9 * pow(cast(n_tokens as double), 0.3)) as bigint)"))
       .withColumn("tot", sum("p_e9").over(all))
       .withColumn("w_e6", expr("(1000000 * p_e9) div tot"))
-      .withColumn("quota", expr(s"($budget * p_e9) div tot"))
-      .withColumn("rem", expr(s"($budget * p_e9) % tot"))
+      .withColumn("quota", expr(s"($guarded) div tot"))
+      .withColumn("rem", expr(s"($guarded) % tot"))
       .withColumn("leftover", lit(budget) - sum("quota").over(all))
       .withColumn("rk", row_number().over(byRem))
       .selectExpr("source", "n_tokens", "p_e9", "w_e6",
@@ -867,22 +880,6 @@ object Curation {
       .orderBy("source")
   }
 
-  /** The planted-duplicate corpus construction shared by q192/q197/
-    * q200 — every 11th doc copied under the NEXT source mod 20
-    * (cross-source, visible only to global dedup) and every 13th under
-    * its own (local-catchable); the raw testdata has no exact dups, so
-    * without the plants every dedup-derived column would be invisibly
-    * zero. */
-  private[operators] def plantedDupCorpus(d: DataFrame): DataFrame = {
-    val d0 = d.select("doc_id", "source", "text")
-    d0.unionByName(d0.where("doc_id % 11 = 4").selectExpr(
-        "doc_id + 5000000 AS doc_id",
-        "concat('src', (cast(substring(source, 4) AS int) + 1) % 20) AS source",
-        "text"))
-      .unionByName(d0.where("doc_id % 13 = 6").selectExpr(
-        "doc_id + 6000000 AS doc_id", "source", "text"))
-  }
-
   /** Per-source UNIQUE token mass: exact-dedup winners' whitespace
     * tokens (q20's keep-first rule). One corpus scan + the keep-first
     * window + a #sources aggregate. */
@@ -933,7 +930,7 @@ object Curation {
     * stays #sources-sized however many signals ride it. */
   def dataCardV2(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val loc = Dedup.dedupLocality(plantedDupCorpus(docs))
+    val loc = Dedup.dedupLocality(Dedup.plantedDupCorpus(docs))
       .selectExpr("source", "n_docs",
         "(10000 * n_drop_global) div n_docs AS dup_frac_e4",
         "missed_frac_e4 AS missed_local_frac_e4")
@@ -943,7 +940,7 @@ object Curation {
       .agg(count(lit(1)).as("n_scored"),
         sum(when(col("bucket") === 1, 1L).otherwise(0L)).as("n_head"))
       .selectExpr("source", "(10000 * n_head) div n_scored AS head_share_e4")
-    val eff = effectiveTokensTail(uniqueMassBySource(plantedDupCorpus(docs)))
+    val eff = effectiveTokensTail(uniqueMassBySource(Dedup.plantedDupCorpus(docs)))
     loc.join(head, "source").join(eff, "source")
       .select("source", "n_docs", "dup_frac_e4", "missed_local_frac_e4",
         "head_share_e4", "u_tokens", "alloc_tokens", "eff_tokens", "waste_e4")
@@ -1030,10 +1027,12 @@ object Curation {
     // the valuation runs on #sources rows. Overflow bound: the
     // token-denominated largest remainder computes budget × p_e9,
     // safe to ~2e18 (≈ a 10^7-token corpus at this p scale); a larger
-    // run drops p to e6 — same one-line rescale both engines.
+    // run drops p to e6 — same one-line rescale both engines, and the
+    // product is guarded in-plan ([[temperatureOver]]'s raise_error
+    // arm), so an out-of-bounds run fails loudly instead of wrapping.
     "q197_data_constrained" -> ((s, dir) =>
       effectiveTokensTail(uniqueMassBySource(
-        plantedDupCorpus(Tables.documents(s, dir)))).orderBy("source")),
+        Dedup.plantedDupCorpus(Tables.documents(s, dir)))).orderBy("source")),
 
     // Excess-loss (KL) domain reweighting over the REAL source column.
     "q179_domain_reweight" -> ((s, dir) =>

@@ -428,25 +428,39 @@ object Dedup {
       .orderBy("source")
   }
 
+  /** The planted-duplicate corpus construction shared by q192/q197/
+    * q200 — every 11th doc copied under the NEXT source mod 20
+    * (cross-source, visible only to global dedup) and every 13th under
+    * its own (local-catchable); the raw testdata has no exact dups, so
+    * without the plants every dedup-derived column would be invisibly
+    * zero. The copy-id offsets are DERIVED from max(doc_id)+1 (the
+    * q125/q203 convention — a 1-row aggregate, model-state-class
+    * collect), never fixed constants: a corpus whose ids reach a
+    * hard-coded offset would silently collide plant ids with real ones
+    * (or the two bands with each other) and corrupt the keep-first
+    * min-id winners with no error. Band 1 sits at +off, band 2 at
+    * +2·off — disjoint from the originals and from each other at any
+    * corpus size. One Spark-side construction and one DuckDB CTE
+    * ([[duckLocalityCtes]]) serve every consumer, so the plant can
+    * never fork between queries or engines. */
+  private[operators] def plantedDupCorpus(d: DataFrame): DataFrame = {
+    val d0 = d.select("doc_id", "source", "text")
+    val off = d0.agg(max("doc_id")).first.getLong(0) + 1
+    d0.unionByName(d0.where("doc_id % 11 = 4").selectExpr(
+        s"doc_id + ${off}L AS doc_id",
+        "concat('src', (cast(substring(source, 4) AS int) + 1) % 20) AS source",
+        "text"))
+      .unionByName(d0.where("doc_id % 13 = 6").selectExpr(
+        s"doc_id + ${2 * off}L AS doc_id", "source", "text"))
+  }
+
   // ---------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // The per-source price of shard-local (vs global) exact dedup.
-    // Planted duplicates (the q62/q76 convention — the raw testdata has
-    // no exact dups, so the gap would be invisibly zero): every 11th
-    // doc re-inserted under the NEXT source mod 20 (cross-source — only
-    // global dedup sees it) and every 13th under its OWN source
-    // (local-catchable), so both branches are oracle-visible at any SF.
-    "q192_dedup_locality" -> ((s, dir) => {
-      val d = Tables.documents(s, dir).select("doc_id", "source", "text")
-      dedupLocality(d
-        .unionByName(d.where("doc_id % 11 = 4").selectExpr(
-          "doc_id + 5000000 AS doc_id",
-          "concat('src', (cast(substring(source, 4) AS int) + 1) % 20) AS source",
-          "text"))
-        .unionByName(d.where("doc_id % 13 = 6").selectExpr(
-          "doc_id + 6000000 AS doc_id", "source", "text")))
-    }),
+    // The per-source price of shard-local (vs global) exact dedup over
+    // the shared planted corpus (the q62/q76 plant convention).
+    "q192_dedup_locality" -> ((s, dir) =>
+      dedupLocality(plantedDupCorpus(Tables.documents(s, dir)))),
 
     // Exact dedup: keep-first per content fingerprint (the reference's
     // keep-docs[0] made deterministic and content-addressed).
@@ -1195,16 +1209,19 @@ object Dedup {
   /** The q192 planted-corpus + locality chain as CTE text (corpus →
     * bsf → gk → agg (source, n_docs, n_drop_global, n_drop_local)) —
     * shared verbatim by the q192 twin and the q200 card's, so the
-    * construction can never fork. */
+    * construction can never fork. The plant offsets derive from
+    * max(doc_id)+1 exactly as [[plantedDupCorpus]] does on the Spark
+    * side (the q125/q203 convention). */
   private[operators] val duckLocalityCtes: String =
-    """corpus AS (
+    """poff AS (SELECT MAX(doc_id) + 1 AS o FROM documents),
+      |corpus AS (
       |  SELECT doc_id, source, text FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 5000000,
+      |  SELECT doc_id + (SELECT o FROM poff),
       |    concat('src', (CAST(substr(source, 4) AS INT) + 1) % 20), text
       |  FROM documents WHERE doc_id % 11 = 4
       |  UNION ALL
-      |  SELECT doc_id + 6000000, source, text
+      |  SELECT doc_id + 2 * (SELECT o FROM poff), source, text
       |  FROM documents WHERE doc_id % 13 = 6),
       |bsf AS (
       |  SELECT md5(text) AS fp, source,

@@ -68,7 +68,11 @@ sealed trait TokenizerModel extends Serializable {
     val hit = cache.get(word)
     if (hit != null) return hit.longValue()
     val n = wordValue(word)
-    if (cache.size < TokenizerModel.CacheCap) cache.put(word, n)
+    // SOFT cap: the size check and the insert are not atomic, so tasks
+    // sharing one deserialized instance can overshoot CacheCap by at
+    // most the thread count — bounded and harmless; a strict cap would
+    // put a lock on the per-word hot path.
+    if (cache.size < TokenizerModel.CacheCap) cache.putIfAbsent(word, n)
     n
   }
 
