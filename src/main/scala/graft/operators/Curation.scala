@@ -278,24 +278,63 @@ object Curation {
       .select(explode_outer(col("sh")).as("shingle"))
       .where("shingle IS NOT NULL").distinct()
 
+  /** The broadcast-safe row bound the decontamination family's forced
+    * `broadcast()` hints assume of their eval-side frames. ~2M shingle
+    * strings ≈ 100–200 MB as a broadcast hash relation — the upper edge
+    * of what an executor comfortably holds; real benchmark suites are
+    * orders of magnitude smaller. */
+  val BoundedEvalRows: Long = 1L << 21
+
+  /** Broadcast `frame` with the bounded-eval CONTRACT ENFORCED in-plan
+    * (the q139/q152 raise_error budget-guard convention): the
+    * decontamination gates hint `broadcast()` on their eval-side frames
+    * because a benchmark set is tiny and fixed in production — but
+    * nothing used to enforce that, and a caller whose "eval set" is
+    * actually carved from (and grows with) the corpus would ride the
+    * hint straight into a driver/executor OOM. Here a 1-row count of
+    * the eval frame is cross-joined back and every row's guard column
+    * raises loudly when the frame exceeds `maxRows`, naming the
+    * contract and the fix — BEFORE the broadcast materializes. In-bounds
+    * frames pass through row-identical (the guard column is dropped),
+    * so every decontam oracle hash is unchanged. Cost: one extra
+    * evaluation of the eval-side subplan for the count — eval-sized by
+    * the very contract being enforced. */
+  private[graft] def boundedBroadcast(op: String, frame: DataFrame,
+      maxRows: Long = BoundedEvalRows): DataFrame = {
+    val n = frame.agg(count(lit(1)).as("__eval_n"))
+    val guarded = frame.crossJoin(broadcast(n))
+      .withColumn("__eval_ok",
+        when(col("__eval_n") <= maxRows, lit(true))
+          .otherwise(raise_error(concat(
+            lit(s"$op: eval/probe frame exceeds the broadcast-safe bound "),
+            lit(s"($maxRows rows; got "), col("__eval_n").cast("string"),
+            lit(") — the bounded-eval contract is violated; shrink the "),
+            lit("benchmark set or switch this gate to the shuffled-join path")))))
+      .where(col("__eval_ok")).drop("__eval_n", "__eval_ok")
+    broadcast(guarded)
+  }
+
   /** Per-doc contamination flags of `docs` (doc_id, text) against a
     * prebuilt (broadcast-sized) `evalShingles` set — the side-input
     * form of [[decontaminate]] for callers whose eval set is fixed
-    * upfront rather than carved from the same frame. */
+    * upfront rather than carved from the same frame. The broadcast is
+    * contract-guarded ([[boundedBroadcast]]). */
   def decontaminateAgainst(docs: DataFrame, evalShingles: DataFrame,
-      gram: Int = 6): DataFrame = {
+      gram: Int = 6, maxEvalRows: Long = BoundedEvalRows): DataFrame = {
     val sh = gramSets(docs, gram)
     val contaminated = sh
       .select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
       .where("shingle IS NOT NULL")
-      .join(broadcast(evalShingles), Seq("shingle"), "left_semi")
+      .join(boundedBroadcast("decontaminateAgainst", evalShingles, maxEvalRows),
+        Seq("shingle"), "left_semi")
       .select("doc_id").distinct()
     sh.select("doc_id")
       .join(contaminated.withColumn("contaminated", lit(true)), Seq("doc_id"), "left")
       .selectExpr("doc_id", "coalesce(contaminated, false) AS contaminated")
   }
 
-  def decontaminate(docs: DataFrame, gram: Int = 6, evalMod: Long = 97): DataFrame = {
+  def decontaminate(docs: DataFrame, gram: Int = 6, evalMod: Long = 97,
+      maxEvalRows: Long = BoundedEvalRows): DataFrame = {
     val sh = gramSets(docs, gram)
     // explode_outer + post-filter, NOT explode: explode's implicit
     // `size(sh) > 0` filter gets pushed below the projection with the
@@ -308,7 +347,11 @@ object Curation {
     val contaminated = train
       .select(col("doc_id"), explode_outer(col("sh")).as("shingle"))
       .where("shingle IS NOT NULL")
-      .join(broadcast(evalSh), Seq("shingle"), "left_semi")
+      // the test carve (1/97 of the corpus) GROWS with SF — exactly the
+      // shape the guard exists for; production replaces the carve with
+      // a fixed benchmark registry and the hint is genuinely safe
+      .join(boundedBroadcast("decontaminate", evalSh, maxEvalRows),
+        Seq("shingle"), "left_semi")
       .select("doc_id").distinct()
     train.select("doc_id")
       .join(contaminated.withColumn("contaminated", lit(true)), Seq("doc_id"), "left")
@@ -334,17 +377,26 @@ object Curation {
     * Fingerprint is the portable 48-bit hash (`Portable.sparkHash48`),
     * so the DuckDB twin reproduces the join exactly. */
   def bloomDecontaminate(train: DataFrame, evalDocs: DataFrame,
-                         fpp: Double = 0.01): DataFrame = {
+                         fpp: Double = 0.01,
+                         maxEvalRows: Long = BoundedEvalRows): DataFrame = {
     val t = train.selectExpr("doc_id", s"${sparkHash48("text")} AS fp")
     val e = evalDocs.selectExpr(s"${sparkHash48("text")} AS fp").distinct()
-    val bloom = e.stat.bloomFilter("fp", math.max(1L, e.count()), fpp)
+    // the eval cardinality is already collected for the filter sizing —
+    // enforce the bounded-eval contract on it directly (the same bound
+    // boundedBroadcast guards in-plan for the n-gram gates)
+    val nEval = e.count()
+    require(nEval <= maxEvalRows,
+      s"bloomDecontaminate: eval frame exceeds the broadcast-safe bound " +
+        s"($maxEvalRows rows; got $nEval) — the bounded-eval contract " +
+        "is violated; shrink the benchmark set or switch to the shuffled-join path")
+    val bloom = e.stat.bloomFilter("fp", math.max(1L, nEval), fpp)
     val might = org.apache.spark.sql.graft.ColumnBridge.column(
       graft.plans.BloomMightContainLong(
         org.apache.spark.sql.graft.ColumnBridge.expression(col("fp")), bloom))
     val flagged = t.withColumn("might", might)
     val definitelyClean = flagged.where(!col("might")).select("doc_id", "fp")
     val confirmedClean = flagged.where(col("might"))
-      .join(broadcast(e), Seq("fp"), "left_anti")
+      .join(broadcast(e), Seq("fp"), "left_anti") // bounded by the require above
       .select("doc_id", "fp")
     definitelyClean.unionByName(confirmedClean).select("doc_id")
   }

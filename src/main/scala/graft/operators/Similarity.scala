@@ -533,14 +533,20 @@ object Similarity {
     * every train vector with its hit count and the keep flag. */
   def semanticDecontam(embeddings: DataFrame, centroids: DataFrame,
                        assignments: DataFrame, tauE6: Long = 300000L,
-                       evalPred: String = "vec_id % 13 = 5"): DataFrame = {
+                       evalPred: String = "vec_id % 13 = 5",
+                       maxEvalRows: Long = Curation.BoundedEvalRows): DataFrame = {
     val probes = ivfProbes(embeddings, centroids, queryWhere = evalPred)
     val vecs = embeddings.selectExpr("vec_id", "cast(embedding as array<double>) AS v")
     val train = assignments.where(s"NOT ($evalPred)")
-    val hits = broadcast(probes).join(train, "cid")
+    // both eval-side frames ride the boundedBroadcast contract guard
+    // (the test carve grows with SF; a production benchmark is fixed) —
+    // the probe frame is nprobe× the eval set, so it shares the bound
+    val hits = Curation.boundedBroadcast("semanticDecontam.probes", probes,
+        maxEvalRows).join(train, "cid")
       .select("query_id", "vec_id")
       .join(vecs, "vec_id")
-      .join(broadcast(vecs.where(evalPred).toDF("query_id", "q")), "query_id")
+      .join(Curation.boundedBroadcast("semanticDecontam.eval",
+        vecs.where(evalPred).toDF("query_id", "q"), maxEvalRows), "query_id")
       .where(round(cosineN(col("q"), col("v")) * 1e6).cast("long") >= tauE6)
       .groupBy("vec_id").agg(count(lit(1)).as("n_hits"))
     train.join(hits, Seq("vec_id"), "left")
