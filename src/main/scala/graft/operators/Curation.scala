@@ -771,7 +771,9 @@ object Curation {
     * (CCNet, Gopher, Llama) all run exactly this shape: train an LM on
     * the corpus (or a clean reference), score every doc, drop the
     * improbable tail. One extra 1-row broadcast over the q98 plan; at
-    * 100 TB swap percentile → approx_percentile, plan unchanged. */
+    * 100 TB swap percentile → approx_percentile, plan unchanged — the
+    * swap is REGISTERED as q210 (exact answers + sketch flags, the q47
+    * pattern), not just documented. */
   def perplexityFilter(docs: DataFrame): DataFrame =
     perplexityFilterFrom(bigramLmScore(docs))
 
@@ -791,7 +793,7 @@ object Curation {
   private val bigramMemo =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   Memos.register(() => bigramMemo.synchronized(bigramMemo.clear()))
-  private def bigramScoresFor(s: SparkSession, dir: String): DataFrame =
+  private[graft] def bigramScoresFor(s: SparkSession, dir: String): DataFrame =
     bigramMemo.synchronized {
       bigramMemo.getOrElseUpdate((s, dir),
         bigramLmScore(Tables.documents(s, dir)).localCheckpoint())
@@ -808,21 +810,54 @@ object Curation {
     * keep cross-engine), identical floor/ceil group sizing in both
     * engines.
     *
-    * Scale: the window partitions by lang over the NARROW
-    * (doc_id, lang, score) frame — #langs ordered partitions, each a
-    * range sort of scalars; past the point where one language's scalar
-    * triple outgrows a partition, swap the exact ntile for per-lang
-    * approx-percentile cutpoints + a narrow map (the q106 exact-NDV ↔
-    * q156 sketch convention: this IS the deliberate oracle surface). */
+    * Scale: spelled with the distributed-rank helper
+    * ([[Relational.distributedNtile]] grouped by lang) — at web scale
+    * ONE language is most of the corpus, so even a lang-partitioned
+    * window is a corpus-sized sort on one task (the r16 verdict's
+    * q191 caveat); here every window is partition-local over the
+    * range exchange and nothing is corpus-sized anywhere. The
+    * sampled-cutpoint sibling (q209) is the registered cheaper
+    * approximation beside this exact form (the q106↔q156 convention). */
   def ccnetBuckets(docs: DataFrame): DataFrame =
     ccnetBucketsFrom(bigramLmScore(docs), docs)
 
-  private def ccnetBucketsFrom(scores: DataFrame, docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy("lang")
-      .orderBy(col("lm_score_e6").desc, col("doc_id"))
-    scores
-      .join(docs.select("doc_id", "lang"), "doc_id")
-      .withColumn("bucket", ntile(3).over(w).cast("long"))
+  private[graft] def ccnetBucketsFrom(scores: DataFrame, docs: DataFrame): DataFrame =
+    Relational.distributedNtile(
+        scores.join(docs.select("doc_id", "lang"), "doc_id")
+          .select("doc_id", "lang", "lm_score_e6"),
+        3, Seq("lang"), Seq(col("lm_score_e6").desc, col("doc_id")),
+        tileCol = "bucket")
+      .select("doc_id", "lang", "lm_score_e6", "bucket")
+      .orderBy("doc_id")
+
+  /** q209 — the q191 terciles from SAMPLED per-lang cutpoints (the
+    * registered approx sibling, the q106↔q156 convention): per lang,
+    * the sorted deterministic 25%-hash-sample's values at integer
+    * ranks ⌈m/3⌉ and ⌈2m/3⌉ (discrete-rank, never interpolated — the
+    * q208 cross-engine rounding argument), doubled into the 2× integer
+    * domain and broadcast (#langs rows × 2 longs); bucket = 1 +
+    * #{cuts above 2·score}, a narrow map. No rank, no window — the
+    * plan a 100 TB per-lang bucketing actually runs. A lang absent
+    * from the sample defaults its docs to bucket 1 (empty cut list) on
+    * BOTH engines. Sampled terciles are approximately even;
+    * QuantileSpec measures assignment agreement against exact q191. */
+  private[graft] def ccnetBucketsSampled(scores: DataFrame, docs: DataFrame,
+      n: Int = 3): DataFrame = {
+    val scored = scores.join(docs.select("doc_id", "lang"), "doc_id")
+      .select("doc_id", "lang", "lm_score_e6")
+    val sampleHash = sparkHash48("concat('qsmp_', cast(doc_id as string))")
+    val cuts = scored.where(s"$sampleHash % 100 < 25")
+      .groupBy("lang")
+      .agg(expr("sort_array(collect_list(lm_score_e6)) AS __arr"))
+      .selectExpr("lang",
+        s"""IF(size(__arr) = 0, array(),
+           |  transform(sequence(1, ${n - 1}), k -> 2 * element_at(__arr,
+           |    cast(greatest(1L, (size(__arr) * ($n - k) + ${n - 1}) div $n) as int))))
+           | AS __cuts""".stripMargin)
+    scored.join(broadcast(cuts), Seq("lang"), "left")
+      .withColumn("bucket", expr(
+        "1L + size(filter(coalesce(__cuts, array()), c -> 2 * lm_score_e6 < c))")
+        .cast("long"))
       .select("doc_id", "lang", "lm_score_e6", "bucket")
       .orderBy("doc_id")
   }
@@ -871,13 +906,71 @@ object Curation {
     * exact median n_chars. Medians are one grouped aggregate (#langs
     * rows) broadcast back — the corpus itself is never window-sorted.
     * `med2x` = round(2·median) keeps the x.5 interpolated medians of
-    * even groups integer-exact cross-engine. */
+    * even groups integer-exact cross-engine. Exact `percentile`
+    * buffers each group's values on one reducer — q211 is the
+    * registered approx_percentile sibling for the scale where that
+    * binds (the q106↔q156 convention). */
   def quantileFilter(d: DataFrame): DataFrame = {
     val med = d.groupBy("lang")
       .agg(expr("cast(round(2 * percentile(n_chars, 0.5)) as bigint) AS med2x"))
     d.join(broadcast(med), Seq("lang"))
       .where(col("n_chars") * 2 >= col("med2x"))
       .select("doc_id", "lang", "n_chars", "med2x")
+  }
+
+  /** q210 — the q130 median gate's APPROX sibling, the q47 sketch-gate
+    * pattern: the hash-checkable surface is the EXACT answers (med2x,
+    * corpus size, exact keep count) plus within-bounds FLAGS asserting
+    * the quantile sketch's answer — |2·approx − med2x| ≤ 10%·med2x and
+    * an approx-thresholded keep count within 5% (floor 3 rows: the
+    * sketch returns an ACTUAL element, so tie mass between it and the
+    * interpolated exact median shifts small-group counts by a few rows
+    * — inherent to the approximation, not sketch error) — because
+    * sketch internals are engine-specific and would never hash-match
+    * cross-engine. The DuckDB twin computes the same exact answers and
+    * literal TRUE; a sketch drifting outside its bound flips a flag
+    * and fails the hash gate end-to-end. At 100 TB the exact
+    * `percentile` arm is what this sibling retires: approx_percentile
+    * (Greenwald–Khanna at accuracy 10k) is a bounded-state mergeable
+    * sketch, and the keep gate downstream is plan-identical. */
+  private[graft] def pplMedianApprox(scores: DataFrame): DataFrame = {
+    val agg = scores.agg(
+      expr("cast(round(2 * percentile(lm_score_e6, 0.5)) as bigint) AS med2x"),
+      expr("approx_percentile(lm_score_e6, 0.5, 10000)").as("amed"),
+      count(lit(1)).as("n_docs"))
+    scores.crossJoin(broadcast(agg))
+      .groupBy("med2x", "amed", "n_docs")
+      .agg(
+        sum(when(col("lm_score_e6") * 2 >= col("med2x"), 1L).otherwise(0L))
+          .as("n_keep"),
+        sum(when(col("lm_score_e6") >= col("amed"), 1L).otherwise(0L))
+          .as("n_keep_approx"))
+      .selectExpr("med2x", "n_docs", "n_keep",
+        "abs(2 * amed - med2x) <= (med2x div 10) AS med_within_bounds",
+        "abs(n_keep_approx - n_keep) <= greatest(n_keep div 20, 3) AS keep_within_bounds")
+  }
+
+  /** q211 — the q114 per-lang median gate's APPROX sibling (same q47
+    * flag pattern as q210, per group): exact per-lang med2x + keep
+    * counts hashed, the per-lang approx_percentile and its keep count
+    * gated by flags the oracle pins as literal TRUE. */
+  private[graft] def langMedianApprox(d: DataFrame): DataFrame = {
+    val med = d.groupBy("lang")
+      .agg(
+        expr("cast(round(2 * percentile(n_chars, 0.5)) as bigint) AS med2x"),
+        expr("approx_percentile(n_chars, 0.5, 10000)").as("amed"),
+        count(lit(1)).as("n_docs"))
+    d.select("lang", "n_chars").join(broadcast(med), Seq("lang"))
+      .groupBy("lang", "med2x", "amed", "n_docs")
+      .agg(
+        sum(when(col("n_chars") * 2 >= col("med2x"), 1L).otherwise(0L))
+          .as("n_keep"),
+        sum(when(col("n_chars") >= col("amed"), 1L).otherwise(0L))
+          .as("n_keep_approx"))
+      .selectExpr("lang", "med2x", "n_docs", "n_keep",
+        "abs(2 * amed - med2x) <= (med2x div 10) AS med_within_bounds",
+        "abs(n_keep_approx - n_keep) <= greatest(n_keep div 20, 3) AS keep_within_bounds")
+      .orderBy("lang")
   }
 
   /** q167 — the per-source DATA CARD: the one-query data statement a
@@ -1015,6 +1108,18 @@ object Curation {
     // CCNet head/middle/tail terciles per language over the q98 signal.
     "q191_ccnet_buckets" -> ((s, dir) =>
       ccnetBucketsFrom(bigramScoresFor(s, dir), Tables.documents(s, dir))),
+
+    // The q191 terciles from sampled per-lang cutpoints (approx sibling).
+    "q209_ccnet_sampled" -> ((s, dir) =>
+      ccnetBucketsSampled(bigramScoresFor(s, dir), Tables.documents(s, dir))),
+
+    // The q130 median gate's sketch sibling: exact answers + GK flags.
+    "q210_ppl_median_approx" -> ((s, dir) =>
+      pplMedianApprox(bigramScoresFor(s, dir))),
+
+    // The q114 per-lang median gate's sketch sibling.
+    "q211_lang_median_approx" -> ((s, dir) =>
+      langMedianApprox(Tables.documents(s, dir))),
 
     "q135_domain_shift" -> ((s, dir) =>
       domainShift(Tables.documents(s, dir)).orderBy("source", "rk")),
@@ -1395,6 +1500,70 @@ object Curation {
         |    ORDER BY s.lm_score_e6 DESC, s.doc_id) AS BIGINT) AS bucket
         |FROM scores s JOIN documents d USING (doc_id)
         |ORDER BY s.doc_id""".stripMargin,
+
+    // q209: per-lang discrete-rank cutpoints over the deterministic 25%
+    // hash sample — the sorted sample's value at integer rank
+    // ⌈m·(3−k)/3⌉ doubled, bucket = 1 + #{cuts above 2·score}; a lang
+    // missing from the sample coalesces to no cuts (bucket 1), matching
+    // the Spark left join
+    "q209_ccnet_sampled" ->
+      s"""WITH $bigramLmCtes,
+        |scores AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(p_e6) // COUNT(*) AS BIGINT) AS lm_score_e6
+        |  FROM bg JOIN probs ON bg.w1 = probs.w1 AND bg.w2 = probs.w2
+        |  GROUP BY doc_id),
+        |scored AS (
+        |  SELECT s.doc_id, d.lang, s.lm_score_e6
+        |  FROM scores s JOIN documents d USING (doc_id)),
+        |smp AS (
+        |  SELECT lang, list_sort(list(lm_score_e6)) AS arr FROM scored
+        |  WHERE ${duckHash48("concat('qsmp_', CAST(doc_id AS VARCHAR))")} % 100 < 25
+        |  GROUP BY lang),
+        |cuts AS (
+        |  SELECT lang,
+        |    CASE WHEN arr IS NULL OR len(arr) = 0 THEN []::BIGINT[]
+        |    ELSE list_transform(range(1, 3), k -> 2 * arr[CAST(greatest(1, (len(arr) * (3 - k) + 2) // 3) AS INT)])
+        |    END AS cl
+        |  FROM smp)
+        |SELECT sc.doc_id, sc.lang, sc.lm_score_e6,
+        |  CAST(1 + len(list_filter(coalesce(cuts.cl, []::BIGINT[]),
+        |    c -> 2 * sc.lm_score_e6 < c)) AS BIGINT) AS bucket
+        |FROM scored sc LEFT JOIN cuts USING (lang)
+        |ORDER BY sc.doc_id""".stripMargin,
+
+    // q210: the q47 sketch-flag pattern — exact median/corpus/keep
+    // hashed, the Spark-side GK sketch gated by literal-TRUE flags
+    "q210_ppl_median_approx" ->
+      s"""WITH $bigramLmCtes,
+        |scores AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(p_e6) // COUNT(*) AS BIGINT) AS lm_score_e6
+        |  FROM bg JOIN probs ON bg.w1 = probs.w1 AND bg.w2 = probs.w2
+        |  GROUP BY doc_id),
+        |med AS (
+        |  SELECT CAST(round(2 * quantile_cont(lm_score_e6, 0.5)) AS BIGINT) AS med2x,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM scores)
+        |SELECT med2x, n_docs,
+        |  CAST(SUM(CASE WHEN lm_score_e6 * 2 >= med2x THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  TRUE AS med_within_bounds, TRUE AS keep_within_bounds
+        |FROM scores, med GROUP BY med2x, n_docs""".stripMargin,
+
+    // q211: the per-lang form of the same pattern over n_chars (q114's
+    // signal)
+    "q211_lang_median_approx" ->
+      """WITH med AS (
+        |  SELECT lang,
+        |    CAST(round(2 * quantile_cont(n_chars, 0.5)) AS BIGINT) AS med2x,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY lang)
+        |SELECT d.lang, m.med2x, m.n_docs,
+        |  CAST(SUM(CASE WHEN d.n_chars * 2 >= m.med2x THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        |  TRUE AS med_within_bounds, TRUE AS keep_within_bounds
+        |FROM documents d JOIN med m USING (lang)
+        |GROUP BY d.lang, m.med2x, m.n_docs
+        |ORDER BY d.lang""".stripMargin,
 
     "q76_cross_doc_dedup" ->
       """WITH corpus AS (

@@ -73,6 +73,80 @@ object Relational {
     * associative, safe to sum in any shuffle order. */
   def cents(c: Column): Column = round(c * 100).cast("long")
 
+  /** Exact `ntile(n)` over a TOTAL order WITHOUT a single-partition
+    * window — the scalable spelling of
+    * `ntile(n).over(Window.orderBy(...))`, whose unpartitioned
+    * WindowExec moves the whole frame to ONE task (the r16 verdict's
+    * q199 finding; Spark itself warns "Moving all data to a single
+    * partition").
+    *
+    * Mechanics (the distributed-rank pattern): range-repartition on
+    * (groupCols ++ order) — groups land contiguous and each partition
+    * holds one contiguous slice of the total order — then rank = a
+    * row_number window PARTITIONED by the physical partition id plus
+    * that partition's exclusive offset. The offsets are the ≤`parts`
+    * per-partition counts (a bounded, model-state-class collect — the
+    * centroid convention), inlined as a CASE literal, so no
+    * unpartitioned window exists anywhere in the plan. Per-group tile
+    * boundaries come from a #groups-sized aggregate broadcast back.
+    * The tile formula reproduces SQL NTILE exactly (first N mod n
+    * tiles get ⌈N/n⌉ rows): both engines' NTILE agree with it, so
+    * callers' oracle hashes are unchanged vs the window spelling
+    * (QuantileSpec pins the equivalence property-style).
+    *
+    * Requirements: `order` must be a TOTAL order (include a unique
+    * tiebreak — equal keys split across partitions would otherwise
+    * make ranks nondeterministic). The input is cached post-exchange
+    * so the count job and the rank job see the SAME physical
+    * partitions (and the upstream — often a corpus scan + scoring
+    * fold — is paid once, the BM25 convention); the frame is the
+    * narrow (group, order-key) projection, corpus-row-sized but
+    * few-column.
+    *
+    * 100 TB posture: every window is partition-local (corpus/`parts`,
+    * and `parts` grows with the cluster); the only driver state is
+    * `parts` longs. This is the exact form; the sampled-cutpoint
+    * siblings (q208/q209) are the cheaper approximation registered
+    * beside it. */
+  private[graft] def distributedNtile(df: DataFrame, n: Int,
+      groupCols: Seq[String], order: Seq[Column], parts: Int = 32,
+      tileCol: String = "__tile"): DataFrame = {
+    require(n > 0 && parts > 0)
+    val sortExprs = groupCols.map(col) ++ order
+    val ranged = df.repartitionByRange(parts, sortExprs: _*)
+      .withColumn("__pid", spark_partition_id())
+      .cache()
+    val counts = ranged.groupBy("__pid").count().collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toMap
+    val offs = (0 until parts).scanLeft(0L)((acc, p) =>
+      acc + counts.getOrElse(p, 0L))
+    val offExpr = (0 until parts).foldLeft(when(lit(false), lit(0L))) {
+      case (e, p) => e.when(col("__pid") === p, lit(offs(p)))
+    }.otherwise(lit(0L))
+    val w = Window.partitionBy("__pid").orderBy(sortExprs: _*)
+    val ranked = ranged
+      .withColumn("__rank", row_number().over(w).cast("long") + offExpr)
+    val withGroup =
+      if (groupCols.isEmpty)
+        ranked.withColumn("__start", lit(1L))
+          .withColumn("__n", lit(offs(parts)))
+      else {
+        val g = ranked.groupBy(groupCols.map(col): _*)
+          .agg(min("__rank").as("__start"), count(lit(1)).as("__n"))
+        ranked.join(broadcast(g), groupCols)
+      }
+    // SQL NTILE: q = N div n, rem = N mod n; the first rem tiles have
+    // q+1 rows. r is the 1-based rank WITHIN the group.
+    withGroup
+      .withColumn("__r", col("__rank") - col("__start") + lit(1L))
+      .withColumn(tileCol, expr(
+        s"""CASE WHEN __r <= (__n % $n) * (__n div $n + 1)
+           |  THEN (__r - 1) div (__n div $n + 1) + 1
+           |  ELSE (__n % $n) + (__r - (__n % $n) * (__n div $n + 1) - 1)
+           |       div (__n div $n) + 1 END""".stripMargin))
+      .drop("__pid", "__rank", "__start", "__n", "__r")
+  }
+
   /** Shared W1 core for q01/q02: one row kept per (l_orderkey,
     * l_partkey), chosen by the TOTAL packed order documented at q01.
     * Returns the kept row with every payload column decoded from the
