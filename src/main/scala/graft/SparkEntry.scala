@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Anomaly, Bpe, Chunking, Curation, CurationPipeline, Dedup, Diff, Graph, HeavyHitters, Merge, Packing, ProductQuant, Profile, Relational, Similarity, Skew, Temporal, TextAnalysis, TokenizerReport, Unigram, WordPiece}
+import graft.operators.{Anomaly, Bpe, Chunking, Curation, CurationPipeline, Dedup, Diff, Graph, HeavyHitters, Merge, Packing, ProductQuant, Profile, Relational, Similarity, Skew, SuffixDedup, Temporal, TextAnalysis, TokenizerReport, Unigram, WordPiece}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,7 @@ object SparkEntry {
     Relational.queries ++ Chunking.queries ++ Dedup.queries ++
       Similarity.queries ++ TextAnalysis.queries ++ Temporal.queries ++
       Packing.queries ++ Curation.queries ++ Anomaly.queries ++ ProductQuant.queries ++ graft.sources.Layout.queries ++ HeavyHitters.queries ++
-      Skew.queries ++ Profile.queries ++ Merge.queries ++ Graph.queries ++
+      Skew.queries ++ Profile.queries ++ Merge.queries ++ Graph.queries ++ SuffixDedup.queries ++
       CurationPipeline.queries ++ Diff.queries ++ Bpe.queries ++ WordPiece.queries ++ Unigram.queries ++ TokenizerReport.queries ++
       graft.functions.Multimodal.queries ++ graft.sources.v2.StoreQueries.queries
 
@@ -31,7 +31,7 @@ object SparkEntry {
     Relational.oracle ++ Chunking.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ TextAnalysis.oracle ++ Temporal.oracle ++
       Packing.oracle ++ Curation.oracle ++ Anomaly.oracle ++ ProductQuant.oracle ++ graft.sources.Layout.oracle ++ HeavyHitters.oracle ++
-      Skew.oracle ++ Profile.oracle ++ Merge.oracle ++ Graph.oracle ++
+      Skew.oracle ++ Profile.oracle ++ Merge.oracle ++ Graph.oracle ++ SuffixDedup.oracle ++
       CurationPipeline.oracle ++ Diff.oracle ++ Bpe.oracle ++ WordPiece.oracle ++ Unigram.oracle ++ TokenizerReport.oracle ++
       graft.functions.Multimodal.oracle ++ graft.sources.v2.StoreQueries.oracle
 }

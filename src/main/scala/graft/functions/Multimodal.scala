@@ -83,7 +83,25 @@ object Multimodal {
     * multimodal pipelines bucket on. Null for undecodable bytes (F6
     * drop semantics). Luma in e3 fixed point (×1000 before the cell
     * divide) so cell/mean comparisons don't lose ties to truncation. */
-  def aHash64(bytes: Array[Byte]): java.lang.Long =
+  def aHash64(bytes: Array[Byte]): java.lang.Long = {
+    val cells = lumaGrid64(bytes)
+    if (cells == null) null
+    else {
+      val mean = cells.sum / 64L
+      var bits = 0L
+      var i = 0
+      while (i < 64) { if (cells(i) > mean) bits |= (1L << i); i += 1 }
+      java.lang.Long.valueOf(bits)
+    }
+  }
+
+  /** The 8×8 e3-luma grid behind [[aHash64]], exposed as the IMAGE
+    * TOWER for the q207 cross-modal gate: 64 integer cell means (area-
+    * averaged Rec.601 luma ×1000 — every source pixel lands in exactly
+    * one cell, so the vector is resolution-invariant), the coarse
+    * image-derived embedding an alignment filter compares against the
+    * caption side. Null for undecodable bytes (F6 drop semantics). */
+  private[graft] def lumaGrid64(bytes: Array[Byte]): Array[Long] =
     try {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       if (img == null) null
@@ -107,13 +125,8 @@ object Multimodal {
           }
           y += 1
         }
-        val cells = Array.tabulate(64)(i =>
+        Array.tabulate(64)(i =>
           if (counts(i) == 0) 0L else sums(i) * 1000L / counts(i))
-        val mean = cells.sum / 64L
-        var bits = 0L
-        var i = 0
-        while (i < 64) { if (cells(i) > mean) bits |= (1L << i); i += 1 }
-        java.lang.Long.valueOf(bits)
       }
     } catch { case _: Exception => null }
 
@@ -395,6 +408,91 @@ object Multimodal {
     rows ++ Seq("img5_caption" -> captionBar(rows.toMap.apply("img5")))
   }
 
+  /** The q207 caption text — what an upstream CAPTIONER would have
+    * emitted for the image it saw: "luma" + the image's 64 grid cells
+    * coarsened to 16 levels. STUB in the same sense as the frame
+    * sampler (a real pipeline runs a learned captioner/text tower
+    * behind this signature); the Spark-side plumbing — paired schema,
+    * both towers as narrow maps, the integer alignment gate — is real
+    * and is what q207 pins. The 16-level quantization keeps the correct
+    * pair's agreement HIGH but not exactly 1 (the aligned-but-lossy
+    * shape real paired towers produce). */
+  private[graft] def captionOf(bytes: Array[Byte]): String =
+    // grid cells live in [0, 255e6] (e3 luma × the e3 cell divide) —
+    // 16 levels of that range
+    "luma " + lumaGrid64(bytes).map(_ / 16000000L).mkString(" ")
+
+  /** q207 — the CROSS-MODAL PAIRING GATE (the CLIP-style image↔text
+    * alignment filter a caption corpus runs before training, LAION's
+    * similarity threshold shape): per (image, caption) pair, embed both
+    * sides — image tower = the REAL decoded [[lumaGrid64]], text tower
+    * = the caption's parsed level vector — and keep the pair iff the
+    * CENTERED integer cosine clears the threshold. Centering (v′ =
+    * 64·v − Σv, integer-exact) matters: raw all-positive luma vectors
+    * correlate ~0.8 between UNRELATED images, so an uncentered cosine
+    * can't separate matched from swapped captions; centered, unrelated
+    * pairs drop toward 0 while true pairs stay ≈1 (MultimodalSpec
+    * measures both margins on the planted swap).
+    *
+    * Determinism: both towers are integer vectors; the single double
+    * step (the final normalized cosine) sits behind a ≥ threshold
+    * decision whose measured margins are orders of magnitude past
+    * 1-ulp wobble — the q171 decisions-not-bits oracle discipline.
+    * Overflow: the raw grid lives in [0, 255e6] (e3 luma × the e3 cell
+    * divide), whose centered SQUARES would overflow Long — the gate
+    * first rescales to e3 (÷1000, still resolution-invariant), so
+    * centered entries ≤ 64·255000 < 2^25 and norms ≤ 64·2^50 < 2^56.
+    *
+    * Scale shape: two narrow maps + one in-row fold per pair — no
+    * joins, no shuffles beyond the caller's sort; at 100 TB this is a
+    * pure scan-shaped filter, exactly what the published alignment
+    * filters run. */
+  def crossModalGate(pairs: DataFrame, thresholdE6: Long = 500000L): DataFrame =
+    crossModalScores(pairs)
+      .selectExpr("pair_key", s"cos_e6 >= ${thresholdE6}L AS aligned")
+      .orderBy("pair_key")
+
+  /** The gate's score surface — (pair_key, cos_e6) — exposed so
+    * MultimodalSpec can measure the decision MARGINS (how far the
+    * correct pairs sit above the threshold and the planted swaps
+    * below), not just the booleans. */
+  private[graft] def crossModalScores(pairs: DataFrame): DataFrame = {
+    val img = udf(lumaGrid64 _)
+    pairs
+      .withColumn("iv", img(col("data")))
+      .where(col("iv").isNotNull)
+      .withColumn("iv", expr("transform(iv, x -> x div 1000L)"))
+      // text tower: parse the caption's levels back to a 64-dim vector
+      .withColumn("tv", expr(
+        "transform(slice(split(trim(caption), ' '), 2, 64), x -> cast(x as bigint))"))
+      .withColumn("ic", expr(
+        "transform(iv, x -> 64 * x - aggregate(iv, 0L, (a, v) -> a + v))"))
+      .withColumn("tc", expr(
+        "transform(tv, x -> 64 * x - aggregate(tv, 0L, (a, v) -> a + v))"))
+      .withColumn("dot", expr(
+        "aggregate(zip_with(ic, tc, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
+      .withColumn("ni", expr("aggregate(ic, 0L, (a, v) -> a + v * v)"))
+      .withColumn("nt", expr("aggregate(tc, 0L, (a, v) -> a + v * v)"))
+      .withColumn("cos_e6", expr(
+        "CASE WHEN ni = 0 OR nt = 0 THEN 0L ELSE " +
+          "cast(round(1e6 * dot / (sqrt(ni) * sqrt(nt))) as bigint) END"))
+      .select("pair_key", "cos_e6")
+  }
+
+  /** q207's fixture: the five real block JPEGs paired with their OWN
+    * captions, plus two fresh images whose captions are SWAPPED (the
+    * planted misalignment — the mismatched alt-text a crawl pairs with
+    * the wrong image). */
+  private[graft] def crossModalFixtureRows: Seq[(String, Array[Byte], String)] = {
+    val base = (1 to 5).map(i =>
+      s"pair$i" -> ImageOps.makeBlockJpeg(64 + 16 * i, 48 + 12 * i, i))
+    val extra6 = ImageOps.makeBlockJpeg(160, 120, 6)
+    val extra7 = ImageOps.makeBlockJpeg(176, 132, 7)
+    base.map { case (k, b) => (k, b, captionOf(b)) } ++ Seq(
+      ("pair6_swapped", extra6, captionOf(extra7)),
+      ("pair7_swapped", extra7, captionOf(extra6)))
+  }
+
   /** Assemble a typed media table from raw blobs: attaches kind-specific
     * metadata and hash id; repartitions by media_id so downstream
     * per-media ops are co-located. */
@@ -503,6 +601,14 @@ object Multimodal {
       imageDedupPHash(pHashFixtureRows.toDF("img_key", "data"))
     }),
 
+    // The cross-modal alignment gate over the planted fixture: correct
+    // captions pass, the swapped pair is caught — decisions are the
+    // oracle surface (the q171 convention), margins live in the spec.
+    "q207_crossmodal_gate" -> ((s, dir) => {
+      import s.implicits._
+      crossModalGate(crossModalFixtureRows.toDF("pair_key", "data", "caption"))
+    }),
+
     "q30_media_meta" -> ((s, dir) => {
       import s.implicits._
       // deterministic in-memory media fixture (no media in testdata);
@@ -583,6 +689,20 @@ object Multimodal {
           |  ('img5_caption', 1, false)
           |) AS t(img_key, n_mates, keep)
           |ORDER BY img_key""".stripMargin,
+
+      // expected alignment decisions: own-caption pairs pass, the two
+      // swapped-caption plants fail
+      "q207_crossmodal_gate" ->
+        """SELECT pair_key, aligned FROM (VALUES
+          |  ('pair1', true),
+          |  ('pair2', true),
+          |  ('pair3', true),
+          |  ('pair4', true),
+          |  ('pair5', true),
+          |  ('pair6_swapped', false),
+          |  ('pair7_swapped', false)
+          |) AS t(pair_key, aligned)
+          |ORDER BY pair_key""".stripMargin,
 
       "q30_media_meta" ->
         s"""SELECT kind, width, height, sample_rate, duration_ms, n_channels FROM (VALUES

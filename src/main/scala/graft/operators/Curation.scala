@@ -147,6 +147,45 @@ object Curation {
       .orderBy("pos")
   }
 
+  /** The q182 schedule as a shared DuckDB fragment ending in `sched`
+    * (pos, source, j, t) — q182's own twin and the q205 shard
+    * materialization build on the SAME chain, so the schedule can never
+    * fork between consumers (the duckBm25Ctes extraction discipline). */
+  private[operators] def duckScheduleCtes: String =
+    """per_source AS (
+      |  SELECT source,
+      |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |p AS (
+      |  SELECT source, n_tokens,
+      |    CAST(round(1e9 * pow(CAST(n_tokens AS DOUBLE), 0.3)) AS BIGINT) AS p_e9
+      |  FROM per_source),
+      |q AS (
+      |  SELECT *, CAST(SUM(p_e9) OVER () AS BIGINT) AS tot FROM p),
+      |a AS (
+      |  SELECT source, p_e9,
+      |    (10000 * p_e9) // tot AS quota,
+      |    (10000 * p_e9) % tot AS rem
+      |  FROM q),
+      |r AS (
+      |  SELECT *,
+      |    CAST(10000 - SUM(quota) OVER () AS BIGINT) AS leftover,
+      |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+      |  FROM a),
+      |al AS (
+      |  SELECT source, CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS qt
+      |  FROM r),
+      |occ AS (
+      |  SELECT source, qt, unnest(range(1, qt + 1)) AS j FROM al WHERE qt > 0),
+      |tm AS (
+      |  SELECT source, CAST(j AS BIGINT) AS j,
+      |    ((2 * j - 1) * 10000) // (2 * qt) AS t
+      |  FROM occ),
+      |sched AS (
+      |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY t, source, j) AS BIGINT) AS pos,
+      |    source, j, CAST(t AS BIGINT) AS t
+      |  FROM tm)""".stripMargin
+
   /** q179 — EXCESS-LOSS domain reweighting (the DoReMi idea, Xie et al.
     * 2023, in its one-shot measurable form): a domain whose own token
     * distribution the CORPUS-wide model underfits has learnable
@@ -821,6 +860,24 @@ object Curation {
   def ccnetBuckets(docs: DataFrame): DataFrame =
     ccnetBucketsFrom(bigramLmScore(docs), docs)
 
+  /** Per-(session, sfDir) memo of the q191 tercile assignment — the
+    * bigramLm-memo convention one level up: the distributed-rank pass
+    * (range exchange + partition counts + offsets) is paid ONCE and
+    * served to every consumer (q191 itself, q200's head-share column,
+    * repeat bench reps at serving cost). Before the memo the r17 bench
+    * priced the helper's exactness swap at +0.5 s PER CONSUMER RUN
+    * (q191 0.15 → 0.66, q200 +1.09 via its re-derived chain) — the
+    * scale trade is kept, the repetition is not. */
+  private val ccnetMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  Memos.register(() => ccnetMemo.synchronized(ccnetMemo.clear()))
+  private[graft] def ccnetBucketsFor(s: SparkSession, dir: String): DataFrame =
+    ccnetMemo.synchronized {
+      ccnetMemo.getOrElseUpdate((s, dir),
+        ccnetBucketsFrom(bigramScoresFor(s, dir), Tables.documents(s, dir))
+          .localCheckpoint())
+    }
+
   private[graft] def ccnetBucketsFrom(scores: DataFrame, docs: DataFrame): DataFrame =
     Relational.distributedNtile(
         scores.join(docs.select("doc_id", "lang"), "doc_id")
@@ -1079,7 +1136,7 @@ object Curation {
       .selectExpr("source", "n_docs",
         "(10000 * n_drop_global) div n_docs AS dup_frac_e4",
         "missed_frac_e4 AS missed_local_frac_e4")
-    val head = ccnetBucketsFrom(bigramScoresFor(s, dir), docs)
+    val head = ccnetBucketsFor(s, dir)
       .join(docs.select("doc_id", "source"), "doc_id")
       .groupBy("source")
       .agg(count(lit(1)).as("n_scored"),
@@ -1105,9 +1162,9 @@ object Curation {
     "q130_ppl_filter" -> ((s, dir) =>
       perplexityFilterFrom(bigramScoresFor(s, dir)).orderBy("doc_id")),
 
-    // CCNet head/middle/tail terciles per language over the q98 signal.
-    "q191_ccnet_buckets" -> ((s, dir) =>
-      ccnetBucketsFrom(bigramScoresFor(s, dir), Tables.documents(s, dir))),
+    // CCNet head/middle/tail terciles per language over the q98 signal
+    // (memoized — one rank pass serves q191 and q200's head column).
+    "q191_ccnet_buckets" -> ((s, dir) => ccnetBucketsFor(s, dir)),
 
     // The q191 terciles from sampled per-lang cutpoints (approx sibling).
     "q209_ccnet_sampled" -> ((s, dir) =>
@@ -1601,38 +1658,8 @@ object Curation {
     // rounded BEFORE normalization, so weights/quotas are integer-exact
     // q160's allocation chain + the midpoint-rule interleave
     "q182_mix_schedule" ->
-      """WITH per_source AS (
-        |  SELECT source,
-        |    CAST(SUM(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
-        |  FROM documents GROUP BY 1),
-        |p AS (
-        |  SELECT source, n_tokens,
-        |    CAST(round(1e9 * pow(CAST(n_tokens AS DOUBLE), 0.3)) AS BIGINT) AS p_e9
-        |  FROM per_source),
-        |q AS (
-        |  SELECT *, CAST(SUM(p_e9) OVER () AS BIGINT) AS tot FROM p),
-        |a AS (
-        |  SELECT source, p_e9,
-        |    (10000 * p_e9) // tot AS quota,
-        |    (10000 * p_e9) % tot AS rem
-        |  FROM q),
-        |r AS (
-        |  SELECT *,
-        |    CAST(10000 - SUM(quota) OVER () AS BIGINT) AS leftover,
-        |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
-        |  FROM a),
-        |al AS (
-        |  SELECT source, CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS qt
-        |  FROM r),
-        |occ AS (
-        |  SELECT source, qt, unnest(range(1, qt + 1)) AS j FROM al WHERE qt > 0),
-        |tm AS (
-        |  SELECT source, CAST(j AS BIGINT) AS j,
-        |    ((2 * j - 1) * 10000) // (2 * qt) AS t
-        |  FROM occ)
-        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY t, source, j) AS BIGINT) AS pos,
-        |  source, j, CAST(t AS BIGINT) AS t
-        |FROM tm ORDER BY pos""".stripMargin,
+      s"""WITH $duckScheduleCtes
+         |SELECT pos, source, j, t FROM sched ORDER BY pos""".stripMargin,
 
     "q179_domain_reweight" ->
       s"""WITH $duckKlCtes,

@@ -194,53 +194,115 @@ object CurationPipeline {
       .orderBy("shard")
   }
 
+  /** Per-session memo of a DRAINED [[graft.streaming.CurationStream]]
+    * ingest of the documents table in 3 micro-batches (doc_id % 3 file
+    * split — arbitrary: the fold is split-insensitive by construction,
+    * which is exactly what the gate proves), with the TRAINED BPE
+    * artifact riding as the stream's static tokenizer model. q212 reads
+    * the resulting packing view; its oracle is the BATCH chain verbatim
+    * (q129 survivors + the q144 training chain + q157 packing), so the
+    * hash match proves streamed tokenize+packing ≡ batch, shard for
+    * shard (the q172 convention, applied to the curation fold's new
+    * tail). Eval shingles are carved exactly as the batch decontam
+    * does: post-dedup, quality-passing eval docs. */
+  private val streamPackMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), String]
+  Memos.register(() => streamPackMemo.synchronized(streamPackMemo.clear()))
+  private def streamStateFor(s: SparkSession, dir: String): String =
+    streamPackMemo.synchronized {
+      streamPackMemo.getOrElseUpdate((s, dir), {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_cur_stream").toString
+        val (state, stage, ckpt) = (s"$root/state", s"$root/stage", s"$root/ckpt")
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stage))
+        val docs = Tables.documents(s, dir)
+          .select("doc_id", "text", "source", "n_chars")
+        (0 until 3).foreach { i =>
+          val tmp = s"$root/tmp$i"
+          docs.where(s"doc_id % 3 = $i").coalesce(1)
+            .write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(stage, s"b$i.parquet"))
+        }
+        val deduped = Relational.keepFirst(
+          docs.withColumn("fp", org.apache.spark.sql.functions.md5(
+            org.apache.spark.sql.functions.col("text"))),
+          Seq("fp"), Seq(org.apache.spark.sql.functions.col("doc_id"))).drop("fp")
+        val evalSh = Curation.evalShingleSet(
+          qualityGate(deduped).where("doc_id % 97 = 3")
+            .select("doc_id", "text")).localCheckpoint()
+        val stream = s.readStream
+          .schema("doc_id LONG, text STRING, source STRING, n_chars LONG")
+          .option("maxFilesPerTrigger", "1").parquet(stage)
+        val q = graft.streaming.CurationStream
+          .start(stream, evalSh, state, ckpt,
+            model = Some(Bpe.encodeModelFor(s, dir))).start()
+        q.processAllAvailable(); q.stop()
+        state
+      })
+    }
+
   // ---------------------------------------------------------------- query
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_curation_pipeline" -> ((s, dir) =>
       curate(Tables.documents(s, dir))),
     "q165_curation_v2" -> ((s, dir) => curateV2(s, dir)),
-    "q183_curation_v3" -> ((s, dir) => curateV3(s, dir)))
+    "q183_curation_v3" -> ((s, dir) => curateV3(s, dir)),
+    // the streamed fold's tokenize+packing tail over the same corpus —
+    // the oracle is the batch chain verbatim, so the hash gate itself
+    // proves stream ≡ batch for the new tail
+    "q212_stream_packing" -> ((s, dir) =>
+      graft.streaming.CurationStream.bpePackingView(s, streamStateFor(s, dir))))
+
+  /** The q129 survivor chain (q20 dedup → q37 quality → q62 decontam →
+    * q63 cap) as a shared fragment ending in `kept` (doc_id, toks) —
+    * q129's own twin and the q212 streamed-packing gate build on the
+    * SAME text, so the batch rule and the stream gate can never fork. */
+  private val duckSurvivorCtes: String =
+    """d1 AS (
+      |  SELECT doc_id, text, source, n_chars FROM (
+      |    SELECT doc_id, text, source, n_chars,
+      |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      |    FROM documents) WHERE rn = 1),
+      |t AS (
+      |  SELECT doc_id, text, source, n_chars,
+      |    regexp_split_to_array(trim(text), '\s+') AS toks,
+      |    length(text) AS len,
+      |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_symbols
+      |  FROM d1 WHERE len(regexp_split_to_array(trim(text), '\s+')) >= 2),
+      |q AS (
+      |  SELECT doc_id, text, source, n_chars, toks FROM t
+      |  WHERE len(toks) >= 5 AND len(toks) <= 100000
+      |    AND round(100.0 * list_sum(list_transform(toks, tk -> length(tk))) / len(toks)) BETWEEN 200 AND 1200
+      |    AND round(10000.0 * n_symbols / len) < 3000),
+      |sh6 AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(1, len(toks) - 4)),
+      |      i -> array_to_string(toks[i:i+5], ' ')) AS sh
+      |  FROM q),
+      |eval_sh AS (
+      |  SELECT DISTINCT unnest(sh) AS shingle FROM sh6 WHERE doc_id % 97 = 3),
+      |contaminated AS (
+      |  SELECT DISTINCT t2.doc_id
+      |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh6 WHERE doc_id % 97 != 3) t2
+      |  JOIN eval_sh e ON t2.shingle = e.shingle),
+      |clean AS (
+      |  SELECT * FROM q WHERE doc_id % 97 != 3
+      |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+      |kept AS (
+      |  SELECT doc_id, toks FROM (
+      |    SELECT doc_id, toks,
+      |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
+      |    FROM clean) WHERE rk <= 15)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     // the q20/q37/q62/q63/q56 oracle fragments chained over the same
     // surviving set
     "q129_curation_pipeline" ->
-      s"""WITH d1 AS (
-         |  SELECT doc_id, text, source, n_chars FROM (
-         |    SELECT doc_id, text, source, n_chars,
-         |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-         |    FROM documents) WHERE rn = 1),
-         |t AS (
-         |  SELECT doc_id, text, source, n_chars,
-         |    regexp_split_to_array(trim(text), '\\s+') AS toks,
-         |    length(text) AS len,
-         |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS n_symbols
-         |  FROM d1 WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 2),
-         |q AS (
-         |  SELECT doc_id, text, source, n_chars, toks FROM t
-         |  WHERE len(toks) >= 5 AND len(toks) <= 100000
-         |    AND round(100.0 * list_sum(list_transform(toks, tk -> length(tk))) / len(toks)) BETWEEN 200 AND 1200
-         |    AND round(10000.0 * n_symbols / len) < 3000),
-         |sh6 AS (
-         |  SELECT doc_id,
-         |    list_transform(range(1, greatest(1, len(toks) - 4)),
-         |      i -> array_to_string(toks[i:i+5], ' ')) AS sh
-         |  FROM q),
-         |eval_sh AS (
-         |  SELECT DISTINCT unnest(sh) AS shingle FROM sh6 WHERE doc_id % 97 = 3),
-         |contaminated AS (
-         |  SELECT DISTINCT t2.doc_id
-         |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh6 WHERE doc_id % 97 != 3) t2
-         |  JOIN eval_sh e ON t2.shingle = e.shingle),
-         |clean AS (
-         |  SELECT * FROM q WHERE doc_id % 97 != 3
-         |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
-         |kept AS (
-         |  SELECT doc_id, toks FROM (
-         |    SELECT doc_id, toks,
-         |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
-         |    FROM clean) WHERE rk <= 15),
+      s"""WITH $duckSurvivorCtes,
          |c AS (
          |  SELECT doc_id, doc_id % 8 AS shard, CAST(len(toks) AS BIGINT) AS n_toks
          |  FROM kept),
@@ -267,6 +329,36 @@ object CurationPipeline {
     // every fragment verbatim from its standalone gate, over the
     // rewritten/pruned doc set instead of `documents`.
     "q165_curation_v2" -> v2SqlWith("", ""),
+
+    // q212: the streamed tokenize+packing tail's BATCH twin — the q144
+    // training chain (Bpe.duckSqlWith), the SHARED q129 survivor
+    // fragment, and the q157 packing tail in trained tokens
+    "q212_stream_packing" -> Bpe.duckSqlWith(
+      s""",
+         |seg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sym FROM it${Bpe.DefaultMerges} GROUP BY w),
+         |$duckSurvivorCtes,
+         |ktok AS (SELECT doc_id, unnest(toks) AS w FROM kept),
+         |ktc AS (
+         |  SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_toks
+         |  FROM ktok JOIN seg USING (w) WHERE w <> '' GROUP BY doc_id),
+         |ct AS (SELECT doc_id, doc_id % 8 AS shard, n_toks FROM ktc),
+         |cw AS (
+         |  SELECT doc_id, shard, n_toks,
+         |    CAST(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+         |  FROM ct),
+         |cs AS (SELECT *, cum - n_toks AS strt FROM cw WHERE n_toks > 0),
+         |ce AS (
+         |  SELECT shard, doc_id, strt, cum,
+         |    unnest(range(strt // 2048, (cum - 1) // 2048 + 1)) AS seq_id
+         |  FROM cs),
+         |csegs AS (
+         |  SELECT shard, seq_id, doc_id,
+         |    CAST(least(cum, (seq_id + 1) * 2048) - greatest(strt, seq_id * 2048) AS BIGINT) AS seg_tokens
+         |  FROM ce)
+         |SELECT shard, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(SUM(seg_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs
+         |FROM csegs GROUP BY shard ORDER BY shard""".stripMargin),
 
     // q183: the IDENTICAL v2 chain with the two Gopher gates spliced in
     // as nested-WITH CTEs over the rewritten-quality survivor set `q` —

@@ -1076,6 +1076,21 @@ object Dedup {
       .withColumn("minp", min("packed").over(byH))
       .where("cnt > 1 AND packed > minp")
       .selectExpr("doc_id", "i AS s", s"i + $k AS e")
+    cutSpans(t, spans)
+  }
+
+  /** Shared span-cut tail for the ExactSubstr family (q152/q164's
+    * k-gram gates and q204's suffix-array form): per-doc duplicate
+    * spans are interval-MERGED (running-max-end group boundaries + one
+    * cumsum, both windows over the spans frame — duplicate-occurrence-
+    * sized, far smaller than the corpus) and documents are rebuilt with
+    * the merged spans cut out. `t` is the (doc_id, toks) token scan;
+    * `spans` is (doc_id, s, e) with 1-based [s, e) token intervals.
+    * Output is md5-fingerprinted like q76 so the result stays text-free
+    * and bounded; every doc in `t` appears (left join — span-free docs
+    * keep everything). */
+  private[operators] def cutSpans(t: DataFrame, spans: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("s")
     val merged = spans
       .withColumn("maxe",

@@ -105,6 +105,92 @@ object Packing {
         min("doc_id").as("min_id"), max("doc_id").as("max_id"))
   }
 
+  /** q205 — the q182 mixture schedule MATERIALIZED: which packed
+    * training sequence lands at every schedule position, the positions
+    * cut into `outShards` contiguous blocks (so reading shards 0..N−1
+    * in order, each ordered by `pos`, replays the schedule exactly —
+    * the layout [[graft.sources.v2.GraftWrite]]'s declared
+    * range-distribution-and-ordering lands on disk when the draws are
+    * written with `pos` as the shard key; ScheduleShardSpec does that
+    * write and reads the stream back segment by segment), plus the
+    * per-shard MANIFEST this query registers: draw counts, source
+    * coverage, token mass, the md5 of the position-ordered draw stream,
+    * and the position range.
+    *
+    * Composition (the three pieces the round-16 verdict asked to close
+    * the loop on): q182's WRR positions say WHEN source s is drawn;
+    * q157's packing (here keyed per (source, doc_id%subShards) so the
+    * cumsum window stays subshard-LOCAL — a per-source window would be
+    * corpus-sized at web scale, the q191 lesson) says WHAT a draw of
+    * source s contains; occurrence j consumes the source's sequences
+    * CYCLICALLY (seq_ix = (j−1) mod n_seqs — the epoch-wrapping a real
+    * loader does when a source's quota outruns its data). The global
+    * per-source sequence index is ARITHMETIC: subshard-local seq_id +
+    * the exclusive sum of lower subshards' counts, computed on the
+    * (#sources × subShards)-row count frame — windows run over THAT
+    * bounded frame only, never the sequence table.
+    *
+    * Scale shape: one corpus scan → subshard-local packing windows →
+    * a sequence-table join against the BUDGET-sized draw frame
+    * (broadcast — the schedule is 10k rows by construction at any
+    * corpus size); the manifest aggregate collects ≤ budget/outShards
+    * ordered draws per shard (array_sort over a bounded list — the
+    * q196 ≤40-row class, sized by the mix table, not the corpus). */
+  def scheduleShards(docs: DataFrame, budget: Long = 10000L,
+      seqBudget: Int = DefaultBudget, subShards: Int = 8,
+      outShards: Int = 8): DataFrame =
+    scheduleDraws(docs, budget, seqBudget, subShards, outShards)
+      .groupBy("shard")
+      .agg(count(lit(1)).cast("long").as("n_draws"),
+        countDistinct("source").cast("long").as("n_sources"),
+        sum("seq_tokens").cast("long").as("n_tokens"),
+        expr("md5(array_join(transform(array_sort(collect_list(" +
+          "struct(pos, concat(source, ':', cast(seq_ix as string))))), " +
+          "x -> x.col2), '|'))").as("stream_md5"),
+        min("pos").as("min_pos"), max("pos").as("max_pos"))
+      .orderBy("shard")
+
+  /** The position-ordered draw frame behind [[scheduleShards]] — what
+    * ScheduleShardSpec writes through the DSv2 sharded sink (shard key
+    * `pos`) to land the training corpus as range segments in schedule
+    * order. Columns: (pos, shard, source, seq_ix, seq_tokens). */
+  private[graft] def scheduleDraws(docs: DataFrame, budget: Long = 10000L,
+      seqBudget: Int = DefaultBudget, subShards: Int = 8,
+      outShards: Int = 8): DataFrame = {
+    require(budget > 0 && seqBudget > 0 && subShards > 0 && outShards > 0)
+    val toks = docs.selectExpr("source", "doc_id",
+        s"doc_id % $subShards AS ss",
+        s"cast(size($sparkToks) as bigint) AS n_toks")
+      .where("n_toks > 0")
+    val w = Window.partitionBy("source", "ss").orderBy("doc_id")
+    val seqs = toks
+      .withColumn("cum", sum("n_toks").over(w))
+      .withColumn("strt", col("cum") - col("n_toks"))
+      .withColumn("seq_id",
+        explode(expr(s"sequence(strt div $seqBudget, (cum - 1) div $seqBudget)")))
+      .selectExpr("source", "ss", "seq_id",
+        s"least(cum, (seq_id + 1) * ${seqBudget}L) - greatest(strt, seq_id * ${seqBudget}L) AS seg_tokens")
+      .groupBy("source", "ss", "seq_id")
+      .agg(sum("seg_tokens").cast("long").as("seq_tokens"))
+    val cnts = seqs.groupBy("source", "ss").agg(count(lit(1)).as("m"))
+    val offs = cnts
+      .withColumn("off", coalesce(sum("m").over(
+        Window.partitionBy("source").orderBy("ss")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_seqs", sum("m").over(Window.partitionBy("source")))
+    val indexed = seqs
+      .join(broadcast(offs.select("source", "ss", "off")), Seq("source", "ss"))
+      .selectExpr("source", "off + seq_id AS seq_ix", "seq_tokens")
+    val nseq = offs.groupBy("source").agg(max("n_seqs").as("n_seqs"))
+    val draws = Curation.mixSchedule(docs, budget)
+      .join(broadcast(nseq), "source")
+      .withColumn("seq_ix", expr("(j - 1) % n_seqs"))
+      .select("pos", "source", "seq_ix")
+    broadcast(draws).join(indexed, Seq("source", "seq_ix"))
+      .withColumn("shard", expr(s"((pos - 1) * $outShards) div ${budget}L"))
+      .select("pos", "shard", "source", "seq_ix", "seq_tokens")
+  }
+
   /** Merge shard manifests: counts and token totals ADD, checksums XOR,
     * id ranges combine — every [[shardManifest]] column is a
     * commutative monoid, so the manifest of (corpus ∪ batch) equals
@@ -176,6 +262,11 @@ object Packing {
     "q124_shard_manifest" -> ((s, dir) =>
       shardManifest(Tables.documents(s, dir)).orderBy("shard")),
 
+    // The q182 schedule materialized into contiguous-position shards,
+    // manifest per shard (draws, sources, tokens, ordered-stream md5).
+    "q205_schedule_shards" -> ((s, dir) =>
+      scheduleShards(Tables.documents(s, dir))),
+
     // Incremental manifest maintenance: the corpus is split into an
     // existing part and an appended batch, each manifested
     // INDEPENDENTLY, then merged — the oracle is the q124 whole-corpus
@@ -192,6 +283,53 @@ object Packing {
   )
 
   def oracle: Map[String, String] = Map(
+    // the q182 schedule chain (shared fragment — the twin can't fork
+    // from q182's own) + per-(source, subshard) packing + cyclic draw
+    // assignment + contiguous shard blocks + the ordered-stream digest
+    "q205_schedule_shards" ->
+      s"""WITH ${Curation.duckScheduleCtes},
+         |ptk AS (
+         |  SELECT source, doc_id, doc_id % 8 AS ss,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_toks
+         |  FROM documents),
+         |pw AS (
+         |  SELECT source, doc_id, ss, n_toks,
+         |    CAST(SUM(n_toks) OVER (PARTITION BY source, ss ORDER BY doc_id) AS BIGINT) AS cum
+         |  FROM ptk WHERE n_toks > 0),
+         |psg AS (
+         |  SELECT source, ss, strt, cum,
+         |    unnest(range(strt // $DefaultBudget, (cum - 1) // $DefaultBudget + 1)) AS seq_id
+         |  FROM (SELECT *, cum - n_toks AS strt FROM pw)),
+         |pseq AS (
+         |  SELECT source, ss, seq_id,
+         |    CAST(SUM(least(cum, (seq_id + 1) * $DefaultBudget) -
+         |             greatest(strt, seq_id * $DefaultBudget)) AS BIGINT) AS seq_tokens
+         |  FROM psg GROUP BY 1, 2, 3),
+         |pcnt AS (SELECT source, ss, COUNT(*) AS m FROM pseq GROUP BY 1, 2),
+         |poff AS (
+         |  SELECT source, ss,
+         |    COALESCE(SUM(m) OVER (PARTITION BY source ORDER BY ss
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+         |  FROM pcnt),
+         |pidx AS (
+         |  SELECT s.source, o.off + s.seq_id AS seq_ix, s.seq_tokens
+         |  FROM pseq s JOIN poff o ON s.source = o.source AND s.ss = o.ss),
+         |pns AS (SELECT source, COUNT(*) AS n_seqs FROM pseq GROUP BY 1),
+         |draws AS (
+         |  SELECT sched.pos, sched.source, ((sched.j - 1) % pns.n_seqs) AS seq_ix
+         |  FROM sched JOIN pns ON sched.source = pns.source),
+         |dd AS (
+         |  SELECT d.pos, d.source, d.seq_ix, x.seq_tokens,
+         |    ((d.pos - 1) * 8) // 10000 AS shard
+         |  FROM draws d JOIN pidx x ON d.source = x.source AND d.seq_ix = x.seq_ix)
+         |SELECT CAST(shard AS BIGINT) AS shard,
+         |  CAST(COUNT(*) AS BIGINT) AS n_draws,
+         |  CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+         |  CAST(SUM(seq_tokens) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(source || ':' || CAST(seq_ix AS VARCHAR), '|' ORDER BY pos)) AS stream_md5,
+         |  CAST(MIN(pos) AS BIGINT) AS min_pos, CAST(MAX(pos) AS BIGINT) AS max_pos
+         |FROM dd GROUP BY shard ORDER BY shard""".stripMargin,
+
     "q140_epoch_shuffle" ->
       s"""WITH k AS (
          |  SELECT CAST(epoch AS BIGINT) AS epoch, doc_id,

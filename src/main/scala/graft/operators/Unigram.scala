@@ -160,6 +160,70 @@ object Unigram {
     viterbiCounts(cands, scoresOf(used))
   }
 
+  /** One M-step: re-estimated integer piece counts from the Viterbi
+    * paths under `scored` (Σ type cnt × on-path multiplicity). */
+  private def emCounts(cands: DataFrame, types: DataFrame,
+      scored: DataFrame): DataFrame =
+    viterbiPieces(cands, scored)
+      .join(types.select("w", "cnt"), Seq("w"))
+      .groupBy("s").agg(sum("cnt").as("c"))
+
+  /** q206 — the hard-EM loop run to its integer FIXED POINT under a
+    * bounded round cap (Kudo 2018's EM iterated, still in hard/Viterbi
+    * form — the soft-EM lattice sums stay outside the fixed-point
+    * oracle contract and say so at q180): round r's E-step segments
+    * every type under the round-(r−1) model (the min-l deterministic
+    * backtrack), the M-step recounts pieces and refits e6 scores.
+    *
+    * Why a FIXED-depth DuckDB twin can oracle a CONVERGENT loop: the
+    * round map counts → scoresOf(counts) → paths → counts is
+    * deterministic (integer scores, total min-l tie-break), so equal
+    * consecutive count frames make every later round the identity —
+    * EM^cap ≡ EM^converged whenever the fixed point lands within the
+    * cap. The Spark side therefore detects convergence (exact frame
+    * equality, two vocab-sized EXCEPTs per round — model-state-class
+    * work) and stops early; the twin unrolls all `cap` rounds
+    * unconditionally; the hashes agree either way, converged or not.
+    * UnigramSpec witnesses that at test SF the fixed point IS reached
+    * inside the cap and that the per-round corpus Viterbi score is
+    * monotone non-decreasing on the way there.
+    *
+    * Returns the per-round count frames (round 1 = counts off the seed
+    * paths) and whether a fixed point was certified. Scale shape per
+    * round: everything rides the word-TYPE table (paths re-derived
+    * in-row per type, counts one hash aggregate); the loop state is one
+    * vocab-sized checkpointed frame. */
+  private[graft] def emHistory(types: DataFrame,
+      cap: Int): (Seq[DataFrame], Boolean) = {
+    require(cap >= 1)
+    val cands = WordPiece.candidates(types).localCheckpoint()
+    var counts = emCounts(cands, types, seedScores(cands)).localCheckpoint()
+    val hist = scala.collection.mutable.ArrayBuffer(counts)
+    var converged = false
+    while (!converged && hist.size < cap) {
+      val next = emCounts(cands, types, scoresOf(counts)).localCheckpoint()
+      converged = next.except(counts).isEmpty && counts.except(next).isEmpty
+      if (!converged) { counts = next; hist += next }
+    }
+    (hist.toSeq, converged)
+  }
+
+  /** Corpus Viterbi score (Σ type cnt × path score_e6) under the model
+    * refit from `counts` — the per-round likelihood UnigramSpec reads. */
+  private[graft] def corpusScoreE6(types: DataFrame,
+      counts: DataFrame): Long = {
+    val cands = WordPiece.candidates(types).localCheckpoint()
+    viterbiCounts(cands, scoresOf(counts))
+      .join(types.select("w", "cnt"), Seq("w"))
+      .selectExpr("cnt * score_e6 AS t")
+      .agg(sum("t")).head().getLong(0)
+  }
+
+  /** The q206 round cap — both engines run exactly this depth (the twin
+    * unrolled, the Spark loop early-exiting at the fixed point, which
+    * the identity argument makes equivalent). */
+  private[graft] val EmCap = 3
+
   /** Per-(session, sfDir) memo (the Bpe.trainMemo precedent). */
   private val segMemo =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
@@ -179,6 +243,20 @@ object Unigram {
       emMemo.getOrElseUpdate((s, dir),
         emRefitCounts(WordPiece.wordTypes(Tables.documents(s, dir)))
           .localCheckpoint())
+    }
+
+  /** Memo of the q206 fixed-point (EM^cap) seg frame. */
+  private val emFixMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  Memos.register(() => emFixMemo.synchronized(emFixMemo.clear()))
+  private[operators] def emFixSegFor(s: SparkSession, dir: String): DataFrame =
+    emFixMemo.synchronized {
+      emFixMemo.getOrElseUpdate((s, dir), {
+        val types = WordPiece.wordTypes(Tables.documents(s, dir))
+        val (hist, _) = emHistory(types, EmCap)
+        val cands = WordPiece.candidates(types).localCheckpoint()
+        viterbiCounts(cands, scoresOf(hist.last)).localCheckpoint()
+      })
     }
 
   /** q180: the Viterbi segmentation applied back to the corpus — per
@@ -226,6 +304,10 @@ object Unigram {
     // oracle-visible end to end (path counts → refit → re-decode)
     "q184_unigram_hard_em" -> ((s, dir) =>
       unigramTokenCounts(Tables.documents(s, dir), emSegFor(s, dir))),
+    // the hard-EM loop at its integer fixed point (early-exit ≡ the
+    // twin's unrolled EM^cap by the identity argument at emHistory)
+    "q206_unigram_em_converged" -> ((s, dir) =>
+      unigramTokenCounts(Tables.documents(s, dir), emFixSegFor(s, dir))),
     // the shipped-artifact Viterbi encoder — scan → packed-DP map →
     // sort, no seg join; q180's recursive-walk twin gates it verbatim
     // (the q188/q189 convention, closing the THIRD tokenizer family)
@@ -298,24 +380,30 @@ object Unigram {
     * re-estimated counts `used` (Σ type cnt × path multiplicity). The
     * refit decode is then [[duckViterbiCtes]] verbatim with `used` as
     * the score source. */
-  private def duckEmCtes: String =
-    s"""bw AS MATERIALIZED (SELECT w, i, b0 AS b FROM uwalk),
-       |choice AS MATERIALIZED (
-       |  SELECT sc.w, sc.i, CAST(MIN(sc.l) AS BIGINT) AS l
-       |  FROM sc
-       |  JOIN bw prev ON prev.w = sc.w AND prev.i = sc.i - sc.l
-       |  JOIN bw cur ON cur.w = sc.w AND cur.i = sc.i
-       |  WHERE prev.b + sc.s_e6 * 1024 - 1 = cur.b
-       |  GROUP BY sc.w, sc.i),
-       |bt AS (
+  private def duckEmCtes: String = duckEmRound("sc", "uwalk", "")
+
+  /** One unrolled EM round, names suffixed for clash-free chaining
+    * (q184 is the ""-suffixed single round; q206 chains [[EmCap]] of
+    * these, each reading the PREVIOUS round's scored candidates + walk
+    * and emitting `used$sfx` for the next decode). */
+  private def duckEmRound(sc: String, walk: String, sfx: String): String =
+    s"""bw$sfx AS MATERIALIZED (SELECT w, i, b0 AS b FROM $walk),
+       |choice$sfx AS MATERIALIZED (
+       |  SELECT $sc.w, $sc.i, CAST(MIN($sc.l) AS BIGINT) AS l
+       |  FROM $sc
+       |  JOIN bw$sfx prev ON prev.w = $sc.w AND prev.i = $sc.i - $sc.l
+       |  JOIN bw$sfx cur ON cur.w = $sc.w AND cur.i = $sc.i
+       |  WHERE prev.b + $sc.s_e6 * 1024 - 1 = cur.b
+       |  GROUP BY $sc.w, $sc.i),
+       |bt$sfx AS (
        |  SELECT w, CAST(length(w) AS BIGINT) AS i, CAST(NULL AS VARCHAR) AS piece FROM v
        |  UNION ALL
-       |  SELECT bt.w, bt.i - c.l,
-       |    substr(bt.w, CAST(bt.i - c.l + 1 AS INT), CAST(c.l AS INT))
-       |  FROM bt JOIN choice c ON c.w = bt.w AND c.i = bt.i),
-       |used AS MATERIALIZED (
-       |  SELECT bt.piece AS s, CAST(SUM(v.cnt) AS BIGINT) AS c
-       |  FROM bt JOIN v USING (w) WHERE bt.piece IS NOT NULL GROUP BY 1)""".stripMargin
+       |  SELECT bt$sfx.w, bt$sfx.i - c.l,
+       |    substr(bt$sfx.w, CAST(bt$sfx.i - c.l + 1 AS INT), CAST(c.l AS INT))
+       |  FROM bt$sfx JOIN choice$sfx c ON c.w = bt$sfx.w AND c.i = bt$sfx.i),
+       |used$sfx AS MATERIALIZED (
+       |  SELECT bt$sfx.piece AS s, CAST(SUM(v.cnt) AS BIGINT) AS c
+       |  FROM bt$sfx JOIN v USING (w) WHERE bt$sfx.piece IS NOT NULL GROUP BY 1)""".stripMargin
 
   private def duckPerDocTail(seg: String): String =
     s"""tok AS (
@@ -344,6 +432,27 @@ object Unigram {
          |${duckViterbiCtes(tot = "tot2", sc = "sc2", piv = "piv2",
             walk = "uwalk2", seg = "useg2", vocabSrc = "used")},
          |${duckPerDocTail("useg2")}""".stripMargin,
+    // EM unrolled to the cap: each round re-reads the previous decode's
+    // scored candidates + walk (backtrack → integer M-step → refit
+    // decode), the tail over the LAST decode — the Spark loop's
+    // early-exit-at-identity makes fixed depth ≡ fixed point
+    "q206_unigram_em_converged" -> {
+      val emChain = (1 to EmCap).map { r =>
+        val sfx = if (r == 1) "" else s"_r$r"
+        val scIn = if (r == 1) "sc" else s"sc$r"
+        val walkIn = if (r == 1) "uwalk" else s"uwalk$r"
+        val n = r + 1
+        duckEmRound(scIn, walkIn, sfx) + ",\n" +
+          duckViterbiCtes(tot = s"tot$n", sc = s"sc$n", piv = s"piv$n",
+            walk = s"uwalk$n", seg = s"useg$n", vocabSrc = s"used$sfx")
+      }.mkString(",\n")
+      s"""WITH RECURSIVE ${WordPiece.duckVDef},
+         |${WordPiece.duckSeedCtes},
+         |${duckViterbiCtes()},
+         |$emChain,
+         |${duckPerDocTail(s"useg${EmCap + 1}")}""".stripMargin
+    },
+
     // q194 must equal q180 value-for-value — the shipped (piece, score)
     // artifact reproduces the in-plan DP, so the twin is the SAME
     // recursive-walk chain, not a second encoder

@@ -74,9 +74,23 @@ object CurationStream {
   private val poolCols = Seq("doc_id", "text", "source", "n_chars", "fp")
 
   /** One micro-batch of the fold — exposed for the spec's direct replay
-    * test (calling it twice with the same batchId must be a no-op). */
+    * test (calling it twice with the same batchId must be a no-op).
+    *
+    * `model`: when a shipped tokenizer artifact is supplied, the batch's
+    * quality survivors are ALSO kernel-tokenized ([[graft.plans
+    * .TokenizeCounts]] — the q188 path: the constant-size model rides
+    * inside the expression, so the streamed tokenize plan is scan →
+    * narrow map, NO join anywhere; CurationStreamSpec asserts that on
+    * the plan string) and their per-doc counts land append-only under
+    * `state/btoks/batch=<id>` — the same batch-keyed-overwrite replay
+    * discipline as the fp index. Tokenizing at QUALITY grain (before
+    * dedup/decontam/cap resolve) keeps the step a pure map over the
+    * batch; rows that never reach the pool are filtered at READ time by
+    * [[bpePackingView]]'s pool semi-join, and counts are per-doc pure
+    * functions of text, so stale rows can never corrupt the view. */
   private[graft] def step(batch: DataFrame, batchId: Long,
-      evalShingles: DataFrame, statePath: String): Unit = {
+      evalShingles: DataFrame, statePath: String,
+      model: Option[graft.plans.TokenizerModel] = None): Unit = {
     val spark = batch.sparkSession
     // quality gate (shared q37 expressions) over the batch; fp attached
     // once; localCheckpoint severs the file-stream lineage so the frame
@@ -128,6 +142,38 @@ object CurationStream {
     // epoch-keyed overwrites: replay-idempotent by layout
     pool.write.mode("overwrite").parquet(s"$statePath/pool/epoch=$batchId")
     manifest.write.mode("overwrite").parquet(s"$statePath/manifest/epoch=$batchId")
+    // streamed tokenize tail: one joinless kernel map over the batch's
+    // quality frame, maintained append-only like the fp index
+    model.foreach { m =>
+      graft.operators.Bpe.encodeCounts(
+          quality.select("doc_id", "text"), m, "n_bpe_tokens")
+        .write.mode("overwrite").parquet(s"$statePath/btoks/batch=$batchId")
+    }
+  }
+
+  /** The streamed BPE-budget packing view — batch v2's packing tail
+    * (q157's plan in trained-tokenizer tokens, rolled up per shard)
+    * over everything streamed so far: maintained per-doc kernel counts,
+    * restricted to the CURRENT pool (the semi-join drops rows whose doc
+    * was never admitted, was displaced, or was evicted), packed with
+    * the shared [[Packing.packSequencesBy]]. Row-identical to running
+    * the batch pipeline's kernel-count packing on the same input
+    * (CurationStreamSpec pins it; q212's DuckDB twin hash-gates the
+    * trained-model path at three SFs). The min() per doc is belt and
+    * braces: counts are pure functions of text, so any duplicate rows a
+    * replay could leave are identical. */
+  def bpePackingView(spark: org.apache.spark.sql.SparkSession,
+                     statePath: String): DataFrame = {
+    val pool = latestPool(spark, statePath).select("doc_id")
+    val counts = spark.read.parquet(s"$statePath/btoks")
+      .groupBy("doc_id").agg(min("n_bpe_tokens").as("n_toks"))
+      .join(pool, Seq("doc_id"), "left_semi")
+    Packing.packSequencesBy(counts.selectExpr("doc_id", "n_toks"))
+      .groupBy("shard")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        sum("seg_tokens").cast("long").as("n_tokens"),
+        countDistinct("seq_id").as("n_seqs"))
+      .orderBy("shard")
   }
 
   /** Start the curation loop over a streaming `documents`-shaped frame.
@@ -135,13 +181,14 @@ object CurationStream {
     * ([[Curation.evalShingleSet]]); state lands under `statePath`
     * (fp index, pool epochs, manifest epochs). */
   def start(docs: DataFrame, evalShingles: DataFrame, statePath: String,
-            checkpointPath: String): DataStreamWriter[Row] =
+            checkpointPath: String,
+            model: Option[graft.plans.TokenizerModel] = None): DataStreamWriter[Row] =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointPath)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        step(batch, batchId, evalShingles, statePath)
+        step(batch, batchId, evalShingles, statePath, model)
       }
 
   /** q139 passage dedup as a streaming fold — SUB-document dedup under

@@ -125,6 +125,67 @@ class CurationStreamSpec extends AnyFunSuite {
     assert(after == before, "replaying the last batch changed the state")
   }
 
+  test("streamed kernel tokenize + packing equal the batch tail across batches and replay") {
+    import graft.operators.{Bpe, Packing}
+    val stage = Files.createTempDirectory("tok_src").toString
+    val state = Files.createTempDirectory("tok_state").toString + "/state"
+    val ckpt = Files.createTempDirectory("tok_ckpt").toString
+    val evalSh = evalShingles.localCheckpoint()
+    // a real (if tiny) shipped artifact: one merge — enough to make the
+    // kernel path produce counts no whitespace count equals
+    val model = new graft.plans.BpeEncodeModel(Array("a"), Array("a"))
+
+    def addFile(name: String, rows: Seq[(Long, String, String, Long)]): Unit = {
+      val tmp = Files.createTempDirectory("tok_tmp").toString
+      df(rows).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, Paths.get(stage, name),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    Seq("b1" -> b1, "b2" -> b2, "b3" -> b3, "b4" -> b4).foreach {
+      case (n, b) => addFile(s"$n.parquet", b)
+    }
+    val stream = spark.readStream
+      .schema("doc_id LONG, text STRING, source STRING, n_chars LONG")
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+    val q = CurationStream.start(stream, evalSh, state, ckpt,
+      model = Some(model)).start()
+    q.processAllAvailable(); q.stop()
+
+    // the batch twin: survivors() -> kernel counts -> q157 packing tail
+    def rollup(d: DataFrame): Seq[(Long, Long, Long, Long)] =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq.sorted
+    val surv = CurationPipeline.survivors(df(all))
+    val want = Packing.packSequencesBy(
+        Bpe.encodeCounts(surv.select("doc_id", "text"), model, "n_bpe_tokens")
+          .selectExpr("doc_id", "n_bpe_tokens AS n_toks"))
+      .groupBy("shard")
+      .agg(org.apache.spark.sql.functions.countDistinct("doc_id").as("n_docs"),
+        org.apache.spark.sql.functions.sum("seg_tokens").cast("long").as("n_tokens"),
+        org.apache.spark.sql.functions.countDistinct("seq_id").as("n_seqs"))
+    assert(rollup(CurationStream.bpePackingView(spark, state)) == rollup(want),
+      "streamed packing view diverged from the batch tail")
+
+    // replaying the last batch is a no-op for the tokenize state too
+    val before = rollup(CurationStream.bpePackingView(spark, state))
+    CurationStream.step(df(b4), 3L, evalSh, state, Some(model))
+    assert(rollup(CurationStream.bpePackingView(spark, state)) == before,
+      "replaying the last batch changed the tokenize state")
+
+    // the streamed tokenize plan is JOINLESS: the model rides inside
+    // the TokenizeCounts expression (the q188 claim, asserted on the
+    // exact code path step() writes btoks with)
+    val plan = Bpe.encodeCounts(
+      spark.read.parquet(s"$stage/b1.parquet").select("doc_id", "text"),
+      model, "n_bpe_tokens").queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"streamed tokenize plan has a join:\n$plan")
+    assert(plan.toLowerCase.contains("tokenizecounts"),
+      "kernel expression missing from the streamed tokenize plan")
+  }
+
   test("streamed passage dedup equals batch q139 across batches, a restart, and replay") {
     import graft.operators.Dedup
     import org.apache.spark.sql.functions._

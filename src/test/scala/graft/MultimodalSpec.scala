@@ -183,4 +183,41 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ham(Multimodal.pHash64(byKey("img4")), Multimodal.pHash64(shifted)) <= 3,
       "pHash must be stable under a uniform brightness shift")
   }
+
+  test("cross-modal gate: swapped captions caught, correct pairs pass, margins wide") {
+    import spark.implicits._
+    val rows = Multimodal.crossModalFixtureRows
+    val scores = Multimodal.crossModalScores(
+        rows.toDF("pair_key", "data", "caption"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val correct = scores.filter(!_._1.endsWith("_swapped")).values
+    val swapped = scores.filter(_._1.endsWith("_swapped")).values
+    assert(correct.size == 5 && swapped.size == 2)
+    // decisions (what the q207 oracle pins) ...
+    assert(correct.forall(_ >= 500000L), s"correct pair under threshold: $scores")
+    assert(swapped.forall(_ < 500000L), s"swapped pair over threshold: $scores")
+    // ... and MARGINS: both sides sit far from the cut, so the one
+    // double step (the normalized cosine) cannot flip a decision on
+    // codec or ulp wobble — the q171 decisions-not-bits discipline
+    assert(correct.min >= 900000L,
+      s"correct-pair margin too thin: $scores")
+    assert(swapped.max <= 300000L,
+      s"swapped-pair margin too thin: $scores")
+    // an explicitly planted swap on the SAME pair ids: exchanging two
+    // correct captions must flip both decisions
+    val base = rows.filter(r => r._1 == "pair2" || r._1 == "pair3")
+    val crossed = Seq(
+      ("pair2", base(0)._2, base(1)._3),
+      ("pair3", base(1)._2, base(0)._3))
+    val flipped = Multimodal.crossModalGate(
+        crossed.toDF("pair_key", "data", "caption"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(flipped == Map("pair2" -> false, "pair3" -> false),
+      s"swapping captions between pair2/pair3 must fail both: $flipped")
+    // undecodable bytes drop (F6 semantics), never score
+    val bad = Multimodal.crossModalGate(
+        Seq(("bad", Array[Byte](1, 2, 3), "luma 0 0")).toDF("pair_key", "data", "caption"))
+      .collect()
+    assert(bad.isEmpty)
+  }
 }

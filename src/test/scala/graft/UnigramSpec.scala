@@ -120,4 +120,31 @@ class UnigramSpec extends AnyFunSuite {
     // the test pinned nothing
     assert(s1 > s0, s"seed unexpectedly at the EM fixed point ($s0)")
   }
+
+  test("multi-round hard-EM: monotone per-round likelihood, fixed point inside the cap") {
+    val types = WordPiece.wordTypes(docs)
+    val (hist, converged) = Unigram.emHistory(types, Unigram.EmCap)
+    // termination witness: the loop certified counts_r == counts_{r+1}
+    // strictly inside the cap — the identity argument the q206 twin's
+    // fixed unrolled depth stands on is EXERCISED here, not assumed
+    assert(converged,
+      s"EM did not reach its fixed point within ${Unigram.EmCap} rounds")
+    assert(hist.size <= Unigram.EmCap)
+    // per-round corpus Viterbi likelihood is monotone non-decreasing
+    // (seed fit first, then each refit round)
+    val seedScore = {
+      import org.apache.spark.sql.functions._
+      Unigram.segCounts(types).join(types, Seq("w"))
+        .agg(sum(expr("cnt * score_e6"))).head().getLong(0)
+    }
+    val roundScores = hist.map(c => Unigram.corpusScoreE6(types, c))
+    val chain = seedScore +: roundScores
+    chain.sliding(2).foreach { case Seq(a, b) =>
+      assert(b >= a, s"likelihood regressed between rounds: $chain")
+    }
+    // the converged model's decode is what q206 serves: its final round
+    // must be a TRUE fixed point — one more round changes nothing
+    val again = Unigram.corpusScoreE6(types, hist.last)
+    assert(again == roundScores.last)
+  }
 }
