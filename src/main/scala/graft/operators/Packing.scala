@@ -182,9 +182,18 @@ object Packing {
       .join(broadcast(offs.select("source", "ss", "off")), Seq("source", "ss"))
       .selectExpr("source", "off + seq_id AS seq_ix", "seq_tokens")
     val nseq = offs.groupBy("source").agg(max("n_seqs").as("n_seqs"))
+    // LEFT join + in-plan raise_error, not an inner join: a scheduled
+    // source with ZERO packable sequences (every doc zero-token) would
+    // silently drop its schedule positions from the materialized stream
+    // — and the DuckDB twin, built the same way, could never catch the
+    // missing positions. The guard keeps the draw frame at exactly
+    // `budget` rows or fails loudly naming the starved source.
     val draws = Curation.mixSchedule(docs, budget)
-      .join(broadcast(nseq), "source")
-      .withColumn("seq_ix", expr("(j - 1) % n_seqs"))
+      .join(broadcast(nseq), Seq("source"), "left")
+      .withColumn("seq_ix", expr(
+        "IF(n_seqs IS NULL, cast(raise_error(concat(" +
+          "'scheduleDraws: scheduled source has no packable sequences " +
+          "(all docs zero-token): ', source)) as bigint), (j - 1) % n_seqs)"))
       .select("pos", "source", "seq_ix")
     broadcast(draws).join(indexed, Seq("source", "seq_ix"))
       .withColumn("shard", expr(s"((pos - 1) * $outShards) div ${budget}L"))

@@ -24,8 +24,9 @@ class BoundedEvalSpec extends AnyFunSuite {
 
   private def loudly(body: => Unit): String = {
     val e = intercept[Exception](body)
-    // raise_error surfaces wrapped in SparkException layers; the
-    // contract is that the GUARD text reaches the caller, so unwrap
+    // the guard may surface directly (the memoized driver-side check
+    // throws at gate construction) or wrapped in SparkException layers;
+    // the contract is that the GUARD text reaches the caller, so unwrap
     val msgs = Iterator.iterate(e.asInstanceOf[Throwable])(_.getCause)
       .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
       .mkString(" | ")
@@ -34,11 +35,11 @@ class BoundedEvalSpec extends AnyFunSuite {
     msgs
   }
 
-  // NOTE the consuming filter on each assertion: a bare count() lets
-  // Catalyst eliminate the outer join against the (distinct-keyed)
-  // contamination frame, pruning the eval subtree — and with no
-  // broadcast in the plan there is correctly nothing to guard. The
-  // guard rides exactly the paths that materialize the broadcast.
+  // The consuming filter on each assertion keeps the whole gate plan
+  // alive (it also exercised the r16 in-plan guard, which only rode
+  // paths that materialized the broadcast); since r18 the guard is a
+  // memoized driver-side count at gate CONSTRUCTION — these tests
+  // drive the loud failure through that memoized path.
 
   test("decontaminateAgainst fails loudly past the eval bound") {
     val evalSh = Curation.evalShingleSet(docs.where("doc_id % 7 = 3"))

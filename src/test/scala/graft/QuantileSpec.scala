@@ -107,6 +107,36 @@ class QuantileSpec extends AnyFunSuite {
     assert(both.where("abs(exact - sampled) > 1").count() == 0)
   }
 
+  test("the sample-state cap dials the keep rate down past the budget") {
+    // a corpus whose 25% default sample would blow a small cap: 2000
+    // rows against cap=60 must dial keep to (100·60) div 2000 = 3, so
+    // the buffered sample is ~cap-sized, never 25% of the corpus (the
+    // r17 What's-wrong #1 contract, now derived instead of documented)
+    val scores = spark.range(2000).selectExpr("id AS doc_id", "id % 37 AS score_e3")
+    val cap = 60L
+    val keep = TextAnalysis.derivedKeepSql("__n", 100, 25, cap)
+    val derived = scores.agg(count(lit(1)).as("__n"))
+      .selectExpr(s"$keep AS k").head().getLong(0)
+    assert(derived == 3L, s"expected the dialed keep rate 3, got $derived")
+    val sampled = scores
+      .where(s"${graft.functions.Portable.sparkHash48(
+        "concat('qsmp_', cast(doc_id as string))")} % 100 < $derived")
+      .count()
+    assert(sampled <= 2 * cap,
+      s"buffered sample $sampled rows is not ~cap-bounded (cap=$cap)")
+    assert(sampled > 0, "the dialed rate must still draw a sample")
+    // the capped path still produces a full, valid tile assignment
+    val tiled = TextAnalysis.sampledTiles(scores, "score_e3", 10,
+      tileCol = "tile", sampleCap = cap)
+    assert(tiled.count() == 2000)
+    assert(tiled.where("tile < 1 OR tile > 10").count() == 0)
+    // and an UNcapped corpus (n below cap) keeps the default 25% rate —
+    // the derivation only binds when the corpus outgrows the budget
+    val small = scores.limit(100).agg(count(lit(1)).as("__n"))
+      .selectExpr(s"$keep AS k").head().getLong(0)
+    assert(small == 25L)
+  }
+
   test("sketch gates (q210/q211) report every flag within bounds at test SF") {
     val r210 = Curation.pplMedianApprox(Curation.bigramScoresFor(spark, sf))
       .collect()
