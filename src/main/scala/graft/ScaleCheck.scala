@@ -82,7 +82,7 @@ object ScaleCheck {
       .config("spark.unsafe.sorter.spill.read.ahead.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "WARN"))
 
     def read(name: String): DataFrame =
       spark.read.format("graft-store").option("name", name).load()
@@ -138,14 +138,25 @@ object ScaleCheck {
       val nDocs = 125000L
       val preamble = (0 until 64).map(i => s"c$i").mkString(" ")
       val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-      // 64-way doubling rounds: the full 21-section run carries a higher
+      // 128-way doubling rounds: the full 21-section run carries a higher
       // heap baseline than the isolated section (store metadata, bloom
-      // LRU, memo leaves), and 8 × 32-wide sort tasks of the 10M-row
-      // frame sat one GCLocker-starved allocation from the ceiling —
-      // halving per-task footprint is the sizing knob, same as
-      // image_band's 64
-      val saParts = 64
+      // LRU, memo leaves) — halving per-task footprint is the sizing
+      // knob, same as image_band's 64. 64 sufficed for r17's 7 narrow
+      // rounds; the r18 fused probe stage (merge join + pivot agg in one
+      // stage, the price of the halved round count) concentrates more
+      // sort state per task, so the section runs 128-way
+      val saParts = 128
       spark.conf.set("spark.sql.shuffle.partitions", saParts.toString)
+      // AQE's 64 MB advisory target is sized for production executors;
+      // in the 512 MB harness it coalesces the doubling's narrow-frame
+      // ENSURE_REQUIREMENTS exchanges (the extend joins, the class
+      // pivot) down to ~9 fat partitions whose per-task sorts blow the
+      // heap — pin the advisory size so a coalesced partition fits this
+      // JVM's execution share (same knob a real cluster tunes per
+      // executor memory; restored with the partition count below)
+      val prevAdvisory = spark.conf.getOption(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
       val docs = spark.range(nDocs).selectExpr("id AS doc_id",
         s"""IF(id % 10 = 3,
            |  concat('$preamble', ' ',
@@ -162,6 +173,12 @@ object ScaleCheck {
         SuffixDedup.suffixArrayDedup(docs, parts = saParts).localCheckpoint(),
         want)
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevAdvisory match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      }
     }
 
 

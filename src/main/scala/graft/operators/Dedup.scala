@@ -1089,7 +1089,11 @@ object Dedup {
     * Output is md5-fingerprinted like q76 so the result stays text-free
     * and bounded; every doc in `t` appears (left join — span-free docs
     * keep everything). */
-  private[operators] def cutSpans(t: DataFrame, spans: DataFrame): DataFrame = {
+  /** Span cut WITHOUT the fingerprint tail: (doc_id, n_tokens, kept
+    * token array) for every doc of `t` — the shared core behind
+    * [[cutSpans]] (the q152/q164/q204 audit surface) and the REWRITE
+    * form ([[SuffixDedup.suffixCutText]], the q214 pipeline stage). */
+  private[operators] def cutSpansKept(t: DataFrame, spans: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("s")
     val merged = spans
@@ -1107,11 +1111,14 @@ object Dedup {
       .selectExpr("doc_id",
         "cast(size(toks) as bigint) AS n_tokens",
         "filter(toks, (tk, ix) -> spans IS NULL OR NOT exists(spans, sp -> ix + 1 >= sp.s AND ix + 1 < sp.e)) AS kept")
+  }
+
+  private[operators] def cutSpans(t: DataFrame, spans: DataFrame): DataFrame =
+    cutSpansKept(t, spans)
       .selectExpr("doc_id", "n_tokens",
         "cast(n_tokens - size(kept) as bigint) AS n_removed",
         "md5(array_join(kept, ' ')) AS clean_fp")
       .orderBy("doc_id")
-  }
 
   /** DuckDB twin of [[exactSubstringDedup]] at span `k` — the window
     * slice bounds, the span end, and the length floor all interpolate

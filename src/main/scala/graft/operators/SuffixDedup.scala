@@ -31,21 +31,23 @@ import graft.functions.Portable.sparkToks
   * one answer.
   *
   * HOW the adjacency test is evaluated — by rank CLASS, not by
-  * materialized neighbors: the doubling is finished at depth EXACTLY
-  * minSpan (double to d1 = the largest power of two ≤ minSpan, then one
-  * composite extension keyed on (rank_d1(p), rank_d1(p + minSpan−d1)):
-  * the two windows overlap and jointly cover tokens 0..minSpan−1, and
-  * overlap is harmless for an EQUALITY test). Among positions with
-  * ≥ minSpan tokens remaining, equal final class ⟺ equal
-  * minSpan-prefix, and since equal-prefix suffixes form a contiguous
-  * run in suffix order, "my class has ≥ 2 members" IS "my adjacent
-  * SA neighbor has LCP ≥ minSpan" — evaluated as one count-over-class,
-  * with no adjacency frame, no token-array re-join, and no slice
-  * compare. (The remaining-length filter runs BEFORE the count: two
-  * equally-truncated SHORTER suffixes also share a class — truncation
-  * surfaces as the absent-extension rank 0 at some round, so a short
-  * suffix never shares a class with a long one, but two equal 48-token
-  * tails would, and marking them would be a false positive at 50.)
+  * materialized neighbors: the doubling stops at depth dStop = half the
+  * largest power of two ≤ minSpan, and the final class key is the ≤4
+  * depth-dStop ranks at window offsets {0, dStop, 2·dStop, …,
+  * minSpan−dStop} — windows that jointly COVER tokens 0..minSpan−1
+  * while each stays inside the span (overlap is harmless for an
+  * EQUALITY test; ceil(minSpan/dStop) ≤ 4 because dStop > minSpan/4).
+  * Among positions with ≥ minSpan tokens remaining, equal class tuple
+  * ⟺ equal minSpan-prefix, and since equal-prefix suffixes form a
+  * contiguous run in suffix order, "my class has ≥ 2 members" IS "my
+  * adjacent SA neighbor has LCP ≥ minSpan" — evaluated as one
+  * count-over-class, with no adjacency frame, no token-array re-join,
+  * and no slice compare. (The remaining-length filter runs BEFORE the
+  * count: two equally-truncated SHORTER suffixes also share a class —
+  * truncation surfaces as the shorter slice key / absent-extension
+  * rank 0 at some round, so a short suffix never shares a class with a
+  * long one, but two equal 48-token tails would, and marking them
+  * would be a false positive at 50.)
   *
   * Why the ranked frame holds ALL positions (not just those with ≥
   * minSpan remaining): the doubling looks ranks up at pos+2^k, and a
@@ -55,8 +57,11 @@ import graft.functions.Portable.sparkToks
   * they never join a long suffix's class (above) and the length filter
   * keeps them out of the span set.
   *
-  * Scale shape (the 100 TB posture): rounds = log2(d1) + 2 ≤ 7 for the
-  * published 50-token setting, each round exactly three shuffles of the
+  * Scale shape (the 100 TB posture): rounds = log2(dStop/4) + 1 ≤ 3
+  * groupRank rounds for the published 50-token setting (the seed rank
+  * reads a 4-token slice key straight off the doc array — depth 4 for
+  * free — and the ≤4-window class test replaces the last doubling round
+  * AND the composite extension), each round exactly three shuffles of the
   * NARROW (gpos, rank) frame — a range exchange for the global row
   * number (partition-LOCAL windows + inlined offsets, the
   * Relational.distributedNtile discipline: no unpartitioned window
@@ -117,6 +122,12 @@ object SuffixDedup {
     * equality matter (the classic suffix-array rank relaxation). */
   private def groupRank(df: DataFrame, keys: Seq[Column], out: String,
       parts: Int): DataFrame = {
+    // the packed id budgets 2^41 rows PER PARTITION and 2^22 partitions
+    // (pid·2^41 + rn must stay inside Long); parts grows with the
+    // cluster, so the pid budget is enforced, not just documented
+    require(parts > 0 && parts < (1 << 22),
+      s"groupRank: parts must stay under 2^22 (4.2M) so pid*2^41 + rn " +
+        s"cannot overflow Long; got $parts")
     val byPid = Window.partitionBy("__pid").orderBy(keys: _*)
     val byKey = Window.partitionBy(keys: _*)
     df.repartitionByRange(parts, keys: _*)
@@ -130,19 +141,29 @@ object SuffixDedup {
   /** Prefix-doubled suffix ranks over a position frame. Required
     * columns: `gpos` (packed doc_id·2^20 + pos — the per-doc positional
     * budget already enforced upstream), `pos` (1-based) and `tok` (the
-    * token AT pos); every other column rides through untouched. Output:
+    * token AT pos — or, when `initDepth` > 1, the first `initDepth`
+    * tokens AT pos as an array: a slice key read straight off the
+    * document array at explode time, which starts the doubling at depth
+    * `initDepth` for FREE — no joins, no extra rounds; array ordering
+    * is element-wise with shorter-prefix-first, exactly the suffix
+    * convention); every other column rides through untouched. Output:
     * the input columns minus `tok`, plus `rank`, where `rank` orders
     * suffixes lexicographically by their first `maxDepth` tokens (a
     * shorter suffix sorts before a longer one sharing its prefix — the
     * absent-extension rank 0), equal ranks ⟺ equal capped prefixes.
-    * Stops early when ranks go all-distinct (full lex order reached).
-    * SuffixArraySpec pins rank order ≡ a sequential suffix sort. */
+    * `maxDepth` must be `initDepth`·2^k (the doubling lands on exactly
+    * those depths). Stops early when ranks go all-distinct (full lex
+    * order reached). SuffixArraySpec pins rank order ≡ a sequential
+    * suffix sort. */
   private[graft] def suffixRanks(pos0: DataFrame, maxDepth: Int,
-      parts: Int = DefaultParts, earlyExit: Boolean = true): DataFrame = {
-    require(maxDepth >= 1)
+      parts: Int = DefaultParts, earlyExit: Boolean = true,
+      initDepth: Int = 1): DataFrame = {
+    require(maxDepth >= 1 && initDepth >= 1 && maxDepth % initDepth == 0 &&
+      Integer.bitCount(maxDepth / initDepth) == 1,
+      s"suffixRanks: maxDepth ($maxDepth) must be initDepth ($initDepth) times a power of two")
     var p = diskCheckpoint(
       groupRank(pos0, Seq(col("tok")), "rank", parts).drop("tok"))
-    var step = 1L
+    var step = initDepth.toLong
     var distinctRanks = false
     while (step < maxDepth && !distinctRanks) {
       // the all-distinct probe is an optimization for corpora whose
@@ -201,20 +222,30 @@ object SuffixDedup {
     * corpus whose ids reach a hard-coded offset would silently collide
     * plants with real docs). One Spark construction and one DuckDB CTE
     * ([[oracle]]'s `pl`) serve both engines. */
-  private[graft] def plantedSpanCorpus(d: DataFrame): DataFrame = {
-    val d0 = d.select("doc_id", "text")
+  private[graft] def plantedSpanCorpus(d: DataFrame,
+      withSource: Boolean = false): DataFrame = {
+    val keep = if (withSource) Seq("doc_id", "text", "source")
+               else Seq("doc_id", "text")
+    val d0 = d.select(keep.map(col): _*)
     val off = d0.agg(max("doc_id")).first.getLong(0) + 1
+    // plants carry their own 'plant' source when the caller needs one
+    // (q214's source-cap stage treats them as one fresh domain — the
+    // same literal on both engines)
+    val plantCols = Seq(s"doc_id + ${off}L AS doc_id",
+      "concat('xs', cast(doc_id as string), ' ', " +
+        "array_join(slice(toks, 2, 55), ' '), " +
+        "' xe', cast(doc_id as string)) AS text") ++
+      (if (withSource) Seq("'plant' AS source") else Nil)
     d0.unionByName(
       d0.selectExpr("doc_id", s"$sparkToks AS toks")
         .where("doc_id % 17 = 5 AND size(toks) >= 62")
-        .selectExpr(s"doc_id + ${off}L AS doc_id",
-          "concat('xs', cast(doc_id as string), ' ', " +
-            "array_join(slice(toks, 2, 55), ' '), " +
-            "' xe', cast(doc_id as string)) AS text"))
+        .selectExpr(plantCols: _*))
   }
 
-  private def duckPlantCtes: String =
-    """mx AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
+  private[operators] def duckPlantCtes(withSource: Boolean = false): String = {
+    val srcPl = if (withSource) ", 'plant' AS source" else ""
+    val srcSel = if (withSource) ", source" else ""
+    s"""mx AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
       |pl AS (
       |  -- donor id aliased `did`: DuckDB's lateral column aliases would
       |  -- otherwise bind the flank tokens to the OFFSET id and fork the
@@ -222,46 +253,123 @@ object SuffixDedup {
       |  SELECT did + mx.off AS doc_id,
       |    'xs' || CAST(did AS VARCHAR) || ' ' ||
       |    array_to_string(toks[2:56], ' ') ||
-      |    ' xe' || CAST(did AS VARCHAR) AS text
-      |  FROM (SELECT doc_id AS did, regexp_split_to_array(trim(text), '\s+') AS toks
+      |    ' xe' || CAST(did AS VARCHAR) AS text$srcPl
+      |  FROM (SELECT doc_id AS did, regexp_split_to_array(trim(text), '\\s+') AS toks
       |        FROM documents) CROSS JOIN mx
       |  WHERE did % 17 = 5 AND len(toks) >= 62),
       |corpus AS (
-      |  SELECT doc_id, text FROM documents
-      |  UNION ALL SELECT doc_id, text FROM pl)""".stripMargin
+      |  SELECT doc_id, text$srcSel FROM documents
+      |  UNION ALL SELECT doc_id, text$srcSel FROM pl)""".stripMargin
+  }
 
   /** q204 core — the suffix-array dedup over a (doc_id, text) corpus.
     * Output matches the q152 surface: (doc_id, n_tokens, n_removed,
     * clean_fp) for EVERY input doc, with all occurrences of every
-    * ≥minSpan-token duplicated span removed. */
+    * ≥minSpan-token duplicated span removed.
+    *
+    * Round-18 job-count cut (the r17 verdict's Next #3 — q204's latency
+    * was stage-bound, ~20 jobs at 5.4 s): the depth-minSpan equality
+    * test never needed ranks at depth minSpan, only a class key whose
+    * components jointly COVER [0, minSpan) — so the doubling stops at
+    * dStop = d1/2 and the class key becomes the ≤4 depth-dStop ranks at
+    * window offsets {0, dStop, 2·dStop, …, minSpan − dStop} (every
+    * window inside [0, minSpan); overlap is harmless for equality, the
+    * same argument the old single composite extension used, applied
+    * ceil(minSpan/dStop) ≤ 4 times since dStop > minSpan/4). The seed
+    * rank reads the first min(4, dStop) tokens straight off the doc
+    * array as a slice key (free at explode time), starting the doubling
+    * at depth 4. Net for the published minSpan = 50: groupRank rounds
+    * at depths 4 → 8 → 16 (three range exchanges + checkpoints) where
+    * the old plan ran six plus a final extension — the identical span
+    * set in roughly half the stages. The multi-offset lookup is ONE
+    * self-join (lookup side exploded per offset) whose pivot-back
+    * reuses the join's hash partitioning on gpos (no extra exchange),
+    * then the one count-over-class shuffle. */
   def suffixArrayDedup(docs: DataFrame, minSpan: Int = DefaultMinSpan,
       parts: Int = DefaultParts, earlyExit: Boolean = true): DataFrame = {
-    require(minSpan >= 2)
-    // double to the largest power of two ≤ minSpan, then one composite
-    // extension closes the gap to EXACTLY minSpan
-    val d1 = Integer.highestOneBit(minSpan)
-    val gap = (minSpan - d1).toLong
     val t = docs.selectExpr("doc_id", s"$sparkToks AS toks")
+    Dedup.cutSpans(t, dupSpans(t, minSpan, parts, earlyExit))
+  }
+
+  /** The span CUT as a REWRITE — (doc_id, text_kept) for every input
+    * doc, all occurrences of every ≥minSpan-token duplicated span
+    * removed — the form a curation pipeline COMPOSES (q214 inserts it
+    * between passage dedup and the quality gate, where
+    * [[suffixArrayDedup]] is the standalone audit surface). */
+  def suffixCutText(docs: DataFrame, minSpan: Int = DefaultMinSpan,
+      parts: Int = DefaultParts, earlyExit: Boolean = true): DataFrame = {
+    val t = docs.selectExpr("doc_id", s"$sparkToks AS toks")
+    Dedup.cutSpansKept(t, dupSpans(t, minSpan, parts, earlyExit))
+      .selectExpr("doc_id", "array_join(kept, ' ') AS text_kept")
+  }
+
+  /** Duplicated-span frame (doc_id, s, e) of a tokenized corpus
+    * (doc_id, toks) — the whole suffix-array machinery up to (but not
+    * including) the interval merge + cut, shared by the fingerprint and
+    * rewrite surfaces. */
+  private def dupSpans(t: DataFrame, minSpan: Int,
+      parts: Int, earlyExit: Boolean): DataFrame = {
+    require(minSpan >= 2)
+    val d1 = Integer.highestOneBit(minSpan)
+    // stop the doubling at HALF the largest power of two ≤ minSpan and
+    // close the gap with the ≤4-window class key (scaladoc above)
+    val dStop = math.max(1, d1 / 2)
+    val initDepth = math.min(4, dStop)
+    // non-zero window offsets: multiples of dStop whose window stays
+    // inside [0, minSpan), plus the flush-right window at minSpan−dStop
+    val offs = ((dStop until (minSpan - dStop + 1) by dStop) ++
+      Seq(minSpan - dStop)).distinct.filter(_ > 0).map(_.toLong)
+    // the round-state frame is pared to THREE columns — (gpos, ok,
+    // rank) — because doc_id and pos derive back from gpos by integer
+    // arithmetic (gpos = doc_id·2^20 + pos under the packed budget) and
+    // the probe's length test collapses to one precomputed bit; at 64-ish
+    // bytes-per-long-column per exchange row this is the difference
+    // between fitting the 512 MB ScaleCheck and not, and at 100 TB it
+    // is 40% off every doubling shuffle
     val pos = t
       .selectExpr("doc_id", "toks", "cast(size(toks) as bigint) AS len",
         "explode(sequence(1, size(toks))) AS pos")
-      // packed budget covers pos + every lookup step (≤ minSpan): the
-      // key gpos+step must never spill into the next doc's space
+      // packed budget covers pos + every lookup offset (< minSpan): the
+      // key gpos+off must never spill into the next doc's space
       .withColumn("gpos",
         Dedup.guardedPacked("suffixArrayDedup", col("doc_id"),
           col("pos") + lit(minSpan.toLong), 20) - lit(minSpan.toLong))
-      .selectExpr("gpos", "doc_id", "pos", "len",
-        "element_at(toks, cast(pos as int)) AS tok")
-    val r1 = suffixRanks(pos, d1, parts, earlyExit)
-    val ext = if (gap == 0L) r1.withColumn("r2", lit(0L))
-              else extendRanks(r1, gap)
-    // the length filter MUST precede the class count (see scaladoc)
-    val spans = ext.where(col("pos") + lit(minSpan - 1) <= col("len"))
-      .withColumn("cnt",
-        count(lit(1)).over(Window.partitionBy(col("rank"), col("r2"))))
+      // the seed key is the first initDepth tokens JOINED (tokens are
+      // whitespace-free by construction, so the join is injective —
+      // equality classes are exact); a single string is far narrower in
+      // the range exchange + window sort than an array of 4 (the 512 MB
+      // ScaleCheck found the array form's per-row overhead). Equality
+      // is all the dedup path needs of its ranks (the class test never
+      // reads order); the default initDepth = 1 single-token path keeps
+      // the lexicographic contract SuffixArraySpec pins.
+      .selectExpr("gpos", s"pos + ${minSpan - 1} <= len AS ok",
+        s"array_join(slice(toks, cast(pos as int), $initDepth), ' ') AS tok")
+    val r = suffixRanks(pos, dStop, parts, earlyExit, initDepth)
+    // the length filter MUST precede the class count (truncated shorter
+    // suffixes share depth-capped ranks; it also guarantees every
+    // probe's lookup target pos+off ≤ len exists, so the inner join
+    // yields exactly one row per (probe, offset))
+    val probe = r.where(col("ok"))
+    // one exploded lookup: position q serves every probe p = q − off
+    // (merge-hinted for the same reason extendRanks documents)
+    val lk = r.select(col("gpos").as("lgpos"), col("rank").as("lrank"))
+      .select(explode(array(offs.map(o =>
+          struct(lit(o).as("off"), (col("lgpos") - lit(o)).as("gpos"))): _*)).as("x"),
+        col("lrank"))
+      .select(col("x.gpos").as("gpos"), col("x.off").as("off"), col("lrank"))
+    val kCols = offs.indices.map(i => s"k$i")
+    val aggs = offs.zipWithIndex.map { case (o, i) =>
+      max(when(col("off") === lit(o), col("lrank"))).as(s"k$i") }
+    val classes = probe.join(lk.hint("merge"), Seq("gpos"))
+      .groupBy("gpos", "rank")
+      .agg(aggs.head, aggs.tail: _*)
+    val classKey = col("rank") +: kCols.map(col)
+    classes
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(classKey: _*)))
       .where("cnt > 1")
-      .selectExpr("doc_id", "pos AS s", s"pos + $minSpan AS e")
-    Dedup.cutSpans(t, spans)
+      .selectExpr(s"gpos div ${1L << 20} AS doc_id",
+        s"gpos % ${1L << 20} AS s",
+        s"gpos % ${1L << 20} + $minSpan AS e")
   }
 
   // ---------------------------------------------------------------- queries
@@ -276,6 +384,52 @@ object SuffixDedup {
       suffixArrayDedup(plantedSpanCorpus(Tables.documents(s, dir)),
         earlyExit = false)))
 
+  /** The window-hash span-cut route as parameterized DuckDB CTEs over
+    * `src` (doc_id, text): duplicated k-token windows → merged spans →
+    * remove-all cut, ending in `${p}res` = (doc_id, n_tokens, n_kept,
+    * txt — kept tokens joined, '' when all cut). Shared VERBATIM by the
+    * q204 fingerprint twin and the q214 pipeline stage so the two
+    * window-route replays can never fork. */
+  private[operators] def duckSpanCut(src: String, p: String, k: Int): String =
+    s"""${p}t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM $src),
+       |${p}w AS (
+       |  SELECT doc_id, i, md5(array_to_string(toks[i:i+${k - 1}], ' ')) AS h
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - ${k - 2})) AS i
+       |        FROM ${p}t WHERE len(toks) >= $k)),
+       |${p}sp AS (
+       |  SELECT doc_id, i AS s, i + $k AS e FROM (
+       |    SELECT doc_id, i, COUNT(*) OVER (PARTITION BY h) AS cnt FROM ${p}w)
+       |  WHERE cnt > 1),
+       |${p}m AS (
+       |  SELECT doc_id, s, e,
+       |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) THEN 1 ELSE 0 END AS newg
+       |  FROM ${p}sp),
+       |${p}g AS (
+       |  SELECT doc_id, s, e,
+       |    SUM(newg) OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS grp
+       |  FROM ${p}m),
+       |${p}mg AS (SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM ${p}g GROUP BY doc_id, grp),
+       |${p}pos AS (
+       |  SELECT doc_id, i, toks[CAST(i AS INT)] AS tok
+       |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM ${p}t)),
+       |${p}rm AS (
+       |  SELECT DISTINCT q.doc_id, q.i FROM ${p}pos q
+       |  JOIN ${p}mg ON q.doc_id = ${p}mg.doc_id AND q.i >= ${p}mg.s AND q.i < ${p}mg.e),
+       |${p}kept AS (
+       |  SELECT q.doc_id, q.i, q.tok FROM ${p}pos q
+       |  LEFT JOIN ${p}rm ON q.doc_id = ${p}rm.doc_id AND q.i = ${p}rm.i
+       |  WHERE ${p}rm.i IS NULL),
+       |${p}a AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       |    string_agg(tok, ' ' ORDER BY i) AS txt
+       |  FROM ${p}kept GROUP BY doc_id),
+       |${p}res AS (
+       |  SELECT ${p}t.doc_id, CAST(len(${p}t.toks) AS BIGINT) AS n_tokens,
+       |    COALESCE(${p}a.n_kept, 0) AS n_kept, COALESCE(${p}a.txt, '') AS txt
+       |  FROM ${p}t LEFT JOIN ${p}a ON ${p}a.doc_id = ${p}t.doc_id)""".stripMargin
+
   /** DuckDB twin: the duplicated-minSpan-window form (WHERE cnt > 1,
     * no keep-first — remove ALL occurrences), which the scaladoc's run
     * argument proves span-set-identical to the suffix-array test. The
@@ -283,46 +437,11 @@ object SuffixDedup {
     * window-hash group where Spark prefix-doubles a suffix array — so
     * a hash match checks the equivalence itself. */
   def oracle: Map[String, String] = Map(
-    "q204_suffix_array_dedup" -> {
-      val k = DefaultMinSpan
-      s"""WITH $duckPlantCtes,
-         |t AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM corpus),
-         |w AS (
-         |  SELECT doc_id, i, md5(array_to_string(toks[i:i+${k - 1}], ' ')) AS h
-         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - ${k - 2})) AS i
-         |        FROM t WHERE len(toks) >= $k)),
-         |sp AS (
-         |  SELECT doc_id, i AS s, i + $k AS e FROM (
-         |    SELECT doc_id, i, COUNT(*) OVER (PARTITION BY h) AS cnt FROM w)
-         |  WHERE cnt > 1),
-         |m AS (
-         |  SELECT doc_id, s, e,
-         |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) THEN 1 ELSE 0 END AS newg
-         |  FROM sp),
-         |g AS (
-         |  SELECT doc_id, s, e,
-         |    SUM(newg) OVER (PARTITION BY doc_id ORDER BY s ROWS UNBOUNDED PRECEDING) AS grp
-         |  FROM m),
-         |mg AS (SELECT doc_id, MIN(s) AS s, MAX(e) AS e FROM g GROUP BY doc_id, grp),
-         |pos AS (
-         |  SELECT doc_id, i, toks[CAST(i AS INT)] AS tok
-         |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t)),
-         |rm AS (
-         |  SELECT DISTINCT p.doc_id, p.i FROM pos p
-         |  JOIN mg ON p.doc_id = mg.doc_id AND p.i >= mg.s AND p.i < mg.e),
-         |kept AS (
-         |  SELECT p.doc_id, p.i, p.tok FROM pos p
-         |  LEFT JOIN rm ON p.doc_id = rm.doc_id AND p.i = rm.i
-         |  WHERE rm.i IS NULL),
-         |a AS (
-         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
-         |    string_agg(tok, ' ' ORDER BY i) AS txt
-         |  FROM kept GROUP BY doc_id)
-         |SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
-         |  CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed,
-         |  md5(COALESCE(a.txt, '')) AS clean_fp
-         |FROM t LEFT JOIN a ON t.doc_id = a.doc_id ORDER BY t.doc_id""".stripMargin
-    })
+    "q204_suffix_array_dedup" ->
+      s"""WITH ${duckPlantCtes()},
+         |${duckSpanCut("corpus", "sa", DefaultMinSpan)}
+         |SELECT doc_id, n_tokens,
+         |  CAST(n_tokens - n_kept AS BIGINT) AS n_removed,
+         |  md5(txt) AS clean_fp
+         |FROM sares ORDER BY doc_id""".stripMargin)
 }

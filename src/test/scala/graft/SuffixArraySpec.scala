@@ -106,6 +106,30 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(out == Map(1L -> 0L, 2L -> 0L))
   }
 
+  test("v4 composition: a span duplicate passage dedup misses is cut by the suffix stage") {
+    import spark.implicits._
+    // doc 2 copies 56 of doc 1's tokens at OFFSET 1 (one fresh flank
+    // token ahead), so every 8-token passage of the copy is misaligned
+    // against doc 1's grid — q139's aligned-window dedup keeps both
+    // docs verbatim — while the ≥50-token duplicated span is exactly
+    // what the q214 suffix stage exists to cut (remove-all: both sides)
+    val span = (1 to 56).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"$span tail1 tail2 tail3 tail4 tail5 tail6 tail7 tail8",
+      2L -> s"flank $span end1 end2 end3 end4 end5 end6 end7")
+      .toDF("doc_id", "text")
+    val pd = graft.operators.Dedup.passageDedup(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val orig = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pd == orig, "passage dedup must MISS the misaligned span copy")
+    val sx = SuffixDedup.suffixCutText(docs)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(!sx(1L).contains("w1 ") && !sx(2L).contains("w1 "),
+      s"the suffix stage must cut the span from BOTH docs: $sx")
+    assert(sx(1L).contains("tail1") && sx(2L).contains("flank") &&
+      sx(2L).contains("end1"), s"flanks must survive the cut: $sx")
+  }
+
   test("q204 plant: donors and plants both lose the copied window") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val corpus = SuffixDedup.plantedSpanCorpus(docs)
