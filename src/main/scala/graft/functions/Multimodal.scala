@@ -409,48 +409,72 @@ object Multimodal {
   }
 
   /** The q207 caption text — what an upstream CAPTIONER would have
-    * emitted for the image it saw: "luma" + the image's 64 grid cells
-    * coarsened to 16 levels. STUB in the same sense as the frame
-    * sampler (a real pipeline runs a learned captioner/text tower
-    * behind this signature); the Spark-side plumbing — paired schema,
-    * both towers as narrow maps, the integer alignment gate — is real
-    * and is what q207 pins. The 16-level quantization keeps the correct
-    * pair's agreement HIGH but not exactly 1 (the aligned-but-lossy
-    * shape real paired towers produce). */
-  private[graft] def captionOf(bytes: Array[Byte]): String =
+    * emitted for the image it saw: the image's 64 (position, level)
+    * visual words ("p12_l7" = cell 12 at luma level 7 of 16),
+    * space-joined. STUB in the same sense as the frame sampler (a real
+    * pipeline runs a learned captioner behind this signature) — but
+    * since r18 it is ONLY the fixture generator: the gate's text tower
+    * ([[crossModalScores]]) is a generic hashed bag-of-words embedder
+    * that never parses this format, so any free-form caption embeds
+    * (the r17 verdict's de-circularization ask). Null for undecodable
+    * bytes (the family's F6 convention — the r17 ADVICE NPE). */
+  private[graft] def captionOf(bytes: Array[Byte]): String = {
+    val g = lumaGrid64(bytes)
+    if (g == null) null
     // grid cells live in [0, 255e6] (e3 luma × the e3 cell divide) —
     // 16 levels of that range
-    "luma " + lumaGrid64(bytes).map(_ / 16000000L).mkString(" ")
+    else g.zipWithIndex
+      .map { case (v, i) => s"p${i}_l${v / 16000000L}" }.mkString(" ")
+  }
 
   /** q207 — the CROSS-MODAL PAIRING GATE (the CLIP-style image↔text
     * alignment filter a caption corpus runs before training, LAION's
     * similarity threshold shape): per (image, caption) pair, embed both
-    * sides — image tower = the REAL decoded [[lumaGrid64]], text tower
-    * = the caption's parsed level vector — and keep the pair iff the
-    * CENTERED integer cosine clears the threshold. Centering (v′ =
-    * 64·v − Σv, integer-exact) matters: raw all-positive luma vectors
-    * correlate ~0.8 between UNRELATED images, so an uncentered cosine
-    * can't separate matched from swapped captions; centered, unrelated
-    * pairs drop toward 0 while true pairs stay ≈1 (MultimodalSpec
-    * measures both margins on the planted swap).
+    * sides into ONE shared 64-dim hashed-token space and keep the pair
+    * iff the CENTERED integer cosine clears the threshold.
     *
+    * The two towers are genuinely SEPARATE since r18 (the r17 verdict's
+    * de-circularization ask): the image tower derives 64 (position,
+    * level) visual words from the REAL decoded [[lumaGrid64]] (the
+    * classic visual-words representation); the text tower is a generic
+    * hashed bag-of-words embedder over the caption's whitespace tokens.
+    * Neither reads the other — both project token streams through the
+    * SAME portable-48-bit-hash → 64-bucket count kernel (the shared
+    * space a real CLIP pair shares via training), so ANY free-form
+    * caption embeds; one whose tokens never meet the image's visual
+    * words scores ≈ 0 and deterministically FAILS the gate (which also
+    * closes the r17 ADVICE malformed-caption NULL leak — an empty or
+    * alien caption is a rejection, never an undecided row).
+    *
+    * Centering (v′ = 64·v − Σv, integer-exact) matters: bucket counts
+    * are all-nonnegative with equal totals for fixed token counts, so
+    * raw cosines between unrelated pairs sit well above 0; centered,
+    * unrelated pairs drop toward 0 while true pairs stay ≈ 1
+    * (MultimodalSpec measures both margins on the planted swap).
     * Determinism: both towers are integer vectors; the single double
     * step (the final normalized cosine) sits behind a ≥ threshold
     * decision whose measured margins are orders of magnitude past
     * 1-ulp wobble — the q171 decisions-not-bits oracle discipline.
-    * Overflow: the raw grid lives in [0, 255e6] (e3 luma × the e3 cell
-    * divide), whose centered SQUARES would overflow Long — the gate
-    * first rescales to e3 (÷1000, still resolution-invariant), so
-    * centered entries ≤ 64·255000 < 2^25 and norms ≤ 64·2^50 < 2^56.
+    * Overflow: centered entries are ≤ 64·n for an n-token caption, so
+    * the norm fold overflows Long only past ~6M tokens in ONE caption —
+    * ANSI mode fails that loudly, never silently.
     *
-    * Scale shape: two narrow maps + one in-row fold per pair — no
-    * joins, no shuffles beyond the caller's sort; at 100 TB this is a
-    * pure scan-shaped filter, exactly what the published alignment
-    * filters run. */
+    * Scale shape: narrow maps + in-row folds per pair — no joins, no
+    * shuffles beyond the caller's sort; at 100 TB this is a pure
+    * scan-shaped filter, exactly what the published alignment filters
+    * run. */
   def crossModalGate(pairs: DataFrame, thresholdE6: Long = 500000L): DataFrame =
     crossModalScores(pairs)
       .selectExpr("pair_key", s"cos_e6 >= ${thresholdE6}L AS aligned")
       .orderBy("pair_key")
+
+  /** The shared hashed-token projection: token array column `toks` →
+    * 64 bucket counts. The bucket array is materialized FIRST (one md5
+    * per token); the count pass then compares integers only — never
+    * inline the hash inside the outer transform (the interpreted-HOF
+    * recompute trap). */
+  private def bow64(bkCol: String): String =
+    s"transform(sequence(0, 63), b -> cast(size(filter($bkCol, k -> k = b)) as bigint))"
 
   /** The gate's score surface — (pair_key, cos_e6) — exposed so
     * MultimodalSpec can measure the decision MARGINS (how far the
@@ -458,17 +482,25 @@ object Multimodal {
     * below), not just the booleans. */
   private[graft] def crossModalScores(pairs: DataFrame): DataFrame = {
     val img = udf(lumaGrid64 _)
+    val hash48 = graft.functions.Portable.sparkHash48("tk")
     pairs
       .withColumn("iv", img(col("data")))
       .where(col("iv").isNotNull)
-      .withColumn("iv", expr("transform(iv, x -> x div 1000L)"))
-      // text tower: parse the caption's levels back to a 64-dim vector
-      .withColumn("tv", expr(
-        "transform(slice(split(trim(caption), ' '), 2, 64), x -> cast(x as bigint))"))
+      // image tower: the grid's 64 (position, level) visual words …
+      .withColumn("itoks", expr(
+        "transform(sequence(0, 63), i -> concat('p', cast(i as string), '_l', " +
+          "cast(element_at(iv, cast(i + 1 as int)) div 16000000L as string)))"))
+      // … and the caption's whitespace tokens, through the SAME kernel
+      .withColumn("ttoks", expr(
+        "filter(split(trim(coalesce(caption, '')), '\\\\s+'), tk -> tk <> '')"))
+      .withColumn("ibk", expr(s"transform(itoks, tk -> $hash48 % 64)"))
+      .withColumn("tbk", expr(s"transform(ttoks, tk -> $hash48 % 64)"))
+      .withColumn("ie", expr(bow64("ibk")))
+      .withColumn("te", expr(bow64("tbk")))
       .withColumn("ic", expr(
-        "transform(iv, x -> 64 * x - aggregate(iv, 0L, (a, v) -> a + v))"))
+        "transform(ie, x -> 64 * x - aggregate(ie, 0L, (a, v) -> a + v))"))
       .withColumn("tc", expr(
-        "transform(tv, x -> 64 * x - aggregate(tv, 0L, (a, v) -> a + v))"))
+        "transform(te, x -> 64 * x - aggregate(te, 0L, (a, v) -> a + v))"))
       .withColumn("dot", expr(
         "aggregate(zip_with(ic, tc, (x, y) -> x * y), 0L, (a, v) -> a + v)"))
       .withColumn("ni", expr("aggregate(ic, 0L, (a, v) -> a + v * v)"))

@@ -220,4 +220,26 @@ class MultimodalSpec extends AnyFunSuite {
       .collect()
     assert(bad.isEmpty)
   }
+
+  test("text tower embeds free-form captions; alien/empty text fails deterministically") {
+    import spark.implicits._
+    // the de-circularized tower (r17 verdict Next #5): a caption that is
+    // NOT stub-formatted embeds without error through the generic
+    // hashed-BoW kernel, and one sharing no visual words with the image
+    // deterministically FAILS the gate (false, never NULL — the r17
+    // ADVICE malformed-caption leak)
+    val img = graft.functions.ImageOps.makeBlockJpeg(96, 72, 11)
+    val rows = Seq(
+      ("freeform", img, "a museum photograph of an amphora on display"),
+      ("empty", img, ""),
+      ("nullish", img, null.asInstanceOf[String]),
+      ("own", img, Multimodal.captionOf(img)))
+    val out = Multimodal.crossModalGate(rows.toDF("pair_key", "data", "caption"))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(out == Map("freeform" -> false, "empty" -> false,
+      "nullish" -> false, "own" -> true), s"gate decisions: $out")
+    // and the fixture generator itself follows the family's null
+    // convention on undecodable bytes (the r17 ADVICE NPE)
+    assert(Multimodal.captionOf(Array[Byte](9, 9, 9)) == null)
+  }
 }
