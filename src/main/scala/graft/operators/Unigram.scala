@@ -208,6 +208,166 @@ object Unigram {
     (hist.toSeq, converged)
   }
 
+  // ------------------------------------------------------------- soft EM
+
+  /** Per-word piece PROBABILITIES for the soft-EM lattice: map
+    * (pos·8 + l) → p as a DOUBLE, p = c/tot of the integer counts. The
+    * whole soft E-step is +/×/÷ on doubles in a FIXED evaluation order
+    * (no transcendentals), and IEEE elementary ops are bit-exact across
+    * engines — so unlike the q187 exp convention (1-ulp risk class),
+    * the lattice masses here are cross-engine IDENTICAL doubles and the
+    * single e6 rounding boundary can never flip. */
+  private def probMapOf(cands: DataFrame, counted: DataFrame): DataFrame = {
+    val tot = counted.agg(sum("c").as("tot"))
+    val probs = counted.crossJoin(broadcast(tot))
+      .selectExpr("s", "cast(c as double) / cast(tot as double) AS p")
+    cands.join(broadcast(probs), Seq("s"))
+      .groupBy("w")
+      .agg(map_from_entries(collect_list(
+        struct((col("pos") * 8 + col("l")).as("k"), col("p").as("v")))).as("m"))
+  }
+
+  private val Arms = WordPiece.MaxPieceLen
+
+  /** Forward lattice mass as an in-row fold: fwd[i+1] = α(i) =
+    * Σ_{l=1..min(6,i)} α(i−l)·p(start=i−l, len=l), α(0) = 1. The inner
+    * fold runs l ASCENDING from 0.0 — the twin's COALESCE arms add in
+    * the identical left-to-right order, so the double sums agree bit
+    * for bit (IEEE + fixed order, the scaladoc argument above). */
+  private def fwdSql: String =
+    s"""aggregate(sequence(1, length(w)), array(cast(1.0 as double)),
+       |  (acc, i) -> concat(acc, array(
+       |    aggregate(sequence(1, least($Arms, i)), cast(0.0 as double),
+       |      (a, l) -> a + coalesce(element_at(acc, cast(i - l + 1 as int)) *
+       |        element_at(m, cast((i - l) * 8 + l as bigint)), 0d)))),
+       |  acc -> acc)""".stripMargin
+
+  /** Backward mass, built END-first: bwd[z+1] = β(N−z) =
+    * Σ_{l} p(start=N−z, len=l)·β(N−z+l), β(N) = 1 — so β(i) =
+    * bwd[N−i+1]. Term order: p·β (the twin writes the same operand
+    * order; IEEE multiplication is exact either way, the ORDER of the
+    * ADDITIONS is what must match). */
+  private def bwdSql: String =
+    s"""aggregate(sequence(1, length(w)), array(cast(1.0 as double)),
+       |  (acc, z) -> concat(acc, array(
+       |    aggregate(sequence(1, least($Arms, z)), cast(0.0 as double),
+       |      (a, l) -> a + coalesce(element_at(m, cast((length(w) - z) * 8 + l as bigint)) *
+       |        element_at(acc, cast(z - l + 1 as int)), 0d)))),
+       |  acc -> acc)""".stripMargin
+
+  /** Soft-EM E-step (Kudo 2018's ACTUAL E-step — the lattice
+    * forward-backward the hard/Viterbi rounds q184/q206 approximate):
+    * per word TYPE, every edge (start p, length l)'s expected count
+    * E = ((α(p)·p_piece)·β(p+l)) / α(N), e6-rounded ONCE PER EDGE (the
+    * single documented rounding boundary — edges then sum as integers,
+    * associatively, so neither engine's aggregation order matters).
+    * Runs entirely IN-ROW per type: the edges explode from the score
+    * map's own keys (piece strings re-derived by substring), so the
+    * lattice arrays are built once per word and never duplicated
+    * through a join — the q176 kernel boundary. α(N) = 0 (deterministic
+    * double underflow, identical on both engines) fails LOUDLY on both
+    * sides rather than emitting NaN counts. Output: (w, s, ec). */
+  private[graft] def softEdges(probMap: DataFrame): DataFrame =
+    probMap
+      .selectExpr("w", "m", s"$fwdSql AS fwd", s"$bwdSql AS bwd")
+      .selectExpr("w",
+        s"""transform(
+           |  transform(map_keys(m), k -> named_struct(
+           |    'p', cast(k div 8 as int), 'l', cast(k % 8 as int), 'k', k)),
+           |  e -> named_struct(
+           |    's', substring(w, e.p + 1, e.l),
+           |    'ec', IF(element_at(fwd, length(w) + 1) <= 0d,
+           |      cast(raise_error(concat(
+           |        'unigram soft-em: lattice mass underflowed for word: ', w)) as bigint),
+           |      cast(round(1e6 * (((element_at(fwd, e.p + 1) * element_at(m, e.k)) *
+           |        element_at(bwd, length(w) - e.p - e.l + 1)) /
+           |        element_at(fwd, length(w) + 1))) as bigint)))) AS edges""".stripMargin)
+      .selectExpr("w", "explode(edges) AS e")
+      .selectExpr("w", "e.s AS s", "e.ec AS ec")
+
+  /** Soft M-step: c′(s) = max(1, Σ_types cnt·ec(type, s-edges)) — the
+    * e6-scaled integer expected counts (the common e6 factor cancels in
+    * [[scoresOf]]'s log-ratio). The 1-at-e6 floor (10⁻⁶ of one
+    * occurrence) keeps every inventory piece's log-prob finite, so the
+    * lattice stays total — soft-EM here re-estimates a FIXED inventory
+    * (Kudo's loss-ranked vocabulary pruning is a separate mechanism,
+    * deliberately not conflated with the E-step). */
+  private def softCounts(types: DataFrame, cands: DataFrame,
+      counted: DataFrame): DataFrame =
+    softEdges(probMapOf(cands, counted))
+      .join(types.select("w", "cnt"), Seq("w"))
+      .groupBy("s")
+      .agg(greatest(lit(1L), sum(expr("cnt * ec"))).as("c"))
+
+  /** The q213 round cap (both engines run this depth; the twin
+    * unrolled, the Spark loop early-exiting at the fixed point — the
+    * q206 identity argument verbatim). */
+  private[graft] val SoftEmCap = 2
+
+  /** q213 — the soft-EM loop to its integer fixed point under the cap:
+    * round r re-estimates e6 expected counts under the round-(r−1)
+    * model (round 1: the q173 seed counts). Same loop shape, detection
+    * and oracle argument as [[emHistory]]; only the E-step differs —
+    * expected counts over the WHOLE lattice instead of hard counts on
+    * the Viterbi path. */
+  private[graft] def softEmHistory(types: DataFrame,
+      cap: Int): (Seq[DataFrame], Boolean) = {
+    require(cap >= 1)
+    val cands = WordPiece.candidates(types).localCheckpoint()
+    var counts = softCounts(types, cands, WordPiece.vocabFrom(cands))
+      .localCheckpoint()
+    val hist = scala.collection.mutable.ArrayBuffer(counts)
+    var converged = false
+    while (!converged && hist.size < cap) {
+      val next = softCounts(types, cands, counts).localCheckpoint()
+      converged = next.except(counts).isEmpty && counts.except(next).isEmpty
+      if (!converged) { counts = next; hist += next }
+    }
+    (hist.toSeq, converged)
+  }
+
+  /** The q173 seed count frame (s, c) for `types` — exposed for
+    * UnigramSpec's seed-vs-refit marginal comparison. */
+  private[graft] def seedCountsOf(types: DataFrame): DataFrame =
+    WordPiece.vocabFrom(WordPiece.candidates(types))
+
+  /** One soft E+M step from an ARBITRARY count frame — UnigramSpec's
+    * the-E-step-improves-from-anywhere witness. */
+  private[graft] def softStepFrom(types: DataFrame,
+      counted: DataFrame): DataFrame =
+    softCounts(types, WordPiece.candidates(types).localCheckpoint(), counted)
+
+  /** Corpus MARGINAL log-likelihood (Σ type cnt × e6-rounded ln α(N))
+    * under the model refit from `counts` — the objective soft-EM
+    * optimizes (where [[corpusScoreE6]] reads the Viterbi path score,
+    * hard-EM's objective); UnigramSpec compares the two EM variants
+    * each on its own yardstick. Spec-only: never oracle-gated (the ln
+    * is the q187 1-ulp risk class). */
+  private[graft] def corpusMarginalE6(types: DataFrame,
+      counts: DataFrame): Long = {
+    val cands = WordPiece.candidates(types).localCheckpoint()
+    probMapOf(cands, counts)
+      .selectExpr("w", s"$fwdSql AS fwd")
+      .join(types.select("w", "cnt"), Seq("w"))
+      .selectExpr(
+        "cnt * cast(round(1e6 * ln(element_at(fwd, length(w) + 1))) as bigint) AS t")
+      .agg(sum("t")).head().getLong(0)
+  }
+
+  /** Memo of the q213 soft-EM fixed-point seg frame. */
+  private val softEmMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  Memos.register(() => softEmMemo.synchronized(softEmMemo.clear()))
+  private[operators] def softEmSegFor(s: SparkSession, dir: String): DataFrame =
+    softEmMemo.synchronized {
+      softEmMemo.getOrElseUpdate((s, dir), {
+        val types = WordPiece.wordTypes(Tables.documents(s, dir))
+        val (hist, _) = softEmHistory(types, SoftEmCap)
+        val cands = WordPiece.candidates(types).localCheckpoint()
+        viterbiCounts(cands, scoresOf(hist.last)).localCheckpoint()
+      })
+    }
+
   /** Corpus Viterbi score (Σ type cnt × path score_e6) under the model
     * refit from `counts` — the per-round likelihood UnigramSpec reads. */
   private[graft] def corpusScoreE6(types: DataFrame,
@@ -308,6 +468,12 @@ object Unigram {
     // twin's unrolled EM^cap by the identity argument at emHistory)
     "q206_unigram_em_converged" -> ((s, dir) =>
       unigramTokenCounts(Tables.documents(s, dir), emFixSegFor(s, dir))),
+    // SOFT-EM (lattice forward-backward — Kudo 2018's actual E-step,
+    // the one published tokenizer-training form q180/q206 documented as
+    // absent): q180's surface under the soft-refit model; the twin
+    // unrolls the capped loop with recursive forward/backward walks
+    "q213_unigram_soft_em" -> ((s, dir) =>
+      unigramTokenCounts(Tables.documents(s, dir), softEmSegFor(s, dir))),
     // the shipped-artifact Viterbi encoder — scan → packed-DP map →
     // sort, no seg join; q180's recursive-walk twin gates it verbatim
     // (the q188/q189 convention, closing the THIRD tokenizer family)
@@ -405,6 +571,79 @@ object Unigram {
        |  SELECT bt$sfx.piece AS s, CAST(SUM(v.cnt) AS BIGINT) AS c
        |  FROM bt$sfx JOIN v USING (w) WHERE bt$sfx.piece IS NOT NULL GROUP BY 1)""".stripMargin
 
+  /** One unrolled SOFT-EM round: per-edge probabilities pivoted twice
+    * (by END for the forward walk, by START for the backward), two
+    * recursive lattice walks carrying the last 6 masses as columns,
+    * the α(N) underflow guard (the matching error() arm of the Spark
+    * raise_error), per-edge e6 expected counts with the IDENTICAL
+    * parenthesization `1e6 · (((α·p)·β) / α(N))`, and the floored
+    * integer M-step. Addition arms run l ascending with COALESCE per
+    * term — the exact order of the Spark in-row fold, so the doubles
+    * agree bit for bit (no transcendentals anywhere in the E-step). */
+  private def duckSoftRound(vocabSrc: String, sfx: String): String =
+    s"""stot$sfx AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM $vocabSrc),
+       |sscp$sfx AS MATERIALIZED (
+       |  SELECT cand.w, cand.pos AS st, cand.l,
+       |    substr(cand.w, CAST(cand.pos + 1 AS INT), CAST(cand.l AS INT)) AS s,
+       |    CAST($vocabSrc.c AS DOUBLE) / CAST(stot$sfx.tot AS DOUBLE) AS p
+       |  FROM cand JOIN $vocabSrc ON substr(cand.w, CAST(cand.pos + 1 AS INT), CAST(cand.l AS INT)) = $vocabSrc.s
+       |  CROSS JOIN stot$sfx),
+       |spf$sfx AS MATERIALIZED (
+       |  SELECT w, st + l AS i,
+       |    MAX(CASE WHEN l = 1 THEN p END) AS s1, MAX(CASE WHEN l = 2 THEN p END) AS s2,
+       |    MAX(CASE WHEN l = 3 THEN p END) AS s3, MAX(CASE WHEN l = 4 THEN p END) AS s4,
+       |    MAX(CASE WHEN l = 5 THEN p END) AS s5, MAX(CASE WHEN l = 6 THEN p END) AS s6
+       |  FROM sscp$sfx GROUP BY w, st + l),
+       |spb$sfx AS MATERIALIZED (
+       |  SELECT w, st,
+       |    MAX(CASE WHEN l = 1 THEN p END) AS p1, MAX(CASE WHEN l = 2 THEN p END) AS p2,
+       |    MAX(CASE WHEN l = 3 THEN p END) AS p3, MAX(CASE WHEN l = 4 THEN p END) AS p4,
+       |    MAX(CASE WHEN l = 5 THEN p END) AS p5, MAX(CASE WHEN l = 6 THEN p END) AS p6
+       |  FROM sscp$sfx GROUP BY w, st),
+       |sfw$sfx AS (
+       |  SELECT w, CAST(0 AS BIGINT) AS i, CAST(1.0 AS DOUBLE) AS a0,
+       |    CAST(NULL AS DOUBLE) AS a1, CAST(NULL AS DOUBLE) AS a2, CAST(NULL AS DOUBLE) AS a3,
+       |    CAST(NULL AS DOUBLE) AS a4, CAST(NULL AS DOUBLE) AS a5
+       |  FROM v
+       |  UNION ALL
+       |  SELECT sfw$sfx.w, sfw$sfx.i + 1,
+       |    COALESCE(sfw$sfx.a0 * spf$sfx.s1, 0) + COALESCE(sfw$sfx.a1 * spf$sfx.s2, 0) +
+       |    COALESCE(sfw$sfx.a2 * spf$sfx.s3, 0) + COALESCE(sfw$sfx.a3 * spf$sfx.s4, 0) +
+       |    COALESCE(sfw$sfx.a4 * spf$sfx.s5, 0) + COALESCE(sfw$sfx.a5 * spf$sfx.s6, 0),
+       |    sfw$sfx.a0, sfw$sfx.a1, sfw$sfx.a2, sfw$sfx.a3, sfw$sfx.a4
+       |  FROM sfw$sfx
+       |  JOIN v ON v.w = sfw$sfx.w AND sfw$sfx.i < length(v.w)
+       |  LEFT JOIN spf$sfx ON spf$sfx.w = sfw$sfx.w AND spf$sfx.i = sfw$sfx.i + 1),
+       |sbw$sfx AS (
+       |  SELECT w, CAST(0 AS BIGINT) AS j, CAST(1.0 AS DOUBLE) AS b0,
+       |    CAST(NULL AS DOUBLE) AS b1, CAST(NULL AS DOUBLE) AS b2, CAST(NULL AS DOUBLE) AS b3,
+       |    CAST(NULL AS DOUBLE) AS b4, CAST(NULL AS DOUBLE) AS b5
+       |  FROM v
+       |  UNION ALL
+       |  SELECT sbw$sfx.w, sbw$sfx.j + 1,
+       |    COALESCE(spb$sfx.p1 * sbw$sfx.b0, 0) + COALESCE(spb$sfx.p2 * sbw$sfx.b1, 0) +
+       |    COALESCE(spb$sfx.p3 * sbw$sfx.b2, 0) + COALESCE(spb$sfx.p4 * sbw$sfx.b3, 0) +
+       |    COALESCE(spb$sfx.p5 * sbw$sfx.b4, 0) + COALESCE(spb$sfx.p6 * sbw$sfx.b5, 0),
+       |    sbw$sfx.b0, sbw$sfx.b1, sbw$sfx.b2, sbw$sfx.b3, sbw$sfx.b4
+       |  FROM sbw$sfx
+       |  JOIN v ON v.w = sbw$sfx.w AND sbw$sfx.j < length(v.w)
+       |  LEFT JOIN spb$sfx ON spb$sfx.w = sbw$sfx.w AND spb$sfx.st = length(v.w) - sbw$sfx.j - 1),
+       |san$sfx AS (
+       |  SELECT w, CASE WHEN a0 <= 0
+       |    THEN CAST(error('unigram soft-em: lattice mass underflowed for word: ' || w) AS DOUBLE)
+       |    ELSE a0 END AS a
+       |  FROM sfw$sfx WHERE i = length(w)),
+       |sec$sfx AS MATERIALIZED (
+       |  SELECT e.w, e.s,
+       |    CAST(round(1e6 * (((f.a0 * e.p) * b.b0) / an.a)) AS BIGINT) AS ec
+       |  FROM sscp$sfx e
+       |  JOIN sfw$sfx f ON f.w = e.w AND f.i = e.st
+       |  JOIN sbw$sfx b ON b.w = e.w AND b.j = length(e.w) - e.st - e.l
+       |  JOIN san$sfx an ON an.w = e.w),
+       |sused$sfx AS MATERIALIZED (
+       |  SELECT sec$sfx.s, greatest(1, CAST(SUM(v.cnt * sec$sfx.ec) AS BIGINT)) AS c
+       |  FROM sec$sfx JOIN v USING (w) GROUP BY sec$sfx.s)""".stripMargin
+
   private def duckPerDocTail(seg: String): String =
     s"""tok AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents)
@@ -451,6 +690,26 @@ object Unigram {
          |${duckViterbiCtes()},
          |$emChain,
          |${duckPerDocTail(s"useg${EmCap + 1}")}""".stripMargin
+    },
+
+    // soft-EM unrolled to the cap: each round = probabilities off the
+    // previous counts (round 1: the seed vocab), two recursive lattice
+    // walks, per-edge e6 expected counts, floored M-step; the tail
+    // decodes under the FINAL counts — the q206 fixed-depth ≡
+    // fixed-point argument carries over verbatim (the round map is
+    // deterministic: bit-exact doubles → e6 integers → counts)
+    "q213_unigram_soft_em" -> {
+      val chain = (1 to SoftEmCap).map { r =>
+        val vocabSrc = if (r == 1) "vocab" else s"sused_s${r - 1}"
+        duckSoftRound(vocabSrc, s"_s$r")
+      }.mkString(",\n")
+      s"""WITH RECURSIVE ${WordPiece.duckVDef},
+         |${WordPiece.duckSeedCtes},
+         |$chain,
+         |${duckViterbiCtes(tot = "tots", sc = "scs", piv = "pivs",
+            walk = "uwalks", seg = "usegs",
+            vocabSrc = s"sused_s$SoftEmCap")},
+         |${duckPerDocTail("usegs")}""".stripMargin
     },
 
     // q194 must equal q180 value-for-value — the shipped (piece, score)
