@@ -168,9 +168,63 @@ object CurationPipeline {
       })
     }
 
+  /** q214 — v3 EXTENDED with the suffix-array span cut (q204's rewrite
+    * form) inserted between passage dedup and the quality gate, over
+    * the PLANTED long-span corpus (the q204 plant, WITH a source column
+    * so the cap stage sees the plants as one fresh domain). The
+    * interaction this pins: the plants' 55-token copies are MISALIGNED
+    * against their donors' 8-token passage grid (the plant re-houses
+    * the window at offset 2 behind a fresh flank token), so passage
+    * dedup passes them UNTOUCHED and only the suffix stage cuts them —
+    * which then changes n_chars, quality verdicts, the cap ranking and
+    * the packing of every affected doc (SuffixArraySpec's composition
+    * test shows the miss/cut pair directly). Each stage stays the
+    * exact rule its standalone gate proves; the twin replays the
+    * window-hash span-cut route ([[SuffixDedup.duckSpanCut]], the q204
+    * equivalence) spliced between the same CTEs. */
+  def curateV4(s: SparkSession, dir: String): DataFrame =
+    curateTail(s, dir, v4QualityFor(s, dir), gopherGates = true)
+
+  /** Memo of the v4 quality-survivor frame over the planted corpus:
+    * exact dedup → passage rewrite → SUFFIX-ARRAY span cut → semantic
+    * drop → quality gate (the [[qualityFor]] convention, one stage
+    * richer). */
+  private val v4QualityMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  Memos.register(() => v4QualityMemo.synchronized(v4QualityMemo.clear()))
+  private def v4QualityFor(s: SparkSession, dir: String): DataFrame =
+    v4QualityMemo.synchronized {
+      v4QualityMemo.getOrElseUpdate((s, dir), {
+        val corpus = SuffixDedup.plantedSpanCorpus(
+          Tables.documents(s, dir), withSource = true)
+        val d1 = Relational.keepFirst(
+          corpus.withColumn("fp", md5(col("text"))),
+          Seq("fp"), Seq(col("doc_id"))).drop("fp")
+        val rw = Dedup.passageDedup(d1.select("doc_id", "text"))
+          .join(d1.select("doc_id", "source"), "doc_id")
+          .selectExpr("doc_id", "text_kept AS text", "source")
+        // the round's flagship stage: every remaining ≥50-token
+        // duplicated span cut from ALL its occurrences (earlyExit off —
+        // the plants guarantee shared prefixes survive every round)
+        val sx = SuffixDedup.suffixCutText(rw.select("doc_id", "text"),
+            earlyExit = false)
+          .join(rw.select("doc_id", "source"), "doc_id")
+          .selectExpr("doc_id", "text_kept AS text", "source",
+            "cast(length(text_kept) as bigint) AS n_chars")
+        val semDrop = Similarity.semanticKeepFor(s, dir)
+          .where("NOT keep").selectExpr("vec_id AS doc_id")
+        val d3 = sx.join(semDrop, Seq("doc_id"), "left_anti")
+        org.apache.spark.sql.graft.PlanBridge.localCheckpointFreshStats(
+          qualityGate(d3))
+      })
+    }
+
   private def curateV2plus(s: SparkSession, dir: String,
-                           gopherGates: Boolean): DataFrame = {
-    val quality = qualityFor(s, dir)
+                           gopherGates: Boolean): DataFrame =
+    curateTail(s, dir, qualityFor(s, dir), gopherGates)
+
+  private def curateTail(s: SparkSession, dir: String, quality: DataFrame,
+                         gopherGates: Boolean): DataFrame = {
     val clean0 = quality.join(
       Curation.decontaminate(quality.select("doc_id", "text"))
         .where("NOT contaminated").select("doc_id"),
@@ -251,6 +305,11 @@ object CurationPipeline {
       curate(Tables.documents(s, dir))),
     "q165_curation_v2" -> ((s, dir) => curateV2(s, dir)),
     "q183_curation_v3" -> ((s, dir) => curateV3(s, dir)),
+    // v3 + the suffix-array span cut composed between passage dedup and
+    // quality, over the planted long-span corpus — the r17 verdict's
+    // Next #6 (the flagship operator proven IN pipeline, as q183 proved
+    // the Gopher gates)
+    "q214_curation_v4" -> ((s, dir) => curateV4(s, dir)),
     // the streamed fold's tokenize+packing tail over the same corpus —
     // the oracle is the batch chain verbatim, so the hash gate itself
     // proves stream ≡ batch for the new tail
@@ -364,26 +423,50 @@ object CurationPipeline {
     // as nested-WITH CTEs over the rewritten-quality survivor set `q` —
     // the standalone q168/q176 generators are reused verbatim (src = q),
     // so a hash mismatch localizes to the composition seam
-    "q183_curation_v3" -> v2SqlWith(
-      s"""gl AS (WITH ${TextAnalysis.dupLinesSql(src = "q")}),
-         |gn AS (WITH ${TextAnalysis.gopherNgramsSql(src = "q")}),
-         |gok AS (
-         |  SELECT gl.doc_id FROM gl JOIN gn ON gl.doc_id = gn.doc_id
-         |  WHERE gl.passes AND gn.passes),
-         |""".stripMargin,
-      """
-        |    AND doc_id IN (SELECT doc_id FROM gok)""".stripMargin))
+    "q183_curation_v3" -> v2SqlWith(v3GateCtes, v3CleanGate),
 
-  /** The q165 oracle chain with two seams: extra CTEs after the quality
-    * stage (`q`), and an extra predicate on `clean` — "" + "" is exactly
-    * the v2 twin, the gate pair is v3. */
-  private def v2SqlWith(gateCtes: String, cleanGate: String): String = {
+    // q214: the v3 chain over the PLANTED corpus with the suffix-array
+    // span cut spliced between the passage rewrite and d2 — the shared
+    // q204 window-route fragment (SuffixDedup.duckSpanCut over `rw`),
+    // so a hash mismatch localizes to the composition seam, and the
+    // match re-checks the SA↔window equivalence INSIDE the pipeline
+    "q214_curation_v4" -> v2SqlWith(v3GateCtes, v3CleanGate,
+      corpusCtes = SuffixDedup.duckPlantCtes(withSource = true) + ",\n",
+      docSrc = "corpus",
+      sfxCtes = SuffixDedup.duckSpanCut("rw", "sx",
+          SuffixDedup.DefaultMinSpan) +
+        ",\nrw4 AS (SELECT doc_id, txt AS text FROM sxres),\n",
+      rwSrc = "rw4"))
+
+  private val v3GateCtes: String =
+    s"""gl AS (WITH ${TextAnalysis.dupLinesSql(src = "q")}),
+       |gn AS (WITH ${TextAnalysis.gopherNgramsSql(src = "q")}),
+       |gok AS (
+       |  SELECT gl.doc_id FROM gl JOIN gn ON gl.doc_id = gn.doc_id
+       |  WHERE gl.passes AND gn.passes),
+       |""".stripMargin
+
+  private val v3CleanGate: String =
+    """
+      |    AND doc_id IN (SELECT doc_id FROM gok)""".stripMargin
+
+  /** The q165 oracle chain with four seams: extra CTEs after the
+    * quality stage (`q`) + an extra predicate on `clean` ("" + "" is
+    * exactly the v2 twin, the gate pair is v3), plus — for v4 — a
+    * corpus prelude (`corpusCtes` + `docSrc`: the planted corpus
+    * replaces `documents` as d1's source) and a post-rewrite stage
+    * (`sfxCtes` + `rwSrc`: the suffix span cut between the passage
+    * rewrite and d2). One template serves all three, so a composition
+    * change can never fork the shared fragments. */
+  private def v2SqlWith(gateCtes: String, cleanGate: String,
+      corpusCtes: String = "", docSrc: String = "documents",
+      sfxCtes: String = "", rwSrc: String = "rw"): String = {
       val duckCos =
         """list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) /
           |  (sqrt(list_sum(list_transform(a.v, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x))))""".stripMargin
       Bpe.duckSqlWith(
         s""",
-           |${Similarity.duckIvfCandsCtes()},
+           |$corpusCtes${Similarity.duckIvfCandsCtes()},
            |seg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sym FROM it${Bpe.DefaultMerges} GROUP BY w),
            |sem_drop AS (
            |  SELECT DISTINCT y.vec_id AS doc_id
@@ -395,7 +478,7 @@ object CurationPipeline {
            |  SELECT doc_id, text, source FROM (
            |    SELECT doc_id, text, source,
            |      ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
-           |    FROM documents) WHERE rn = 1),
+           |    FROM $docSrc) WHERE rn = 1),
            |pt AS (
            |  SELECT doc_id, unnest(range(CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS pidx, toks
            |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM d1)
@@ -409,10 +492,10 @@ object CurationPipeline {
            |  SELECT doc_id, array_to_string(list(ptext ORDER BY pidx), ' ') AS text
            |  FROM (SELECT packed // 65536 AS doc_id, packed % 65536 AS pidx, ptext FROM pk)
            |  GROUP BY doc_id),
-           |d2 AS (
-           |  SELECT rw.doc_id, rw.text, d1.source,
-           |    CAST(length(rw.text) AS BIGINT) AS n_chars
-           |  FROM rw JOIN d1 ON d1.doc_id = rw.doc_id),
+           |$sfxCtes d2 AS (
+           |  SELECT $rwSrc.doc_id, $rwSrc.text, d1.source,
+           |    CAST(length($rwSrc.text) AS BIGINT) AS n_chars
+           |  FROM $rwSrc JOIN d1 ON d1.doc_id = $rwSrc.doc_id),
            |d3 AS (SELECT * FROM d2 WHERE doc_id NOT IN (SELECT doc_id FROM sem_drop)),
            |tq AS (
            |  SELECT doc_id, text, source, n_chars,
