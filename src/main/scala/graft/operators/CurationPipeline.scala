@@ -223,19 +223,92 @@ object CurationPipeline {
                            gopherGates: Boolean): DataFrame =
     curateTail(s, dir, qualityFor(s, dir), gopherGates)
 
+  /** q215 — the curation FUNNEL: per-stage survivor counts and
+    * whitespace-token mass through the whole v3 chain (raw → exact
+    * dedup → passage rewrite → semantic drop → quality → decontam →
+    * Gopher gates → source cap) — the attrition table a curation team
+    * publishes with every corpus release (what each gate cost, where
+    * the mass went; the audit artifact beside q167's data card). Every
+    * stage frame is built from the SAME component calls the pipeline
+    * queries use (the shared quality memo, the memoized passage pass,
+    * the identical gate rules), so the funnel can never drift from
+    * what q183 actually executes; the twin is the same seamed template
+    * with a counting tail over its own stage CTEs, so the hash match
+    * pins each stage's row set, not just the final survivors.
+    *
+    * Scale shape: eight one-row aggregates over frames the pipeline
+    * already builds — each a scan + the stage's own audited plan; no
+    * new shuffle classes, output is 8 rows. */
+  def curationFunnel(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val d1 = Relational.keepFirst(
+      docs.select(col("doc_id"), col("text"), col("source"))
+        .withColumn("fp", md5(col("text"))),
+      Seq("fp"), Seq(col("doc_id"))).drop("fp")
+    val rw = Dedup.passageDedupMemo(s, dir)
+      .join(d1.select("doc_id", "source"), "doc_id")
+      .selectExpr("doc_id", "text_kept AS text", "source")
+    val semDrop = Similarity.semanticKeepFor(s, dir)
+      .where("NOT keep").selectExpr("vec_id AS doc_id")
+    val d3 = rw.join(semDrop, Seq("doc_id"), "left_anti")
+    val quality = qualityFor(s, dir)
+    val (dIds, gIds) = cleanIdsFor(s, quality)
+    val cleanD = quality.join(dIds, Seq("doc_id"), "left_semi")
+    val clean = quality.join(gIds, Seq("doc_id"), "left_semi")
+    val kept = clean.join(Curation.sourceCap(clean).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    def stage(ix: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          sum(expr(s"size($sparkToks)")).cast("long").as("n_tokens"))
+        .selectExpr(s"${ix}L AS stage_ix", s"'$name' AS stage",
+          "n_docs", "n_tokens")
+    Seq(stage(0, "raw", docs), stage(1, "exact_dedup", d1),
+      stage(2, "passage_rewrite", rw), stage(3, "semantic_drop", d3),
+      stage(4, "quality", quality), stage(5, "decontam", cleanD),
+      stage(6, "gopher", clean), stage(7, "source_cap", kept))
+      .reduce(_.unionByName(_)).orderBy("stage_ix")
+  }
+
+  /** Per-(session, quality-frame) memo of the decontam and
+    * decontam+Gopher survivor DOC-ID sets (narrow, localCheckpointed):
+    * the `clean` subtree (decontam legs + the two interpreted-HOF
+    * repetition gates) appears several times in each pipeline's final
+    * plan (the surv semi-join's left side, inside sourceCap, and the
+    * packing consumer), and un-memoized it re-evaluated once per
+    * consumer per rep — q183's bench cost was ~4× the gates' standalone
+    * price for exactly this reason (measured: 5.8 → ~1.5 s once the id
+    * sets materialize once). Keyed by the quality frame's CANONICALIZED
+    * plan so v3 (shared qualityFor) and v4 (the planted-corpus variant)
+    * memo separately; Memos-cold re-pays, rows are identical by
+    * construction (semi-joins on the same id sets). */
+  private val cleanIdsMemo = scala.collection.mutable.Map.empty[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+    (DataFrame, DataFrame)]
+  Memos.register(() => cleanIdsMemo.synchronized(cleanIdsMemo.clear()))
+  private def cleanIdsFor(s: SparkSession,
+      quality: DataFrame): (DataFrame, DataFrame) =
+    cleanIdsMemo.synchronized {
+      cleanIdsMemo.getOrElseUpdate(
+        (s, quality.queryExecution.analyzed.canonicalized), {
+          val dIds = quality.join(
+            Curation.decontaminate(quality.select("doc_id", "text"))
+              .where("NOT contaminated").select("doc_id"),
+            Seq("doc_id"), "left_semi").select("doc_id").localCheckpoint()
+          val gIds = quality.join(dIds, Seq("doc_id"), "left_semi")
+            .join(TextAnalysis.dupLines(quality.select("doc_id", "text"))
+              .where("passes").select("doc_id"), Seq("doc_id"), "left_semi")
+            .join(TextAnalysis.gopherNgrams(quality.select("doc_id", "text"))
+              .where("passes").select("doc_id"), Seq("doc_id"), "left_semi")
+            .select("doc_id").localCheckpoint()
+          (dIds, gIds)
+        })
+    }
+
   private def curateTail(s: SparkSession, dir: String, quality: DataFrame,
                          gopherGates: Boolean): DataFrame = {
-    val clean0 = quality.join(
-      Curation.decontaminate(quality.select("doc_id", "text"))
-        .where("NOT contaminated").select("doc_id"),
+    val (dIds, gIds) = cleanIdsFor(s, quality)
+    val clean = quality.join(if (gopherGates) gIds else dIds,
       Seq("doc_id"), "left_semi")
-    val clean =
-      if (!gopherGates) clean0
-      else clean0
-        .join(TextAnalysis.dupLines(quality.select("doc_id", "text"))
-          .where("passes").select("doc_id"), Seq("doc_id"), "left_semi")
-        .join(TextAnalysis.gopherNgrams(quality.select("doc_id", "text"))
-          .where("passes").select("doc_id"), Seq("doc_id"), "left_semi")
     val surv = clean.join(Curation.sourceCap(clean).select("doc_id"),
       Seq("doc_id"), "left_semi")
     Packing.packSequencesBy(
@@ -310,6 +383,10 @@ object CurationPipeline {
     // Next #6 (the flagship operator proven IN pipeline, as q183 proved
     // the Gopher gates)
     "q214_curation_v4" -> ((s, dir) => curateV4(s, dir)),
+    // the per-stage attrition table through the v3 chain — each stage
+    // frame from the identical component calls, the twin the same
+    // seamed template with a counting tail over its own stage CTEs
+    "q215_curation_funnel" -> ((s, dir) => curationFunnel(s, dir)),
     // the streamed fold's tokenize+packing tail over the same corpus —
     // the oracle is the batch chain verbatim, so the hash gate itself
     // proves stream ≡ batch for the new tail
@@ -436,7 +513,36 @@ object CurationPipeline {
       sfxCtes = SuffixDedup.duckSpanCut("rw", "sx",
           SuffixDedup.DefaultMinSpan) +
         ",\nrw4 AS (SELECT doc_id, txt AS text FROM sxres),\n",
-      rwSrc = "rw4"))
+      rwSrc = "rw4"),
+
+    // q215: the v3 template with a COUNTING tail over its own stage
+    // CTEs — stage names/indices must mirror curationFunnel exactly
+    "q215_curation_funnel" -> v2SqlWith(v3GateCtes, v3CleanGate,
+      tail = funnelTail))
+
+  private val funnelTail: String = {
+    val wtoks = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    s""",
+       |ft AS (
+       |  SELECT CAST(0 AS BIGINT) AS stage_ix, 'raw' AS stage,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM($wtoks) AS BIGINT) AS n_tokens
+       |  FROM documents
+       |  UNION ALL SELECT CAST(1 AS BIGINT), 'exact_dedup',
+       |    CAST(COUNT(*) AS BIGINT), CAST(SUM($wtoks) AS BIGINT) FROM d1
+       |  UNION ALL SELECT CAST(2 AS BIGINT), 'passage_rewrite',
+       |    CAST(COUNT(*) AS BIGINT), CAST(SUM($wtoks) AS BIGINT) FROM d2
+       |  UNION ALL SELECT CAST(3 AS BIGINT), 'semantic_drop',
+       |    CAST(COUNT(*) AS BIGINT), CAST(SUM($wtoks) AS BIGINT) FROM d3
+       |  UNION ALL SELECT CAST(4 AS BIGINT), 'quality',
+       |    CAST(COUNT(*) AS BIGINT), CAST(SUM(len(toks)) AS BIGINT) FROM q
+       |  UNION ALL SELECT CAST(5 AS BIGINT), 'decontam',
+       |    CAST(COUNT(*) AS BIGINT), CAST(SUM(len(toks)) AS BIGINT) FROM cleand
+       |  UNION ALL SELECT CAST(6 AS BIGINT), 'gopher',
+       |    CAST(COUNT(*) AS BIGINT), CAST(SUM(len(toks)) AS BIGINT) FROM clean
+       |  UNION ALL SELECT CAST(7 AS BIGINT), 'source_cap',
+       |    CAST(COUNT(*) AS BIGINT), CAST(SUM(len(toks)) AS BIGINT) FROM kept)
+       |SELECT stage_ix, stage, n_docs, n_tokens FROM ft ORDER BY stage_ix""".stripMargin
+  }
 
   private val v3GateCtes: String =
     s"""gl AS (WITH ${TextAnalysis.dupLinesSql(src = "q")}),
@@ -460,7 +566,8 @@ object CurationPipeline {
     * change can never fork the shared fragments. */
   private def v2SqlWith(gateCtes: String, cleanGate: String,
       corpusCtes: String = "", docSrc: String = "documents",
-      sfxCtes: String = "", rwSrc: String = "rw"): String = {
+      sfxCtes: String = "", rwSrc: String = "rw",
+      tail: String = packingTail): String = {
       val duckCos =
         """list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) /
           |  (sqrt(list_sum(list_transform(a.v, x -> x*x))) * sqrt(list_sum(list_transform(b.v, x -> x*x))))""".stripMargin
@@ -519,35 +626,43 @@ object CurationPipeline {
            |  SELECT DISTINCT t2.doc_id
            |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh6 WHERE doc_id % 97 != 3) t2
            |  JOIN eval_sh e ON t2.shingle = e.shingle),
-           |clean AS (
+           |cleand AS (
            |  SELECT * FROM q WHERE doc_id % 97 != 3
-           |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)$cleanGate),
+           |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+           |clean AS (
+           |  SELECT * FROM cleand WHERE 1 = 1$cleanGate),
            |kept AS (
            |  SELECT doc_id, toks FROM (
            |    SELECT doc_id, toks,
            |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rk
-           |    FROM clean) WHERE rk <= 15),
-           |ktok AS (SELECT doc_id, unnest(toks) AS w FROM kept),
-           |ktc AS (
-           |  SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_toks
-           |  FROM ktok JOIN seg USING (w) WHERE w <> '' GROUP BY doc_id),
-           |ct AS (SELECT doc_id, doc_id % 8 AS shard, n_toks FROM ktc),
-           |cw AS (
-           |  SELECT doc_id, shard, n_toks,
-           |    CAST(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
-           |  FROM ct),
-           |cs AS (SELECT *, cum - n_toks AS strt FROM cw WHERE n_toks > 0),
-           |ce AS (
-           |  SELECT shard, doc_id, strt, cum,
-           |    unnest(range(strt // 2048, (cum - 1) // 2048 + 1)) AS seq_id
-           |  FROM cs),
-           |csegs AS (
-           |  SELECT shard, seq_id, doc_id,
-           |    CAST(least(cum, (seq_id + 1) * 2048) - greatest(strt, seq_id * 2048) AS BIGINT) AS seg_tokens
-           |  FROM ce)
-           |SELECT shard, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-           |  CAST(SUM(seg_tokens) AS BIGINT) AS n_tokens,
-           |  CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs
-           |FROM csegs GROUP BY shard ORDER BY shard""".stripMargin)
+           |    FROM clean) WHERE rk <= 15)
+           |$tail""".stripMargin)
   }
+
+  /** The template's default tail — the q157 trained-token packing
+    * summary (the v2/v3/v4 output surface). */
+  private val packingTail: String =
+    """,
+      |ktok AS (SELECT doc_id, unnest(toks) AS w FROM kept),
+      |ktc AS (
+      |  SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_toks
+      |  FROM ktok JOIN seg USING (w) WHERE w <> '' GROUP BY doc_id),
+      |ct AS (SELECT doc_id, doc_id % 8 AS shard, n_toks FROM ktc),
+      |cw AS (
+      |  SELECT doc_id, shard, n_toks,
+      |    CAST(SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum
+      |  FROM ct),
+      |cs AS (SELECT *, cum - n_toks AS strt FROM cw WHERE n_toks > 0),
+      |ce AS (
+      |  SELECT shard, doc_id, strt, cum,
+      |    unnest(range(strt // 2048, (cum - 1) // 2048 + 1)) AS seq_id
+      |  FROM cs),
+      |csegs AS (
+      |  SELECT shard, seq_id, doc_id,
+      |    CAST(least(cum, (seq_id + 1) * 2048) - greatest(strt, seq_id * 2048) AS BIGINT) AS seg_tokens
+      |  FROM ce)
+      |SELECT shard, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |  CAST(SUM(seg_tokens) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs
+      |FROM csegs GROUP BY shard ORDER BY shard""".stripMargin
 }
