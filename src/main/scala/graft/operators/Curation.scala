@@ -388,6 +388,34 @@ object Curation {
       .selectExpr("doc_id", "coalesce(contaminated, false) AS contaminated")
   }
 
+  /** SURGICAL benchmark decontamination (q216): where [[decontaminate]]
+    * DROPS a contaminated document whole, this CUTS only the
+    * contaminated spans — every position whose `gram`-token window
+    * appears in the eval shingle set marks [pos, pos+gram), overlapping
+    * marks merge per doc, and ALL matches are removed (the
+    * remove-overlapping-sequences discipline reported for large
+    * pretraining runs, e.g. PaLM's n-gram benchmark scrub — the doc's
+    * clean remainder stays trainable instead of being sacrificed).
+    * Output is the q152/q204 cut surface: (doc_id, n_tokens, n_removed,
+    * clean_fp) for every input doc. The eval set rides the
+    * bounded-broadcast contract; the probe is one scan → explode →
+    * broadcast semi-join → the shared merge/rebuild — the corpus never
+    * shuffles on anything wider than doc_id. */
+  def decontamScrub(docs: DataFrame, evalShingles: DataFrame,
+      gram: Int = 6, maxEvalRows: Long = BoundedEvalRows): DataFrame = {
+    val t = docs.selectExpr("doc_id", s"$sparkToks AS toks")
+    val spans = t
+      .where(s"size(toks) >= $gram")
+      .selectExpr("doc_id", "toks",
+        s"explode(sequence(1, size(toks) - ${gram - 1})) AS pos")
+      .selectExpr("doc_id", "pos",
+        s"concat_ws(' ', slice(toks, cast(pos as int), $gram)) AS shingle")
+      .join(boundedBroadcast("decontamScrub", evalShingles, maxEvalRows),
+        Seq("shingle"), "left_semi")
+      .selectExpr("doc_id", "pos AS s", s"pos + $gram AS e")
+    Dedup.cutSpans(t, spans)
+  }
+
   def decontaminate(docs: DataFrame, gram: Int = 6, evalMod: Long = 97,
       maxEvalRows: Long = BoundedEvalRows): DataFrame = {
     val sh = gramSets(docs, gram)
@@ -1297,6 +1325,27 @@ object Curation {
       decontaminate(corpus).orderBy("doc_id")
     }),
 
+    // surgical decontamination: the q62 carve's shingles CUT from the
+    // training docs span-by-span (remove-all + merge, the shared q204
+    // cut surface) instead of dropping whole documents. The raw carves
+    // share no natural 6-grams, so the corpus plants partial-overlap
+    // specimens (the q192/q204 convention): each long-enough EVAL doc
+    // donates a 55-token interior window re-housed between fresh flank
+    // tokens as a TRAIN doc — the scrub must cut exactly the copied
+    // interior and keep the flanks
+    "q216_decontam_scrub" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "text")
+      val off = d.agg(max("doc_id")).first.getLong(0) + 1
+      val plants = d.selectExpr("doc_id", s"$sparkToks AS toks")
+        .where("doc_id % 97 = 3 AND size(toks) >= 62")
+        .selectExpr(s"doc_id + ${off}L AS doc_id",
+          "concat('cs', cast(doc_id as string), ' ', " +
+            "array_join(slice(toks, 2, 55), ' '), " +
+            "' ce', cast(doc_id as string)) AS text")
+      decontamScrub(d.where("doc_id % 97 != 3").unionByName(plants),
+        evalShingleSet(d.where("doc_id % 97 = 3")))
+    }),
+
     // Same planted-leakage construction as q62, but exact-hash
     // decontamination through the Bloom prefilter: the kept set must be
     // byte-identical to the plain anti-join (the oracle IS the plain
@@ -1813,6 +1862,41 @@ object Curation {
         |SELECT t.doc_id, (c.doc_id IS NOT NULL) AS contaminated
         |FROM train t LEFT JOIN contaminated c ON t.doc_id = c.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    // eval-shingle position matches feed the SHARED merge/remove-all/
+    // rebuild tail (SuffixDedup.duckSpanCutTail — one cut fragment for
+    // q204/q214/q216, no fork)
+    "q216_decontam_scrub" ->
+      s"""WITH eval_sh AS (
+         |  SELECT DISTINCT unnest(list_transform(range(1, greatest(1, len(toks) - 4)),
+         |    i -> array_to_string(toks[i:i+5], ' '))) AS shingle
+         |  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+         |        FROM documents WHERE doc_id % 97 = 3)),
+         |mx AS (SELECT MAX(doc_id) + 1 AS off FROM documents),
+         |pl AS (
+         |  SELECT did + mx.off AS doc_id,
+         |    'cs' || CAST(did AS VARCHAR) || ' ' ||
+         |    array_to_string(toks[2:56], ' ') ||
+         |    ' ce' || CAST(did AS VARCHAR) AS text
+         |  FROM (SELECT doc_id AS did, regexp_split_to_array(trim(text), '\\s+') AS toks
+         |        FROM documents) CROSS JOIN mx
+         |  WHERE did % 97 = 3 AND len(toks) >= 62),
+         |tr AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 97 != 3
+         |  UNION ALL SELECT doc_id, text FROM pl),
+         |sct AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM tr),
+         |scsp AS (
+         |  SELECT w.doc_id, w.i AS s, w.i + 6 AS e FROM (
+         |    SELECT doc_id, i, array_to_string(toks[i:i+5], ' ') AS sh
+         |    FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 4)) AS i
+         |          FROM sct WHERE len(toks) >= 6)) w
+         |  JOIN eval_sh e ON w.sh = e.shingle),
+         |${graft.operators.SuffixDedup.duckSpanCutTail("sc")}
+         |SELECT doc_id, n_tokens,
+         |  CAST(n_tokens - n_kept AS BIGINT) AS n_removed,
+         |  md5(txt) AS clean_fp
+         |FROM scres ORDER BY doc_id""".stripMargin,
 
     "q93_bloom_decontam" ->
       s"""WITH ev AS (

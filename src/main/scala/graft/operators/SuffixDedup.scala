@@ -401,7 +401,14 @@ object SuffixDedup {
        |  SELECT doc_id, i AS s, i + $k AS e FROM (
        |    SELECT doc_id, i, COUNT(*) OVER (PARTITION BY h) AS cnt FROM ${p}w)
        |  WHERE cnt > 1),
-       |${p}m AS (
+       |${duckSpanCutTail(p)}""".stripMargin
+
+  /** The merge + remove-all + rebuild tail given `${p}t` (doc_id, toks)
+    * and `${p}sp` (doc_id, s, e) — the span SOURCE is the caller's
+    * (duplicated windows for q204/q214, eval-shingle matches for the
+    * q216 scrub), the cut semantics are this ONE fragment. */
+  private[operators] def duckSpanCutTail(p: String): String =
+    s"""${p}m AS (
        |  SELECT doc_id, s, e,
        |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY s
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) THEN 1 ELSE 0 END AS newg

@@ -46,6 +46,39 @@ object TokenizerReport {
           "(10000 * wp_tokens) div n_words AS fert_wp_e4",
           "(10000 * uni_tokens) div n_words AS fert_uni_e4")
         .orderBy("lang")
+    }),
+
+    // q217 — the selection report extended with the FOURTH trained
+    // family (q213's soft-EM refit model): same composed frame, one
+    // more memoized seg join + fertility column, so the round's new
+    // tokenizer is proven in-report exactly as the other three are
+    // (q181 stays registered untouched — its hash surface is pinned)
+    "q217_tokenizer_report_v2" -> ((s, dir) => {
+      val bpe = Bpe.wordSegFor(s, dir)
+      val wp = WordPiece.segFor(s, dir)
+      val uni = Unigram.segFor(s, dir).select("w", "n_uni")
+      val soft = Unigram.softEmSegFor(s, dir)
+        .select(col("w"), col("n_uni").as("n_soft"))
+      Tables.documents(s, dir)
+        .selectExpr("lang", s"explode(${Portable.sparkToks}) AS w")
+        .where("w <> ''")
+        .join(bpe, Seq("w"))
+        .join(wp, Seq("w"))
+        .join(uni, Seq("w"))
+        .join(soft, Seq("w"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_sym").cast("long").as("bpe_tokens"),
+          sum("n_wp").cast("long").as("wp_tokens"),
+          sum("n_uni").cast("long").as("uni_tokens"),
+          sum("n_soft").cast("long").as("soft_tokens"))
+        .selectExpr("lang", "n_words", "bpe_tokens", "wp_tokens",
+          "uni_tokens", "soft_tokens",
+          "(10000 * bpe_tokens) div n_words AS fert_bpe_e4",
+          "(10000 * wp_tokens) div n_words AS fert_wp_e4",
+          "(10000 * uni_tokens) div n_words AS fert_uni_e4",
+          "(10000 * soft_tokens) div n_words AS fert_soft_e4")
+        .orderBy("lang")
     }))
 
   def oracle: Map[String, String] = Map(
@@ -69,6 +102,32 @@ object TokenizerReport {
          |  (10000 * CAST(SUM(n_wp) AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS fert_wp_e4,
          |  (10000 * CAST(SUM(n_uni) AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS fert_uni_e4
          |FROM tok JOIN segbpe USING (w) JOIN seg USING (w) JOIN useg USING (w)
+         |WHERE w <> ''
+         |GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // q217: the q181 chain + the shared q213 soft-EM fragment (rounds +
+    // decode, verbatim) — the fourth seg joined as a renamed subselect
+    // (usegs carries its own n_uni)
+    "q217_tokenizer_report_v2" -> Bpe.duckSqlWith(
+      s""",
+         |${WordPiece.duckSeedCtes},
+         |${WordPiece.duckApplyCtes()},
+         |${Unigram.duckViterbiCtes()},
+         |${Unigram.duckSoftChain},
+         |segbpe AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sym FROM it${Bpe.DefaultMerges} GROUP BY w),
+         |sseg AS (SELECT w, n_uni AS n_soft FROM usegs),
+         |tok AS (
+         |  SELECT lang, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents)
+         |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_sym) AS BIGINT) AS bpe_tokens,
+         |  CAST(SUM(n_wp) AS BIGINT) AS wp_tokens,
+         |  CAST(SUM(n_uni) AS BIGINT) AS uni_tokens,
+         |  CAST(SUM(n_soft) AS BIGINT) AS soft_tokens,
+         |  (10000 * CAST(SUM(n_sym) AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS fert_bpe_e4,
+         |  (10000 * CAST(SUM(n_wp) AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS fert_wp_e4,
+         |  (10000 * CAST(SUM(n_uni) AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS fert_uni_e4,
+         |  (10000 * CAST(SUM(n_soft) AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS fert_soft_e4
+         |FROM tok JOIN segbpe USING (w) JOIN seg USING (w) JOIN useg USING (w) JOIN sseg USING (w)
          |WHERE w <> ''
          |GROUP BY lang ORDER BY lang""".stripMargin))
 }

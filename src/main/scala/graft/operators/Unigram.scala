@@ -644,6 +644,22 @@ object Unigram {
        |  SELECT sec$sfx.s, greatest(1, CAST(SUM(v.cnt * sec$sfx.ec) AS BIGINT)) AS c
        |  FROM sec$sfx JOIN v USING (w) GROUP BY sec$sfx.s)""".stripMargin
 
+  /** The full soft-EM CTE chain (rounds 1..[[SoftEmCap]], each off the
+    * previous counts, plus the decode under the FINAL counts, ending in
+    * `usegs` (w, n_uni, score_e6)) — shared verbatim by the q213 twin
+    * and the q217 composed tokenizer report, so the fourth family can
+    * never fork from its standalone gate. */
+  private[operators] def duckSoftChain: String = {
+    val chain = (1 to SoftEmCap).map { r =>
+      val vocabSrc = if (r == 1) "vocab" else s"sused_s${r - 1}"
+      duckSoftRound(vocabSrc, s"_s$r")
+    }.mkString(",\n")
+    s"""$chain,
+       |${duckViterbiCtes(tot = "tots", sc = "scs", piv = "pivs",
+          walk = "uwalks", seg = "usegs",
+          vocabSrc = s"sused_s$SoftEmCap")}""".stripMargin
+  }
+
   private def duckPerDocTail(seg: String): String =
     s"""tok AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents)
@@ -698,19 +714,11 @@ object Unigram {
     // decodes under the FINAL counts — the q206 fixed-depth ≡
     // fixed-point argument carries over verbatim (the round map is
     // deterministic: bit-exact doubles → e6 integers → counts)
-    "q213_unigram_soft_em" -> {
-      val chain = (1 to SoftEmCap).map { r =>
-        val vocabSrc = if (r == 1) "vocab" else s"sused_s${r - 1}"
-        duckSoftRound(vocabSrc, s"_s$r")
-      }.mkString(",\n")
+    "q213_unigram_soft_em" ->
       s"""WITH RECURSIVE ${WordPiece.duckVDef},
          |${WordPiece.duckSeedCtes},
-         |$chain,
-         |${duckViterbiCtes(tot = "tots", sc = "scs", piv = "pivs",
-            walk = "uwalks", seg = "usegs",
-            vocabSrc = s"sused_s$SoftEmCap")},
-         |${duckPerDocTail("usegs")}""".stripMargin
-    },
+         |$duckSoftChain,
+         |${duckPerDocTail("usegs")}""".stripMargin,
 
     // q194 must equal q180 value-for-value — the shipped (piece, score)
     // artifact reproduces the in-plan DP, so the twin is the SAME
