@@ -337,6 +337,14 @@ object Unigram {
       counted: DataFrame): DataFrame =
     softCounts(types, WordPiece.candidates(types).localCheckpoint(), counted)
 
+  /** The raw per-edge expected counts under the SEED model — exposed so
+    * UnigramSpec can cross-check the lattice forward-backward against
+    * exhaustive segmentation enumeration. */
+  private[graft] def softEdgesSeed(types: DataFrame): DataFrame = {
+    val cands = WordPiece.candidates(types).localCheckpoint()
+    softEdges(probMapOf(cands, WordPiece.vocabFrom(cands)))
+  }
+
   /** Corpus MARGINAL log-likelihood (Σ type cnt × e6-rounded ln α(N))
     * under the model refit from `counts` — the objective soft-EM
     * optimizes (where [[corpusScoreE6]] reads the Viterbi path score,

@@ -180,6 +180,44 @@ class UnigramSpec extends AnyFunSuite {
       s"a soft-EM step regressed the marginal from hard's point: $hard -> $hardStepped")
   }
 
+  test("soft-EM expected counts equal exhaustive segmentation enumeration") {
+    import spark.implicits._
+    // the lattice forward-backward against the definition it implements:
+    // E[count of piece s in w] = Σ_seg P(seg)·(uses of s in seg) / Σ_seg
+    // P(seg), enumerated over EVERY segmentation of each planted word —
+    // short words, tiny alphabet, so the enumeration is exact and total
+    val types = Seq(("abab", 3L), ("aa", 2L), ("abcab", 1L)).toDF("w", "cnt")
+    val counts = Unigram.seedCountsOf(types).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = counts.values.sum.toDouble
+    val p = counts.map { case (s, c) => s -> (c.toDouble / tot) }
+    def segs(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(6, w.length)).flatMap { l =>
+        val piece = w.substring(0, l)
+        if (!p.contains(piece)) Nil
+        else segs(w.substring(l)).map(piece +: _)
+      }
+    def refFor(w: String): Map[String, Long] = {
+      val all = segs(w)
+      val z = all.map(_.map(p).product).sum
+      // per-PIECE expectation (edges at different positions sum)
+      all.flatMap(seg => seg.map(s => s -> (seg.map(p).product / z)))
+        .groupBy(_._1).map { case (s, xs) =>
+          s -> math.round(1e6 * xs.map(_._2).sum) }
+    }
+    val got = Unigram.softEdgesSeed(types).groupBy("w", "s")
+      .agg(org.apache.spark.sql.functions.sum("ec").as("ec"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    for (w <- Seq("abab", "aa", "abcab"); (s, want) <- refFor(w)) {
+      val have = got.getOrElse((w, s), 0L)
+      // per-edge e6 rounding vs the enumeration's per-piece rounding:
+      // allow 1 unit per contributing edge (≤ length(w) edges per piece)
+      assert(math.abs(have - want) <= w.length,
+        s"E[count($s | $w)] = $have, enumeration says $want")
+    }
+  }
+
   test("multi-round hard-EM: monotone per-round likelihood, fixed point inside the cap") {
     val types = WordPiece.wordTypes(docs)
     val (hist, converged) = Unigram.emHistory(types, Unigram.EmCap)
