@@ -89,7 +89,8 @@ object SuffixDedup {
 
   /** The doubling loop's one materialization point per stage:
     * DISK_ONLY localCheckpoint. The loop's state frames are narrow
-    * (≤5 longs) but corpus-POSITION-sized and live for several rounds;
+    * (3 columns since r18) but corpus-POSITION-sized and live for
+    * several rounds;
     * the deserialized default storage held 2–3 such copies in heap and
     * starved execution memory at the 512 MB ScaleCheck ceiling (OOM in
     * the window sort's page allocation while storage was still
