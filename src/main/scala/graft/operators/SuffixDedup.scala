@@ -177,6 +177,11 @@ object SuffixDedup {
         d.getLong(0) == d.getLong(1)
       }
       if (!distinctRanks) {
+        // checkpoint EVERY round: a skipped intermediate looked like a
+        // saved disk write+read+job, but the next extend SELF-join then
+        // re-evaluates the un-materialized round once per side (the
+        // exchange under the window is reused, the window itself is
+        // not) — measured 2.9 → 4.9 s at sf0.1, strictly worse
         p = diskCheckpoint(
           groupRank(extendRanks(p, step), Seq(col("rank"), col("r2")),
               "rank2x", parts)
