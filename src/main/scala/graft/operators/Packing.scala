@@ -200,6 +200,81 @@ object Packing {
       .select("pos", "shard", "source", "seq_ix", "seq_tokens")
   }
 
+  /** q218 — GREEDY PAIR PACKING ("packing depth 2", the form Krell et
+    * al. 2021 report recovers most of the padding waste on real length
+    * distributions): per shard, each doc (len = min(tokens, budget) —
+    * truncation documented, an over-long doc rides alone) lands in a
+    * bin of at most TWO docs, paired by the classic two-pointer greedy
+    * over the sorted multiset (largest with the smallest that still
+    * fits) — which is provably OPTIMAL for ≤2-per-bin bin counts (the
+    * "minimum boats" argument; Pack2Spec checks it against brute-force
+    * minimum matchings). Contrast with q56/q157: those SPLIT documents
+    * across sequence boundaries (maximum fill, cross-doc contamination);
+    * pack-2 keeps docs whole and reports the padding price — the
+    * trade-off table a training-loader decision actually reads.
+    *
+    * Scale shape — the whole point of the HISTOGRAM simulation: the
+    * corpus contributes one distributed groupBy (shard, len) count;
+    * the greedy then runs as an in-row integer fold over the ≤budget
+    * histogram SLOTS of each shard (state = two pointers + two
+    * remaining counts + two tallies; batch-pairing min(ci, cj)
+    * identical docs at once is exact because slot members are
+    * indistinguishable), so the sequential part is model-state-sized —
+    * bounded by `budget`, NOT by the corpus — and both engines replay
+    * the identical integer recurrence (Spark in-row `aggregate`,
+    * DuckDB `list_reduce`). Output: per-shard bin/pair/solo counts,
+    * waste, and fill — #shards rows. */
+  def pack2Bins(docs: DataFrame, budget: Int = DefaultBudget,
+                shards: Int = DefaultShards): DataFrame = {
+    require(budget > 0 && shards > 0)
+    val hist = docs
+      .selectExpr(s"doc_id % $shards AS shard",
+        s"least(cast(size($sparkToks) as bigint), ${budget}L) AS len")
+      .groupBy("shard", "len").agg(count(lit(1)).as("c"))
+      .groupBy("shard")
+      .agg(expr("sort_array(collect_list(struct(len, c))) AS h"),
+        sum(expr("len * c")).cast("long").as("n_tokens"),
+        sum("c").cast("long").as("n_docs"))
+      .selectExpr("shard", "n_docs", "n_tokens",
+        "transform(h, x -> x.len) AS ls", "transform(h, x -> x.c) AS cs",
+        "size(h) AS m")
+    // two-pointer state: (i, j) slot indices, (ci, cj) remaining counts
+    // at the pointers, p pairs, s solos. Each non-noop step advances a
+    // pointer, so 2·m steps always suffice; when the pointers MEET the
+    // true remaining count is least(ci, cj) (whichever pointer arrived
+    // last holds the slot's full count, the resident one the remainder).
+    val init = "named_struct('i', 1, 'j', m, " +
+      "'ci', element_at(cs, 1), 'cj', element_at(cs, m), 'p', 0L, 's', 0L)"
+    val step =
+      s"""CASE
+         | WHEN acc.i > acc.j THEN acc
+         | WHEN acc.i = acc.j THEN named_struct(
+         |   'i', acc.j + 1, 'j', acc.j, 'ci', 0L, 'cj', 0L,
+         |   'p', acc.p + IF(2 * element_at(ls, acc.i) <= $budget,
+         |     least(acc.ci, acc.cj) div 2, 0L),
+         |   's', acc.s + IF(2 * element_at(ls, acc.i) <= $budget,
+         |     least(acc.ci, acc.cj) % 2, least(acc.ci, acc.cj)))
+         | WHEN element_at(ls, acc.i) + element_at(ls, acc.j) <= $budget
+         |   THEN named_struct(
+         |   'i', IF(acc.ci = least(acc.ci, acc.cj), acc.i + 1, acc.i),
+         |   'j', IF(acc.cj = least(acc.ci, acc.cj), acc.j - 1, acc.j),
+         |   'ci', IF(acc.ci = least(acc.ci, acc.cj),
+         |     element_at(cs, acc.i + 1), acc.ci - least(acc.ci, acc.cj)),
+         |   'cj', IF(acc.cj = least(acc.ci, acc.cj),
+         |     element_at(cs, acc.j - 1), acc.cj - least(acc.ci, acc.cj)),
+         |   'p', acc.p + least(acc.ci, acc.cj), 's', acc.s)
+         | ELSE named_struct('i', acc.i, 'j', acc.j - 1, 'ci', acc.ci,
+         |   'cj', element_at(cs, acc.j - 1), 'p', acc.p, 's', acc.s + acc.cj)
+         |END""".stripMargin
+    hist
+      .withColumn("st", expr(s"aggregate(sequence(1, 2 * m), $init, (acc, z) -> $step)"))
+      .selectExpr("shard", "n_docs", "n_tokens",
+        "st.p AS n_pairs", "st.s AS n_solo", "st.p + st.s AS n_bins",
+        s"(st.p + st.s) * ${budget}L - n_tokens AS waste",
+        s"IF(st.p + st.s = 0, 0L, (10000L * n_tokens) div ((st.p + st.s) * ${budget}L)) AS fill_e4")
+      .orderBy("shard")
+  }
+
   /** Merge shard manifests: counts and token totals ADD, checksums XOR,
     * id ranges combine — every [[shardManifest]] column is a
     * commutative monoid, so the manifest of (corpus ∪ batch) equals
@@ -267,6 +342,12 @@ object Packing {
       packSequencesBy(Bpe.tokenCountsMemo(s, dir)
           .selectExpr("doc_id", "n_bpe_tokens AS n_toks"))
         .orderBy("shard", "seq_id", "doc_id")),
+
+    // Greedy pair packing (packing depth 2): whole docs, ≤2 per bin,
+    // optimal bin count by the histogram two-pointer — the
+    // no-cross-doc-contamination alternative beside q56's splitter
+    "q218_pack2_bins" -> ((s, dir) =>
+      pack2Bins(Tables.documents(s, dir))),
 
     "q124_shard_manifest" -> ((s, dir) =>
       shardManifest(Tables.documents(s, dir)).orderBy("shard")),
@@ -367,6 +448,66 @@ object Packing {
          |SELECT shard, seq_id, doc_id,
          |  CAST(least(cum, (seq_id + 1) * $DefaultBudget) - greatest(strt, seq_id * $DefaultBudget) AS BIGINT) AS seg_tokens
          |FROM e ORDER BY shard, seq_id, doc_id""".stripMargin,
+
+    // the identical two-pointer recurrence as a RECURSIVE CTE stepping
+    // one state row per shard (the q180-walk discipline). NOT
+    // list_reduce: DuckDB 1.0's reduce mis-evaluates a struct-CASE
+    // lambda that both reads and rebuilds the accumulator (traced: one
+    // step advanced p by two pairs) — the recursive-term form is the
+    // battle-tested path every other twin walks
+    "q218_pack2_bins" -> {
+      val C = DefaultBudget
+      val pair = "hs.ls[st.i] + hs.ls[st.j] <= " + C
+      val t = "least(st.ci, st.cj)"
+      s"""WITH RECURSIVE lens AS (
+         |  SELECT doc_id % $DefaultShards AS shard,
+         |    least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT), $C) AS l
+         |  FROM documents),
+         |hist AS (
+         |  SELECT shard, l, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM lens GROUP BY shard, l),
+         |hs AS (
+         |  SELECT shard, list(l ORDER BY l) AS ls, list(c ORDER BY l) AS cs,
+         |    CAST(COUNT(*) AS INT) AS m,
+         |    CAST(SUM(l * c) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(c) AS BIGINT) AS n_docs
+         |  FROM hist GROUP BY shard),
+         |st AS (
+         |  SELECT shard, 1 AS i, m AS j, cs[1] AS ci, cs[m] AS cj,
+         |    CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS s
+         |  FROM hs
+         |  UNION ALL
+         |  SELECT st.shard,
+         |    CASE WHEN st.i = st.j THEN st.j + 1
+         |         WHEN $pair AND st.ci = $t THEN st.i + 1 ELSE st.i END,
+         |    CASE WHEN st.i = st.j THEN st.j
+         |         WHEN $pair AND st.cj = $t THEN st.j - 1
+         |         WHEN NOT ($pair) THEN st.j - 1 ELSE st.j END,
+         |    CASE WHEN st.i = st.j THEN CAST(0 AS BIGINT)
+         |         WHEN $pair THEN (CASE WHEN st.ci = $t THEN hs.cs[st.i + 1]
+         |                               ELSE st.ci - $t END)
+         |         ELSE st.ci END,
+         |    CASE WHEN st.i = st.j THEN CAST(0 AS BIGINT)
+         |         WHEN $pair THEN (CASE WHEN st.cj = $t THEN hs.cs[st.j - 1]
+         |                               ELSE st.cj - $t END)
+         |         ELSE hs.cs[st.j - 1] END,
+         |    CASE WHEN st.i = st.j THEN st.p +
+         |           (CASE WHEN 2 * hs.ls[st.i] <= $C THEN $t // 2 ELSE 0 END)
+         |         WHEN $pair THEN st.p + $t ELSE st.p END,
+         |    CASE WHEN st.i = st.j THEN st.s +
+         |           (CASE WHEN 2 * hs.ls[st.i] <= $C THEN $t % 2 ELSE $t END)
+         |         WHEN $pair THEN st.s ELSE st.s + st.cj END
+         |  FROM st JOIN hs ON hs.shard = st.shard
+         |  WHERE st.i <= st.j)
+         |SELECT hs.shard, hs.n_docs, hs.n_tokens,
+         |  st.p AS n_pairs, st.s AS n_solo, st.p + st.s AS n_bins,
+         |  (st.p + st.s) * $C - hs.n_tokens AS waste,
+         |  CASE WHEN st.p + st.s = 0 THEN 0
+         |    ELSE (10000 * hs.n_tokens) // ((st.p + st.s) * $C) END AS fill_e4
+         |FROM st JOIN hs ON hs.shard = st.shard
+         |WHERE st.i > st.j
+         |ORDER BY hs.shard""".stripMargin
+    },
 
     // the q144 token-count CTE chain feeding the q56 packing SQL
     "q157_bpe_packing" -> Bpe.duckSqlWith(
