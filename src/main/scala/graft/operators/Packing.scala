@@ -225,11 +225,20 @@ object Packing {
     * DuckDB `list_reduce`). Output: per-shard bin/pair/solo counts,
     * waste, and fill — #shards rows. */
   def pack2Bins(docs: DataFrame, budget: Int = DefaultBudget,
-                shards: Int = DefaultShards): DataFrame = {
+                shards: Int = DefaultShards): DataFrame =
+    pack2BinsBy(docs.selectExpr(
+      "doc_id", s"cast(size($sparkToks) as bigint) AS n_toks"), budget, shards)
+
+  /** The pack-2 core over an externally-supplied (doc_id, n_toks)
+    * frame — q219 feeds the trained-BPE counts here so the 2048 budget
+    * is 2048 REAL tokens (the q56↔q157 convention applied to the
+    * pair packer). */
+  def pack2BinsBy(tokenCounts: DataFrame, budget: Int = DefaultBudget,
+                  shards: Int = DefaultShards): DataFrame = {
     require(budget > 0 && shards > 0)
-    val hist = docs
+    val hist = tokenCounts
       .selectExpr(s"doc_id % $shards AS shard",
-        s"least(cast(size($sparkToks) as bigint), ${budget}L) AS len")
+        s"least(cast(n_toks as bigint), ${budget}L) AS len")
       .groupBy("shard", "len").agg(count(lit(1)).as("c"))
       .groupBy("shard")
       .agg(expr("sort_array(collect_list(struct(len, c))) AS h"),
@@ -349,6 +358,13 @@ object Packing {
     "q218_pack2_bins" -> ((s, dir) =>
       pack2Bins(Tables.documents(s, dir))),
 
+    // the same pair packer denominated in the TRAINED tokenizer's
+    // tokens (the q56↔q157 convention: a 2048 budget is 2048 real
+    // tokens; shared memoized training run)
+    "q219_pack2_bpe" -> ((s, dir) =>
+      pack2BinsBy(Bpe.tokenCountsMemo(s, dir)
+        .selectExpr("doc_id", "n_bpe_tokens AS n_toks"))),
+
     "q124_shard_manifest" -> ((s, dir) =>
       shardManifest(Tables.documents(s, dir)).orderBy("shard")),
 
@@ -371,6 +387,63 @@ object Packing {
         .orderBy("shard")
     })
   )
+
+  /** The pack-2 recursion as DuckDB CTEs given a `lens` (shard, l)
+    * source — shared verbatim by the whitespace (q218) and
+    * BPE-denominated (q219) twins. The state walks ONE row per shard
+    * per step (the q180 recursive-walk discipline; deliberately NOT
+    * list_reduce — DuckDB 1.0 mis-evaluates a struct-CASE lambda that
+    * both reads and rebuilds its accumulator, traced during q218's
+    * bring-up: one step advanced the pair count twice). */
+  private def duckPack2Tail: String = {
+    val C = DefaultBudget
+    val pair = s"hs.ls[st.i] + hs.ls[st.j] <= $C"
+    val t = "least(st.ci, st.cj)"
+    s"""hist AS (
+       |  SELECT shard, l, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM lens GROUP BY shard, l),
+       |hs AS (
+       |  SELECT shard, list(l ORDER BY l) AS ls, list(c ORDER BY l) AS cs,
+       |    CAST(COUNT(*) AS INT) AS m,
+       |    CAST(SUM(l * c) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(c) AS BIGINT) AS n_docs
+       |  FROM hist GROUP BY shard),
+       |st AS (
+       |  SELECT shard, 1 AS i, m AS j, cs[1] AS ci, cs[m] AS cj,
+       |    CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS s
+       |  FROM hs
+       |  UNION ALL
+       |  SELECT st.shard,
+       |    CASE WHEN st.i = st.j THEN st.j + 1
+       |         WHEN $pair AND st.ci = $t THEN st.i + 1 ELSE st.i END,
+       |    CASE WHEN st.i = st.j THEN st.j
+       |         WHEN $pair AND st.cj = $t THEN st.j - 1
+       |         WHEN NOT ($pair) THEN st.j - 1 ELSE st.j END,
+       |    CASE WHEN st.i = st.j THEN CAST(0 AS BIGINT)
+       |         WHEN $pair THEN (CASE WHEN st.ci = $t THEN hs.cs[st.i + 1]
+       |                               ELSE st.ci - $t END)
+       |         ELSE st.ci END,
+       |    CASE WHEN st.i = st.j THEN CAST(0 AS BIGINT)
+       |         WHEN $pair THEN (CASE WHEN st.cj = $t THEN hs.cs[st.j - 1]
+       |                               ELSE st.cj - $t END)
+       |         ELSE hs.cs[st.j - 1] END,
+       |    CASE WHEN st.i = st.j THEN st.p +
+       |           (CASE WHEN 2 * hs.ls[st.i] <= $C THEN $t // 2 ELSE 0 END)
+       |         WHEN $pair THEN st.p + $t ELSE st.p END,
+       |    CASE WHEN st.i = st.j THEN st.s +
+       |           (CASE WHEN 2 * hs.ls[st.i] <= $C THEN $t % 2 ELSE $t END)
+       |         WHEN $pair THEN st.s ELSE st.s + st.cj END
+       |  FROM st JOIN hs ON hs.shard = st.shard
+       |  WHERE st.i <= st.j)
+       |SELECT hs.shard, hs.n_docs, hs.n_tokens,
+       |  st.p AS n_pairs, st.s AS n_solo, st.p + st.s AS n_bins,
+       |  (st.p + st.s) * $C - hs.n_tokens AS waste,
+       |  CASE WHEN st.p + st.s = 0 THEN 0
+       |    ELSE (10000 * hs.n_tokens) // ((st.p + st.s) * $C) END AS fill_e4
+       |FROM st JOIN hs ON hs.shard = st.shard
+       |WHERE st.i > st.j
+       |ORDER BY hs.shard""".stripMargin
+  }
 
   def oracle: Map[String, String] = Map(
     // the q182 schedule chain (shared fragment — the twin can't fork
@@ -455,59 +528,27 @@ object Packing {
     // lambda that both reads and rebuilds the accumulator (traced: one
     // step advanced p by two pairs) — the recursive-term form is the
     // battle-tested path every other twin walks
-    "q218_pack2_bins" -> {
-      val C = DefaultBudget
-      val pair = "hs.ls[st.i] + hs.ls[st.j] <= " + C
-      val t = "least(st.ci, st.cj)"
+    "q218_pack2_bins" ->
       s"""WITH RECURSIVE lens AS (
          |  SELECT doc_id % $DefaultShards AS shard,
-         |    least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT), $C) AS l
+         |    least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT), $DefaultBudget) AS l
          |  FROM documents),
-         |hist AS (
-         |  SELECT shard, l, CAST(COUNT(*) AS BIGINT) AS c
-         |  FROM lens GROUP BY shard, l),
-         |hs AS (
-         |  SELECT shard, list(l ORDER BY l) AS ls, list(c ORDER BY l) AS cs,
-         |    CAST(COUNT(*) AS INT) AS m,
-         |    CAST(SUM(l * c) AS BIGINT) AS n_tokens,
-         |    CAST(SUM(c) AS BIGINT) AS n_docs
-         |  FROM hist GROUP BY shard),
-         |st AS (
-         |  SELECT shard, 1 AS i, m AS j, cs[1] AS ci, cs[m] AS cj,
-         |    CAST(0 AS BIGINT) AS p, CAST(0 AS BIGINT) AS s
-         |  FROM hs
-         |  UNION ALL
-         |  SELECT st.shard,
-         |    CASE WHEN st.i = st.j THEN st.j + 1
-         |         WHEN $pair AND st.ci = $t THEN st.i + 1 ELSE st.i END,
-         |    CASE WHEN st.i = st.j THEN st.j
-         |         WHEN $pair AND st.cj = $t THEN st.j - 1
-         |         WHEN NOT ($pair) THEN st.j - 1 ELSE st.j END,
-         |    CASE WHEN st.i = st.j THEN CAST(0 AS BIGINT)
-         |         WHEN $pair THEN (CASE WHEN st.ci = $t THEN hs.cs[st.i + 1]
-         |                               ELSE st.ci - $t END)
-         |         ELSE st.ci END,
-         |    CASE WHEN st.i = st.j THEN CAST(0 AS BIGINT)
-         |         WHEN $pair THEN (CASE WHEN st.cj = $t THEN hs.cs[st.j - 1]
-         |                               ELSE st.cj - $t END)
-         |         ELSE hs.cs[st.j - 1] END,
-         |    CASE WHEN st.i = st.j THEN st.p +
-         |           (CASE WHEN 2 * hs.ls[st.i] <= $C THEN $t // 2 ELSE 0 END)
-         |         WHEN $pair THEN st.p + $t ELSE st.p END,
-         |    CASE WHEN st.i = st.j THEN st.s +
-         |           (CASE WHEN 2 * hs.ls[st.i] <= $C THEN $t % 2 ELSE $t END)
-         |         WHEN $pair THEN st.s ELSE st.s + st.cj END
-         |  FROM st JOIN hs ON hs.shard = st.shard
-         |  WHERE st.i <= st.j)
-         |SELECT hs.shard, hs.n_docs, hs.n_tokens,
-         |  st.p AS n_pairs, st.s AS n_solo, st.p + st.s AS n_bins,
-         |  (st.p + st.s) * $C - hs.n_tokens AS waste,
-         |  CASE WHEN st.p + st.s = 0 THEN 0
-         |    ELSE (10000 * hs.n_tokens) // ((st.p + st.s) * $C) END AS fill_e4
-         |FROM st JOIN hs ON hs.shard = st.shard
-         |WHERE st.i > st.j
-         |ORDER BY hs.shard""".stripMargin
-    },
+         |$duckPack2Tail""".stripMargin,
+
+    // the BPE-denominated twin: the q144 training chain's per-doc
+    // counts feed the IDENTICAL pack-2 recursion fragment
+    "q219_pack2_bpe" -> Bpe.duckSqlWith(
+      s""",
+         |seg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sym FROM it${Bpe.DefaultMerges} GROUP BY w),
+         |tok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents),
+         |tc AS (
+         |  SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_toks
+         |  FROM tok JOIN seg USING (w) WHERE w <> '' GROUP BY doc_id),
+         |lens AS (
+         |  SELECT doc_id % $DefaultShards AS shard,
+         |    least(n_toks, $DefaultBudget) AS l FROM tc),
+         |$duckPack2Tail""".stripMargin),
 
     // the q144 token-count CTE chain feeding the q56 packing SQL
     "q157_bpe_packing" -> Bpe.duckSqlWith(
