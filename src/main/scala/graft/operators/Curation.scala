@@ -860,6 +860,70 @@ object Curation {
   def perplexityFilter(docs: DataFrame): DataFrame =
     perplexityFilterFrom(bigramLmScore(docs))
 
+  /** q220 — the FILTER AGREEMENT matrix: pairwise agreement and
+    * Cohen's κ between three independent quality signals every
+    * curation run weighs — the Gopher REPETITION gate pair (q168
+    * dup-lines ∧ q176 n-gram fractions; the q37 length/symbol rule
+    * passes this corpus wholesale, so it would only contribute
+    * degenerate all-true marginals), the q141 hashed CLASSIFIER's
+    * keep, and the q130 perplexity-median cut — over their common
+    * support. This is the standard filter-ensembling analysis (do the
+    * cheap rules and the learned scorer agree? where does perplexity
+    * dissent?) a team reads before choosing which gates to stack;
+    * q215's funnel shows what each gate COSTS, this shows how much of
+    * that cost is redundant.
+    *
+    * Determinism: the contingency counts are exact integers; κ's one
+    * division chain runs in doubles with the IDENTICAL expression tree
+    * on both engines (the soft-EM fixed-order convention — po, p1, q1
+    * each computed once as columns, pe = (p1·q1) + ((1−p1)·(1−q1)),
+    * κ_e4 = round(1e4·((po−pe)/(1−pe))), the degenerate pe = 1 case
+    * pinned to 10000), so the e4 rounding cannot diverge. Agreement is
+    * pure integer. Scale: three audited per-doc scans, one 1-row
+    * contingency aggregate, three output rows. */
+  def filterAgreement(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val rule = TextAnalysis.dupLines(docs.select("doc_id", "text"))
+      .selectExpr("doc_id", "passes AS p_gl")
+      .join(TextAnalysis.gopherNgrams(docs.select("doc_id", "text"))
+        .selectExpr("doc_id", "passes AS p_gn"), "doc_id")
+      .selectExpr("doc_id", "p_gl AND p_gn AS f_rule")
+    val clf = TextAnalysis.hashedClassifier(docs)
+      .selectExpr("doc_id", "keep AS f_clf")
+    val scores = bigramScoresFor(s, dir)
+    val med = scores.agg(
+      expr("cast(round(2 * percentile(lm_score_e6, 0.5)) as bigint) AS med2x"))
+    val ppl = scores.crossJoin(broadcast(med))
+      .selectExpr("doc_id", "lm_score_e6 * 2 >= med2x AS f_ppl")
+    val joined = rule.join(clf, "doc_id").join(ppl, "doc_id")
+    def c(e: String) = sum(expr(s"IF($e, 1L, 0L)"))
+    val a = joined.agg(count(lit(1)).as("n"),
+      c("f_rule AND f_clf").as("rc11"), c("f_rule AND NOT f_clf").as("rc10"),
+      c("NOT f_rule AND f_clf").as("rc01"),
+      c("f_rule AND f_ppl").as("rp11"), c("f_rule AND NOT f_ppl").as("rp10"),
+      c("NOT f_rule AND f_ppl").as("rp01"),
+      c("f_clf AND f_ppl").as("cp11"), c("f_clf AND NOT f_ppl").as("cp10"),
+      c("NOT f_clf AND f_ppl").as("cp01"))
+    a.selectExpr(
+        """explode(array(
+          |  named_struct('pair', 'clf_ppl', 'n', n, 'n11', cp11, 'n10', cp10, 'n01', cp01),
+          |  named_struct('pair', 'rep_clf', 'n', n, 'n11', rc11, 'n10', rc10, 'n01', rc01),
+          |  named_struct('pair', 'rep_ppl', 'n', n, 'n11', rp11, 'n10', rp10, 'n01', rp01))) AS e""".stripMargin)
+      .selectExpr("e.pair AS pair", "e.n AS n", "e.n11 AS n11",
+        "e.n10 AS n10", "e.n01 AS n01", "e.n - e.n11 - e.n10 - e.n01 AS n00")
+      .selectExpr("pair", "n", "n11", "n10", "n01", "n00",
+        "CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po",
+        "CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE) AS p1",
+        "CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE) AS q1")
+      .selectExpr("pair", "n", "n11", "n10", "n01", "n00", "po",
+        "(p1 * q1) + ((1.0d - p1) * (1.0d - q1)) AS pe")
+      .selectExpr("pair", "n", "n11", "n10", "n01", "n00",
+        "(10000 * (n11 + n00)) div n AS agree_e4",
+        "IF(1.0d - pe = 0.0d, 10000L, " +
+          "cast(round(1e4 * ((po - pe) / (1.0d - pe))) as bigint)) AS kappa_e4")
+      .orderBy("pair")
+  }
+
   private def perplexityFilterFrom(scores: DataFrame): DataFrame = {
     val med = scores.agg(
       expr("cast(round(2 * percentile(lm_score_e6, 0.5)) as bigint) AS med2x"))
@@ -1215,6 +1279,11 @@ object Curation {
 
     "q130_ppl_filter" -> ((s, dir) =>
       perplexityFilterFrom(bigramScoresFor(s, dir)).orderBy("doc_id")),
+
+    // pairwise agreement + Cohen's κ between the three quality gates
+    // (rule / classifier / perplexity) over their common support — the
+    // filter-ensembling table beside q215's cost funnel
+    "q220_filter_agreement" -> ((s, dir) => filterAgreement(s, dir)),
 
     // CCNet head/middle/tail terciles per language over the q98 signal
     // (memoized — one rank pass serves q191 and q200's head column).
@@ -1862,6 +1931,66 @@ object Curation {
         |SELECT t.doc_id, (c.doc_id IS NOT NULL) AS contaminated
         |FROM train t LEFT JOIN contaminated c ON t.doc_id = c.doc_id
         |ORDER BY t.doc_id""".stripMargin,
+
+    // the three gate fragments verbatim (gopher gq, classifier score,
+    // bigram-LM median cut), inner-joined to the common support, one
+    // contingency aggregate, κ in fixed-order doubles (identical
+    // expression tree to the Spark side — the soft-EM convention)
+    "q220_filter_agreement" ->
+      s"""WITH gl AS (WITH ${TextAnalysis.dupLinesSql()}),
+         |gn AS (WITH ${TextAnalysis.gopherNgramsSql()}),
+         |rep AS (
+         |  SELECT gl.doc_id, gl.passes AND gn.passes AS f_rule
+         |  FROM gl JOIN gn ON gl.doc_id = gn.doc_id),
+         |ct AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+         |clf AS (
+         |  SELECT doc_id, ${TextAnalysis.duckClassifierScoreE3} > 0 AS f_clf
+         |  FROM ct WHERE len(toks) > 0),
+         |$bigramLmCtes,
+         |scoresf AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(p_e6) // COUNT(*) AS BIGINT) AS lm_score_e6
+         |  FROM bg JOIN probs ON bg.w1 = probs.w1 AND bg.w2 = probs.w2
+         |  GROUP BY doc_id),
+         |medf AS (
+         |  SELECT CAST(round(2 * quantile_cont(lm_score_e6, 0.5)) AS BIGINT) AS med2x
+         |  FROM scoresf),
+         |pplf AS (
+         |  SELECT doc_id, lm_score_e6 * 2 >= medf.med2x AS f_ppl
+         |  FROM scoresf, medf),
+         |j AS (
+         |  SELECT rep.doc_id, rep.f_rule, clf.f_clf, pplf.f_ppl
+         |  FROM rep JOIN clf USING (doc_id) JOIN pplf USING (doc_id)),
+         |a AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(CASE WHEN f_rule AND f_clf THEN 1 ELSE 0 END) AS BIGINT) AS rc11,
+         |    CAST(SUM(CASE WHEN f_rule AND NOT f_clf THEN 1 ELSE 0 END) AS BIGINT) AS rc10,
+         |    CAST(SUM(CASE WHEN NOT f_rule AND f_clf THEN 1 ELSE 0 END) AS BIGINT) AS rc01,
+         |    CAST(SUM(CASE WHEN f_rule AND f_ppl THEN 1 ELSE 0 END) AS BIGINT) AS rp11,
+         |    CAST(SUM(CASE WHEN f_rule AND NOT f_ppl THEN 1 ELSE 0 END) AS BIGINT) AS rp10,
+         |    CAST(SUM(CASE WHEN NOT f_rule AND f_ppl THEN 1 ELSE 0 END) AS BIGINT) AS rp01,
+         |    CAST(SUM(CASE WHEN f_clf AND f_ppl THEN 1 ELSE 0 END) AS BIGINT) AS cp11,
+         |    CAST(SUM(CASE WHEN f_clf AND NOT f_ppl THEN 1 ELSE 0 END) AS BIGINT) AS cp10,
+         |    CAST(SUM(CASE WHEN NOT f_clf AND f_ppl THEN 1 ELSE 0 END) AS BIGINT) AS cp01
+         |  FROM j),
+         |rows3 AS (
+         |  SELECT 'clf_ppl' AS pair, n, cp11 AS n11, cp10 AS n10, cp01 AS n01 FROM a
+         |  UNION ALL SELECT 'rep_clf', n, rc11, rc10, rc01 FROM a
+         |  UNION ALL SELECT 'rep_ppl', n, rp11, rp10, rp01 FROM a),
+         |k AS (
+         |  SELECT pair, n, n11, n10, n01, n - n11 - n10 - n01 AS n00 FROM rows3),
+         |k2 AS (
+         |  SELECT *, CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+         |    CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE) AS p1,
+         |    CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE) AS q1
+         |  FROM k),
+         |k3 AS (SELECT *, (p1 * q1) + ((1.0 - p1) * (1.0 - q1)) AS pe FROM k2)
+         |SELECT pair, n, n11, n10, n01, n00,
+         |  (10000 * (n11 + n00)) // n AS agree_e4,
+         |  CASE WHEN 1.0 - pe = 0.0 THEN 10000
+         |    ELSE CAST(round(1e4 * ((po - pe) / (1.0 - pe))) AS BIGINT) END AS kappa_e4
+         |FROM k3 ORDER BY pair""".stripMargin,
 
     // eval-shingle position matches feed the SHARED merge/remove-all/
     // rebuild tail (SuffixDedup.duckSpanCutTail — one cut fragment for

@@ -1007,7 +1007,7 @@ object TextAnalysis {
     * `gq (doc_id, n_tokens, mean_word_e2, symbol_e4, rep2_e4, passes)`
     * — shared verbatim by the q37 twin and the calibration twin (q199),
     * so a rule fork is impossible. */
-  private val duckGopherCtes: String =
+  private[operators] val duckGopherCtes: String =
     """t AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
       |    length(text) AS len,
