@@ -337,8 +337,29 @@ object Curation {
   private val evalCountMemo = scala.collection.mutable.Map.empty[
     (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan), Long]
   Memos.register(() => evalCountMemo.synchronized(evalCountMemo.clear()))
+
+  /** Memoizing a row count is only sound for frames whose inputs cannot
+    * change under the session: a frame scanning a MUTABLE store table
+    * (the DSv2 graft store — the repo's incremental/streaming ingest
+    * paths append to it mid-session) canonicalizes identically before
+    * and after a write, so a stale memoized count would let
+    * [[boundedBroadcast]] wave through a frame that has since grown past
+    * the bound — the exact OOM the contract exists to prevent. Frames
+    * with a DSv2 or streaming leaf therefore SKIP the memo and re-count
+    * at every guard evaluation (the registered gates all read immutable
+    * driver parquet, so none of them pays this). */
+  private def sessionConstant(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+    !plan.exists {
+      case _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation => true
+      case _: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2 => true
+      case _ => false
+    }
+
   private def evalCountFor(frame: DataFrame): Long = {
-    val key = (frame.sparkSession, frame.queryExecution.analyzed.canonicalized)
+    val analyzed = frame.queryExecution.analyzed
+    if (!sessionConstant(analyzed)) return frame.count()
+    val key = (frame.sparkSession, analyzed.canonicalized)
     evalCountMemo.synchronized(evalCountMemo.get(key)).getOrElse {
       val n = frame.count()
       evalCountMemo.synchronized(evalCountMemo.getOrElseUpdate(key, n))
@@ -911,14 +932,18 @@ object Curation {
           |  named_struct('pair', 'rep_ppl', 'n', n, 'n11', rp11, 'n10', rp10, 'n01', rp01))) AS e""".stripMargin)
       .selectExpr("e.pair AS pair", "e.n AS n", "e.n11 AS n11",
         "e.n10 AS n10", "e.n01 AS n01", "e.n - e.n11 - e.n10 - e.n01 AS n00")
+      // n = 0 (empty common support) is pinned exactly like pe = 1: the
+      // marginals are defined as 0, so pe = 1 and the κ arm below emits
+      // 10000; agree carries its own guard (vacuous agreement) — no
+      // null/ANSI division ever reaches the output on either engine
       .selectExpr("pair", "n", "n11", "n10", "n01", "n00",
-        "CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po",
-        "CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE) AS p1",
-        "CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE) AS q1")
+        "IF(n = 0, 0.0d, CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)) AS po",
+        "IF(n = 0, 0.0d, CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)) AS p1",
+        "IF(n = 0, 0.0d, CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)) AS q1")
       .selectExpr("pair", "n", "n11", "n10", "n01", "n00", "po",
         "(p1 * q1) + ((1.0d - p1) * (1.0d - q1)) AS pe")
       .selectExpr("pair", "n", "n11", "n10", "n01", "n00",
-        "(10000 * (n11 + n00)) div n AS agree_e4",
+        "IF(n = 0, 10000L, (10000 * (n11 + n00)) div n) AS agree_e4",
         "IF(1.0d - pe = 0.0d, 10000L, " +
           "cast(round(1e4 * ((po - pe) / (1.0d - pe))) as bigint)) AS kappa_e4")
       .orderBy("pair")
@@ -1981,13 +2006,14 @@ object Curation {
          |k AS (
          |  SELECT pair, n, n11, n10, n01, n - n11 - n10 - n01 AS n00 FROM rows3),
          |k2 AS (
-         |  SELECT *, CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) AS po,
-         |    CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE) AS p1,
-         |    CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE) AS q1
+         |  SELECT *,
+         |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) END AS po,
+         |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE) END AS p1,
+         |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE) END AS q1
          |  FROM k),
          |k3 AS (SELECT *, (p1 * q1) + ((1.0 - p1) * (1.0 - q1)) AS pe FROM k2)
          |SELECT pair, n, n11, n10, n01, n00,
-         |  (10000 * (n11 + n00)) // n AS agree_e4,
+         |  CASE WHEN n = 0 THEN 10000 ELSE (10000 * (n11 + n00)) // n END AS agree_e4,
          |  CASE WHEN 1.0 - pe = 0.0 THEN 10000
          |    ELSE CAST(round(1e4 * ((po - pe) / (1.0 - pe))) AS BIGINT) END AS kappa_e4
          |FROM k3 ORDER BY pair""".stripMargin,

@@ -1079,18 +1079,15 @@ object Dedup {
     cutSpans(t, spans)
   }
 
-  /** Shared span-cut tail for the ExactSubstr family (q152/q164's
-    * k-gram gates and q204's suffix-array form): per-doc duplicate
+  /** Shared span-cut core for the ExactSubstr family (q152/q164's
+    * k-gram gates, q204's suffix-array form, q216's scrub): per-doc
     * spans are interval-MERGED (running-max-end group boundaries + one
     * cumsum, both windows over the spans frame — duplicate-occurrence-
     * sized, far smaller than the corpus) and documents are rebuilt with
     * the merged spans cut out. `t` is the (doc_id, toks) token scan;
     * `spans` is (doc_id, s, e) with 1-based [s, e) token intervals.
-    * Output is md5-fingerprinted like q76 so the result stays text-free
-    * and bounded; every doc in `t` appears (left join — span-free docs
-    * keep everything). */
-  /** Span cut WITHOUT the fingerprint tail: (doc_id, n_tokens, kept
-    * token array) for every doc of `t` — the shared core behind
+    * Output: (doc_id, n_tokens, kept token array) for EVERY doc of `t`
+    * (left join — span-free docs keep everything) — the core behind
     * [[cutSpans]] (the q152/q164/q204 audit surface) and the REWRITE
     * form ([[SuffixDedup.suffixCutText]], the q214 pipeline stage). */
   private[operators] def cutSpansKept(t: DataFrame, spans: DataFrame): DataFrame = {
@@ -1113,6 +1110,10 @@ object Dedup {
         "filter(toks, (tk, ix) -> spans IS NULL OR NOT exists(spans, sp -> ix + 1 >= sp.s AND ix + 1 < sp.e)) AS kept")
   }
 
+  /** [[cutSpansKept]] with the fingerprint tail: the kept tokens are
+    * md5-fingerprinted like q76 so the result stays text-free and
+    * bounded, ordered by doc_id — the audit surface the registered
+    * gates hash. */
   private[operators] def cutSpans(t: DataFrame, spans: DataFrame): DataFrame =
     cutSpansKept(t, spans)
       .selectExpr("doc_id", "n_tokens",

@@ -236,7 +236,14 @@ object Packing {
   def pack2BinsBy(tokenCounts: DataFrame, budget: Int = DefaultBudget,
                   shards: Int = DefaultShards): DataFrame = {
     require(budget > 0 && shards > 0)
+    // zero-token docs are excluded, matching q56/q157's packer: an
+    // empty doc is not a bin member and must not distort n_bins/waste/
+    // fill (no registered twin can feed one — whitespace split yields
+    // ≥1 token and the BPE count join drops token-less docs — so this
+    // is API hardening for external callers; the twins' hist carries
+    // the mirrored l > 0 filter)
     val hist = tokenCounts
+      .where("n_toks > 0")
       .selectExpr(s"doc_id % $shards AS shard",
         s"least(cast(n_toks as bigint), ${budget}L) AS len")
       .groupBy("shard", "len").agg(count(lit(1)).as("c"))
@@ -401,7 +408,7 @@ object Packing {
     val t = "least(st.ci, st.cj)"
     s"""hist AS (
        |  SELECT shard, l, CAST(COUNT(*) AS BIGINT) AS c
-       |  FROM lens GROUP BY shard, l),
+       |  FROM lens WHERE l > 0 GROUP BY shard, l),
        |hs AS (
        |  SELECT shard, list(l ORDER BY l) AS ls, list(c ORDER BY l) AS cs,
        |    CAST(COUNT(*) AS INT) AS m,

@@ -143,15 +143,21 @@ object SuffixDedup {
     * columns: `gpos` (packed doc_id·2^20 + pos — the per-doc positional
     * budget already enforced upstream), `pos` (1-based) and `tok` (the
     * token AT pos — or, when `initDepth` > 1, the first `initDepth`
-    * tokens AT pos as an array: a slice key read straight off the
-    * document array at explode time, which starts the doubling at depth
-    * `initDepth` for FREE — no joins, no extra rounds; array ordering
-    * is element-wise with shorter-prefix-first, exactly the suffix
-    * convention); every other column rides through untouched. Output:
-    * the input columns minus `tok`, plus `rank`, where `rank` orders
-    * suffixes lexicographically by their first `maxDepth` tokens (a
-    * shorter suffix sorts before a longer one sharing its prefix — the
-    * absent-extension rank 0), equal ranks ⟺ equal capped prefixes.
+    * tokens AT pos joined into one string: a slice key read straight
+    * off the document array at explode time, which starts the doubling
+    * at depth `initDepth` for FREE — no joins, no extra rounds). At
+    * initDepth > 1 the joined-string seed is EQUALITY-exact only: its
+    * sort order can differ from token-wise order (the join separator
+    * interleaves), so rank equality ⟺ equal capped prefixes holds at
+    * every depth, but the lexicographic rank-ORDER contract below is
+    * guaranteed only on the default initDepth = 1 path — exactly what
+    * the only initDepth > 1 caller ([[dupSpans]], an equality-class
+    * test) needs. Every other column rides through untouched. Output:
+    * the input columns minus `tok`, plus `rank`, where `rank` (at
+    * initDepth = 1) orders suffixes lexicographically by their first
+    * `maxDepth` tokens (a shorter suffix sorts before a longer one
+    * sharing its prefix — the absent-extension rank 0), equal ranks ⟺
+    * equal capped prefixes.
     * `maxDepth` must be `initDepth`·2^k (the doubling lands on exactly
     * those depths). Stops early when ranks go all-distinct (full lex
     * order reached). SuffixArraySpec pins rank order ≡ a sequential
