@@ -425,8 +425,28 @@ object Curation {
   def decontamScrub(docs: DataFrame, evalShingles: DataFrame,
       gram: Int = 6, maxEvalRows: Long = BoundedEvalRows): DataFrame = {
     val t = docs.selectExpr("doc_id", s"$sparkToks AS toks")
-    val spans = t
-      .where(s"size(toks) >= $gram")
+    Dedup.cutSpans(t, scrubSpans(t, evalShingles, gram, maxEvalRows))
+  }
+
+  /** The scrub as a REWRITE — (doc_id, text_kept) for every input doc,
+    * every eval-contaminated span cut — the form the curation pipeline
+    * COMPOSES (q221 swaps it in for the whole-doc decontamination drop,
+    * the [[SuffixDedup.suffixCutText]] convention applied to q216's
+    * standalone audit surface). */
+  def decontamScrubText(docs: DataFrame, evalShingles: DataFrame,
+      gram: Int = 6, maxEvalRows: Long = BoundedEvalRows): DataFrame = {
+    val t = docs.selectExpr("doc_id", s"$sparkToks AS toks")
+    Dedup.cutSpansKept(t, scrubSpans(t, evalShingles, gram, maxEvalRows))
+      .selectExpr("doc_id", "array_join(kept, ' ') AS text_kept")
+  }
+
+  /** The eval-shingle position matches as a (doc_id, s, e) span frame —
+    * shared by the fingerprint ([[decontamScrub]]) and rewrite
+    * ([[decontamScrubText]]) surfaces, so the two can never cut
+    * differently. */
+  private def scrubSpans(t: DataFrame, evalShingles: DataFrame,
+      gram: Int, maxEvalRows: Long): DataFrame =
+    t.where(s"size(toks) >= $gram")
       .selectExpr("doc_id", "toks",
         s"explode(sequence(1, size(toks) - ${gram - 1})) AS pos")
       .selectExpr("doc_id", "pos",
@@ -434,8 +454,6 @@ object Curation {
       .join(boundedBroadcast("decontamScrub", evalShingles, maxEvalRows),
         Seq("shingle"), "left_semi")
       .selectExpr("doc_id", "pos AS s", s"pos + $gram AS e")
-    Dedup.cutSpans(t, spans)
-  }
 
   def decontaminate(docs: DataFrame, gram: Int = 6, evalMod: Long = 97,
       maxEvalRows: Long = BoundedEvalRows): DataFrame = {
@@ -949,6 +967,57 @@ object Curation {
       .orderBy("pair")
   }
 
+  /** q225 — the CALIBRATION-DECILE × classifier agreement family
+    * (q220's pairwise-κ analysis deepened one axis): does the q141
+    * classifier's keep track the perplexity DECILE, or only the q130
+    * median cut? The bigram-LM scores split into rank-based deciles
+    * (the q191 ntile convention, corpus-wide), and for every head cut
+    * k = 1..9 the binary rater "decile ≤ k" is κ-scored against the
+    * classifier keep over their common support — a row family whose
+    * shape (κ by cut depth) is the analysis that decides whether
+    * q199's calibration adds signal over q141's binary keep (flat κ ≈
+    * κ(median): the decile axis is redundant; κ peaked off-center:
+    * the scorer separates head from tail somewhere the median doesn't).
+    *
+    * Determinism: deciles are rank-integer (distributedNtile ≡ SQL
+    * NTILE, the q191-gated equivalence); the contingencies are exact
+    * integer sums; κ runs the IDENTICAL fixed-order double expression
+    * tree as q220 (n = 0 and pe = 1 pinned the same way). Scale: the
+    * shared memoized score frame + one distributed-rank pass + ONE
+    * 1-row contingency aggregate carrying all 9 cuts; output 9 rows. */
+  def decileAgreement(s: SparkSession, dir: String): DataFrame = {
+    val dec = Relational.distributedNtile(
+      bigramScoresFor(s, dir).select("doc_id", "lm_score_e6"),
+      10, Seq.empty, Seq(col("lm_score_e6").desc, col("doc_id")),
+      tileCol = "decile")
+    val clf = TextAnalysis.hashedClassifier(Tables.documents(s, dir))
+      .selectExpr("doc_id", "keep AS f_clf")
+    val j = dec.join(clf, "doc_id").selectExpr("decile", "f_clf")
+    val cuts = 1 to 9
+    val aggs = cuts.flatMap { k => Seq(
+      sum(expr(s"IF(decile <= $k AND f_clf, 1L, 0L)")).as(s"a$k"),
+      sum(expr(s"IF(decile <= $k AND NOT f_clf, 1L, 0L)")).as(s"b$k"),
+      sum(expr(s"IF(decile > $k AND f_clf, 1L, 0L)")).as(s"c$k")) }
+    val rows = cuts.map(k =>
+      s"named_struct('cut', ${k}L, 'n', n, 'n11', a$k, 'n10', b$k, 'n01', c$k)")
+      .mkString(",\n")
+    j.agg(count(lit(1)).as("n"), aggs: _*)
+      .selectExpr(s"explode(array(\n$rows)) AS e")
+      .selectExpr("e.cut AS cut", "e.n AS n", "e.n11 AS n11",
+        "e.n10 AS n10", "e.n01 AS n01", "e.n - e.n11 - e.n10 - e.n01 AS n00")
+      .selectExpr("cut", "n", "n11", "n10", "n01", "n00",
+        "IF(n = 0, 0.0d, CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)) AS po",
+        "IF(n = 0, 0.0d, CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)) AS p1",
+        "IF(n = 0, 0.0d, CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)) AS q1")
+      .selectExpr("cut", "n", "n11", "n10", "n01", "n00", "po",
+        "(p1 * q1) + ((1.0d - p1) * (1.0d - q1)) AS pe")
+      .selectExpr("cut", "n", "n11", "n10", "n01", "n00",
+        "IF(n = 0, 10000L, (10000 * (n11 + n00)) div n) AS agree_e4",
+        "IF(1.0d - pe = 0.0d, 10000L, " +
+          "cast(round(1e4 * ((po - pe) / (1.0d - pe))) as bigint)) AS kappa_e4")
+      .orderBy("cut")
+  }
+
   private def perplexityFilterFrom(scores: DataFrame): DataFrame = {
     val med = scores.agg(
       expr("cast(round(2 * percentile(lm_score_e6, 0.5)) as bigint) AS med2x"))
@@ -1309,6 +1378,11 @@ object Curation {
     // (rule / classifier / perplexity) over their common support — the
     // filter-ensembling table beside q215's cost funnel
     "q220_filter_agreement" -> ((s, dir) => filterAgreement(s, dir)),
+
+    // κ between "perplexity decile ≤ k" (k = 1..9) and the classifier
+    // keep — the decile-depth agreement family q220's single median
+    // row can't show (does the scorer add signal beyond the median?)
+    "q225_decile_agreement" -> ((s, dir) => decileAgreement(s, dir)),
 
     // CCNet head/middle/tail terciles per language over the q98 signal
     // (memoized — one rank pass serves q191 and q200's head column).
@@ -2017,6 +2091,59 @@ object Curation {
          |  CASE WHEN 1.0 - pe = 0.0 THEN 10000
          |    ELSE CAST(round(1e4 * ((po - pe) / (1.0 - pe))) AS BIGINT) END AS kappa_e4
          |FROM k3 ORDER BY pair""".stripMargin,
+
+    // the decile axis: NTILE(10) over the shared bigram-LM scores (the
+    // q191-gated rank-tile equivalence), 9 head-cut binary raters
+    // κ-scored against the classifier in ONE contingency aggregate —
+    // the κ tail is the q220 expression tree verbatim per row
+    "q225_decile_agreement" -> {
+      val cuts = 1 to 9
+      val sums = cuts.map { k =>
+        s"""    CAST(SUM(CASE WHEN decile <= $k AND f_clf THEN 1 ELSE 0 END) AS BIGINT) AS a$k,
+           |    CAST(SUM(CASE WHEN decile <= $k AND NOT f_clf THEN 1 ELSE 0 END) AS BIGINT) AS b$k,
+           |    CAST(SUM(CASE WHEN decile > $k AND f_clf THEN 1 ELSE 0 END) AS BIGINT) AS c$k""".stripMargin
+      }.mkString(",\n")
+      val rows = cuts.map { k =>
+        if (k == 1) s"  SELECT CAST(1 AS BIGINT) AS cut, n, a1 AS n11, b1 AS n10, c1 AS n01 FROM a"
+        else s"  UNION ALL SELECT CAST($k AS BIGINT), n, a$k, b$k, c$k FROM a"
+      }.mkString("\n")
+      s"""WITH ct AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+         |clf AS (
+         |  SELECT doc_id, ${TextAnalysis.duckClassifierScoreE3} > 0 AS f_clf
+         |  FROM ct WHERE len(toks) > 0),
+         |$bigramLmCtes,
+         |scoresf AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(p_e6) // COUNT(*) AS BIGINT) AS lm_score_e6
+         |  FROM bg JOIN probs ON bg.w1 = probs.w1 AND bg.w2 = probs.w2
+         |  GROUP BY doc_id),
+         |dec AS (
+         |  SELECT doc_id,
+         |    CAST(NTILE(10) OVER (ORDER BY lm_score_e6 DESC, doc_id) AS BIGINT) AS decile
+         |  FROM scoresf),
+         |j AS (SELECT dec.decile, clf.f_clf FROM dec JOIN clf USING (doc_id)),
+         |a AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |$sums
+         |  FROM j),
+         |rows9 AS (
+         |$rows),
+         |k AS (
+         |  SELECT cut, n, n11, n10, n01, n - n11 - n10 - n01 AS n00 FROM rows9),
+         |k2 AS (
+         |  SELECT *,
+         |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) END AS po,
+         |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE) END AS p1,
+         |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE) END AS q1
+         |  FROM k),
+         |k3 AS (SELECT *, (p1 * q1) + ((1.0 - p1) * (1.0 - q1)) AS pe FROM k2)
+         |SELECT cut, n, n11, n10, n01, n00,
+         |  CASE WHEN n = 0 THEN 10000 ELSE (10000 * (n11 + n00)) // n END AS agree_e4,
+         |  CASE WHEN 1.0 - pe = 0.0 THEN 10000
+         |    ELSE CAST(round(1e4 * ((po - pe) / (1.0 - pe))) AS BIGINT) END AS kappa_e4
+         |FROM k3 ORDER BY cut""".stripMargin
+    },
 
     // eval-shingle position matches feed the SHARED merge/remove-all/
     // rebuild tail (SuffixDedup.duckSpanCutTail — one cut fragment for

@@ -174,8 +174,10 @@ object CurationPipeline {
     * so the cap stage sees the plants as one fresh domain). The
     * interaction this pins: the plants' 55-token copies are MISALIGNED
     * against their donors' 8-token passage grid (the plant re-houses
-    * the window at offset 2 behind a fresh flank token), so passage
-    * dedup passes them UNTOUCHED and only the suffix stage cuts them —
+    * donor offset 3 behind ONE fresh flank token, so plant position p
+    * holds donor token p+1 and no 8-aligned cell ever matches), so
+    * passage dedup passes them UNTOUCHED and only the suffix stage cuts
+    * them —
     * which then changes n_chars, quality verdicts, the cap ranking and
     * the packing of every affected doc (SuffixArraySpec's composition
     * test shows the miss/cut pair directly). Each stage stays the
@@ -223,6 +225,81 @@ object CurationPipeline {
                            gopherGates: Boolean): DataFrame =
     curateTail(s, dir, qualityFor(s, dir), gopherGates)
 
+  /** q221 — v4 with the whole-doc decontamination stage REPLACED by the
+    * q216 SURGICAL span scrub: instead of dropping every training doc
+    * sharing a 6-gram with the eval carve, only the contaminated spans
+    * are cut ([[Curation.decontamScrubText]]), the clean remainder is
+    * re-derived (text, n_chars) and RE-GATED through the q37 quality
+    * rule, and every downstream stage (Gopher gates, source cap ranked
+    * by the scrubbed n_chars, trained-token packing) runs over the
+    * scrubbed text. The interaction this pins: a contaminated doc v4
+    * sacrifices whole now survives scrubbed — recovering token mass —
+    * while a doc scrubbed to fewer than 5 tokens (or past the other
+    * quality bounds) leaves at the re-gate; both verdicts are
+    * composition effects no standalone gate sees (PipelineSpec's v5
+    * test shows the drop/keep flip directly). Chain: exact dedup →
+    * passage rewrite → suffix span cut → semantic drop → quality →
+    * SCRUB + re-gate → Gopher gates → cap → packing, over the same
+    * planted corpus as v4 so the two differ in exactly one stage.
+    *
+    * Scale: replaces v4's contaminated-id semi-join with q216's audited
+    * scrub (one scan → explode → broadcast semi-join → span merge —
+    * the corpus never shuffles wider than doc_id) plus one more
+    * narrow quality filter; the eval side rides the bounded-broadcast
+    * contract unchanged. */
+  def curateV5(s: SparkSession, dir: String): DataFrame = {
+    val q2 = v5ScrubFor(s, dir)
+    val clean = q2.join(gopherIdsFor(s, q2), Seq("doc_id"), "left_semi")
+    val surv = clean.join(Curation.sourceCap(clean).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    packShardSummary(s, dir, surv)
+  }
+
+  /** Memo of the v5 scrubbed-and-re-gated survivor frame: the v4
+    * quality memo's chain, then eval shingles carved from the quality
+    * survivors' eval slice (the v3 decontam carve), the train slice
+    * scrubbed span-surgically, text/n_chars re-derived and the q37
+    * quality gate re-applied over the scrubbed text. */
+  private val v5ScrubMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  Memos.register(() => v5ScrubMemo.synchronized(v5ScrubMemo.clear()))
+  private def v5ScrubFor(s: SparkSession, dir: String): DataFrame =
+    v5ScrubMemo.synchronized {
+      v5ScrubMemo.getOrElseUpdate((s, dir), {
+        val quality = v4QualityFor(s, dir)
+        val evalSh = Curation.evalShingleSet(
+          quality.where("doc_id % 97 = 3").select("doc_id", "text"))
+        val train = quality.where("doc_id % 97 != 3")
+        val rebuilt = Curation
+          .decontamScrubText(train.select("doc_id", "text"), evalSh)
+          .join(train.select("doc_id", "source"), "doc_id")
+          .selectExpr("doc_id", "text_kept AS text", "source",
+            "cast(length(text_kept) as bigint) AS n_chars")
+        org.apache.spark.sql.graft.PlanBridge.localCheckpointFreshStats(
+          qualityGate(rebuilt))
+      })
+    }
+
+  /** Per-(session, frame-plan) memo of the Gopher-gate survivor ids
+    * over an already-decontaminated frame (v5's tail: the scrub
+    * replaced the decontam drop, so [[cleanIdsFor]]'s decontam leg
+    * must NOT run again) — the cleanIdsMemo convention, gates only. */
+  private val gopherIdsMemo = scala.collection.mutable.Map.empty[
+    (SparkSession, org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+    DataFrame]
+  Memos.register(() => gopherIdsMemo.synchronized(gopherIdsMemo.clear()))
+  private def gopherIdsFor(s: SparkSession, frame: DataFrame): DataFrame =
+    gopherIdsMemo.synchronized {
+      gopherIdsMemo.getOrElseUpdate(
+        (s, frame.queryExecution.analyzed.canonicalized),
+        frame
+          .join(TextAnalysis.dupLines(frame.select("doc_id", "text"))
+            .where("passes").select("doc_id"), Seq("doc_id"), "left_semi")
+          .join(TextAnalysis.gopherNgrams(frame.select("doc_id", "text"))
+            .where("passes").select("doc_id"), Seq("doc_id"), "left_semi")
+          .select("doc_id").localCheckpoint())
+    }
+
   /** q215 — the curation FUNNEL: per-stage survivor counts and
     * whitespace-token mass through the whole v3 chain (raw → exact
     * dedup → passage rewrite → semantic drop → quality → decontam →
@@ -257,15 +334,59 @@ object CurationPipeline {
     val clean = quality.join(gIds, Seq("doc_id"), "left_semi")
     val kept = clean.join(Curation.sourceCap(clean).select("doc_id"),
       Seq("doc_id"), "left_semi")
-    def stage(ix: Int, name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_docs"),
-          sum(expr(s"size($sparkToks)")).cast("long").as("n_tokens"))
-        .selectExpr(s"${ix}L AS stage_ix", s"'$name' AS stage",
-          "n_docs", "n_tokens")
     Seq(stage(0, "raw", docs), stage(1, "exact_dedup", d1),
       stage(2, "passage_rewrite", rw), stage(3, "semantic_drop", d3),
       stage(4, "quality", quality), stage(5, "decontam", cleanD),
       stage(6, "gopher", clean), stage(7, "source_cap", kept))
+      .reduce(_.unionByName(_)).orderBy("stage_ix")
+  }
+
+  /** One funnel row: survivor count + whitespace-token mass of a stage
+    * frame — shared by the v3 (q215) and v5 (q224) funnels. */
+  private def stage(ix: Int, name: String, df: DataFrame): DataFrame =
+    df.agg(count(lit(1)).as("n_docs"),
+        sum(expr(s"size($sparkToks)")).cast("long").as("n_tokens"))
+      .selectExpr(s"${ix}L AS stage_ix", s"'$name' AS stage",
+        "n_docs", "n_tokens")
+
+  /** q224 — the funnel for the v5 chain (q215's audit applied to the
+    * flagship pipeline): per-stage attrition through raw (planted
+    * corpus) → exact dedup → passage rewrite → SUFFIX SPAN CUT →
+    * semantic drop → quality → SCRUB + re-gate → Gopher gates → source
+    * cap — the two stages q215's v3 chain lacks (`suffix_cut`, whose
+    * row shows the mass the span cut removes that passage dedup
+    * missed, and `scrub`, whose row against v4's decontam DROP is the
+    * recovered-token-mass number the surgical operator exists for).
+    * Every stage frame is built from the SAME component calls the
+    * q221 pipeline uses (the shared v4 quality and v5 scrub memos);
+    * the twin is the q221 template with a counting tail over its own
+    * stage CTEs, so each intermediate stage's row set is oracle-pinned. */
+  def curationFunnelV5(s: SparkSession, dir: String): DataFrame = {
+    val corpus = SuffixDedup.plantedSpanCorpus(
+      Tables.documents(s, dir), withSource = true)
+    val d1 = Relational.keepFirst(
+      corpus.withColumn("fp", md5(col("text"))),
+      Seq("fp"), Seq(col("doc_id"))).drop("fp")
+    val rw = Dedup.passageDedup(d1.select("doc_id", "text"))
+      .join(d1.select("doc_id", "source"), "doc_id")
+      .selectExpr("doc_id", "text_kept AS text", "source")
+    val sx = SuffixDedup.suffixCutText(rw.select("doc_id", "text"),
+        earlyExit = false)
+      .join(rw.select("doc_id", "source"), "doc_id")
+      .selectExpr("doc_id", "text_kept AS text", "source")
+    val semDrop = Similarity.semanticKeepFor(s, dir)
+      .where("NOT keep").selectExpr("vec_id AS doc_id")
+    val d3 = sx.join(semDrop, Seq("doc_id"), "left_anti")
+    val quality = v4QualityFor(s, dir)
+    val scrub = v5ScrubFor(s, dir)
+    val clean = scrub.join(gopherIdsFor(s, scrub), Seq("doc_id"), "left_semi")
+    val kept = clean.join(Curation.sourceCap(clean).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    Seq(stage(0, "raw", corpus), stage(1, "exact_dedup", d1),
+      stage(2, "passage_rewrite", rw), stage(3, "suffix_cut", sx),
+      stage(4, "semantic_drop", d3), stage(5, "quality", quality),
+      stage(6, "scrub", scrub), stage(7, "gopher", clean),
+      stage(8, "source_cap", kept))
       .reduce(_.unionByName(_)).orderBy("stage_ix")
   }
 
@@ -311,6 +432,13 @@ object CurationPipeline {
       Seq("doc_id"), "left_semi")
     val surv = clean.join(Curation.sourceCap(clean).select("doc_id"),
       Seq("doc_id"), "left_semi")
+    packShardSummary(s, dir, surv)
+  }
+
+  /** The pipelines' shared output surface: survivors packed in
+    * trained-BPE tokens (q157), summarized per shard. */
+  private def packShardSummary(s: SparkSession, dir: String,
+      surv: DataFrame): DataFrame =
     Packing.packSequencesBy(
         Bpe.tokenCountsFor(s, dir, surv.select("doc_id", "text"))
           .selectExpr("doc_id", "n_bpe_tokens AS n_toks"))
@@ -319,7 +447,6 @@ object CurationPipeline {
         sum("seg_tokens").cast("long").as("n_tokens"),
         countDistinct("seq_id").as("n_seqs"))
       .orderBy("shard")
-  }
 
   /** Per-session memo of a DRAINED [[graft.streaming.CurationStream]]
     * ingest of the documents table in 3 micro-batches (doc_id % 3 file
@@ -383,10 +510,18 @@ object CurationPipeline {
     // Next #6 (the flagship operator proven IN pipeline, as q183 proved
     // the Gopher gates)
     "q214_curation_v4" -> ((s, dir) => curateV4(s, dir)),
+    // v4 with the whole-doc decontam drop replaced by the q216 span
+    // SCRUB + quality re-gate — the surgical operator proven IN
+    // composition (the r18 verdict's Next #1), downstream verdicts
+    // re-derived over the scrubbed text
+    "q221_curation_v5" -> ((s, dir) => curateV5(s, dir)),
     // the per-stage attrition table through the v3 chain — each stage
     // frame from the identical component calls, the twin the same
     // seamed template with a counting tail over its own stage CTEs
     "q215_curation_funnel" -> ((s, dir) => curationFunnel(s, dir)),
+    // the same audit over the v5 chain — the suffix_cut and scrub
+    // stages' attrition rows (recovered-token-mass made visible)
+    "q224_curation_funnel_v5" -> ((s, dir) => curationFunnelV5(s, dir)),
     // the streamed fold's tokenize+packing tail over the same corpus —
     // the oracle is the batch chain verbatim, so the hash gate itself
     // proves stream ≡ batch for the new tail
@@ -518,7 +653,32 @@ object CurationPipeline {
     // q215: the v3 template with a COUNTING tail over its own stage
     // CTEs — stage names/indices must mirror curationFunnel exactly
     "q215_curation_funnel" -> v2SqlWith(v3GateCtes, v3CleanGate,
-      tail = funnelTail))
+      tail = funnelTail),
+
+    // q221: the v4 template with the decontam seam swapped for the
+    // scrub block (gates ride inside it, over the scrubbed `cleand`) —
+    // a hash mismatch localizes to the one swapped stage, and the
+    // match re-checks the span-cut equivalence inside the pipeline
+    "q221_curation_v5" -> v2SqlWith("", v3CleanGate,
+      corpusCtes = SuffixDedup.duckPlantCtes(withSource = true) + ",\n",
+      docSrc = "corpus",
+      sfxCtes = SuffixDedup.duckSpanCut("rw", "sx",
+          SuffixDedup.DefaultMinSpan) +
+        ",\nrw4 AS (SELECT doc_id, txt AS text FROM sxres),\n",
+      rwSrc = "rw4",
+      decontamCtes = duckScrubCtes),
+
+    // q224: the q221 template with the v5 counting tail — every
+    // intermediate stage row set of the flagship chain oracle-pinned
+    "q224_curation_funnel_v5" -> v2SqlWith("", v3CleanGate,
+      corpusCtes = SuffixDedup.duckPlantCtes(withSource = true) + ",\n",
+      docSrc = "corpus",
+      sfxCtes = SuffixDedup.duckSpanCut("rw", "sx",
+          SuffixDedup.DefaultMinSpan) +
+        ",\nrw4 AS (SELECT doc_id, txt AS text FROM sxres),\n",
+      rwSrc = "rw4",
+      decontamCtes = duckScrubCtes,
+      tail = funnelV5Tail))
 
   private val funnelTail: String = {
     val wtoks = "len(regexp_split_to_array(trim(text), '\\s+'))"
@@ -544,6 +704,36 @@ object CurationPipeline {
        |SELECT stage_ix, stage, n_docs, n_tokens FROM ft ORDER BY stage_ix""".stripMargin
   }
 
+  /** q224's counting tail — the funnel rows over the v5 template's own
+    * stage CTEs (stage names/indices mirror [[curationFunnelV5]]
+    * exactly; `rw4` is the suffix-cut stage, `cleand` the scrubbed
+    * re-gated survivors). */
+  private val funnelV5Tail: String = {
+    val wtoks = "len(regexp_split_to_array(trim(text), '\\s+'))"
+    s""",
+       |ft AS (
+       |  SELECT CAST(0 AS BIGINT) AS stage_ix, 'raw' AS stage,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM($wtoks) AS BIGINT) AS n_tokens
+       |  FROM corpus
+       |  UNION ALL SELECT CAST(1 AS BIGINT), 'exact_dedup',
+       |    CAST(COUNT(*) AS BIGINT), CAST(SUM($wtoks) AS BIGINT) FROM d1
+       |  UNION ALL SELECT CAST(2 AS BIGINT), 'passage_rewrite',
+       |    CAST(COUNT(*) AS BIGINT), CAST(SUM($wtoks) AS BIGINT) FROM rw
+       |  UNION ALL SELECT CAST(3 AS BIGINT), 'suffix_cut',
+       |    CAST(COUNT(*) AS BIGINT), CAST(SUM($wtoks) AS BIGINT) FROM rw4
+       |  UNION ALL SELECT CAST(4 AS BIGINT), 'semantic_drop',
+       |    CAST(COUNT(*) AS BIGINT), CAST(SUM($wtoks) AS BIGINT) FROM d3
+       |  UNION ALL SELECT CAST(5 AS BIGINT), 'quality',
+       |    CAST(COUNT(*) AS BIGINT), CAST(SUM(len(toks)) AS BIGINT) FROM q
+       |  UNION ALL SELECT CAST(6 AS BIGINT), 'scrub',
+       |    CAST(COUNT(*) AS BIGINT), CAST(SUM(len(toks)) AS BIGINT) FROM cleand
+       |  UNION ALL SELECT CAST(7 AS BIGINT), 'gopher',
+       |    CAST(COUNT(*) AS BIGINT), CAST(SUM(len(toks)) AS BIGINT) FROM clean
+       |  UNION ALL SELECT CAST(8 AS BIGINT), 'source_cap',
+       |    CAST(COUNT(*) AS BIGINT), CAST(SUM(len(toks)) AS BIGINT) FROM kept)
+       |SELECT stage_ix, stage, n_docs, n_tokens FROM ft ORDER BY stage_ix""".stripMargin
+  }
+
   private val v3GateCtes: String =
     s"""gl AS (WITH ${TextAnalysis.dupLinesSql(src = "q")}),
        |gn AS (WITH ${TextAnalysis.gopherNgramsSql(src = "q")}),
@@ -556,17 +746,21 @@ object CurationPipeline {
     """
       |    AND doc_id IN (SELECT doc_id FROM gok)""".stripMargin
 
-  /** The q165 oracle chain with four seams: extra CTEs after the
+  /** The q165 oracle chain with five seams: extra CTEs after the
     * quality stage (`q`) + an extra predicate on `clean` ("" + "" is
     * exactly the v2 twin, the gate pair is v3), plus — for v4 — a
     * corpus prelude (`corpusCtes` + `docSrc`: the planted corpus
     * replaces `documents` as d1's source) and a post-rewrite stage
     * (`sfxCtes` + `rwSrc`: the suffix span cut between the passage
-    * rewrite and d2). One template serves all three, so a composition
-    * change can never fork the shared fragments. */
+    * rewrite and d2), plus — for v5 — the decontamination block itself
+    * (`decontamCtes`, any CTE chain ending in `cleand`: the default is
+    * the q62 whole-doc drop, q221 swaps in the q216 span scrub with
+    * the quality re-gate). One template serves all five, so a
+    * composition change can never fork the shared fragments. */
   private def v2SqlWith(gateCtes: String, cleanGate: String,
       corpusCtes: String = "", docSrc: String = "documents",
       sfxCtes: String = "", rwSrc: String = "rw",
+      decontamCtes: String = duckDecontamDropCtes,
       tail: String = packingTail): String = {
       val duckCos =
         """list_sum(list_transform(list_zip(a.v, b.v), z -> z[1] * z[2])) /
@@ -615,20 +809,7 @@ object CurationPipeline {
            |  WHERE len(toks) >= 5 AND len(toks) <= 100000
            |    AND round(100.0 * list_sum(list_transform(toks, tk -> length(tk))) / len(toks)) BETWEEN 200 AND 1200
            |    AND round(10000.0 * n_symbols / len) < 3000),
-           |$gateCtes sh6 AS (
-           |  SELECT doc_id,
-           |    list_transform(range(1, greatest(1, len(toks) - 4)),
-           |      i -> array_to_string(toks[i:i+5], ' ')) AS sh
-           |  FROM q),
-           |eval_sh AS (
-           |  SELECT DISTINCT unnest(sh) AS shingle FROM sh6 WHERE doc_id % 97 = 3),
-           |contaminated AS (
-           |  SELECT DISTINCT t2.doc_id
-           |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh6 WHERE doc_id % 97 != 3) t2
-           |  JOIN eval_sh e ON t2.shingle = e.shingle),
-           |cleand AS (
-           |  SELECT * FROM q WHERE doc_id % 97 != 3
-           |    AND doc_id NOT IN (SELECT doc_id FROM contaminated)),
+           |$gateCtes $decontamCtes,
            |clean AS (
            |  SELECT * FROM cleand WHERE 1 = 1$cleanGate),
            |kept AS (
@@ -638,6 +819,72 @@ object CurationPipeline {
            |    FROM clean) WHERE rk <= 15)
            |$tail""".stripMargin)
   }
+
+  /** The template's default decontamination block — the q62 whole-doc
+    * drop (eval carve's 6-gram shingles, contaminated ids, `cleand` =
+    * the surviving train docs), verbatim the pre-seam text so the
+    * v2/v3/v4 twins are byte-identical to their audited form. */
+  private val duckDecontamDropCtes: String =
+    """sh6 AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(1, len(toks) - 4)),
+      |      i -> array_to_string(toks[i:i+5], ' ')) AS sh
+      |  FROM q),
+      |eval_sh AS (
+      |  SELECT DISTINCT unnest(sh) AS shingle FROM sh6 WHERE doc_id % 97 = 3),
+      |contaminated AS (
+      |  SELECT DISTINCT t2.doc_id
+      |  FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh6 WHERE doc_id % 97 != 3) t2
+      |  JOIN eval_sh e ON t2.shingle = e.shingle),
+      |cleand AS (
+      |  SELECT * FROM q WHERE doc_id % 97 != 3
+      |    AND doc_id NOT IN (SELECT doc_id FROM contaminated))""".stripMargin
+
+  /** The v5 decontamination block — the q216 SURGICAL scrub spliced
+    * where the drop was: eval shingles carved from `q`'s eval slice
+    * exactly as the drop's, the train slice's shingle-position matches
+    * fed through the SHARED merge/remove-all/rebuild tail
+    * ([[SuffixDedup.duckSpanCutTail]] — one cut fragment for
+    * q204/q214/q216/q221, no fork), the scrubbed text re-derived
+    * (n_chars = scrubbed length) and RE-GATED through the q37 quality
+    * rule, then the Gopher gates over the scrubbed survivors (`gok`,
+    * consumed by the same v3 `cleanGate` predicate). Ends in `cleand`
+    * like the default, so the template's cap/packing tail composes
+    * unchanged. */
+  private val duckScrubCtes: String =
+    s"""sh6 AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, greatest(1, len(toks) - 4)),
+       |      i -> array_to_string(toks[i:i+5], ' ')) AS sh
+       |  FROM q),
+       |eval_sh AS (
+       |  SELECT DISTINCT unnest(sh) AS shingle FROM sh6 WHERE doc_id % 97 = 3),
+       |sct AS (SELECT doc_id, toks FROM q WHERE doc_id % 97 != 3),
+       |scsp AS (
+       |  SELECT w.doc_id, w.i AS s, w.i + 6 AS e FROM (
+       |    SELECT doc_id, i, array_to_string(toks[i:i+5], ' ') AS sh
+       |    FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 4)) AS i
+       |          FROM sct WHERE len(toks) >= 6)) w
+       |  JOIN eval_sh e ON w.sh = e.shingle),
+       |${SuffixDedup.duckSpanCutTail("sc")},
+       |q5 AS (
+       |  SELECT r.doc_id, r.txt AS text, q.source,
+       |    CAST(length(r.txt) AS BIGINT) AS n_chars,
+       |    regexp_split_to_array(trim(r.txt), '\\s+') AS toks,
+       |    length(r.txt) AS len,
+       |    length(r.txt) - length(regexp_replace(r.txt, '[^a-zA-Z0-9 ]', '', 'g')) AS n_symbols
+       |  FROM scres r JOIN q ON q.doc_id = r.doc_id
+       |  WHERE len(regexp_split_to_array(trim(r.txt), '\\s+')) >= 2),
+       |cleand AS (
+       |  SELECT doc_id, text, source, n_chars, toks FROM q5
+       |  WHERE len(toks) >= 5 AND len(toks) <= 100000
+       |    AND round(100.0 * list_sum(list_transform(toks, tk -> length(tk))) / len(toks)) BETWEEN 200 AND 1200
+       |    AND round(10000.0 * n_symbols / len) < 3000),
+       |gl5 AS (WITH ${TextAnalysis.dupLinesSql(src = "cleand")}),
+       |gn5 AS (WITH ${TextAnalysis.gopherNgramsSql(src = "cleand")}),
+       |gok AS (
+       |  SELECT gl5.doc_id FROM gl5 JOIN gn5 ON gl5.doc_id = gn5.doc_id
+       |  WHERE gl5.passes AND gn5.passes)""".stripMargin
 
   /** The template's default tail — the q157 trained-token packing
     * summary (the v2/v3/v4 output surface). */

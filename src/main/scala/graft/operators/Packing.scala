@@ -291,6 +291,109 @@ object Packing {
       .orderBy("shard")
   }
 
+  /** q223 — the pack-2 assignment MATERIALIZED: which doc shares a bin
+    * with which (the loader-facing surface q56/q205 provide for the
+    * splitting packer, now for the pair packer whose q218/q219 gates
+    * prove only the optimal COUNT). Docs are ranked within (shard, len)
+    * by doc_id — slot members are indistinguishable to the greedy, so
+    * any deterministic rank yields AN optimal assignment; this one is
+    * replayed identically by the twin. The histogram fold re-runs with
+    * an EVENT LOG: each step emits its consumed rank ranges (pair: the
+    * low slot's next t ranks ascending zipped with the high slot's top
+    * t remaining ranks descending; solo: the high slot's remaining
+    * ranks; meet: the surviving range of the meeting slot, paired
+    * consecutively). Events per shard are ≤ 2·slots + 1 —
+    * budget-bounded, NEVER corpus-bounded — so the event frame
+    * broadcasts and docs join it by (shard, len) equality + a rank
+    * BETWEEN filter; bin_id = MIN(doc_id) over the ≤2-doc group, so the
+    * id is content-derived (no cross-engine numbering to align).
+    * Output: (shard, bin_id, doc_id, len), every input doc exactly
+    * once; Pack2Spec pins conservation, per-bin budget, and bin-count/
+    * waste equality against q218's histogram verdict. */
+  def pack2Assign(docs: DataFrame, budget: Int = DefaultBudget,
+                  shards: Int = DefaultShards): DataFrame =
+    pack2AssignBy(docs.selectExpr(
+      "doc_id", s"cast(size($sparkToks) as bigint) AS n_toks"), budget, shards)
+
+  def pack2AssignBy(tokenCounts: DataFrame, budget: Int = DefaultBudget,
+                    shards: Int = DefaultShards): DataFrame = {
+    require(budget > 0 && shards > 0)
+    val lens = tokenCounts.where("n_toks > 0")
+      .selectExpr("doc_id", s"doc_id % $shards AS shard",
+        s"least(cast(n_toks as bigint), ${budget}L) AS len")
+    val ranked = lens.withColumn("r", row_number().over(
+      Window.partitionBy("shard", "len").orderBy("doc_id")).cast("long"))
+    val hist = lens.groupBy("shard", "len").agg(count(lit(1)).as("c"))
+      .groupBy("shard")
+      .agg(expr("sort_array(collect_list(struct(len, c))) AS h"))
+      .selectExpr("shard",
+        "transform(h, x -> x.len) AS ls", "transform(h, x -> x.c) AS cs",
+        "size(h) AS m")
+    // the q218 two-pointer recurrence with an event log in the state:
+    // same branches, same pointer moves — Pack2Spec pins the bin count
+    // and waste of the reconstructed assignment against pack2BinsBy, so
+    // the two spellings cannot drift
+    val evZero = "array_repeat(named_struct('k', 0, 'ei', 0, 'ej', 0, " +
+      "'ilen', 0L, 'ilo', 0L, 'jlen', 0L, 'jlo', 0L, 't', 0L, 'pb', false), 0)"
+    val init = "named_struct('i', 1, 'j', m, " +
+      s"'ci', element_at(cs, 1), 'cj', element_at(cs, m), 'ev', $evZero)"
+    val step =
+      s"""CASE
+         | WHEN acc.i > acc.j THEN acc
+         | WHEN acc.i = acc.j THEN named_struct(
+         |   'i', acc.j + 1, 'j', acc.j, 'ci', 0L, 'cj', 0L,
+         |   'ev', concat(acc.ev, array(named_struct('k', 3, 'ei', acc.i, 'ej', acc.j,
+         |     'ilen', element_at(ls, acc.i),
+         |     'ilo', IF(acc.ci <= acc.cj, element_at(cs, acc.i) - acc.ci + 1L, 1L),
+         |     'jlen', 0L, 'jlo', 0L, 't', least(acc.ci, acc.cj),
+         |     'pb', 2 * element_at(ls, acc.i) <= $budget))))
+         | WHEN element_at(ls, acc.i) + element_at(ls, acc.j) <= $budget
+         |   THEN named_struct(
+         |   'i', IF(acc.ci = least(acc.ci, acc.cj), acc.i + 1, acc.i),
+         |   'j', IF(acc.cj = least(acc.ci, acc.cj), acc.j - 1, acc.j),
+         |   'ci', IF(acc.ci = least(acc.ci, acc.cj),
+         |     element_at(cs, acc.i + 1), acc.ci - least(acc.ci, acc.cj)),
+         |   'cj', IF(acc.cj = least(acc.ci, acc.cj),
+         |     element_at(cs, acc.j - 1), acc.cj - least(acc.ci, acc.cj)),
+         |   'ev', concat(acc.ev, array(named_struct('k', 1, 'ei', acc.i, 'ej', acc.j,
+         |     'ilen', element_at(ls, acc.i), 'ilo', element_at(cs, acc.i) - acc.ci + 1L,
+         |     'jlen', element_at(ls, acc.j), 'jlo', acc.cj - least(acc.ci, acc.cj) + 1L,
+         |     't', least(acc.ci, acc.cj), 'pb', true))))
+         | ELSE named_struct('i', acc.i, 'j', acc.j - 1, 'ci', acc.ci,
+         |   'cj', element_at(cs, acc.j - 1),
+         |   'ev', concat(acc.ev, array(named_struct('k', 2, 'ei', acc.i, 'ej', acc.j,
+         |     'ilen', 0L, 'ilo', 0L, 'jlen', element_at(ls, acc.j), 'jlo', 1L,
+         |     't', acc.cj, 'pb', false))))
+         |END""".stripMargin
+    val sides = hist
+      .withColumn("st", expr(s"aggregate(sequence(1, 2 * m), $init, (acc, z) -> $step)"))
+      .selectExpr("shard", "explode(st.ev) AS e")
+      .selectExpr("shard", "e.k AS k", "e.ei AS ei", "e.ej AS ej", "e.pb AS pb",
+        """explode(CASE
+          | WHEN e.k = 1 THEN array(
+          |   named_struct('side', 0, 'len', e.ilen, 'rlo', e.ilo, 'rhi', e.ilo + e.t - 1),
+          |   named_struct('side', 1, 'len', e.jlen, 'rlo', e.jlo, 'rhi', e.jlo + e.t - 1))
+          | WHEN e.k = 2 THEN array(
+          |   named_struct('side', 1, 'len', e.jlen, 'rlo', 1L, 'rhi', e.t))
+          | ELSE array(
+          |   named_struct('side', 0, 'len', e.ilen, 'rlo', e.ilo, 'rhi', e.ilo + e.t - 1))
+          |END) AS sd""".stripMargin)
+      .selectExpr("shard", "k", "ei", "ej", "pb", "sd.side AS side",
+        "sd.len AS len", "sd.rlo AS rlo", "sd.rhi AS rhi")
+    ranked.alias("d")
+      .join(broadcast(sides.alias("s")),
+        expr("d.shard = s.shard AND d.len = s.len AND d.r BETWEEN s.rlo AND s.rhi"))
+      .selectExpr("d.shard AS shard", "d.doc_id AS doc_id", "d.len AS len",
+        "s.ei AS ei", "s.ej AS ej",
+        """CASE WHEN s.k = 1 THEN IF(s.side = 0, d.r - s.rlo + 1, s.rhi - d.r + 1)
+          |     WHEN s.k = 2 THEN d.r
+          |     ELSE IF(s.pb, (d.r - s.rlo) div 2, d.r) END AS g""".stripMargin)
+      .withColumn("bin_id", min("doc_id").over(
+        Window.partitionBy("shard", "ei", "ej", "g")))
+      .select("shard", "bin_id", "doc_id", "len")
+      .orderBy("shard", "bin_id", "doc_id")
+  }
+
   /** Merge shard manifests: counts and token totals ADD, checksums XOR,
     * id ranges combine — every [[shardManifest]] column is a
     * commutative monoid, so the manifest of (corpus ∪ batch) equals
@@ -372,6 +475,12 @@ object Packing {
       pack2BinsBy(Bpe.tokenCountsMemo(s, dir)
         .selectExpr("doc_id", "n_bpe_tokens AS n_toks"))),
 
+    // the pair packing MATERIALIZED — (shard, bin_id, doc_id, len),
+    // bin_id = min doc_id in the bin, reconstructed by replaying the
+    // q218 two-pointer over docs ranked within (shard, len) by doc_id
+    "q223_pack2_assign" -> ((s, dir) =>
+      pack2Assign(Tables.documents(s, dir))),
+
     "q124_shard_manifest" -> ((s, dir) =>
       shardManifest(Tables.documents(s, dir)).orderBy("shard")),
 
@@ -403,6 +512,24 @@ object Packing {
     * both reads and rebuilds its accumulator, traced during q218's
     * bring-up: one step advanced the pair count twice). */
   private def duckPack2Tail: String = {
+    val C = DefaultBudget
+    s"""$duckPack2StateCtes
+       |SELECT hs.shard, hs.n_docs, hs.n_tokens,
+       |  st.p AS n_pairs, st.s AS n_solo, st.p + st.s AS n_bins,
+       |  (st.p + st.s) * $C - hs.n_tokens AS waste,
+       |  CASE WHEN st.p + st.s = 0 THEN 0
+       |    ELSE (10000 * hs.n_tokens) // ((st.p + st.s) * $C) END AS fill_e4
+       |FROM st JOIN hs ON hs.shard = st.shard
+       |WHERE st.i > st.j
+       |ORDER BY hs.shard""".stripMargin
+  }
+
+  /** The pack-2 histogram + two-pointer state recursion (hist/hs/st)
+    * shared by the count twins (q218/q219, [[duckPack2Tail]]) and the
+    * assignment twin (q223, [[duckPack2AssignTail]] — which reads the
+    * FULL state trace, every intermediate row of the recursive CTE,
+    * not just the terminal state). */
+  private def duckPack2StateCtes: String = {
     val C = DefaultBudget
     val pair = s"hs.ls[st.i] + hs.ls[st.j] <= $C"
     val t = "least(st.ci, st.cj)"
@@ -441,15 +568,54 @@ object Packing {
        |           (CASE WHEN 2 * hs.ls[st.i] <= $C THEN $t % 2 ELSE $t END)
        |         WHEN $pair THEN st.s ELSE st.s + st.cj END
        |  FROM st JOIN hs ON hs.shard = st.shard
-       |  WHERE st.i <= st.j)
-       |SELECT hs.shard, hs.n_docs, hs.n_tokens,
-       |  st.p AS n_pairs, st.s AS n_solo, st.p + st.s AS n_bins,
-       |  (st.p + st.s) * $C - hs.n_tokens AS waste,
-       |  CASE WHEN st.p + st.s = 0 THEN 0
-       |    ELSE (10000 * hs.n_tokens) // ((st.p + st.s) * $C) END AS fill_e4
-       |FROM st JOIN hs ON hs.shard = st.shard
-       |WHERE st.i > st.j
-       |ORDER BY hs.shard""".stripMargin
+       |  WHERE st.i <= st.j)""".stripMargin
+  }
+
+  /** q223's twin tail: events off the full state TRACE (each
+    * non-terminal state row emits its outgoing transition's consumed
+    * rank ranges — (i, j) never repeats along a chain, so the pointer
+    * pair is the event key), sides unioned per kind, docs ranked within
+    * (shard, len) by doc_id joined by rank range, bin = MIN(doc_id)
+    * over the ≤2-doc group — the exact reconstruction
+    * [[pack2AssignBy]] runs, on the other engine's route. */
+  private def duckPack2AssignTail: String = {
+    val C = DefaultBudget
+    s"""$duckPack2StateCtes,
+       |ev AS (
+       |  SELECT st.shard, st.i AS ei, st.j AS ej,
+       |    CASE WHEN st.i = st.j THEN 3
+       |         WHEN hs.ls[st.i] + hs.ls[st.j] <= $C THEN 1 ELSE 2 END AS k,
+       |    hs.ls[st.i] AS ilen,
+       |    CASE WHEN st.i = st.j AND st.ci > st.cj THEN CAST(1 AS BIGINT)
+       |         ELSE hs.cs[st.i] - st.ci + 1 END AS ilo,
+       |    hs.ls[st.j] AS jlen,
+       |    st.cj - least(st.ci, st.cj) + 1 AS jlo,
+       |    CASE WHEN st.i = st.j OR hs.ls[st.i] + hs.ls[st.j] <= $C
+       |         THEN least(st.ci, st.cj) ELSE st.cj END AS t,
+       |    2 * hs.ls[st.i] <= $C AS pb
+       |  FROM st JOIN hs ON hs.shard = st.shard
+       |  WHERE st.i <= st.j),
+       |sides AS (
+       |  SELECT shard, k, ei, ej, pb, 0 AS side, ilen AS len, ilo AS rlo, ilo + t - 1 AS rhi
+       |  FROM ev WHERE k IN (1, 3)
+       |  UNION ALL
+       |  SELECT shard, k, ei, ej, pb, 1, jlen, jlo, jlo + t - 1 FROM ev WHERE k = 1
+       |  UNION ALL
+       |  SELECT shard, k, ei, ej, pb, 1, jlen, CAST(1 AS BIGINT), t FROM ev WHERE k = 2),
+       |rankd AS (
+       |  SELECT doc_id, shard, l AS len,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY shard, l ORDER BY doc_id) AS BIGINT) AS r
+       |  FROM lens WHERE l > 0),
+       |grpd AS (
+       |  SELECT d.shard, d.doc_id, d.len, s.ei, s.ej,
+       |    CASE WHEN s.k = 1 THEN (CASE WHEN s.side = 0 THEN d.r - s.rlo + 1 ELSE s.rhi - d.r + 1 END)
+       |         WHEN s.k = 2 THEN d.r
+       |         ELSE (CASE WHEN s.pb THEN (d.r - s.rlo) // 2 ELSE d.r END) END AS g
+       |  FROM rankd d JOIN sides s
+       |    ON s.shard = d.shard AND s.len = d.len AND d.r BETWEEN s.rlo AND s.rhi)
+       |SELECT shard, MIN(doc_id) OVER (PARTITION BY shard, ei, ej, g) AS bin_id,
+       |  doc_id, len
+       |FROM grpd ORDER BY shard, bin_id, doc_id""".stripMargin
   }
 
   def oracle: Map[String, String] = Map(
@@ -541,6 +707,16 @@ object Packing {
          |    least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT), $DefaultBudget) AS l
          |  FROM documents),
          |$duckPack2Tail""".stripMargin,
+
+    // the assignment twin: the SAME state recursion, read as a full
+    // trace — every intermediate (i, j) state emits its transition's
+    // rank ranges, docs join by rank, bins key on min doc_id
+    "q223_pack2_assign" ->
+      s"""WITH RECURSIVE lens AS (
+         |  SELECT doc_id, doc_id % $DefaultShards AS shard,
+         |    least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT), $DefaultBudget) AS l
+         |  FROM documents),
+         |$duckPack2AssignTail""".stripMargin,
 
     // the BPE-denominated twin: the q144 training chain's per-doc
     // counts feed the IDENTICAL pack-2 recursion fragment

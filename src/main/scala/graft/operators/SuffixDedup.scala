@@ -243,9 +243,15 @@ object SuffixDedup {
     // plants carry their own 'plant' source when the caller needs one
     // (q214's source-cap stage treats them as one fresh domain — the
     // same literal on both engines)
+    // donor offset 3 behind ONE flank token: plant position p holds
+    // donor token p+1, so every 8-aligned plant passage straddles two
+    // donor grid cells — q139's verbatim-cell dedup can NEVER match it
+    // (offset 2 would re-create donor alignment: plant pos p = donor
+    // pos p — the round-18 off-by-one the q224 funnel exposed, with the
+    // passage stage silently doing the suffix stage's work in-chain)
     val plantCols = Seq(s"doc_id + ${off}L AS doc_id",
       "concat('xs', cast(doc_id as string), ' ', " +
-        "array_join(slice(toks, 2, 55), ' '), " +
+        "array_join(slice(toks, 3, 55), ' '), " +
         "' xe', cast(doc_id as string)) AS text") ++
       (if (withSource) Seq("'plant' AS source") else Nil)
     d0.unionByName(
@@ -264,7 +270,7 @@ object SuffixDedup {
       |  -- plant from the Spark construction
       |  SELECT did + mx.off AS doc_id,
       |    'xs' || CAST(did AS VARCHAR) || ' ' ||
-      |    array_to_string(toks[2:56], ' ') ||
+      |    array_to_string(toks[3:57], ' ') ||
       |    ' xe' || CAST(did AS VARCHAR) AS text$srcPl
       |  FROM (SELECT doc_id AS did, regexp_split_to_array(trim(text), '\\s+') AS toks
       |        FROM documents) CROSS JOIN mx

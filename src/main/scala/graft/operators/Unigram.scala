@@ -326,6 +326,110 @@ object Unigram {
     (hist.toSeq, converged)
   }
 
+  // ------------------------------------------- loss-ranked vocab pruning
+
+  /** The q222 prune schedule: rounds of (soft E+M → loss-rank → prune),
+    * each keeping the top ⌈3K/5⌉ of the K current multi-char pieces
+    * (the alphabet is never pruned — totality). Both engines run
+    * exactly this depth, the twin unrolled. */
+  private[graft] val PruneRounds = 2
+
+  /** Per-piece ALTERNATIVE segmentation score: the Viterbi decode of
+    * each multi-char inventory piece's OWN string under the current
+    * model with the piece's full-cover slice excluded — i.e. the best
+    * the model can do on that string USING ONLY OTHER PIECES (the
+    * only slice of w equal to w is the (0, len) one, so dropping it is
+    * exactly "remove w from the model" for w's own lattice; w stays
+    * available as a sub-piece of every other piece's alt decode, which
+    * is Kudo's one-piece-at-a-time marginal). Pieces are ≤
+    * [[WordPiece.MaxPieceLen]] chars and the inventory is
+    * model-sized (alphabet + MultiVocab), so this whole frame is
+    * bounded — the in-row DP rides ≤ vocab rows. Output: (s, alt_e6). */
+  private def altScores(counts: DataFrame, scored: DataFrame): DataFrame = {
+    val pieces = counts.where("length(s) > 1")
+      .selectExpr("s AS w", "cast(1 as bigint) AS cnt")
+    val pcands = WordPiece.candidates(pieces)
+      .where("NOT (pos = 0 AND l = length(w))")
+    viterbiCounts(pcands, scored).selectExpr("w AS s", "score_e6 AS alt_e6")
+  }
+
+  /** Per-piece PRUNE LOSS under `counts` (the current expected-count
+    * model): loss(s) = c(s) × (score(s) − alt(s)) — the likelihood the
+    * corpus loses when s is removed and its expected mass re-segments
+    * through the alternative path (Kudo 2018 §3.2's loss, the
+    * SentencePiece prune criterion). Exact integers end to end: c and
+    * both e6 scores are integers, the product rides DECIMAL(38,0)
+    * (c ~ 1e13 × Δ ~ 1e8 overflows Long; the twin multiplies in
+    * HUGEINT — ranking-only, never emitted, and integer order is
+    * engine-independent). Output: (s, c, loss) for multi-char pieces. */
+  private def pruneLosses(counts: DataFrame): DataFrame = {
+    val scored = scoresOf(counts)
+    counts.where("length(s) > 1")
+      .join(scored, Seq("s"))
+      .join(altScores(counts, scored), Seq("s"))
+      .selectExpr("s", "c",
+        "cast(c as decimal(38,0)) * cast(s_e6 - alt_e6 as decimal(38,0)) AS loss")
+  }
+
+  /** The prune loop: round r runs ONE soft E+M step under the current
+    * inventory (round 1: the q173 seed), ranks the multi-char pieces by
+    * [[pruneLosses]] (loss DESC, ties by piece — the deterministic
+    * tiebreak convention) and keeps the top ⌈3K/5⌉ plus the whole
+    * alphabet. Returns the per-round surviving (s, c) inventories.
+    * Scale shape: every round is one q213 E-step (type-table-bound) +
+    * a vocab-sized loss rank (the global window and the driver-side
+    * K count both ride the bounded model frame, alphabet +
+    * [[WordPiece.MultiVocab]] rows — never the corpus). */
+  private[graft] def pruneHistory(types: DataFrame,
+      rounds: Int): Seq[DataFrame] = {
+    require(rounds >= 1)
+    import org.apache.spark.sql.expressions.Window
+    val cands = WordPiece.candidates(types).localCheckpoint()
+    var inv = WordPiece.vocabFrom(cands)
+    val hist = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    (1 to rounds).foreach { _ =>
+      val counts = softCounts(types, cands, inv).localCheckpoint()
+      val losses = pruneLosses(counts)
+      val k = losses.count() // model-sized (≤ alphabet + MultiVocab)
+      val keepN = (3 * k + 4) / 5
+      val kept = losses
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("loss").desc, col("s"))))
+        .where(s"rk <= $keepN").select("s")
+      inv = counts.where("length(s) = 1").select("s", "c")
+        .unionByName(counts.join(broadcast(kept), Seq("s"), "left_semi")
+          .select("s", "c"))
+        .localCheckpoint()
+      hist += inv
+    }
+    hist.toSeq
+  }
+
+  /** Memo of the q222 pruned-model seg frame: the [[PruneRounds]]-deep
+    * prune loop's final inventory, decoded over the corpus types (the
+    * final model's scores are the log-ratios of the surviving counts —
+    * the twin decodes under the same `pinv` frame). */
+  private val prunedSegMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  Memos.register(() => prunedSegMemo.synchronized(prunedSegMemo.clear()))
+  private[operators] def prunedSegFor(s: SparkSession, dir: String): DataFrame =
+    prunedSegMemo.synchronized {
+      prunedSegMemo.getOrElseUpdate((s, dir), {
+        val types = WordPiece.wordTypes(Tables.documents(s, dir))
+        val inv = pruneHistory(types, PruneRounds).last
+        val cands = WordPiece.candidates(types).localCheckpoint()
+        viterbiCounts(cands, scoresOf(inv)).localCheckpoint()
+      })
+    }
+
+  /** One round's loss frame from the seed inventory — exposed so
+    * UnigramSpec can assert survivors' losses dominate the pruned
+    * pieces'. */
+  private[graft] def pruneLossesSeed(types: DataFrame): DataFrame = {
+    val cands = WordPiece.candidates(types).localCheckpoint()
+    pruneLosses(softCounts(types, cands, WordPiece.vocabFrom(cands)))
+  }
+
   /** The q173 seed count frame (s, c) for `types` — exposed for
     * UnigramSpec's seed-vs-refit marginal comparison. */
   private[graft] def seedCountsOf(types: DataFrame): DataFrame =
@@ -482,6 +586,14 @@ object Unigram {
     // unrolls the capped loop with recursive forward/backward walks
     "q213_unigram_soft_em" -> ((s, dir) =>
       unigramTokenCounts(Tables.documents(s, dir), softEmSegFor(s, dir))),
+    // KUDO'S PRUNING LOOP (Kudo 2018 §3.2 — the loss-ranked vocabulary
+    // shrink q213's scaladoc named as the one published mechanism still
+    // absent): seed inventory → soft E+M → per-piece loss = expected
+    // count × (own score − best alternative segmentation) → keep the
+    // top ⌈3K/5⌉ multi-char pieces + the alphabet → repeat; decode the
+    // corpus under the final pruned model
+    "q222_unigram_pruned" -> ((s, dir) =>
+      unigramTokenCounts(Tables.documents(s, dir), prunedSegFor(s, dir))),
     // the shipped-artifact Viterbi encoder — scan → packed-DP map →
     // sort, no seg join; q180's recursive-walk twin gates it verbatim
     // (the q188/q189 convention, closing the THIRD tokenizer family)
@@ -497,16 +609,20 @@ object Unigram {
     }))
 
   /** Score + pivot + recursive Viterbi walk + seg, names parameterized
-    * for clash-free splicing (q181); assumes `v`, `cand`, `vocab` from
-    * [[WordPiece.duckVDef]]/[[WordPiece.duckSeedCtes]] are in scope. */
+    * for clash-free splicing (q181); by default decodes the corpus
+    * word types (`v`, `cand` from
+    * [[WordPiece.duckVDef]]/[[WordPiece.duckSeedCtes]], assumed in
+    * scope) — q222's per-piece ALT decode re-points `wordSrc`/`candSrc`
+    * at the inventory pieces themselves. */
   private[operators] def duckViterbiCtes(tot: String = "tot",
       sc: String = "sc", piv: String = "piv", walk: String = "uwalk",
-      seg: String = "useg", vocabSrc: String = "vocab"): String =
+      seg: String = "useg", vocabSrc: String = "vocab",
+      wordSrc: String = "v", candSrc: String = "cand"): String =
     s"""$tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM $vocabSrc),
        |$sc AS MATERIALIZED (
-       |  SELECT cand.w, cand.pos + cand.l AS i, cand.l,
+       |  SELECT $candSrc.w, $candSrc.pos + $candSrc.l AS i, $candSrc.l,
        |    CAST(round(1e6 * (ln($vocabSrc.c) - ln($tot.tot))) AS BIGINT) AS s_e6
-       |  FROM cand JOIN $vocabSrc ON substr(cand.w, CAST(cand.pos + 1 AS INT), CAST(cand.l AS INT)) = $vocabSrc.s
+       |  FROM $candSrc JOIN $vocabSrc ON substr($candSrc.w, CAST($candSrc.pos + 1 AS INT), CAST($candSrc.l AS INT)) = $vocabSrc.s
        |  CROSS JOIN $tot),
        |$piv AS MATERIALIZED (
        |  SELECT w, i,
@@ -519,7 +635,7 @@ object Unigram {
        |    CAST($Off * 1024 + 1023 AS BIGINT) AS b0,
        |    CAST(NULL AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b2, CAST(NULL AS BIGINT) AS b3,
        |    CAST(NULL AS BIGINT) AS b4, CAST(NULL AS BIGINT) AS b5
-       |  FROM v
+       |  FROM $wordSrc
        |  UNION ALL
        |  -- LEFT join on the pivoted scores, bounded by word length: a
        |  -- PRUNED vocabulary (the q184 refit) can leave an interior
@@ -538,15 +654,15 @@ object Unigram {
        |      $walk.b5 + $piv.s6 * 1024 - 1),
        |    $walk.b0, $walk.b1, $walk.b2, $walk.b3, $walk.b4
        |  FROM $walk
-       |  JOIN v ON v.w = $walk.w AND $walk.i < length(v.w)
+       |  JOIN $wordSrc ON $wordSrc.w = $walk.w AND $walk.i < length($wordSrc.w)
        |  LEFT JOIN $piv ON $piv.w = $walk.w AND $piv.i = $walk.i + 1),
        |$seg AS (
-       |  SELECT v.w,
-       |    CASE WHEN length(v.w) > 1023
-       |      THEN CAST(error('unigram: word past the 1023-char packed budget: ' || v.w) AS BIGINT)
+       |  SELECT $wordSrc.w,
+       |    CASE WHEN length($wordSrc.w) > 1023
+       |      THEN CAST(error('unigram: word past the 1023-char packed budget: ' || $wordSrc.w) AS BIGINT)
        |      ELSE CAST(1023 - ($walk.b0 % 1024) AS BIGINT) END AS n_uni,
        |    CAST(($walk.b0 // 1024) - $Off AS BIGINT) AS score_e6
-       |  FROM v JOIN $walk ON $walk.w = v.w AND $walk.i = length(v.w))""".stripMargin
+       |  FROM $wordSrc JOIN $walk ON $walk.w = $wordSrc.w AND $walk.i = length($wordSrc.w))""".stripMargin
 
   /** Hard-EM CTE chain, assumes the seed walk (`sc`, `uwalk`) is in
     * scope: per-(w, i) best table → deterministic min-l backtrack
@@ -668,6 +784,42 @@ object Unigram {
           vocabSrc = s"sused_s$SoftEmCap")}""".stripMargin
   }
 
+  /** One unrolled PRUNE round (q222): a soft E+M round off `vocabSrc`
+    * (the shared [[duckSoftRound]] fragment — no fork from q213), then
+    * the loss rank: each multi-char piece's candidate slices (minus the
+    * full-cover self slice) walk the SHARED Viterbi fragment re-pointed
+    * at the pieces themselves (`wordSrc`/`candSrc`), loss =
+    * c × (score − alt) in HUGEINT (ranking-only; Spark rides
+    * DECIMAL(38,0) — integer order is engine-independent), keep the
+    * top ⌈3K/5⌉ by (loss DESC, s) plus the alphabet → `pinv_p<r>`. */
+  private def duckPruneRound(vocabSrc: String, r: Int): String = {
+    val sfx = s"_p$r"
+    s"""${duckSoftRound(vocabSrc, sfx)},
+       |pvv$sfx AS (SELECT s AS w FROM sused$sfx WHERE length(s) > 1),
+       |pcx$sfx AS (
+       |  SELECT w, CAST(pos AS BIGINT) AS pos, CAST(l AS BIGINT) AS l
+       |  FROM (SELECT w, pos, unnest(range(1, least(${WordPiece.MaxPieceLen}, length(w) - pos) + 1)) AS l
+       |        FROM (SELECT w, unnest(range(0, length(w))) AS pos FROM pvv$sfx))
+       |  WHERE NOT (pos = 0 AND l = length(w))),
+       |${duckViterbiCtes(tot = s"ptot$sfx", sc = s"psc$sfx",
+          piv = s"ppiv$sfx", walk = s"pwalk$sfx", seg = s"pseg$sfx",
+          vocabSrc = s"sused$sfx", wordSrc = s"pvv$sfx",
+          candSrc = s"pcx$sfx")},
+       |plos$sfx AS (
+       |  SELECT m.s,
+       |    CAST(m.c AS HUGEINT) * (CAST(round(1e6 * (ln(m.c) - ln(pt.tot))) AS BIGINT) - a.score_e6) AS loss
+       |  FROM sused$sfx m CROSS JOIN ptot$sfx pt
+       |  JOIN pseg$sfx a ON a.w = m.s),
+       |pkn$sfx AS (SELECT ((3 * COUNT(*) + 4) // 5) AS keepn FROM plos$sfx),
+       |pkeep$sfx AS (
+       |  SELECT s FROM
+       |    (SELECT s, ROW_NUMBER() OVER (ORDER BY loss DESC, s) AS rk FROM plos$sfx), pkn$sfx
+       |  WHERE rk <= keepn),
+       |pinv$sfx AS (
+       |  SELECT s, c FROM sused$sfx WHERE length(s) = 1
+       |  UNION ALL SELECT m.s, m.c FROM sused$sfx m JOIN pkeep$sfx k ON k.s = m.s)""".stripMargin
+  }
+
   private def duckPerDocTail(seg: String): String =
     s"""tok AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents)
@@ -727,6 +879,23 @@ object Unigram {
          |${WordPiece.duckSeedCtes},
          |$duckSoftChain,
          |${duckPerDocTail("usegs")}""".stripMargin,
+
+    // the prune loop unrolled to PruneRounds (fixed schedule — no
+    // convergence argument needed): each round chains the shared soft
+    // round + the piece-level alt walk + the loss rank; the tail
+    // decodes the corpus under the final surviving inventory
+    "q222_unigram_pruned" -> {
+      val pruneChain = (1 to PruneRounds).map { r =>
+        duckPruneRound(if (r == 1) "vocab" else s"pinv_p${r - 1}", r)
+      }.mkString(",\n")
+      s"""WITH RECURSIVE ${WordPiece.duckVDef},
+         |${WordPiece.duckSeedCtes},
+         |$pruneChain,
+         |${duckViterbiCtes(tot = "totp", sc = "scp", piv = "pivp",
+            walk = "uwalkp", seg = "usegp",
+            vocabSrc = s"pinv_p$PruneRounds")},
+         |${duckPerDocTail("usegp")}""".stripMargin
+    },
 
     // q194 must equal q180 value-for-value — the shipped (piece, score)
     // artifact reproduces the in-plan DP, so the twin is the SAME

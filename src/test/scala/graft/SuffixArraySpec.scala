@@ -145,4 +145,32 @@ class SuffixArraySpec extends AnyFunSuite {
     assert(donors.where("n_removed = 0").count() == 0)
     out.unpersist()
   }
+
+  test("in-chain stage attribution: passage dedup leaves every plant whole, the suffix stage cuts every plant") {
+    // the round-18 off-by-one this pins: a plant housing donor offset 2
+    // behind one flank token is grid-ALIGNED (plant pos p = donor pos
+    // p), so the passage stage silently did the suffix stage's work in
+    // the composed chain — the q224 funnel's suffix_cut row read zero.
+    // With donor offset 3 the plants are misaligned for real: the
+    // passage stage must pass them verbatim and the suffix stage must
+    // cut every one of them, in exactly the q214/q221 stage order.
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = SuffixDedup.plantedSpanCorpus(docs)
+    val maxId = docs.agg(max("doc_id")).head().getLong(0)
+    val d1 = graft.operators.Relational.keepFirst(
+      corpus.withColumn("fp", md5(col("text"))),
+      Seq("fp"), Seq(col("doc_id"))).drop("fp")
+    val rw = Dedup.passageDedup(d1.select("doc_id", "text")).cache()
+    val orig = corpus.selectExpr("doc_id", "text AS orig")
+    val plantsRw = rw.where(s"doc_id > $maxId").join(orig, "doc_id")
+    assert(plantsRw.count() > 0)
+    assert(plantsRw.where("text_kept != orig").count() == 0,
+      "passage dedup must pass every grid-misaligned plant untouched")
+    val sx = SuffixDedup.suffixCutText(
+      rw.selectExpr("doc_id", "text_kept AS text"), earlyExit = false)
+    val plantsSx = sx.where(s"doc_id > $maxId").join(orig, "doc_id")
+    assert(plantsSx.where("text_kept = orig").count() == 0,
+      "the suffix stage must cut every plant's copied interior")
+    rw.unpersist()
+  }
 }
