@@ -985,13 +985,20 @@ object Curation {
     * tree as q220 (n = 0 and pe = 1 pinned the same way). Scale: the
     * shared memoized score frame + one distributed-rank pass + ONE
     * 1-row contingency aggregate carrying all 9 cuts; output 9 rows. */
-  def decileAgreement(s: SparkSession, dir: String): DataFrame = {
-    val dec = Relational.distributedNtile(
+  def decileAgreement(s: SparkSession, dir: String): DataFrame =
+    decileAgreementFrom(
       bigramScoresFor(s, dir).select("doc_id", "lm_score_e6"),
-      10, Seq.empty, Seq(col("lm_score_e6").desc, col("doc_id")),
+      TextAnalysis.hashedClassifier(Tables.documents(s, dir))
+        .selectExpr("doc_id", "keep AS f_clf"))
+
+  /** The q225 core over arbitrary (doc_id, lm_score_e6) and
+    * (doc_id, f_clf) frames — the spec drives planted-correlation
+    * corpora through the REAL operator here. */
+  private[graft] def decileAgreementFrom(scores: DataFrame,
+      clf: DataFrame): DataFrame = {
+    val dec = Relational.distributedNtile(
+      scores, 10, Seq.empty, Seq(col("lm_score_e6").desc, col("doc_id")),
       tileCol = "decile")
-    val clf = TextAnalysis.hashedClassifier(Tables.documents(s, dir))
-      .selectExpr("doc_id", "keep AS f_clf")
     val j = dec.join(clf, "doc_id").selectExpr("decile", "f_clf")
     val cuts = 1 to 9
     val aggs = cuts.flatMap { k => Seq(

@@ -412,7 +412,7 @@ object Unigram {
   private val prunedSegMemo =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   Memos.register(() => prunedSegMemo.synchronized(prunedSegMemo.clear()))
-  private[operators] def prunedSegFor(s: SparkSession, dir: String): DataFrame =
+  private[graft] def prunedSegFor(s: SparkSession, dir: String): DataFrame =
     prunedSegMemo.synchronized {
       prunedSegMemo.getOrElseUpdate((s, dir), {
         val types = WordPiece.wordTypes(Tables.documents(s, dir))

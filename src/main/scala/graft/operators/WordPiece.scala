@@ -72,7 +72,7 @@ object WordPiece {
     * min(maxPieceLen, len − pos) — type-table-sized × ≤ len ×
     * maxPieceLen (bounded by actual word length, so a BERT-scale 100
     * costs len² on short words, not 100×). */
-  private[operators] def candidates(types: DataFrame,
+  private[graft] def candidates(types: DataFrame,
       maxPieceLen: Int = MaxPieceLen): DataFrame =
     types
       .withColumn("pos", explode(expr("sequence(0, length(w) - 1)")))
@@ -83,7 +83,7 @@ object WordPiece {
 
   /** The seeded vocabulary: ALL single characters (total coverage) plus
     * the top-`multiVocab` multi-char substrings by weighted count. */
-  private[operators] def vocabFrom(cands: DataFrame,
+  private[graft] def vocabFrom(cands: DataFrame,
       multiVocab: Int = MultiVocab): DataFrame = {
     val pc = cands.groupBy("s").agg(sum("cnt").as("c"))
     pc.where(length(col("s")) === 1).unionByName(

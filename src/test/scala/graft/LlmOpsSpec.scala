@@ -985,4 +985,61 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ladder(1) >= 0.6, s"prefix-32 recall ${ladder(1)} below floor 0.6")
     assert(ladder(2) >= 0.9, s"prefix-48 recall ${ladder(2)} below floor 0.9")
   }
+
+  test("v5 verdict flip: a doc the whole-doc decontam drops survives the scrub with flanks intact and re-gates clean") {
+    import graft.operators.{Curation, CurationPipeline}
+    // eval doc (id % 97 = 3) donates 8 consecutive tokens; the train doc
+    // re-houses them between 6-token clean flanks — contaminated for the
+    // q62 whole-doc rule, surgically recoverable for the q216 scrub
+    val evalText = (1 to 20).map(i => s"ev$i").mkString(" ")
+    val front = (1 to 6).map(i => s"fl$i").mkString(" ")
+    val back = (1 to 6).map(i => s"bk$i").mkString(" ")
+    val leaked = (5 to 12).map(i => s"ev$i").mkString(" ")
+    val cleanTxt = (1 to 15).map(i => s"cl$i").mkString(" ")
+    val corpus = Seq(3L -> evalText, 10L -> s"$front $leaked $back",
+      11L -> cleanTxt).toDF("doc_id", "text")
+    // the v3/v4 route DROPS doc 10 whole
+    val flags = Curation.decontaminate(corpus).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(flags(10L) && !flags(11L))
+    // the v5 route cuts EXACTLY the copied interior
+    val evalSh = Curation.evalShingleSet(corpus.where("doc_id % 97 = 3"))
+    val scrubbed = Curation.decontamScrubText(
+        corpus.where("doc_id % 97 != 3"), evalSh)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(scrubbed(10L) == s"$front $back",
+      s"scrub must keep exactly the flanks: '${scrubbed(10L)}'")
+    assert(scrubbed(11L) == cleanTxt)
+    // and the re-gate KEEPS the scrubbed doc — the verdict flip whose
+    // recovered token mass the q224 funnel's scrub row reports
+    val regated = CurationPipeline.qualityGate(
+      Seq(10L -> scrubbed(10L)).toDF("doc_id", "text"))
+    assert(regated.count() == 1)
+  }
+
+  test("decile agreement: kappa peaks at the planted cut, is 0 for a constant keeper, and n=0 rows are pinned") {
+    import graft.operators.Curation
+    // 1000 docs, score descending in doc_id: decile d = ids (d-1)*100+1
+    // .. d*100. Keeper = "decile <= 5" with a deterministic 10% flip —
+    // run through the REAL operator, κ must peak at cut 5
+    val scores = (1L to 1000L).map(i => (i, 2000L - i)).toDF("doc_id", "lm_score_e6")
+    val keepCorr = (1L to 1000L).map { i =>
+      val headHalf = i <= 500
+      (i, if (i % 10 == 0) !headHalf else headHalf)
+    }.toDF("doc_id", "f_clf")
+    val out = Curation.decileAgreementFrom(scores, keepCorr).collect()
+      .map(r => r.getLong(0) -> r.getLong(7)).toMap
+    assert(out(5L) > 7000, s"kappa at the planted cut should be ~0.8: $out")
+    assert(out(5L) > out(1L) && out(5L) > out(9L),
+      s"kappa must peak at the planted cut: $out")
+    // a constant keeper carries no signal: κ = 0 at every cut
+    val keepAll = (1L to 1000L).map(i => (i, true)).toDF("doc_id", "f_clf")
+    val flat = Curation.decileAgreementFrom(scores, keepAll).collect()
+      .map(r => r.getLong(7))
+    assert(flat.forall(_ == 0L), s"constant keeper must score 0 kappa: ${flat.toSeq}")
+    // empty common support: the guarded degenerate row, not a null/error
+    val none = Curation.decileAgreementFrom(scores,
+      Seq.empty[(Long, Boolean)].toDF("doc_id", "f_clf")).collect()
+    assert(none.forall(r => r.getLong(6) == 10000L && r.getLong(7) == 10000L))
+  }
 }

@@ -87,4 +87,47 @@ class Pack2Spec extends AnyFunSuite {
       assert(r.getLong(6) == (p + s) * 2048L - lens.sum) // waste
     }
   }
+
+  test("pack2Assign conserves docs, respects the budget, and matches the count gate bin for bin") {
+    val rnd = new scala.util.Random(43)
+    val texts = (0 until 300).map { i =>
+      val n = rnd.nextInt(5) match {
+        case 0 => 1 + rnd.nextInt(40)
+        case 1 => 1000 + rnd.nextInt(1100)
+        case 2 => 2048
+        case 3 => 2100 + rnd.nextInt(400)
+        case _ => 1 + rnd.nextInt(2048)
+      }
+      (i.toLong, Seq.fill(n)("w").mkString(" "))
+    }
+    val df = texts.toDF("doc_id", "text")
+    val asg = Packing.pack2Assign(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // conservation: every doc exactly once
+    assert(asg.map(_._3).sorted.toSeq == texts.map(_._1).sorted.toSeq)
+    // bins: ≤2 members, one shard, token sum ≤ budget, id = min member
+    val bins = asg.groupBy(r => (r._1, r._2))
+    for (((shard, binId), members) <- bins) {
+      assert(members.size <= 2, s"bin $binId in shard $shard has ${members.size} docs")
+      assert(members.map(_._3).min == binId, s"bin id $binId is not the min doc id")
+      assert(members.map(_._4).sum <= 2048L,
+        s"bin $binId in shard $shard exceeds the budget: ${members.map(_._4).sum}")
+      assert(members.forall(_._3 % 8 == shard))
+      // len is the truncated whitespace count of the member
+      members.foreach { case (_, _, did, len) =>
+        val want = math.min(texts(did.toInt)._2.trim.split("\\s+").length.toLong, 2048L)
+        assert(len == want) }
+    }
+    // the assignment's per-shard bin count and waste EQUAL the q218
+    // histogram verdict (so the materialized pairing inherits the
+    // proven optimality)
+    val counts = Packing.pack2Bins(df).collect()
+      .map(r => r.getLong(0) -> (r.getLong(5), r.getLong(6))).toMap
+    for ((shard, rows) <- asg.groupBy(_._1)) {
+      val nBins = rows.map(_._2).distinct.size.toLong
+      val waste = nBins * 2048L - rows.map(_._4).sum
+      assert((nBins, waste) == counts(shard),
+        s"shard $shard: assignment ($nBins bins, waste $waste) != count gate ${counts(shard)}")
+    }
+  }
 }

@@ -244,4 +244,45 @@ class UnigramSpec extends AnyFunSuite {
     val again = Unigram.corpusScoreE6(types, hist.last)
     assert(again == roundScores.last)
   }
+
+  test("loss-ranked pruning: schedule-exact vocab shrink, survivors dominate, alphabet intact, decode total") {
+    import org.apache.spark.sql.functions._
+    val types = WordPiece.wordTypes(docs)
+    val seedMulti = WordPiece.vocabFrom(WordPiece.candidates(types))
+      .where("length(s) > 1").count()
+    val hist = Unigram.pruneHistory(types, Unigram.PruneRounds)
+    // each round keeps exactly ceil(3K/5) multi-char pieces
+    var k = seedMulti
+    hist.foreach { inv =>
+      val want = (3 * k + 4) / 5
+      val got = inv.where("length(s) > 1").count()
+      assert(got == want, s"prune round kept $got of $k multi pieces, want $want")
+      k = got
+    }
+    // the alphabet is never pruned (totality's guarantee)
+    val seedSingles = WordPiece.vocabFrom(WordPiece.candidates(types))
+      .where("length(s) = 1").select("s").collect().map(_.getString(0)).toSet
+    val finalSingles = hist.last.where("length(s) = 1")
+      .select("s").collect().map(_.getString(0)).toSet
+    assert(finalSingles == seedSingles)
+    // survivors' losses dominate the pruned pieces' (round 1, where the
+    // kept set is hist.head's multi pieces) — ties at the boundary are
+    // legal (the s tiebreak), so ≥ not >
+    val losses = Unigram.pruneLossesSeed(types)
+      .selectExpr("s", "cast(loss as double) AS loss").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val kept = hist.head.where("length(s) > 1")
+      .select("s").collect().map(_.getString(0)).toSet
+    val prunedL = losses.filterNot { case (s, _) => kept(s) }.values
+    if (prunedL.nonEmpty) {
+      val minKept = kept.map(losses).min
+      assert(minKept >= prunedL.max,
+        s"a pruned piece out-losses a kept one: minKept=$minKept maxPruned=${prunedL.max}")
+    }
+    // the final model still segments EVERY corpus word type (totality):
+    // one row per type, no null score
+    val seg = Unigram.prunedSegFor(spark, sf)
+    assert(seg.count() == types.count())
+    assert(seg.where("score_e6 IS NULL OR n_uni IS NULL").count() == 0)
+  }
 }
