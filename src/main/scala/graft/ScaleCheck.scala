@@ -49,7 +49,7 @@ object ScaleCheck {
     "compact", "zorder", "vacuum", "bloom_point", "ivm_maintain",
     "ivm_minmax", "shard_manifest", "passage_dedup", "mv_refresh",
     "bpe_train", "image_band", "wordpiece_train", "wordpiece_vocab30k",
-    "tokenizer_apply", "tokenizer_kernel", "binary_quant")
+    "tokenizer_apply", "tokenizer_kernel", "binary_quant", "pack2_assign")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -652,6 +652,61 @@ object ScaleCheck {
       check("binary_quant")(
         ProductQuant.binaryTopK(emb).orderBy("query_id", "rank").localCheckpoint(),
         wantTop.orderBy("query_id", "rank"))
+    }
+
+    // pack-2 ASSIGNMENT (q223's path) at 10M docs in the same 512 MB
+    // harness: per-doc output (the corpus-sized surface, unlike the
+    // q218 per-shard counts), three planted length classes with a
+    // CLOSED-FORM optimal assignment. ids = 8q+s (shard s, class by
+    // q%4): q%4=0 → 2048 (budget-exact: rides alone), q%4∈{1,2} → 848,
+    // q%4=3 → 1200 (848+1200 = 2048 exactly — pairs across slots; the
+    // leftover 848s pair among themselves, 2·848 ≤ 2048). The greedy's
+    // trace is then pure id arithmetic: every 2048 solos; 1200-rank r
+    // (ascending doc_id) pairs the 848 of rank c2+1−r (the two-pointer
+    // consumes the high slot from the top); the remaining 848 ranks
+    // pair consecutively from rank c2+1. The want frame derives ranks
+    // FROM the ids (no window, no second packer — the suffix-section
+    // oracle discipline), so a match proves the distributed event-log
+    // replay lands the exact closed-form pairing at scale.
+    {
+      val n = 10000000L // 1.25M q per shard → c848 = 625k, c1200 = 312500
+      val lens = spark.range(n).selectExpr("id AS doc_id",
+        """CASE ((id div 8) % 4) WHEN 0 THEN 2048L WHEN 3 THEN 1200L
+          |  ELSE 848L END AS n_toks""".stripMargin)
+      val qPerShard = n / 8
+      val c2 = qPerShard / 4 // 1200-docs per shard
+      // rank arithmetic, staged: r848 walks q%4∈{1,2} ascending, r1200
+      // walks q%4=3 ascending; each doc computes its PARTNER's rank,
+      // re-derives the partner's id from that rank (rank → q → 8q+s),
+      // and bins at the min of the two — the two-pointer's trace as
+      // pure arithmetic: 848-rank k pairs 1200-rank c2+1−k (the high
+      // slot consumes from the top), leftover 848s pair consecutively
+      val want = lens
+        .selectExpr("doc_id", "n_toks AS len",
+          "doc_id % 8 AS shard", "doc_id div 8 AS q")
+        .selectExpr("shard", "doc_id", "len", "q % 4 AS cls",
+          "2 * (q div 4) + (q % 4) AS r848", // valid when cls ∈ {1,2}
+          "(q div 4) + 1 AS r1200")          // valid when cls = 3
+        .selectExpr("shard", "doc_id", "len", "cls", "r848",
+          // the partner's rank in the OTHER walk (or own walk for the
+          // leftover-848 consecutive pairing)
+          s"""CASE
+             | WHEN cls = 3 THEN ${c2}L + 1 - r1200
+             | WHEN cls IN (1, 2) AND r848 <= ${c2}L THEN ${c2}L + 1 - r848
+             | WHEN cls IN (1, 2) THEN
+             |   IF((r848 - ${c2}L - 1) % 2 = 0, r848 + 1, r848 - 1)
+             | ELSE 0L END AS pr""".stripMargin)
+        .selectExpr("shard", "doc_id", "len",
+          s"""CASE
+             | WHEN cls = 0 THEN doc_id
+             | WHEN cls = 3 OR r848 > ${c2}L THEN
+             |   least(doc_id, (4 * ((pr - 1) div 2) + 1 + (pr - 1) % 2) * 8 + shard)
+             | ELSE least(doc_id, (4 * (pr - 1) + 3) * 8 + shard)
+             |END AS bin_id""".stripMargin)
+        .select("shard", "bin_id", "doc_id", "len")
+      check("pack2_assign")(
+        graft.operators.Packing.pack2AssignBy(lens).localCheckpoint(),
+        want)
     }
 
     require(only.nonEmpty || results.keys.toSeq == sectionNames,

@@ -875,7 +875,7 @@ object CurationPipeline {
        |    length(r.txt) - length(regexp_replace(r.txt, '[^a-zA-Z0-9 ]', '', 'g')) AS n_symbols
        |  FROM scres r JOIN q ON q.doc_id = r.doc_id
        |  WHERE len(regexp_split_to_array(trim(r.txt), '\\s+')) >= 2),
-       |cleand AS (
+       |cleand AS MATERIALIZED (
        |  SELECT doc_id, text, source, n_chars, toks FROM q5
        |  WHERE len(toks) >= 5 AND len(toks) <= 100000
        |    AND round(100.0 * list_sum(list_transform(toks, tk -> length(tk))) / len(toks)) BETWEEN 200 AND 1200
