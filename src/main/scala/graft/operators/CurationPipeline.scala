@@ -191,28 +191,48 @@ object CurationPipeline {
     * exact dedup → passage rewrite → SUFFIX-ARRAY span cut → semantic
     * drop → quality gate (the [[qualityFor]] convention, one stage
     * richer). */
+  /** Memo of the v4/v5 PLANTED-corpus stage frames (exact dedup d1,
+    * passage rewrite rw, suffix span cut sx — each localCheckpointed):
+    * v4QualityFor needs sx, and the q224 funnel needs every stage row —
+    * un-shared, the funnel re-paid the passage grid shuffle AND the
+    * whole suffix-array doubling per rep (measured 4.8 s; the memo
+    * leaves it the aggregates' cost). The frames are survivor-sized. */
+  private val v4StagesMemo = scala.collection.mutable.Map.empty[
+    (SparkSession, String), (DataFrame, DataFrame, DataFrame)]
+  Memos.register(() => v4StagesMemo.synchronized(v4StagesMemo.clear()))
+  private def v4StagesFor(s: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) =
+    v4StagesMemo.synchronized {
+      v4StagesMemo.getOrElseUpdate((s, dir), {
+        val corpus = SuffixDedup.plantedSpanCorpus(
+          Tables.documents(s, dir), withSource = true)
+        val d1 = Relational.keepFirst(
+          corpus.withColumn("fp", md5(col("text"))),
+          Seq("fp"), Seq(col("doc_id"))).drop("fp").localCheckpoint()
+        val rw = Dedup.passageDedup(d1.select("doc_id", "text"))
+          .join(d1.select("doc_id", "source"), "doc_id")
+          .selectExpr("doc_id", "text_kept AS text", "source")
+          .localCheckpoint()
+        // the flagship stage: every remaining ≥50-token duplicated span
+        // cut from ALL its occurrences (earlyExit off — the plants
+        // guarantee shared prefixes survive every round)
+        val sx = SuffixDedup.suffixCutText(rw.select("doc_id", "text"),
+            earlyExit = false)
+          .join(rw.select("doc_id", "source"), "doc_id")
+          .selectExpr("doc_id", "text_kept AS text", "source",
+            "cast(length(text_kept) as bigint) AS n_chars")
+          .localCheckpoint()
+        (d1, rw, sx)
+      })
+    }
+
   private val v4QualityMemo =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   Memos.register(() => v4QualityMemo.synchronized(v4QualityMemo.clear()))
   private def v4QualityFor(s: SparkSession, dir: String): DataFrame =
     v4QualityMemo.synchronized {
       v4QualityMemo.getOrElseUpdate((s, dir), {
-        val corpus = SuffixDedup.plantedSpanCorpus(
-          Tables.documents(s, dir), withSource = true)
-        val d1 = Relational.keepFirst(
-          corpus.withColumn("fp", md5(col("text"))),
-          Seq("fp"), Seq(col("doc_id"))).drop("fp")
-        val rw = Dedup.passageDedup(d1.select("doc_id", "text"))
-          .join(d1.select("doc_id", "source"), "doc_id")
-          .selectExpr("doc_id", "text_kept AS text", "source")
-        // the round's flagship stage: every remaining ≥50-token
-        // duplicated span cut from ALL its occurrences (earlyExit off —
-        // the plants guarantee shared prefixes survive every round)
-        val sx = SuffixDedup.suffixCutText(rw.select("doc_id", "text"),
-            earlyExit = false)
-          .join(rw.select("doc_id", "source"), "doc_id")
-          .selectExpr("doc_id", "text_kept AS text", "source",
-            "cast(length(text_kept) as bigint) AS n_chars")
+        val (_, _, sx) = v4StagesFor(s, dir)
         val semDrop = Similarity.semanticKeepFor(s, dir)
           .where("NOT keep").selectExpr("vec_id AS doc_id")
         val d3 = sx.join(semDrop, Seq("doc_id"), "left_anti")
@@ -364,16 +384,7 @@ object CurationPipeline {
   def curationFunnelV5(s: SparkSession, dir: String): DataFrame = {
     val corpus = SuffixDedup.plantedSpanCorpus(
       Tables.documents(s, dir), withSource = true)
-    val d1 = Relational.keepFirst(
-      corpus.withColumn("fp", md5(col("text"))),
-      Seq("fp"), Seq(col("doc_id"))).drop("fp")
-    val rw = Dedup.passageDedup(d1.select("doc_id", "text"))
-      .join(d1.select("doc_id", "source"), "doc_id")
-      .selectExpr("doc_id", "text_kept AS text", "source")
-    val sx = SuffixDedup.suffixCutText(rw.select("doc_id", "text"),
-        earlyExit = false)
-      .join(rw.select("doc_id", "source"), "doc_id")
-      .selectExpr("doc_id", "text_kept AS text", "source")
+    val (d1, rw, sx) = v4StagesFor(s, dir)
     val semDrop = Similarity.semanticKeepFor(s, dir)
       .where("NOT keep").selectExpr("vec_id AS doc_id")
     val d3 = sx.join(semDrop, Seq("doc_id"), "left_anti")
