@@ -481,6 +481,13 @@ object Packing {
     "q223_pack2_assign" -> ((s, dir) =>
       pack2Assign(Tables.documents(s, dir))),
 
+    // the assignment in TRAINED-tokenizer tokens (the q218↔q219
+    // denomination convention applied to q223: the pairing a loader
+    // actually materializes packs 2048 REAL tokens per bin)
+    "q226_pack2_assign_bpe" -> ((s, dir) =>
+      pack2AssignBy(Bpe.tokenCountsMemo(s, dir)
+        .selectExpr("doc_id", "n_bpe_tokens AS n_toks"))),
+
     "q124_shard_manifest" -> ((s, dir) =>
       shardManifest(Tables.documents(s, dir)).orderBy("shard")),
 
@@ -717,6 +724,21 @@ object Packing {
          |    least(CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT), $DefaultBudget) AS l
          |  FROM documents),
          |$duckPack2AssignTail""".stripMargin,
+
+    // the BPE-denominated assignment twin: the q144 training chain's
+    // per-doc counts feeding the IDENTICAL trace-replay fragment
+    "q226_pack2_assign_bpe" -> Bpe.duckSqlWith(
+      s""",
+         |seg AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_sym FROM it${Bpe.DefaultMerges} GROUP BY w),
+         |tok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents),
+         |tc AS (
+         |  SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_toks
+         |  FROM tok JOIN seg USING (w) WHERE w <> '' GROUP BY doc_id),
+         |lens AS (
+         |  SELECT doc_id, doc_id % $DefaultShards AS shard,
+         |    least(n_toks, $DefaultBudget) AS l FROM tc),
+         |$duckPack2AssignTail""".stripMargin),
 
     // the BPE-denominated twin: the q144 training chain's per-doc
     // counts feed the IDENTICAL pack-2 recursion fragment

@@ -290,8 +290,9 @@ object Unigram {
     * [[scoresOf]]'s log-ratio). The 1-at-e6 floor (10⁻⁶ of one
     * occurrence) keeps every inventory piece's log-prob finite, so the
     * lattice stays total — soft-EM here re-estimates a FIXED inventory
-    * (Kudo's loss-ranked vocabulary pruning is a separate mechanism,
-    * deliberately not conflated with the E-step). */
+    * (Kudo's loss-ranked vocabulary pruning is a separate mechanism —
+    * q222's outer loop ([[pruneHistory]]), which CONSUMES this E+M
+    * step per round, deliberately not conflated with it). */
   private def softCounts(types: DataFrame, cands: DataFrame,
       counted: DataFrame): DataFrame =
     softEdges(probMapOf(cands, counted))
