@@ -935,7 +935,10 @@ object Curation {
     val ppl = scores.crossJoin(broadcast(med))
       .selectExpr("doc_id", "lm_score_e6 * 2 >= med2x AS f_ppl")
     val joined = rule.join(clf, "doc_id").join(ppl, "doc_id")
-    def c(e: String) = sum(expr(s"IF($e, 1L, 0L)"))
+    // coalesce: SUM over zero rows is NULL; the n = 0 row must carry
+    // integer-0 marginals (not half-pinned NULLs) to match the comment
+    // below and the twin's COALESCE
+    def c(e: String) = coalesce(sum(expr(s"IF($e, 1L, 0L)")), lit(0L))
     val a = joined.agg(count(lit(1)).as("n"),
       c("f_rule AND f_clf").as("rc11"), c("f_rule AND NOT f_clf").as("rc10"),
       c("NOT f_rule AND f_clf").as("rc01"),
@@ -1001,10 +1004,12 @@ object Curation {
       tileCol = "decile")
     val j = dec.join(clf, "doc_id").selectExpr("decile", "f_clf")
     val cuts = 1 to 9
+    // coalesce: the n = 0 (empty common support) row is fully
+    // integer-pinned — SUM over zero rows is NULL, the contract is 0
     val aggs = cuts.flatMap { k => Seq(
-      sum(expr(s"IF(decile <= $k AND f_clf, 1L, 0L)")).as(s"a$k"),
-      sum(expr(s"IF(decile <= $k AND NOT f_clf, 1L, 0L)")).as(s"b$k"),
-      sum(expr(s"IF(decile > $k AND f_clf, 1L, 0L)")).as(s"c$k")) }
+      coalesce(sum(expr(s"IF(decile <= $k AND f_clf, 1L, 0L)")), lit(0L)).as(s"a$k"),
+      coalesce(sum(expr(s"IF(decile <= $k AND NOT f_clf, 1L, 0L)")), lit(0L)).as(s"b$k"),
+      coalesce(sum(expr(s"IF(decile > $k AND f_clf, 1L, 0L)")), lit(0L)).as(s"c$k")) }
     val rows = cuts.map(k =>
       s"named_struct('cut', ${k}L, 'n', n, 'n11', a$k, 'n10', b$k, 'n01', c$k)")
       .mkString(",\n")
@@ -2070,15 +2075,15 @@ object Curation {
          |  FROM rep JOIN clf USING (doc_id) JOIN pplf USING (doc_id)),
          |a AS (
          |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
-         |    CAST(SUM(CASE WHEN f_rule AND f_clf THEN 1 ELSE 0 END) AS BIGINT) AS rc11,
-         |    CAST(SUM(CASE WHEN f_rule AND NOT f_clf THEN 1 ELSE 0 END) AS BIGINT) AS rc10,
-         |    CAST(SUM(CASE WHEN NOT f_rule AND f_clf THEN 1 ELSE 0 END) AS BIGINT) AS rc01,
-         |    CAST(SUM(CASE WHEN f_rule AND f_ppl THEN 1 ELSE 0 END) AS BIGINT) AS rp11,
-         |    CAST(SUM(CASE WHEN f_rule AND NOT f_ppl THEN 1 ELSE 0 END) AS BIGINT) AS rp10,
-         |    CAST(SUM(CASE WHEN NOT f_rule AND f_ppl THEN 1 ELSE 0 END) AS BIGINT) AS rp01,
-         |    CAST(SUM(CASE WHEN f_clf AND f_ppl THEN 1 ELSE 0 END) AS BIGINT) AS cp11,
-         |    CAST(SUM(CASE WHEN f_clf AND NOT f_ppl THEN 1 ELSE 0 END) AS BIGINT) AS cp10,
-         |    CAST(SUM(CASE WHEN NOT f_clf AND f_ppl THEN 1 ELSE 0 END) AS BIGINT) AS cp01
+         |    CAST(COALESCE(SUM(CASE WHEN f_rule AND f_clf THEN 1 ELSE 0 END), 0) AS BIGINT) AS rc11,
+         |    CAST(COALESCE(SUM(CASE WHEN f_rule AND NOT f_clf THEN 1 ELSE 0 END), 0) AS BIGINT) AS rc10,
+         |    CAST(COALESCE(SUM(CASE WHEN NOT f_rule AND f_clf THEN 1 ELSE 0 END), 0) AS BIGINT) AS rc01,
+         |    CAST(COALESCE(SUM(CASE WHEN f_rule AND f_ppl THEN 1 ELSE 0 END), 0) AS BIGINT) AS rp11,
+         |    CAST(COALESCE(SUM(CASE WHEN f_rule AND NOT f_ppl THEN 1 ELSE 0 END), 0) AS BIGINT) AS rp10,
+         |    CAST(COALESCE(SUM(CASE WHEN NOT f_rule AND f_ppl THEN 1 ELSE 0 END), 0) AS BIGINT) AS rp01,
+         |    CAST(COALESCE(SUM(CASE WHEN f_clf AND f_ppl THEN 1 ELSE 0 END), 0) AS BIGINT) AS cp11,
+         |    CAST(COALESCE(SUM(CASE WHEN f_clf AND NOT f_ppl THEN 1 ELSE 0 END), 0) AS BIGINT) AS cp10,
+         |    CAST(COALESCE(SUM(CASE WHEN NOT f_clf AND f_ppl THEN 1 ELSE 0 END), 0) AS BIGINT) AS cp01
          |  FROM j),
          |rows3 AS (
          |  SELECT 'clf_ppl' AS pair, n, cp11 AS n11, cp10 AS n10, cp01 AS n01 FROM a
@@ -2106,9 +2111,9 @@ object Curation {
     "q225_decile_agreement" -> {
       val cuts = 1 to 9
       val sums = cuts.map { k =>
-        s"""    CAST(SUM(CASE WHEN decile <= $k AND f_clf THEN 1 ELSE 0 END) AS BIGINT) AS a$k,
-           |    CAST(SUM(CASE WHEN decile <= $k AND NOT f_clf THEN 1 ELSE 0 END) AS BIGINT) AS b$k,
-           |    CAST(SUM(CASE WHEN decile > $k AND f_clf THEN 1 ELSE 0 END) AS BIGINT) AS c$k""".stripMargin
+        s"""    CAST(COALESCE(SUM(CASE WHEN decile <= $k AND f_clf THEN 1 ELSE 0 END), 0) AS BIGINT) AS a$k,
+           |    CAST(COALESCE(SUM(CASE WHEN decile <= $k AND NOT f_clf THEN 1 ELSE 0 END), 0) AS BIGINT) AS b$k,
+           |    CAST(COALESCE(SUM(CASE WHEN decile > $k AND f_clf THEN 1 ELSE 0 END), 0) AS BIGINT) AS c$k""".stripMargin
       }.mkString(",\n")
       val rows = cuts.map { k =>
         if (k == 1) s"  SELECT CAST(1 AS BIGINT) AS cut, n, a1 AS n11, b1 AS n10, c1 AS n01 FROM a"

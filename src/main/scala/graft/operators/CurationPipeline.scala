@@ -537,7 +537,13 @@ object CurationPipeline {
     // the oracle is the batch chain verbatim, so the hash gate itself
     // proves stream ≡ batch for the new tail
     "q212_stream_packing" -> ((s, dir) =>
-      graft.streaming.CurationStream.bpePackingView(s, streamStateFor(s, dir))))
+      graft.streaming.CurationStream.bpePackingView(s, streamStateFor(s, dir))),
+    // the v5 chain INCREMENTAL: batch 1 curated once into persisted
+    // stage indexes (the q115 discipline), the delta folded in with
+    // delta-sized work — the oracle is the q221 batch template over
+    // the union, so the hash match IS the incremental ≡ batch proof
+    "q227_incremental_curation" -> ((s, dir) =>
+      IncrementalCuration.incrementalPipeline(s, dir)))
 
   /** The q129 survivor chain (q20 dedup → q37 quality → q62 decontam →
     * q63 cap) as a shared fragment ending in `kept` (doc_id, toks) —
@@ -689,7 +695,25 @@ object CurationPipeline {
         ",\nrw4 AS (SELECT doc_id, txt AS text FROM sxres),\n",
       rwSrc = "rw4",
       decontamCtes = duckScrubCtes,
-      tail = funnelV5Tail))
+      tail = funnelV5Tail),
+
+    // q227: the q221 BATCH template over the union, verbatim, plus one
+    // delta-attribution column (the split is 2/3 of the original id
+    // space — `mx` rides in from the plant CTEs) — Spark computes the
+    // same integers INCREMENTALLY from persisted batch-1 state, so the
+    // hash match is the incremental ≡ batch-over-union proof
+    "q227_incremental_curation" -> v2SqlWith("", v3CleanGate,
+      corpusCtes = SuffixDedup.duckPlantCtes(withSource = true) + ",\n",
+      docSrc = "corpus",
+      sfxCtes = SuffixDedup.duckSpanCut("rw", "sx",
+          SuffixDedup.DefaultMinSpan) +
+        ",\nrw4 AS (SELECT doc_id, txt AS text FROM sxres),\n",
+      rwSrc = "rw4",
+      decontamCtes = duckScrubCtes,
+      tail = packingTailWith(
+        ",\n  CAST(COUNT(DISTINCT CASE WHEN doc_id >= " +
+          "(SELECT (2 * off) // 3 FROM mx) THEN doc_id END) AS BIGINT) " +
+          "AS n_docs_delta")))
 
   private val funnelTail: String = {
     val wtoks = "len(regexp_split_to_array(trim(text), '\\s+'))"
@@ -897,10 +921,12 @@ object CurationPipeline {
        |  SELECT gl5.doc_id FROM gl5 JOIN gn5 ON gl5.doc_id = gn5.doc_id
        |  WHERE gl5.passes AND gn5.passes)""".stripMargin
 
-  /** The template's default tail — the q157 trained-token packing
-    * summary (the v2/v3/v4 output surface). */
-  private val packingTail: String =
-    """,
+  /** The q157 trained-token packing summary with caller-supplied extra
+    * output columns — ONE tail template for the default (v2/v3/v4/v5)
+    * surface and q227's delta-attributed variant, so the two can never
+    * fork. */
+  private def packingTailWith(extra: String): String =
+    s""",
       |ktok AS (SELECT doc_id, unnest(toks) AS w FROM kept),
       |ktc AS (
       |  SELECT doc_id, CAST(SUM(n_sym) AS BIGINT) AS n_toks
@@ -921,6 +947,10 @@ object CurationPipeline {
       |  FROM ce)
       |SELECT shard, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
       |  CAST(SUM(seg_tokens) AS BIGINT) AS n_tokens,
-      |  CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs
+      |  CAST(COUNT(DISTINCT seq_id) AS BIGINT) AS n_seqs$extra
       |FROM csegs GROUP BY shard ORDER BY shard""".stripMargin
+
+  /** The template's default tail — the q157 trained-token packing
+    * summary (the v2/v3/v4 output surface). */
+  private val packingTail: String = packingTailWith("")
 }

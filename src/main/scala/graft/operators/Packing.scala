@@ -307,8 +307,11 @@ object Packing {
     * broadcasts and docs join it by (shard, len) equality + a rank
     * BETWEEN filter; bin_id = MIN(doc_id) over the ≤2-doc group, so the
     * id is content-derived (no cross-engine numbering to align).
-    * Output: (shard, bin_id, doc_id, len), every input doc exactly
-    * once; Pack2Spec pins conservation, per-bin budget, and bin-count/
+    * Output: (shard, bin_id, doc_id, len) — every POSITIVE-token input
+    * doc exactly once (zero/negative-token docs are excluded up front,
+    * the q56/q157 packer convention: they occupy no loader capacity
+    * and would otherwise manufacture empty bins); Pack2Spec pins
+    * conservation over the filtered set, per-bin budget, and bin-count/
     * waste equality against q218's histogram verdict. */
   def pack2Assign(docs: DataFrame, budget: Int = DefaultBudget,
                   shards: Int = DefaultShards): DataFrame =
