@@ -406,10 +406,25 @@ object Unigram {
     hist.toSeq
   }
 
-  /** Memo of the q222 pruned-model seg frame: the [[PruneRounds]]-deep
-    * prune loop's final inventory, decoded over the corpus types (the
-    * final model's scores are the log-ratios of the surviving counts —
-    * the twin decodes under the same `pinv` frame). */
+  /** Memo of the q222 pruned INVENTORY (the [[PruneRounds]]-deep prune
+    * loop's final (s, c) frame) — shared by the q222 decode and the
+    * q228 n-best apply, so the two consume the IDENTICAL trained
+    * model. */
+  private val prunedInvMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  Memos.register(() => prunedInvMemo.synchronized(prunedInvMemo.clear()))
+  private[graft] def prunedInvFor(s: SparkSession, dir: String): DataFrame =
+    prunedInvMemo.synchronized {
+      prunedInvMemo.getOrElseUpdate((s, dir), {
+        val types = WordPiece.wordTypes(Tables.documents(s, dir))
+        pruneHistory(types, PruneRounds).last
+      })
+    }
+
+  /** Memo of the q222 pruned-model seg frame: the pruned inventory
+    * decoded over the corpus types (the final model's scores are the
+    * log-ratios of the surviving counts — the twin decodes under the
+    * same `pinv` frame). */
   private val prunedSegMemo =
     scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
   Memos.register(() => prunedSegMemo.synchronized(prunedSegMemo.clear()))
@@ -417,9 +432,83 @@ object Unigram {
     prunedSegMemo.synchronized {
       prunedSegMemo.getOrElseUpdate((s, dir), {
         val types = WordPiece.wordTypes(Tables.documents(s, dir))
-        val inv = pruneHistory(types, PruneRounds).last
         val cands = WordPiece.candidates(types).localCheckpoint()
-        viterbiCounts(cands, scoresOf(inv)).localCheckpoint()
+        viterbiCounts(cands, scoresOf(prunedInvFor(s, dir))).localCheckpoint()
+      })
+    }
+
+  // ------------------------------------------- n-best apply (Kudo §4)
+
+  /** q228's list depth — the n of the n-best apply. */
+  private[graft] val NBest = 3
+
+  /** The packed DP extended to carry the TOP-[[NBest]] packed values
+    * per lattice position (Kudo 2018 §4's subword regularization in
+    * its EXACT n-best form — the deterministic alternative the paper
+    * gives beside lattice sampling, and the one an integer oracle can
+    * gate): list(i) = the n largest of { list(i−l)[r] + s·1024 − 1 }
+    * over piece arms l and ranks r. Correct by the standard n-best DP
+    * argument (extension adds a constant, so the k-th best path to i
+    * uses at most the k-th best at its predecessor); ties keep
+    * MULTISET semantics (two distinct paths with equal score AND token
+    * count contribute two equal packed values — both engines sort
+    * integers, so the lists agree exactly). A pruned-vocabulary arm
+    * with no piece contributes an empty array (the null-arm convention
+    * of the max DP, lifted to lists). */
+  private def nbestDp: String =
+    s"""aggregate(
+       |  sequence(1, length(w)),
+       |  array($base),
+       |  (acc, i) -> concat(acc, array(
+       |    slice(reverse(array_sort(flatten(
+       |      transform(sequence(1, least(${WordPiece.MaxPieceLen}, i)),
+       |        l -> IF(element_at(m, cast((i - l) * 8 + l AS bigint)) IS NULL,
+       |          cast(array() AS array<bigint>),
+       |          transform(element_at(acc, i - l + 1),
+       |            p -> p + element_at(m, cast((i - l) * 8 + l AS bigint)) * 1024L - 1L)))))),
+       |      1, $NBest))),
+       |  acc -> element_at(acc, size(acc)))""".stripMargin
+
+  /** (w, lst) — the raw top-n packed list per word type (spec surface:
+    * ordering, achievability and coverage are asserted on this). */
+  private[graft] def nbestLists(cands: DataFrame, scored: DataFrame): DataFrame =
+    scoreMapOf(cands, scored)
+      .selectExpr("w",
+        s"""IF(length(w) > 1023,
+           |   cast(raise_error(concat('unigram: word past the 1023-char packed budget: ', w)) AS array<bigint>),
+           |   $nbestDp) AS lst""".stripMargin)
+
+  /** (w, n_uni, score_e6, nseg, nbest_e6) per type: the best path's
+    * token count and score (MUST equal the Viterbi decode — the oracle
+    * carries both, so best-of-n ≡ Viterbi is hash-gated), the number
+    * of distinct paths found (≤ n — the subword-regularization
+    * coverage the sampler draws from), and the summed score of the
+    * whole n-best list. */
+  private[graft] def nbestCounts(cands: DataFrame, scored: DataFrame): DataFrame =
+    nbestLists(cands, scored)
+      .selectExpr("w",
+        "cast(1023 - (element_at(lst, 1) % 1024) as bigint) AS n_uni",
+        s"cast((element_at(lst, 1) div 1024) - ${Off}L as bigint) AS score_e6",
+        "cast(size(lst) as bigint) AS nseg",
+        s"aggregate(lst, cast(0 as bigint), (a, p) -> a + (p div 1024) - ${Off}L) AS nbest_e6")
+
+  /** n-best lists under the SEED model of `types` — UnigramSpec's
+    * exhaustive-enumeration surface. */
+  private[graft] def nbestSeed(types: DataFrame): DataFrame = {
+    val cands = WordPiece.candidates(types).localCheckpoint()
+    nbestLists(cands, seedScores(cands))
+  }
+
+  /** Memo of the q228 n-best seg frame under the q222 pruned model. */
+  private val nbestSegMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  Memos.register(() => nbestSegMemo.synchronized(nbestSegMemo.clear()))
+  private def nbestSegFor(s: SparkSession, dir: String): DataFrame =
+    nbestSegMemo.synchronized {
+      nbestSegMemo.getOrElseUpdate((s, dir), {
+        val types = WordPiece.wordTypes(Tables.documents(s, dir))
+        val cands = WordPiece.candidates(types).localCheckpoint()
+        nbestCounts(cands, scoresOf(prunedInvFor(s, dir))).localCheckpoint()
       })
     }
 
@@ -595,6 +684,23 @@ object Unigram {
     // corpus under the final pruned model
     "q222_unigram_pruned" -> ((s, dir) =>
       unigramTokenCounts(Tables.documents(s, dir), prunedSegFor(s, dir))),
+    // APPLY-TIME SUBWORD REGULARIZATION (Kudo 2018 §4, exact n-best
+    // form): the top-3 lattice paths per word type under the q222
+    // pruned model — per doc, the best path's tokens/score (hash-gated
+    // ≡ Viterbi), the path count the sampler would draw from, and the
+    // summed n-best score mass
+    "q228_unigram_nbest" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .selectExpr("doc_id", s"explode(${Portable.sparkToks}) AS w")
+        .where("w <> ''")
+        .join(nbestSegFor(s, dir), Seq("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("n_uni").cast("long").as("n_uni_tokens"),
+          sum("score_e6").cast("long").as("score_e6"),
+          sum("nseg").cast("long").as("n_paths"),
+          sum("nbest_e6").cast("long").as("nbest_score_e6"))
+        .orderBy("doc_id")),
     // the shipped-artifact Viterbi encoder — scan → packed-DP map →
     // sort, no seg join; q180's recursive-walk twin gates it verbatim
     // (the q188/q189 convention, closing the THIRD tokenizer family)
@@ -821,6 +927,64 @@ object Unigram {
        |  UNION ALL SELECT m.s, m.c FROM sused$sfx m JOIN pkeep$sfx k ON k.s = m.s)""".stripMargin
   }
 
+  /** The q222 prune loop unrolled to [[PruneRounds]] — ONE chain shared
+    * by the q222 twin and the q228 n-best apply twin, so the model the
+    * two gates decode under can never fork. */
+  private def duckPruneChain: String =
+    (1 to PruneRounds).map { r =>
+      duckPruneRound(if (r == 1) "vocab" else s"pinv_p${r - 1}", r)
+    }.mkString(",\n")
+
+  /** The n-best walk as a recursive CTE over the pruned inventory: the
+    * last 6 positions' top-n lists ride as LIST(BIGINT) columns
+    * (n0..n5 — the b0..b5 convention lifted to lists); each step sorts
+    * the concatenated extension arms DESC and keeps the first
+    * [[NBest]]. Arm order and the final slice are pure integer
+    * operations, so the lists agree with the Spark fold exactly. */
+  private def duckNBestCtes: String = {
+    val vocabSrc = s"pinv_p$PruneRounds"
+    def arm(j: Int) =
+      s"""CASE WHEN nbp.s${j + 1} IS NULL OR nbwalk.n$j IS NULL THEN CAST([] AS BIGINT[])
+         |      ELSE list_transform(nbwalk.n$j, p -> p + nbp.s${j + 1} * 1024 - 1) END""".stripMargin
+    val arms = (0 to 5).map(arm).mkString(" ||\n    ")
+    s"""nbtot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM $vocabSrc),
+       |nbsc AS MATERIALIZED (
+       |  SELECT cand.w, cand.pos + cand.l AS i, cand.l,
+       |    CAST(round(1e6 * (ln($vocabSrc.c) - ln(nbtot.tot))) AS BIGINT) AS s_e6
+       |  FROM cand JOIN $vocabSrc ON substr(cand.w, CAST(cand.pos + 1 AS INT), CAST(cand.l AS INT)) = $vocabSrc.s
+       |  CROSS JOIN nbtot),
+       |nbp AS MATERIALIZED (
+       |  SELECT w, i,
+       |    MAX(CASE WHEN l = 1 THEN s_e6 END) AS s1, MAX(CASE WHEN l = 2 THEN s_e6 END) AS s2,
+       |    MAX(CASE WHEN l = 3 THEN s_e6 END) AS s3, MAX(CASE WHEN l = 4 THEN s_e6 END) AS s4,
+       |    MAX(CASE WHEN l = 5 THEN s_e6 END) AS s5, MAX(CASE WHEN l = 6 THEN s_e6 END) AS s6
+       |  FROM nbsc GROUP BY w, i),
+       |nbwalk AS (
+       |  SELECT w, CAST(0 AS BIGINT) AS i,
+       |    [CAST($Off * 1024 + 1023 AS BIGINT)] AS n0,
+       |    CAST(NULL AS BIGINT[]) AS n1, CAST(NULL AS BIGINT[]) AS n2,
+       |    CAST(NULL AS BIGINT[]) AS n3, CAST(NULL AS BIGINT[]) AS n4,
+       |    CAST(NULL AS BIGINT[]) AS n5
+       |  FROM v
+       |  UNION ALL
+       |  SELECT nbwalk.w, nbwalk.i + 1,
+       |    (list_sort(
+       |    $arms, 'DESC'))[1:$NBest],
+       |    nbwalk.n0, nbwalk.n1, nbwalk.n2, nbwalk.n3, nbwalk.n4
+       |  FROM nbwalk
+       |  JOIN v ON v.w = nbwalk.w AND nbwalk.i < length(v.w)
+       |  LEFT JOIN nbp ON nbp.w = nbwalk.w AND nbp.i = nbwalk.i + 1),
+       |nbseg AS (
+       |  SELECT v.w,
+       |    CASE WHEN length(v.w) > 1023
+       |      THEN CAST(error('unigram: word past the 1023-char packed budget: ' || v.w) AS BIGINT)
+       |      ELSE CAST(1023 - (nbwalk.n0[1] % 1024) AS BIGINT) END AS n_uni,
+       |    CAST((nbwalk.n0[1] // 1024) - $Off AS BIGINT) AS score_e6,
+       |    CAST(len(nbwalk.n0) AS BIGINT) AS nseg,
+       |    CAST(list_sum(list_transform(nbwalk.n0, p -> (p // 1024) - $Off)) AS BIGINT) AS nbest_e6
+       |  FROM v JOIN nbwalk ON nbwalk.w = v.w AND nbwalk.i = length(v.w))""".stripMargin
+  }
+
   private def duckPerDocTail(seg: String): String =
     s"""tok AS (
        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents)
@@ -885,18 +1049,33 @@ object Unigram {
     // convergence argument needed): each round chains the shared soft
     // round + the piece-level alt walk + the loss rank; the tail
     // decodes the corpus under the final surviving inventory
-    "q222_unigram_pruned" -> {
-      val pruneChain = (1 to PruneRounds).map { r =>
-        duckPruneRound(if (r == 1) "vocab" else s"pinv_p${r - 1}", r)
-      }.mkString(",\n")
+    "q222_unigram_pruned" ->
       s"""WITH RECURSIVE ${WordPiece.duckVDef},
          |${WordPiece.duckSeedCtes},
-         |$pruneChain,
+         |$duckPruneChain,
          |${duckViterbiCtes(tot = "totp", sc = "scp", piv = "pivp",
             walk = "uwalkp", seg = "usegp",
             vocabSrc = s"pinv_p$PruneRounds")},
-         |${duckPerDocTail("usegp")}""".stripMargin
-    },
+         |${duckPerDocTail("usegp")}""".stripMargin,
+
+    // the n-best walk under the SAME pruned inventory (the shared
+    // prune chain — no fork from q222): recursive list-columns DP,
+    // identical packed integers, the per-doc tail summing the extra
+    // path-count and n-best-mass columns
+    "q228_unigram_nbest" ->
+      s"""WITH RECURSIVE ${WordPiece.duckVDef},
+         |${WordPiece.duckSeedCtes},
+         |$duckPruneChain,
+         |$duckNBestCtes,
+         |tok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(n_uni) AS BIGINT) AS n_uni_tokens,
+         |  CAST(SUM(score_e6) AS BIGINT) AS score_e6,
+         |  CAST(SUM(nseg) AS BIGINT) AS n_paths,
+         |  CAST(SUM(nbest_e6) AS BIGINT) AS nbest_score_e6
+         |FROM tok JOIN nbseg USING (w) WHERE w <> ''
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // q194 must equal q180 value-for-value — the shipped (piece, score)
     // artifact reproduces the in-plan DP, so the twin is the SAME

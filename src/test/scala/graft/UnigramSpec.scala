@@ -285,4 +285,56 @@ class UnigramSpec extends AnyFunSuite {
     assert(seg.count() == types.count())
     assert(seg.where("score_e6 IS NULL OR n_uni IS NULL").count() == 0)
   }
+
+  test("n-best apply: lists equal exhaustive enumeration — best ≡ Viterbi, strict order, every path achievable") {
+    // the top-3 packed lists against the DEFINITION: enumerate every
+    // segmentation of each planted word, pack each path's (Σ e6 score,
+    // token count) with the house convention, sort desc, take 3 — the
+    // engine's list must match value for value (which simultaneously
+    // pins best-of-n ≡ Viterbi, the strict ordering, and that nothing
+    // unachievable ever enters the list)
+    val types = Seq(("abab", 3L), ("aa", 2L), ("abcab", 1L), ("bcb", 2L))
+      .toDF("w", "cnt")
+    val counts = Unigram.seedCountsOf(types).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = counts.values.sum
+    val se6 = counts.map { case (s, c) =>
+      s -> math.round(1e6 * (math.log(c.toDouble) - math.log(tot.toDouble))) }
+    def segs(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(WordPiece.MaxPieceLen, w.length)).flatMap { l =>
+        val p = w.substring(0, l)
+        if (!se6.contains(p)) Nil else segs(w.substring(l)).map(p +: _)
+      }
+    val Off = 1000000000000L
+    def packedOf(seg: Seq[String]): Long =
+      (seg.map(se6).sum + Off) * 1024 + (1023 - seg.length)
+    val got = Unigram.nbestSeed(types).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    val vit = Unigram.segCounts(types).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for (w <- Seq("abab", "aa", "abcab", "bcb")) {
+      val want = segs(w).map(packedOf).sorted.reverse.take(Unigram.NBest)
+      assert(got(w) == want, s"n-best($w): ${got(w)} != $want")
+      val (nUni, score) = vit(w)
+      assert(1023 - got(w).head % 1024 == nUni,
+        s"best-of-n token count diverged from Viterbi for $w")
+      assert(got(w).head / 1024 - Off == score,
+        s"best-of-n score diverged from Viterbi for $w")
+    }
+  }
+
+  test("n-best coverage tracks ambiguity: the planted ambiguous type fills the list, a single char cannot") {
+    // Kudo 2018 §4's regularization claim, made a measurable integer:
+    // sampling coverage = how many distinct lattice paths the sampler
+    // can draw — maximal for the planted ambiguous type, exactly one
+    // for a single-char word, in between for a two-way split
+    val types = Seq(("aaaa", 4L), ("q", 3L), ("qa", 2L)).toDF("w", "cnt")
+    val sizes = Unigram.nbestSeed(types).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).size).toMap
+    assert(sizes("aaaa") == Unigram.NBest,
+      s"ambiguous type should fill the n-best list: ${sizes("aaaa")}")
+    assert(sizes("q") == 1, s"single-char type has one path: ${sizes("q")}")
+    assert(sizes("qa") == 2, s"two-way type has two paths: ${sizes("qa")}")
+  }
 }
