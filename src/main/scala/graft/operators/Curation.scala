@@ -289,6 +289,76 @@ object Curation {
       .orderBy("source")
   }
 
+  /** q229 — the DoReMi PROXY-TRAINING second round (Xie et al. 2023
+    * Algorithm 1 iterated — the reference-model re-fit between rounds
+    * that q187's scaladoc documented as out of scope, now in its
+    * measurable fixed-point form): the round-1 smoothed mixture α
+    * (q187's own chain) RE-FITS the reference unigram distribution as
+    * the α-weighted mixture of per-source type distributions, the
+    * excess loss is recomputed against THAT reference (KL(P_s ‖
+    * P_mix) — the domain the new reference under-serves has headroom
+    * again), and the multiplicative update runs once more FROM the
+    * round-1 weights: w2 ∝ α · exp(η·KL2), then the paper's 1% uniform
+    * smoothing and the largest-remainder budget.
+    *
+    * Integer discipline: the mixture mass per type is an EXACT
+    * integer — mix_t = Σ_s α_e6(s) · p_e9(s,t) with p_e9 = max(1,
+    * (c_st·1e9) div n_s). The e9 grid flooring is deterministic on
+    * both engines (positive `div` ≡ `//`); the 1-floor keeps rare
+    * types' mass nonzero (at corpus scales where a source exceeds 1e9
+    * tokens the grid coarsens and the floor binds — stated, not
+    * hidden; widen the grid constant there). ln() then consumes
+    * IDENTICAL integers on both engines and each (source, type) term
+    * is e9-rounded before the per-source sum (the q179 convention).
+    * The update product rescales once — w2_e6 = (α_e6 · exp_e6) div
+    * 1e6 — so every downstream share/quota stays inside Long.
+    * Scale: one extra type-keyed join + one type-marginal aggregate
+    * over the (source, type) count frame the round-1 chain already
+    * builds; every window rides the #sources mix table. */
+  def domainReweightRound2(docs: DataFrame, budget: Long = 10000L,
+                           eta: Long = 4L, smoothPct: Long = 1L): DataFrame = {
+    val all = Window.partitionBy(lit(0))
+    val byRem = Window.partitionBy(lit(0))
+      .orderBy(col("rem").desc, col("source"))
+    val r1 = domainReweightExp(docs, budget, eta, smoothPct)
+      .select("source", "alpha_e6")
+    val st = docs.selectExpr("source", s"explode($sparkToks) AS t")
+      .where("t <> ''")
+      .groupBy("source", "t").agg(count(lit(1)).as("c_st"))
+    val bySource = st.groupBy("source").agg(sum("c_st").as("n_s"))
+    val p = st.join(broadcast(bySource), "source")
+      .selectExpr("source", "t", "c_st", "n_s",
+        "greatest(1L, (c_st * 1000000000L) div n_s) AS p_e9")
+    val mix = p.join(broadcast(r1), "source")
+      .groupBy("t").agg(sum(expr("alpha_e6 * p_e9")).as("mix_t"))
+    val mixtot = mix.agg(sum("mix_t").as("mixtot"))
+    val kl2 = p.join(mix, "t")
+      .crossJoin(broadcast(mixtot))
+      .selectExpr("source", "n_s",
+        "cast(round(1e9 * (c_st / cast(n_s as double)) * " +
+          "(ln(c_st) - ln(n_s) - ln(mix_t) + ln(mixtot))) as bigint) AS term_e9")
+      .groupBy("source")
+      .agg(max("n_s").as("n_tokens"), sum("term_e9").cast("long").as("kl2_e9"))
+    kl2.join(broadcast(r1), "source")
+      .withColumn("w2exp_e6",
+        expr(s"cast(round(1e6 * exp(least($eta * kl2_e9 / 1e9, 12.0d))) as bigint)"))
+      .withColumn("w2_e6", expr("(alpha_e6 * w2exp_e6) div 1000000L"))
+      .withColumn("totw", sum("w2_e6").over(all))
+      .withColumn("nsrc", count(lit(1)).over(all))
+      .withColumn("share2_e6", expr("(1000000L * w2_e6) div totw"))
+      .withColumn("alpha2_e6", expr(
+        s"((100 - $smoothPct) * share2_e6) div 100 + " +
+          s"($smoothPct * (1000000L div nsrc)) div 100"))
+      .withColumn("tot", sum("alpha2_e6").over(all))
+      .withColumn("quota", expr(s"($budget * alpha2_e6) div tot"))
+      .withColumn("rem", expr(s"($budget * alpha2_e6) % tot"))
+      .withColumn("leftover", lit(budget) - sum("quota").over(all))
+      .withColumn("rk", row_number().over(byRem))
+      .selectExpr("source", "n_tokens", "kl2_e9", "alpha_e6", "w2_e6",
+        "share2_e6", "alpha2_e6", "quota + if(rk <= leftover, 1, 0) AS alloc")
+      .orderBy("source")
+  }
+
   /** Benchmark decontamination: flag training documents sharing any
     * `gram`-token shingle with a held-out eval set (here: every
     * `evalMod`-th doc stands in for the benchmark). The standard
@@ -946,29 +1016,55 @@ object Curation {
       c("NOT f_rule AND f_ppl").as("rp01"),
       c("f_clf AND f_ppl").as("cp11"), c("f_clf AND NOT f_ppl").as("cp10"),
       c("NOT f_clf AND f_ppl").as("cp01"))
-    a.selectExpr(
+    kappaTail(a.selectExpr(
         """explode(array(
           |  named_struct('pair', 'clf_ppl', 'n', n, 'n11', cp11, 'n10', cp10, 'n01', cp01),
           |  named_struct('pair', 'rep_clf', 'n', n, 'n11', rc11, 'n10', rc10, 'n01', rc01),
           |  named_struct('pair', 'rep_ppl', 'n', n, 'n11', rp11, 'n10', rp10, 'n01', rp01))) AS e""".stripMargin)
       .selectExpr("e.pair AS pair", "e.n AS n", "e.n11 AS n11",
-        "e.n10 AS n10", "e.n01 AS n01", "e.n - e.n11 - e.n10 - e.n01 AS n00")
-      // n = 0 (empty common support) is pinned exactly like pe = 1: the
-      // marginals are defined as 0, so pe = 1 and the κ arm below emits
-      // 10000; agree carries its own guard (vacuous agreement) — no
-      // null/ANSI division ever reaches the output on either engine
-      .selectExpr("pair", "n", "n11", "n10", "n01", "n00",
+        "e.n10 AS n10", "e.n01 AS n01"), "pair")
+  }
+
+  /** The shared Cohen's-κ tail (q220's fixed-order expression tree,
+    * consumed by q220/q225/q230 so the κ arithmetic can never fork):
+    * input rows (key, n, n11, n10, n01) → n00 derived, po/p1/q1/pe in
+    * fixed-order doubles, agree_e4/kappa_e4 with the degenerate pins —
+    * n = 0 (empty common support) exactly like pe = 1: the marginals
+    * are defined as 0, so pe = 1 and the κ arm emits 10000; agree
+    * carries its own guard (vacuous agreement) — no null/ANSI division
+    * ever reaches the output on either engine. */
+  private[operators] def kappaTail(e: DataFrame, key: String): DataFrame =
+    e.selectExpr(key, "n", "n11", "n10", "n01",
+        "n - n11 - n10 - n01 AS n00")
+      .selectExpr(key, "n", "n11", "n10", "n01", "n00",
         "IF(n = 0, 0.0d, CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)) AS po",
         "IF(n = 0, 0.0d, CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)) AS p1",
         "IF(n = 0, 0.0d, CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)) AS q1")
-      .selectExpr("pair", "n", "n11", "n10", "n01", "n00", "po",
+      .selectExpr(key, "n", "n11", "n10", "n01", "n00", "po",
         "(p1 * q1) + ((1.0d - p1) * (1.0d - q1)) AS pe")
-      .selectExpr("pair", "n", "n11", "n10", "n01", "n00",
+      .selectExpr(key, "n", "n11", "n10", "n01", "n00",
         "IF(n = 0, 10000L, (10000 * (n11 + n00)) div n) AS agree_e4",
         "IF(1.0d - pe = 0.0d, 10000L, " +
           "cast(round(1e4 * ((po - pe) / (1.0d - pe))) as bigint)) AS kappa_e4")
-      .orderBy("pair")
-  }
+      .orderBy(key)
+
+  /** The κ tail's DuckDB twin — `src` emits (key, n, n11, n10, n01);
+    * the fragment ends the query (k/k2/k3 + the final SELECT). */
+  private[operators] def duckKappaTail(key: String, src: String): String =
+    s"""k AS (
+       |  SELECT $key, n, n11, n10, n01, n - n11 - n10 - n01 AS n00 FROM $src),
+       |k2 AS (
+       |  SELECT *,
+       |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) END AS po,
+       |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE) END AS p1,
+       |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE) END AS q1
+       |  FROM k),
+       |k3 AS (SELECT *, (p1 * q1) + ((1.0 - p1) * (1.0 - q1)) AS pe FROM k2)
+       |SELECT $key, n, n11, n10, n01, n00,
+       |  CASE WHEN n = 0 THEN 10000 ELSE (10000 * (n11 + n00)) // n END AS agree_e4,
+       |  CASE WHEN 1.0 - pe = 0.0 THEN 10000
+       |    ELSE CAST(round(1e4 * ((po - pe) / (1.0 - pe))) AS BIGINT) END AS kappa_e4
+       |FROM k3 ORDER BY $key""".stripMargin
 
   /** q225 — the CALIBRATION-DECILE × classifier agreement family
     * (q220's pairwise-κ analysis deepened one axis): does the q141
@@ -1013,21 +1109,10 @@ object Curation {
     val rows = cuts.map(k =>
       s"named_struct('cut', ${k}L, 'n', n, 'n11', a$k, 'n10', b$k, 'n01', c$k)")
       .mkString(",\n")
-    j.agg(count(lit(1)).as("n"), aggs: _*)
+    kappaTail(j.agg(count(lit(1)).as("n"), aggs: _*)
       .selectExpr(s"explode(array(\n$rows)) AS e")
       .selectExpr("e.cut AS cut", "e.n AS n", "e.n11 AS n11",
-        "e.n10 AS n10", "e.n01 AS n01", "e.n - e.n11 - e.n10 - e.n01 AS n00")
-      .selectExpr("cut", "n", "n11", "n10", "n01", "n00",
-        "IF(n = 0, 0.0d, CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)) AS po",
-        "IF(n = 0, 0.0d, CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)) AS p1",
-        "IF(n = 0, 0.0d, CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)) AS q1")
-      .selectExpr("cut", "n", "n11", "n10", "n01", "n00", "po",
-        "(p1 * q1) + ((1.0d - p1) * (1.0d - q1)) AS pe")
-      .selectExpr("cut", "n", "n11", "n10", "n01", "n00",
-        "IF(n = 0, 10000L, (10000 * (n11 + n00)) div n) AS agree_e4",
-        "IF(1.0d - pe = 0.0d, 10000L, " +
-          "cast(round(1e4 * ((po - pe) / (1.0d - pe))) as bigint)) AS kappa_e4")
-      .orderBy("cut")
+        "e.n10 AS n10", "e.n01 AS n01"), "cut")
   }
 
   private def perplexityFilterFrom(scores: DataFrame): DataFrame = {
@@ -1490,6 +1575,13 @@ object Curation {
     "q187_doremi_exp" -> ((s, dir) =>
       domainReweightExp(Tables.documents(s, dir))),
 
+    // the proxy-training SECOND round: reference re-fit as the round-1
+    // α-weighted mixture, excess loss against it, one more
+    // multiplicative update from the round-1 weights — the loop q187
+    // documented as out of scope, in integer-exact form
+    "q229_doremi_round2" -> ((s, dir) =>
+      domainReweightRound2(Tables.documents(s, dir))),
+
     // The loader-facing WRR interleave of the q160 mixture.
     "q182_mix_schedule" -> ((s, dir) =>
       mixSchedule(Tables.documents(s, dir))),
@@ -1707,7 +1799,76 @@ object Curation {
       |  FROM st JOIN bs ON st.source = bs.source JOIN bt ON st.t = bt.t CROSS JOIN nt
       |  GROUP BY st.source)""".stripMargin
 
+  /** The q187 round-1 chain (excess loss → clipped exponentiated
+    * weights → 1% smoothed alphas, ending in `sm`) — shared by the
+    * q187 twin and q229's second round, so the round-1 model the two
+    * consume can never fork. */
+  private val duckDoremiR1Ctes: String =
+    s"""$duckKlCtes,
+       |w AS (
+       |  SELECT source, n_tokens, kl_e9,
+       |    CAST(round(1e6 * exp(least(4 * kl_e9 / 1e9, 12.0))) AS BIGINT) AS w_exp_e6
+       |  FROM kl),
+       |q AS (
+       |  SELECT *, CAST(SUM(w_exp_e6) OVER () AS BIGINT) AS totw,
+       |    CAST(COUNT(*) OVER () AS BIGINT) AS nsrc
+       |  FROM w),
+       |sm AS (
+       |  SELECT source, n_tokens, kl_e9, w_exp_e6,
+       |    (1000000 * w_exp_e6) // totw AS share_e6,
+       |    CAST((99 * ((1000000 * w_exp_e6) // totw)) // 100 +
+       |         (1 * (1000000 // nsrc)) // 100 AS BIGINT) AS alpha_e6
+       |  FROM q)""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    // round 1 verbatim (the shared chain), then: integer mixture
+    // reference mix_t = Σ α·p_e9, excess loss against it (identical
+    // e9-rounded term tree), the α-anchored multiplicative update,
+    // smoothing and the largest-remainder budget unrolled
+    "q229_doremi_round2" ->
+      s"""WITH $duckDoremiR1Ctes,
+        |p2 AS (
+        |  SELECT st.source, st.t, st.c_st, bs.n_s,
+        |    greatest(1, (st.c_st * 1000000000) // bs.n_s) AS p_e9
+        |  FROM st JOIN bs ON st.source = bs.source),
+        |mix AS (
+        |  SELECT p2.t, CAST(SUM(sm.alpha_e6 * p2.p_e9) AS BIGINT) AS mix_t
+        |  FROM p2 JOIN sm ON sm.source = p2.source GROUP BY p2.t),
+        |mt2 AS (SELECT CAST(SUM(mix_t) AS BIGINT) AS mixtot FROM mix),
+        |kl2 AS (
+        |  SELECT p2.source, CAST(MAX(p2.n_s) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(CAST(round(1e9 * (c_st / CAST(n_s AS DOUBLE)) *
+        |      (ln(c_st) - ln(n_s) - ln(mix_t) + ln(mixtot))) AS BIGINT)) AS BIGINT) AS kl2_e9
+        |  FROM p2 JOIN mix ON p2.t = mix.t CROSS JOIN mt2
+        |  GROUP BY p2.source),
+        |w2 AS (
+        |  SELECT kl2.source, kl2.n_tokens, kl2.kl2_e9, sm.alpha_e6,
+        |    (sm.alpha_e6 * CAST(round(1e6 * exp(least(4 * kl2.kl2_e9 / 1e9, 12.0))) AS BIGINT)) // 1000000 AS w2_e6
+        |  FROM kl2 JOIN sm ON sm.source = kl2.source),
+        |qq AS (
+        |  SELECT *, CAST(SUM(w2_e6) OVER () AS BIGINT) AS totw2,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS nsrc2
+        |  FROM w2),
+        |sm2 AS (
+        |  SELECT source, n_tokens, kl2_e9, alpha_e6, w2_e6,
+        |    (1000000 * w2_e6) // totw2 AS share2_e6,
+        |    CAST((99 * ((1000000 * w2_e6) // totw2)) // 100 +
+        |         (1 * (1000000 // nsrc2)) // 100 AS BIGINT) AS alpha2_e6
+        |  FROM qq),
+        |q3 AS (SELECT *, CAST(SUM(alpha2_e6) OVER () AS BIGINT) AS tot FROM sm2),
+        |a2 AS (
+        |  SELECT source, n_tokens, kl2_e9, alpha_e6, w2_e6, share2_e6, alpha2_e6,
+        |    (10000 * alpha2_e6) // tot AS quota,
+        |    (10000 * alpha2_e6) % tot AS rem
+        |  FROM q3),
+        |r2 AS (
+        |  SELECT *,
+        |    CAST(10000 - SUM(quota) OVER () AS BIGINT) AS leftover,
+        |    ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM a2)
+        |SELECT source, n_tokens, kl2_e9, alpha_e6, w2_e6, share2_e6, alpha2_e6,
+        |  CAST(quota + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r2 ORDER BY source""".stripMargin,
     // q162's dedup fragments + q37's pass rule + q62's contamination
     // CTEs + q160's weight CTE, rolled up per source
     "q167_datacard" ->
@@ -1943,21 +2104,7 @@ object Curation {
     // e6 scale) + 1% uniform smoothing, largest-remainder budget over
     // the smoothed alphas
     "q187_doremi_exp" ->
-      s"""WITH $duckKlCtes,
-        |w AS (
-        |  SELECT source, n_tokens, kl_e9,
-        |    CAST(round(1e6 * exp(least(4 * kl_e9 / 1e9, 12.0))) AS BIGINT) AS w_exp_e6
-        |  FROM kl),
-        |q AS (
-        |  SELECT *, CAST(SUM(w_exp_e6) OVER () AS BIGINT) AS totw,
-        |    CAST(COUNT(*) OVER () AS BIGINT) AS nsrc
-        |  FROM w),
-        |sm AS (
-        |  SELECT source, n_tokens, kl_e9, w_exp_e6,
-        |    (1000000 * w_exp_e6) // totw AS share_e6,
-        |    CAST((99 * ((1000000 * w_exp_e6) // totw)) // 100 +
-        |         (1 * (1000000 // nsrc)) // 100 AS BIGINT) AS alpha_e6
-        |  FROM q),
+      s"""WITH $duckDoremiR1Ctes,
         |q2 AS (SELECT *, CAST(SUM(alpha_e6) OVER () AS BIGINT) AS tot FROM sm),
         |a AS (
         |  SELECT source, n_tokens, kl_e9, w_exp_e6, share_e6, alpha_e6,
@@ -2089,20 +2236,7 @@ object Curation {
          |  SELECT 'clf_ppl' AS pair, n, cp11 AS n11, cp10 AS n10, cp01 AS n01 FROM a
          |  UNION ALL SELECT 'rep_clf', n, rc11, rc10, rc01 FROM a
          |  UNION ALL SELECT 'rep_ppl', n, rp11, rp10, rp01 FROM a),
-         |k AS (
-         |  SELECT pair, n, n11, n10, n01, n - n11 - n10 - n01 AS n00 FROM rows3),
-         |k2 AS (
-         |  SELECT *,
-         |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) END AS po,
-         |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE) END AS p1,
-         |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE) END AS q1
-         |  FROM k),
-         |k3 AS (SELECT *, (p1 * q1) + ((1.0 - p1) * (1.0 - q1)) AS pe FROM k2)
-         |SELECT pair, n, n11, n10, n01, n00,
-         |  CASE WHEN n = 0 THEN 10000 ELSE (10000 * (n11 + n00)) // n END AS agree_e4,
-         |  CASE WHEN 1.0 - pe = 0.0 THEN 10000
-         |    ELSE CAST(round(1e4 * ((po - pe) / (1.0 - pe))) AS BIGINT) END AS kappa_e4
-         |FROM k3 ORDER BY pair""".stripMargin,
+         |${duckKappaTail("pair", "rows3")}""".stripMargin,
 
     // the decile axis: NTILE(10) over the shared bigram-LM scores (the
     // q191-gated rank-tile equivalence), 9 head-cut binary raters
@@ -2141,20 +2275,7 @@ object Curation {
          |  FROM j),
          |rows9 AS (
          |$rows),
-         |k AS (
-         |  SELECT cut, n, n11, n10, n01, n - n11 - n10 - n01 AS n00 FROM rows9),
-         |k2 AS (
-         |  SELECT *,
-         |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) END AS po,
-         |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE) END AS p1,
-         |    CASE WHEN n = 0 THEN 0.0 ELSE CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE) END AS q1
-         |  FROM k),
-         |k3 AS (SELECT *, (p1 * q1) + ((1.0 - p1) * (1.0 - q1)) AS pe FROM k2)
-         |SELECT cut, n, n11, n10, n01, n00,
-         |  CASE WHEN n = 0 THEN 10000 ELSE (10000 * (n11 + n00)) // n END AS agree_e4,
-         |  CASE WHEN 1.0 - pe = 0.0 THEN 10000
-         |    ELSE CAST(round(1e4 * ((po - pe) / (1.0 - pe))) AS BIGINT) END AS kappa_e4
-         |FROM k3 ORDER BY cut""".stripMargin
+         |${duckKappaTail("cut", "rows9")}""".stripMargin
     },
 
     // eval-shingle position matches feed the SHARED merge/remove-all/

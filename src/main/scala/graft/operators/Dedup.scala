@@ -507,6 +507,11 @@ object Dedup {
     "q22_minhash_lsh" -> ((s, dir) =>
       minhashNearDups(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
 
+    // the dedup-method agreement matrix: the four families' removal
+    // verdicts κ-scored pairwise over the planted-span corpus — the
+    // stacking-justification audit (q203's discipline for dedup)
+    "q230_dedup_agreement" -> ((s, dir) => dedupAgreement(s, dir)),
+
     // Per-document 48-bit SimHash.
     "q23_simhash" -> ((s, dir) =>
       simhash(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -898,6 +903,101 @@ object Dedup {
           .localCheckpoint())
     }
 
+  /** q230 — the DEDUP-METHOD AGREEMENT matrix: pairwise agreement and
+    * Cohen's κ between the four dedup families' per-doc removal
+    * verdicts over ONE corpus with every plant family present (the
+    * q204 planted-span corpus, which also carries the raw testdata's
+    * natural exact/near dups) — the q203 cross-method audit the
+    * decontamination family has, applied to dedup. This is the
+    * analysis that justifies running multiple dedup passes in one
+    * pipeline (q165's chain runs three of these): κ ≈ 0 says the
+    * methods remove DIFFERENT material (stacking adds coverage),
+    * κ → 1 says a pass is redundant.
+    *
+    * Per-doc verdicts, each from its family's audited kernel:
+    *  - f_mh — MinHash/LSH (q22): the doc has a smaller-id near-dup at
+    *    Jaccard ≥ 0.5 (the q116 keep-first drop convention);
+    *  - f_sh — SimHash (q69): a smaller-id signature within Hamming 3;
+    *  - f_pa — passage dedup (q139): the doc lost ≥ 1 passage cell to
+    *    an earlier occurrence;
+    *  - f_sx — suffix-array dedup (q204): ≥ 1 duplicated ≥50-token
+    *    span cut (remove-ALL semantics — this family's removal set is
+    *    occurrence-based, not keep-first, and the matrix shows exactly
+    *    that asymmetry: donors flag here but not under keep-first).
+    *
+    * Contingencies are exact integer sums over the corpus (missing
+    * verdicts coalesce to false — a doc too short to shingle is not
+    * removed); the κ tail is the SHARED q220 fixed-order fragment
+    * ([[Curation.kappaTail]], with the n = 0 and pe = 1 degenerate
+    * pins). Scale: the four flag frames are each their gate's audited
+    * plan over one shared corpus; the matrix itself is one 1-row
+    * contingency aggregate carrying all six pairs → six rows. */
+  def dedupAgreement(s: SparkSession, dir: String): DataFrame = {
+    val flags = dedupFlagsFor(s, dir)
+    def c(e: String) = coalesce(sum(expr(s"IF($e, 1L, 0L)")), lit(0L))
+    val pairs = Seq(("mh", "sh"), ("mh", "pa"), ("mh", "sx"),
+      ("sh", "pa"), ("sh", "sx"), ("pa", "sx"))
+    val aggs = pairs.flatMap { case (x, y) => Seq(
+      c(s"f_$x AND f_$y").as(s"${x}${y}11"),
+      c(s"f_$x AND NOT f_$y").as(s"${x}${y}10"),
+      c(s"NOT f_$x AND f_$y").as(s"${x}${y}01")) }
+    val rows = pairs.map { case (x, y) =>
+      s"named_struct('pair', '${x}_$y', 'n', n, " +
+        s"'n11', $x${y}11, 'n10', $x${y}10, 'n01', $x${y}01)"
+    }.mkString(",\n")
+    Curation.kappaTail(
+      flags.agg(count(lit(1)).as("n"), aggs: _*)
+        .selectExpr(s"explode(array(\n$rows)) AS e")
+        .selectExpr("e.pair AS pair", "e.n AS n", "e.n11 AS n11",
+          "e.n10 AS n10", "e.n01 AS n01"),
+      "pair")
+  }
+
+  /** Per-(session, sfDir) memo of the four per-doc dedup verdicts over
+    * the planted-span corpus (doc_id, f_mh, f_sh, f_pa, f_sx) — four
+    * heavyweight audited plans feeding one narrow frame, materialized
+    * once per dataset per session (Memos-cold re-pays all four). */
+  private val dedupFlagsMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), DataFrame]
+  Memos.register(() => dedupFlagsMemo.synchronized(dedupFlagsMemo.clear()))
+  private def dedupFlagsFor(s: SparkSession, dir: String): DataFrame =
+    dedupFlagsMemo.synchronized {
+      dedupFlagsMemo.getOrElseUpdate((s, dir), {
+        val corpus = SuffixDedup.plantedSpanCorpus(
+          Tables.documents(s, dir)).localCheckpoint()
+        val mh = minhashNearDups(corpus)
+          .select(col("doc_b").as("doc_id")).distinct()
+          .withColumn("f_mh", lit(true))
+        val sh = simhashPairs(corpus)
+          .select(col("doc_b").as("doc_id")).distinct()
+          .withColumn("f_sh", lit(true))
+        // a doc is passage-flagged iff its kept cell count fell short of
+        // its cell count (docs losing EVERY cell leave the rebuild — the
+        // left join + coalesce(0) covers them)
+        val cells = corpus.selectExpr("doc_id", s"$toksE AS toks")
+          .where("size(toks) > 0")
+          .selectExpr("doc_id",
+            "cast(ceil(size(toks) / 8.0) as bigint) AS n_cells")
+        val pa = cells
+          .join(passageDedup(corpus.select("doc_id", "text"))
+            .select("doc_id", "n_kept"), Seq("doc_id"), "left")
+          .where("coalesce(n_kept, 0L) < n_cells")
+          .select("doc_id").withColumn("f_pa", lit(true))
+        val sx = SuffixDedup.suffixArrayDedup(corpus, earlyExit = false)
+          .where("n_removed > 0")
+          .select("doc_id").withColumn("f_sx", lit(true))
+        corpus.select("doc_id")
+          .join(mh, Seq("doc_id"), "left")
+          .join(sh, Seq("doc_id"), "left")
+          .join(pa, Seq("doc_id"), "left")
+          .join(sx, Seq("doc_id"), "left")
+          .selectExpr("doc_id",
+            "coalesce(f_mh, false) AS f_mh", "coalesce(f_sh, false) AS f_sh",
+            "coalesce(f_pa, false) AS f_pa", "coalesce(f_sx, false) AS f_sx")
+          .localCheckpoint()
+      })
+    }
+
   /** q155 — MinHash estimator CALIBRATION: on the banded candidate
     * pairs, compare the sketch's Jaccard estimate (matching signature
     * coordinates / K) against the exact shingle Jaccard, bucketed into
@@ -1267,10 +1367,11 @@ object Dedup {
     }.mkString(", ")
     val bandMatch = (0 until Bands).map(b => s"a.b$b = b.b$b").mkString(" OR ")
     // shared LSH pipeline CTEs (tokens → shingles → hashes → signatures →
-    // bands), used by both q22 (pairs) and q53 (clusters)
-    val duckLshCtes =
+    // bands), used by q22 (pairs), q53 (clusters), and — re-pointed at
+    // the planted corpus — the q230 agreement matrix
+    def duckLshCtesOver(src: String) =
       s"""t AS (
-         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks FROM $src),
          |sh AS (
          |  SELECT doc_id, $duckShingles AS sh FROM t WHERE len(toks) >= 2),
          |hs AS (
@@ -1281,6 +1382,7 @@ object Dedup {
          |  FROM hs),
          |banded AS (
          |  SELECT doc_id, sh, $bandExprs FROM sigs)""".stripMargin
+    val duckLshCtes = duckLshCtesOver("documents")
     // LSH chain → near-dup clusters → per-doc SoftDeDup weight frame
     // `dw` (doc_id, cluster, commonness, w_e6) — shared by q175 and its
     // q186 mixture consumer
@@ -1405,6 +1507,84 @@ object Dedup {
            |FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ($bandMatch)
            |WHERE 1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 499.5
            |ORDER BY doc_a, doc_b""".stripMargin,
+
+      // the agreement matrix: each family's removal verdict replayed by
+      // its own audited fragment over the SHARED planted corpus (LSH
+      // chain re-pointed, brute-force SimHash pairs, the q139 cell
+      // rebuild, the q204 window-route span cut), then one contingency
+      // row per pair through the shared κ tail
+      "q230_dedup_agreement" -> {
+        val pairs6 = Seq(("mh", "sh"), ("mh", "pa"), ("mh", "sx"),
+          ("sh", "pa"), ("sh", "sx"), ("pa", "sx"))
+        val sums = pairs6.map { case (x, y) =>
+          s"""    CAST(COALESCE(SUM(CASE WHEN f_$x AND f_$y THEN 1 ELSE 0 END), 0) AS BIGINT) AS $x${y}11,
+             |    CAST(COALESCE(SUM(CASE WHEN f_$x AND NOT f_$y THEN 1 ELSE 0 END), 0) AS BIGINT) AS $x${y}10,
+             |    CAST(COALESCE(SUM(CASE WHEN NOT f_$x AND f_$y THEN 1 ELSE 0 END), 0) AS BIGINT) AS $x${y}01""".stripMargin
+        }.mkString(",\n")
+        val rows6 = pairs6.zipWithIndex.map { case ((x, y), i) =>
+          val sel = s"SELECT '${x}_$y'${if (i == 0) " AS pair" else ""}, n, " +
+            s"$x${y}11${if (i == 0) " AS n11" else ""}, " +
+            s"$x${y}10${if (i == 0) " AS n10" else ""}, " +
+            s"$x${y}01${if (i == 0) " AS n01" else ""} FROM a"
+          if (i == 0) s"  $sel" else s"  UNION ALL $sel"
+        }.mkString("\n")
+        s"""WITH ${SuffixDedup.duckPlantCtes()},
+           |${duckLshCtesOver("corpus")},
+           |mhf AS (
+           |  SELECT DISTINCT b.doc_id
+           |  FROM banded a JOIN banded b ON a.doc_id < b.doc_id AND ($bandMatch)
+           |  WHERE 1000.0 * len(list_intersect(a.sh, b.sh)) / len(list_distinct(list_concat(a.sh, b.sh))) >= 499.5),
+           |s2t AS (
+           |  SELECT doc_id, list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks FROM corpus),
+           |s2h AS (
+           |  SELECT doc_id, list_transform(toks, tk -> ${duckHash48("tk")}) AS th FROM s2t WHERE len(toks) > 0),
+           |s2s AS (
+           |  SELECT doc_id,
+           |    CAST(list_sum(list_transform(range(0, 48), b ->
+           |      CASE WHEN list_sum(list_transform(th, hv -> CASE WHEN ((hv >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+           |           THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)) AS BIGINT) AS simhash
+           |  FROM s2h),
+           |shf AS (
+           |  SELECT DISTINCT b.doc_id FROM s2s a JOIN s2s b ON a.doc_id < b.doc_id
+           |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3),
+           |p2e AS (
+           |  SELECT doc_id, unnest(range(CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS pidx, toks
+           |  FROM t WHERE len(toks) > 0),
+           |p2p AS (
+           |  SELECT doc_id * 65536 + pidx AS packed,
+           |    array_to_string(toks[pidx*8+1 : pidx*8+8], ' ') AS ptext
+           |  FROM p2e),
+           |p2k AS (SELECT ptext, MIN(packed) AS packed FROM p2p GROUP BY ptext),
+           |p2c AS (
+           |  SELECT doc_id, CAST(ceil(len(toks) / 8.0) AS BIGINT) AS n_cells
+           |  FROM t WHERE len(toks) > 0),
+           |p2n AS (
+           |  SELECT packed // 65536 AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept
+           |  FROM p2k GROUP BY 1),
+           |paf AS (
+           |  SELECT p2c.doc_id FROM p2c LEFT JOIN p2n ON p2n.doc_id = p2c.doc_id
+           |  WHERE COALESCE(p2n.n_kept, 0) < p2c.n_cells),
+           |${SuffixDedup.duckSpanCut("corpus", "dx", SuffixDedup.DefaultMinSpan)},
+           |sxf AS (SELECT doc_id FROM dxres WHERE n_tokens > n_kept),
+           |flags AS (
+           |  SELECT c.doc_id,
+           |    mhf.doc_id IS NOT NULL AS f_mh,
+           |    shf.doc_id IS NOT NULL AS f_sh,
+           |    paf.doc_id IS NOT NULL AS f_pa,
+           |    sxf.doc_id IS NOT NULL AS f_sx
+           |  FROM corpus c
+           |  LEFT JOIN mhf ON mhf.doc_id = c.doc_id
+           |  LEFT JOIN shf ON shf.doc_id = c.doc_id
+           |  LEFT JOIN paf ON paf.doc_id = c.doc_id
+           |  LEFT JOIN sxf ON sxf.doc_id = c.doc_id),
+           |a AS (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           |$sums
+           |  FROM flags),
+           |rows6 AS (
+           |$rows6),
+           |${Curation.duckKappaTail("pair", "rows6")}""".stripMargin
+      },
       // connected components over the same pair graph: hash-min label
       // propagation as a recursive CTE — `walk` enumerates every id
       // reachable from a doc over symmetric edges; MIN over it is the

@@ -285,4 +285,41 @@ class CurationOpsSpec extends AnyFunSuite {
       s"multiplicative weights must upweight the outlier past the linearization ($expAlien vs $linAlien)")
     assert(exp.forall(_._3 > 0L), "uniform smoothing must keep every source alive")
   }
+
+  test("DoReMi round 2: the re-fit reference under-serves the ordinary domains, and weight moves back to them") {
+    import spark.implicits._
+    // round 1 over the q187 plant upweights the alien source to near
+    // the whole budget; the ROUND-2 reference (the α-weighted mixture)
+    // therefore speaks mostly alien — the ordinary sources are the
+    // ones the new reference under-serves, so the second multiplicative
+    // update must swing weight back toward them (the oscillation
+    // DoReMi's averaged rounds exist to damp, witnessed exactly)
+    val common = (1 to 50).map(i => s"tok${i % 7}").mkString(" ")
+    val alien = (1 to 50).map(i => s"zz${i % 7}").mkString(" ")
+    val docs = (0 until 40).map { i =>
+      val src = s"s${i % 5}"
+      (i.toLong, if (i % 5 == 4) alien else common, src)
+    }.toDF("doc_id", "text", "source")
+    val r1 = Curation.domainReweightExp(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(5), r.getLong(6))).toMap // (alpha_e6, alloc)
+    val r2 = Curation.domainReweightRound2(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getLong(2), r.getLong(6), r.getLong(7)))
+      .toMap // (alpha_e6[r1 echo], kl2_e9, alpha2_e6, alloc)
+    // budget conserves exactly, and the echoed round-1 alpha matches
+    assert(r2.values.map(_._4).sum == 10000L, "round-2 budget must conserve")
+    for (s <- r1.keys) assert(r2(s)._1 == r1(s)._1,
+      s"round-2 must consume round 1's alpha for $s")
+    // the re-fit reference serves the alien source and under-serves the
+    // ordinary ones: KL2(ordinary) > KL2(alien)
+    val kl2Alien = r2("s4")._2
+    val kl2Ord = r2("s0")._2
+    assert(kl2Ord > kl2Alien,
+      s"the round-2 reference must under-serve the ordinary domains (kl2 s0=$kl2Ord s4=$kl2Alien)")
+    // and the update moves weight toward them: ordinary alphas rise,
+    // the alien alpha falls, round 1 → round 2
+    assert(r2("s0")._3 > r1("s0")._1,
+      s"round 2 must upweight the under-served domain (${r2("s0")._3} vs ${r1("s0")._1})")
+    assert(r2("s4")._3 < r1("s4")._1,
+      s"round 2 must downweight the over-served domain (${r2("s4")._3} vs ${r1("s4")._1})")
+  }
 }
