@@ -45,6 +45,10 @@ object ScaleCheck {
     // not a workaround (a real cluster sequences its heaviest stage
     // against a clean executor too)
     "suffix_array",
+    // curate_v5 runs SECOND, for the same pristine-pool reason: it
+    // re-runs the 10M-position suffix doubling INSIDE the composed
+    // chain, plus the passage/scrub/gate stages around it
+    "curate_v5",
     "q73_dsv2_scan", "q85_dsv2_agg", "q92_spj_join", "delete_range",
     "compact", "zorder", "vacuum", "bloom_point", "ivm_maintain",
     "ivm_minmax", "shard_manifest", "passage_dedup", "mv_refresh",
@@ -181,6 +185,133 @@ object ScaleCheck {
       }
     }
 
+
+    // curate_v5: the COMPOSED flagship chain (exact dedup → passage
+    // rewrite → suffix span cut → semantic drop → quality → scrub +
+    // re-gate → Gopher gates → source cap) run as its 9-row FUNNEL over
+    // a ~10M-token synthetic corpus in this 512 MB heap — the r19
+    // verdict's Next #3: passage_dedup and suffix_array are scale-
+    // proven standalone, and the r18 off-by-one showed composition is
+    // where stage interactions hide. 16800 docs × 600 fixed-width
+    // tokens, one planted family per id class, EVERY family misaligned
+    // against the stages it must pass verbatim (the q224 discipline):
+    //  - id%12=1 pairs share a full text → the dup drops at EXACT dedup;
+    //  - id%12=2 pairs share one 8-ALIGNED cell → the larger loses 8
+    //    tokens at PASSAGE (and nothing else sees an aligned cell);
+    //  - id%12=3 pairs share a 64-token run at offsets 101/102 (grid-
+    //    misaligned, so passage passes it) → SUFFIX cuts 64 from both;
+    //  - id%12=5 ids form the semantic-drop verdict frame;
+    //  - id%12=9 docs carry 15-char tokens → leave at QUALITY;
+    //  - id%97=3 docs are the eval carve; every one (outside the exact
+    //    family, whose text equality must hold) splices the global
+    //    6-gram G at position 570 → id%12=7 docs (G at position 301)
+    //    lose exactly 6 tokens at the SCRUB;
+    //  - id%7=3 docs fail the Gopher dup-7-gram threshold under the
+    //    standing planted append (exact integer mass: 12·83 chars over
+    //    each family's post-cut length — all ≥ the 13% bar);
+    //  - id%12=11 docs share 20-member 'cap' sources (equal n_chars by
+    //    fixed-width tokens) → rank-by-id keeps 15 of each group's
+    //    SURVIVORS at the CAP.
+    // The oracle is id arithmetic end to end: per-doc survival and
+    // token count at every stage is a CASE over the id classes (the
+    // suffix_array section's no-second-implementation bar; the one
+    // window is the cap's literal definition over the predicted
+    // survivor set). The funnel run at scale IS the check — per-stage
+    // attrition is logged below.
+    {
+      import graft.operators.IncrementalCuration
+      import org.apache.spark.sql.expressions.Window
+      val nDocs = 16800L
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "128")
+      val prevAdvisory = spark.conf.getOption(
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4m")
+      val g = "printf('g%06d_%03d', 0L, j)"
+      val textExpr =
+        s"""array_join(CASE
+           | WHEN id % 12 = 1 THEN
+           |   transform(sequence(0, 599), j -> printf('e%06d_%03d', id div 24, j))
+           | WHEN id % 12 = 2 THEN
+           |   transform(sequence(0, 599), j -> IF(j BETWEEN 8 AND 15,
+           |     printf('c%06d_%03d', id div 24, j), printf('w%06d_%03d', id, j)))
+           | WHEN id % 12 = 3 AND (id div 12) % 2 = 0 THEN
+           |   transform(sequence(0, 599), j -> IF(j BETWEEN 100 AND 163,
+           |     printf('p%06d_%03d', id div 24, j - 100), printf('a%06d_%03d', id, j)))
+           | WHEN id % 12 = 3 THEN
+           |   transform(sequence(0, 599), j -> IF(j BETWEEN 101 AND 164,
+           |     printf('p%06d_%03d', id div 24, j - 101), printf('b%06d_%03d', id, j)))
+           | WHEN id % 12 = 7 THEN
+           |   transform(sequence(0, 599), j -> IF(j BETWEEN 300 AND 305,
+           |     $g, printf('h%06d_%03d', id, j)))
+           | WHEN id % 12 = 9 THEN
+           |   transform(sequence(0, 599), j -> printf('q%06d_%07d', id, j))
+           | WHEN id % 12 = 11 THEN
+           |   transform(sequence(0, 599), j -> printf('k%06d_%03d', id, j))
+           | ELSE transform(sequence(0, 599), j -> printf('x%06d_%03d', id, j))
+           |END, ' ')""".stripMargin
+      val corpus = spark.range(nDocs)
+        .selectExpr("id AS doc_id", s"$textExpr AS text0",
+          "IF(id % 12 = 11, concat('cap', cast(id div 240 as string)), concat('s', cast(id as string))) AS source")
+        .selectExpr("doc_id",
+          s"""IF(doc_id % 97 = 3 AND doc_id % 12 != 1,
+             |  array_join(concat(
+             |    slice(split(text0, ' '), 1, 569),
+             |    transform(sequence(0, 5), j -> $g),
+             |    slice(split(text0, ' '), 576, 25)), ' '),
+             |  text0) AS text""".stripMargin,
+          "source")
+      val semDrop = spark.range(nDocs).where("id % 12 = 5")
+        .selectExpr("id AS doc_id")
+      val pred = spark.range(nDocs).selectExpr("id",
+          "id % 12 AS r", "(id div 12) % 2 = 1 AS modd",
+          "id % 97 = 3 AS ev", "id % 7 = 3 AS g7")
+        .selectExpr("*", "NOT (r = 1 AND modd) AS p1")
+        .selectExpr("*", "600L - IF(r = 2 AND modd, 8L, 0L) AS t2")
+        .selectExpr("*", "t2 - IF(r = 3, 64L, 0L) AS t3")
+        .selectExpr("*", "t3 - IF(r = 7 AND NOT ev, 6L, 0L) AS t6")
+        .localCheckpoint()
+      val s7cond = "p1 AND r != 5 AND r != 9 AND NOT ev AND NOT g7"
+      val capKeep = pred.where(s"r = 11 AND $s7cond")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(expr("id div 240")).orderBy("id")))
+        .where("rk <= 15").select("id")
+      val s8 = pred.where(s"$s7cond AND r != 11")
+        .unionByName(pred.where(s7cond)
+          .join(capKeep, Seq("id"), "left_semi"))
+      def wstage(ix: Int, name: String, df: DataFrame, tok: String) =
+        df.agg(count(lit(1)).as("n_docs"),
+            sum(expr(tok)).cast("long").as("n_tokens"))
+          .selectExpr(s"${ix}L AS stage_ix", s"'$name' AS stage",
+            "n_docs", "n_tokens")
+      val want = Seq(
+        wstage(0, "raw", pred, "600L"),
+        wstage(1, "exact_dedup", pred.where("p1"), "600L"),
+        wstage(2, "passage_rewrite", pred.where("p1"), "t2"),
+        wstage(3, "suffix_cut", pred.where("p1"), "t3"),
+        wstage(4, "semantic_drop", pred.where("p1 AND r != 5"), "t3"),
+        wstage(5, "quality", pred.where("p1 AND r != 5 AND r != 9"), "t3"),
+        wstage(6, "scrub",
+          pred.where("p1 AND r != 5 AND r != 9 AND NOT ev"), "t6"),
+        wstage(7, "gopher", pred.where(s7cond), "t6"),
+        wstage(8, "source_cap", s8, "t6"))
+        .reduce(_.unionByName(_)).orderBy("stage_ix")
+      check("curate_v5")({
+        val got = IncrementalCuration
+          .batchFunnel(corpus, semDrop, saParts = 128).localCheckpoint()
+        got.collect().foreach(r => System.err.println(
+          s"[scale]   curate_v5 stage ${r.getLong(0)} ${r.getString(1)}: " +
+            s"n_docs=${r.getLong(2)} n_tokens=${r.getLong(3)}"))
+        got
+      }, want)
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevAdvisory match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", v)
+        case None =>
+          spark.conf.unset("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      }
+    }
 
     val dir = java.nio.file.Files.createTempDirectory("graft_scale").toString
     val t0 = System.nanoTime()

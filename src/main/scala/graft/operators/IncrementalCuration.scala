@@ -399,6 +399,74 @@ object IncrementalCuration {
       Seq("doc_id"), "left_semi")
   }
 
+  /** The composed v5 chain as a 9-row FUNNEL over an arbitrary corpus —
+    * [[batchKept]]'s stages with per-stage (n_docs, n_tokens) attrition
+    * rows (stage names/indices mirror
+    * [[CurationPipeline.curationFunnelV5]] exactly), built for the
+    * 512 MB ScaleCheck: every stage frame is DISK-checkpointed (the
+    * SuffixDedup round-state discipline — nine aggregates re-reading
+    * serialized narrow rows instead of re-running the chain per row),
+    * and the suffix stage's shuffle width is caller-sized
+    * (`saParts`). */
+  private[graft] def batchFunnel(corpus: DataFrame, semDrop: DataFrame,
+      saParts: Int = 32): DataFrame = {
+    def cp(df: DataFrame) = df.localCheckpoint(eager = true,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    def stage(ix: Int, name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"),
+          sum(expr(s"size($sparkToks)")).cast("long").as("n_tokens"))
+        .selectExpr(s"${ix}L AS stage_ix", s"'$name' AS stage",
+          "n_docs", "n_tokens")
+    batchStages(corpus, semDrop, cp, saParts).zipWithIndex
+      .map { case ((name, df), ix) => stage(ix, name, df) }
+      .reduce(_.unionByName(_)).orderBy("stage_ix")
+  }
+
+  /** The composed v5 chain's NAMED stage frames in order (raw →
+    * exact_dedup → passage_rewrite → suffix_cut → semantic_drop →
+    * quality → scrub → gopher → source_cap) — the funnel's body,
+    * exposed so StageAttributionSpec can assert each planted family
+    * passes every upstream stage VERBATIM and is cut by exactly its
+    * designed stage (the q224 discipline, generalized to every stage
+    * of the chain). `cp` is the caller's checkpoint policy (disk for
+    * the 512 MB ScaleCheck, memory for specs). */
+  private[graft] def batchStages(corpus: DataFrame, semDrop: DataFrame,
+      cp: DataFrame => DataFrame = _.localCheckpoint(),
+      saParts: Int = 32): Seq[(String, DataFrame)] = {
+    val d1 = cp(Relational.keepFirst(
+      corpus.select("doc_id", "text", "source")
+        .withColumn("fp", md5(col("text"))),
+      Seq("fp"), Seq(col("doc_id"))).drop("fp"))
+    val rw = cp(Dedup.passageDedup(d1.select("doc_id", "text"))
+      .join(d1.select("doc_id", "source"), "doc_id")
+      .selectExpr("doc_id", "text_kept AS text", "source"))
+    val sx = cp(SuffixDedup.suffixCutText(rw.select("doc_id", "text"),
+        parts = saParts, earlyExit = false)
+      .join(rw.select("doc_id", "source"), "doc_id")
+      .selectExpr("doc_id", "text_kept AS text", "source",
+        "cast(length(text_kept) as bigint) AS n_chars"))
+    val d3 = cp(sx.join(semDrop.select("doc_id"), Seq("doc_id"), "left_anti"))
+    val quality = cp(CurationPipeline.qualityGate(d3))
+    val evalSh = Curation.evalShingleSet(
+      quality.where("doc_id % 97 = 3").select("doc_id", "text"))
+    val train = quality.where("doc_id % 97 != 3")
+    val scrub = cp(CurationPipeline.qualityGate(Curation
+      .decontamScrubText(train.select("doc_id", "text"), evalSh)
+      .join(train.select("doc_id", "source"), "doc_id")
+      .selectExpr("doc_id", "text_kept AS text", "source",
+        "cast(length(text_kept) as bigint) AS n_chars")))
+    val clean = cp(scrub
+      .join(TextAnalysis.dupLines(scrub.select("doc_id", "text"))
+        .where("passes").select("doc_id"), Seq("doc_id"), "left_semi")
+      .join(TextAnalysis.gopherNgrams(scrub.select("doc_id", "text"))
+        .where("passes").select("doc_id"), Seq("doc_id"), "left_semi"))
+    val kept = clean.join(Curation.sourceCap(clean).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    Seq("raw" -> corpus, "exact_dedup" -> d1, "passage_rewrite" -> rw,
+      "suffix_cut" -> sx, "semantic_drop" -> d3, "quality" -> quality,
+      "scrub" -> scrub, "gopher" -> clean, "source_cap" -> kept)
+  }
+
   // ------------------------------------------------------------- wiring
 
   /** Per-(session, sfDir) memo of the persisted batch-1 state (the
@@ -415,7 +483,7 @@ object IncrementalCuration {
   private lazy val stateRoot: String =
     java.nio.file.Files.createTempDirectory("graft_incr_state").toString
 
-  private def semDropFor(s: SparkSession, dir: String): DataFrame =
+  private[graft] def semDropFor(s: SparkSession, dir: String): DataFrame =
     Similarity.semanticKeepFor(s, dir)
       .where("NOT keep").selectExpr("vec_id AS doc_id")
 
