@@ -80,7 +80,12 @@ import graft.functions.Portable.sparkToks
 object SuffixDedup {
 
   /** Published ExactSubstr span threshold (Lee et al. 2022 §4.1 run
-    * 50-token spans). */
+    * 50-token spans). At this setting the round-20 seed extension
+    * (initDepth = dStop below) makes the doubling loop DEGENERATE: one
+    * seed groupRank at depth 16 off the doc-array slice key, zero
+    * extension rounds, then the ≤4-window class test — the O(log n)
+    * machinery stays for any minSpan whose dStop exceeds the slice-key
+    * width budget, and [[suffixRanks]]' contract is unchanged. */
   val DefaultMinSpan = 50
 
   /** Range-exchange partition count for the doubling rounds (grows with
@@ -332,7 +337,19 @@ object SuffixDedup {
     // stop the doubling at HALF the largest power of two ≤ minSpan and
     // close the gap with the ≤4-window class key (scaladoc above)
     val dStop = math.max(1, d1 / 2)
-    val initDepth = math.min(4, dStop)
+    // the slice seed taken ALL THE WAY to dStop (the r18 trick run to
+    // its fixed point, the r19 verdict's Next #6): the seed key is the
+    // first dStop tokens joined — equality-exact (injective join, the
+    // only property the class test reads) — so for the published
+    // minSpan = 50 the doubling runs ZERO rounds: one groupRank on the
+    // depth-16 slice key, then the window-class test. The trade is a
+    // wider range-exchange row (≈16 tokens of key vs 4) against three
+    // checkpointed groupRank rounds — measured: q204 cold 5.0 → 2.5 s
+    // at sf0.1 (warm 3.2 → 2.4), the 512 MB/10M-token ScaleCheck
+    // sections 84 → 50 s (suffix_array) and 611 → 518 s (curate_v5);
+    // the wider exchange spills where it must, the sorts stay
+    // partition-local.
+    val initDepth = dStop
     // non-zero window offsets: multiples of dStop whose window stays
     // inside [0, minSpan), plus the flush-right window at minSpan−dStop
     val offs = ((dStop until (minSpan - dStop + 1) by dStop) ++
