@@ -501,15 +501,31 @@ object IncrementalCuration {
       })
     }
 
+  /** Per-(session, sfDir) memo of the FOLDED union survivor frame
+    * (narrow: doc_id, source, n_chars, n_toks) — the q224 stage-frame
+    * treatment applied to the fold: the delta fold runs once per
+    * dataset per session and repeat reads serve the materialized
+    * survivors (the house serving-cost convention); Memos-cold clears
+    * it and re-pays state build + fold per rep. */
+  private val keptMemo = scala.collection.mutable.Map.empty[
+    (SparkSession, String), (DataFrame, Long)]
+  Memos.register(() => keptMemo.synchronized(keptMemo.clear()))
+
   /** The registered q227 surface: phase B over the planted corpus's
     * delta slice against the memoized batch-1 state. The oracle is the
     * q221 batch template over the (whole) union — row-identity IS the
     * incremental ≡ batch proof. */
   def incrementalPipeline(s: SparkSession, dir: String): DataFrame = {
-    val (path, split) = stateFor(s, dir)
-    val corpus = SuffixDedup.plantedSpanCorpus(
-      Tables.documents(s, dir), withSource = true)
-    incrementalCurate(s, corpus.where(s"doc_id >= ${split}L"), split,
-      semDropFor(s, dir), Some(Bpe.encodeModelFor(s, dir)), path)
+    val (kept, split) = keptMemo.synchronized {
+      keptMemo.getOrElseUpdate((s, dir), {
+        val (path, split) = stateFor(s, dir)
+        val corpus = SuffixDedup.plantedSpanCorpus(
+          Tables.documents(s, dir), withSource = true)
+        (incrementalKept(s, corpus.where(s"doc_id >= ${split}L"),
+          semDropFor(s, dir), Some(Bpe.encodeModelFor(s, dir)), path)
+          .localCheckpoint(), split)
+      })
+    }
+    summarize(kept, split)
   }
 }
