@@ -211,12 +211,25 @@ object Curation {
     * natural shuffle at any corpus size; everything after runs on
     * #sources-row frames (windows over the mix table, never the
     * corpus). */
-  /** (source, n_tokens, kl_e9) — the shared excess-loss proxy both
-    * reweighting variants (q179 linear, q187 exponentiated) read. */
-  private def klBySource(docs: DataFrame): DataFrame = {
-    val st = docs.selectExpr("source", s"explode($sparkToks) AS t")
+  /** The (source, t, c_st) type-count frame — ONE corpus scan,
+    * MATERIALIZED (localCheckpoint): the kl chain consumes it three
+    * times (per-source totals, type marginals, the term join) and the
+    * q229 second round twice more, and Catalyst does not reuse the
+    * exchange across those subtrees (measured: 18 corpus scans in the
+    * un-materialized q229 plan) — at 100 TB that is 18 corpus reads
+    * for one vocabulary-×-sources-sized frame. */
+  private def typeCountsOf(docs: DataFrame): DataFrame =
+    docs.selectExpr("source", s"explode($sparkToks) AS t")
       .where("t <> ''")
       .groupBy("source", "t").agg(count(lit(1)).as("c_st"))
+      .localCheckpoint()
+
+  /** (source, n_tokens, kl_e9) — the shared excess-loss proxy both
+    * reweighting variants (q179 linear, q187 exponentiated) read. */
+  private def klBySource(docs: DataFrame): DataFrame =
+    klFromCounts(typeCountsOf(docs))
+
+  private def klFromCounts(st: DataFrame): DataFrame = {
     val bySource = st.groupBy("source").agg(sum("c_st").as("n_s"))
     val byType = st.groupBy("t").agg(sum("c_st").as("c_t"))
     // corpus total as a 1-row broadcast (never a lit(0) window over the
@@ -266,11 +279,18 @@ object Curation {
     * smoothing, largest-remainder budget) is integer-exact. Windows
     * run over the #sources mix table only. */
   def domainReweightExp(docs: DataFrame, budget: Long = 10000L,
-                        eta: Long = 4L, smoothPct: Long = 1L): DataFrame = {
+                        eta: Long = 4L, smoothPct: Long = 1L): DataFrame =
+    expTail(klBySource(docs), budget, eta, smoothPct)
+
+  /** The q187 tail over an already-built excess-loss frame — split out
+    * so q229's second round can anchor on round 1 WITHOUT re-scanning
+    * the corpus for it (the shared typeCountsOf frame feeds both). */
+  private def expTail(kl: DataFrame, budget: Long,
+                      eta: Long, smoothPct: Long): DataFrame = {
     val all = Window.partitionBy(lit(0))
     val byRem = Window.partitionBy(lit(0))
       .orderBy(col("rem").desc, col("source"))
-    klBySource(docs)
+    kl
       .withColumn("w_exp_e6",
         expr(s"cast(round(1e6 * exp(least($eta * kl_e9 / 1e9, 12.0d))) as bigint)"))
       .withColumn("totw", sum("w_exp_e6").over(all))
@@ -320,11 +340,11 @@ object Curation {
     val all = Window.partitionBy(lit(0))
     val byRem = Window.partitionBy(lit(0))
       .orderBy(col("rem").desc, col("source"))
-    val r1 = domainReweightExp(docs, budget, eta, smoothPct)
+    // ONE materialized type-count frame feeds round 1's excess loss AND
+    // round 2's mixture/excess chains (the corpus is scanned once)
+    val st = typeCountsOf(docs)
+    val r1 = expTail(klFromCounts(st), budget, eta, smoothPct)
       .select("source", "alpha_e6")
-    val st = docs.selectExpr("source", s"explode($sparkToks) AS t")
-      .where("t <> ''")
-      .groupBy("source", "t").agg(count(lit(1)).as("c_st"))
     val bySource = st.groupBy("source").agg(sum("c_st").as("n_s"))
     val p = st.join(broadcast(bySource), "source")
       .selectExpr("source", "t", "c_st", "n_s",
