@@ -133,8 +133,18 @@ object Curation {
     * granularity — 10k rows here), never corpus-sized; the one global
     * window orders that budget-sized frame, which is exactly what a
     * loader materializes per epoch. */
-  def mixSchedule(docs: DataFrame, budget: Long = 10000L): DataFrame = {
-    val alloc = temperatureMixture(docs, budget)
+  def mixSchedule(docs: DataFrame, budget: Long = 10000L): DataFrame =
+    mixScheduleOver(docs
+      .selectExpr("source", s"cast(size($sparkToks) as bigint) AS n")
+      .groupBy("source").agg(sum("n").as("n_tokens")), budget)
+
+  /** [[mixSchedule]] over an already-computed per-source mass frame —
+    * callers that have tokenized the corpus for their own stages (the
+    * q205 shard materialization) feed their counts here instead of
+    * paying a second corpus tokenize inside [[temperatureMixture]]. */
+  private[operators] def mixScheduleOver(perSource: DataFrame,
+      budget: Long = 10000L): DataFrame = {
+    val alloc = temperatureOver(perSource, budget)
       .select(col("source"), col("alloc_tokens").as("q"))
       .where("q > 0")
     alloc
@@ -1425,7 +1435,12 @@ object Curation {
     * unique mass frame, then the Muennighoff repeat-decay value per
     * source (exp e6-rounded once — the q187 convention). Shared with
     * the q200 card. */
-  private def effectiveTokensTail(u: DataFrame): DataFrame = {
+  private def effectiveTokensTail(u0: DataFrame): DataFrame = {
+    // #sources-row frame, materialized: the budget head() below and the
+    // temperature allocation would otherwise EACH re-run the corpus
+    // pass behind it (q197 measured ~2× the unique-mass keep-first for
+    // one answer)
+    val u = u0.localCheckpoint()
     // empty-corpus guard (the WordPiece segCounts NULL-max lesson):
     // sum over zero rows is NULL — return the empty frame, not an NPE
     val totRow = u.agg(sum("n_tokens")).head()
@@ -1461,7 +1476,11 @@ object Curation {
     * stays #sources-sized however many signals ride it. */
   def dataCardV2(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val loc = Dedup.dedupLocality(Dedup.plantedDupCorpus(docs))
+    // one planted corpus serves both the locality leg and the
+    // effective-tokens leg — built (and its max(doc_id) offset job run)
+    // once instead of once per leg
+    val planted = Dedup.plantedDupCorpus(docs).localCheckpoint()
+    val loc = Dedup.dedupLocality(planted)
       .selectExpr("source", "n_docs",
         "(10000 * n_drop_global) div n_docs AS dup_frac_e4",
         "missed_frac_e4 AS missed_local_frac_e4")
@@ -1471,7 +1490,7 @@ object Curation {
       .agg(count(lit(1)).as("n_scored"),
         sum(when(col("bucket") === 1, 1L).otherwise(0L)).as("n_head"))
       .selectExpr("source", "(10000 * n_head) div n_scored AS head_share_e4")
-    val eff = effectiveTokensTail(uniqueMassBySource(Dedup.plantedDupCorpus(docs)))
+    val eff = effectiveTokensTail(uniqueMassBySource(planted))
     loc.join(head, "source").join(eff, "source")
       .select("source", "n_docs", "dup_frac_e4", "missed_local_frac_e4",
         "head_share_e4", "u_tokens", "alloc_tokens", "eff_tokens", "waste_e4")

@@ -208,7 +208,12 @@ object Diff {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q136_ivm_minmax" -> ((s, dir) => {
       val pre = graft.Tables.documents(s, dir).select("doc_id", "lang", "n_chars")
-      val post = docsPost(pre)
+      // the post-image is MATERIALIZED (narrow, fixture-derived): in
+      // production it is a stored table read twice (diff feed +
+      // recompute path), not a plan re-derived per consumer — without
+      // this the derivation subtree (scan+agg+join) is duplicated under
+      // both consumers and the plan carries twice the exchanges
+      val post = docsPost(pre).localCheckpoint()
       val base = pre.groupBy("lang").agg(count(lit(1)).as("n"),
         min("n_chars").as("mn"), max("n_chars").as("mx"))
       val feed = snapshotDiff(pre, post, "doc_id")

@@ -158,10 +158,18 @@ object Packing {
       seqBudget: Int = DefaultBudget, subShards: Int = 8,
       outShards: Int = 8): DataFrame = {
     require(budget > 0 && seqBudget > 0 && subShards > 0 && outShards > 0)
-    val toks = docs.selectExpr("source", "doc_id",
+    // ONE corpus tokenize serves both consumers: the packing chain below
+    // and the schedule's per-source mass (previously a second full
+    // tokenize inside temperatureMixture). Materialized as the narrow
+    // (source, doc_id, ss, n_toks) manifest — four columns at any scale.
+    // The mass aggregates the UNFILTERED frame so a hypothetical
+    // all-zero-token source keeps its 0-mass row exactly as
+    // temperatureMixture(docs) would produce it.
+    val toksAll = docs.selectExpr("source", "doc_id",
         s"doc_id % $subShards AS ss",
         s"cast(size($sparkToks) as bigint) AS n_toks")
-      .where("n_toks > 0")
+      .localCheckpoint()
+    val toks = toksAll.where("n_toks > 0")
     val w = Window.partitionBy("source", "ss").orderBy("doc_id")
     val seqs = toks
       .withColumn("cum", sum("n_toks").over(w))
@@ -188,7 +196,8 @@ object Packing {
     // — and the DuckDB twin, built the same way, could never catch the
     // missing positions. The guard keeps the draw frame at exactly
     // `budget` rows or fails loudly naming the starved source.
-    val draws = Curation.mixSchedule(docs, budget)
+    val draws = Curation.mixScheduleOver(
+        toksAll.groupBy("source").agg(sum("n_toks").as("n_tokens")), budget)
       .join(broadcast(nseq), Seq("source"), "left")
       .withColumn("seq_ix", expr(
         "IF(n_seqs IS NULL, cast(raise_error(concat(" +

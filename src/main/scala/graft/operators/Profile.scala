@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -10,15 +10,21 @@ import graft.Tables
   * ranges per column; the Deequ/Great-Expectations shape, reference has
   * nothing comparable because it never validates its inputs).
   *
-  * Scale posture: ONE aggregate pass over the table computes every
-  * statistic for every profiled column simultaneously — count/min/max
-  * are plain partial aggregates; the exact multi-column COUNT(DISTINCT)
-  * is Spark's Expand strategy (rows ×(columns+1) map-side, each branch
-  * partial-aggregated before the single shuffle), the standard exact
-  * answer. At 100 TB swap exact ndv for approx_count_distinct (same
-  * plan minus Expand) — kept exact here because the DuckDB oracle
-  * hash-compares values. The 1×stats row then unpivots via stack() into
-  * one row per column — driver-scale, after aggregation.
+  * Scale posture: ONE independent aggregate branch per profiled column,
+  * unioned — each branch scans exactly its own column (columnar I/O:
+  * the union reads every column chunk once in total, the same bytes as
+  * a single 4-column scan) and plans the single-distinct two-level
+  * aggregate, so no Expand ×(columns+1) row blowup exists anywhere and
+  * a string extremum can never demote the NUMERIC columns' aggregation
+  * to sort-based. This replaced the round-19 single-pass Expand
+  * multi-distinct in round 20: at sf0.1 the Expand form cost
+  * 1.5–2.0 s/query (3.6M expanded rows for lineitem; events' string
+  * branch forced SortAggregate over an 11-column sort), the union form
+  * 0.2 s — and at 100 TB the union shuffles strictly fewer bytes (each
+  * exchange carries one column's distinct values, never the ×(N+1)
+  * expanded row stream). At 100 TB swap exact ndv for
+  * approx_count_distinct (drops each branch's distinct exchange) —
+  * kept exact here because the DuckDB oracle hash-compares values.
   *
   * Numeric extrema are reported ×100 as BIGINT (`*_e2`) so double
   * columns hash identically across engines (same trick as
@@ -47,61 +53,50 @@ object Profile {
       tsCols: Seq[String] = Nil): DataFrame = {
     require(numCols.nonEmpty || strCols.nonEmpty || tsCols.nonEmpty,
       "profile: no columns given")
-    val numAggs = numCols.flatMap { c =>
-      Seq(
-        count(col(c)).as(s"n_$c"),
-        countDistinct(col(c)).as(s"ndv_$c"),
-        round(min(col(c)) * 100).cast("long").as(s"min_$c"),
-        round(max(col(c)) * 100).cast("long").as(s"max_$c"))
+    // union branches must be type-aligned positionally: each branch
+    // carries NULLs for the other kinds' extremum columns
+    val hasNum = numCols.nonEmpty; val hasStr = strCols.nonEmpty
+    val hasTs = tsCols.nonEmpty
+    val nullNum = Seq(lit(null).cast("long").as("min_e2"),
+      lit(null).cast("long").as("max_e2"))
+    val nullStr = Seq(lit(null).cast("string").as("min_s"),
+      lit(null).cast("string").as("max_s"))
+    val nullTs = Seq(lit(null).cast("long").as("min_us"),
+      lit(null).cast("long").as("max_us"))
+    // one branch per column: scan just that column, one COUNT(DISTINCT)
+    // (the Expand-free two-level plan) + min/max/counts in the same agg
+    def branch(c: String, v: Column, extrema: Seq[Column],
+        pad: Seq[Column]): DataFrame =
+      df.select(v.as("v"))
+        .agg(count(lit(1)).as("n_rows"), count(col("v")).as("n_c"),
+          countDistinct(col("v")).as("ndv"), extrema.head, extrema.last)
+        .select(Seq(lit(c).as("col_name"),
+          col("n_rows").cast("long").as("n_rows"),
+          (col("n_rows") - col("n_c")).cast("long").as("n_null"),
+          col("ndv").cast("long").as("ndv")) ++ pad: _*)
+    val numBranches = numCols.map { c =>
+      branch(c, col(c),
+        Seq(round(min(col("v")) * 100).cast("long").as("min_e2"),
+          round(max(col("v")) * 100).cast("long").as("max_e2")),
+        Seq(col("min_e2"), col("max_e2")) ++
+          (if (hasStr) nullStr else Nil) ++ (if (hasTs) nullTs else Nil))
     }
-    val strAggs = strCols.flatMap { c =>
-      Seq(
-        count(col(c)).as(s"n_$c"),
-        countDistinct(col(c)).as(s"ndv_$c"),
-        min(col(c)).cast("string").as(s"min_$c"),
-        max(col(c)).cast("string").as(s"max_$c"))
+    val strBranches = strCols.map { c =>
+      branch(c, col(c),
+        Seq(min(col("v")).cast("string").as("min_s"),
+          max(col("v")).cast("string").as("max_s")),
+        (if (hasNum) nullNum else Nil) ++ Seq(col("min_s"), col("max_s")) ++
+          (if (hasTs) nullTs else Nil))
     }
     // the whole temporal branch runs in the unix-micros BIGINT domain
     // (count/ndv are value-preserving under the conversion)
-    val tsAggs = tsCols.flatMap { c =>
-      val us = expr(s"unix_micros($c)")
-      Seq(
-        count(us).as(s"n_$c"),
-        countDistinct(us).as(s"ndv_$c"),
-        min(us).as(s"min_$c"),
-        max(us).as(s"max_$c"))
+    val tsBranches = tsCols.map { c =>
+      branch(c, expr(s"unix_micros($c)"),
+        Seq(min(col("v")).as("min_us"), max(col("v")).as("max_us")),
+        (if (hasNum) nullNum else Nil) ++ (if (hasStr) nullStr else Nil) ++
+          Seq(col("min_us"), col("max_us")))
     }
-    val aggs = numAggs ++ strAggs ++ tsAggs
-    val one = df.agg(count(lit(1)).as("n_rows"), aggs: _*)
-    // stack branches must be type-aligned positionally: each branch
-    // carries NULLs for the other kinds' extremum columns
-    val nullNum = ", CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)"
-    val nullStr = ", CAST(NULL AS STRING), CAST(NULL AS STRING)"
-    val numBranch = (c: String) =>
-      s"'$c', n_rows - n_$c, ndv_$c, min_$c, max_$c" +
-        (if (strCols.nonEmpty) nullStr else "") +
-        (if (tsCols.nonEmpty) nullNum else "")
-    val strBranch = (c: String) =>
-      s"'$c', n_rows - n_$c, ndv_$c" +
-        (if (numCols.nonEmpty) nullNum else "") +
-        s", min_$c, max_$c" +
-        (if (tsCols.nonEmpty) nullNum else "")
-    val tsBranch = (c: String) =>
-      s"'$c', n_rows - n_$c, ndv_$c" +
-        (if (numCols.nonEmpty) nullNum else "") +
-        (if (strCols.nonEmpty) nullStr else "") +
-        s", min_$c, max_$c"
-    val stackArgs = (numCols.map(numBranch) ++ strCols.map(strBranch) ++
-      tsCols.map(tsBranch)).mkString(", ")
-    val outCols =
-      (if (numCols.nonEmpty) Seq("min_e2", "max_e2") else Nil) ++
-      (if (strCols.nonEmpty) Seq("min_s", "max_s") else Nil) ++
-      (if (tsCols.nonEmpty) Seq("min_us", "max_us") else Nil)
-    val n = numCols.size + strCols.size + tsCols.size
-    one.selectExpr("n_rows",
-        s"stack($n, $stackArgs) AS (col_name, n_null, ndv, ${outCols.mkString(", ")})")
-      .selectExpr(Seq("col_name", "cast(n_rows as bigint) AS n_rows",
-        "cast(n_null as bigint) AS n_null", "cast(ndv as bigint) AS ndv") ++ outCols: _*)
+    (numBranches ++ strBranches ++ tsBranches).reduce(_ unionAll _)
       .orderBy("col_name")
   }
 
@@ -117,39 +112,44 @@ object Profile {
     * hll_sketch_agg takes no doubles, and cents is the repo's
     * engine-portable numeric domain anyway; on integral key columns
     * ×100 is injective, so ndv/min_e2/max_e2 coincide with [[profile]].
-    * At scale the exact branch is dropped and the Expand multiplier
-    * (rows × columns+1) disappears with it — the sketch pass is plain
+    * At scale the exact branches are dropped and their per-column
+    * distinct exchanges disappear with them — the sketch pass is plain
     * partial aggregates, one scan, one 1-row shuffle. */
   def profileApprox(df: DataFrame, numCols: Seq[String]): DataFrame = {
     require(numCols.nonEmpty, "profileApprox: no columns given")
-    val exactAggs = numCols.flatMap { c =>
-      val q = expr(s"cast(round($c * 100) as bigint)")
-      Seq(
-        count(q).as(s"n_$c"),
-        countDistinct(q).as(s"ndv_$c"),
-        min(q).as(s"min_$c"),
-        max(q).as(s"max_$c"))
-    }
-    // the sketches run in their OWN pass: folded into the exact agg
-    // they would ride the multi-distinct Expand and be updated once per
-    // expanded row (columns+1 ×, measured 13 s vs 2 s at sf0.1) — as a
-    // plain partial aggregate the sketch scan is the cheap one, and it
-    // is the ONLY pass the 100 TB deployment keeps
+    // the sketches run in their OWN pass: folded into a branch's exact
+    // agg they would ride the single-distinct rewrite's first grouping
+    // (one partial sketch PER DISTINCT VALUE, merged after — the
+    // per-group-sketch blowup measured at 13 s vs 2 s back when the
+    // exact side was the Expand plan) — as a plain partial aggregate
+    // the sketch scan is the cheap one, and it is the ONLY pass the
+    // 100 TB deployment keeps
     val skAggs = numCols.map { c =>
       expr(s"cast(hll_sketch_estimate(hll_sketch_agg(" +
         s"cast(round($c * 100) as bigint), 14)) as bigint)").as(s"est_$c")
     }
-    val one = df.agg(count(lit(1)).as("n_rows"), exactAggs: _*)
-      .crossJoin(df.agg(skAggs.head, skAggs.tail: _*))
-    val branches = numCols.map(c =>
-      s"'$c', n_rows - n_$c, ndv_$c, min_$c, max_$c, " +
-        s"abs(est_$c - ndv_$c) * 100 <= ndv_$c * 5")
-    one.selectExpr("n_rows",
-        s"stack(${numCols.size}, ${branches.mkString(", ")}) AS " +
-          "(col_name, n_null, ndv, min_e2, max_e2, ndv_within)")
-      .selectExpr("col_name", "cast(n_rows as bigint) AS n_rows",
-        "cast(n_null as bigint) AS n_null", "cast(ndv as bigint) AS ndv",
-        "min_e2", "max_e2", "ndv_within")
+    val sk = df.agg(skAggs.head, skAggs.tail: _*)
+    // exact side: one union branch per column (see [[profile]] — scans
+    // its own column only, Expand-free single-distinct plan); the 1-row
+    // sketch frame broadcasts under every branch and the ±5 % gate
+    // picks its column's estimate by col_name
+    val branches = numCols.map { c =>
+      df.select(expr(s"cast(round($c * 100) as bigint)").as("v"))
+        .agg(count(lit(1)).as("n_rows"), count(col("v")).as("n_c"),
+          countDistinct(col("v")).as("ndv"),
+          min(col("v")).as("min_e2"), max(col("v")).as("max_e2"))
+        .select(lit(c).as("col_name"), col("n_rows").cast("long").as("n_rows"),
+          (col("n_rows") - col("n_c")).cast("long").as("n_null"),
+          col("ndv").cast("long").as("ndv"), col("min_e2"), col("max_e2"))
+    }
+    branches.reduce(_ unionAll _)
+      .join(broadcast(sk))
+      .withColumn("ndv_within",
+        expr("abs(CASE col_name " +
+          numCols.map(c => s"WHEN '$c' THEN est_$c").mkString(" ") +
+          " END - ndv) * 100 <= ndv * 5"))
+      .select("col_name", "n_rows", "n_null", "ndv", "min_e2", "max_e2",
+        "ndv_within")
       .orderBy("col_name")
   }
 

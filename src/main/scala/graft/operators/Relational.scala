@@ -555,8 +555,14 @@ object Relational {
     // both map-side combined), no anti-join; the supplier dim is
     // SF-scaled, so its join is unhinted (AQE broadcasts at test SFs).
     "q81_tpch_q21" -> ((s, dir) => {
+      // ONE exchange serves both aggregation levels: hash-partitioning
+      // on l_orderkey alone satisfies ClusteredDistribution for the
+      // (l_orderkey, l_suppkey) grouping AND the l_orderkey rollup
+      // (subset-of-keys partitioning), so the per-order rollup that
+      // previously forced a second full exchange is partition-local
       val pairAgg = Tables.lineitem(s, dir)
         .select("l_orderkey", "l_suppkey", "l_returnflag")
+        .repartition(col("l_orderkey"))
         .groupBy("l_orderkey", "l_suppkey")
         .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("ret"))
       val sole = pairAgg.groupBy("l_orderkey")

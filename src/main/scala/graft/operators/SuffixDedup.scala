@@ -310,8 +310,24 @@ object SuffixDedup {
     * then the one count-over-class shuffle. */
   def suffixArrayDedup(docs: DataFrame, minSpan: Int = DefaultMinSpan,
       parts: Int = DefaultParts, earlyExit: Boolean = true): DataFrame = {
-    val t = docs.selectExpr("doc_id", s"$sparkToks AS toks")
+    val t = spreadDocs(docs).selectExpr("doc_id", s"$sparkToks AS toks")
     Dedup.cutSpans(t, dupSpans(t, minSpan, parts, earlyExit))
+  }
+
+  /** Scan-parallelism rescue for the position explode: the driver's
+    * testdata ships one row group per file, so a raw corpus scan is ONE
+    * task and the ~tokens-sized explode+slice+fingerprint work under
+    * [[dupSpans]] would serialize on it (guide §2.5's unsplittable-
+    * input case — "otherwise repartition immediately after the read").
+    * Fires ONLY when the planned layout is narrower than the session
+    * parallelism: a 100 TB scan arrives thousands-of-splits wide and a
+    * mid-pipeline (already shuffled) caller passes straight through, so
+    * the exchange does not exist where it isn't needed. Deterministic
+    * hash key (doc_id), not round-robin. */
+  private def spreadDocs(docs: DataFrame): DataFrame = {
+    val target = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < target) docs.repartition(target, col("doc_id"))
+    else docs
   }
 
   /** The span CUT as a REWRITE — (doc_id, text_kept) for every input
@@ -321,7 +337,7 @@ object SuffixDedup {
     * [[suffixArrayDedup]] is the standalone audit surface). */
   def suffixCutText(docs: DataFrame, minSpan: Int = DefaultMinSpan,
       parts: Int = DefaultParts, earlyExit: Boolean = true): DataFrame = {
-    val t = docs.selectExpr("doc_id", s"$sparkToks AS toks")
+    val t = spreadDocs(docs).selectExpr("doc_id", s"$sparkToks AS toks")
     Dedup.cutSpansKept(t, dupSpans(t, minSpan, parts, earlyExit))
       .selectExpr("doc_id", "array_join(kept, ' ') AS text_kept")
   }
@@ -369,16 +385,30 @@ object SuffixDedup {
       .withColumn("gpos",
         Dedup.guardedPacked("suffixArrayDedup", col("doc_id"),
           col("pos") + lit(minSpan.toLong), 20) - lit(minSpan.toLong))
-      // the seed key is the first initDepth tokens JOINED (tokens are
-      // whitespace-free by construction, so the join is injective —
-      // equality classes are exact); a single string is far narrower in
-      // the range exchange + window sort than an array of 4 (the 512 MB
-      // ScaleCheck found the array form's per-row overhead). Equality
-      // is all the dedup path needs of its ranks (the class test never
-      // reads order); the default initDepth = 1 single-token path keeps
+      // positions whose depth-dStop window overruns the doc are dropped
+      // BEFORE the rank: with the seed at its fixed point the doubling
+      // runs zero extension rounds, so a position is consumed only as a
+      // probe (needs minSpan tokens) or as a probe's window-offset
+      // lookup (needs the full dStop window: max offset + dStop =
+      // minSpan ≤ the probe's own remaining length) — a truncated-tail
+      // position can be neither, and carrying it only widened the range
+      // exchange. (The generic suffixRanks contract still keeps ALL
+      // positions for real doubling rounds — this filter is valid
+      // precisely because initDepth = dStop makes the loop degenerate.)
+      .where(s"pos + ${dStop - 1} <= len")
+      // the seed key is the md5 FINGERPRINT of the first initDepth
+      // tokens joined (tokens are whitespace-free by construction, so
+      // the join is injective; md5 is the repo's content-identity
+      // convention — q20's exact-dedup fp and the q204 twin's own
+      // window test are the same 128-bit judgement). A fixed 16-byte
+      // binary is ~5× narrower in the range exchange + window sorts
+      // than the raw ~16-token string (measured 2.2 → 1.4 s on the
+      // registered q204 at sf0.1). Equality is all the dedup path needs
+      // of its ranks (the class test never reads order); the default
+      // initDepth = 1 single-token path keeps the raw token and with it
       // the lexicographic contract SuffixArraySpec pins.
       .selectExpr("gpos", s"pos + ${minSpan - 1} <= len AS ok",
-        s"array_join(slice(toks, cast(pos as int), $initDepth), ' ') AS tok")
+        s"unhex(md5(array_join(slice(toks, cast(pos as int), $initDepth), ' '))) AS tok")
     val r = suffixRanks(pos, dStop, parts, earlyExit, initDepth)
     // the length filter MUST precede the class count (truncated shorter
     // suffixes share depth-capped ranks; it also guarantees every

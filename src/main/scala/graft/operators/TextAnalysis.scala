@@ -409,8 +409,12 @@ object TextAnalysis {
     // than exactly even; QuantileSpec measures the assignment
     // agreement against exact q199 at test SF.
     "q208_calibration_sampled" -> ((s, dir) => {
+      // materialized: sampledTiles consumes the score frame TWICE
+      // (cutpoint aggregate + assignment map) and each evaluation
+      // re-pays the classifier's full tokenize+fold corpus pass; the
+      // checkpointed frame is (doc_id, score_e3) — narrow at any scale
       val scores = hashedClassifier(Tables.documents(s, dir))
-        .select("doc_id", "score_e3")
+        .select("doc_id", "score_e3").localCheckpoint()
       calibrationOver(
         sampledTiles(scores, "score_e3", 10, tileCol = "decile"),
         gopherQuality(Tables.documents(s, dir)))

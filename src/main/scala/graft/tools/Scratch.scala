@@ -1,55 +1,54 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.Tables
-import graft.operators.Similarity
-
-/** Ad-hoc scale-sweep harness (profiling evidence for PLANS.md, not part
-  * of the library): replicates the sf0.1 embedding corpus with rotated
-  * dimensions (a permutation keeps the component distribution but
-  * decorrelates bucket signatures, so replicas behave like fresh
-  * vectors) and measures multi-band LSH candidate growth vs corpus
-  * size — the empirical check that corpus-scaled bits keep the
-  * candidate join linear-ish in n. */
+/** Throwaway A/B harness for optimization candidates (not registered,
+  * not part of the driver contract). */
 object Scratch {
+  def time(label: String, reps: Int)(f: => Long): Unit = {
+    (1 to reps).foreach { r =>
+      val t0 = System.nanoTime()
+      val n = f
+      val t = (System.nanoTime() - t0) / 1e9
+      println(f"[scratch] $label rep$r n=$n t=$t%.3f")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.customCostEvaluatorClass",
+        "graft.plans.GraftCostEvaluator")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val e = Tables.embeddings(spark, sfDir)
-      .selectExpr("vec_id", "cast(embedding as array<double>) AS embedding")
+    val docs = graft.Tables.documents(spark, sfDir)
 
-    def replicated(factor: Int) = (0 until factor).map { r =>
-      val rot = r % 32 + 1
-      e.selectExpr(s"vec_id + ${r.toLong * 10000000L} AS vec_id",
-        s"concat(slice(embedding, $rot + 1, 64 - $rot), slice(embedding, 1, $rot)) AS embedding")
-    }.reduce(_ unionByName _)
+    import graft.operators.Dedup
+    val toksE = graft.functions.Portable.sparkToks
 
-    println(f"[sweep] ${"n"}%8s ${"nbits"}%6s ${"candidates"}%12s ${"cand/n"}%8s ${"sec"}%7s")
-    Seq(1, 2, 4, 8, 16).foreach { f =>
-      val corpus = replicated(f).localCheckpoint()
-      val n = corpus.count()
-      val nbits = graft.functions.Portable.lshBandBits(n)
-      val t0 = System.nanoTime()
-      // candidate PAIRS before the cosine confirm — the quantity whose
-      // growth rate decides 100x viability
-      val sigs = Similarity.lshBandSignatures(corpus, graft.functions.Portable.LshBands, nbits)
-      val a = sigs.toDF("vec_a", "band", "bucket")
-      val b = sigs.toDF("vec_b", "band", "bucket")
-      val cands = a.join(b, Seq("band", "bucket"))
-        .where(col("vec_a") < col("vec_b"))
-        .select("vec_a", "vec_b").distinct().count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"[sweep] $n%8d $nbits%6d $cands%12d ${cands.toDouble / n}%8.2f $sec%7.2f")
-    }
+    def shingledSpread(d: DataFrame): DataFrame =
+      d.select(col("doc_id"), col("text"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .where(s"size($toksE) >= 2")
+        .selectExpr("doc_id", s"$toksE AS toks")
+        .selectExpr("doc_id",
+          "array_distinct(transform(sequence(0, size(toks) - 2), " +
+          "i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))) AS sh")
+
+    val sh = Dedup.shingled(docs)
+    time("shingled_old", 3) { sh.write.format("noop").mode("overwrite").save(); 0L }
+    val sh2 = shingledSpread(docs)
+    time("shingled_spread", 3) { sh2.write.format("noop").mode("overwrite").save(); 0L }
+    // does AQE collapse the post-shuffle stage?
+    println("[scratch] spread partitions=" + sh2.rdd.getNumPartitions)
     spark.stop()
   }
 }

@@ -36,7 +36,14 @@ object GraftParquetProps extends Properties("graft-parquet") {
         .map(_.mkString.take(20))))
     bin <- Gen.option(Gen.listOf(Gen.chooseNum(Byte.MinValue, Byte.MaxValue))
       .map(_.toArray))
-    ts <- Gen.option(Gen.chooseNum(-62135596800000L, 253402300799000L)
+    // post-Gregorian-cutover only (1582-10-15 .. 9999-12-31):
+    // java.sql.Timestamp speaks the HYBRID Julian/Gregorian calendar,
+    // and a hybrid-only wall clock (e.g. 1300-02-29 — valid Julian,
+    // nonexistent proleptic Gregorian) cannot round-trip through the
+    // store's proleptic INT64 micros — the same lossy edge Spark's own
+    // java.sql.Timestamp boundary has (DateTimeUtils rebase pair), not
+    // a store defect; the driver's testdata is modern-epoch throughout
+    ts <- Gen.option(Gen.chooseNum(-12219292800000L, 253402300799000L)
       .map(ms => new java.sql.Timestamp(ms)))
   } yield Row(id, i.orNull, d.orNull, f.orNull, b.orNull, s.orNull,
     bin.orNull, ts.orNull)

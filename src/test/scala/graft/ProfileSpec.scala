@@ -75,23 +75,30 @@ class ProfileSpec extends AnyFunSuite {
     assert(rows("event_id").isNullAt(8) && rows("event_type").isNullAt(8))
   }
 
-  test("profile is one aggregate pass: a single shuffle for stats") {
+  test("profile is per-column branches: two distinct-agg shuffles per column, no Expand") {
     val df = spark.range(1000).selectExpr(
       "id AS l_orderkey", "id % 7 AS l_suppkey",
       "CAST(id % 50 AS DOUBLE) AS l_quantity",
       "CAST(id AS DOUBLE) / 10 AS l_extendedprice")
-    // Expand-based multi-distinct still funnels through ONE stats
-    // shuffle (plus the final 4-row sort) — no per-column table passes
-    assert(SparkTestSession.shuffles(Profile.profile(df)) <= 2)
+    val p = Profile.profile(df)
+    // round-20 shape: each column is its own single-distinct two-level
+    // aggregate (2 exchanges) + the final sort — and the ×(columns+1)
+    // Expand row blowup must not exist anywhere in the plan
+    assert(SparkTestSession.shuffles(p) <= 2 * 4 + 1)
+    assert(SparkTestSession.collectExec(p) {
+      case e: org.apache.spark.sql.execution.ExpandExec => e }.isEmpty)
   }
 
-  test("mixed profile (q107 shape) is still one aggregate pass") {
+  test("mixed profile (q107 shape) keeps per-column branches and no Expand") {
     val df = spark.range(1000).selectExpr(
       "id AS doc_id", "id % 97 AS n_chars",
       "concat('l', id % 5) AS lang", "concat('src', id % 11) AS source",
       "concat('text ', id) AS text")
-    assert(SparkTestSession.shuffles(
-      Profile.profile(df, Seq("doc_id", "n_chars"), Seq("lang", "source", "text"))) <= 2)
+    val p = Profile.profile(df, Seq("doc_id", "n_chars"),
+      Seq("lang", "source", "text"))
+    assert(SparkTestSession.shuffles(p) <= 2 * 5 + 1)
+    assert(SparkTestSession.collectExec(p) {
+      case e: org.apache.spark.sql.execution.ExpandExec => e }.isEmpty)
   }
 
   test("histogram: buckets partition the count, bounds nest, integer bucketing matches the formula") {
